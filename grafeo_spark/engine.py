@@ -1,0 +1,63 @@
+"""GrafeoSpark — the session-level API.
+
+The Spark-native analogue of the reference's ``GrafeoDB`` + ``Session``
+(crates/grafeo-engine/src/database.rs, session.rs): holds a PropertyGraph
+(and optionally a TripleStore), compiles query strings through the
+language front-ends into the shared logical IR, and hands Catalyst the
+resulting DataFrame plan. A small LRU plan cache mirrors the reference's
+parsed-plan cache (query/cache.rs) — it caches *translated IR*, not
+DataFrames, since Catalyst re-optimizes per parameter binding anyway.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from grafeo_spark.graph import PropertyGraph, TripleStore
+from grafeo_spark.plans.compiler import Compiler
+
+
+@lru_cache(maxsize=256)
+def _parse_and_translate(query: str):
+    from grafeo_spark.lang.cypher import parse, translate
+
+    return translate(parse(query))
+
+
+class GrafeoSpark:
+    def __init__(
+        self,
+        spark: SparkSession,
+        graph: PropertyGraph | None = None,
+        triples: TripleStore | None = None,
+    ) -> None:
+        self.spark = spark
+        self.graph = graph
+        self.triples = triples
+
+    # -- query front-ends -------------------------------------------------
+
+    def cypher(self, query: str, params: dict[str, Any] | None = None) -> DataFrame:
+        """Execute an openCypher query (session.execute_cypher analogue)."""
+        if self.graph is None:
+            raise ValueError("no property graph attached")
+        plan = _parse_and_translate(query)
+        return Compiler(self.graph, self.spark, params).compile(plan)
+
+    def gql(self, query: str, params: dict[str, Any] | None = None) -> DataFrame:
+        """GQL shares the Cypher grammar subset (the reference's two
+        translators are near-twins; SURVEY.md §3.2)."""
+        return self.cypher(query, params)
+
+    execute = gql  # reference default language is GQL (session.execute)
+
+    # -- direct store API (database.rs:618-931 'side door') ---------------
+
+    def nodes(self, label: str | None = None) -> DataFrame:
+        return self.graph.nodes(label)
+
+    def edges(self, etype: str | None = None) -> DataFrame:
+        return self.graph.edges(etype)

@@ -1,0 +1,187 @@
+"""Property-graph data model on DataFrames.
+
+The reference stores one LPG graph as columnar node/edge stores with label
+and edge-type secondary indexes (``crates/grafeo-core/src/graph/lpg/store.rs``).
+The Spark-native equivalent is *label partitioning*: one DataFrame per node
+label and one per edge type. A ``MATCH (c:Customer)`` then scans exactly one
+parquet source (label "index" == partition pruning at the source), and an
+edge expansion by type touches only that edge table. Unlabeled scans are the
+slow path: a ``unionByName`` across labels, which Catalyst still prunes
+column-wise.
+
+Conventions (GraphFrames-compatible):
+- every node frame has a unique ``id: long`` column; remaining columns are
+  properties;
+- every edge frame has ``src: long, dst: long``; remaining columns are
+  properties;
+- node ids are globally unique across labels (the loader namespaces them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ID = "id"
+SRC = "src"
+DST = "dst"
+
+
+class PropertyGraph:
+    """A labeled property graph as a set of DataFrames.
+
+    Parameters
+    ----------
+    node_frames : dict[str, DataFrame]
+        label -> frame with column ``id`` plus typed property columns.
+    edge_frames : dict[str, DataFrame]
+        edge type -> frame with ``src``/``dst`` plus property columns.
+    """
+
+    def __init__(
+        self,
+        node_frames: dict[str, DataFrame],
+        edge_frames: dict[str, DataFrame],
+    ) -> None:
+        self.node_frames = dict(node_frames)
+        self.edge_frames = dict(edge_frames)
+
+    # -- scans -----------------------------------------------------------
+
+    def nodes(self, label: str | None = None) -> DataFrame:
+        """Node scan. With a label: a single pruned source (fast path,
+        mirrors the reference's label-index scan, scan.rs:10). Without:
+        union of all labels with a ``_label`` discriminator column."""
+        if label is not None:
+            if label not in self.node_frames:
+                raise KeyError(f"unknown node label: {label!r}")
+            return self.node_frames[label].withColumn("_label", F.lit(label))
+        out = None
+        for lbl, df in self.node_frames.items():
+            cur = df.withColumn("_label", F.lit(lbl))
+            out = cur if out is None else out.unionByName(cur, allowMissingColumns=True)
+        if out is None:
+            raise ValueError("graph has no node frames")
+        return out
+
+    def edges(self, etype: str | None = None) -> DataFrame:
+        """Edge scan by type (single source) or across all types."""
+        if etype is not None:
+            if etype not in self.edge_frames:
+                raise KeyError(f"unknown edge type: {etype!r}")
+            return self.edge_frames[etype].withColumn("_type", F.lit(etype))
+        out = None
+        for t, df in self.edge_frames.items():
+            cur = df.withColumn("_type", F.lit(t))
+            out = cur if out is None else out.unionByName(cur, allowMissingColumns=True)
+        if out is None:
+            raise ValueError("graph has no edge frames")
+        return out
+
+    def labels(self) -> list[str]:
+        return sorted(self.node_frames)
+
+    def edge_types(self) -> list[str]:
+        return sorted(self.edge_frames)
+
+    # -- degree helpers (used by algorithms and the Gremlin-ish API) ------
+
+    def degrees(self, direction: str = "both", etype: str | None = None) -> DataFrame:
+        """(id, degree) across the chosen edge set. groupBy count — a single
+        partial-aggregated shuffle, no join."""
+        e = self.edges(etype)
+        if direction == "out":
+            key = e.select(F.col(SRC).alias(ID))
+        elif direction == "in":
+            key = e.select(F.col(DST).alias(ID))
+        else:
+            key = e.select(F.col(SRC).alias(ID)).unionAll(e.select(F.col(DST).alias(ID)))
+        return key.groupBy(ID).agg(F.count("*").alias("degree"))
+
+    # -- mutation (functional: returns a new graph) ------------------------
+
+    def with_nodes(self, label: str, df: DataFrame) -> "PropertyGraph":
+        frames = dict(self.node_frames)
+        frames[label] = df
+        return PropertyGraph(frames, self.edge_frames)
+
+    def with_edges(self, etype: str, df: DataFrame) -> "PropertyGraph":
+        frames = dict(self.edge_frames)
+        frames[etype] = df
+        return PropertyGraph(self.node_frames, frames)
+
+    def create_nodes(self, label: str, df: DataFrame) -> "PropertyGraph":
+        """Append nodes (CreateNodeOperator analogue, mutation.rs:21) —
+        functional snapshot semantics replace the reference's MVCC."""
+        if label in self.node_frames:
+            df = self.node_frames[label].unionByName(df, allowMissingColumns=True)
+        return self.with_nodes(label, df)
+
+    def create_edges(self, etype: str, df: DataFrame) -> "PropertyGraph":
+        if etype in self.edge_frames:
+            df = self.edge_frames[etype].unionByName(df, allowMissingColumns=True)
+        return self.with_edges(etype, df)
+
+    def delete_nodes(self, label: str, ids: DataFrame, detach: bool = True) -> "PropertyGraph":
+        """DELETE (DETACH) via anti-joins (DeleteNodeOperator, mutation.rs:369)."""
+        ids = ids.select(F.col(ids.columns[0]).alias(ID))
+        frames = dict(self.node_frames)
+        frames[label] = frames[label].join(ids, on=ID, how="left_anti")
+        eframes = dict(self.edge_frames)
+        if detach:
+            for t, e in eframes.items():
+                e = e.join(ids.withColumnRenamed(ID, SRC), on=SRC, how="left_anti")
+                e = e.join(ids.withColumnRenamed(ID, DST), on=DST, how="left_anti")
+                eframes[t] = e
+        return PropertyGraph(frames, eframes)
+
+    def merge_nodes(self, label: str, df: DataFrame, keys: list[str]) -> "PropertyGraph":
+        """MERGE: keep existing rows, append the anti-joined remainder
+        (merge.rs:1-18 re-expressed as a batch left-anti + union)."""
+        if label not in self.node_frames:
+            return self.with_nodes(label, df)
+        existing = self.node_frames[label]
+        missing = df.join(existing.select(*keys), on=keys, how="left_anti")
+        return self.with_nodes(label, existing.unionByName(missing, allowMissingColumns=True))
+
+
+class TripleStore:
+    """RDF triples as a single DataFrame (s, p, o_iri, o_lit, o_dt, g).
+
+    The reference keeps SPO/POS/OSP permutation indexes
+    (graph/rdf/store.rs:50-68); in Spark those become predicate-partitioned
+    parquet + min/max pruning — the scan API is just filters.
+    """
+
+    COLS = ("s", "p", "o_iri", "o_lit", "o_dt", "g")
+
+    def __init__(self, triples: DataFrame) -> None:
+        self.df = triples
+
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "TripleStore":
+        schema = "s string, p string, o_iri string, o_lit string, o_dt string, g string"
+        return cls(spark.createDataFrame([], schema))
+
+    def pattern(
+        self,
+        s: str | None = None,
+        p: str | None = None,
+        o_iri: str | None = None,
+        o_lit: str | None = None,
+        g: str | None = None,
+    ) -> DataFrame:
+        """Triple-pattern scan: constants become pushed-down filters
+        (TripleScanSource analogue, execution/source.rs:262)."""
+        df = self.df
+        for col, val in (("s", s), ("p", p), ("o_iri", o_iri), ("o_lit", o_lit), ("g", g)):
+            if val is not None:
+                df = df.filter(F.col(col) == F.lit(val))
+        return df
+
+    def insert(self, rows: DataFrame) -> "TripleStore":
+        return TripleStore(self.df.unionByName(rows, allowMissingColumns=True))
+
+    def delete(self, pattern_df: DataFrame) -> "TripleStore":
+        on = [c for c in pattern_df.columns if c in self.COLS]
+        return TripleStore(self.df.join(pattern_df, on=on, how="left_anti"))

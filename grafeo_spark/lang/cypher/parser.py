@@ -1,0 +1,676 @@
+"""Cypher / GQL parser (shared grammar subset).
+
+The reference keeps two near-twin translators for GQL and openCypher
+(crates/grafeo-engine/src/query/gql_translator.rs,
+cypher_translator.rs) over separate parsers
+(crates/grafeo-adapters/src/query/{gql,cypher}); their shared surface is
+what this recursive-descent parser covers:
+
+  MATCH / OPTIONAL MATCH (multi-part patterns, labels, types, direction,
+  inline property maps, var-length ``*min..max``, shortestPath), WHERE,
+  WITH (incl. DISTINCT / ORDER BY / SKIP / LIMIT / WHERE-as-HAVING),
+  RETURN, UNWIND, UNION [ALL], ORDER BY, SKIP, LIMIT, CASE, list/map
+  literals, list comprehension, parameters, and the operator/precedence
+  table of plan.rs:971-1034.
+
+Output is a list of clause dataclasses; translator.py lowers them to the
+logical IR in plans/ir.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from grafeo_spark.plans import exprs as E
+
+
+class CypherSyntaxError(Exception):
+    pass
+
+
+# --------------------------------------------------------------------- #
+# lexer
+# --------------------------------------------------------------------- #
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|//[^\n]*)
+  | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
+  | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><=|>=|<>|=~|\.\.|->|<-|[()\[\]{},.:;+\-*/%^=<>|])
+    """,
+    re.VERBOSE,
+)
+
+KEYWORDS = {
+    "MATCH", "OPTIONAL", "WHERE", "WITH", "RETURN", "UNWIND", "AS", "ORDER",
+    "BY", "SKIP", "LIMIT", "ASC", "ASCENDING", "DESC", "DESCENDING", "AND",
+    "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS", "IS", "NULL",
+    "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "DISTINCT",
+    "UNION", "ALL", "EXISTS", "OFFSET",
+}
+
+
+@dataclass(frozen=True)
+class Tok:
+    kind: str  # 'num' | 'str' | 'name' | 'kw' | 'param' | 'op' | 'eof'
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise CypherSyntaxError(f"unexpected character {src[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind == "ws":
+            continue
+        if kind == "name":
+            if text.startswith("`"):
+                out.append(Tok("name", text[1:-1], m.start()))
+            elif text.upper() in KEYWORDS:
+                # keep original text: keywords double as identifiers in
+                # name positions (labels like :Order, props like .all)
+                out.append(Tok("kw", text, m.start()))
+            else:
+                out.append(Tok("name", text, m.start()))
+        else:
+            out.append(Tok(kind, text, m.start()))
+    out.append(Tok("eof", "", len(src)))
+    return out
+
+
+# --------------------------------------------------------------------- #
+# clause AST
+# --------------------------------------------------------------------- #
+
+
+@dataclass
+class NodePat:
+    var: Optional[str]
+    labels: tuple[str, ...] = ()
+    props: tuple[tuple[str, E.Expr], ...] = ()
+
+
+@dataclass
+class RelPat:
+    var: Optional[str]
+    types: tuple[str, ...] = ()
+    direction: str = "out"  # out | in | both
+    props: tuple[tuple[str, E.Expr], ...] = ()
+    min_hops: Optional[int] = None  # None => single hop
+    max_hops: Optional[int] = None
+    var_length: bool = False
+
+
+@dataclass
+class PatternPath:
+    elements: list  # alternating NodePat, RelPat, NodePat, ...
+    path_var: Optional[str] = None
+    shortest: bool = False
+    all_shortest: bool = False
+
+
+@dataclass
+class MatchClause:
+    patterns: list[PatternPath]
+    optional: bool = False
+    where: Optional[E.Expr] = None
+
+
+@dataclass
+class UnwindClause:
+    expr: E.Expr
+    alias: str
+
+
+@dataclass
+class ProjItem:
+    expr: E.Expr
+    alias: str
+
+
+@dataclass
+class WithClause:
+    items: list[ProjItem]
+    distinct: bool = False
+    star: bool = False
+    where: Optional[E.Expr] = None
+    order: list[tuple[E.Expr, bool]] = field(default_factory=list)
+    skip: Optional[int] = None
+    limit: Optional[int] = None
+    is_return: bool = False
+
+
+@dataclass
+class Statement:
+    clauses: list
+
+
+@dataclass
+class UnionQuery:
+    parts: list[Statement]
+    alls: list[bool]  # len(parts)-1 flags
+
+
+# --------------------------------------------------------------------- #
+# parser
+# --------------------------------------------------------------------- #
+
+
+class Parser:
+    def __init__(self, src: str) -> None:
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # token helpers ------------------------------------------------------
+
+    def peek(self, ahead: int = 0) -> Tok:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "kw" and t.text.upper() in kws
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t.kind == "op" and t.text in ops
+
+    def eat_kw(self, kw: str) -> Tok:
+        if not self.at_kw(kw):
+            raise CypherSyntaxError(f"expected {kw} at {self.peek().pos}, got {self.peek().text!r}")
+        return self.next()
+
+    def eat_op(self, op: str) -> Tok:
+        if not self.at_op(op):
+            raise CypherSyntaxError(f"expected {op!r} at {self.peek().pos}, got {self.peek().text!r}")
+        return self.next()
+
+    def name(self) -> str:
+        t = self.peek()
+        # keywords double as identifiers in name positions (:Order, .all)
+        if t.kind in ("name", "kw"):
+            return self.next().text
+        raise CypherSyntaxError(f"expected identifier at {t.pos}, got {t.text!r}")
+
+    # entry ----------------------------------------------------------------
+
+    def parse(self) -> UnionQuery:
+        parts = [self.statement()]
+        alls: list[bool] = []
+        while self.at_kw("UNION"):
+            self.next()
+            is_all = False
+            if self.at_kw("ALL"):
+                self.next()
+                is_all = True
+            alls.append(is_all)
+            parts.append(self.statement())
+        if self.peek().kind != "eof" and not self.at_op(";"):
+            raise CypherSyntaxError(f"unexpected token {self.peek().text!r} at {self.peek().pos}")
+        return UnionQuery(parts, alls)
+
+    def statement(self) -> Statement:
+        clauses: list = []
+        while True:
+            if self.at_kw("OPTIONAL"):
+                self.next()
+                self.eat_kw("MATCH")
+                clauses.append(self.match_clause(optional=True))
+            elif self.at_kw("MATCH"):
+                self.next()
+                clauses.append(self.match_clause(optional=False))
+            elif self.at_kw("UNWIND"):
+                self.next()
+                expr = self.expr()
+                self.eat_kw("AS")
+                clauses.append(UnwindClause(expr, self.name()))
+            elif self.at_kw("WITH"):
+                self.next()
+                clauses.append(self.projection_clause(is_return=False))
+            elif self.at_kw("RETURN"):
+                self.next()
+                clauses.append(self.projection_clause(is_return=True))
+            else:
+                break
+        if not clauses:
+            raise CypherSyntaxError("empty statement")
+        return Statement(clauses)
+
+    # clauses ---------------------------------------------------------------
+
+    def match_clause(self, optional: bool) -> MatchClause:
+        patterns = [self.pattern_path()]
+        while self.at_op(","):
+            self.next()
+            patterns.append(self.pattern_path())
+        where = None
+        if self.at_kw("WHERE"):
+            self.next()
+            where = self.expr()
+        return MatchClause(patterns, optional, where)
+
+    def pattern_path(self) -> PatternPath:
+        path_var = None
+        shortest = all_shortest = False
+        if self.peek().kind == "name" and self.peek(1).kind == "op" and self.peek(1).text == "=":
+            # p = (pattern) or p = shortestPath(...)
+            path_var = self.next().text
+            self.next()  # '='
+        t = self.peek()
+        if t.kind == "name" and t.text.lower() in ("shortestpath", "allshortestpaths"):
+            shortest = True
+            all_shortest = t.text.lower() == "allshortestpaths"
+            self.next()
+            self.eat_op("(")
+            inner = self.pattern_path()
+            self.eat_op(")")
+            inner.path_var = path_var
+            inner.shortest = True
+            inner.all_shortest = all_shortest
+            return inner
+        elements: list = [self.node_pattern()]
+        while self.at_op("-", "<-"):
+            rel = self.rel_pattern()
+            node = self.node_pattern()
+            elements.append(rel)
+            elements.append(node)
+        return PatternPath(elements, path_var, shortest, all_shortest)
+
+    def node_pattern(self) -> NodePat:
+        self.eat_op("(")
+        var = None
+        labels: list[str] = []
+        props: tuple = ()
+        if self.peek().kind == "name" and not self.at_op(":"):
+            var = self.next().text
+        while self.at_op(":"):
+            self.next()
+            labels.append(self.name())
+        if self.at_op("{"):
+            props = self.prop_map()
+        self.eat_op(")")
+        return NodePat(var, tuple(labels), props)
+
+    def rel_pattern(self) -> RelPat:
+        direction = "out"
+        if self.at_op("<-"):
+            self.next()
+            direction = "in"
+        else:
+            self.eat_op("-")
+        var = None
+        types: list[str] = []
+        props: tuple = ()
+        min_h = max_h = None
+        var_len = False
+        if self.at_op("["):
+            self.next()
+            if self.peek().kind == "name" and not self.at_op(":"):
+                var = self.next().text
+            while self.at_op(":"):
+                self.next()
+                types.append(self.name())
+                while self.at_op("|"):
+                    self.next()
+                    if self.at_op(":"):
+                        self.next()
+                    types.append(self.name())
+            if self.at_op("*"):
+                self.next()
+                var_len = True
+                if self.peek().kind == "num":
+                    min_h = int(self.next().text)
+                    if self.at_op(".."):
+                        self.next()
+                        max_h = int(self.next().text) if self.peek().kind == "num" else None
+                    else:
+                        max_h = min_h
+                elif self.at_op(".."):
+                    self.next()
+                    min_h = 1
+                    max_h = int(self.next().text) if self.peek().kind == "num" else None
+                else:
+                    min_h, max_h = 1, None
+            if self.at_op("{"):
+                props = self.prop_map()
+            self.eat_op("]")
+        if direction == "in":
+            self.eat_op("-")
+        else:
+            if self.at_op("->"):
+                self.next()
+            else:
+                self.eat_op("-")
+                direction = "both"
+        return RelPat(var, tuple(types), direction, props, min_h, max_h, var_len)
+
+    def prop_map(self) -> tuple[tuple[str, E.Expr], ...]:
+        self.eat_op("{")
+        items: list[tuple[str, E.Expr]] = []
+        while not self.at_op("}"):
+            key = self.name()
+            self.eat_op(":")
+            items.append((key, self.expr()))
+            if self.at_op(","):
+                self.next()
+        self.eat_op("}")
+        return tuple(items)
+
+    def projection_clause(self, is_return: bool) -> WithClause:
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.next()
+            distinct = True
+        star = False
+        items: list[ProjItem] = []
+        if self.at_op("*"):
+            self.next()
+            star = True
+            while self.at_op(","):
+                self.next()
+                items.append(self.proj_item())
+        else:
+            items.append(self.proj_item())
+            while self.at_op(","):
+                self.next()
+                items.append(self.proj_item())
+        order: list[tuple[E.Expr, bool]] = []
+        skip = limit = None
+        where = None
+        if self.at_kw("ORDER"):
+            self.next()
+            self.eat_kw("BY")
+            while True:
+                e = self.expr()
+                asc = True
+                if self.at_kw("ASC", "ASCENDING"):
+                    self.next()
+                elif self.at_kw("DESC", "DESCENDING"):
+                    self.next()
+                    asc = False
+                order.append((e, asc))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+        if self.at_kw("SKIP", "OFFSET"):
+            self.next()
+            skip = int(self.next().text)
+        if self.at_kw("LIMIT"):
+            self.next()
+            limit = int(self.next().text)
+        if self.at_kw("WHERE") and not is_return:
+            self.next()
+            where = self.expr()
+        return WithClause(items, distinct, star, where, order, skip, limit, is_return)
+
+    def proj_item(self) -> ProjItem:
+        e = self.expr()
+        if self.at_kw("AS"):
+            self.next()
+            return ProjItem(e, self.name())
+        # default alias: the expression's source text form
+        if isinstance(e, E.Col):
+            return ProjItem(e, e.name)
+        if isinstance(e, E.Prop):
+            return ProjItem(e, f"{e.var}.{e.key}")
+        return ProjItem(e, _expr_name(e))
+
+    # expressions -------------------------------------------------------
+
+    def expr(self) -> E.Expr:
+        return self.or_expr()
+
+    def or_expr(self) -> E.Expr:
+        left = self.xor_expr()
+        while self.at_kw("OR"):
+            self.next()
+            left = E.BinOp("OR", left, self.xor_expr())
+        return left
+
+    def xor_expr(self) -> E.Expr:
+        left = self.and_expr()
+        while self.at_kw("XOR"):
+            self.next()
+            left = E.BinOp("XOR", left, self.and_expr())
+        return left
+
+    def and_expr(self) -> E.Expr:
+        left = self.not_expr()
+        while self.at_kw("AND"):
+            self.next()
+            left = E.BinOp("AND", left, self.not_expr())
+        return left
+
+    def not_expr(self) -> E.Expr:
+        if self.at_kw("NOT"):
+            self.next()
+            return E.UnOp("NOT", self.not_expr())
+        return self.comparison()
+
+    def comparison(self) -> E.Expr:
+        left = self.add_expr()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("=", "<>", "<", "<=", ">", ">=", "=~"):
+                self.next()
+                op = {"=~": "REGEX"}.get(t.text, t.text)
+                left = E.BinOp(op, left, self.add_expr())
+            elif self.at_kw("IN"):
+                self.next()
+                left = E.BinOp("IN", left, self.add_expr())
+            elif self.at_kw("STARTS"):
+                self.next()
+                self.eat_kw("WITH")
+                left = E.BinOp("STARTSWITH", left, self.add_expr())
+            elif self.at_kw("ENDS"):
+                self.next()
+                self.eat_kw("WITH")
+                left = E.BinOp("ENDSWITH", left, self.add_expr())
+            elif self.at_kw("CONTAINS"):
+                self.next()
+                left = E.BinOp("CONTAINS", left, self.add_expr())
+            elif self.at_kw("IS"):
+                self.next()
+                if self.at_kw("NOT"):
+                    self.next()
+                    self.eat_kw("NULL")
+                    left = E.UnOp("ISNOTNULL", left)
+                else:
+                    self.eat_kw("NULL")
+                    left = E.UnOp("ISNULL", left)
+            else:
+                return left
+
+    def add_expr(self) -> E.Expr:
+        left = self.mul_expr()
+        while self.at_op("+", "-"):
+            op = self.next().text
+            left = E.BinOp(op, left, self.mul_expr())
+        return left
+
+    def mul_expr(self) -> E.Expr:
+        left = self.pow_expr()
+        while self.at_op("*", "/", "%"):
+            op = self.next().text
+            left = E.BinOp(op, left, self.pow_expr())
+        return left
+
+    def pow_expr(self) -> E.Expr:
+        left = self.unary()
+        if self.at_op("^"):
+            self.next()
+            return E.BinOp("^", left, self.pow_expr())
+        return left
+
+    def unary(self) -> E.Expr:
+        if self.at_op("-"):
+            self.next()
+            return E.UnOp("NEG", self.unary())
+        if self.at_op("+"):
+            self.next()
+            return self.unary()
+        return self.postfix()
+
+    def postfix(self) -> E.Expr:
+        e = self.atom()
+        while True:
+            if self.at_op("."):
+                self.next()
+                key = self.name()
+                if isinstance(e, E.Col):
+                    e = E.Prop(e.name, key)
+                else:
+                    e = E.Fn("getfield", (e, E.Lit(key)))
+            elif self.at_op("["):
+                self.next()
+                if self.at_op(".."):  # [..hi]
+                    self.next()
+                    hi = None if self.at_op("]") else self.expr()
+                    e = E.Slice(e, None, hi)
+                else:
+                    idx = self.expr()
+                    if self.at_op(".."):
+                        self.next()
+                        hi = None if self.at_op("]") else self.expr()
+                        e = E.Slice(e, idx, hi)
+                    else:
+                        e = E.Index(e, idx)
+                self.eat_op("]")
+            else:
+                return e
+
+    def atom(self) -> E.Expr:
+        t = self.peek()
+        if t.kind == "num":
+            self.next()
+            return E.Lit(float(t.text) if ("." in t.text or "e" in t.text or "E" in t.text) else int(t.text))
+        if t.kind == "str":
+            self.next()
+            body = t.text[1:-1]
+            body = re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(m.group(1), m.group(1)), body)
+            return E.Lit(body)
+        if t.kind == "param":
+            self.next()
+            return E.Param(t.text[1:])
+        if t.kind == "kw":
+            kw = t.text.upper()
+            if kw == "TRUE":
+                self.next()
+                return E.Lit(True)
+            if kw == "FALSE":
+                self.next()
+                return E.Lit(False)
+            if kw == "NULL":
+                self.next()
+                return E.Lit(None)
+            if kw == "CASE":
+                return self.case_expr()
+            if kw == "EXISTS":
+                self.next()
+                self.eat_op("(")
+                inner = self.expr()
+                self.eat_op(")")
+                return E.Fn("exists", (inner,))
+        if self.at_op("("):
+            self.next()
+            e = self.expr()
+            self.eat_op(")")
+            return e
+        if self.at_op("["):
+            return self.list_or_comprehension()
+        if self.at_op("{"):
+            items = self.prop_map()
+            return E.MapLit(items)
+        if t.kind == "name":
+            name = self.next().text
+            if self.at_op("("):
+                self.next()
+                distinct = False
+                if self.at_kw("DISTINCT"):
+                    self.next()
+                    distinct = True
+                args: list[E.Expr] = []
+                if self.at_op("*"):
+                    self.next()
+                    self.eat_op(")")
+                    return E.Fn("count" if name.lower() == "count" else name, (), distinct)
+                while not self.at_op(")"):
+                    args.append(self.expr())
+                    if self.at_op(","):
+                        self.next()
+                self.eat_op(")")
+                lname = name.lower()
+                if lname == "collect":
+                    return E.Fn("collect", tuple(args), distinct)
+                return E.Fn(lname, tuple(args), distinct)
+            return E.Col(name)
+        raise CypherSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def list_or_comprehension(self) -> E.Expr:
+        self.eat_op("[")
+        # lookahead: name IN => comprehension
+        if self.peek().kind == "name" and self.peek(1).kind == "kw" and self.peek(1).text.upper() == "IN":
+            var = self.next().text
+            self.next()  # IN
+            source = self.expr()
+            where = None
+            proj = None
+            if self.at_kw("WHERE"):
+                self.next()
+                where = self.expr()
+            if self.at_op("|"):
+                self.next()
+                proj = self.expr()
+            self.eat_op("]")
+            return E.ListComp(var, source, where, proj)
+        items: list[E.Expr] = []
+        while not self.at_op("]"):
+            items.append(self.expr())
+            if self.at_op(","):
+                self.next()
+        self.eat_op("]")
+        return E.ListLit(tuple(items))
+
+    def case_expr(self) -> E.Expr:
+        self.eat_kw("CASE")
+        subject = None
+        if not self.at_kw("WHEN"):
+            subject = self.expr()
+        whens: list[tuple[E.Expr, E.Expr]] = []
+        while self.at_kw("WHEN"):
+            self.next()
+            cond = self.expr()
+            self.eat_kw("THEN")
+            whens.append((cond, self.expr()))
+        else_ = None
+        if self.at_kw("ELSE"):
+            self.next()
+            else_ = self.expr()
+        self.eat_kw("END")
+        return E.Case(tuple(whens), else_, subject)
+
+
+def _expr_name(e: E.Expr) -> str:
+    if isinstance(e, E.Fn):
+        return e.name
+    return "expr"
+
+
+def parse(src: str) -> UnionQuery:
+    return Parser(src).parse()

@@ -1,0 +1,279 @@
+"""Cypher/GQL clause AST → logical IR.
+
+Mirrors the reference's translator layer (gql_translator.rs:21,
+cypher_translator.rs:18): pattern chains become NodeScan + Expand cascades,
+WITH/RETURN become Project or Aggregate (Cypher implicit grouping: any
+aggregate function call in the items makes every non-aggregate item a group
+key, gql_translator.rs:1235-1270), OPTIONAL MATCH becomes a single left
+join of the whole optional pattern (plan.rs:512-521).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from grafeo_spark.lang.cypher import parser as P
+from grafeo_spark.plans import exprs as E
+from grafeo_spark.plans import ir
+
+DEFAULT_VARLEN_CAP = 10
+
+
+class TranslateError(Exception):
+    pass
+
+
+@dataclass
+class _Ctx:
+    plan: ir.Plan | None = None
+    bound: dict = field(default_factory=dict)  # var -> ('node'|'edge'|'value', label|None)
+    sp_vars: set = field(default_factory=set)  # shortest-path vars (bound to hop count)
+    fresh: int = 0
+
+    def fresh_var(self) -> str:
+        self.fresh += 1
+        return f"__v{self.fresh}"
+
+
+def translate(q: P.UnionQuery) -> ir.Plan:
+    plan = _statement(q.parts[0])
+    for part, is_all in zip(q.parts[1:], q.alls):
+        plan = ir.Union(plan, _statement(part), all=is_all)
+    return plan
+
+
+def _statement(stmt: P.Statement) -> ir.Plan:
+    ctx = _Ctx()
+    for clause in stmt.clauses:
+        if isinstance(clause, P.MatchClause):
+            _match(ctx, clause)
+        elif isinstance(clause, P.UnwindClause):
+            if ctx.plan is None:
+                ctx.plan = ir.SingleRow()
+            ctx.plan = ir.Unwind(ctx.plan, _rw(ctx, clause.expr), clause.alias)
+            ctx.bound[clause.alias] = ("value", None)
+        elif isinstance(clause, P.WithClause):
+            _projection(ctx, clause)
+        else:
+            raise TranslateError(f"unsupported clause {clause!r}")
+    if ctx.plan is None:
+        raise TranslateError("statement produced no plan")
+    return ctx.plan
+
+
+# ----------------------------------------------------------------------- #
+# MATCH
+# ----------------------------------------------------------------------- #
+
+
+def _match(ctx: _Ctx, clause: P.MatchClause) -> None:
+    if clause.optional:
+        _optional_match(ctx, clause)
+        return
+    for pat in clause.patterns:
+        _pattern(ctx, pat)
+    if clause.where is not None:
+        ctx.plan = ir.Filter(ctx.plan, _rw(ctx, clause.where))
+
+
+def _optional_match(ctx: _Ctx, clause: P.MatchClause) -> None:
+    if ctx.plan is None:
+        # OPTIONAL MATCH with nothing bound behaves like MATCH
+        _match(ctx, P.MatchClause(clause.patterns, False, clause.where))
+        return
+    sub = _Ctx()
+    # pre-seed knowledge of shared variables' labels so the optional side
+    # can rebuild scans for them
+    shared: list[str] = []
+    for pat in clause.patterns:
+        for el in pat.elements:
+            if isinstance(el, P.NodePat) and el.var and el.var in ctx.bound:
+                shared.append(el.var)
+    for pat in clause.patterns:
+        _pattern(sub, pat, outer_bound=ctx.bound)
+    where = _rw(sub, clause.where) if clause.where is not None else None
+    ctx.plan = ir.OptionalJoin(ctx.plan, sub.plan, tuple(dict.fromkeys(shared)), where)
+    for v, info in sub.bound.items():
+        ctx.bound.setdefault(v, info)
+
+
+def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> None:
+    """Lower one pattern path into scans/expands on ctx."""
+    known = dict(outer_bound or {})
+    known.update(ctx.bound)
+
+    if pat.shortest:
+        _shortest(ctx, pat, known)
+        return
+
+    els = pat.elements
+    first: P.NodePat = els[0]
+    var = first.var or ctx.fresh_var()
+    label = first.labels[0] if first.labels else known.get(var, (None, None))[1]
+    if var not in ctx.bound:
+        scan = ir.NodeScan(var, label, first.props)
+        ctx.plan = scan if ctx.plan is None else ir.Cartesian(ctx.plan, scan)
+        ctx.bound[var] = ("node", label)
+    else:
+        for k, v in first.props:
+            ctx.plan = ir.Filter(ctx.plan, E.BinOp("=", E.Prop(var, k), v))
+
+    prev = var
+    i = 1
+    while i < len(els):
+        rel: P.RelPat = els[i]
+        node: P.NodePat = els[i + 1]
+        dvar = node.var or ctx.fresh_var()
+        dlabel = node.labels[0] if node.labels else known.get(dvar, (None, None))[1]
+        dst_bound = dvar in ctx.bound
+        min_h, max_h = rel.min_hops, rel.max_hops
+        if rel.var_length and max_h is None:
+            max_h = DEFAULT_VARLEN_CAP
+        ctx.plan = ir.Expand(
+            ctx.plan,
+            src_var=prev,
+            dst_var=dvar,
+            edge_var=rel.var,
+            etypes=rel.types,
+            direction={"out": ir.OUT, "in": ir.IN, "both": ir.BOTH}[rel.direction],
+            dst_label=None if dst_bound else dlabel,
+            dst_props=() if dst_bound else node.props,
+            edge_props=rel.props,
+            min_hops=min_h if rel.var_length else None,
+            max_hops=max_h if rel.var_length else None,
+            dst_bound=dst_bound,
+        )
+        if dst_bound and node.props:
+            for k, v in node.props:
+                ctx.plan = ir.Filter(ctx.plan, E.BinOp("=", E.Prop(dvar, k), v))
+        if not dst_bound:
+            ctx.bound[dvar] = ("node", dlabel)
+        if rel.var:
+            ctx.bound[rel.var] = (
+                "value" if rel.var_length else "edge",
+                rel.types[0] if len(rel.types) == 1 else None,
+            )
+        prev = dvar
+        i += 2
+
+
+def _shortest(ctx: _Ctx, pat: P.PatternPath, known: dict) -> None:
+    els = pat.elements
+    if len(els) != 3:
+        raise TranslateError("shortestPath requires a single-relationship pattern")
+    a, rel, b = els
+    for np in (a, b):
+        v = np.var or ctx.fresh_var()
+        np.var = v
+        if v not in ctx.bound:
+            label = np.labels[0] if np.labels else known.get(v, (None, None))[1]
+            scan = ir.NodeScan(v, label, np.props)
+            ctx.plan = scan if ctx.plan is None else ir.Cartesian(ctx.plan, scan)
+            ctx.bound[v] = ("node", label)
+    hops_alias = pat.path_var or ctx.fresh_var()
+    ctx.plan = ir.ShortestPath(
+        ctx.plan,
+        src_var=a.var,
+        dst_var=b.var,
+        etypes=rel.types,
+        direction={"out": ir.OUT, "in": ir.IN, "both": ir.BOTH}[rel.direction],
+        max_hops=rel.max_hops or DEFAULT_VARLEN_CAP,
+        hops_alias=hops_alias,
+        all_paths=pat.all_shortest,
+    )
+    ctx.bound[hops_alias] = ("value", None)
+    ctx.sp_vars.add(hops_alias)
+
+
+# ----------------------------------------------------------------------- #
+# WITH / RETURN
+# ----------------------------------------------------------------------- #
+
+
+def _projection(ctx: _Ctx, clause: P.WithClause) -> None:
+    items = list(clause.items)
+    if clause.star:
+        star_items = [
+            P.ProjItem(E.Col(v), v) for v, (kind, _) in ctx.bound.items() if not v.startswith("__")
+        ]
+        items = star_items + items
+
+    has_agg = any(E.is_aggregate(it.expr) for it in items)
+    if has_agg:
+        keys = tuple((_rw(ctx, it.expr), it.alias) for it in items if not E.is_aggregate(it.expr))
+        aggs = tuple((_rw(ctx, it.expr), it.alias) for it in items if E.is_aggregate(it.expr))
+        ctx.plan = ir.Aggregate(ctx.plan, keys, aggs)
+    else:
+        ctx.plan = ir.Project(
+            ctx.plan,
+            tuple((_rw(ctx, it.expr), it.alias) for it in items),
+            distinct=clause.distinct,
+        )
+
+    new_bound: dict = {}
+    for it in items:
+        if isinstance(it.expr, E.Col) and it.expr.name in ctx.bound:
+            new_bound[it.alias] = ctx.bound[it.expr.name]
+        else:
+            new_bound[it.alias] = ("value", None)
+    sp = {v for v in ctx.sp_vars if v in new_bound}
+    ctx.bound = new_bound
+    ctx.sp_vars = sp
+
+    if clause.where is not None:
+        ctx.plan = ir.Filter(ctx.plan, _rw(ctx, clause.where))
+    if clause.order:
+        ctx.plan = ir.OrderBy(ctx.plan, tuple((_rw(ctx, e), asc) for e, asc in clause.order))
+    if clause.skip is not None:
+        ctx.plan = ir.Skip(ctx.plan, clause.skip)
+    if clause.limit is not None:
+        ctx.plan = ir.Limit(ctx.plan, clause.limit)
+
+
+# ----------------------------------------------------------------------- #
+# expression rewrites
+# ----------------------------------------------------------------------- #
+
+
+def _rw(ctx: _Ctx, e: E.Expr) -> E.Expr:
+    """Rewrites depending on translator state: length(p) of a shortestPath
+    var is the hop count; nothing else changes."""
+    if isinstance(e, E.Fn):
+        if (
+            e.name.lower() == "length"
+            and len(e.args) == 1
+            and isinstance(e.args[0], E.Col)
+            and e.args[0].name in ctx.sp_vars
+        ):
+            return e.args[0]
+        return E.Fn(e.name, tuple(_rw(ctx, a) for a in e.args), e.distinct)
+    if isinstance(e, E.BinOp):
+        return E.BinOp(e.op, _rw(ctx, e.left), _rw(ctx, e.right))
+    if isinstance(e, E.UnOp):
+        return E.UnOp(e.op, _rw(ctx, e.operand))
+    if isinstance(e, E.ListLit):
+        return E.ListLit(tuple(_rw(ctx, i) for i in e.items))
+    if isinstance(e, E.MapLit):
+        return E.MapLit(tuple((k, _rw(ctx, v)) for k, v in e.items))
+    if isinstance(e, E.Index):
+        return E.Index(_rw(ctx, e.base), _rw(ctx, e.index))
+    if isinstance(e, E.Slice):
+        return E.Slice(
+            _rw(ctx, e.base),
+            _rw(ctx, e.lo) if e.lo else None,
+            _rw(ctx, e.hi) if e.hi else None,
+        )
+    if isinstance(e, E.Case):
+        return E.Case(
+            tuple((_rw(ctx, c), _rw(ctx, v)) for c, v in e.whens),
+            _rw(ctx, e.else_) if e.else_ else None,
+            _rw(ctx, e.subject) if e.subject else None,
+        )
+    if isinstance(e, E.ListComp):
+        return E.ListComp(
+            e.var,
+            _rw(ctx, e.source),
+            _rw(ctx, e.where) if e.where else None,
+            _rw(ctx, e.projection) if e.projection else None,
+        )
+    return e

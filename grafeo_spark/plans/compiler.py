@@ -1,0 +1,737 @@
+"""Logical plan → PySpark DataFrame compiler.
+
+Replaces the reference's Planner/physical operator tree
+(crates/grafeo-engine/src/query/planner.rs:177,390-438) with a declarative
+lowering: every IR node becomes DataFrame API calls and the physical
+strategy (hash vs broadcast vs sort-merge join, agg spill, sort spill,
+empty-relation short-circuit, predicate pushdown into parquet) is left to
+Catalyst + AQE. Variable bindings use flat column namespacing
+(``var__prop``), which Catalyst prunes column-wise; node identity is the
+``var__id`` column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grafeo_spark.functions import vector as vfn
+from grafeo_spark.graph import PropertyGraph
+from grafeo_spark.plans import exprs as E
+from grafeo_spark.plans import ir
+
+
+@dataclass(frozen=True)
+class VarInfo:
+    kind: str  # 'node' | 'edge' | 'value'
+    label: Optional[str] = None  # node label or edge type (None = mixed)
+    props: tuple[str, ...] = ()  # property columns (unprefixed)
+
+
+Scope = dict[str, VarInfo]
+
+
+def _p(var: str, prop: str) -> str:
+    return f"{var}__{prop}"
+
+
+class CompileError(Exception):
+    pass
+
+
+class Compiler:
+    def __init__(
+        self,
+        graph: PropertyGraph,
+        spark: SparkSession,
+        params: dict[str, Any] | None = None,
+    ) -> None:
+        self.graph = graph
+        self.spark = spark
+        self.params = params or {}
+        self._uid = 0
+
+    def _fresh(self, stem: str) -> str:
+        self._uid += 1
+        return f"__{stem}{self._uid}"
+
+    # ------------------------------------------------------------------ #
+    # plan compilation
+    # ------------------------------------------------------------------ #
+
+    def compile(self, plan: ir.Plan) -> DataFrame:
+        df, scope = self._compile(plan)
+        # Materialize any node/edge variables still in scope as structs so
+        # the result schema is user-facing (RETURN n => one struct column).
+        sel = []
+        for name in df.columns:
+            var, _, prop = name.partition("__")
+            if prop and var in scope:
+                continue
+            sel.append(F.col(name))
+        for var, info in scope.items():
+            if info.kind in ("node", "edge") and any(c.startswith(var + "__") for c in df.columns):
+                fields = [F.col(_p(var, p)).alias(p) for p in info.props if _p(var, p) in df.columns]
+                sel.append(F.struct(*fields).alias(var))
+        return df.select(*sel) if sel else df
+
+    def compile_raw(self, plan: ir.Plan) -> tuple[DataFrame, Scope]:
+        return self._compile(plan)
+
+    def _compile(self, plan: ir.Plan) -> tuple[DataFrame, Scope]:
+        m = getattr(self, f"_c_{type(plan).__name__.lower()}", None)
+        if m is None:
+            raise CompileError(f"no compile rule for {type(plan).__name__}")
+        return m(plan)
+
+    # -- sources --------------------------------------------------------
+
+    def _node_frame(self, var: str, label: Optional[str]) -> tuple[DataFrame, VarInfo]:
+        df = self.graph.nodes(label)
+        props = tuple(df.columns)
+        df = df.select(*[F.col(c).alias(_p(var, c)) for c in df.columns])
+        return df, VarInfo("node", label, props)
+
+    def _c_nodescan(self, p: ir.NodeScan) -> tuple[DataFrame, Scope]:
+        df, info = self._node_frame(p.var, p.label)
+        scope: Scope = {p.var: info}
+        for key, val in p.props:
+            df = df.filter(F.col(_p(p.var, key)) == self._expr(val, scope, df))
+        return df, scope
+
+    def _c_singlerow(self, p: ir.SingleRow) -> tuple[DataFrame, Scope]:
+        return self.spark.range(1).select(F.lit(1).alias("__one")), {}
+
+    # -- expand ----------------------------------------------------------
+
+    def _edge_frame(self, etypes: tuple[str, ...], direction: str) -> tuple[DataFrame, Optional[str]]:
+        """Edge set oriented so that (src -> dst) is traversal order.
+        direction 'both' unions the two orientations (expand.rs Out/In/Both).
+        """
+        if len(etypes) == 1:
+            e = self.graph.edges(etypes[0])
+            label = etypes[0]
+        elif etypes:
+            e = None
+            for t in etypes:
+                cur = self.graph.edges(t)
+                e = cur if e is None else e.unionByName(cur, allowMissingColumns=True)
+            label = None
+        else:
+            e = self.graph.edges(None)
+            label = None
+        if direction == ir.IN:
+            cols = [F.col("dst").alias("src"), F.col("src").alias("dst")]
+            cols += [F.col(c) for c in e.columns if c not in ("src", "dst")]
+            e = e.select(*cols)
+        elif direction == ir.BOTH:
+            rev = e.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                *[F.col(c) for c in e.columns if c not in ("src", "dst")],
+            )
+            e = e.unionByName(rev)
+        return e, label
+
+    def _c_expand(self, p: ir.Expand) -> tuple[DataFrame, Scope]:
+        child, scope = self._compile(p.child)
+        if p.src_var not in scope:
+            raise CompileError(f"unbound source variable {p.src_var!r}")
+
+        if p.min_hops is not None or p.max_hops is not None:
+            return self._var_length(p, child, scope)
+
+        e, etype = self._edge_frame(p.etypes, p.direction)
+        eprops = tuple(c for c in e.columns if c not in ("src", "dst"))
+        evar = p.edge_var or self._fresh("e")
+        e = e.select(
+            F.col("src").alias(_p(evar, "src")),
+            F.col("dst").alias(_p(evar, "dst")),
+            *[F.col(c).alias(_p(evar, c)) for c in eprops],
+        )
+        scope = dict(scope)
+        new_scope_edge = VarInfo("edge", etype, ("src", "dst") + eprops)
+
+        src_id = F.col(_p(p.src_var, "id"))
+        how = "left" if p.optional else "inner"
+
+        if p.dst_bound:
+            # cycle-closing expansion: join edge on both endpoints
+            cond = (src_id == F.col(_p(evar, "src"))) & (
+                F.col(_p(p.dst_var, "id")) == F.col(_p(evar, "dst"))
+            )
+            for key, val in p.edge_props:
+                cond = cond & (F.col(_p(evar, key)) == self._expr(val, scope, child))
+            out = child.join(e, cond, how)
+            if p.edge_var:
+                scope[evar] = new_scope_edge
+            return out, scope
+
+        ndf, ninfo = self._node_frame(p.dst_var, p.dst_label)
+        right = e.join(
+            ndf, F.col(_p(evar, "dst")) == F.col(_p(p.dst_var, "id")), "inner"
+        )
+        cond = src_id == F.col(_p(evar, "src"))
+        scope_for_props = dict(scope)
+        scope_for_props[p.dst_var] = ninfo
+        scope_for_props[evar] = new_scope_edge
+        for key, val in p.dst_props:
+            cond = cond & (F.col(_p(p.dst_var, key)) == self._expr(val, scope_for_props, child))
+        for key, val in p.edge_props:
+            cond = cond & (F.col(_p(evar, key)) == self._expr(val, scope_for_props, child))
+        if p.where is not None:
+            cond = cond & self._expr(p.where, scope_for_props, child)
+        out = child.join(right, cond, how)
+        scope[p.dst_var] = ninfo
+        if p.edge_var:
+            scope[evar] = new_scope_edge
+        if not p.edge_var:
+            out = out.drop(*[c for c in out.columns if c.startswith(evar + "__")])
+        return out, scope
+
+    def _var_length(self, p: ir.Expand, child: DataFrame, scope: Scope) -> tuple[DataFrame, Scope]:
+        from grafeo_spark.operators.expand import var_length_expand
+
+        e, _ = self._edge_frame(p.etypes, p.direction)
+        lo = p.min_hops if p.min_hops is not None else 1
+        hi = p.max_hops if p.max_hops is not None else lo
+        pairs = var_length_expand(e.select("src", "dst"), lo, hi)  # (src, dst, hops)
+        pvar = self._fresh("vl")
+        pairs = pairs.select(
+            F.col("src").alias(_p(pvar, "src")),
+            F.col("dst").alias(_p(pvar, "dst")),
+            F.col("hops").alias(_p(pvar, "hops")),
+        )
+        ndf, ninfo = self._node_frame(p.dst_var, p.dst_label)
+        right = pairs.join(ndf, F.col(_p(pvar, "dst")) == F.col(_p(p.dst_var, "id")), "inner")
+        cond = F.col(_p(p.src_var, "id")) == F.col(_p(pvar, "src"))
+        how = "left" if p.optional else "inner"
+        out = child.join(right, cond, how)
+        scope = dict(scope)
+        scope[p.dst_var] = ninfo
+        if p.edge_var:
+            out = out.withColumn(_p(p.edge_var, "hops"), F.col(_p(pvar, "hops")))
+            scope[p.edge_var] = VarInfo("edge", None, ("hops",))
+        out = out.drop(*[c for c in out.columns if c.startswith(pvar + "__")])
+        return out, scope
+
+    def _c_shortestpath(self, p: ir.ShortestPath) -> tuple[DataFrame, Scope]:
+        from grafeo_spark.operators.expand import shortest_path_lengths
+
+        child, scope = self._compile(p.child)
+        e, _ = self._edge_frame(p.etypes, p.direction)
+        dist = shortest_path_lengths(e.select("src", "dst"), p.max_hops)
+        dvar = self._fresh("sp")
+        dist = dist.select(
+            F.col("src").alias(_p(dvar, "src")),
+            F.col("dst").alias(_p(dvar, "dst")),
+            F.col("hops").alias(p.hops_alias),
+        )
+        cond = (F.col(_p(p.src_var, "id")) == F.col(_p(dvar, "src"))) & (
+            F.col(_p(p.dst_var, "id")) == F.col(_p(dvar, "dst"))
+        )
+        out = child.join(dist, cond, "inner").drop(_p(dvar, "src"), _p(dvar, "dst"))
+        scope = dict(scope)
+        scope[p.hops_alias] = VarInfo("value")
+        return out, scope
+
+    def _c_cartesian(self, p: ir.Cartesian) -> tuple[DataFrame, Scope]:
+        l, ls = self._compile(p.left)
+        r, rs = self._compile(p.right)
+        scope = dict(ls)
+        scope.update(rs)
+        return l.crossJoin(r), scope
+
+    def _c_optionaljoin(self, p: ir.OptionalJoin) -> tuple[DataFrame, Scope]:
+        l, ls = self._compile(p.left)
+        r, rs = self._compile(p.right)
+        cond = None
+        for v in p.on_vars:
+            c = l[_p(v, "id")] == r[_p(v, "id")]
+            cond = c if cond is None else cond & c
+        scope = dict(ls)
+        for v, info in rs.items():
+            if v not in scope:
+                scope[v] = info
+        if p.where is not None:
+            # WHERE inside OPTIONAL MATCH is part of the join condition.
+            merged_cols = {c for c in l.columns} | {c for c in r.columns}
+            w = self._expr_two_sided(p.where, scope, l, r)
+            cond = w if cond is None else cond & w
+        if cond is None:
+            out = l.crossJoin(r)
+        else:
+            out = l.join(r, cond, "left")
+        # shared vars: drop the right-side duplicates
+        dup = [r[_p(v, prop)] for v in p.on_vars for prop in rs[v].props if _p(v, prop) in r.columns]
+        for c in dup:
+            out = out.drop(c)
+        return out, scope
+
+    def _expr_two_sided(self, e: E.Expr, scope: Scope, l: DataFrame, r: DataFrame) -> Column:
+        """Compile an expression against a join of l and r, resolving
+        ambiguous (shared-var) columns to the left side."""
+
+        def resolve(name: str) -> Column:
+            if name in l.columns:
+                return l[name]
+            return r[name]
+
+        return self._expr_with_resolver(e, scope, resolve)
+
+    def _expr_with_resolver(self, e: E.Expr, scope: Scope, resolve) -> Column:
+        if isinstance(e, E.Prop):
+            info = scope.get(e.var)
+            if info is not None and info.kind != "value":
+                return resolve(_p(e.var, e.key))
+            return resolve(e.var).getField(e.key)
+        if isinstance(e, E.Col):
+            if e.name in scope and scope[e.name].kind != "value":
+                return resolve(_p(e.name, "id"))
+            return resolve(e.name)
+        if isinstance(e, E.Lit):
+            return F.lit(e.value)
+        if isinstance(e, E.Param):
+            return F.lit(self.params[e.name])
+        if isinstance(e, E.BinOp):
+            return self._binop_cols(
+                e.op,
+                self._expr_with_resolver(e.left, scope, resolve),
+                self._expr_with_resolver(e.right, scope, resolve),
+            )
+        if isinstance(e, E.UnOp):
+            x = self._expr_with_resolver(e.operand, scope, resolve)
+            return {
+                "NOT": lambda c: ~c,
+                "NEG": lambda c: -c,
+                "ISNULL": lambda c: c.isNull(),
+                "ISNOTNULL": lambda c: c.isNotNull(),
+            }[e.op](x)
+        if isinstance(e, E.Fn):
+            return self._apply_named_fn(
+                e.name, [self._expr_with_resolver(a, scope, resolve) for a in e.args]
+            )
+        raise CompileError(f"unsupported expression in optional-match WHERE: {e!r}")
+
+    # -- row ops ----------------------------------------------------------
+
+    def _c_filter(self, p: ir.Filter) -> tuple[DataFrame, Scope]:
+        child, scope = self._compile(p.child)
+        return child.filter(self._expr(p.predicate, scope, child)), scope
+
+    def _c_project(self, p: ir.Project) -> tuple[DataFrame, Scope]:
+        child, scope = self._compile(p.child)
+        cols: list[Column] = []
+        new_scope: Scope = {}
+        for expr, alias in p.items:
+            if isinstance(expr, E.Col) and expr.name in scope and scope[expr.name].kind != "value":
+                info = scope[expr.name]
+                if alias != expr.name:
+                    # re-alias a bound graph variable
+                    for prop in info.props:
+                        if _p(expr.name, prop) in child.columns:
+                            cols.append(F.col(_p(expr.name, prop)).alias(_p(alias, prop)))
+                else:
+                    cols.extend(
+                        F.col(_p(expr.name, prop))
+                        for prop in info.props
+                        if _p(expr.name, prop) in child.columns
+                    )
+                new_scope[alias] = info
+            else:
+                cols.append(self._expr(expr, scope, child).alias(alias))
+                new_scope[alias] = VarInfo("value")
+        out = child.select(*cols)
+        if p.distinct:
+            out = out.distinct()
+        return out, new_scope
+
+    def _c_aggregate(self, p: ir.Aggregate) -> tuple[DataFrame, Scope]:
+        child, scope = self._compile(p.child)
+        new_scope: Scope = {}
+        keys: list[Column] = []
+        post_struct: list[str] = []
+        for expr, alias in p.keys:
+            if isinstance(expr, E.Col) and expr.name in scope and scope[expr.name].kind != "value":
+                info = scope[expr.name]
+                for prop in info.props:
+                    c = _p(expr.name, prop)
+                    if c in child.columns:
+                        keys.append(F.col(c) if alias == expr.name else F.col(c).alias(_p(alias, prop)))
+                new_scope[alias] = info
+            else:
+                keys.append(self._expr(expr, scope, child).alias(alias))
+                new_scope[alias] = VarInfo("value")
+        aggs = [self._agg_expr(expr, scope, child).alias(alias) for expr, alias in p.aggs]
+        for _, alias in p.aggs:
+            new_scope[alias] = VarInfo("value")
+        if keys:
+            # Materialize computed keys as columns first so groupBy can
+            # reference them by name (and agg exprs keep seeing originals).
+            tmp = child
+            knames: list[str] = []
+            for k in keys:
+                name = tmp.select(k).columns[0]
+                knames.append(name)
+                tmp = tmp.withColumn(name, k)
+            out = tmp.groupBy(*knames).agg(*aggs)
+        else:
+            out = child.agg(*aggs)
+        return out, new_scope
+
+    def _c_orderby(self, p: ir.OrderBy) -> tuple[DataFrame, Scope]:
+        child, scope = self._compile(p.child)
+        keys = []
+        for expr, asc in p.keys:
+            c = self._expr(expr, scope, child)
+            # DuckDB-compatible default: nulls sort last in both directions.
+            keys.append(c.asc_nulls_last() if asc else c.desc_nulls_last())
+        return child.orderBy(*keys), scope
+
+    def _c_limit(self, p: ir.Limit) -> tuple[DataFrame, Scope]:
+        child, scope = self._compile(p.child)
+        return child.limit(p.n), scope
+
+    def _c_skip(self, p: ir.Skip) -> tuple[DataFrame, Scope]:
+        child, scope = self._compile(p.child)
+        return child.offset(p.n), scope
+
+    def _c_unwind(self, p: ir.Unwind) -> tuple[DataFrame, Scope]:
+        child, scope = self._compile(p.child)
+        out = child.withColumn(p.alias, F.explode(self._expr(p.expr, scope, child)))
+        scope = dict(scope)
+        scope[p.alias] = VarInfo("value")
+        return out, scope
+
+    def _c_union(self, p: ir.Union) -> tuple[DataFrame, Scope]:
+        l, ls = self._compile(p.left)
+        r, _ = self._compile(p.right)
+        out = l.unionByName(r, allowMissingColumns=True)
+        if not p.all:
+            out = out.distinct()
+        return out, ls
+
+    def _c_distinct(self, p: ir.Distinct) -> tuple[DataFrame, Scope]:
+        child, scope = self._compile(p.child)
+        return child.distinct(), scope
+
+    # ------------------------------------------------------------------ #
+    # expressions
+    # ------------------------------------------------------------------ #
+
+    def _expr(self, e: E.Expr, scope: Scope, df: DataFrame) -> Column:
+        if isinstance(e, E.Lit):
+            # integer literals are 64-bit, like the reference's runtime
+            # (Value::Int64 is the only integer width, value.rs:95)
+            if isinstance(e.value, int) and not isinstance(e.value, bool):
+                return F.lit(e.value).cast("long")
+            return F.lit(e.value)
+        if isinstance(e, E.Param):
+            if e.name not in self.params:
+                raise CompileError(f"missing parameter ${e.name}")
+            return F.lit(self.params[e.name])
+        if isinstance(e, E.Col):
+            if e.name in scope and scope[e.name].kind != "value":
+                return F.col(_p(e.name, "id"))
+            return F.col(e.name)
+        if isinstance(e, E.Prop):
+            info = scope.get(e.var)
+            if info is None:
+                raise CompileError(f"unbound variable {e.var!r}")
+            if info.kind == "value":
+                return F.col(e.var).getField(e.key)
+            col = _p(e.var, e.key)
+            if col not in df.columns:
+                return F.lit(None)  # missing property => null (Cypher semantics)
+            return F.col(col)
+        if isinstance(e, E.BinOp):
+            return self._binop(e, scope, df)
+        if isinstance(e, E.UnOp):
+            x = self._expr(e.operand, scope, df)
+            if e.op == "NOT":
+                return ~x
+            if e.op == "NEG":
+                return -x
+            if e.op == "ISNULL":
+                return x.isNull()
+            if e.op == "ISNOTNULL":
+                return x.isNotNull()
+            raise CompileError(f"unknown unary op {e.op}")
+        if isinstance(e, E.Fn):
+            return self._scalar_fn(e, scope, df)
+        if isinstance(e, E.ListLit):
+            return F.array(*[self._expr(i, scope, df) for i in e.items])
+        if isinstance(e, E.MapLit):
+            parts = []
+            for k, v in e.items:
+                parts += [F.lit(k), self._expr(v, scope, df)]
+            return F.create_map(*parts)
+        if isinstance(e, E.Index):
+            base = self._expr(e.base, scope, df)
+            idx = self._expr(e.index, scope, df)
+            if isinstance(e.index, E.Lit) and isinstance(e.index.value, int):
+                # Cypher list index is 0-based; element_at is 1-based.
+                i = e.index.value
+                return F.element_at(base, i + 1 if i >= 0 else i)
+            return F.element_at(base, idx.cast("int") + 1)
+        if isinstance(e, E.Slice):
+            base = self._expr(e.base, scope, df)
+            lo = self._expr(e.lo, scope, df).cast("int") if e.lo else F.lit(0)
+            hi = self._expr(e.hi, scope, df).cast("int") if e.hi else F.size(base)
+            return F.slice(base, lo + 1, F.greatest(hi - lo, F.lit(0)))
+        if isinstance(e, E.Case):
+            out = None
+            for cond, val in e.whens:
+                c = self._expr(cond, scope, df)
+                if e.subject is not None:
+                    c = self._expr(e.subject, scope, df) == c
+                v = self._expr(val, scope, df)
+                out = F.when(c, v) if out is None else out.when(c, v)
+            if e.else_ is not None:
+                out = out.otherwise(self._expr(e.else_, scope, df))
+            return out
+        if isinstance(e, E.ListComp):
+            src = self._expr(e.source, scope, df)
+            if e.where is not None:
+                src = F.filter(src, lambda x: self._lambda_expr(e.where, e.var, x, scope, df))
+            if e.projection is not None:
+                src = F.transform(src, lambda x: self._lambda_expr(e.projection, e.var, x, scope, df))
+            return src
+        raise CompileError(f"cannot compile expression {e!r}")
+
+    def _lambda_expr(self, e: E.Expr, var: str, x: Column, scope: Scope, df: DataFrame) -> Column:
+        """Compile an expression where ``var`` is bound to lambda column x."""
+        if isinstance(e, E.Col) and e.name == var:
+            return x
+        if isinstance(e, E.BinOp):
+            return self._binop_cols(
+                e.op,
+                self._lambda_expr(e.left, var, x, scope, df),
+                self._lambda_expr(e.right, var, x, scope, df),
+            )
+        if isinstance(e, E.UnOp):
+            inner = self._lambda_expr(e.operand, var, x, scope, df)
+            return {"NOT": lambda c: ~c, "NEG": lambda c: -c, "ISNULL": lambda c: c.isNull(), "ISNOTNULL": lambda c: c.isNotNull()}[e.op](inner)
+        if isinstance(e, E.Fn):
+            args = [self._lambda_expr(a, var, x, scope, df) for a in e.args]
+            return self._apply_named_fn(e.name, args)
+        return self._expr(e, scope, df)
+
+    def _binop(self, e: E.BinOp, scope: Scope, df: DataFrame) -> Column:
+        if e.op == "IN" and isinstance(e.right, E.ListLit):
+            left = self._expr(e.left, scope, df)
+            return left.isin([i.value if isinstance(i, E.Lit) else self._expr(i, scope, df) for i in e.right.items])
+        left = self._expr(e.left, scope, df)
+        right = self._expr(e.right, scope, df)
+        return self._binop_cols(e.op, left, right)
+
+    def _binop_cols(self, op: str, left: Column, right: Column) -> Column:
+        if op == "=":
+            return left == right
+        if op == "<>":
+            return left != right
+        if op == "<":
+            return left < right
+        if op == "<=":
+            return left <= right
+        if op == ">":
+            return left > right
+        if op == ">=":
+            return left >= right
+        if op == "+":
+            return left + right
+        if op == "-":
+            return left - right
+        if op == "*":
+            return left * right
+        if op == "/":
+            return left / right
+        if op == "%":
+            return left % right
+        if op == "^":
+            return F.pow(left, right)
+        if op == "AND":
+            return left & right
+        if op == "OR":
+            return left | right
+        if op == "XOR":
+            return left != right  # boolean xor
+        if op == "STARTSWITH":
+            return left.startswith(right)
+        if op == "ENDSWITH":
+            return left.endswith(right)
+        if op == "CONTAINS":
+            return left.contains(right)
+        if op == "REGEX":
+            return left.rlike(right)
+        if op == "IN":
+            return F.array_contains(right, left)
+        if op == "CONCAT":
+            return F.concat(left, right)
+        raise CompileError(f"unknown binary op {op}")
+
+    # -- functions ---------------------------------------------------------
+
+    def _scalar_fn(self, e: E.Fn, scope: Scope, df: DataFrame) -> Column:
+        name = e.name.lower()
+        # graph accessors need scope knowledge
+        if name == "id" and e.args and isinstance(e.args[0], E.Col):
+            return F.col(_p(e.args[0].name, "id"))
+        if name == "labels" and e.args and isinstance(e.args[0], E.Col):
+            info = scope[e.args[0].name]
+            if info.label is not None:
+                return F.array(F.lit(info.label))
+            return F.array(F.col(_p(e.args[0].name, "_label")))
+        if name == "type" and e.args and isinstance(e.args[0], E.Col):
+            info = scope[e.args[0].name]
+            if info.label is not None:
+                return F.lit(info.label)
+            return F.col(_p(e.args[0].name, "_type"))
+        if name in ("properties",) and e.args and isinstance(e.args[0], E.Col):
+            info = scope[e.args[0].name]
+            v = e.args[0].name
+            return F.struct(*[F.col(_p(v, p)).alias(p) for p in info.props if _p(v, p) in df.columns])
+        if name == "keys" and e.args and isinstance(e.args[0], E.Col):
+            info = scope[e.args[0].name]
+            v = e.args[0].name
+            return F.array(*[F.lit(p) for p in info.props if _p(v, p) in df.columns])
+        if name == "exists" and e.args:
+            return self._expr(e.args[0], scope, df).isNotNull()
+        if name in ("size", "length") and e.args:
+            # size()/length() work on strings, lists and maps in the
+            # reference (filter.rs:790-820); dispatch on the analyzed type.
+            c = self._expr(e.args[0], scope, df)
+            from pyspark.sql.types import ArrayType, MapType, StringType
+
+            dtype = df.select(c.alias("_t")).schema[0].dataType
+            if isinstance(dtype, (ArrayType, MapType)):
+                return F.size(c)
+            if isinstance(dtype, StringType):
+                return F.length(c)
+            return F.size(c)
+        args = [self._expr(a, scope, df) for a in e.args]
+        return self._apply_named_fn(name, args)
+
+    def _apply_named_fn(self, name: str, args: list[Column]) -> Column:
+        name = name.lower()
+        simple = {
+            "coalesce": lambda a: F.coalesce(*a),
+            "tostring": lambda a: a[0].cast("string"),
+            "tointeger": lambda a: a[0].cast("long"),
+            "toint": lambda a: a[0].cast("long"),
+            "tofloat": lambda a: a[0].cast("double"),
+            "toboolean": lambda a: a[0].cast("boolean"),
+            "tobool": lambda a: a[0].cast("boolean"),
+            "abs": lambda a: F.abs(a[0]),
+            "ceil": lambda a: F.ceil(a[0]),
+            "ceiling": lambda a: F.ceil(a[0]),
+            "floor": lambda a: F.floor(a[0]),
+            "round": lambda a: F.round(a[0], 0) if len(a) == 1 else F.round(a[0], a[1]),
+            "sqrt": lambda a: F.sqrt(a[0]),
+            "sign": lambda a: F.signum(a[0]),
+            "exp": lambda a: F.exp(a[0]),
+            "log": lambda a: F.log(a[0]),
+            "log10": lambda a: F.log10(a[0]),
+            "sin": lambda a: F.sin(a[0]),
+            "cos": lambda a: F.cos(a[0]),
+            "tan": lambda a: F.tan(a[0]),
+            "atan2": lambda a: F.atan2(a[0], a[1]),
+            "pi": lambda a: F.lit(3.141592653589793),
+            "rand": lambda a: F.rand(),
+            "toupper": lambda a: F.upper(a[0]),
+            "upper": lambda a: F.upper(a[0]),
+            "ucase": lambda a: F.upper(a[0]),
+            "tolower": lambda a: F.lower(a[0]),
+            "lower": lambda a: F.lower(a[0]),
+            "lcase": lambda a: F.lower(a[0]),
+            "trim": lambda a: F.trim(a[0]),
+            "ltrim": lambda a: F.ltrim(a[0]),
+            "rtrim": lambda a: F.rtrim(a[0]),
+            "reverse": lambda a: F.reverse(a[0]),
+            "sort": lambda a: F.array_sort(a[0]),
+            "replace": lambda a: F.replace(a[0], a[1], a[2]),
+            "split": lambda a: F.split(a[0], a[1]),
+            "left": lambda a: F.substring(a[0], 1, a[1]),
+            "right": lambda a: a[0].substr(F.length(a[0]) - a[1].cast("int") + 1, a[1].cast("int")),
+            # Cypher substring(s, start[, len]) is 0-based
+            "substring": lambda a: (
+                a[0].substr(a[1].cast("int") + 1, a[2].cast("int"))
+                if len(a) > 2
+                else a[0].substr(a[1].cast("int") + 1, F.length(a[0]))
+            ),
+            "strlen": lambda a: F.length(a[0]),
+            "char_length": lambda a: F.length(a[0]),
+            # lambda-context fallback (typed dispatch happens in _scalar_fn)
+            "size": lambda a: F.size(a[0]),
+            "length": lambda a: F.length(a[0]),
+            "head": lambda a: F.element_at(a[0], 1),
+            "last": lambda a: F.element_at(a[0], -1),
+            "tail": lambda a: F.slice(a[0], 2, F.greatest(F.size(a[0]) - 1, F.lit(0))),
+            "range": lambda a: F.sequence(a[0], a[1], a[2] if len(a) > 2 else F.lit(1)),
+            "vector": lambda a: F.array(*a).cast("array<float>"),
+            "cosine_similarity": lambda a: vfn.cosine_similarity(a[0], a[1]),
+            "euclidean_distance": lambda a: vfn.euclidean_distance(a[0], a[1]),
+            "dot_product": lambda a: vfn.dot_product(a[0], a[1]),
+            "manhattan_distance": lambda a: vfn.manhattan_distance(a[0], a[1]),
+            "date_trunc": lambda a: F.date_trunc(args_lit(a[0]), a[1]),
+            "year": lambda a: F.year(a[0]),
+            "month": lambda a: F.month(a[0]),
+            "day": lambda a: F.dayofmonth(a[0]),
+        }
+        if name in simple:
+            return simple[name](args)
+        raise CompileError(f"unknown function {name}()")
+
+    def _agg_expr(self, e: E.Expr, scope: Scope, df: DataFrame) -> Column:
+        """Compile an expression that contains aggregate function calls."""
+        if isinstance(e, E.Fn) and e.name.lower() in E.AGGREGATE_FNS:
+            name = e.name.lower()
+            if name == "count":
+                if not e.args:
+                    return F.count(F.lit(1))
+                arg = self._expr(e.args[0], scope, df)
+                return F.count_distinct(arg) if e.distinct else F.count(arg)
+            arg = self._expr(e.args[0], scope, df)
+            if name == "sum":
+                return F.sum_distinct(arg) if e.distinct else F.sum(arg)
+            if name in ("avg", "mean"):
+                return F.avg(arg)
+            if name == "min":
+                return F.min(arg)
+            if name == "max":
+                return F.max(arg)
+            if name == "collect":
+                lst = F.collect_list(arg)
+                return F.array_distinct(lst) if e.distinct else lst
+            if name == "stdev":
+                return F.stddev_samp(arg)
+            if name == "stdevp":
+                return F.stddev_pop(arg)
+            if name == "percentilecont":
+                p = e.args[1].value if isinstance(e.args[1], E.Lit) else 0.5
+                return F.percentile(arg, F.lit(p))
+            if name == "percentiledisc":
+                p = e.args[1].value if isinstance(e.args[1], E.Lit) else 0.5
+                return F.percentile_approx(arg, F.lit(p), F.lit(100000))
+            if name == "first":
+                return F.first(arg, ignorenulls=True)
+            if name == "last_agg":
+                return F.last(arg, ignorenulls=True)
+        if isinstance(e, E.BinOp):
+            return self._binop_cols(
+                e.op, self._agg_expr(e.left, scope, df), self._agg_expr(e.right, scope, df)
+            )
+        if isinstance(e, E.UnOp):
+            inner = self._agg_expr(e.operand, scope, df)
+            return {"NOT": lambda c: ~c, "NEG": lambda c: -c}[e.op](inner)
+        if isinstance(e, E.Fn):
+            return self._apply_named_fn(e.name, [self._agg_expr(a, scope, df) for a in e.args])
+        return self._expr(e, scope, df)
+
+
+def args_lit(c: Column) -> str:
+    # extract a literal string from a Column (for date_trunc unit)
+    return c._jc.toString().strip("'\"")

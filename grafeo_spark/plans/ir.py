@@ -1,0 +1,159 @@
+"""Logical plan IR.
+
+A Python mirror of the reference's ``LogicalOperator``
+(crates/grafeo-engine/src/query/plan.rs:25-155), trimmed to the operators a
+declarative Spark backend needs: scans, expand (1-hop / var-length /
+shortest-path), filter, project, aggregate, sort/limit/skip, unwind,
+union/distinct. All five front-end languages are meant to lower into this
+IR; Catalyst does the optimization the reference implements by hand
+(pushdowns, join ordering, constant folding — optimizer/mod.rs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from grafeo_spark.plans.exprs import Expr, Fn
+
+OUT = "out"
+IN = "in"
+BOTH = "both"
+
+
+class Plan:
+    pass
+
+
+@dataclass
+class NodeScan(Plan):
+    """MATCH (v:Label {props}) — label-partitioned scan (scan.rs:10)."""
+
+    var: str
+    label: Optional[str] = None
+    props: tuple[tuple[str, Expr], ...] = ()
+
+
+@dataclass
+class SingleRow(Plan):
+    """Query with no MATCH (single_row.rs:18) — spark.range(1)."""
+
+
+@dataclass
+class Expand(Plan):
+    """1-hop expansion (expand.rs:14) or variable-length BFS when
+    min_hops/max_hops set (variable_length_expand.rs:15).
+
+    If ``dst_bound`` the destination variable is already in scope and the
+    expansion closes a cycle (joins on both endpoints).
+    """
+
+    child: Plan
+    src_var: str
+    dst_var: str
+    edge_var: Optional[str] = None
+    etypes: tuple[str, ...] = ()
+    direction: str = OUT
+    dst_label: Optional[str] = None
+    dst_props: tuple[tuple[str, Expr], ...] = ()
+    edge_props: tuple[tuple[str, Expr], ...] = ()
+    min_hops: Optional[int] = None  # None => exactly 1 hop
+    max_hops: Optional[int] = None
+    optional: bool = False
+    dst_bound: bool = False
+    where: Optional[Expr] = None  # OPTIONAL MATCH ... WHERE (join condition)
+
+
+@dataclass
+class ShortestPath(Plan):
+    """shortestPath((a)-[*..k]->(b)) — BFS (shortest_path.rs:1-18)."""
+
+    child: Plan
+    src_var: str
+    dst_var: str
+    etypes: tuple[str, ...]
+    direction: str
+    max_hops: int
+    hops_alias: str
+    all_paths: bool = False
+
+
+@dataclass
+class Cartesian(Plan):
+    """Disconnected pattern components — cross join (NLJ analogue,
+    join.rs:578; Catalyst picks BNLJ/cross)."""
+
+    left: Plan
+    right: Plan
+
+
+@dataclass
+class OptionalJoin(Plan):
+    """OPTIONAL MATCH lowered as a single left join of the whole optional
+    pattern against the bound vars (LeftJoinOp, plan.rs:512-521)."""
+
+    left: Plan
+    right: Plan
+    on_vars: tuple[str, ...]  # shared variables joined on their ids
+    where: Optional[Expr] = None
+
+
+@dataclass
+class Filter(Plan):
+    child: Plan
+    predicate: Expr
+
+
+@dataclass
+class Project(Plan):
+    """items: (expr, alias). A bare node/edge variable keeps its binding."""
+
+    child: Plan
+    items: tuple[tuple[Expr, str], ...]
+    distinct: bool = False
+
+
+@dataclass
+class Aggregate(Plan):
+    """keys + aggs, Cypher implicit grouping (aggregate.rs:663)."""
+
+    child: Plan
+    keys: tuple[tuple[Expr, str], ...]
+    aggs: tuple[tuple[Expr, str], ...]  # exprs containing Fn aggregates
+
+
+@dataclass
+class OrderBy(Plan):
+    child: Plan
+    keys: tuple[tuple[Expr, bool], ...]  # (expr, ascending)
+
+
+@dataclass
+class Limit(Plan):
+    child: Plan
+    n: int
+
+
+@dataclass
+class Skip(Plan):
+    child: Plan
+    n: int
+
+
+@dataclass
+class Unwind(Plan):
+    child: Plan
+    expr: Expr
+    alias: str
+
+
+@dataclass
+class Union(Plan):
+    left: Plan
+    right: Plan
+    all: bool = False
+
+
+@dataclass
+class Distinct(Plan):
+    child: Plan
