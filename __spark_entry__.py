@@ -115,10 +115,10 @@ _CYPHER: dict[str, str] = {
         "WHERE n.name IN ['NATION_1', 'NATION_2', 'NATION_3'] OR n.name =~ '.*_2[0-4]$' "
         "RETURN n.nationkey AS nationkey, n.name AS name"
     ),
-    # sorted collect (deterministic list aggregation)
+    # sorted collect, serialized so the harness can hash it deterministically
     "region_nations_sorted": (
         "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
-        "RETURN r.name AS region, sort(collect(n.name)) AS nations"
+        "RETURN r.name AS region, array_join(sort(collect(n.name)), ',') AS nations"
     ),
     # multi-edge-type traversal: supplier country of parts in an order
     "order_part_suppliers": (
@@ -210,7 +210,7 @@ _ORACLE: dict[str, str] = {
            OR regexp_matches(n_name, '.*_2[0-4]$')
     """,
     "region_nations_sorted": """
-        SELECT r_name AS region, array_agg(n_name ORDER BY n_name ASC) AS nations
+        SELECT r_name AS region, string_agg(n_name, ',' ORDER BY n_name ASC) AS nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
     """,

@@ -191,6 +191,9 @@ def _shortest(ctx: _Ctx, pat: P.PatternPath, known: dict) -> None:
 
 
 def _projection(ctx: _Ctx, clause: P.WithClause) -> None:
+    if ctx.plan is None:
+        # bare RETURN with no MATCH/UNWIND (SingleRowOperator, single_row.rs:18)
+        ctx.plan = ir.SingleRow()
     items = list(clause.items)
     if clause.star:
         star_items = [
@@ -220,14 +223,17 @@ def _projection(ctx: _Ctx, clause: P.WithClause) -> None:
     ctx.bound = new_bound
     ctx.sp_vars = sp
 
-    if clause.where is not None:
-        ctx.plan = ir.Filter(ctx.plan, _rw(ctx, clause.where))
+    # openCypher applies ORDER BY / SKIP / LIMIT first; the trailing WHERE
+    # filters the already-paginated rows (reference: WITH ... WHERE is a
+    # post-modifier filter, cypher_translator.rs WITH handling).
     if clause.order:
         ctx.plan = ir.OrderBy(ctx.plan, tuple((_rw(ctx, e), asc) for e, asc in clause.order))
     if clause.skip is not None:
         ctx.plan = ir.Skip(ctx.plan, clause.skip)
     if clause.limit is not None:
         ctx.plan = ir.Limit(ctx.plan, clause.limit)
+    if clause.where is not None:
+        ctx.plan = ir.Filter(ctx.plan, _rw(ctx, clause.where))
 
 
 # ----------------------------------------------------------------------- #

@@ -5,18 +5,29 @@ queue, crates/grafeo-core/src/execution/operators/variable_length_expand.rs:15,
 BFS at :217-240) and ``ShortestPathOperator`` (shortest_path.rs:1-18) with
 distributed self-join loops:
 
-- each hop is one join of the frontier against the (pre-projected, 2-column)
+- each hop is one join of the frontier against the (pre-projected, renamed)
   edge table — a shuffle on the join key; AQE handles skew;
 - lineage is truncated with ``localCheckpoint`` every few hops so 10-hop
   expansions don't build 10-deep recursive plans;
 - Cypher *trail* semantics (an edge may not repeat within one path) is kept
-  by carrying the path's edge keys as an array column; use
+  by carrying the path's edge ids as an array column; use
   ``reachable_pairs`` when only distinct reachability matters — it is the
   100 TB-scale variant (per-hop dedup keeps the frontier bounded by
-  |V|², not by path count).
+  |V|², not by path count);
+- **seeding**: when the pattern binds the source side (e.g.
+  ``(c {custkey: 1})-[:PLACED*1..3]->()``), pass ``src_ids`` so hop 1
+  starts from the bound frontier instead of every edge in the graph —
+  the difference between O(frontier) and O(|E|^hops) state at scale.
+
+The edge frame passed in is renamed to private column names (``_esrc``,
+``_edst``, ``_eid``) before the loop, so frontier-vs-edge joins are never
+ambiguous self-joins (the round-1 bug: joining a frame against a frame
+derived from it).
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -24,40 +35,73 @@ from pyspark.sql import functions as F
 _CHECKPOINT_EVERY = 3
 
 
-def _edge_key() -> F.Column:
-    return F.concat_ws(":", F.col("src").cast("string"), F.col("dst").cast("string"))
+def _prep_edges(edges: DataFrame, id_col: Optional[str] = None) -> DataFrame:
+    """Project edges to private names (_esrc, _edst, _eid).
+
+    Edge identity for the trail no-repeat rule: an explicit ``id_col`` if
+    given, else a hash over *all* columns so parallel edges with distinct
+    properties (e.g. two CONTAINS lineitems for one order+part) stay
+    distinct — the reference tracks real edge ids
+    (variable_length_expand.rs:217-240).
+    """
+    if id_col is not None and id_col in edges.columns:
+        eid = F.col(id_col).cast("long")
+    else:
+        eid = F.xxhash64(*[F.col(c) for c in edges.columns])
+    return edges.select(
+        F.col("src").alias("_esrc"),
+        F.col("dst").alias("_edst"),
+        eid.alias("_eid"),
+    )
 
 
-def var_length_expand(edges: DataFrame, min_hops: int, max_hops: int) -> DataFrame:
+def _seed(e: DataFrame, src_ids: Optional[DataFrame]) -> DataFrame:
+    """Restrict hop-1 edges to those leaving the bound frontier (left-semi
+    join; AQE picks broadcast when the seed set is small, which it usually
+    is for a bound pattern side)."""
+    if src_ids is None:
+        return e
+    seeds = src_ids.select(F.col(src_ids.columns[0]).alias("_esrc")).distinct()
+    return e.join(seeds, "_esrc", "left_semi")
+
+
+def var_length_expand(
+    edges: DataFrame,
+    min_hops: int,
+    max_hops: int,
+    src_ids: Optional[DataFrame] = None,
+    id_col: Optional[str] = None,
+) -> DataFrame:
     """All trails of length in [min_hops, max_hops]: (src, dst, hops),
     one row per path (bag semantics, matching Cypher var-length MATCH).
 
-    ``edges`` must have columns src, dst. Edge identity for the
-    no-repeated-edge rule is the (src,dst) pair.
+    ``edges`` must have columns src, dst (+ any property columns, which
+    feed edge identity). ``src_ids`` (single-column DataFrame) seeds the
+    BFS frontier from the bound side of the pattern.
     """
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
-    e = edges.select("src", "dst").withColumn("_ek", _edge_key())
+    e = _prep_edges(edges, id_col)
 
-    # frontier: (origin, cur, hops, _path: array of traversed edge keys)
-    frontier = e.select(
-        F.col("src").alias("origin"),
-        F.col("dst").alias("cur"),
+    # frontier: (origin, cur, hops, _path: array of traversed edge ids)
+    frontier = _seed(e, src_ids).select(
+        F.col("_esrc").alias("origin"),
+        F.col("_edst").alias("cur"),
         F.lit(1).alias("hops"),
-        F.array(F.col("_ek")).alias("_path"),
+        F.array(F.col("_eid")).alias("_path"),
     )
     results = [frontier] if min_hops <= 1 else []
     hop = 1
     while hop < max_hops:
         hop += 1
         nxt = (
-            frontier.join(e, frontier["cur"] == e["src"], "inner")
-            .filter(~F.array_contains(F.col("_path"), F.col("_ek")))
+            frontier.join(e, frontier["cur"] == e["_esrc"], "inner")
+            .filter(~F.array_contains(F.col("_path"), F.col("_eid")))
             .select(
                 F.col("origin"),
-                e["dst"].alias("cur"),
+                F.col("_edst").alias("cur"),
                 (F.col("hops") + 1).alias("hops"),
-                F.array_append(F.col("_path"), F.col("_ek")).alias("_path"),
+                F.array_append(F.col("_path"), F.col("_eid")).alias("_path"),
             )
         )
         if hop % _CHECKPOINT_EVERY == 0:
@@ -67,16 +111,18 @@ def var_length_expand(edges: DataFrame, min_hops: int, max_hops: int) -> DataFra
             results.append(frontier)
 
     if min_hops == 0:
-        zero = (
-            edges.select(F.col("src").alias("origin"))
-            .unionAll(edges.select(F.col("dst").alias("origin")))
-            .distinct()
-            .select(
-                "origin",
-                F.col("origin").alias("cur"),
-                F.lit(0).alias("hops"),
-                F.array().cast("array<string>").alias("_path"),
+        src_nodes = (
+            src_ids.select(F.col(src_ids.columns[0]).alias("origin"))
+            if src_ids is not None
+            else edges.select(F.col("src").alias("origin")).unionAll(
+                edges.select(F.col("dst").alias("origin"))
             )
+        )
+        zero = src_nodes.distinct().select(
+            "origin",
+            F.col("origin").alias("cur"),
+            F.lit(0).alias("hops"),
+            F.array().cast("array<long>").alias("_path"),
         )
         results.insert(0, zero)
 
@@ -88,24 +134,32 @@ def var_length_expand(edges: DataFrame, min_hops: int, max_hops: int) -> DataFra
     )
 
 
-def reachable_pairs(edges: DataFrame, min_hops: int, max_hops: int) -> DataFrame:
+def reachable_pairs(
+    edges: DataFrame,
+    min_hops: int,
+    max_hops: int,
+    src_ids: Optional[DataFrame] = None,
+) -> DataFrame:
     """Distinct (src, dst, hops=first reached) — BFS with per-level dedup.
 
     The scale path: frontier size is bounded by reachable pairs, not path
     count, so a dense 100 TB graph cannot blow up the intermediate state the
     way enumerating trails would.
     """
-    e = edges.select("src", "dst").distinct()
-    frontier = e.select(F.col("src").alias("origin"), F.col("dst").alias("cur")).distinct()
-    seen = frontier.withColumn("hops", F.lit(1))
-    results = [seen] if min_hops <= 1 else []
+    e = _prep_edges(edges).select("_esrc", "_edst").distinct()
+    frontier = (
+        _seed(e, src_ids)
+        .select(F.col("_esrc").alias("origin"), F.col("_edst").alias("cur"))
+        .distinct()
+    )
+    results = [frontier.withColumn("hops", F.lit(1))] if min_hops <= 1 else []
     hop = 1
     all_seen = frontier
     while hop < max_hops:
         hop += 1
         nxt = (
-            frontier.join(e, frontier["cur"] == e["src"], "inner")
-            .select(F.col("origin"), e["dst"].alias("cur"))
+            frontier.join(e, frontier["cur"] == e["_esrc"], "inner")
+            .select(F.col("origin"), F.col("_edst").alias("cur"))
             .distinct()
             .join(all_seen, ["origin", "cur"], "left_anti")
         )
@@ -122,11 +176,13 @@ def reachable_pairs(edges: DataFrame, min_hops: int, max_hops: int) -> DataFrame
     return out.select(F.col("origin").alias("src"), F.col("cur").alias("dst"), "hops")
 
 
-def shortest_path_lengths(edges: DataFrame, max_hops: int) -> DataFrame:
+def shortest_path_lengths(
+    edges: DataFrame, max_hops: int, src_ids: Optional[DataFrame] = None
+) -> DataFrame:
     """(src, dst, hops) with hops = BFS shortest-path length (1..max_hops).
 
     Mirrors ShortestPathOperator's BFS (shortest_path.rs:65). Because levels
     are explored in order and previously-seen pairs are anti-joined away,
     the first time a pair appears IS its shortest distance.
     """
-    return reachable_pairs(edges, 1, max_hops)
+    return reachable_pairs(edges, 1, max_hops, src_ids=src_ids)

@@ -193,12 +193,23 @@ class Compiler:
         return out, scope
 
     def _var_length(self, p: ir.Expand, child: DataFrame, scope: Scope) -> tuple[DataFrame, Scope]:
-        from grafeo_spark.operators.expand import var_length_expand
+        from grafeo_spark.operators.expand import reachable_pairs, var_length_expand
 
         e, _ = self._edge_frame(p.etypes, p.direction)
         lo = p.min_hops if p.min_hops is not None else 1
         hi = p.max_hops if p.max_hops is not None else lo
-        pairs = var_length_expand(e.select("src", "dst"), lo, hi)  # (src, dst, hops)
+        # Seed the BFS from the bound side's ids instead of all-pairs over
+        # the whole edge set — the 100 TB-scale fix (frontier bounded by the
+        # child's rows, not |E|^hops).
+        seeds = child.select(_p(p.src_var, "id")).distinct()
+        if p.edge_var is None and lo <= 1:
+            # No edge variable bound: only distinct reachability matters for
+            # downstream use; per-level dedup keeps frontier state bounded.
+            # (Only valid when lo <= 1: reachable_pairs records first-reach
+            # hop, so a pair first seen below lo would be wrongly dropped.)
+            pairs = reachable_pairs(e, lo, hi, src_ids=seeds)
+        else:
+            pairs = var_length_expand(e, lo, hi, src_ids=seeds)  # (src, dst, hops)
         pvar = self._fresh("vl")
         pairs = pairs.select(
             F.col("src").alias(_p(pvar, "src")),
@@ -223,7 +234,8 @@ class Compiler:
 
         child, scope = self._compile(p.child)
         e, _ = self._edge_frame(p.etypes, p.direction)
-        dist = shortest_path_lengths(e.select("src", "dst"), p.max_hops)
+        seeds = child.select(_p(p.src_var, "id")).distinct()
+        dist = shortest_path_lengths(e.select("src", "dst"), p.max_hops, src_ids=seeds)
         dvar = self._fresh("sp")
         dist = dist.select(
             F.col("src").alias(_p(dvar, "src")),
@@ -262,7 +274,9 @@ class Compiler:
             w = self._expr_two_sided(p.where, scope, l, r)
             cond = w if cond is None else cond & w
         if cond is None:
-            out = l.crossJoin(r)
+            # OPTIONAL MATCH with no shared vars must keep left rows even
+            # when the right side is empty (left join on TRUE, not cross).
+            out = l.join(r, F.lit(True), "left")
         else:
             out = l.join(r, cond, "left")
         # shared vars: drop the right-side duplicates
@@ -526,9 +540,35 @@ class Compiler:
             return left.isin([i.value if isinstance(i, E.Lit) else self._expr(i, scope, df) for i in e.right.items])
         left = self._expr(e.left, scope, df)
         right = self._expr(e.right, scope, df)
-        return self._binop_cols(e.op, left, right)
+        return self._binop_cols(e.op, left, right, df)
 
-    def _binop_cols(self, op: str, left: Column, right: Column) -> Column:
+    def _plus(self, left: Column, right: Column, df: Optional[DataFrame]) -> Column:
+        """Cypher `+`: numeric add, string concat, or list concat/append —
+        the reference's Add concatenates strings and lists (filter.rs:712).
+        Dispatch on the analyzed operand types (planning-time only)."""
+        if df is None:
+            return left + right
+        from pyspark.sql.types import ArrayType, StringType
+
+        try:
+            lt = df.select(left.alias("_l")).schema[0].dataType
+            rt = df.select(right.alias("_r")).schema[0].dataType
+        except Exception:
+            return left + right
+        l_arr, r_arr = isinstance(lt, ArrayType), isinstance(rt, ArrayType)
+        if l_arr and r_arr:
+            return F.concat(left, right)
+        if l_arr:
+            return F.array_append(left, right)
+        if r_arr:
+            return F.array_prepend(right, left)
+        if isinstance(lt, StringType) or isinstance(rt, StringType):
+            return F.concat(left.cast("string"), right.cast("string"))
+        return left + right
+
+    def _binop_cols(
+        self, op: str, left: Column, right: Column, df: Optional[DataFrame] = None
+    ) -> Column:
         if op == "=":
             return left == right
         if op == "<>":
@@ -542,7 +582,7 @@ class Compiler:
         if op == ">=":
             return left >= right
         if op == "+":
-            return left + right
+            return self._plus(left, right, df)
         if op == "-":
             return left - right
         if op == "*":
@@ -566,7 +606,9 @@ class Compiler:
         if op == "CONTAINS":
             return left.contains(right)
         if op == "REGEX":
-            return left.rlike(right)
+            # Column.rlike only takes a str pattern; regexp_like accepts a
+            # Column (the round-1 filter_mix failure).
+            return F.regexp_like(left, right)
         if op == "IN":
             return F.array_contains(right, left)
         if op == "CONCAT":
@@ -600,6 +642,16 @@ class Compiler:
             return F.array(*[F.lit(p) for p in info.props if _p(v, p) in df.columns])
         if name == "exists" and e.args:
             return self._expr(e.args[0], scope, df).isNotNull()
+        if name == "haslabel" and len(e.args) == 2 and isinstance(e.args[0], E.Col):
+            info = scope.get(e.args[0].name)
+            lbl = self._expr(e.args[1], scope, df)
+            if info is not None and info.label is not None:
+                return F.lit(info.label) == lbl
+            return F.col(_p(e.args[0].name, "_label")) == lbl
+        if name == "array_join" and e.args:
+            # needs a Python-str delimiter; unwrap the literal
+            delim = e.args[1].value if len(e.args) > 1 and isinstance(e.args[1], E.Lit) else ","
+            return F.array_join(self._expr(e.args[0], scope, df), delim)
         if name in ("size", "length") and e.args:
             # size()/length() work on strings, lists and maps in the
             # reference (filter.rs:790-820); dispatch on the analyzed type.
@@ -722,12 +774,19 @@ class Compiler:
                 return F.last(arg, ignorenulls=True)
         if isinstance(e, E.BinOp):
             return self._binop_cols(
-                e.op, self._agg_expr(e.left, scope, df), self._agg_expr(e.right, scope, df)
+                e.op, self._agg_expr(e.left, scope, df), self._agg_expr(e.right, scope, df), df
             )
         if isinstance(e, E.UnOp):
             inner = self._agg_expr(e.operand, scope, df)
             return {"NOT": lambda c: ~c, "NEG": lambda c: -c}[e.op](inner)
         if isinstance(e, E.Fn):
+            if e.name.lower() == "array_join":
+                delim = (
+                    e.args[1].value
+                    if len(e.args) > 1 and isinstance(e.args[1], E.Lit)
+                    else ","
+                )
+                return F.array_join(self._agg_expr(e.args[0], scope, df), delim)
             return self._apply_named_fn(e.name, [self._agg_expr(a, scope, df) for a in e.args])
         return self._expr(e, scope, df)
 
