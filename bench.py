@@ -1,0 +1,71 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the declared query battery (``__spark_entry__.queries()``) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line to stdout:
+
+    {"metric": "battery_wall_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Everything else (progress, errors) goes to stderr so the stdout line stays
+machine-parsable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    import __spark_entry__ as entry
+    from grafeo_spark.session import get_spark
+
+    spark = get_spark("grafeo-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footer caches so per-query timings measure the
+    # query, not session startup (first action pays ~seconds of init).
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entry.queries().items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            print(f"{name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001
+            dt = time.perf_counter() - t0
+            timings[name] = -1.0
+            print(f"{name}: ERROR after {dt:.1f}s: {ex}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "battery_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
