@@ -202,6 +202,32 @@ def _projection(ctx: _Ctx, clause: P.WithClause) -> None:
         items = star_items + items
 
     has_agg = any(E.is_aggregate(it.expr) for it in items)
+
+    # ORDER BY may reference pre-projection variables (`RETURN p.name ORDER
+    # BY p.age`). Resolve each key to (a) a projected alias, (b) an item
+    # expression (structural match -> alias), or (c) a hidden extra column
+    # carried through the projection and dropped afterwards.
+    order_keys: list[tuple[E.Expr, bool]] = []
+    hidden: list[tuple[E.Expr, str]] = []
+    for oe, asc in clause.order:
+        e1 = _rw(ctx, oe)
+        if isinstance(e1, E.Col) and any(it.alias == e1.name for it in items):
+            order_keys.append((e1, asc))
+            continue
+        matched = next((it.alias for it in items if _rw(ctx, it.expr) == e1), None)
+        if matched is not None:
+            order_keys.append((E.Col(matched), asc))
+        elif has_agg or clause.distinct:
+            # after aggregation/DISTINCT only projected values exist
+            raise TranslateError(
+                f"ORDER BY expression must be projected when using "
+                f"{'aggregation' if has_agg else 'DISTINCT'}: {oe!r}"
+            )
+        else:
+            hid = f"__sort{len(hidden)}"
+            hidden.append((e1, hid))
+            order_keys.append((E.Col(hid), asc))
+
     if has_agg:
         keys = tuple((_rw(ctx, it.expr), it.alias) for it in items if not E.is_aggregate(it.expr))
         aggs = tuple((_rw(ctx, it.expr), it.alias) for it in items if E.is_aggregate(it.expr))
@@ -209,7 +235,7 @@ def _projection(ctx: _Ctx, clause: P.WithClause) -> None:
     else:
         ctx.plan = ir.Project(
             ctx.plan,
-            tuple((_rw(ctx, it.expr), it.alias) for it in items),
+            tuple((_rw(ctx, it.expr), it.alias) for it in items) + tuple(hidden),
             distinct=clause.distinct,
         )
 
@@ -226,14 +252,19 @@ def _projection(ctx: _Ctx, clause: P.WithClause) -> None:
     # openCypher applies ORDER BY / SKIP / LIMIT first; the trailing WHERE
     # filters the already-paginated rows (reference: WITH ... WHERE is a
     # post-modifier filter, cypher_translator.rs WITH handling).
-    if clause.order:
-        ctx.plan = ir.OrderBy(ctx.plan, tuple((_rw(ctx, e), asc) for e, asc in clause.order))
+    if order_keys:
+        ctx.plan = ir.OrderBy(ctx.plan, tuple(order_keys))
     if clause.skip is not None:
         ctx.plan = ir.Skip(ctx.plan, clause.skip)
     if clause.limit is not None:
         ctx.plan = ir.Limit(ctx.plan, clause.limit)
     if clause.where is not None:
         ctx.plan = ir.Filter(ctx.plan, _rw(ctx, clause.where))
+    if hidden:
+        # drop the hidden sort columns, keeping projection bindings
+        ctx.plan = ir.Project(
+            ctx.plan, tuple((E.Col(it.alias), it.alias) for it in items)
+        )
 
 
 # ----------------------------------------------------------------------- #

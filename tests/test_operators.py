@@ -1,0 +1,109 @@
+"""Unit tests for the iterative path operators and the PropertyGraph API
+(reference behavior: variable_length_expand.rs:217-240, shortest_path.rs:65,
+mutation.rs, merge.rs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([(i, s, d) for i, (s, d) in enumerate(pairs)], "id long, src long, dst long")
+
+
+def test_var_length_trail_counts(spark):
+    # diamond with a tail: 1->2, 1->3, 2->4, 3->4, 4->5
+    from grafeo_spark.operators.expand import var_length_expand
+
+    e = _edges(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)])
+    out = rows(var_length_expand(e, 1, 3, id_col="id"))
+    # hops=1: 5 edges; hops=2: 1-2-4, 1-3-4, 2-4-5, 3-4-5; hops=3: 1-2-4-5, 1-3-4-5
+    assert len(out) == 5 + 4 + 2
+    assert out.count((1, 4, 2)) == 2  # two distinct 2-hop paths 1=>4
+
+
+def test_var_length_trail_no_edge_repeat(spark):
+    from grafeo_spark.operators.expand import var_length_expand
+
+    # 2-cycle: 1->2, 2->1 — trails can't reuse an edge, so max trail length 2
+    e = _edges(spark, [(1, 2), (2, 1)])
+    out = rows(var_length_expand(e, 1, 5, id_col="id"))
+    assert max(h for _, _, h in out) == 2
+
+
+def test_var_length_parallel_edges_distinct(spark):
+    from grafeo_spark.operators.expand import var_length_expand
+
+    # two parallel edges 1->2 (distinct ids) then 2->3: 2 two-hop trails
+    e = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 2), (3, 2, 3)], "id long, src long, dst long"
+    )
+    out = rows(var_length_expand(e, 2, 2, id_col="id"))
+    assert out == [(1, 3, 2), (1, 3, 2)]
+
+
+def test_var_length_seeded(spark):
+    from grafeo_spark.operators.expand import var_length_expand
+
+    e = _edges(spark, [(1, 2), (2, 3), (9, 8)])
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = rows(var_length_expand(e, 1, 2, src_ids=seeds, id_col="id"))
+    assert out == [(1, 2, 1), (1, 3, 2)]  # 9->8 component never explored
+
+
+def test_reachable_pairs_dedup(spark):
+    from grafeo_spark.operators.expand import reachable_pairs
+
+    e = _edges(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    out = rows(reachable_pairs(e, 1, 3))
+    # (1,4) appears once, at its first (shortest) hop count
+    assert out.count((1, 4, 2)) == 1 and (1, 4, 3) not in out
+
+
+def test_shortest_path_lengths(spark):
+    from grafeo_spark.operators.expand import shortest_path_lengths
+
+    # direct long edge + shortcut: shortest 1->4 is 1 (direct), 1->3 is 2
+    e = _edges(spark, [(1, 2), (2, 3), (1, 4), (4, 3)])
+    out = dict(((s, d), h) for s, d, h in rows(shortest_path_lengths(e, 5)))
+    assert out[(1, 4)] == 1 and out[(1, 3)] == 2
+
+
+def test_min_hops_zero(spark):
+    from grafeo_spark.operators.expand import var_length_expand
+
+    e = _edges(spark, [(1, 2)])
+    out = rows(var_length_expand(e, 0, 1, id_col="id"))
+    assert (1, 1, 0) in out and (2, 2, 0) in out and (1, 2, 1) in out
+
+
+def test_graph_degrees(social):
+    d = dict(rows(social.degrees("out")))
+    assert d[1] == 2 and d.get(7) is None
+    d = dict(rows(social.degrees("both")))
+    assert d[3] == 3  # 2->3, 1->3 in; 3->4 out
+
+
+def test_create_and_delete_nodes(spark, social):
+    extra = spark.createDataFrame([(99, "Zed", 20, "NYC")], "id long, name string, age long, city string")
+    g2 = social.create_nodes("Person", extra)
+    assert g2.nodes("Person").count() == 9
+    g3 = g2.delete_nodes("Person", spark.createDataFrame([(99,)], "id long"))
+    assert g3.nodes("Person").count() == 8
+
+
+def test_delete_detach(spark, social):
+    g2 = social.delete_nodes("Person", spark.createDataFrame([(1,)], "id long"), detach=True)
+    e = g2.edges("KNOWS")
+    assert e.filter((F.col("src") == 1) | (F.col("dst") == 1)).count() == 0
+
+
+def test_merge_nodes_idempotent(spark, social):
+    dup = spark.createDataFrame(
+        [(1, "Alice", 30, "NYC"), (99, "Zed", 20, "LA")],
+        "id long, name string, age long, city string",
+    )
+    g2 = social.merge_nodes("Person", dup, keys=["id"])
+    assert g2.nodes("Person").count() == 9  # Alice not duplicated

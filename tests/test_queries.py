@@ -1,0 +1,249 @@
+"""End-to-end Cypher query corpus over the mini social graph.
+
+The logical-test-corpus analogue of the reference's shared bases
+(tests/python/bases/test_queries.py instantiated per language); here the
+one front-end is Cypher/GQL and results are asserted against hand-computed
+values on the deterministic fixture (conftest.PEOPLE / KNOWS).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import rows
+
+
+def test_node_scan_count(db):
+    assert db.cypher("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 8
+
+
+def test_filter_comparisons(db):
+    out = rows(db.cypher("MATCH (p:Person) WHERE p.age >= 40 RETURN p.name AS name"))
+    assert out == [("Bob",), ("Eve",), ("Frank",)]
+
+
+def test_one_hop_expand(db):
+    out = rows(
+        db.cypher("MATCH (a:Person {name: 'Alice'})-[:KNOWS]->(b) RETURN b.name AS n")
+    )
+    assert out == [("Bob",), ("Carol",)]
+
+
+def test_incoming_expand(db):
+    out = rows(db.cypher("MATCH (a:Person {name: 'Alice'})<-[:KNOWS]-(b) RETURN b.name AS n"))
+    assert out == [("Heidi",)]
+
+
+def test_both_direction_expand(db):
+    out = rows(db.cypher("MATCH (a:Person {name: 'Alice'})-[:KNOWS]-(b) RETURN b.name AS n"))
+    assert out == [("Bob",), ("Carol",), ("Heidi",)]
+
+
+def test_edge_property_filter(db):
+    out = rows(
+        db.cypher("MATCH (a)-[k:KNOWS]->(b) WHERE k.since > 2018 RETURN a.name AS a, b.name AS b")
+    )
+    assert out == [("Dave", "Eve"), ("Eve", "Frank"), ("Heidi", "Alice")]
+
+
+def test_two_hop_chain(db):
+    out = rows(
+        db.cypher(
+            "MATCH (a:Person {name: 'Heidi'})-[:KNOWS]->(x)-[:KNOWS]->(y) RETURN y.name AS n"
+        )
+    )
+    assert out == [("Bob",), ("Carol",)]
+
+
+def test_cycle_triangle(db):
+    # directed triangle 1->2->3 with closing 1->3
+    out = db.cypher(
+        "MATCH (a)-[:KNOWS]->(b)-[:KNOWS]->(c), (a)-[:KNOWS]->(c) RETURN count(*) AS n"
+    ).collect()[0]
+    assert out.n == 1
+
+
+def test_implicit_grouping(db):
+    out = rows(db.cypher("MATCH (p:Person) RETURN p.city AS city, count(*) AS n"))
+    assert out == [("Chicago", 1), ("Houston", 1), ("LA", 2), ("NYC", 3), ("Phoenix", 1)]
+
+
+def test_agg_functions(db):
+    r = db.cypher(
+        "MATCH (p:Person) RETURN min(p.age) AS mn, max(p.age) AS mx, "
+        "round(avg(p.age), 2) AS av, sum(p.age) AS s"
+    ).collect()[0]
+    assert (r.mn, r.mx, r.s) == (22, 50, 283)
+    assert abs(r.av - 35.38) < 1e-9
+
+
+def test_collect_sorted(db):
+    r = db.cypher(
+        "MATCH (p:Person {city: 'NYC'}) RETURN array_join(sort(collect(p.name)), ',') AS ns"
+    ).collect()[0]
+    assert r.ns == "Alice,Carol,Frank"
+
+
+def test_count_distinct(db):
+    r = db.cypher("MATCH (p:Person) RETURN count(DISTINCT p.city) AS n").collect()[0]
+    assert r.n == 5
+
+
+def test_stddev_percentile(db):
+    r = db.cypher(
+        "MATCH (p:Person) RETURN round(stdev(p.age), 4) AS sd, "
+        "percentileCont(p.age, 0.5) AS med"
+    ).collect()[0]
+    # ages sorted: 22,28,30,33,35,40,45,50 -> cont. median (33+35)/2
+    assert r.med == 34.0
+    assert abs(r.sd - 9.2263) < 1e-3
+
+
+def test_order_skip_limit(db):
+    out = [
+        r.name
+        for r in db.cypher(
+            "MATCH (p:Person) RETURN p.name AS name ORDER BY p.age DESC SKIP 1 LIMIT 3"
+        ).collect()
+    ]
+    assert out == ["Frank", "Bob", "Carol"]
+
+
+def test_optional_match_nulls(db):
+    out = rows(
+        db.cypher(
+            "MATCH (p:Person) OPTIONAL MATCH (p)-[:KNOWS]->(q) "
+            "WITH p, count(q.id) AS cnt WHERE cnt = 0 RETURN p.name AS name"
+        )
+    )
+    # Frank, Grace and Heidi->Alice... Heidi knows Alice; sinks: Frank (6), Grace (7)
+    assert out == [("Frank",), ("Grace",)]
+
+
+def test_with_chain_having(db):
+    out = rows(
+        db.cypher(
+            "MATCH (p:Person)-[:KNOWS]->(q) WITH p, count(*) AS deg WHERE deg >= 2 "
+            "RETURN p.name AS name, deg"
+        )
+    )
+    assert out == [("Alice", 2)]
+
+
+def test_union_distinct(db):
+    out = rows(
+        db.cypher(
+            "MATCH (p:Person {city: 'NYC'}) RETURN p.city AS c "
+            "UNION MATCH (p:Person {city: 'LA'}) RETURN p.city AS c"
+        )
+    )
+    assert out == [("LA",), ("NYC",)]
+
+
+def test_unwind_with_filter(db):
+    out = rows(db.cypher("UNWIND range(1, 10) AS x WITH x WHERE x % 3 = 0 RETURN x"))
+    assert out == [(3,), (6,), (9,)]
+
+
+def test_case_expression(db):
+    out = rows(
+        db.cypher(
+            "MATCH (p:Person) RETURN p.name AS name, "
+            "CASE WHEN p.age < 30 THEN 'young' WHEN p.age < 45 THEN 'mid' ELSE 'senior' END AS band"
+        )
+    )
+    assert ("Grace", "young") in out and ("Eve", "senior") in out and ("Alice", "mid") in out
+
+
+def test_var_length_with_edge_var(db):
+    # trails from Alice out 1..2: 1-2, 1-3, 1-2-3 (edge-var form => bag semantics)
+    out = rows(
+        db.cypher(
+            "MATCH (a:Person {name: 'Alice'})-[r:KNOWS*1..2]->(b) RETURN b.name AS n, r.hops AS h"
+        )
+    )
+    assert out == [("Bob", 1), ("Carol", 1), ("Carol", 2), ("Dave", 2)]
+
+
+def test_var_length_reachable(db):
+    # no edge var => distinct reachability
+    out = rows(
+        db.cypher("MATCH (a:Person {name: 'Heidi'})-[:KNOWS*1..3]->(b) RETURN b.name AS n")
+    )
+    assert out == [("Alice",), ("Bob",), ("Carol",), ("Dave",)]
+
+
+def test_shortest_path_length(db):
+    r = db.cypher(
+        "MATCH p = shortestPath((a:Person {name: 'Alice'})-[:KNOWS*..6]->(b:Person {name: 'Frank'})) "
+        "RETURN length(p) AS hops"
+    ).collect()[0]
+    assert r.hops == 4  # 1-3-4-5-6
+
+
+def test_string_functions(db):
+    r = db.cypher(
+        "MATCH (p:Person {name: 'Alice'}) RETURN toUpper(p.name) AS u, "
+        "substring(p.name, 0, 3) AS pre, size(p.name) AS len, reverse(p.name) AS rev"
+    ).collect()[0]
+    assert (r.u, r.pre, r.len, r.rev) == ("ALICE", "Ali", 5, "ecilA")
+
+
+def test_arithmetic_and_concat(db):
+    r = db.cypher(
+        "RETURN 2 ^ 10 AS p, 7 % 3 AS m, 'a' + 'b' AS s, [1] + [2] AS l"
+    ).collect()[0]
+    assert (r.p, r.m, r.s, list(r.l)) == (1024.0, 1, "ab", [1, 2])
+
+
+def test_list_ops(db):
+    r = db.cypher(
+        "RETURN [10,20,30][1] AS idx, [10,20,30][0..2] AS sl, "
+        "head([1,2,3]) AS h, last([1,2,3]) AS t, tail([1,2,3]) AS tl"
+    ).collect()[0]
+    assert r.idx == 20 and list(r.sl) == [10, 20] and r.h == 1 and r.t == 3 and list(r.tl) == [2, 3]
+
+
+def test_list_comprehension_e2e(db):
+    r = db.cypher("RETURN [x IN range(1,6) WHERE x % 2 = 0 | x * x] AS xs").collect()[0]
+    assert list(r.xs) == [4, 16, 36]
+
+
+def test_in_list(db):
+    out = rows(
+        db.cypher("MATCH (p:Person) WHERE p.city IN ['Phoenix', 'Houston'] RETURN p.name AS n")
+    )
+    assert out == [("Grace",), ("Heidi",)]
+
+
+def test_parameters(db):
+    out = rows(
+        db.cypher("MATCH (p:Person) WHERE p.age > $min RETURN p.name AS n", {"min": 44}),
+    )
+    assert out == [("Eve",), ("Frank",)]
+
+
+def test_null_semantics(db):
+    # comparison with NULL is NULL -> filtered out (3VL at the filter boundary)
+    r = db.cypher("MATCH (p:Person) WHERE p.missing = 1 RETURN count(*) AS n").collect()[0]
+    assert r.n == 0
+    r = db.cypher("MATCH (p:Person) WHERE p.missing IS NULL RETURN count(*) AS n").collect()[0]
+    assert r.n == 8
+
+
+def test_id_and_labels_functions(db):
+    r = db.cypher("MATCH (p:Person {name: 'Alice'}) RETURN id(p) AS i, labels(p) AS l").collect()[0]
+    assert r.i == 1 and list(r.l) == ["Person"]
+
+
+def test_regex(db):
+    out = rows(db.cypher("MATCH (p:Person) WHERE p.name =~ '^[AB].*' RETURN p.name AS n"))
+    assert out == [("Alice",), ("Bob",)]
+
+
+def test_xor_not(db):
+    r = db.cypher("RETURN (true XOR false) AS a, (NOT false) AS b").collect()[0]
+    assert r.a is True and r.b is True
+
+
+def test_coalesce_case_insensitive_fn(db):
+    r = db.cypher("RETURN coalesce(null, 5) AS c, COALESCE(null, null, 'x') AS d").collect()[0]
+    assert r.c == 5 and r.d == "x"
