@@ -132,6 +132,21 @@ _CYPHER: dict[str, str] = {
         "substring(c.name, 0, 8) AS prefix, size(c.name) AS name_len, "
         "abs(c.acctbal) + 1.5 AS absbal"
     ),
+    # variable-length expand (multi-type, seeded from the bound region):
+    # hop 1 = nations of ASIA, hop 2 = customers+suppliers of those nations
+    "varlen_asia_reach": (
+        "MATCH (r:Region {name: 'ASIA'})<-[*1..2]-(x) RETURN count(*) AS n"
+    ),
+    # shortestPath: every part bought by customer 1 sits exactly 2 hops away
+    # (PLACED then CONTAINS)
+    "shortest_customer_part": (
+        "MATCH p = shortestPath((c:Customer {custkey: 1})-[*..3]->(t:Part)) "
+        "RETURN count(*) AS n, min(length(p)) AS min_hops, max(length(p)) AS max_hops"
+    ),
+    # SKIP/OFFSET pagination determinism
+    "skip_limit_page": (
+        "MATCH (n:Nation) RETURN n.name AS name ORDER BY name ASC SKIP 5 LIMIT 5"
+    ),
 }
 
 _ORACLE: dict[str, str] = {
@@ -227,6 +242,52 @@ _ORACLE: dict[str, str] = {
                abs(c_acctbal) + 1.5 AS absbal
         FROM customer WHERE c_custkey <= 20
     """,
+    "varlen_asia_reach": """
+        SELECT CAST(
+            (SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA')
+          + (SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+          + (SELECT count(*) FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+          AS BIGINT) AS n
+    """,
+    "shortest_customer_part": """
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n,
+               CAST(2 AS BIGINT) AS min_hops, CAST(2 AS BIGINT) AS max_hops
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey = 1
+    """,
+    "skip_limit_page": """
+        SELECT n_name AS name FROM nation ORDER BY name ASC OFFSET 5 LIMIT 5
+    """,
+    "alg_degree_top": """
+        SELECT l_orderkey AS orderkey, CAST(count(*) AS BIGINT) AS degree
+        FROM lineitem GROUP BY 1 ORDER BY degree DESC, orderkey ASC LIMIT 20
+    """,
+    "alg_wcc_sizes": """
+        WITH nn AS (SELECT r_regionkey AS rk, count(*) AS c
+                    FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY 1),
+             nc AS (SELECT n_regionkey AS rk, count(*) AS c
+                    FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+             ns AS (SELECT n_regionkey AS rk, count(*) AS c
+                    FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1)
+        SELECT CAST(1 + nn.c + coalesce(nc.c, 0) + coalesce(ns.c, 0) AS BIGINT) AS size
+        FROM nn LEFT JOIN nc ON nc.rk = nn.rk LEFT JOIN ns ON ns.rk = nn.rk
+        ORDER BY size
+    """,
+    "alg_triangles": """
+        WITH e AS (
+            SELECT c1.c_custkey AS a, c2.c_custkey AS b
+            FROM customer c1 JOIN customer c2
+              ON c1.c_nationkey = c2.c_nationkey
+             AND c2.c_custkey > c1.c_custkey
+             AND c2.c_custkey - c1.c_custkey <= 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
 }
 
 
@@ -237,10 +298,96 @@ def _cypher_query(q: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+# --------------------------------------------------------------------- #
+# graph-algorithm entries (plugin library surface, SURVEY.md §2.10)
+# --------------------------------------------------------------------- #
+
+
+def _alg_degree_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree centrality over CONTAINS (order->part), top 20."""
+    from pyspark.sql import functions as F
+
+    db = _db(spark, sf_dir)
+    deg = db.algo("degree_centrality", "CONTAINS", direction="out")
+    orders = db.nodes("Order").select("id", "orderkey")
+    return (
+        deg.join(orders, "id")
+        .select("orderkey", "degree")
+        .orderBy(F.desc("degree"), F.asc("orderkey"))
+        .limit(20)
+    )
+
+
+def _alg_wcc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WCC component sizes over the region/nation/customer/supplier tree —
+    one component per region, size checkable in plain SQL."""
+    from pyspark.sql import functions as F
+
+    db = _db(spark, sf_dir)
+    comps = db.algo("connected_components", ["IN_REGION", "FROM_NATION"])
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .select("size")
+        .orderBy("size")
+    )
+
+
+def _tri_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic triangle-rich graph: customers of the same nation with
+    custkey distance <= 2 (deterministic, SQL-expressible)."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.catalog import load_tables
+
+    c = load_tables(spark, sf_dir)["customer"].select("c_custkey", "c_nationkey")
+    c1 = c.select(F.col("c_custkey").alias("a"), F.col("c_nationkey").alias("n1"))
+    c2 = c.select(F.col("c_custkey").alias("b"), F.col("c_nationkey").alias("n2"))
+    return (
+        c1.join(c2, (F.col("n1") == F.col("n2")) & (F.col("b") > F.col("a")) & (F.col("b") - F.col("a") <= 2))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+
+
+def _alg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import triangles
+
+    t = triangles(_tri_edges(spark, sf_dir))
+    return t.agg(F.count("*").cast("long").alias("n"))
+
+
+def _alg_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over PLACED+CONTAINS; top suppliers-of-attention parts.
+    No SQL oracle (iterative) — rows-only driver check; exactness is
+    covered by tests/test_algorithms.py against numpy power iteration."""
+    from pyspark.sql import functions as F
+
+    db = _db(spark, sf_dir)
+    pr = db.algo("pagerank", ["PLACED", "CONTAINS"], max_iter=10)
+    parts = db.nodes("Part").select("id", "partkey")
+    return (
+        pr.join(parts, "id")
+        .select("partkey", F.round("pagerank", 8).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), F.asc("partkey"))
+        .limit(10)
+    )
+
+
+_DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "alg_degree_top": _alg_degree_top,
+    "alg_wcc_sizes": _alg_wcc_sizes,
+    "alg_triangles": _alg_triangles,
+    "alg_pagerank_top": _alg_pagerank_top,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, q in _CYPHER.items():
         out[name] = _cypher_query(q)
+    out.update(_DATAFRAME_QUERIES)
     return out
 
 

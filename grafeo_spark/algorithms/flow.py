@@ -1,0 +1,116 @@
+"""Network flow.
+
+Reference: crates/grafeo-adapters/src/plugins/algorithms/flow.rs
+(max_flow :434, min_cost_flow :533). Augmenting-path flow algorithms are
+inherently sequential (each augmentation depends on the previous residual
+graph), so these run on a collected edge list behind a size guard — the
+same operating envelope as the reference's in-memory engine. Documented
+scale limit; use sampling/decomposition upstream for larger graphs.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import DataFrame
+
+DRIVER_FLOW_MAX_EDGES = 500_000
+
+
+def _residual(edges: DataFrame, cap_col: str, cost_col: str | None = None):
+    rows = edges.collect()
+    if len(rows) > DRIVER_FLOW_MAX_EDGES:
+        raise ValueError(f"flow guard: {len(rows)} edges > {DRIVER_FLOW_MAX_EDGES}")
+    cap: dict[tuple[int, int], float] = {}
+    cost: dict[tuple[int, int], float] = {}
+    adj: dict[int, set[int]] = {}
+    for r in rows:
+        u, v = r.src, r.dst
+        cap[(u, v)] = cap.get((u, v), 0.0) + float(r[cap_col])
+        cap.setdefault((v, u), 0.0)
+        if cost_col is not None:
+            c = float(r[cost_col])
+            cost[(u, v)] = c
+            cost[(v, u)] = -c
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return cap, cost, adj
+
+
+def max_flow(
+    edges: DataFrame, source: int, sink: int, capacity_col: str = "capacity"
+) -> float:
+    """Edmonds-Karp BFS augmentation (flow.rs:434)."""
+    cap, _, adj = _residual(edges, capacity_col)
+    flow = 0.0
+    while True:
+        # BFS for an augmenting path in the residual graph
+        parent: dict[int, int] = {source: source}
+        q = deque([source])
+        while q and sink not in parent:
+            u = q.popleft()
+            for v in sorted(adj.get(u, ())):
+                if v not in parent and cap.get((u, v), 0.0) > 1e-12:
+                    parent[v] = u
+                    q.append(v)
+        if sink not in parent:
+            return flow
+        # bottleneck
+        aug = float("inf")
+        v = sink
+        while v != source:
+            u = parent[v]
+            aug = min(aug, cap[(u, v)])
+            v = u
+        v = sink
+        while v != source:
+            u = parent[v]
+            cap[(u, v)] -= aug
+            cap[(v, u)] += aug
+            v = u
+        flow += aug
+
+
+def min_cost_flow(
+    edges: DataFrame,
+    source: int,
+    sink: int,
+    target_flow: float,
+    capacity_col: str = "capacity",
+    cost_col: str = "cost",
+) -> tuple[float, float]:
+    """Successive shortest paths with Bellman-Ford (flow.rs:533).
+    Returns (achieved_flow, total_cost)."""
+    cap, cost, adj = _residual(edges, capacity_col, cost_col)
+    flow = total_cost = 0.0
+    nodes = sorted(adj)
+    while flow < target_flow - 1e-12:
+        dist = {v: float("inf") for v in nodes}
+        parent: dict[int, int] = {}
+        dist[source] = 0.0
+        for _ in range(len(nodes) - 1):
+            changed = False
+            for (u, v), c in cap.items():
+                if c > 1e-12 and dist[u] + cost.get((u, v), 0.0) < dist[v] - 1e-12:
+                    dist[v] = dist[u] + cost.get((u, v), 0.0)
+                    parent[v] = u
+                    changed = True
+            if not changed:
+                break
+        if dist[sink] == float("inf"):
+            break
+        aug = target_flow - flow
+        v = sink
+        while v != source:
+            u = parent[v]
+            aug = min(aug, cap[(u, v)])
+            v = u
+        v = sink
+        while v != source:
+            u = parent[v]
+            cap[(u, v)] -= aug
+            cap[(v, u)] += aug
+            total_cost += aug * cost.get((u, v), 0.0)
+            v = u
+        flow += aug
+    return flow, total_cost

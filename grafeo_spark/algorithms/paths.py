@@ -1,0 +1,231 @@
+"""Path and traversal algorithms.
+
+Reference: crates/grafeo-adapters/src/plugins/algorithms/traversal.rs
+(BFS :376, DFS :430) and shortest_path.rs (Dijkstra :595, Bellman-Ford
+:702, Floyd-Warshall :761, A* via the Python bridge algorithms.rs:216).
+
+Distributed: BFS (level-synchronous frontier), single/multi-source shortest
+paths (Bellman-Ford relaxation on the Pregel kernel — also serves as the
+Dijkstra surface, since distance results agree for non-negative weights).
+Driver-side with size guards: DFS (ordering is inherently sequential),
+Floyd-Warshall (O(V³) dense matrix), A* (priority-queue driven).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grafeo_spark.algorithms.pregel import pregel, undirect, vertices_from_edges
+
+DRIVER_ALGO_MAX_NODES = 100_000
+
+
+def _source_df(edges: DataFrame, sources) -> DataFrame:
+    if isinstance(sources, DataFrame):
+        return sources.select(F.col(sources.columns[0]).alias("id"))
+    spark = edges.sparkSession
+    return spark.createDataFrame([(int(s),) for s in sources], "id long")
+
+
+def bfs(
+    edges: DataFrame,
+    sources,
+    max_depth: int = 20,
+    directed: bool = True,
+) -> DataFrame:
+    """(id, parent-agnostic) BFS layers: (source, id, depth) per reached
+    vertex (traversal.rs:376 'layers' output)."""
+    from grafeo_spark.operators.expand import reachable_pairs
+
+    e = edges.select("src", "dst")
+    if not directed:
+        e = undirect(e)
+    src = _source_df(edges, sources)
+    pairs = reachable_pairs(e, 1, max_depth, src_ids=src, early_exit=True)
+    zero = src.select(
+        F.col("id").alias("source"), F.col("id"), F.lit(0).cast("long").alias("depth")
+    )
+    return zero.unionByName(
+        pairs.select(
+            F.col("src").alias("source"), F.col("dst").alias("id"), F.col("hops").cast("long").alias("depth")
+        )
+    )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources,
+    weight_col: Optional[str] = None,
+    max_iter: int = 50,
+    directed: bool = True,
+) -> DataFrame:
+    """(id, distance) minimum distance from any source — Bellman-Ford
+    relaxation (shortest_path.rs:702; equals Dijkstra's result for
+    non-negative weights, shortest_path.rs:595). Unreached vertices are
+    omitted."""
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    e = edges.select(*cols)
+    if not directed:
+        e = undirect(e)
+    w = F.col(f"e_{weight_col}").cast("double") if weight_col else F.lit(1.0)
+    src = _source_df(edges, sources)
+    v = (
+        vertices_from_edges(e)
+        .join(src.withColumn("_s", F.lit(True)), "id", "left")
+        .withColumn("dist", F.when(F.col("_s"), F.lit(0.0)))
+        .drop("_s")
+    )
+
+    def update(j: DataFrame) -> DataFrame:
+        better = F.col("_msg").isNotNull() & (
+            F.col("dist").isNull() | (F.col("_msg") < F.col("dist"))
+        )
+        return j.select(
+            "id",
+            F.when(better, F.col("_msg")).otherwise(F.col("dist")).alias("dist"),
+            better.alias("_changed"),
+        )
+
+    out = pregel(
+        v,
+        e,
+        send_to_dst=F.when(F.col("v_dist").isNotNull(), F.col("v_dist") + w),
+        agg_msg=F.min("msg"),
+        update=update,
+        max_iter=max_iter,
+    )
+    return out.filter(F.col("dist").isNotNull()).select("id", F.col("dist").alias("distance"))
+
+
+def dijkstra(
+    edges: DataFrame, source: int, weight_col: str = "weight", directed: bool = True
+) -> DataFrame:
+    """Single-source weighted shortest paths (shortest_path.rs:595)."""
+    return shortest_paths(edges, [source], weight_col=weight_col, directed=directed)
+
+
+def bellman_ford(
+    edges: DataFrame, source: int, weight_col: str = "weight", directed: bool = True
+) -> DataFrame:
+    """Alias with reference naming (shortest_path.rs:702); supports the
+    same relaxation loop (negative weights converge within max_iter=|V|-1
+    if no negative cycle — pass a larger max_iter for that guarantee)."""
+    return shortest_paths(edges, [source], weight_col=weight_col, directed=directed)
+
+
+def floyd_warshall(
+    edges: DataFrame,
+    weight_col: Optional[str] = None,
+    directed: bool = True,
+    max_nodes: int = 2_000,
+) -> DataFrame:
+    """All-pairs shortest paths (shortest_path.rs:761) — O(V³) dense numpy
+    on the driver behind a size guard (the reference is likewise in-memory;
+    use `shortest_paths` per source set for big graphs)."""
+    import numpy as np
+
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    e = edges.select(*cols).collect()
+    spark = edges.sparkSession
+    ids = sorted({r.src for r in e} | {r.dst for r in e})
+    if len(ids) > max_nodes:
+        raise ValueError(f"floyd_warshall guard: {len(ids)} nodes > {max_nodes}")
+    ix = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    d = np.full((n, n), np.inf)
+    np.fill_diagonal(d, 0.0)
+    for r in e:
+        w = float(r[weight_col]) if weight_col else 1.0
+        d[ix[r.src], ix[r.dst]] = min(d[ix[r.src], ix[r.dst]], w)
+        if not directed:
+            d[ix[r.dst], ix[r.src]] = min(d[ix[r.dst], ix[r.src]], w)
+    for k in range(n):
+        d = np.minimum(d, d[:, k : k + 1] + d[k : k + 1, :])
+    rows = [
+        (ids[i], ids[j], float(d[i, j]))
+        for i in range(n)
+        for j in range(n)
+        if np.isfinite(d[i, j])
+    ]
+    return spark.createDataFrame(rows, "src long, dst long, distance double")
+
+
+def a_star(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    weight_col: Optional[str] = None,
+    heuristic=None,
+    max_nodes: int = DRIVER_ALGO_MAX_NODES,
+) -> Optional[tuple[list[int], float]]:
+    """A* search (bindings/python/src/bridges/algorithms.rs:216) — driver
+    side, priority-queue sequential by nature. ``heuristic(node) -> float``
+    defaults to 0 (== Dijkstra). Returns (path, cost) or None."""
+    import heapq
+
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    rows = edges.select(*cols).collect()
+    if len(rows) > max_nodes * 10:
+        raise ValueError("a_star guard: edge list too large")
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for r in rows:
+        adj.setdefault(r.src, []).append(
+            (r.dst, float(r[weight_col]) if weight_col else 1.0)
+        )
+    h = heuristic or (lambda _n: 0.0)
+    pq: list[tuple[float, float, int, Optional[int]]] = [(h(source), 0.0, source, None)]
+    came: dict[int, Optional[int]] = {}
+    dist: dict[int, float] = {}
+    while pq:
+        _, g, node, parent = heapq.heappop(pq)
+        if node in dist:
+            continue
+        dist[node] = g
+        came[node] = parent
+        if node == target:
+            path = [node]
+            while came[path[-1]] is not None:
+                path.append(came[path[-1]])
+            return list(reversed(path)), g
+        for nb, w in adj.get(node, ()):
+            if nb not in dist:
+                heapq.heappush(pq, (g + w + h(nb), g + w, nb, node))
+    return None
+
+
+def dfs(
+    edges: DataFrame,
+    source: int,
+    directed: bool = True,
+    max_nodes: int = DRIVER_ALGO_MAX_NODES,
+) -> DataFrame:
+    """DFS preorder with discovery index (traversal.rs:430) — driver-side
+    (DFS order is inherently sequential); neighbors visited in ascending id
+    order for determinism."""
+    e = edges.select("src", "dst").collect()
+    spark = edges.sparkSession
+    adj: dict[int, list[int]] = {}
+    for r in e:
+        adj.setdefault(r.src, []).append(r.dst)
+        if not directed:
+            adj.setdefault(r.dst, []).append(r.src)
+    if len(adj) > max_nodes:
+        raise ValueError(f"dfs guard: {len(adj)} nodes > {max_nodes}")
+    for v in adj:
+        adj[v] = sorted(adj[v])
+    seen: dict[int, int] = {}
+    stack = [source]
+    while stack:
+        v = stack.pop()
+        if v in seen:
+            continue
+        seen[v] = len(seen)
+        for nb in reversed(adj.get(v, ())):
+            if nb not in seen:
+                stack.append(nb)
+    return spark.createDataFrame(
+        [(v, i) for v, i in seen.items()], "id long, order long"
+    )

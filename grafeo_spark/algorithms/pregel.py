@@ -1,0 +1,120 @@
+"""Pregel-style iterative kernel on DataFrames.
+
+The Spark-native replacement for the reference's in-memory algorithm
+plugins (crates/grafeo-adapters/src/plugins/algorithms/): a
+superstep loop of
+
+    messages = edges ⋈ vertex-state  →  groupBy(target).agg(msg)
+    vertices = vertices ⟕ messages   →  update expressions
+
+i.e. GraphX ``aggregateMessages`` semantics expressed as DataFrame joins.
+Each superstep is two shuffles (message grouping + vertex join); lineage is
+truncated with ``localCheckpoint`` every few supersteps so a 20-iteration
+run doesn't build a 20-deep recursive plan. Convergence is signalled by a
+``_changed`` boolean state column (checked with ``isEmpty`` — one cheap
+action per superstep, the standard cost of iterate-until-fixpoint on
+Spark).
+
+Column conventions inside ``send_*`` expressions:
+- vertex state columns of the *sending* side are prefixed ``v_``
+- edge property columns are prefixed ``e_`` (``e_src``, ``e_dst``, props)
+- the produced message expression is aliased ``msg`` by the kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CHECKPOINT_EVERY = 4
+
+
+def _prefixed(df: DataFrame, prefix: str) -> DataFrame:
+    return df.select(*[F.col(c).alias(prefix + c) for c in df.columns])
+
+
+def pregel(
+    vertices: DataFrame,
+    edges: DataFrame,
+    send_to_dst: Optional[Column],
+    agg_msg: Column,
+    update: Callable[[DataFrame], DataFrame],
+    max_iter: int = 20,
+    send_to_src: Optional[Column] = None,
+    checkpoint_every: int = CHECKPOINT_EVERY,
+) -> DataFrame:
+    """Run supersteps until ``max_iter`` or until no row has
+    ``_changed = true`` (if ``update`` emits that column).
+
+    Parameters
+    ----------
+    vertices : DataFrame with column ``id`` plus state columns.
+    edges : DataFrame with ``src``, ``dst`` plus property columns.
+    send_to_dst / send_to_src : message expression over ``v_*`` (sender
+        state) and ``e_*`` (edge) columns; None = no message that direction.
+    agg_msg : aggregate over column ``msg`` (e.g. ``F.sum("msg")``).
+    update : maps the joined frame (old state + ``_msg``, null when no
+        message arrived) to the next vertex frame; must keep ``id`` and the
+        state columns, and may emit ``_changed`` to request convergence
+        detection.
+    """
+    e = _prefixed(edges, "e_")
+    cur = vertices
+    for it in range(1, max_iter + 1):
+        v = _prefixed(cur, "v_")
+        msgs = None
+        if send_to_dst is not None:
+            m = e.join(v, F.col("e_src") == F.col("v_id"), "inner").select(
+                F.col("e_dst").alias("_mid"), send_to_dst.alias("msg")
+            )
+            msgs = m
+        if send_to_src is not None:
+            m = e.join(v, F.col("e_dst") == F.col("v_id"), "inner").select(
+                F.col("e_src").alias("_mid"), send_to_src.alias("msg")
+            )
+            msgs = m if msgs is None else msgs.unionByName(m)
+        if msgs is None:
+            raise ValueError("at least one of send_to_dst/send_to_src required")
+        inbox = msgs.groupBy("_mid").agg(agg_msg.alias("_msg"))
+        joined = cur.join(inbox, cur["id"] == inbox["_mid"], "left").drop("_mid")
+        nxt = update(joined)
+        if it % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if "_changed" in nxt.columns:
+            if nxt.filter(F.col("_changed")).isEmpty():
+                return nxt.drop("_changed")
+            nxt = nxt.drop("_changed") if it == max_iter else nxt
+        cur = nxt
+    return cur.drop("_changed") if "_changed" in cur.columns else cur
+
+
+def vertices_from_edges(edges: DataFrame) -> DataFrame:
+    """Distinct vertex ids appearing in the edge set."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Both orientations of each edge (for undirected-semantics algorithms)."""
+    cols = [c for c in edges.columns if c not in ("src", "dst")]
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), *[F.col(c) for c in cols]
+    )
+    return edges.unionByName(rev)
+
+
+def canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edges as (min, max) pairs, self-loops dropped —
+    the normal form for triangle/clustering/k-core algorithms."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )

@@ -61,3 +61,22 @@ class GrafeoSpark:
 
     def edges(self, etype: str | None = None) -> DataFrame:
         return self.graph.edges(etype)
+
+    # -- algorithm plugin surface (plugins/traits.rs via bridges/algorithms.rs)
+
+    def algo(self, name: str, etypes: list[str] | str | None = None, **params):
+        """Run a registered graph algorithm over the graph's edge set
+        (optionally restricted to edge types). Mirrors the reference's
+        Python algorithm bridge (bindings/python/src/bridges/algorithms.rs:50)."""
+        from grafeo_spark import algorithms as A
+
+        if etypes is None:
+            e = self.graph.edges(None)
+        elif isinstance(etypes, str):
+            e = self.graph.edges(etypes)
+        else:
+            e = None
+            for t in etypes:
+                cur = self.graph.edges(t)
+                e = cur if e is None else e.unionByName(cur, allowMissingColumns=True)
+        return A.run(name, e, **params)

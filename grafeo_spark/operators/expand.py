@@ -139,12 +139,18 @@ def reachable_pairs(
     min_hops: int,
     max_hops: int,
     src_ids: Optional[DataFrame] = None,
+    early_exit: bool = False,
 ) -> DataFrame:
     """Distinct (src, dst, hops=first reached) — BFS with per-level dedup.
 
     The scale path: frontier size is bounded by reachable pairs, not path
     count, so a dense 100 TB graph cannot blow up the intermediate state the
     way enumerating trails would.
+
+    ``early_exit=True`` checks frontier emptiness each level (one action +
+    eager checkpoint per hop) and stops — required for large ``max_hops``
+    (algorithm callers); query compilation keeps the default fully-lazy
+    plan for its small hop caps.
     """
     e = _prep_edges(edges).select("_esrc", "_edst").distinct()
     frontier = (
@@ -152,6 +158,9 @@ def reachable_pairs(
         .select(F.col("_esrc").alias("origin"), F.col("_edst").alias("cur"))
         .distinct()
     )
+    if early_exit:
+        e = e.localCheckpoint(eager=True)
+        frontier = frontier.localCheckpoint(eager=True)
     results = [frontier.withColumn("hops", F.lit(1))] if min_hops <= 1 else []
     hop = 1
     all_seen = frontier
@@ -163,10 +172,16 @@ def reachable_pairs(
             .distinct()
             .join(all_seen, ["origin", "cur"], "left_anti")
         )
-        if hop % _CHECKPOINT_EVERY == 0:
+        if early_exit:
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+        elif hop % _CHECKPOINT_EVERY == 0:
             nxt = nxt.localCheckpoint(eager=False)
         frontier = nxt
         all_seen = all_seen.unionByName(frontier).distinct()
+        if early_exit and hop % _CHECKPOINT_EVERY == 0:
+            all_seen = all_seen.localCheckpoint(eager=True)
         if hop >= min_hops:
             results.append(frontier.withColumn("hops", F.lit(hop)))
 

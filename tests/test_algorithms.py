@@ -1,0 +1,319 @@
+"""Algorithm correctness on hand-computed fixture graphs (FIXTURES.md §3;
+reference behavior: plugins/algorithms/*.rs, exercised by the reference's
+tests/python/bases/test_algorithms.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import rows
+
+
+def edges_df(spark, triples, schema="src long, dst long"):
+    return spark.createDataFrame(triples, schema)
+
+
+# --------------------------------------------------------------------- #
+# components
+# --------------------------------------------------------------------- #
+
+
+def test_connected_components(spark):
+    from grafeo_spark.algorithms import connected_components
+
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    out = dict(rows(connected_components(e)))
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_scc_cycle_and_tail(spark):
+    from grafeo_spark.algorithms import strongly_connected_components
+
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    out = dict(rows(strongly_connected_components(e)))
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4
+
+
+def test_scc_two_cycles(spark):
+    from grafeo_spark.algorithms import strongly_connected_components
+
+    e = edges_df(spark, [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)])
+    out = dict(rows(strongly_connected_components(e)))
+    assert out[1] == out[2] and out[3] == out[4] and out[1] != out[3]
+
+
+def test_topological_sort(spark):
+    from grafeo_spark.algorithms import topological_sort
+
+    # diamond: 1 -> 2,3 -> 4
+    e = edges_df(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    out = dict(rows(topological_sort(e)))
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_topological_sort_cycle_raises(spark):
+    from grafeo_spark.algorithms import topological_sort
+
+    with pytest.raises(ValueError, match="cycle"):
+        topological_sort(edges_df(spark, [(1, 2), (2, 1)]))
+
+
+# --------------------------------------------------------------------- #
+# centrality
+# --------------------------------------------------------------------- #
+
+
+def test_pagerank_cycle_uniform(spark):
+    from grafeo_spark.algorithms import pagerank
+
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    out = dict(rows(pagerank(e, max_iter=10)))
+    for v in (1, 2, 3, 4):
+        assert abs(out[v] - 0.25) < 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from grafeo_spark.algorithms import pagerank
+
+    # star + chain + dangling node, exercises every code path
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 4)]
+    ids = sorted({x for p in pairs for x in p})
+    ix = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    alpha, iters = 0.85, 25
+    pr = np.full(n, 1.0 / n)
+    out_deg = np.zeros(n)
+    for s, _ in pairs:
+        out_deg[ix[s]] += 1
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        dangling = pr[out_deg == 0].sum()
+        for s, d in pairs:
+            nxt[ix[d]] += pr[ix[s]] / out_deg[ix[s]]
+        pr = (1 - alpha) / n + alpha * (nxt + dangling / n)
+    got = dict(rows(pagerank(edges_df(spark, pairs), alpha=alpha, max_iter=iters)))
+    for v in ids:
+        assert abs(got[v] - pr[ix[v]]) < 1e-9, v
+
+
+def test_degree_centrality(spark):
+    from grafeo_spark.algorithms import degree_centrality
+
+    e = edges_df(spark, [(1, 2), (1, 3), (2, 3)])
+    assert dict(rows(degree_centrality(e, "out"))) == {1: 2, 2: 1}
+    assert dict(rows(degree_centrality(e, "in"))) == {2: 1, 3: 2}
+    assert dict(rows(degree_centrality(e, "both"))) == {1: 2, 2: 2, 3: 2}
+
+
+def test_closeness_path_graph(spark):
+    from grafeo_spark.algorithms import closeness_centrality
+
+    # path 1-2-3 undirected; closeness(2) = 2/2 * 2/2 = 1.0 (WF-improved)
+    out = dict(rows(closeness_centrality(edges_df(spark, [(1, 2), (2, 3)]))))
+    assert abs(out[2] - 1.0) < 1e-9
+    assert abs(out[1] - (2 / 3) * 1.0) < 1e-9  # (r/total)*(r/(n-1)) = (2/3)*(2/2)
+
+
+def test_betweenness_path_graph(spark):
+    from grafeo_spark.algorithms import betweenness_centrality
+
+    out = dict(rows(betweenness_centrality(edges_df(spark, [(1, 2), (2, 3)]))))
+    assert out == {1: 0.0, 2: 1.0, 3: 0.0}
+
+
+# --------------------------------------------------------------------- #
+# paths / traversal
+# --------------------------------------------------------------------- #
+
+
+def test_bfs_depths(spark):
+    from grafeo_spark.algorithms import bfs
+
+    e = edges_df(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    out = {(r[0], r[1]): r[2] for r in rows(bfs(e, [1]))}
+    assert out == {(1, 1): 0, (1, 2): 1, (1, 3): 1, (1, 4): 2}
+
+
+def test_shortest_paths_weighted(spark):
+    from grafeo_spark.algorithms import dijkstra
+
+    e = edges_df(
+        spark,
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0), (3, 4, 1.0)],
+        "src long, dst long, weight double",
+    )
+    out = dict(rows(dijkstra(e, 1)))
+    assert out == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}
+
+
+def test_floyd_warshall_agrees_with_sssp(spark):
+    from grafeo_spark.algorithms import floyd_warshall, shortest_paths
+
+    e = edges_df(
+        spark,
+        [(1, 2, 2.0), (2, 3, 2.0), (1, 3, 3.0), (3, 1, 1.0)],
+        "src long, dst long, weight double",
+    )
+    fw = {(r[0], r[1]): r[2] for r in rows(floyd_warshall(e, weight_col="weight"))}
+    ss = dict(rows(shortest_paths(e, [1], weight_col="weight")))
+    for v, d in ss.items():
+        assert fw[(1, v)] == d
+
+
+def test_a_star_path(spark):
+    from grafeo_spark.algorithms import a_star
+
+    e = edges_df(
+        spark,
+        [(1, 2, 1.0), (2, 4, 1.0), (1, 3, 1.0), (3, 4, 5.0)],
+        "src long, dst long, weight double",
+    )
+    path, cost = a_star(e, 1, 4, weight_col="weight")
+    assert path == [1, 2, 4] and cost == 2.0
+
+
+def test_dfs_preorder(spark):
+    from grafeo_spark.algorithms import dfs
+
+    e = edges_df(spark, [(1, 2), (1, 3), (2, 4)])
+    out = dict(rows(dfs(e, 1)))
+    assert out == {1: 0, 2: 1, 4: 2, 3: 3}  # ascending-id neighbor order
+
+
+# --------------------------------------------------------------------- #
+# clustering / community / structure
+# --------------------------------------------------------------------- #
+
+
+def two_triangles(spark):
+    # triangles {1,2,3} and {4,5,6} joined by bridge 3-4
+    return edges_df(
+        spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    )
+
+
+def test_triangle_count(spark):
+    from grafeo_spark.algorithms import triangle_count, triangle_count_per_vertex
+
+    e = two_triangles(spark)
+    assert triangle_count(e) == 2
+    per = dict(rows(triangle_count_per_vertex(e)))
+    assert per == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+
+
+def test_clustering_coefficient(spark):
+    from grafeo_spark.algorithms import clustering_coefficient
+
+    e = two_triangles(spark)
+    out = dict(rows(clustering_coefficient(e)))
+    assert out[1] == 1.0 and out[2] == 1.0
+    assert abs(out[3] - 1 / 3) < 1e-9  # deg 3, one triangle: 2*1/(3*2)
+
+
+def test_label_propagation_two_cliques(spark):
+    from grafeo_spark.algorithms import label_propagation
+
+    out = dict(rows(label_propagation(two_triangles(spark), max_iter=10)))
+    # communities must be internally consistent
+    assert out[1] == out[2] and out[4] == out[5] == out[6]
+
+
+def test_louvain_two_triangles(spark):
+    from grafeo_spark.algorithms import louvain
+
+    out = dict(rows(louvain(two_triangles(spark))))
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[4]
+
+
+def test_modularity_known_value(spark):
+    from grafeo_spark.algorithms import modularity
+
+    e = two_triangles(spark)
+    comm = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)], "id long, community long"
+    )
+    # m=7: intra 12/14; degree sums 7,7 -> Q = 6/7 - 2*(1/2)^2 = 5/14
+    assert abs(modularity(e, comm) - (12 / 14 - 0.5)) < 1e-9
+
+
+def test_k_core(spark):
+    from grafeo_spark.algorithms import k_core
+
+    # 4-clique with a pendant vertex
+    e = edges_df(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    )
+    assert sorted(r[0] for r in rows(k_core(e, 3))) == [1, 2, 3, 4]
+    assert rows(k_core(e, 4)) == []
+
+
+def test_core_number(spark):
+    from grafeo_spark.algorithms import core_number
+
+    e = edges_df(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    out = dict(rows(core_number(e)))
+    assert out == {1: 2, 2: 2, 3: 2, 4: 1}
+
+
+def test_articulation_and_bridges(spark):
+    from grafeo_spark.algorithms import articulation_points, find_bridges
+
+    e = two_triangles(spark)
+    assert [r[0] for r in rows(articulation_points(e))] == [3, 4]
+    assert rows(find_bridges(e)) == [(3, 4)]
+
+
+def test_mst_weight(spark):
+    from grafeo_spark.algorithms import minimum_spanning_forest
+
+    e = edges_df(
+        spark,
+        [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 3.0), (3, 4, 1.5), (2, 4, 4.0)],
+        "src long, dst long, weight double",
+    )
+    mst = rows(minimum_spanning_forest(e))
+    assert len(mst) == 3
+    assert abs(sum(w for _, _, w in mst) - 4.5) < 1e-9  # 1.0 + 2.0 + 1.5
+
+
+def test_max_flow(spark):
+    from grafeo_spark.algorithms import max_flow
+
+    # classic CLRS-style network, max flow 1->4 = 4 (2 via 2, 2 via 3)
+    e = edges_df(
+        spark,
+        [(1, 2, 2.0), (1, 3, 2.0), (2, 4, 2.0), (3, 4, 2.0), (2, 3, 1.0)],
+        "src long, dst long, capacity double",
+    )
+    assert max_flow(e, 1, 4, "capacity") == 4.0
+
+
+def test_min_cost_flow(spark):
+    from grafeo_spark.algorithms import min_cost_flow
+
+    # two unit paths, costs 1 and 3; flow of 2 => cost 1*1 + 1*3 = 4
+    e = edges_df(
+        spark,
+        [(1, 2, 1.0, 1.0), (2, 4, 1.0, 0.0), (1, 3, 1.0, 3.0), (3, 4, 1.0, 0.0)],
+        "src long, dst long, capacity double, cost double",
+    )
+    flow, cost = min_cost_flow(e, 1, 4, 2.0)
+    assert flow == 2.0 and cost == 4.0
+
+
+def test_registry_dispatch(spark):
+    from grafeo_spark import algorithms as alg
+
+    e = edges_df(spark, [(1, 2), (2, 3)])
+    out = dict(rows(alg.run("connected_components", e)))
+    assert out == {1: 1, 2: 1, 3: 1}
+    assert "pagerank" in alg.list_algorithms()
+    alg.register("noop", lambda edges: edges, "identity")
+    assert alg.run("noop", e) is e
