@@ -147,6 +147,15 @@ _CYPHER: dict[str, str] = {
     "skip_limit_page": (
         "MATCH (n:Nation) RETURN n.name AS name ORDER BY name ASC SKIP 5 LIMIT 5"
     ),
+    # pattern EXISTS subquery -> left-semi join (plan.rs:906-930)
+    "exists_customers_with_orders": (
+        "MATCH (c:Customer) WHERE EXISTS((c)-[:PLACED]->()) RETURN count(*) AS n"
+    ),
+    # pattern-count subquery -> grouped left join (plan.rs:933-967)
+    "size_orders_per_customer": (
+        "MATCH (c:Customer) WHERE c.custkey <= 30 "
+        "RETURN c.custkey AS custkey, size((c)-[:PLACED]->(:Order)) AS n_orders"
+    ),
 }
 
 _ORACLE: dict[str, str] = {
@@ -276,6 +285,18 @@ _ORACLE: dict[str, str] = {
         FROM nn LEFT JOIN nc ON nc.rk = nn.rk LEFT JOIN ns ON ns.rk = nn.rk
         ORDER BY size
     """,
+    "exists_customers_with_orders": """
+        SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "size_orders_per_customer": """
+        SELECT c_custkey AS custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        WHERE c_custkey <= 30 GROUP BY c_custkey
+    """,
+    "mutation_roundtrip": """
+        SELECT CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_custkey <= 5
+    """,
     "alg_triangles": """
         WITH e AS (
             SELECT c1.c_custkey AS a, c2.c_custkey AS b
@@ -375,7 +396,19 @@ def _alg_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher write path end-to-end: CREATE -> SET -> DETACH DELETE ->
+    read-back (the reference's per-language mutation round-trip,
+    query_correctness.rs mutation sections)."""
+    db = _db(spark, sf_dir)
+    db.cypher("CREATE (t:Tag {name: 'probe'})")
+    db.cypher("MATCH (c:Customer) WHERE c.custkey <= 5 SET c.flag = 1")
+    db.cypher("MATCH (t:Tag {name: 'probe'}) DETACH DELETE t")
+    return db.cypher("MATCH (c:Customer) WHERE c.flag = 1 RETURN count(*) AS n")
+
+
 _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mutation_roundtrip": _mutation_roundtrip,
     "alg_degree_top": _alg_degree_top,
     "alg_wcc_sizes": _alg_wcc_sizes,
     "alg_triangles": _alg_triangles,

@@ -27,6 +27,12 @@ def _parse_and_translate(query: str):
     return translate(parse(query))
 
 
+def _parse_fresh(query: str):
+    from grafeo_spark.lang.cypher import parse
+
+    return parse(query)
+
+
 class GrafeoSpark:
     def __init__(
         self,
@@ -41,9 +47,16 @@ class GrafeoSpark:
     # -- query front-ends -------------------------------------------------
 
     def cypher(self, query: str, params: dict[str, Any] | None = None) -> DataFrame:
-        """Execute an openCypher query (session.execute_cypher analogue)."""
+        """Execute an openCypher query (session.execute_cypher analogue).
+        Write statements (CREATE/MERGE/SET/REMOVE/DELETE) mutate
+        ``self.graph`` functionally and return a summary frame."""
         if self.graph is None:
             raise ValueError("no property graph attached")
+        from grafeo_spark.lang.cypher import mutations
+
+        uq = _parse_fresh(query)
+        if mutations.is_mutation(uq):
+            return mutations.execute(self, uq, params or {})
         plan = _parse_and_translate(query)
         return Compiler(self.graph, self.spark, params).compile(plan)
 

@@ -1,0 +1,415 @@
+"""Cypher write-clause executor.
+
+The reference executes mutations as physical operators over its MVCC store
+(CreateNodeOperator mutation.rs:21, CreateEdgeOperator :189, DeleteNode
+:369, DeleteEdge :477, AddLabel :575, RemoveLabel :660, SetProperty :748,
+MergeOperator merge.rs:1-18). The Spark-native equivalent is *batch
+functional*: the read part of the statement compiles to a DataFrame of
+bindings exactly like a query, and each write clause turns that frame into
+append / anti-join / column-rewrite transformations of the graph's
+node/edge frames — snapshot-in, snapshot-out (reads inside one statement
+see the pre-write state, like a single Cypher transaction).
+
+Batch semantics notes (documented divergences, SURVEY.md §7):
+- SET with multiple matches per entity resolves deterministically by MAX;
+- edge identity for DELETE on an edge variable is its (src, dst) pair
+  within its type frame (parallel edges share fate);
+- new node ids are allocated sequentially above the current max id.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from grafeo_spark.lang.cypher import parser as P
+from grafeo_spark.lang.cypher import translator as T
+from grafeo_spark.plans import exprs as E
+from grafeo_spark.plans.compiler import Compiler, _p
+
+WRITE_CLAUSES = (P.CreateClause, P.MergeClause, P.DeleteClause, P.SetClause, P.RemoveClause)
+
+
+def is_mutation(uq: P.UnionQuery) -> bool:
+    return any(
+        isinstance(c, WRITE_CLAUSES) for part in uq.parts for c in part.clauses
+    )
+
+
+class MutationError(Exception):
+    pass
+
+
+def execute(db, uq: P.UnionQuery, params: dict[str, Any]) -> DataFrame:
+    """Apply a mutation statement to ``db.graph`` (rebinding it) and return
+    a one-row summary frame (counts, mirroring the reference's result
+    summary)."""
+    if len(uq.parts) > 1:
+        raise MutationError("UNION is not supported in mutation statements")
+    stmt = uq.parts[0]
+    mx = _Mutator(db, params)
+    for clause in stmt.clauses:
+        if isinstance(clause, (P.MatchClause, P.UnwindClause, P.WithClause)):
+            if isinstance(clause, P.WithClause) and clause.is_return:
+                raise MutationError("RETURN after write clauses is not supported yet")
+            mx.read_clause(clause)
+        elif isinstance(clause, P.CreateClause):
+            mx.create(clause)
+        elif isinstance(clause, P.MergeClause):
+            mx.merge(clause)
+        elif isinstance(clause, P.DeleteClause):
+            mx.delete(clause)
+        elif isinstance(clause, P.SetClause):
+            mx.set_items(clause.items)
+        elif isinstance(clause, P.RemoveClause):
+            mx.remove_items(clause.items)
+        else:
+            raise MutationError(f"unsupported clause in mutation: {clause!r}")
+    db.graph = mx.graph
+    spark = db.spark
+    return spark.createDataFrame(
+        [
+            (
+                mx.stats["nodes_created"],
+                mx.stats["relationships_created"],
+                mx.stats["nodes_deleted"],
+                mx.stats["relationships_deleted"],
+                mx.stats["properties_set"],
+                mx.stats["labels_added"],
+                mx.stats["labels_removed"],
+            )
+        ],
+        "nodes_created long, relationships_created long, nodes_deleted long, "
+        "relationships_deleted long, properties_set long, labels_added long, "
+        "labels_removed long",
+    )
+
+
+class _Mutator:
+    def __init__(self, db, params: dict[str, Any]) -> None:
+        self.db = db
+        self.spark = db.spark
+        self.graph = db.graph
+        self.params = params
+        self.ctx = T._Ctx()
+        self._df: DataFrame | None = None  # compiled binding frame
+        self._scope: dict = {}
+        self.stats = {
+            k: 0
+            for k in (
+                "nodes_created",
+                "relationships_created",
+                "nodes_deleted",
+                "relationships_deleted",
+                "properties_set",
+                "labels_added",
+                "labels_removed",
+            )
+        }
+
+    # -- read side -------------------------------------------------------
+
+    def read_clause(self, clause) -> None:
+        if self._df is not None:
+            raise MutationError("read clauses must precede write clauses")
+        if isinstance(clause, P.MatchClause):
+            T._match(self.ctx, clause)
+        elif isinstance(clause, P.UnwindClause):
+            if self.ctx.plan is None:
+                from grafeo_spark.plans import ir
+
+                self.ctx.plan = ir.SingleRow()
+            from grafeo_spark.plans import ir
+
+            self.ctx.plan = ir.Unwind(self.ctx.plan, T._rw(self.ctx, clause.expr), clause.alias)
+            self.ctx.bound[clause.alias] = ("value", None)
+        else:
+            T._projection(self.ctx, clause)
+
+    def _bindings(self) -> tuple[DataFrame, dict]:
+        """Compile the read part once; a no-read statement binds one row."""
+        if self._df is None:
+            compiler = Compiler(self.graph, self.spark, self.params)
+            if self.ctx.plan is None:
+                self._df = self.spark.range(1).select(F.lit(1).alias("__one"))
+            else:
+                self._df, self._scope = compiler.compile_raw(self.ctx.plan)
+                self._scope = dict(self._scope)
+            # freeze the pre-write snapshot (reads see state before writes)
+            self._df = self._df.localCheckpoint(eager=True)
+        return self._df, self._scope
+
+    def _expr(self, e: E.Expr, df: DataFrame) -> F.Column:
+        compiler = Compiler(self.graph, self.spark, self.params)
+        return compiler._expr(T._rw(self.ctx, e), self._scope, df)
+
+    def _next_id(self) -> int:
+        mx = 0
+        for frame in self.graph.node_frames.values():
+            v = frame.agg(F.max("id")).collect()[0][0]
+            mx = max(mx, v if v is not None else 0)
+        return mx + 1
+
+    # -- CREATE ----------------------------------------------------------
+
+    def create(self, clause: P.CreateClause) -> None:
+        df, scope = self._bindings()
+        base = self._df
+        for path in clause.patterns:
+            base = self._create_path(base, path)
+        self._df = base
+
+    def _create_path(self, base: DataFrame, path: P.PatternPath) -> DataFrame:
+        els = path.elements
+        # nodes first (so edges can reference their ids)
+        for el in els[::2]:
+            node: P.NodePat = el
+            var = node.var or self.ctx.fresh_var()
+            node.var = var
+            if _p(var, "id") in base.columns:
+                if node.labels or node.props:
+                    raise MutationError(
+                        f"variable {var!r} already bound; CREATE cannot re-specify it"
+                    )
+                continue
+            if not node.labels:
+                raise MutationError("CREATE node requires a label")
+            label = node.labels[0]
+            start = self._next_id()
+            w = Window.orderBy(F.monotonically_increasing_id())
+            base = base.withColumn(
+                _p(var, "id"), F.lit(start - 1) + F.row_number().over(w).cast("long")
+            )
+            cols = [F.col(_p(var, "id")).alias("id")]
+            prop_names = []
+            for k, v in node.props:
+                cols.append(self._expr(v, base).alias(k))
+                prop_names.append(k)
+            new_nodes = base.select(*cols).localCheckpoint(eager=True)
+            self.graph = self.graph.create_nodes(label, new_nodes)
+            self.stats["nodes_created"] += new_nodes.count()
+            # make the new var usable by later clauses/edges
+            self.ctx.bound[var] = ("node", label)
+            if self._scope is not None:
+                from grafeo_spark.plans.compiler import VarInfo
+
+                self._scope[var] = VarInfo("node", label, ("id", *prop_names))
+            for k, _v in node.props:
+                base = base.withColumn(_p(var, k), self._expr(_v, base))
+        # edges
+        i = 1
+        while i < len(els):
+            rel: P.RelPat = els[i]
+            left: P.NodePat = els[i - 1]
+            right: P.NodePat = els[i + 1]
+            if len(rel.types) != 1:
+                raise MutationError("CREATE relationship requires exactly one type")
+            if rel.direction == "both":
+                raise MutationError("CREATE relationship requires a direction")
+            src_var, dst_var = (left.var, right.var) if rel.direction == "out" else (right.var, left.var)
+            cols = [
+                F.col(_p(src_var, "id")).alias("src"),
+                F.col(_p(dst_var, "id")).alias("dst"),
+            ]
+            for k, v in rel.props:
+                cols.append(self._expr(v, base).alias(k))
+            new_edges = base.select(*cols).localCheckpoint(eager=True)
+            self.graph = self.graph.create_edges(rel.types[0], new_edges)
+            self.stats["relationships_created"] += new_edges.count()
+            i += 2
+        return base
+
+    # -- MERGE -----------------------------------------------------------
+
+    def merge(self, clause: P.MergeClause) -> None:
+        path = clause.pattern
+        els = path.elements
+        if len(els) == 1:
+            self._merge_node(els[0], clause)
+        elif len(els) == 3:
+            self._merge_edge(els[0], els[1], els[2], clause)
+        else:
+            raise MutationError("MERGE supports a single node or single relationship")
+
+    def _merge_node(self, node: P.NodePat, clause: P.MergeClause) -> None:
+        if not node.labels:
+            raise MutationError("MERGE node requires a label")
+        label = node.labels[0]
+        frame = self.graph.node_frames.get(label)
+        lits = {}
+        for k, v in node.props:
+            col = self.spark.range(1).select(self._expr(v, self.spark.range(1)))
+            lits[k] = col.collect()[0][0]
+        existing = None
+        if frame is not None:
+            existing = frame
+            for k, val in lits.items():
+                existing = existing.filter(F.col(k) == F.lit(val))
+            matched = not existing.isEmpty()
+        else:
+            matched = False
+        if matched:
+            if clause.on_match:
+                self._apply_set_to_ids(
+                    label, existing.select("id"), clause.on_match, node.var
+                )
+        else:
+            nid = self._next_id()
+            row_vals = {"id": nid, **lits}
+            for it in clause.on_create:
+                if it.kind == "prop":
+                    col = self.spark.range(1).select(self._expr(it.expr, self.spark.range(1)))
+                    row_vals[it.key] = col.collect()[0][0]
+                    self.stats["properties_set"] += 1
+            new_df = self.spark.createDataFrame([tuple(row_vals.values())], list(row_vals.keys()))
+            self.graph = self.graph.create_nodes(label, new_df)
+            self.stats["nodes_created"] += 1
+        if node.var:
+            self.ctx.bound[node.var] = ("node", label)
+
+    def _merge_edge(self, left: P.NodePat, rel: P.RelPat, right: P.NodePat, clause: P.MergeClause) -> None:
+        df, scope = self._bindings()
+        if len(rel.types) != 1 or rel.direction == "both":
+            raise MutationError("MERGE relationship requires one type and a direction")
+        if not (left.var and right.var and left.var in self.ctx.bound and right.var in self.ctx.bound):
+            raise MutationError("MERGE relationship endpoints must be bound by MATCH")
+        src_var, dst_var = (left.var, right.var) if rel.direction == "out" else (right.var, left.var)
+        etype = rel.types[0]
+        pairs = df.select(
+            F.col(_p(src_var, "id")).alias("src"), F.col(_p(dst_var, "id")).alias("dst")
+        ).distinct()
+        for k, v in rel.props:
+            pairs = pairs.withColumn(k, self._expr(v, df))
+        existing = self.graph.edge_frames.get(etype)
+        missing = (
+            pairs
+            if existing is None
+            else pairs.join(existing.select("src", "dst"), ["src", "dst"], "left_anti")
+        ).localCheckpoint(eager=True)
+        n = missing.count()
+        if n:
+            self.graph = self.graph.create_edges(etype, missing)
+            self.stats["relationships_created"] += n
+
+    # -- DELETE ----------------------------------------------------------
+
+    def delete(self, clause: P.DeleteClause) -> None:
+        df, scope = self._bindings()
+        for var in clause.vars:
+            info = scope.get(var) if scope else None
+            if info is None:
+                raise MutationError(f"DELETE of unbound variable {var!r}")
+            if info.kind == "node":
+                ids = df.select(F.col(_p(var, "id")).alias("id")).distinct().localCheckpoint(eager=True)
+                n = ids.count()
+                labels = [info.label] if info.label else list(self.graph.node_frames)
+                for lbl in labels:
+                    if lbl in self.graph.node_frames:
+                        self.graph = self.graph.delete_nodes(lbl, ids, detach=clause.detach)
+                self.stats["nodes_deleted"] += n
+            elif info.kind == "edge":
+                pairs = (
+                    df.select(
+                        F.col(_p(var, "src")).alias("src"),
+                        F.col(_p(var, "dst")).alias("dst"),
+                    )
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                etypes = [info.label] if info.label else list(self.graph.edge_frames)
+                for t in etypes:
+                    e = self.graph.edge_frames[t]
+                    kept = e.join(pairs, ["src", "dst"], "left_anti")
+                    self.stats["relationships_deleted"] += e.count() - kept.count()
+                    self.graph = self.graph.with_edges(t, kept)
+            else:
+                raise MutationError(f"cannot DELETE value variable {var!r}")
+
+    # -- SET / REMOVE ----------------------------------------------------
+
+    def set_items(self, items: list[P.SetItem]) -> None:
+        df, scope = self._bindings()
+        for it in items:
+            info = scope.get(it.var) if scope else None
+            if info is None or info.kind != "node":
+                raise MutationError(f"SET target {it.var!r} must be a bound node")
+            labels = [info.label] if info.label else list(self.graph.node_frames)
+            if it.kind == "label":
+                # AddLabelOperator (mutation.rs:575): copy rows into the
+                # target label frame
+                ids = df.select(F.col(_p(it.var, "id")).alias("id")).distinct()
+                for lbl in labels:
+                    rows = self.graph.node_frames[lbl].join(ids, "id", "left_semi")
+                    rows = rows.localCheckpoint(eager=True)
+                    cnt = rows.count()
+                    if cnt:
+                        self.graph = self.graph.merge_nodes(it.key, rows, keys=["id"])
+                        self.stats["labels_added"] += cnt
+            else:
+                upd = (
+                    df.select(
+                        F.col(_p(it.var, "id")).alias("id"),
+                        self._expr(it.expr, df).alias("__new"),
+                    )
+                    .groupBy("id")
+                    .agg(F.max("__new").alias("__new"))
+                    .localCheckpoint(eager=True)
+                )
+                self.stats["properties_set"] += upd.count()
+                for lbl in labels:
+                    frame = self.graph.node_frames[lbl]
+                    joined = frame.join(upd, "id", "left")
+                    if it.key in frame.columns:
+                        joined = joined.withColumn(
+                            it.key, F.coalesce(F.col("__new"), F.col(it.key))
+                        )
+                    else:
+                        joined = joined.withColumn(it.key, F.col("__new"))
+                    self.graph = self.graph.with_nodes(lbl, joined.drop("__new"))
+
+    def remove_items(self, items: list[P.SetItem]) -> None:
+        df, scope = self._bindings()
+        for it in items:
+            info = scope.get(it.var) if scope else None
+            if info is None or info.kind != "node":
+                raise MutationError(f"REMOVE target {it.var!r} must be a bound node")
+            ids = df.select(F.col(_p(it.var, "id")).alias("id")).distinct()
+            if it.kind == "label":
+                # RemoveLabelOperator (mutation.rs:660): drop rows from the
+                # label frame (nodes keep existing under other labels)
+                if it.key in self.graph.node_frames:
+                    frame = self.graph.node_frames[it.key]
+                    kept = frame.join(ids, "id", "left_anti")
+                    self.stats["labels_removed"] += frame.count() - kept.count()
+                    self.graph = self.graph.with_nodes(it.key, kept)
+            else:
+                labels = [info.label] if info.label else list(self.graph.node_frames)
+                for lbl in labels:
+                    frame = self.graph.node_frames[lbl]
+                    if it.key not in frame.columns:
+                        continue
+                    flagged = frame.join(ids.withColumn("__rm", F.lit(True)), "id", "left")
+                    self.graph = self.graph.with_nodes(
+                        lbl,
+                        flagged.withColumn(
+                            it.key,
+                            F.when(F.col("__rm"), F.lit(None)).otherwise(F.col(it.key)),
+                        ).drop("__rm"),
+                    )
+                self.stats["properties_set"] += 1
+
+    def _apply_set_to_ids(self, label: str, ids: DataFrame, items: list[P.SetItem], var) -> None:
+        for it in items:
+            if it.kind != "prop":
+                raise MutationError("ON MATCH/CREATE SET supports property items only")
+            val = self.spark.range(1).select(self._expr(it.expr, self.spark.range(1))).collect()[0][0]
+            frame = self.graph.node_frames[label]
+            flagged = frame.join(ids.withColumn("__hit", F.lit(True)), "id", "left")
+            if it.key in frame.columns:
+                newcol = F.when(F.col("__hit"), F.lit(val)).otherwise(F.col(it.key))
+            else:
+                newcol = F.when(F.col("__hit"), F.lit(val))
+            self.graph = self.graph.with_nodes(label, flagged.withColumn(it.key, newcol).drop("__hit"))
+            self.stats["properties_set"] += 1

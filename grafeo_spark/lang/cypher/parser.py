@@ -52,6 +52,7 @@ KEYWORDS = {
     "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS", "IS", "NULL",
     "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "DISTINCT",
     "UNION", "ALL", "EXISTS", "OFFSET",
+    "CREATE", "MERGE", "DELETE", "DETACH", "SET", "REMOVE", "ON",
 }
 
 
@@ -152,6 +153,44 @@ class WithClause:
 
 
 @dataclass
+class CreateClause:
+    patterns: list[PatternPath]
+
+
+@dataclass
+class SetItem:
+    """kind 'prop': var.key = expr; kind 'label': var:Label."""
+
+    kind: str
+    var: str
+    key: str
+    expr: Optional[E.Expr] = None
+
+
+@dataclass
+class SetClause:
+    items: list[SetItem]
+
+
+@dataclass
+class RemoveClause:
+    items: list[SetItem]  # expr unused
+
+
+@dataclass
+class DeleteClause:
+    vars: list[str]
+    detach: bool = False
+
+
+@dataclass
+class MergeClause:
+    pattern: PatternPath
+    on_create: list[SetItem] = field(default_factory=list)
+    on_match: list[SetItem] = field(default_factory=list)
+
+
+@dataclass
 class Statement:
     clauses: list
 
@@ -245,6 +284,29 @@ class Parser:
             elif self.at_kw("RETURN"):
                 self.next()
                 clauses.append(self.projection_clause(is_return=True))
+            elif self.at_kw("CREATE"):
+                self.next()
+                pats = [self.pattern_path()]
+                while self.at_op(","):
+                    self.next()
+                    pats.append(self.pattern_path())
+                clauses.append(CreateClause(pats))
+            elif self.at_kw("MERGE"):
+                self.next()
+                clauses.append(self.merge_clause())
+            elif self.at_kw("DELETE"):
+                self.next()
+                clauses.append(self.delete_clause(detach=False))
+            elif self.at_kw("DETACH"):
+                self.next()
+                self.eat_kw("DELETE")
+                clauses.append(self.delete_clause(detach=True))
+            elif self.at_kw("SET"):
+                self.next()
+                clauses.append(SetClause(self.set_items()))
+            elif self.at_kw("REMOVE"):
+                self.next()
+                clauses.append(RemoveClause(self.remove_items()))
             else:
                 break
         if not clauses:
@@ -358,6 +420,62 @@ class Parser:
                 self.eat_op("-")
                 direction = "both"
         return RelPat(var, tuple(types), direction, props, min_h, max_h, var_len)
+
+    def merge_clause(self) -> MergeClause:
+        pat = self.pattern_path()
+        on_create: list[SetItem] = []
+        on_match: list[SetItem] = []
+        while self.at_kw("ON"):
+            self.next()
+            which = self.name().upper()
+            self.eat_kw("SET")
+            items = self.set_items()
+            if which == "CREATE":
+                on_create.extend(items)
+            elif which == "MATCH":
+                on_match.extend(items)
+            else:
+                raise CypherSyntaxError(f"expected ON CREATE/ON MATCH, got ON {which}")
+        return MergeClause(pat, on_create, on_match)
+
+    def delete_clause(self, detach: bool) -> DeleteClause:
+        names = [self.name()]
+        while self.at_op(","):
+            self.next()
+            names.append(self.name())
+        return DeleteClause(names, detach)
+
+    def set_items(self) -> list[SetItem]:
+        items: list[SetItem] = []
+        while True:
+            var = self.name()
+            if self.at_op(":"):
+                self.next()
+                items.append(SetItem("label", var, self.name()))
+            else:
+                self.eat_op(".")
+                key = self.name()
+                self.eat_op("=")
+                items.append(SetItem("prop", var, key, self.expr()))
+            if self.at_op(","):
+                self.next()
+                continue
+            return items
+
+    def remove_items(self) -> list[SetItem]:
+        items: list[SetItem] = []
+        while True:
+            var = self.name()
+            if self.at_op(":"):
+                self.next()
+                items.append(SetItem("label", var, self.name()))
+            else:
+                self.eat_op(".")
+                items.append(SetItem("prop", var, self.name()))
+            if self.at_op(","):
+                self.next()
+                continue
+            return items
 
     def prop_map(self) -> tuple[tuple[str, E.Expr], ...]:
         self.eat_op("{")
@@ -584,6 +702,10 @@ class Parser:
             if kw == "EXISTS":
                 self.next()
                 self.eat_op("(")
+                pat = self.try_pattern()
+                if pat is not None:
+                    self.eat_op(")")
+                    return E.PatternPred(pat, "exists")
                 inner = self.expr()
                 self.eat_op(")")
                 return E.Fn("exists", (inner,))
@@ -601,6 +723,12 @@ class Parser:
             name = self.next().text
             if self.at_op("("):
                 self.next()
+                if name.lower() in ("size", "count") and self.at_op("("):
+                    # size((a)-[:T]->(b)) — pattern-count subquery
+                    pat = self.try_pattern()
+                    if pat is not None:
+                        self.eat_op(")")
+                        return E.PatternPred(pat, "count")
                 distinct = False
                 if self.at_kw("DISTINCT"):
                     self.next()
@@ -621,6 +749,20 @@ class Parser:
                 return E.Fn(lname, tuple(args), distinct)
             return E.Col(name)
         raise CypherSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def try_pattern(self) -> Optional[PatternPath]:
+        """Backtracking attempt to parse a relationship pattern (for
+        EXISTS(...)/size(...) subqueries); restores position on failure or
+        when the parse has no relationship (plain parenthesized expr)."""
+        save = self.i
+        try:
+            pat = self.pattern_path()
+            if len(pat.elements) >= 3:
+                return pat
+        except CypherSyntaxError:
+            pass
+        self.i = save
+        return None
 
     def list_or_comprehension(self) -> E.Expr:
         self.eat_op("[")

@@ -73,7 +73,88 @@ def _match(ctx: _Ctx, clause: P.MatchClause) -> None:
     for pat in clause.patterns:
         _pattern(ctx, pat)
     if clause.where is not None:
-        ctx.plan = ir.Filter(ctx.plan, _rw(ctx, clause.where))
+        _apply_where(ctx, clause.where)
+
+
+def _split_and(e: E.Expr) -> list[E.Expr]:
+    if isinstance(e, E.BinOp) and e.op == "AND":
+        return _split_and(e.left) + _split_and(e.right)
+    return [e]
+
+
+def _lower_pattern_sub(ctx: _Ctx, path: P.PatternPath) -> tuple[tuple[str, ...], ir.Plan]:
+    """Lower an EXISTS/COUNT pattern into its own subplan; returns the
+    variables shared with the outer scope (the correlation keys)."""
+    shared = [
+        el.var
+        for el in path.elements
+        if isinstance(el, P.NodePat) and el.var and el.var in ctx.bound
+    ]
+    sub = _Ctx()
+    _pattern(sub, path, outer_bound=ctx.bound)
+    return tuple(dict.fromkeys(shared)), sub.plan
+
+
+def _contains_pattern_pred(e: E.Expr) -> bool:
+    if isinstance(e, E.PatternPred):
+        return True
+    if isinstance(e, E.BinOp):
+        return _contains_pattern_pred(e.left) or _contains_pattern_pred(e.right)
+    if isinstance(e, E.UnOp):
+        return _contains_pattern_pred(e.operand)
+    if isinstance(e, E.Fn):
+        return any(_contains_pattern_pred(a) for a in e.args)
+    return False
+
+
+def _rewrite_count_preds(ctx: _Ctx, e: E.Expr) -> E.Expr:
+    """Replace embedded pattern predicates with count-join result columns:
+    size(pat) -> fresh col; EXISTS(pat) in value position -> fresh col > 0.
+    Emits the CountJoin onto ctx.plan."""
+    if isinstance(e, E.PatternPred):
+        on, sub = _lower_pattern_sub(ctx, e.path)
+        alias = ctx.fresh_var()
+        ctx.plan = ir.CountJoin(ctx.plan, sub, on, alias)
+        ctx.bound[alias] = ("value", None)
+        if e.mode == "exists":
+            return E.BinOp(">", E.Col(alias), E.Lit(0))
+        return E.Col(alias)
+    if isinstance(e, E.BinOp):
+        return E.BinOp(e.op, _rewrite_count_preds(ctx, e.left), _rewrite_count_preds(ctx, e.right))
+    if isinstance(e, E.UnOp):
+        return E.UnOp(e.op, _rewrite_count_preds(ctx, e.operand))
+    if isinstance(e, E.Fn):
+        return E.Fn(e.name, tuple(_rewrite_count_preds(ctx, a) for a in e.args), e.distinct)
+    return e
+
+
+def _apply_where(ctx: _Ctx, where: E.Expr) -> None:
+    """WHERE with pattern-predicate support: top-level [NOT] EXISTS
+    conjuncts become semi/anti joins (the reference plans them as Semi/Anti
+    HashJoin, join.rs:8-36); embedded size()/EXISTS-in-expression become
+    count joins; the remainder is an ordinary filter."""
+    rest: list[E.Expr] = []
+    for c in _split_and(where):
+        if isinstance(c, E.PatternPred) and c.mode == "exists":
+            on, sub = _lower_pattern_sub(ctx, c.path)
+            ctx.plan = ir.SemiJoin(ctx.plan, sub, on, anti=False)
+        elif (
+            isinstance(c, E.UnOp)
+            and c.op == "NOT"
+            and isinstance(c.operand, E.PatternPred)
+            and c.operand.mode == "exists"
+        ):
+            on, sub = _lower_pattern_sub(ctx, c.operand.path)
+            ctx.plan = ir.SemiJoin(ctx.plan, sub, on, anti=True)
+        elif _contains_pattern_pred(c):
+            rest.append(_rewrite_count_preds(ctx, c))
+        else:
+            rest.append(c)
+    if rest:
+        pred = rest[0]
+        for c in rest[1:]:
+            pred = E.BinOp("AND", pred, c)
+        ctx.plan = ir.Filter(ctx.plan, _rw(ctx, pred))
 
 
 def _optional_match(ctx: _Ctx, clause: P.MatchClause) -> None:
@@ -195,6 +276,13 @@ def _projection(ctx: _Ctx, clause: P.WithClause) -> None:
         # bare RETURN with no MATCH/UNWIND (SingleRowOperator, single_row.rs:18)
         ctx.plan = ir.SingleRow()
     items = list(clause.items)
+    # pattern-count subqueries in projection items (RETURN size((a)-->()) ..)
+    items = [
+        P.ProjItem(_rewrite_count_preds(ctx, it.expr), it.alias)
+        if _contains_pattern_pred(it.expr)
+        else it
+        for it in items
+    ]
     if clause.star:
         star_items = [
             P.ProjItem(E.Col(v), v) for v, (kind, _) in ctx.bound.items() if not v.startswith("__")
@@ -259,7 +347,7 @@ def _projection(ctx: _Ctx, clause: P.WithClause) -> None:
     if clause.limit is not None:
         ctx.plan = ir.Limit(ctx.plan, clause.limit)
     if clause.where is not None:
-        ctx.plan = ir.Filter(ctx.plan, _rw(ctx, clause.where))
+        _apply_where(ctx, clause.where)
     if hidden:
         # drop the hidden sort columns, keeping projection bindings
         ctx.plan = ir.Project(

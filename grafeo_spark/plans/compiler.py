@@ -330,6 +330,43 @@ class Compiler:
             )
         raise CompileError(f"unsupported expression in optional-match WHERE: {e!r}")
 
+    def _c_semijoin(self, p: ir.SemiJoin) -> tuple[DataFrame, Scope]:
+        l, ls = self._compile(p.left)
+        r, _ = self._compile(p.right)
+        cond = None
+        for v in p.on_vars:
+            c = l[_p(v, "id")] == r[_p(v, "id")]
+            cond = c if cond is None else cond & c
+        if cond is None:
+            cond = F.lit(True)  # uncorrelated EXISTS
+        return l.join(r, cond, "left_anti" if p.anti else "left_semi"), ls
+
+    def _c_countjoin(self, p: ir.CountJoin) -> tuple[DataFrame, Scope]:
+        l, ls = self._compile(p.left)
+        r, _ = self._compile(p.right)
+        keys = [_p(v, "id") for v in p.on_vars]
+        grouped = (
+            r.select(*[F.col(k).alias(f"__cj_{i}") for i, k in enumerate(keys)])
+            .groupBy(*[f"__cj_{i}" for i in range(len(keys))])
+            .agg(F.count(F.lit(1)).alias(p.alias))
+        )
+        cond = None
+        for i, k in enumerate(keys):
+            c = l[k] == grouped[f"__cj_{i}"]
+            cond = c if cond is None else cond & c
+        if cond is None:
+            # uncorrelated count: cross join the single aggregate row
+            grouped = r.agg(F.count(F.lit(1)).alias(p.alias))
+            out = l.crossJoin(grouped)
+        else:
+            out = l.join(grouped, cond, "left").drop(
+                *[f"__cj_{i}" for i in range(len(keys))]
+            )
+            out = out.withColumn(p.alias, F.coalesce(F.col(p.alias), F.lit(0)))
+        scope = dict(ls)
+        scope[p.alias] = VarInfo("value")
+        return out, scope
+
     # -- row ops ----------------------------------------------------------
 
     def _c_filter(self, p: ir.Filter) -> tuple[DataFrame, Scope]:

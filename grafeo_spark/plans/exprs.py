@@ -112,6 +112,22 @@ class ListComp(Expr):
     projection: Optional[Expr] = None
 
 
+@dataclass(frozen=True)
+class PatternPred(Expr):
+    """EXISTS((a)-[:T]->(b)) / size((a)-->(b)) — pattern subquery
+    (plan.rs:906-967 Exists/Count subqueries). ``path`` is the parser-level
+    PatternPath; the translator lowers it to a semi/anti/count join."""
+
+    path: Any  # lang.cypher.parser.PatternPath (kept opaque to avoid a cycle)
+    mode: str = "exists"  # 'exists' | 'count'
+
+    def __eq__(self, other):  # path is unhashable/mutable; identity is fine
+        return self is other
+
+    def __hash__(self):
+        return id(self)
+
+
 AGGREGATE_FNS = {
     # reference aggregate enum: aggregate.rs:48-90
     "count",

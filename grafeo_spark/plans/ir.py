@@ -99,6 +99,29 @@ class OptionalJoin(Plan):
 
 
 @dataclass
+class SemiJoin(Plan):
+    """WHERE [NOT] EXISTS((a)-[:T]->(b)) — left-semi/anti join of the
+    pattern subquery on the shared variables (plan.rs:906-930 Exists;
+    physical Semi/Anti HashJoin, join.rs:8-36)."""
+
+    left: Plan
+    right: Plan
+    on_vars: tuple[str, ...]
+    anti: bool = False
+
+
+@dataclass
+class CountJoin(Plan):
+    """size((a)-->(b)) / COUNT subquery — group the pattern subquery by the
+    shared vars, count, left join back, 0 when absent (plan.rs:933-967)."""
+
+    left: Plan
+    right: Plan
+    on_vars: tuple[str, ...]
+    alias: str
+
+
+@dataclass
 class Filter(Plan):
     child: Plan
     predicate: Expr

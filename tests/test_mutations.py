@@ -1,0 +1,231 @@
+"""Cypher write-clause round-trips (reference model: the mutation sections
+of crates/grafeo-engine/tests/query_correctness.rs — create→match→delete→
+match per language) plus EXISTS/size pattern subqueries."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import KNOWS, PEOPLE, rows
+
+
+@pytest.fixture()
+def wdb(spark):
+    """Function-scoped writable graph (mutations rebind db.graph)."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(PEOPLE, "id long, name string, age long, city string")
+    edges = spark.createDataFrame(KNOWS, "id long, src long, dst long, since long")
+    return GrafeoSpark(spark, PropertyGraph({"Person": nodes}, {"KNOWS": edges}))
+
+
+# --------------------------------------------------------------------- #
+# EXISTS / size pattern subqueries (read-only, plan.rs:906-967)
+# --------------------------------------------------------------------- #
+
+
+def test_exists_semi_join(db):
+    out = rows(
+        db.cypher("MATCH (p:Person) WHERE EXISTS((p)-[:KNOWS]->()) RETURN p.name AS n")
+    )
+    assert out == [("Alice",), ("Bob",), ("Carol",), ("Dave",), ("Eve",), ("Heidi",)]
+
+
+def test_not_exists_anti_join(db):
+    out = rows(
+        db.cypher("MATCH (p:Person) WHERE NOT EXISTS((p)-[:KNOWS]->()) RETURN p.name AS n")
+    )
+    assert out == [("Frank",), ("Grace",)]
+
+
+def test_exists_with_target_label_and_props(db):
+    out = rows(
+        db.cypher(
+            "MATCH (p:Person) WHERE EXISTS((p)-[:KNOWS]->(:Person {name: 'Carol'})) "
+            "RETURN p.name AS n"
+        )
+    )
+    assert out == [("Alice",), ("Bob",)]
+
+
+def test_size_pattern_in_return(db):
+    out = rows(
+        db.cypher("MATCH (p:Person {name: 'Alice'}) RETURN size((p)-[:KNOWS]->()) AS deg")
+    )
+    assert out == [(2,)]
+
+
+def test_size_pattern_in_where(db):
+    out = rows(
+        db.cypher("MATCH (p:Person) WHERE size((p)-[:KNOWS]->()) >= 2 RETURN p.name AS n")
+    )
+    assert out == [("Alice",)]
+
+
+def test_size_pattern_zero_for_sinks(db):
+    out = dict(
+        rows(db.cypher("MATCH (p:Person) RETURN p.name AS n, size((p)-[:KNOWS]->()) AS d"))
+    )
+    assert out["Frank"] == 0 and out["Alice"] == 2
+
+
+def test_exists_combined_with_filter(db):
+    out = rows(
+        db.cypher(
+            "MATCH (p:Person) WHERE p.age > 30 AND EXISTS((p)-[:KNOWS]->()) "
+            "RETURN p.name AS n"
+        )
+    )
+    assert out == [("Bob",), ("Carol",), ("Eve",), ("Heidi",)]
+
+
+# --------------------------------------------------------------------- #
+# CREATE / DELETE / SET / REMOVE / MERGE
+# --------------------------------------------------------------------- #
+
+
+def test_create_node_roundtrip(wdb):
+    s = wdb.cypher("CREATE (n:Person {name: 'Zed', age: 21, city: 'LA'})").collect()[0]
+    assert s.nodes_created == 1
+    out = rows(wdb.cypher("MATCH (p:Person {name: 'Zed'}) RETURN p.age AS a, p.city AS c"))
+    assert out == [(21, "LA")]
+    assert wdb.cypher("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 9
+
+
+def test_create_new_label(wdb):
+    wdb.cypher("CREATE (c:City {name: 'Springfield', pop: 30000})")
+    out = rows(wdb.cypher("MATCH (c:City) RETURN c.name AS n, c.pop AS p"))
+    assert out == [("Springfield", 30000)]
+
+
+def test_create_nodes_and_edge_in_one_pattern(wdb):
+    s = wdb.cypher(
+        "CREATE (a:Person {name: 'P1', age: 1, city: 'X'})-[:KNOWS {since: 2024}]->"
+        "(b:Person {name: 'P2', age: 2, city: 'X'})"
+    ).collect()[0]
+    assert s.nodes_created == 2 and s.relationships_created == 1
+    out = rows(
+        wdb.cypher(
+            "MATCH (a:Person {name: 'P1'})-[k:KNOWS]->(b) RETURN b.name AS n, k.since AS s"
+        )
+    )
+    assert out == [("P2", 2024)]
+
+
+def test_match_create_edge(wdb):
+    # connect Grace (isolated) to everyone in Phoenix? -> to Alice
+    s = wdb.cypher(
+        "MATCH (g:Person {name: 'Grace'}), (a:Person {name: 'Alice'}) "
+        "CREATE (g)-[:KNOWS {since: 2025}]->(a)"
+    ).collect()[0]
+    assert s.relationships_created == 1
+    out = rows(wdb.cypher("MATCH (g:Person {name: 'Grace'})-[:KNOWS]->(x) RETURN x.name AS n"))
+    assert out == [("Alice",)]
+
+
+def test_delete_detach_roundtrip(wdb):
+    s = wdb.cypher("MATCH (p:Person {name: 'Alice'}) DETACH DELETE p").collect()[0]
+    assert s.nodes_deleted == 1
+    assert wdb.cypher("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 7
+    # her edges are gone too (1-2, 1-3, 8-1)
+    assert wdb.cypher("MATCH (a)-[:KNOWS]->(b) RETURN count(*) AS n").collect()[0].n == 4
+
+
+def test_delete_edge_var(wdb):
+    s = wdb.cypher(
+        "MATCH (a:Person {name: 'Alice'})-[k:KNOWS]->(b:Person {name: 'Bob'}) DELETE k"
+    ).collect()[0]
+    assert s.relationships_deleted == 1
+    out = rows(wdb.cypher("MATCH (a:Person {name: 'Alice'})-[:KNOWS]->(x) RETURN x.name AS n"))
+    assert out == [("Carol",)]
+
+
+def test_set_property(wdb):
+    s = wdb.cypher("MATCH (p:Person {name: 'Alice'}) SET p.age = 31").collect()[0]
+    assert s.properties_set == 1
+    assert (
+        wdb.cypher("MATCH (p:Person {name: 'Alice'}) RETURN p.age AS a").collect()[0].a == 31
+    )
+    # others untouched
+    assert (
+        wdb.cypher("MATCH (p:Person {name: 'Bob'}) RETURN p.age AS a").collect()[0].a == 40
+    )
+
+
+def test_set_computed_property(wdb):
+    wdb.cypher("MATCH (p:Person) SET p.age2 = p.age * 2")
+    out = dict(rows(wdb.cypher("MATCH (p:Person) RETURN p.name AS n, p.age2 AS a")))
+    assert out["Alice"] == 60 and out["Grace"] == 44
+
+
+def test_remove_property(wdb):
+    wdb.cypher("MATCH (p:Person {name: 'Alice'}) REMOVE p.city")
+    out = dict(rows(wdb.cypher("MATCH (p:Person) RETURN p.name AS n, p.city AS c")))
+    assert out["Alice"] is None and out["Bob"] == "LA"
+
+
+def test_set_and_remove_label(wdb):
+    wdb.cypher("MATCH (p:Person) WHERE p.age >= 40 SET p:Senior")
+    out = rows(wdb.cypher("MATCH (s:Senior) RETURN s.name AS n"))
+    assert out == [("Bob",), ("Eve",), ("Frank",)]
+    wdb.cypher("MATCH (s:Senior {name: 'Bob'}) REMOVE s:Senior")
+    out = rows(wdb.cypher("MATCH (s:Senior) RETURN s.name AS n"))
+    assert out == [("Eve",), ("Frank",)]
+    # still a Person
+    assert wdb.cypher("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 8
+
+
+def test_merge_node_matches_existing(wdb):
+    s = wdb.cypher("MERGE (p:Person {name: 'Alice'})").collect()[0]
+    assert s.nodes_created == 0
+    assert wdb.cypher("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 8
+
+
+def test_merge_node_creates_missing(wdb):
+    s = wdb.cypher("MERGE (p:Person {name: 'Nobody'})").collect()[0]
+    assert s.nodes_created == 1
+    assert wdb.cypher("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 9
+
+
+def test_merge_on_create_on_match(wdb):
+    wdb.cypher(
+        "MERGE (p:Person {name: 'Alice'}) ON CREATE SET p.flag = 'new' "
+        "ON MATCH SET p.flag = 'seen'"
+    )
+    assert (
+        wdb.cypher("MATCH (p:Person {name: 'Alice'}) RETURN p.flag AS f").collect()[0].f
+        == "seen"
+    )
+    wdb.cypher(
+        "MERGE (p:Person {name: 'Newbie'}) ON CREATE SET p.flag = 'new' "
+        "ON MATCH SET p.flag = 'seen'"
+    )
+    assert (
+        wdb.cypher("MATCH (p:Person {name: 'Newbie'}) RETURN p.flag AS f").collect()[0].f
+        == "new"
+    )
+
+
+def test_merge_edge_idempotent(wdb):
+    q = (
+        "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) "
+        "MERGE (a)-[:KNOWS]->(b)"
+    )
+    s1 = wdb.cypher(q).collect()[0]
+    assert s1.relationships_created == 0  # already exists
+    q2 = (
+        "MATCH (a:Person {name: 'Grace'}), (b:Person {name: 'Heidi'}) "
+        "MERGE (a)-[:KNOWS]->(b)"
+    )
+    assert wdb.cypher(q2).collect()[0].relationships_created == 1
+    assert wdb.cypher(q2).collect()[0].relationships_created == 0  # idempotent
+
+
+def test_create_per_match_row(wdb):
+    s = wdb.cypher(
+        "MATCH (p:Person {city: 'NYC'}) CREATE (s:Shadow {of: p.name})"
+    ).collect()[0]
+    assert s.nodes_created == 3
+    out = rows(wdb.cypher("MATCH (s:Shadow) RETURN s.of AS n"))
+    assert out == [("Alice",), ("Carol",), ("Frank",)]
