@@ -297,6 +297,52 @@ _ORACLE: dict[str, str] = {
     "mutation_roundtrip": """
         SELECT CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_custkey <= 5
     """,
+    "dedup_near_pairs": """
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        s AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(w) - 1),
+                                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+              FROM t)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        FROM s a JOIN s b ON b.doc_id > a.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(a.sh || b.sh)) >= 0.8
+    """,
+    "dedup_exact_count": """
+        SELECT CAST(count(DISTINCT lower(text)) AS BIGINT) AS n FROM documents
+    """,
+    "text_quality_stats": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round(length(text)::DOUBLE / len(string_split(text, ' ')), 4) AS mean_token_len,
+               round(len(list_filter(string_split(lower(text), ' '),
+                                     x -> list_contains(['the','of','and','to','in','is',
+                                         'that','it','for','on','with','as','are','was',
+                                         'be','this','have','from','or','by','not'], x)))::DOUBLE
+                     / len(string_split(text, ' ')), 4) AS stopword_ratio
+        FROM documents WHERE doc_id <= 20
+    """,
+    "knn_cosine_top10": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(row_number() OVER (
+                   ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC,
+                            vec_id ASC) AS INT) AS rank
+        FROM embeddings
+        ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "sim_join_top2": """
+        SELECT a.vec_id AS qid, b.vec_id AS iid,
+               CAST(row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                            b.vec_id ASC) AS INT) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id < 10
+        QUALIFY rank <= 2
+    """,
     "alg_triangles": """
         WITH e AS (
             SELECT c1.c_custkey AS a, c2.c_custkey AS b
@@ -407,8 +453,118 @@ def _mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.cypher("MATCH (c:Customer) WHERE c.flag = 1 RETURN count(*) AS n")
 
 
+# --------------------------------------------------------------------- #
+# LLM-pipeline entries (dedup / similarity / text analysis)
+# --------------------------------------------------------------------- #
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grafeo_spark.catalog import load_tables
+
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grafeo_spark.catalog import load_tables
+
+    return load_tables(spark, sf_dir)["embeddings"]
+
+
+def _dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs, exact-verified at >= 0.8 Jaccard
+    (3-word shingles). The oracle is brute-force all-pairs; with 64 hashes
+    in 32 bands a 0.8-Jaccard pair escapes with P ~ 6e-15, so the verified
+    LSH output is exact."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import near_duplicate_pairs
+
+    out = near_duplicate_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir)).agg(F.count("*").cast("long").alias("n"))
+
+
+def _text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import quality_features
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 20)
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["mean_token_len"], 4).alias("mean_token_len"),
+        F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+    )
+
+
+def _knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for the vec_id=0 embedding
+    (VectorScan brute-force parity, scan_vector.rs)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import topk
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = topk(e, [float(x) for x in q], k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").alias("vec_id"), "rank"
+    )
+
+
+def _sim_join_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN similarity join (VectorJoin parity): top-2 neighbors for
+    the first 10 vectors; ids+ranks only (float scores differ in the last
+    ulp between engines)."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import similarity_join
+
+    e = _embs(spark, sf_dir)
+    out = similarity_join(e.filter(F.col("vec_id") < 10), e, k=2)
+    return out.select("qid", "iid", "rank")
+
+
+def _text_features_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full featurize stage (quality score, language-ID, fingerprint) —
+    aggregate profile per source. Heuristic outputs have no SQL oracle;
+    rows-only check (components are unit-tested in tests/test_llm.py)."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import add_text_features
+
+    out = add_text_features(_docs(spark, sf_dir))
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.count_distinct("fingerprint").alias("distinct_fp"),
+        )
+        .orderBy("source")
+    )
+
+
 _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutation_roundtrip": _mutation_roundtrip,
+    "dedup_near_pairs": _dedup_near_pairs,
+    "dedup_exact_count": _dedup_exact_count,
+    "text_quality_stats": _text_quality_stats,
+    "knn_cosine_top10": _knn_cosine_top10,
+    "sim_join_top2": _sim_join_top2,
+    "text_features_profile": _text_features_profile,
     "alg_degree_top": _alg_degree_top,
     "alg_wcc_sizes": _alg_wcc_sizes,
     "alg_triangles": _alg_triangles,

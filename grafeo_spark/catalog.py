@@ -147,6 +147,12 @@ def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGra
             F.col("source").alias("source"),
             F.col("n_chars").alias("n_chars"),
         ),
+        "Embedding": t["embeddings"].select(
+            node_id("Embedding", "vec_id").alias("id"),
+            F.col("vec_id").alias("vec_id"),
+            F.col("embedding").alias("embedding"),
+            F.col("label").alias("cluster"),
+        ),
         "User": t["events"]
         .select("user_id")
         .distinct()
@@ -199,6 +205,14 @@ def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGra
             node_id("Part", "l_partkey").alias("src"),
             node_id("Supplier", "l_suppkey").alias("dst"),
         ).distinct(),
+        # document -> its embedding vector (ids are aligned by the driver)
+        "HAS_EMBEDDING": t["documents"]
+        .select("doc_id")
+        .join(t["embeddings"].select("vec_id"), F.col("doc_id") == F.col("vec_id"))
+        .select(
+            node_id("Document", "doc_id").alias("src"),
+            node_id("Embedding", "vec_id").alias("dst"),
+        ),
         # user -> event-type interactions are modeled as user->user via
         # shared docs elsewhere; here: user PERFORMED events aggregate only.
     }

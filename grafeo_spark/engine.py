@@ -75,6 +75,26 @@ class GrafeoSpark:
     def edges(self, etype: str | None = None) -> DataFrame:
         return self.graph.edges(etype)
 
+    # -- vector search (database.rs:1128 vector_search analogue) ----------
+
+    def vector_search(
+        self,
+        label: str,
+        query_vec,
+        k: int = 10,
+        vec_col: str = "embedding",
+        metric: str = "cosine",
+        approximate: bool = False,
+    ) -> DataFrame:
+        """Top-k nearest nodes of ``label`` by vector distance. Exact
+        brute-force by default (scan_vector.rs brute path); ``approximate``
+        uses SRP-LSH bucketing (the HNSW substitute, SURVEY.md §2.11)."""
+        from grafeo_spark.llm.similarity import ann_topk, topk
+
+        nodes = self.graph.nodes(label)
+        fn = ann_topk if approximate else topk
+        return fn(nodes, query_vec, k=k, id_col="id", vec_col=vec_col, metric=metric)
+
     # -- algorithm plugin surface (plugins/traits.rs via bridges/algorithms.rs)
 
     def algo(self, name: str, etypes: list[str] | str | None = None, **params):

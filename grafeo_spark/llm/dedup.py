@@ -1,0 +1,221 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB case: there is **no all-pairs comparison
+anywhere** —
+- exact dedup is one hash-groupBy shuffle on a 64-bit fingerprint;
+- near-dup candidates come from banded MinHash-LSH (shingle → signature →
+  band bucket → within-bucket join), so the join key is the band hash and
+  the shuffle is proportional to bucket sizes, not n²;
+- SimHash buckets by table-rotated prefixes for Hamming-radius probes.
+
+The only O(candidates) work is the exact-Jaccard verification of bucket
+collisions, which is the standard MinHash pipeline shape. All expressions
+are Catalyst built-ins (xxhash64 / transform / array ops) — no Python UDFs.
+
+With the default 64 hashes in 32 bands of 2 rows, a pair at Jaccard 0.8
+is missed with probability (1 - 0.8²)^32 ≈ 6e-15 — the verified output is
+exact in practice, which is what the correctness battery checks against a
+brute-force oracle at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from grafeo_spark.llm.text import shingles, tokenize
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, keep_id) for every row, keep_id = min id among rows with the
+    same normalized token stream. One groupBy shuffle on the fingerprint."""
+    fp = F.xxhash64(F.array_join(tokenize(F.col(text_col)), " "))
+    with_fp = df.select(F.col(id_col).alias("id"), fp.alias("_fp"))
+    keep = with_fp.groupBy("_fp").agg(F.min("id").alias("keep_id"))
+    return with_fp.join(keep, "_fp").select("id", "keep_id")
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rows surviving exact dedup (keep the min-id representative)."""
+    pairs = exact_duplicates(df, id_col, text_col)
+    keep = pairs.filter(F.col("id") == F.col("keep_id")).select(F.col("id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingles, signature: array<long>[num_hashes]).
+
+    signature[i] = min over shingles of xxhash64(shingle, i) — one pass,
+    all JVM-side (nested transform + array_min)."""
+    sh = shingles(tokenize(F.col(text_col)), shingle_k)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        seeds, lambda s: F.array_min(F.transform(F.col("_sh"), lambda x: F.xxhash64(x, s)))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), sh.alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .withColumn("signature", sig)
+    )
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32) -> DataFrame:
+    """(a, b) candidate pairs whose signatures collide in >= 1 band.
+
+    Shuffle key is (band index, band hash): only same-bucket rows meet, so
+    cost tracks bucket occupancy — the LSH scale property."""
+    sig = F.col("signature")
+    n = F.size(sig)
+    r = (n / F.lit(bands)).cast("int")
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(b.alias("band"), F.hash(F.slice(sig, b * r + 1, r)).alias("bh")),
+    )
+    buckets = sig_df.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    l = buckets.select(F.col("band").alias("b1"), F.col("bh").alias("h1"), F.col("id").alias("a"))
+    rt = buckets.select(F.col("band").alias("b2"), F.col("bh").alias("h2"), F.col("id").alias("b"))
+    return (
+        l.join(rt, (F.col("b1") == F.col("b2")) & (F.col("h1") == F.col("h2")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, sig_df: DataFrame) -> DataFrame:
+    """(a, b, jaccard) — exact shingle-set Jaccard for candidate pairs."""
+    sa = sig_df.select(F.col("id").alias("a"), F.col("_sh").alias("_sha"))
+    sb = sig_df.select(F.col("id").alias("b"), F.col("_sh").alias("_shb"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("_sha", "_shb")).cast("double")
+                / F.size(F.array_union("_sha", "_shb"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(a, b, jaccard) verified near-duplicate pairs — the full banded
+    MinHash pipeline (shingle → minhash → band bucket → join → verify)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, bands)
+    return verify_jaccard(cands, sigs).filter(F.col("jaccard") >= threshold)
+
+
+def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+    """(id, cluster) — connected components over the near-dup pair graph;
+    cluster = min id. Feed `near_duplicate_pairs` output."""
+    from grafeo_spark.algorithms.components import connected_components
+
+    return connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).select("id", F.col("component").alias("cluster"))
+
+
+def dedup_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Rows surviving near-dedup: keep the min-id representative of each
+    near-duplicate cluster."""
+    pairs = near_duplicate_pairs(df, id_col, text_col, threshold)
+    clusters = duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over token hashes: bit i is the
+    sign of sum(±1) of each token's hash bit i. Pure aggregate expressions."""
+    toks = tokenize(F.col(text_col))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # shiftleft's bit count must be a Python literal, so the 64 bit
+    # positions are unrolled here (still one codegen'd expression tree).
+    def _vote_fn(m):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+
+    code = F.lit(0).cast("long")
+    for i in range(64):
+        mask = (1 << i) if i < 63 else -(1 << 63)  # signed-long bit 63
+        vote = F.aggregate(F.col("_th"), F.lit(0).cast("long"), _vote_fn(mask))
+        code = code + F.when(vote > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.select(F.col(id_col).alias("id"), th.alias("_th")).select(
+        "id", code.alias("simhash")
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    tables: int = 4,
+) -> DataFrame:
+    """(a, b, hamming) pairs within a Hamming radius, via the rotated-prefix
+    bucket trick: hash each code into `tables` buckets of `prefix_bits`
+    (rotations spread differing bits), join within buckets, verify exact
+    Hamming — again no all-pairs."""
+    codes = simhash(df, id_col, text_col)
+    # disjoint bit windows: a pair within Hamming distance < tables must
+    # agree on at least one window (pigeonhole); shift counts are Python
+    # literals, so the windows are unrolled as a union
+    window_shift = 64 // tables
+    mask = (1 << prefix_bits) - 1
+    b = None
+    for t in range(tables):
+        cur = codes.select(
+            "id",
+            "simhash",
+            F.lit(t).alias("t"),
+            F.shiftright(F.col("simhash"), t * window_shift)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        b = cur if b is None else b.unionByName(cur)
+    l = b.select(F.col("t").alias("t1"), F.col("bucket").alias("k1"), F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    r = b.select(F.col("t").alias("t2"), F.col("bucket").alias("k2"), F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    return (
+        l.join(r, (F.col("t1") == F.col("t2")) & (F.col("k1") == F.col("k2")) & (F.col("a") < F.col("b")))
+        .select("a", "b", hamming_distance(F.col("ha"), F.col("hb")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,179 @@
+"""Vector similarity search: brute-force exact top-k and SRP-LSH ANN.
+
+Replaces the reference's HNSW/VectorScan/VectorJoin stack
+(crates/grafeo-core/src/execution/operators/scan_vector.rs:44,
+vector_join.rs:45, index/vector/hnsw.rs) with the two Spark-shaped
+strategies:
+
+- **brute-force**: distance expression (pure Catalyst `zip_with` +
+  `aggregate`, functions/vector.py) + TakeOrderedAndProject top-k — exact,
+  one scan, the correctness baseline;
+- **SRP-LSH (signed random projections)**: hyperplane sign bits → bucket
+  code → candidates from matching buckets (with optional multi-probe bit
+  flips) → exact rerank of candidates only. The scale path: the join key
+  is the bucket code, never an n×m cross product.
+
+Seeded numpy generates the hyperplanes deterministically on the driver
+(tiny: nbits × dim floats broadcast as literals).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from grafeo_spark.functions import vector as vfn
+
+METRICS = {
+    "cosine": (vfn.cosine_similarity, False),  # (fn, smaller_is_better)
+    "dot": (vfn.dot_product, False),
+    "euclidean": (vfn.euclidean_distance, True),
+    "manhattan": (vfn.manhattan_distance, True),
+}
+
+
+def _vec_lit(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
+
+
+def topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k (id, score) for one query vector — brute-force scan;
+    Catalyst rewrites orderBy+limit to TakeOrderedAndProject (VectorScan
+    brute-force path, scan_vector.rs)."""
+    fn, asc = METRICS[metric]
+    score = fn(F.col(vec_col).cast("array<double>"), _vec_lit(query_vec))
+    out = df.select(F.col(id_col).alias("id"), score.alias("score"))
+    key = F.col("score").asc() if asc else F.col("score").desc()
+    return out.orderBy(key, F.col("id").asc()).limit(k)
+
+
+def similarity_join(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int = 1,
+    query_id: str = "vec_id",
+    item_id: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact k-NN join: (query_id, item_id, score, rank) for each query's
+    top-k items (VectorJoin semantics, vector_join.rs:45). Brute-force
+    n×m — use `ann_join` at scale."""
+    fn, asc = METRICS[metric]
+    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).cast("array<double>").alias("_qv"))
+    it = items.select(F.col(item_id).alias("iid"), F.col(vec_col).cast("array<double>").alias("_iv"))
+    scored = q.crossJoin(it).select(
+        "qid", "iid", fn(F.col("_qv"), F.col("_iv")).alias("score")
+    )
+    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col("iid").asc()]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "iid", "score", "rank")
+    )
+
+
+# --------------------------------------------------------------------- #
+# SRP-LSH (signed random projections)
+# --------------------------------------------------------------------- #
+
+
+def _planes(dim: int, nbits: int, seed: int):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def srp_code(vec: Column, planes) -> Column:
+    """Bucket code: bit i = sign(vec · plane_i), packed into a long."""
+    code = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        dot = vfn.dot_product(vec, _vec_lit(p))
+        code = code + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return code
+
+
+def add_srp_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    seed: int = 42,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Append a `bucket` column — precompute once, write bucketed parquet
+    partitioned by it for index-like reuse (the HNSW substitute)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _planes(dim, nbits, seed)
+    return df.withColumn("bucket", srp_code(F.col(vec_col).cast("array<double>"), planes))
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    nbits: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket (+ buckets at Hamming
+    distance <= multiprobe), exact-rerank only the candidates."""
+    import numpy as np
+
+    planes = _planes(len(query_vec), nbits, seed)
+    qbits = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0))
+    probes = {qbits}
+    if multiprobe >= 1:
+        probes |= {qbits ^ (1 << i) for i in range(nbits)}
+    if multiprobe >= 2:
+        probes |= {qbits ^ (1 << i) ^ (1 << j) for i in range(nbits) for j in range(i + 1, nbits)}
+    bucketed = add_srp_buckets(df, vec_col, nbits, seed, dim=len(query_vec))
+    cands = bucketed.filter(F.col("bucket").isin([int(p) for p in probes]))
+    return topk(cands, query_vec, k, id_col, vec_col, metric)
+
+
+def ann_join(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int = 1,
+    query_id: str = "vec_id",
+    item_id: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    nbits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN join: bucket both sides on the same hyperplanes and
+    join on the bucket code — shuffle ∝ bucket occupancy, not n×m."""
+    fn, asc = METRICS[metric]
+    dim = len(items.select(vec_col).first()[0])
+    qb = add_srp_buckets(queries, vec_col, nbits, seed, dim).select(
+        F.col(query_id).alias("qid"), F.col(vec_col).cast("array<double>").alias("_qv"), "bucket"
+    )
+    ib = add_srp_buckets(items, vec_col, nbits, seed, dim).select(
+        F.col(item_id).alias("iid"), F.col(vec_col).cast("array<double>").alias("_iv"), "bucket"
+    )
+    scored = qb.join(ib, "bucket").select(
+        "qid", "iid", fn(F.col("_qv"), F.col("_iv")).alias("score")
+    )
+    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col("iid").asc()]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "iid", "score", "rank")
+    )

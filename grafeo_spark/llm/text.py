@@ -1,0 +1,129 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (split/transform/aggregate/xxhash64) — no
+Python UDFs, so every operator runs inside whole-stage codegen and scales
+linearly with executors. These extend the reference's string surface
+(filter.rs:759-1060 scalar functions) with the corpus-preparation ops a
+100 TB text pipeline needs: tokenization, shingling, quality features,
+language ID, fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword seed sets for the n-gram/stopword heuristic
+# language detector (public common-words lists).
+_STOPWORDS = {
+    "en": "the of and to in is that it for on with as are was be this have from or by not",
+    "de": "der die das und ist nicht ein eine zu den von mit für auf im des sich dem werden",
+    "es": "el la los las de que y en un una es por con para del se su al como más",
+    "fr": "le la les de des et est un une du que pour dans qui sur pas au avec ne ce",
+    "it": "il la le di che e un una per del con non sono da come più anche su questo",
+    "pt": "o a os as de que e um uma para do da com não por se no na mais como",
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercased word tokens; punctuation-split (BPE-ish regex boundary)."""
+    cleaned = F.trim(F.lower(F.regexp_replace(text, r"[^\p{L}\p{N}']+", " ")))
+    return F.filter(F.split(cleaned, " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (the MinHash input unit)."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, k), " "))
+    )
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams (for n-gram Jaccard similarity)."""
+    s = F.lower(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Heuristic document-quality signals (length/punct/stopword ratios) —
+    the standard pre-training filter features."""
+    toks = tokenize(text)
+    n_tok = F.size(toks)
+    n_char = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    sw = F.split(F.lit(_STOPWORDS["en"]), " ")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    mean_tok = F.when(n_tok > 0, n_char.cast("double") / n_tok).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_char.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": mean_tok,
+        "alpha_ratio": F.when(n_char > 0, alpha / n_char).otherwise(0.0),
+        "digit_ratio": F.when(n_char > 0, digit / n_char).otherwise(0.0),
+        "punct_ratio": F.when(n_char > 0, punct / n_char).otherwise(0.0),
+        "upper_ratio": F.when(n_char > 0, upper / n_char).otherwise(0.0),
+        "stopword_ratio": F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite score in [0, 1]: rewards sane length, word shape, and
+    English stopword density; penalizes digit/punct soup."""
+    f = quality_features(text)
+    len_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 100_000), 1.0).otherwise(0.3)
+    shape_ok = F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 12), 1.0).otherwise(0.5)
+    clean = 1.0 - F.least(f["digit_ratio"] * 2 + f["punct_ratio"] * 2, F.lit(1.0))
+    stop = F.least(f["stopword_ratio"] * 3, F.lit(1.0))
+    return (0.3 * len_ok + 0.2 * shape_ok + 0.3 * clean + 0.2 * stop).alias("quality")
+
+
+def detect_language(text: Column) -> Column:
+    """Stopword-vote language ID with a CJK character-ratio shortcut —
+    the classic cheap heuristic (fasttext-style lid is a model; this is the
+    no-model fallback). Returns the ISO code with the most stopword hits,
+    'zh' for CJK-dominant text, 'und' when nothing matches."""
+    toks = tokenize(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        sw = F.split(F.lit(words), " ")
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        # struct ordering: score first, then language for deterministic ties
+        scores.append(F.struct((hits / n_tok).alias("s"), F.lit(lang).alias("l")))
+    best = F.greatest(*scores)
+    return (
+        F.when(cjk / F.greatest(F.length(text), F.lit(1)) > 0.2, F.lit("zh"))
+        .when(best["s"] >= 0.05, best["l"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit content fingerprint of the normalized token stream (rolling
+    content hash; exact-dedup key)."""
+    return F.xxhash64(F.array_join(tokenize(text), " "))
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: append every feature column (the 'featurize' stage of a
+    corpus pipeline)."""
+    t = F.col(text_col)
+    out = df
+    for name, col in quality_features(t).items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("quality", quality_score(t))
+        .withColumn("language", detect_language(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )
