@@ -297,6 +297,23 @@ _ORACLE: dict[str, str] = {
     "mutation_roundtrip": """
         SELECT CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_custkey <= 5
     """,
+    "sparql_region_names": """
+        SELECT r_name AS name FROM region ORDER BY name
+    """,
+    "sparql_nation_region_join": """
+        SELECT n_name AS nation, r_name AS region
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "sparql_filter_optional": """
+        SELECT c_name AS cname, n_name AS nname
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'BUILDING' AND regexp_matches(c_name, '1$')
+    """,
+    "sparql_union_names": """
+        SELECT r_name AS name FROM region
+        UNION
+        SELECT n_name AS name FROM nation
+    """,
     "dedup_near_pairs": """
         WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         s AS (SELECT doc_id,
@@ -557,6 +574,51 @@ def _text_features_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- #
+# SPARQL entries (RDF recast of the driver tables, FIXTURES.md §4)
+# --------------------------------------------------------------------- #
+
+_SPARQL_PFX = "PREFIX ex: <http://example.org/> "
+
+
+def _sparql_db(spark: SparkSession, sf_dir: str):
+    from grafeo_spark.catalog import tpch_triples
+    from grafeo_spark.engine import GrafeoSpark
+
+    return GrafeoSpark(spark, triples=tpch_triples(spark, sf_dir))
+
+
+def _sparql_query(q: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _sparql_db(spark, sf_dir).sparql(_SPARQL_PFX + q)
+
+    return run
+
+
+_SPARQL: dict[str, str] = {
+    # type scan + BGP join + ORDER BY
+    "sparql_region_names": (
+        "SELECT ?name WHERE { ?r a ex:Region . ?r ex:name ?name } ORDER BY ?name"
+    ),
+    # three-pattern BGP join across entities
+    "sparql_nation_region_join": (
+        "SELECT ?nation ?region WHERE { ?n ex:inRegion ?r . "
+        "?n ex:name ?nation . ?r ex:name ?region }"
+    ),
+    # FILTER (string + regex) with OPTIONAL
+    "sparql_filter_optional": (
+        'SELECT ?cname ?nname WHERE { ?c a ex:Customer ; ex:name ?cname ; '
+        'ex:mktsegment ?seg . FILTER(?seg = "BUILDING" && regex(?cname, "1$")) '
+        "OPTIONAL { ?c ex:fromNation ?n . ?n ex:name ?nname } }"
+    ),
+    # UNION + DISTINCT
+    "sparql_union_names": (
+        "SELECT DISTINCT ?name WHERE { { ?r a ex:Region . ?r ex:name ?name } "
+        "UNION { ?n a ex:Nation . ?n ex:name ?name } }"
+    ),
+}
+
+
 _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutation_roundtrip": _mutation_roundtrip,
     "dedup_near_pairs": _dedup_near_pairs,
@@ -576,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, q in _CYPHER.items():
         out[name] = _cypher_query(q)
+    for name, q in _SPARQL.items():
+        out[name] = _sparql_query(q)
     out.update(_DATAFRAME_QUERIES)
     return out
 

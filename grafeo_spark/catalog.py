@@ -85,6 +85,50 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     return tables
 
 
+EX = "http://example.org/"
+
+
+def tpch_triples(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+    """RDF recast of the driver tables (FIXTURES.md §4): region/nation/
+    customer entities as ex: IRIs with rdf:type, ex:name, ex:inRegion,
+    ex:fromNation, ex:mktsegment, ex:acctbal triples."""
+    from grafeo_spark.graph import TripleStore
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    t = load_tables(spark, sf_dir)
+
+    def iri(kind: str, col) -> F.Column:
+        return F.concat(F.lit(f"{EX}{kind}/"), F.col(col).cast("string"))
+
+    def mk(df, s, p, o_iri=None, o_lit=None):
+        return df.select(
+            s.alias("s"),
+            F.lit(p).alias("p"),
+            (o_iri if o_iri is not None else F.lit(None).cast("string")).alias("o_iri"),
+            (o_lit if o_lit is not None else F.lit(None).cast("string")).alias("o_lit"),
+            F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("g"),
+        )
+
+    r, n, c = t["region"], t["nation"], t["customer"]
+    parts = [
+        mk(r, iri("region", "r_regionkey"), RDF_TYPE, o_iri=F.lit(EX + "Region")),
+        mk(r, iri("region", "r_regionkey"), EX + "name", o_lit=F.col("r_name")),
+        mk(n, iri("nation", "n_nationkey"), RDF_TYPE, o_iri=F.lit(EX + "Nation")),
+        mk(n, iri("nation", "n_nationkey"), EX + "name", o_lit=F.col("n_name")),
+        mk(n, iri("nation", "n_nationkey"), EX + "inRegion", o_iri=iri("region", "n_regionkey")),
+        mk(c, iri("customer", "c_custkey"), RDF_TYPE, o_iri=F.lit(EX + "Customer")),
+        mk(c, iri("customer", "c_custkey"), EX + "name", o_lit=F.col("c_name")),
+        mk(c, iri("customer", "c_custkey"), EX + "mktsegment", o_lit=F.col("c_mktsegment")),
+        mk(c, iri("customer", "c_custkey"), EX + "acctbal", o_lit=F.col("c_acctbal").cast("string")),
+        mk(c, iri("customer", "c_custkey"), EX + "fromNation", o_iri=iri("nation", "c_nationkey")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return TripleStore(out)
+
+
 def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGraph:
     """Recast the driver tables as a PropertyGraph.
 

@@ -67,6 +67,15 @@ class GrafeoSpark:
 
     execute = gql  # reference default language is GQL (session.execute)
 
+    def sparql(self, query: str) -> DataFrame:
+        """Execute a SPARQL SELECT over the attached TripleStore
+        (session.execute_sparql analogue, processor.rs:300-331)."""
+        if self.triples is None:
+            raise ValueError("no triple store attached")
+        from grafeo_spark.lang.sparql import sparql as _run
+
+        return _run(self.triples, query)
+
     # -- direct store API (database.rs:618-931 'side door') ---------------
 
     def nodes(self, label: str | None = None) -> DataFrame:

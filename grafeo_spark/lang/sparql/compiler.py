@@ -1,0 +1,205 @@
+"""SPARQL → DataFrame compiler over a TripleStore.
+
+Mirrors the reference's RdfPlanner (crates/grafeo-engine/src/query/
+planner_rdf.rs): each triple pattern is a filtered scan of the triples
+frame (TripleScanSource, execution/source.rs:262), shared variables join
+patterns together (TripleJoinOperator, source.rs:368), OPTIONAL is a left
+join (plan.rs:512-521), UNION concatenates, FILTER compiles to Column
+expressions with SPARQL builtins (planner_rdf.rs:1927-2310 subset).
+
+Variable bindings are flat columns named after the variable; an object
+binding takes ``coalesce(o_iri, o_lit)`` (term kind is recoverable via the
+``isIRI``-style builtins against the raw columns if needed — this slice
+keeps the lexical value, which is what SELECT projects)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from grafeo_spark.graph import TripleStore
+from grafeo_spark.lang.sparql import parser as P
+
+
+class SparqlCompileError(Exception):
+    pass
+
+
+def _pattern_scan(ts: TripleStore, tp: P.TriplePattern, uid: int) -> tuple[DataFrame, dict[str, str]]:
+    """One triple pattern -> filtered scan projecting its variables."""
+    df = ts.df
+    # constant positions become pushed-down filters
+    if isinstance(tp.s, P.Iri):
+        df = df.filter(F.col("s") == tp.s.value)
+    elif isinstance(tp.s, P.Lit):
+        raise SparqlCompileError("literal in subject position")
+    if isinstance(tp.p, P.Iri):
+        df = df.filter(F.col("p") == tp.p.value)
+    elif isinstance(tp.p, P.Lit):
+        raise SparqlCompileError("literal in predicate position")
+    if isinstance(tp.o, P.Iri):
+        df = df.filter(F.col("o_iri") == tp.o.value)
+    elif isinstance(tp.o, P.Lit):
+        df = df.filter(F.col("o_lit") == str(tp.o.value))
+    cols: list[Column] = []
+    seen: dict[str, str] = {}
+    for term, col in ((tp.s, F.col("s")), (tp.p, F.col("p")), (tp.o, F.coalesce("o_iri", "o_lit"))):
+        if isinstance(term, P.Var):
+            if term.name in seen:
+                # same var twice in one pattern: equality filter
+                df = df.filter(col == F.col(seen[term.name]))
+            else:
+                cols.append(col.alias(term.name))
+                seen[term.name] = term.name
+    if not cols:
+        cols = [F.lit(1).alias(f"__m{uid}")]
+    return df.select(*cols), seen
+
+
+def _join_bgp(ts: TripleStore, triples: list[P.TriplePattern]) -> Optional[DataFrame]:
+    out: Optional[DataFrame] = None
+    for i, tp in enumerate(triples):
+        scan, _ = _pattern_scan(ts, tp, i)
+        if out is None:
+            out = scan
+        else:
+            shared = [c for c in scan.columns if c in out.columns]
+            out = out.join(scan, shared, "inner") if shared else out.crossJoin(scan)
+    return out
+
+
+def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
+    out = _join_bgp(ts, g.triples)
+    for left, right in g.unions:
+        l = _compile_group(ts, left)
+        r = _compile_group(ts, right)
+        u = l.unionByName(r, allowMissingColumns=True)
+        if out is None:
+            out = u
+        else:
+            shared = [c for c in u.columns if c in out.columns]
+            out = out.join(u, shared, "inner") if shared else out.crossJoin(u)
+    if out is None:
+        raise SparqlCompileError("empty graph pattern")
+    for opt in g.optionals:
+        right = _compile_group(ts, opt)
+        shared = [c for c in right.columns if c in out.columns]
+        if shared:
+            out = out.join(right, shared, "left")
+        else:
+            out = out.join(right, F.lit(True), "left")
+    for f in g.filters:
+        out = out.filter(_filter_col(f, out))
+    return out
+
+
+def _term_col(t, df: DataFrame) -> Column:
+    if isinstance(t, P.Var):
+        if t.name not in df.columns:
+            return F.lit(None)  # unbound -> null (SPARQL error -> unbound)
+        return F.col(t.name)
+    if isinstance(t, P.Iri):
+        return F.lit(t.value)
+    if isinstance(t, P.Lit):
+        return F.lit(t.value)
+    raise SparqlCompileError(f"unexpected term {t!r}")
+
+
+def _filter_col(e, df: DataFrame) -> Column:
+    if isinstance(e, P.FExpr):
+        op = e.op
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            l, r = (_filter_col(a, df) for a in e.args)
+            # numeric comparison when either side is a numeric literal
+            if any(isinstance(a, P.Lit) and isinstance(a.value, (int, float)) for a in e.args):
+                l, r = l.cast("double"), r.cast("double")
+            return {
+                "=": l == r,
+                "!=": l != r,
+                "<": l < r,
+                "<=": l <= r,
+                ">": l > r,
+                ">=": l >= r,
+            }[op]
+        if op == "and":
+            return _filter_col(e.args[0], df) & _filter_col(e.args[1], df)
+        if op == "or":
+            return _filter_col(e.args[0], df) | _filter_col(e.args[1], df)
+        if op == "not":
+            return ~_filter_col(e.args[0], df)
+        if op == "regex":
+            pat = e.args[1]
+            flags = e.args[2].value if len(e.args) > 2 and isinstance(e.args[2], P.Lit) else ""
+            pattern = pat.value if isinstance(pat, P.Lit) else None
+            if pattern is None:
+                raise SparqlCompileError("regex pattern must be a literal")
+            if "i" in str(flags):
+                pattern = "(?i)" + pattern
+            return _filter_col(e.args[0], df).rlike(pattern)
+        if op == "bound":
+            return _filter_col(e.args[0], df).isNotNull()
+        if op.startswith("call:"):
+            return _builtin(op[5:], [_filter_col(a, df) for a in e.args])
+        raise SparqlCompileError(f"unsupported filter op {op!r}")
+    return _term_col(e, df)
+
+
+def _builtin(name: str, args: list[Column]) -> Column:
+    """SPARQL builtins subset (planner_rdf.rs:1927-2310)."""
+    table = {
+        "str": lambda a: a[0].cast("string"),
+        "strlen": lambda a: F.length(a[0]),
+        "ucase": lambda a: F.upper(a[0]),
+        "lcase": lambda a: F.lower(a[0]),
+        "upper": lambda a: F.upper(a[0]),
+        "lower": lambda a: F.lower(a[0]),
+        "contains": lambda a: a[0].contains(a[1]),
+        "strstarts": lambda a: a[0].startswith(a[1]),
+        "strends": lambda a: a[0].endswith(a[1]),
+        "strbefore": lambda a: F.substring_index(a[0], a[1], 1),
+        "strafter": lambda a: F.when(
+            a[0].contains(a[1]),
+            F.substring(
+                a[0],
+                F.length(F.substring_index(a[0], a[1], 1)) + F.length(a[1]) + 1,
+                F.length(a[0]),
+            ),
+        ).otherwise(F.lit("")),
+        "substr": lambda a: a[0].substr(a[1].cast("int"), a[2].cast("int")) if len(a) > 2 else a[0].substr(a[1].cast("int"), F.length(a[0])),
+        "concat": lambda a: F.concat(*a),
+        "abs": lambda a: F.abs(a[0]),
+        "ceil": lambda a: F.ceil(a[0]),
+        "floor": lambda a: F.floor(a[0]),
+        "round": lambda a: F.round(a[0], 0),
+        "coalesce": lambda a: F.coalesce(*a),
+    }
+    if name not in table:
+        raise SparqlCompileError(f"unsupported builtin {name}()")
+    return table[name](args)
+
+
+def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
+    out = _compile_group(ts, q.where)
+    if q.variables:
+        missing = [v for v in q.variables if v not in out.columns]
+        for v in missing:
+            out = out.withColumn(v, F.lit(None).cast("string"))
+        out = out.select(*q.variables)
+    else:
+        out = out.select(*[c for c in out.columns if not c.startswith("__m")])
+    if q.distinct:
+        out = out.distinct()
+    if q.order:
+        keys = [F.col(v).asc_nulls_last() if asc else F.col(v).desc_nulls_last() for v, asc in q.order]
+        out = out.orderBy(*keys)
+    if q.offset is not None:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+def sparql(ts: TripleStore, query: str) -> DataFrame:
+    return compile_select(ts, P.parse(query))

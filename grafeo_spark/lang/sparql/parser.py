@@ -1,0 +1,347 @@
+"""SPARQL parser — the SELECT slice.
+
+Covers the reference's core SPARQL query surface
+(crates/grafeo-adapters/src/query/sparql/ast.rs — SELECT :51, graph
+patterns OPTIONAL/UNION/FILTER :283-346, solution modifiers :471-519):
+
+    PREFIX decls, SELECT [DISTINCT] ?v... | *, WHERE { basic graph
+    pattern; FILTER(expr); OPTIONAL { ... }; { ... } UNION { ... } },
+    ORDER BY [ASC|DESC](?v), LIMIT, OFFSET.
+
+Terms: ?var, <iri>, prefix:name, "literal" (with optional ^^type), numbers,
+``a`` (rdf:type). Property paths / CONSTRUCT / ASK / updates are out of
+scope for this slice.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlSyntaxError(Exception):
+    pass
+
+
+# -- terms ----------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Iri:
+    value: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: object
+    datatype: Optional[str] = None
+
+
+Term = Union[Var, Iri, Lit]
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    s: Term
+    p: Term
+    o: Term
+
+
+# -- filter expressions ---------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FExpr:
+    """op in: cmp (=, !=, <, <=, >, >=), and, or, not, regex, bound, call.
+    args are FExpr | Term."""
+
+    op: str
+    args: tuple
+
+
+# -- graph patterns -------------------------------------------------------
+
+
+@dataclass
+class GroupPattern:
+    triples: list[TriplePattern] = field(default_factory=list)
+    filters: list[FExpr] = field(default_factory=list)
+    optionals: list["GroupPattern"] = field(default_factory=list)
+    unions: list[tuple["GroupPattern", "GroupPattern"]] = field(default_factory=list)
+
+
+@dataclass
+class SelectQuery:
+    variables: list[str]  # empty = *
+    where: GroupPattern
+    distinct: bool = False
+    order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+
+
+_TOKEN = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<iri><[^>]*>)
+  | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<num>[+-]?\d+(?:\.\d+)?)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_.-]*)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*/:a])
+    """,
+    re.VERBOSE,
+)
+
+
+def tokenize(src: str) -> list[tuple[str, str]]:
+    out = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN.match(src, i)
+        if not m:
+            raise SparqlSyntaxError(f"unexpected character {src[i]!r} at {i}")
+        i = m.end()
+        if m.lastgroup != "ws":
+            out.append((m.lastgroup, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+class Parser:
+    def __init__(self, src: str) -> None:
+        self.toks = tokenize(src)
+        self.i = 0
+        self.prefixes: dict[str, str] = {
+            "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+            "xsd": "http://www.w3.org/2001/XMLSchema#",
+        }
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at(self, kind: str, text: Optional[str] = None) -> bool:
+        k, v = self.peek()
+        return k == kind and (text is None or v.upper() == text.upper())
+
+    def eat(self, kind: str, text: Optional[str] = None):
+        if not self.at(kind, text):
+            raise SparqlSyntaxError(f"expected {text or kind}, got {self.peek()!r}")
+        return self.next()
+
+    # -- entry ------------------------------------------------------------
+
+    def parse(self) -> SelectQuery:
+        while self.at("name", "PREFIX"):
+            self.next()
+            pname = self.eat("pname")[1] if self.at("pname") else self.eat("name")[1] + self.eat("op", ":")[1]
+            if pname.endswith(":"):
+                pfx = pname[:-1]
+            else:
+                pfx = pname.split(":", 1)[0]
+            iri = self.eat("iri")[1][1:-1]
+            self.prefixes[pfx] = iri
+        self.eat("name", "SELECT")
+        distinct = False
+        if self.at("name", "DISTINCT"):
+            self.next()
+            distinct = True
+        variables: list[str] = []
+        if self.at("op", "*"):
+            self.next()
+        else:
+            while self.at("var"):
+                variables.append(self.next()[1][1:])
+        self.eat("name", "WHERE")
+        where = self.group()
+        order: list[tuple[str, bool]] = []
+        limit = offset = None
+        if self.at("name", "ORDER"):
+            self.next()
+            self.eat("name", "BY")
+            while True:
+                asc = True
+                if self.at("name", "ASC") or self.at("name", "DESC"):
+                    asc = self.next()[1].upper() == "ASC"
+                    self.eat("op", "(")
+                    v = self.eat("var")[1][1:]
+                    self.eat("op", ")")
+                elif self.at("var"):
+                    v = self.next()[1][1:]
+                else:
+                    break
+                order.append((v, asc))
+        while self.at("name", "LIMIT") or self.at("name", "OFFSET"):
+            kw = self.next()[1].upper()
+            n = int(self.eat("num")[1])
+            if kw == "LIMIT":
+                limit = n
+            else:
+                offset = n
+        if not self.at("eof"):
+            raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
+        return SelectQuery(variables, where, distinct, order, limit, offset)
+
+    # -- graph patterns ---------------------------------------------------
+
+    def group(self) -> GroupPattern:
+        self.eat("op", "{")
+        g = GroupPattern()
+        while not self.at("op", "}"):
+            if self.at("name", "FILTER"):
+                self.next()
+                self.eat("op", "(")
+                g.filters.append(self.filter_expr())
+                self.eat("op", ")")
+            elif self.at("name", "OPTIONAL"):
+                self.next()
+                g.optionals.append(self.group())
+            elif self.at("op", "{"):
+                left = self.group()
+                self.eat("name", "UNION")
+                right = self.group()
+                while self.at("name", "UNION"):
+                    self.next()
+                    extra = self.group()
+                    merged = GroupPattern(unions=[(left, right)])
+                    left, right = merged, extra
+                g.unions.append((left, right))
+            else:
+                g.triples.extend(self.triple_block())
+            if self.at("op", "."):
+                self.next()
+        self.eat("op", "}")
+        return g
+
+    def triple_block(self) -> list[TriplePattern]:
+        s = self.term()
+        out = []
+        while True:
+            p = self.predicate()
+            o = self.term()
+            out.append(TriplePattern(s, p, o))
+            if self.at("op", ";"):
+                self.next()
+                if self.at("op", ".") or self.at("op", "}"):
+                    break
+                continue
+            if self.at("op", ","):
+                self.next()
+                while True:
+                    o2 = self.term()
+                    out.append(TriplePattern(s, p, o2))
+                    if self.at("op", ","):
+                        self.next()
+                        continue
+                    break
+            break
+        return out
+
+    def predicate(self) -> Term:
+        if self.at("op", "a") or self.at("name", "a"):
+            self.next()
+            return Iri(RDF_TYPE)
+        return self.term()
+
+    def term(self) -> Term:
+        k, v = self.peek()
+        if k == "var":
+            self.next()
+            return Var(v[1:])
+        if k == "iri":
+            self.next()
+            return Iri(v[1:-1])
+        if k == "pname":
+            self.next()
+            pfx, local = v.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SparqlSyntaxError(f"unknown prefix {pfx!r}")
+            return Iri(self.prefixes[pfx] + local)
+        if k == "str":
+            self.next()
+            val = re.sub(r"\\(.)", r"\1", v[1:-1])
+            dt = None
+            if self.at("op", "^^"):
+                self.next()
+                dt_term = self.term()
+                dt = dt_term.value if isinstance(dt_term, Iri) else None
+            return Lit(val, dt)
+        if k == "num":
+            self.next()
+            return Lit(float(v) if "." in v else int(v))
+        raise SparqlSyntaxError(f"expected term, got {self.peek()!r}")
+
+    # -- filter expressions ----------------------------------------------
+
+    def filter_expr(self) -> FExpr:
+        return self.or_expr()
+
+    def or_expr(self) -> FExpr:
+        left = self.and_expr()
+        while self.at("op", "||"):
+            self.next()
+            left = FExpr("or", (left, self.and_expr()))
+        return left
+
+    def and_expr(self) -> FExpr:
+        left = self.unary_expr()
+        while self.at("op", "&&"):
+            self.next()
+            left = FExpr("and", (left, self.unary_expr()))
+        return left
+
+    def unary_expr(self) -> FExpr:
+        if self.at("op", "!"):
+            self.next()
+            return FExpr("not", (self.unary_expr(),))
+        return self.cmp_expr()
+
+    def cmp_expr(self) -> FExpr:
+        left = self.primary()
+        k, v = self.peek()
+        if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return FExpr(v, (left, self.primary()))
+        if isinstance(left, FExpr):
+            return left
+        raise SparqlSyntaxError(f"incomplete filter expression near {self.peek()!r}")
+
+    def primary(self):
+        if self.at("op", "("):
+            self.next()
+            e = self.filter_expr()
+            self.eat("op", ")")
+            return e
+        if self.at("name"):
+            fname = self.next()[1].upper()
+            self.eat("op", "(")
+            args = []
+            while not self.at("op", ")"):
+                args.append(self.primary())
+                if self.at("op", ","):
+                    self.next()
+            self.eat("op", ")")
+            if fname == "REGEX":
+                return FExpr("regex", tuple(args))
+            if fname == "BOUND":
+                return FExpr("bound", tuple(args))
+            return FExpr("call:" + fname.lower(), tuple(args))
+        return self.term()
+
+
+def parse(src: str) -> SelectQuery:
+    return Parser(src).parse()
