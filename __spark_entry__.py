@@ -297,6 +297,21 @@ _ORACLE: dict[str, str] = {
     "mutation_roundtrip": """
         SELECT CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_custkey <= 5
     """,
+    "gremlin_segment_counts": """
+        SELECT c_mktsegment AS key, CAST(count(*) AS BIGINT) AS count
+        FROM customer GROUP BY 1
+    """,
+    "gremlin_order_count": """
+        SELECT CAST(count(*) AS BIGINT) AS count FROM orders
+    """,
+    "graphql_customers": """
+        SELECT c_custkey AS custkey, c_name AS name FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    """,
+    "graphql_nested": """
+        SELECT n_name AS nation, r_name AS r_region
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
     "sparql_region_names": """
         SELECT r_name AS name FROM region ORDER BY name
     """,
@@ -619,7 +634,35 @@ _SPARQL: dict[str, str] = {
 }
 
 
+def _gremlin_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _db(spark, sf_dir).gremlin(
+        "g.V().hasLabel('Customer').groupCount('mktsegment')"
+    )
+
+
+def _gremlin_order_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _db(spark, sf_dir).gremlin(
+        "g.V().hasLabel('Customer').out('PLACED').count()"
+    )
+
+
+def _graphql_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _db(spark, sf_dir).graphql(
+        '{ Customer(mktsegment: "BUILDING") { custkey name } }'
+    )
+
+
+def _graphql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _db(spark, sf_dir).graphql(
+        "{ Nation { nation: name r: IN_REGION { region: name } } }"
+    )
+
+
 _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "gremlin_segment_counts": _gremlin_segment_counts,
+    "gremlin_order_count": _gremlin_order_count,
+    "graphql_customers": _graphql_customers,
+    "graphql_nested": _graphql_nested,
     "mutation_roundtrip": _mutation_roundtrip,
     "dedup_near_pairs": _dedup_near_pairs,
     "dedup_exact_count": _dedup_exact_count,

@@ -67,6 +67,28 @@ class GrafeoSpark:
 
     execute = gql  # reference default language is GQL (session.execute)
 
+    def gremlin(self, query: str) -> DataFrame:
+        """Execute a Gremlin traversal string (execute_gremlin analogue,
+        gremlin_translator.rs:21). Use ``.g`` for the fluent form."""
+        from grafeo_spark.lang.gremlin import execute, traversal
+
+        return execute(traversal(self.graph), query).toDF()
+
+    @property
+    def g(self):
+        """Fluent Gremlin traversal source (GraphTraversalSource)."""
+        from grafeo_spark.lang.gremlin import traversal
+
+        return traversal(self.graph)
+
+    def graphql(self, query: str) -> DataFrame:
+        """Execute a GraphQL query (execute_graphql analogue,
+        graphql_translator.rs:28): root field -> label scan, args ->
+        filters, nested selections -> edge expansions, scalars -> columns."""
+        from grafeo_spark.lang.graphql import execute
+
+        return execute(self.graph, query)
+
     def sparql(self, query: str) -> DataFrame:
         """Execute a SPARQL SELECT over the attached TripleStore
         (session.execute_sparql analogue, processor.rs:300-331)."""

@@ -1,0 +1,88 @@
+"""Gremlin string form: ``execute(g, "g.V().hasLabel('Customer')...")``.
+
+The reference accepts Gremlin query strings
+(gremlin_translator.rs:21 over the step AST at
+crates/grafeo-adapters/src/query/gremlin/ast.rs:31-157). Gremlin's fluent
+chains are syntactically valid Python expressions, so the string form
+parses with ``ast`` and evaluates ONLY whitelisted constructs: a method
+chain rooted at ``g``, literal arguments, and ``P.<predicate>(literal)``
+calls — no eval, no name resolution beyond ``g``/``P``."""
+
+from __future__ import annotations
+
+import ast
+
+from grafeo_spark.lang.gremlin.traversal import GremlinError, GremlinSource, P, Traversal
+
+# Gremlin step name -> python method (reserved words get a trailing _)
+_METHODS = {
+    "in": "in_",
+    "sum": "sum_",
+    "min": "min_",
+    "max": "max_",
+    "range": "range_",
+    "as": "as_",
+    "id": "id_",
+    "not": "not_",
+}
+
+
+def _literal(node: ast.expr):
+    if isinstance(node, ast.Call):
+        # P.gt(5) style predicate
+        fn = node.func
+        if (
+            isinstance(fn, ast.Attribute)
+            and isinstance(fn.value, ast.Name)
+            and fn.value.id == "P"
+        ):
+            args = [_literal(a) for a in node.args]
+            try:
+                return getattr(P, fn.attr)(*args)
+            except AttributeError:
+                raise GremlinError(f"unknown predicate P.{fn.attr}")
+        raise GremlinError("only P.<predicate>(...) calls are allowed as arguments")
+    try:
+        return ast.literal_eval(node)
+    except ValueError:
+        raise GremlinError(f"argument must be a literal: {ast.dump(node)}")
+
+
+def _flatten(node: ast.expr) -> list[tuple[str, list]]:
+    """a.b(args).c(args)... -> [('b', args), ('c', args), ...] rooted at g."""
+    steps: list[tuple[str, list]] = []
+    while True:
+        if isinstance(node, ast.Call):
+            fn = node.func
+            if not isinstance(fn, ast.Attribute):
+                raise GremlinError("unsupported call form")
+            steps.append((fn.attr, [_literal(a) for a in node.args]))
+            node = fn.value
+        elif isinstance(node, ast.Name):
+            if node.id != "g":
+                raise GremlinError(f"traversal must be rooted at g, got {node.id!r}")
+            return list(reversed(steps))
+        else:
+            raise GremlinError(f"unsupported syntax: {ast.dump(node)}")
+
+
+def execute(g: GremlinSource, query: str) -> Traversal:
+    try:
+        tree = ast.parse(query.strip(), mode="eval")
+    except SyntaxError as ex:
+        raise GremlinError(f"gremlin syntax error: {ex}")
+    steps = _flatten(tree.body)
+    if not steps or steps[0][0] not in ("V", "E"):
+        raise GremlinError("traversal must start with g.V() or g.E()")
+    cur = g
+    for name, args in steps:
+        method = _METHODS.get(name, name)
+        target = getattr(cur, method, None)
+        if target is None and isinstance(cur, Traversal):
+            raise GremlinError(f"unknown gremlin step .{name}()")
+        if target is None:
+            raise GremlinError(f"unknown traversal-source step .{name}()")
+        cur = target(*args)
+    if not isinstance(cur, Traversal):
+        raise GremlinError("query did not produce a traversal")
+    return cur

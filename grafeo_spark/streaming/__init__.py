@@ -1,0 +1,192 @@
+"""Structured Streaming superset (SURVEY.md §2.12).
+
+The reference has no streaming at all; this module adds the
+Structured-Streaming surface a graph/corpus engine needs, per the
+north-star brief: event-stream ingestion, watermarked tumbling/sliding
+windows, within-watermark dedup, session windows (built-in
+``session_window`` — preferred), an ``applyInPandasWithState`` custom
+stateful operator (the escape hatch for semantics the built-ins can't
+express), and a ``foreachBatch`` upsert into graph tables.
+
+Everything is declared against the driver's ``events`` schema
+(event_id, ts, user_id, event_type, value, props) but parameterized on
+column names. All operators work identically on batch frames where Spark
+allows it (window/session_window), which the tests exploit for oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = EVENT_SCHEMA,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-source event stream (readStream over a parquet directory —
+    at scale the same call points at a Kafka/cloud-storage source)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) window aggregation: per-window,
+    per-key count and value sum. Late rows beyond the watermark are
+    dropped; state is bounded by watermark horizon — the 100 TB-safe shape."""
+    e = events.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        e.groupBy(win.alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+            "total",
+        )
+    )
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] = ["event_id"],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (dropDuplicatesWithinWatermark) — the streaming arm of the dedup
+    operators; state expires with the watermark instead of growing
+    unboundedly."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session windows via the built-in ``session_window`` (merge-on-gap):
+    per (user, session) event count, value sum, and bounds."""
+    e = events.withWatermark(ts_col, watermark)
+    return (
+        e.groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col(user_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("events_total", LongType()),
+        StructField("value_total", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("v", DoubleType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    reference-free escape hatch, SURVEY.md §2.12/§2.13): cumulative
+    per-user event count + value sum across micro-batches. Emits the
+    updated running total for every user seen in the batch (update mode)."""
+    import pandas as pd
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        n = 0
+        v = 0.0
+        if state.exists:
+            n, v = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "events_total": [n], "value_total": [round(v, 4)]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        RUNNING_TOTALS_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def upsert_users_foreach_batch(target: dict):
+    """``foreachBatch`` sink: merge each micro-batch's users into an
+    in-memory dict of frames (stand-in for a Delta/parquet MERGE at scale;
+    the batch-side merge pattern matches graph.merge_nodes)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        users = batch_df.select("user_id").distinct()
+        prev = target.get("users")
+        target["users"] = users if prev is None else prev.unionByName(users).distinct()
+        target["batches"] = target.get("batches", 0) + 1
+
+    return sink
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> None:
+    """Drain a file-backed stream into a memory sink and wait (test/dev
+    helper; production uses a real sink + checkpoint)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if _has_agg(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return df.isStreaming and "Aggregate" in df._jdf.queryExecution().analyzed().toString()

@@ -1,0 +1,67 @@
+"""GraphQL front-end tests (reference model: graphql_translator.rs mapping
+root/args/nested/scalars; the lpg/graphql side of the shared bases)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import rows
+
+
+def test_root_scan_scalars(db):
+    out = rows(db.graphql("query { Person { name age } }"))
+    assert len(out) == 8 and ("Alice", 30) in out
+
+
+def test_args_filter(db):
+    out = rows(db.graphql('{ Person(city: "NYC") { name } }'))
+    assert out == [("Alice",), ("Carol",), ("Frank",)]
+
+
+def test_first_pagination(db):
+    out = db.graphql('{ Person(first: 3) { name } }').collect()
+    assert len(out) == 3
+
+
+def test_alias(db):
+    df = db.graphql('{ Person(city: "LA") { fullName: name } }')
+    assert df.columns == ["fullName"]
+    assert sorted(r.fullName for r in df.collect()) == ["Bob", "Eve"]
+
+
+def test_nested_expansion(db):
+    out = rows(
+        db.graphql(
+            '{ Person(name: "Alice") { name friends: KNOWS { name age } } }'
+        )
+    )
+    assert out == [
+        ("Alice", "Bob", 40),
+        ("Alice", "Carol", 35),
+    ]
+    df = db.graphql('{ Person(name: "Alice") { name friends: KNOWS { name } } }')
+    assert df.columns == ["name", "friends_name"]
+
+
+def test_nested_with_filter(db):
+    out = rows(
+        db.graphql('{ Person { name k: KNOWS(city: "NYC") { name } } }')
+    )
+    # edges into NYC people: 2->3 (Bob->Carol), 1->3, 8->1, 5->6 (Eve->Frank)
+    assert ("Bob", "Carol") in out and ("Heidi", "Alice") in out and len(out) == 4
+
+
+def test_unknown_type_error(db):
+    from grafeo_spark.lang.graphql import GraphQLError
+
+    with pytest.raises(GraphQLError, match="unknown root type"):
+        db.graphql("{ Nonsense { x } }")
+    with pytest.raises(GraphQLError, match="unknown edge type"):
+        db.graphql("{ Person { name x: NOPE { y } } }")
+
+
+def test_syntax_error(db):
+    from grafeo_spark.lang.graphql import GraphQLError
+
+    with pytest.raises(GraphQLError):
+        db.graphql("{ Person { name ")
