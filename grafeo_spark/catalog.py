@@ -260,4 +260,12 @@ def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGra
         # user -> event-type interactions are modeled as user->user via
         # shared docs elsewhere; here: user PERFORMED events aggregate only.
     }
-    return PropertyGraph(nodes, edges)
+    endpoints = {
+        "IN_REGION": ("Nation", "Region"),
+        "FROM_NATION": (None, "Nation"),  # src is Customer OR Supplier
+        "PLACED": ("Customer", "Order"),
+        "CONTAINS": ("Order", "Part"),
+        "SUPPLIED_BY": ("Part", "Supplier"),
+        "HAS_EMBEDDING": ("Document", "Embedding"),
+    }
+    return PropertyGraph(nodes, edges, endpoints)

@@ -42,9 +42,16 @@ class PropertyGraph:
         self,
         node_frames: dict[str, DataFrame],
         edge_frames: dict[str, DataFrame],
+        endpoints: dict[str, tuple[str | None, str | None]] | None = None,
     ) -> None:
         self.node_frames = dict(node_frames)
         self.edge_frames = dict(edge_frames)
+        # Declared (src_label, dst_label) per edge type — referential
+        # integrity metadata. When present, the compiler can skip the
+        # destination-node join for id-only expansions (the edge's dst IS
+        # the node id and is guaranteed to exist with that label), removing
+        # one join+shuffle per hop in counting/reachability queries.
+        self.endpoints = dict(endpoints or {})
 
     # -- scans -----------------------------------------------------------
 
@@ -103,12 +110,12 @@ class PropertyGraph:
     def with_nodes(self, label: str, df: DataFrame) -> "PropertyGraph":
         frames = dict(self.node_frames)
         frames[label] = df
-        return PropertyGraph(frames, self.edge_frames)
+        return PropertyGraph(frames, self.edge_frames, self.endpoints)
 
     def with_edges(self, etype: str, df: DataFrame) -> "PropertyGraph":
         frames = dict(self.edge_frames)
         frames[etype] = df
-        return PropertyGraph(self.node_frames, frames)
+        return PropertyGraph(self.node_frames, frames, self.endpoints)
 
     def create_nodes(self, label: str, df: DataFrame) -> "PropertyGraph":
         """Append nodes (CreateNodeOperator analogue, mutation.rs:21) —
@@ -133,7 +140,7 @@ class PropertyGraph:
                 e = e.join(ids.withColumnRenamed(ID, SRC), on=SRC, how="left_anti")
                 e = e.join(ids.withColumnRenamed(ID, DST), on=DST, how="left_anti")
                 eframes[t] = e
-        return PropertyGraph(frames, eframes)
+        return PropertyGraph(frames, eframes, self.endpoints)
 
     def merge_nodes(self, label: str, df: DataFrame, keys: list[str]) -> "PropertyGraph":
         """MERGE: keep existing rows, append the anti-joined remainder

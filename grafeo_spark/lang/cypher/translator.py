@@ -29,10 +29,121 @@ class _Ctx:
     bound: dict = field(default_factory=dict)  # var -> ('node'|'edge'|'value', label|None)
     sp_vars: set = field(default_factory=set)  # shortest-path vars (bound to hop count)
     fresh: int = 0
+    # Required-property analysis result: var -> frozenset of property names,
+    # or None meaning "all" (bare variable reference). ``used is None``
+    # disables the analysis (mutation path, subpatterns) — conservative.
+    used: dict | None = None
 
     def fresh_var(self) -> str:
         self.fresh += 1
         return f"__v{self.fresh}"
+
+    def dst_used_for(self, var: str | None):
+        """What the Expand's destination variable needs downstream."""
+        if self.used is None:
+            return None  # analysis off -> assume everything
+        if var is None:
+            return ("id",)  # anonymous target can never be referenced
+        u = self.used.get(var, _NEVER)
+        if u is _NEVER:
+            return ("id",)
+        if u is None:
+            return None
+        return tuple(sorted(u | {"id"}))
+
+
+_NEVER = object()
+
+
+def _collect_used(stmt: P.Statement) -> dict:
+    """Pre-pass: which properties does each variable actually need?
+    Feeds the compiler's destination-join elision (an id-only expansion
+    doesn't need the node table at all when edge endpoints are declared)."""
+    used: dict = {}
+
+    def mark_all(v: str) -> None:
+        used[v] = None
+
+    def mark(v: str, k: str) -> None:
+        if v in used and used[v] is None:
+            return
+        used.setdefault(v, set()).add(k)
+
+    def walk(e) -> None:
+        if isinstance(e, E.Prop):
+            mark(e.var, e.key)
+        elif isinstance(e, E.Col):
+            mark_all(e.name)
+        elif isinstance(e, E.Fn):
+            ln = e.name.lower()
+            if ln in ("count", "id") and len(e.args) == 1 and isinstance(e.args[0], E.Col):
+                mark(e.args[0].name, "id")  # count(o)/id(o) only touch identity
+            else:
+                for a in e.args:
+                    walk(a)
+        elif isinstance(e, E.BinOp):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, E.UnOp):
+            walk(e.operand)
+        elif isinstance(e, (E.ListLit,)):
+            for i in e.items:
+                walk(i)
+        elif isinstance(e, E.MapLit):
+            for _, v in e.items:
+                walk(v)
+        elif isinstance(e, E.Index):
+            walk(e.base)
+            walk(e.index)
+        elif isinstance(e, E.Slice):
+            walk(e.base)
+            if e.lo:
+                walk(e.lo)
+            if e.hi:
+                walk(e.hi)
+        elif isinstance(e, E.Case):
+            if e.subject:
+                walk(e.subject)
+            for c, v in e.whens:
+                walk(c)
+                walk(v)
+            if e.else_:
+                walk(e.else_)
+        elif isinstance(e, E.ListComp):
+            walk(e.source)
+            if e.where:
+                walk(e.where)
+            if e.projection:
+                walk(e.projection)
+        elif isinstance(e, E.PatternPred):
+            for el in e.path.elements:
+                if isinstance(el, (P.NodePat, P.RelPat)):
+                    if el.var:
+                        mark(el.var, "id")  # correlation key only
+                    for _, v in el.props:
+                        walk(v)
+
+    def walk_pattern(pat: P.PatternPath) -> None:
+        for el in pat.elements:
+            for _, v in el.props:
+                walk(v)
+
+    for clause in stmt.clauses:
+        if isinstance(clause, P.MatchClause):
+            for pat in clause.patterns:
+                walk_pattern(pat)
+            if clause.where is not None:
+                walk(clause.where)
+        elif isinstance(clause, P.UnwindClause):
+            walk(clause.expr)
+        elif isinstance(clause, P.WithClause):
+            for it in clause.items:
+                walk(it.expr)
+            for e, _asc in clause.order:
+                walk(e)
+            if clause.where is not None:
+                walk(clause.where)
+    return used
 
 
 def translate(q: P.UnionQuery) -> ir.Plan:
@@ -44,6 +155,7 @@ def translate(q: P.UnionQuery) -> ir.Plan:
 
 def _statement(stmt: P.Statement) -> ir.Plan:
     ctx = _Ctx()
+    ctx.used = _collect_used(stmt)
     for clause in stmt.clauses:
         if isinstance(clause, P.MatchClause):
             _match(ctx, clause)
@@ -223,6 +335,7 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
             min_hops=min_h if rel.var_length else None,
             max_hops=max_h if rel.var_length else None,
             dst_bound=dst_bound,
+            dst_used=ctx.dst_used_for(node.var),
         )
         if dst_bound and node.props:
             for k, v in node.props:

@@ -170,6 +170,26 @@ class Compiler:
                 scope[evar] = new_scope_edge
             return out, scope
 
+        if self._skip_dst_join(p):
+            # Id-only destination with declared edge endpoints: the edge's
+            # dst IS the node id (referential integrity) — skip the node
+            # table entirely, saving one join (+broadcast/shuffle) per hop.
+            cond = src_id == F.col(_p(evar, "src"))
+            scope_for_props = dict(scope)
+            scope_for_props[evar] = new_scope_edge
+            for key, val in p.edge_props:
+                cond = cond & (F.col(_p(evar, key)) == self._expr(val, scope_for_props, child))
+            out = child.join(e, cond, how).withColumn(
+                _p(p.dst_var, "id"), F.col(_p(evar, "dst"))
+            )
+            label = p.dst_label or self._endpoint_label(p)
+            scope[p.dst_var] = VarInfo("node", label, ("id",))
+            if p.edge_var:
+                scope[evar] = new_scope_edge
+            else:
+                out = out.drop(*[c for c in out.columns if c.startswith(evar + "__")])
+            return out, scope
+
         ndf, ninfo = self._node_frame(p.dst_var, p.dst_label)
         right = e.join(
             ndf, F.col(_p(evar, "dst")) == F.col(_p(p.dst_var, "id")), "inner"
@@ -191,6 +211,43 @@ class Compiler:
         if not p.edge_var:
             out = out.drop(*[c for c in out.columns if c.startswith(evar + "__")])
         return out, scope
+
+    def _endpoint_label(self, p: ir.Expand) -> Optional[str]:
+        labels = set()
+        for t in p.etypes:
+            ep = self.graph.endpoints.get(t)
+            if ep is None:
+                return None
+            labels.add(ep[1] if p.direction == ir.OUT else ep[0])
+        return labels.pop() if len(labels) == 1 else None
+
+    def _skip_dst_join(self, p: ir.Expand) -> bool:
+        """Eligible when the statement needs only the destination's id, the
+        pattern adds no dst filters, and every edge type declares an
+        endpoint consistent with the requested label."""
+        if p.dst_bound or p.dst_props or p.where is not None or p.optional:
+            return False
+        if p.dst_used is None or not set(p.dst_used) <= {"id"}:
+            return False
+        if not p.etypes:
+            return False
+        for t in p.etypes:
+            ep = self.graph.endpoints.get(t)
+            if ep is None:
+                return False
+            if p.direction == ir.OUT:
+                end = ep[1]
+            elif p.direction == ir.IN:
+                end = ep[0]
+            else:  # both: the target may be either endpoint
+                if ep[0] != ep[1]:
+                    return False
+                end = ep[0]
+            if p.dst_label is not None and end != p.dst_label:
+                return False
+            if p.dst_label is None and end is None:
+                return False
+        return True
 
     def _var_length(self, p: ir.Expand, child: DataFrame, scope: Scope) -> tuple[DataFrame, Scope]:
         from grafeo_spark.operators.expand import reachable_pairs, var_length_expand

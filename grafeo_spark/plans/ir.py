@@ -62,6 +62,11 @@ class Expand(Plan):
     optional: bool = False
     dst_bound: bool = False
     where: Optional[Expr] = None  # OPTIONAL MATCH ... WHERE (join condition)
+    # Properties of dst_var the statement actually uses (translator's
+    # required-column analysis); None = unknown/all. When only {'id'} is
+    # needed and the edge type declares a matching endpoint label, the
+    # compiler skips the destination node join entirely.
+    dst_used: Optional[tuple[str, ...]] = None
 
 
 @dataclass
