@@ -143,6 +143,20 @@ _CYPHER: dict[str, str] = {
         "MATCH p = shortestPath((c:Customer {custkey: 1})-[*..3]->(t:Part)) "
         "RETURN count(*) AS n, min(length(p)) AS min_hops, max(length(p)) AS max_hops"
     ),
+    # named-path value: length/nodes/relationships over a fixed 2-hop path
+    "path_value_2hop": (
+        "MATCH p = (s:Supplier)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN r.name AS region_name, count(*) AS n_paths, "
+        "toInteger(min(length(p))) AS min_len, "
+        "toInteger(max(size(nodes(p)))) AS n_nodes, "
+        "toInteger(max(size(relationships(p)))) AS n_rels"
+    ),
+    # named path over a var-length segment: node array grows with hops
+    "path_varlen_nodes": (
+        "MATCH p = (r:Region {name: 'ASIA'})<-[*1..2]-(x) "
+        "RETURN count(*) AS n, toInteger(min(length(p))) AS lo, "
+        "toInteger(max(length(p))) AS hi, toInteger(max(size(nodes(p)))) AS max_nodes"
+    ),
     # SKIP/OFFSET pagination determinism
     "skip_limit_page": (
         "MATCH (n:Nation) RETURN n.name AS name ORDER BY name ASC SKIP 5 LIMIT 5"
@@ -266,6 +280,29 @@ _ORACLE: dict[str, str] = {
                CAST(2 AS BIGINT) AS min_hops, CAST(2 AS BIGINT) AS max_hops
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_custkey = 1
+    """,
+    "path_value_2hop": """
+        SELECT r_name AS region_name, CAST(count(*) AS BIGINT) AS n_paths,
+               CAST(2 AS BIGINT) AS min_len, CAST(3 AS BIGINT) AS n_nodes,
+               CAST(2 AS BIGINT) AS n_rels
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "path_varlen_nodes": """
+        WITH asia_nations AS (
+            SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        ), hops AS (
+            SELECT 1 AS len FROM asia_nations
+            UNION ALL
+            SELECT 2 FROM customer JOIN asia_nations ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT 2 FROM supplier JOIN asia_nations ON s_nationkey = n_nationkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(len) AS BIGINT) AS lo,
+               CAST(max(len) AS BIGINT) AS hi, CAST(max(len) + 1 AS BIGINT) AS max_nodes
+        FROM hops
     """,
     "skip_limit_page": """
         SELECT n_name AS name FROM nation ORDER BY name ASC OFFSET 5 LIMIT 5

@@ -268,4 +268,4 @@ def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGra
         "SUPPLIED_BY": ("Part", "Supplier"),
         "HAS_EMBEDDING": ("Document", "Embedding"),
     }
-    return PropertyGraph(nodes, edges, endpoints)
+    return PropertyGraph(nodes, edges, endpoints, disjoint_labels=True)

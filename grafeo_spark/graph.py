@@ -43,9 +43,16 @@ class PropertyGraph:
         node_frames: dict[str, DataFrame],
         edge_frames: dict[str, DataFrame],
         endpoints: dict[str, tuple[str | None, str | None]] | None = None,
+        disjoint_labels: bool = False,
     ) -> None:
         self.node_frames = dict(node_frames)
         self.edge_frames = dict(edge_frames)
+        # Declared metadata: ids unique ACROSS label frames. When False
+        # (the safe default), a node id present in several frames is ONE
+        # node with a label set (lpg/node.rs), so unlabeled scans merge
+        # rows per id. When True (e.g. namespaced TPC-H ids), unlabeled
+        # scans are a plain union — no shuffle.
+        self.disjoint_labels = disjoint_labels
         # Declared (src_label, dst_label) per edge type — referential
         # integrity metadata. When present, the compiler can skip the
         # destination-node join for id-only expansions (the edge's dst IS
@@ -69,6 +76,16 @@ class PropertyGraph:
             out = cur if out is None else out.unionByName(cur, allowMissingColumns=True)
         if out is None:
             raise ValueError("graph has no node frames")
+        if not self.disjoint_labels and len(self.node_frames) > 1:
+            # A node id found in several label frames is one node carrying
+            # a label set: merge per id (first non-null per property,
+            # sorted label array in ``_labels``, min label as ``_label``).
+            props = [c for c in out.columns if c not in ("id", "_label")]
+            out = out.groupBy("id").agg(
+                *[F.first(F.col(c), ignorenulls=True).alias(c) for c in props],
+                F.min("_label").alias("_label"),
+                F.array_sort(F.collect_set("_label")).alias("_labels"),
+            )
         return out
 
     def edges(self, etype: str | None = None) -> DataFrame:
@@ -110,12 +127,12 @@ class PropertyGraph:
     def with_nodes(self, label: str, df: DataFrame) -> "PropertyGraph":
         frames = dict(self.node_frames)
         frames[label] = df
-        return PropertyGraph(frames, self.edge_frames, self.endpoints)
+        return PropertyGraph(frames, self.edge_frames, self.endpoints, self.disjoint_labels)
 
     def with_edges(self, etype: str, df: DataFrame) -> "PropertyGraph":
         frames = dict(self.edge_frames)
         frames[etype] = df
-        return PropertyGraph(self.node_frames, frames, self.endpoints)
+        return PropertyGraph(self.node_frames, frames, self.endpoints, self.disjoint_labels)
 
     def create_nodes(self, label: str, df: DataFrame) -> "PropertyGraph":
         """Append nodes (CreateNodeOperator analogue, mutation.rs:21) —
@@ -140,7 +157,7 @@ class PropertyGraph:
                 e = e.join(ids.withColumnRenamed(ID, SRC), on=SRC, how="left_anti")
                 e = e.join(ids.withColumnRenamed(ID, DST), on=DST, how="left_anti")
                 eframes[t] = e
-        return PropertyGraph(frames, eframes, self.endpoints)
+        return PropertyGraph(frames, eframes, self.endpoints, self.disjoint_labels)
 
     def merge_nodes(self, label: str, df: DataFrame, keys: list[str]) -> "PropertyGraph":
         """MERGE: keep existing rows, append the anti-joined remainder

@@ -28,6 +28,7 @@ class _Ctx:
     plan: ir.Plan | None = None
     bound: dict = field(default_factory=dict)  # var -> ('node'|'edge'|'value', label|None)
     sp_vars: set = field(default_factory=set)  # shortest-path vars (bound to hop count)
+    path_vars: set = field(default_factory=set)  # named-path vars (p = (a)-[*]->(b))
     fresh: int = 0
     # Required-property analysis result: var -> frozenset of property names,
     # or None meaning "all" (bare variable reference). ``used is None``
@@ -307,9 +308,15 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
         scan = ir.NodeScan(var, label, first.props)
         ctx.plan = scan if ctx.plan is None else ir.Cartesian(ctx.plan, scan)
         ctx.bound[var] = ("node", label)
+        _extra_label_semijoins(ctx, var, first.labels)
     else:
         for k, v in first.props:
             ctx.plan = ir.Filter(ctx.plan, E.BinOp("=", E.Prop(var, k), v))
+
+    # Named path: collect node-id / hop parts while lowering the chain,
+    # assembled into p__nodes / p__len value columns afterwards.
+    path_nodes: list[E.Expr] = [E.ListLit((E.Fn("id", (E.Col(var),)),))]
+    path_len: E.Expr = E.Lit(0)
 
     prev = var
     i = 1
@@ -322,6 +329,7 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
         min_h, max_h = rel.min_hops, rel.max_hops
         if rel.var_length and max_h is None:
             max_h = DEFAULT_VARLEN_CAP
+        seg = ctx.fresh_var() if (pat.path_var and rel.var_length) else None
         ctx.plan = ir.Expand(
             ctx.plan,
             src_var=prev,
@@ -336,12 +344,20 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
             max_hops=max_h if rel.var_length else None,
             dst_bound=dst_bound,
             dst_used=ctx.dst_used_for(node.var),
+            path_alias=seg,
         )
+        if rel.var_length:
+            path_nodes.append(E.Col(f"{seg}__nodes") if seg else E.ListLit(()))
+            path_len = E.BinOp("+", path_len, E.Col(f"{seg}__hops")) if seg else path_len
+        else:
+            path_nodes.append(E.ListLit((E.Fn("id", (E.Col(dvar),)),)))
+            path_len = E.BinOp("+", path_len, E.Lit(1))
         if dst_bound and node.props:
             for k, v in node.props:
                 ctx.plan = ir.Filter(ctx.plan, E.BinOp("=", E.Prop(dvar, k), v))
         if not dst_bound:
             ctx.bound[dvar] = ("node", dlabel)
+            _extra_label_semijoins(ctx, dvar, node.labels)
         if rel.var:
             ctx.bound[rel.var] = (
                 "value" if rel.var_length else "edge",
@@ -349,6 +365,23 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
             )
         prev = dvar
         i += 2
+
+    if pat.path_var:
+        p = pat.path_var
+        nodes_e = path_nodes[0] if len(path_nodes) == 1 else E.Fn("concat", tuple(path_nodes))
+        ctx.plan = ir.Extend(
+            ctx.plan, ((nodes_e, f"{p}__nodes"), (path_len, f"{p}__len"))
+        )
+        ctx.bound[p] = ("value", None)
+        ctx.path_vars.add(p)
+
+
+def _extra_label_semijoins(ctx: _Ctx, var: str, labels: tuple[str, ...]) -> None:
+    """Multi-label pattern ``(v:A:B)``: nodes must carry EVERY label — scan
+    the first, left-semi join the id against each additional label's frame
+    (reference nodes hold label sets, lpg/node.rs; conjunctive match)."""
+    for extra in labels[1:]:
+        ctx.plan = ir.SemiJoin(ctx.plan, ir.NodeScan(var, extra, ()), (var,), anti=False)
 
 
 def _shortest(ctx: _Ctx, pat: P.PatternPath, known: dict) -> None:
@@ -475,7 +508,12 @@ def _projection(ctx: _Ctx, clause: P.WithClause) -> None:
 
 def _rw(ctx: _Ctx, e: E.Expr) -> E.Expr:
     """Rewrites depending on translator state: length(p) of a shortestPath
-    var is the hop count; nothing else changes."""
+    var is the hop count; path functions over named paths resolve to the
+    assembled p__nodes / p__len columns; nothing else changes."""
+    if isinstance(e, E.Col) and e.name in ctx.path_vars:
+        return E.Fn(
+            "__path_value", (E.Col(f"{e.name}__nodes"), E.Col(f"{e.name}__len"))
+        )
     if isinstance(e, E.Fn):
         if (
             e.name.lower() == "length"
@@ -484,6 +522,19 @@ def _rw(ctx: _Ctx, e: E.Expr) -> E.Expr:
             and e.args[0].name in ctx.sp_vars
         ):
             return e.args[0]
+        if (
+            len(e.args) == 1
+            and isinstance(e.args[0], E.Col)
+            and e.args[0].name in ctx.path_vars
+        ):
+            p = e.args[0].name
+            ln = e.name.lower()
+            if ln == "length":
+                return E.Col(f"{p}__len")
+            if ln == "nodes":
+                return E.Col(f"{p}__nodes")
+            if ln in ("relationships", "rels"):
+                return E.Fn("__path_rels", (E.Col(f"{p}__nodes"),))
         return E.Fn(e.name, tuple(_rw(ctx, a) for a in e.args), e.distinct)
     if isinstance(e, E.BinOp):
         return E.BinOp(e.op, _rw(ctx, e.left), _rw(ctx, e.right))

@@ -71,38 +71,48 @@ def var_length_expand(
     max_hops: int,
     src_ids: Optional[DataFrame] = None,
     id_col: Optional[str] = None,
+    with_nodes: bool = False,
 ) -> DataFrame:
     """All trails of length in [min_hops, max_hops]: (src, dst, hops),
     one row per path (bag semantics, matching Cypher var-length MATCH).
 
     ``edges`` must have columns src, dst (+ any property columns, which
     feed edge identity). ``src_ids`` (single-column DataFrame) seeds the
-    BFS frontier from the bound side of the pattern.
+    BFS frontier from the bound side of the pattern. ``with_nodes`` adds a
+    ``path_nodes`` column — the node ids visited AFTER the source
+    ([n1, .., dst]) — for named-path (`p = ...`) materialization.
     """
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
     e = _prep_edges(edges, id_col)
 
-    # frontier: (origin, cur, hops, _path: array of traversed edge ids)
-    frontier = _seed(e, src_ids).select(
+    # frontier: (origin, cur, hops, _path: array of traversed edge ids
+    #            [, _pnodes: array of visited node ids after origin])
+    first = _seed(e, src_ids).select(
         F.col("_esrc").alias("origin"),
         F.col("_edst").alias("cur"),
         F.lit(1).alias("hops"),
         F.array(F.col("_eid")).alias("_path"),
     )
+    if with_nodes:
+        first = first.withColumn("_pnodes", F.array(F.col("cur")))
+    frontier = first
     results = [frontier] if min_hops <= 1 else []
     hop = 1
     while hop < max_hops:
         hop += 1
+        cols = [
+            F.col("origin"),
+            F.col("_edst").alias("cur"),
+            (F.col("hops") + 1).alias("hops"),
+            F.array_append(F.col("_path"), F.col("_eid")).alias("_path"),
+        ]
+        if with_nodes:
+            cols.append(F.array_append(F.col("_pnodes"), F.col("_edst")).alias("_pnodes"))
         nxt = (
             frontier.join(e, frontier["cur"] == e["_esrc"], "inner")
             .filter(~F.array_contains(F.col("_path"), F.col("_eid")))
-            .select(
-                F.col("origin"),
-                F.col("_edst").alias("cur"),
-                (F.col("hops") + 1).alias("hops"),
-                F.array_append(F.col("_path"), F.col("_eid")).alias("_path"),
-            )
+            .select(*cols)
         )
         if hop % _CHECKPOINT_EVERY == 0:
             nxt = nxt.localCheckpoint(eager=False)
@@ -124,14 +134,17 @@ def var_length_expand(
             F.lit(0).alias("hops"),
             F.array().cast("array<long>").alias("_path"),
         )
+        if with_nodes:
+            zero = zero.withColumn("_pnodes", F.array().cast("array<long>"))
         results.insert(0, zero)
 
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    return out.select(
-        F.col("origin").alias("src"), F.col("cur").alias("dst"), F.col("hops")
-    )
+    sel = [F.col("origin").alias("src"), F.col("cur").alias("dst"), F.col("hops")]
+    if with_nodes:
+        sel.append(F.col("_pnodes").alias("path_nodes"))
+    return out.select(*sel)
 
 
 def reachable_pairs(

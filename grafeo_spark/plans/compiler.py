@@ -259,20 +259,25 @@ class Compiler:
         # the whole edge set — the 100 TB-scale fix (frontier bounded by the
         # child's rows, not |E|^hops).
         seeds = child.select(_p(p.src_var, "id")).distinct()
-        if p.edge_var is None and lo <= 1:
+        if p.edge_var is None and p.path_alias is None and lo <= 1:
             # No edge variable bound: only distinct reachability matters for
             # downstream use; per-level dedup keeps frontier state bounded.
             # (Only valid when lo <= 1: reachable_pairs records first-reach
             # hop, so a pair first seen below lo would be wrongly dropped.)
             pairs = reachable_pairs(e, lo, hi, src_ids=seeds)
         else:
-            pairs = var_length_expand(e, lo, hi, src_ids=seeds)  # (src, dst, hops)
+            pairs = var_length_expand(
+                e, lo, hi, src_ids=seeds, with_nodes=p.path_alias is not None
+            )  # (src, dst, hops[, path_nodes])
         pvar = self._fresh("vl")
-        pairs = pairs.select(
+        psel = [
             F.col("src").alias(_p(pvar, "src")),
             F.col("dst").alias(_p(pvar, "dst")),
             F.col("hops").alias(_p(pvar, "hops")),
-        )
+        ]
+        if p.path_alias is not None:
+            psel.append(F.col("path_nodes").alias(_p(p.path_alias, "nodes")))
+        pairs = pairs.select(*psel)
         ndf, ninfo = self._node_frame(p.dst_var, p.dst_label)
         right = pairs.join(ndf, F.col(_p(pvar, "dst")) == F.col(_p(p.dst_var, "id")), "inner")
         cond = F.col(_p(p.src_var, "id")) == F.col(_p(pvar, "src"))
@@ -283,6 +288,8 @@ class Compiler:
         if p.edge_var:
             out = out.withColumn(_p(p.edge_var, "hops"), F.col(_p(pvar, "hops")))
             scope[p.edge_var] = VarInfo("edge", None, ("hops",))
+        if p.path_alias is not None:
+            out = out.withColumn(_p(p.path_alias, "hops"), F.col(_p(pvar, "hops")))
         out = out.drop(*[c for c in out.columns if c.startswith(pvar + "__")])
         return out, scope
 
@@ -507,6 +514,14 @@ class Compiler:
         child, scope = self._compile(p.child)
         return child.offset(p.n), scope
 
+    def _c_extend(self, p: ir.Extend) -> tuple[DataFrame, Scope]:
+        child, scope = self._compile(p.child)
+        scope = dict(scope)
+        for expr, alias in p.items:
+            child = child.withColumn(alias, self._expr(expr, scope, child))
+            scope.setdefault(alias, VarInfo("value"))
+        return child, scope
+
     def _c_unwind(self, p: ir.Unwind) -> tuple[DataFrame, Scope]:
         child, scope = self._compile(p.child)
         out = child.withColumn(p.alias, F.explode(self._expr(p.expr, scope, child)))
@@ -720,6 +735,9 @@ class Compiler:
             info = scope[e.args[0].name]
             if info.label is not None:
                 return F.array(F.lit(info.label))
+            if _p(e.args[0].name, "_labels") in df.columns:
+                # merged unlabeled scan over a non-disjoint graph: full set
+                return F.col(_p(e.args[0].name, "_labels"))
             return F.array(F.col(_p(e.args[0].name, "_label")))
         if name == "type" and e.args and isinstance(e.args[0], E.Col):
             info = scope[e.args[0].name]
@@ -817,6 +835,20 @@ class Compiler:
             "last": lambda a: F.element_at(a[0], -1),
             "tail": lambda a: F.slice(a[0], 2, F.greatest(F.size(a[0]) - 1, F.lit(0))),
             "range": lambda a: F.sequence(a[0], a[1], a[2] if len(a) > 2 else F.lit(1)),
+            "concat": lambda a: F.concat(*a),
+            # named-path internals (translator-generated): a path value is
+            # struct<nodes: array<id>, length: int>; relationships derive
+            # from consecutive node pairs (plan.rs:198-200 Path type).
+            "__path_value": lambda a: F.struct(
+                a[0].alias("nodes"), a[1].cast("int").alias("length")
+            ),
+            "__path_rels": lambda a: F.transform(
+                F.slice(a[0], 1, F.greatest(F.size(a[0]) - 1, F.lit(0))),
+                lambda x, i: F.struct(
+                    x.alias("src"),
+                    F.element_at(a[0], (i + F.lit(2)).cast("int")).alias("dst"),
+                ),
+            ),
             "vector": lambda a: F.array(*a).cast("array<float>"),
             "cosine_similarity": lambda a: vfn.cosine_similarity(a[0], a[1]),
             "euclidean_distance": lambda a: vfn.euclidean_distance(a[0], a[1]),

@@ -67,6 +67,10 @@ class Expand(Plan):
     # needed and the edge type declares a matching endpoint label, the
     # compiler skips the destination node join entirely.
     dst_used: Optional[tuple[str, ...]] = None
+    # Set for a var-length segment inside a named path ``p = (a)-[*]->(b)``:
+    # the compiler exposes ``<path_alias>__nodes`` (array of node ids after
+    # the source) and ``<path_alias>__hops`` columns for path assembly.
+    path_alias: Optional[str] = None
 
 
 @dataclass
@@ -166,6 +170,16 @@ class Limit(Plan):
 class Skip(Plan):
     child: Plan
     n: int
+
+
+@dataclass
+class Extend(Plan):
+    """Add computed value columns, keeping every existing binding (used for
+    path-value assembly; the reference materializes Path values in its
+    Expand operators, plan.rs:198-200 + logical_type.rs Path)."""
+
+    child: Plan
+    items: tuple[tuple[Expr, str], ...]
 
 
 @dataclass
