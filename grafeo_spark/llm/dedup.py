@@ -44,6 +44,14 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.join(keep, id_col, "left_semi")
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_k: int = 3
+) -> DataFrame:
+    """(id, _sh: array<string>) distinct k-token shingles per document."""
+    sh = shingles(tokenize(F.col(text_col)), shingle_k)
+    return df.select(F.col(id_col).alias("id"), sh.alias("_sh")).filter(F.size("_sh") > 0)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -51,19 +59,25 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, shingles, signature: array<long>[num_hashes]).
+    """(id, signature: array<long>[num_hashes]).
 
-    signature[i] = min over shingles of xxhash64(shingle, i) — one pass,
-    all JVM-side (nested transform + array_min)."""
-    sh = shingles(tokenize(F.col(text_col)), shingle_k)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.transform(
-        seeds, lambda s: F.array_min(F.transform(F.col("_sh"), lambda x: F.xxhash64(x, s)))
+    signature[i] = min over shingles of xxhash64(shingle, i), computed by
+    exploding shingles and running `num_hashes` codegen'd min-aggregates
+    (map-side partial agg, one shuffle on id). This deliberately avoids the
+    nested higher-order-function formulation: HOF lambdas are interpreted
+    per element and are re-evaluated in every self-join branch downstream,
+    whereas the groupBy leaves the signatures behind a shuffle exchange that
+    Spark's ReuseExchange serves to all branches of the LSH join without
+    recomputation — the property that keeps the pipeline linear at scale."""
+    exploded = shingle_sets(df, id_col, text_col, shingle_k).select(
+        "id", F.explode("_sh").alias("_s")
     )
-    return (
-        df.select(F.col(id_col).alias("id"), sh.alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .withColumn("signature", sig)
+    mins = [
+        F.min(F.xxhash64("_s", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+    ]
+    agg = exploded.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature")
     )
 
 
@@ -91,10 +105,11 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32) -> DataFrame:
     )
 
 
-def verify_jaccard(pairs: DataFrame, sig_df: DataFrame) -> DataFrame:
-    """(a, b, jaccard) — exact shingle-set Jaccard for candidate pairs."""
-    sa = sig_df.select(F.col("id").alias("a"), F.col("_sh").alias("_sha"))
-    sb = sig_df.select(F.col("id").alias("b"), F.col("_sh").alias("_shb"))
+def verify_jaccard(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
+    """(a, b, jaccard) — exact shingle-set Jaccard for candidate pairs.
+    `shingle_df` is `shingle_sets` output (id, _sh)."""
+    sa = shingle_df.select(F.col("id").alias("a"), F.col("_sh").alias("_sha"))
+    sb = shingle_df.select(F.col("id").alias("b"), F.col("_sh").alias("_shb"))
     return (
         pairs.join(sa, "a")
         .join(sb, "b")
@@ -122,7 +137,8 @@ def near_duplicate_pairs(
     MinHash pipeline (shingle → minhash → band bucket → join → verify)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, bands)
-    return verify_jaccard(cands, sigs).filter(F.col("jaccard") >= threshold)
+    sh = shingle_sets(df, id_col, text_col, shingle_k)
+    return verify_jaccard(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
 def duplicate_clusters(pairs: DataFrame) -> DataFrame:

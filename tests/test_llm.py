@@ -118,10 +118,11 @@ def test_lsh_no_false_negatives_on_corpus(docs):
     """LSH candidates must cover every truly-similar pair (25 planted pairs
     in the driver corpus are checked in the battery; here the fixture)."""
     from grafeo_spark.llm import lsh_candidate_pairs, minhash_signatures, verify_jaccard
+    from grafeo_spark.llm.dedup import shingle_sets
 
     sigs = minhash_signatures(docs)
     cands = lsh_candidate_pairs(sigs)
-    verified = verify_jaccard(cands, sigs).filter(F.col("jaccard") >= 0.5)
+    verified = verify_jaccard(cands, shingle_sets(docs)).filter(F.col("jaccard") >= 0.5)
     got = {(a, b) for a, b, _ in rows(verified)}
     assert {(0, 1), (0, 2), (1, 2)} <= got
 
