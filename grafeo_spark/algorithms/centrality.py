@@ -40,14 +40,14 @@ def pagerank(
     alpha: float = 0.85,
     max_iter: int = 20,
     vertices: Optional[DataFrame] = None,
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Normalized PageRank with dangling-mass redistribution
     (centrality.rs:442 semantics; matches the textbook/NetworkX definition).
 
     Per iteration: one shuffle for the contribution sum plus one tiny action
-    for the dangling scalar. State is (id, pr, outdeg); lineage truncated
-    with localCheckpoint.
+    for the dangling scalar. State (id, pr, outdeg) is checkpointed every
+    superstep so each superstep executes exactly once and the dangling scan
+    reads materialized state.
     """
     v = vertices.select("id") if vertices is not None else vertices_from_edges(edges)
     n = v.count()
@@ -60,8 +60,18 @@ def pagerank(
         .withColumn("pr", F.lit(1.0 / n))
         .localCheckpoint(eager=True)
     )
-    e = edges.select(F.col("src").alias("_es"), F.col("dst").alias("_ed"))
+    # materialize the edge list once, hash-partitioned by the join key:
+    # every iteration's contribution join then co-locates against the cached
+    # partitioning and only the (much smaller) vertex state moves
+    e = (
+        edges.select(F.col("src").alias("_es"), F.col("dst").alias("_ed"))
+        .repartition("_es")
+        .persist()
+    )
     for it in range(1, max_iter + 1):
+        # state is always checkpointed here (init above, loop tail below),
+        # so this per-iteration scalar action is a cheap scan — collecting
+        # from un-materialized state would re-execute every prior superstep.
         dangling = (
             state.filter(F.col("outdeg") == 0).agg(F.sum("pr")).collect()[0][0] or 0.0
         )
@@ -80,8 +90,8 @@ def pagerank(
             )
             .drop("contrib")
         )
-        if it % checkpoint_every == 0 or it == max_iter:
-            state = state.localCheckpoint(eager=True)
+        state = state.localCheckpoint(eager=True)
+    e.unpersist()
     return state.select("id", F.col("pr").alias("pagerank"))
 
 

@@ -60,34 +60,52 @@ def pregel(
         state columns, and may emit ``_changed`` to request convergence
         detection.
     """
-    e = _prefixed(edges, "e_")
-    cur = vertices
-    for it in range(1, max_iter + 1):
-        v = _prefixed(cur, "v_")
-        msgs = None
-        if send_to_dst is not None:
-            m = e.join(v, F.col("e_src") == F.col("v_id"), "inner").select(
-                F.col("e_dst").alias("_mid"), send_to_dst.alias("msg")
-            )
-            msgs = m
-        if send_to_src is not None:
-            m = e.join(v, F.col("e_dst") == F.col("v_id"), "inner").select(
-                F.col("e_src").alias("_mid"), send_to_src.alias("msg")
-            )
-            msgs = m if msgs is None else msgs.unionByName(m)
-        if msgs is None:
-            raise ValueError("at least one of send_to_dst/send_to_src required")
-        inbox = msgs.groupBy("_mid").agg(agg_msg.alias("_msg"))
-        joined = cur.join(inbox, cur["id"] == inbox["_mid"], "left").drop("_mid")
-        nxt = update(joined)
-        if it % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        if "_changed" in nxt.columns:
-            if nxt.filter(F.col("_changed")).isEmpty():
-                return nxt.drop("_changed")
-            nxt = nxt.drop("_changed") if it == max_iter else nxt
-        cur = nxt
-    return cur.drop("_changed") if "_changed" in cur.columns else cur
+    # Materialize the edge frame once, hash-partitioned by the message join
+    # key — every superstep joins against it, and without a persist each
+    # superstep's job re-reads and re-derives the source tables (the
+    # iterative-graph analogue of GraphX caching the graph); with the
+    # partitioning cached, only the (much smaller) vertex state moves per
+    # superstep. Dropped again before returning; the result state is
+    # checkpointed so it never depends on this cache.
+    part_key = "e_src" if send_to_dst is not None else "e_dst"
+    e = _prefixed(edges, "e_").repartition(part_key).persist()
+    try:
+        cur = vertices
+        for it in range(1, max_iter + 1):
+            v = _prefixed(cur, "v_")
+            msgs = None
+            if send_to_dst is not None:
+                m = e.join(v, F.col("e_src") == F.col("v_id"), "inner").select(
+                    F.col("e_dst").alias("_mid"), send_to_dst.alias("msg")
+                )
+                msgs = m
+            if send_to_src is not None:
+                m = e.join(v, F.col("e_dst") == F.col("v_id"), "inner").select(
+                    F.col("e_src").alias("_mid"), send_to_src.alias("msg")
+                )
+                msgs = m if msgs is None else msgs.unionByName(m)
+            if msgs is None:
+                raise ValueError("at least one of send_to_dst/send_to_src required")
+            inbox = msgs.groupBy("_mid").agg(agg_msg.alias("_msg"))
+            joined = cur.join(inbox, cur["id"] == inbox["_mid"], "left").drop("_mid")
+            nxt = update(joined)
+            if "_changed" in nxt.columns:
+                # Convergence checking needs an action per superstep;
+                # checkpoint FIRST so isEmpty reads materialized state
+                # instead of re-executing every superstep since the last
+                # checkpoint.
+                nxt = nxt.localCheckpoint(eager=True)
+                if nxt.filter(F.col("_changed")).isEmpty():
+                    return nxt.drop("_changed")
+                nxt = nxt.drop("_changed")
+            elif it % checkpoint_every == 0 or it == max_iter:
+                # always checkpointed on exit so the returned frame does not
+                # depend on the edge cache dropped below
+                nxt = nxt.localCheckpoint(eager=True)
+            cur = nxt
+        return cur.drop("_changed") if "_changed" in cur.columns else cur
+    finally:
+        e.unpersist()
 
 
 def vertices_from_edges(edges: DataFrame) -> DataFrame:
