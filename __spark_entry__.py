@@ -366,6 +366,12 @@ _ORACLE: dict[str, str] = {
         UNION
         SELECT n_name AS name FROM nation
     """,
+    "sparql_update_roundtrip": """
+        SELECT CASE WHEN r_name = 'AFRICA' THEN 'AFRIKA' ELSE r_name END AS name
+        FROM region WHERE r_name <> 'ASIA'
+        UNION ALL SELECT 'PROBE' AS name
+        ORDER BY name
+    """,
     "dedup_near_pairs": """
         WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         s AS (SELECT doc_id,
@@ -671,6 +677,26 @@ _SPARQL: dict[str, str] = {
 }
 
 
+def _sparql_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL update path end-to-end: INSERT DATA -> DELETE WHERE ->
+    DELETE/INSERT WHERE (rename) -> read-back, mirroring the Cypher
+    mutation round-trip (sparql_translator.rs update lowering)."""
+    db = _sparql_db(spark, sf_dir)
+    db.sparql_update(
+        _SPARQL_PFX + 'INSERT DATA { ex:probe a ex:Region ; ex:name "PROBE" . }'
+    )
+    db.sparql_update(_SPARQL_PFX + 'DELETE WHERE { ?r ex:name "ASIA" }')
+    db.sparql_update(
+        _SPARQL_PFX
+        + 'DELETE { ?r ex:name "AFRICA" } INSERT { ?r ex:name "AFRIKA" } '
+        + 'WHERE { ?r ex:name "AFRICA" }'
+    )
+    return db.sparql(
+        _SPARQL_PFX
+        + "SELECT ?name WHERE { ?r a ex:Region . ?r ex:name ?name } ORDER BY ?name"
+    )
+
+
 def _gremlin_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _db(spark, sf_dir).gremlin(
         "g.V().hasLabel('Customer').groupCount('mktsegment')"
@@ -696,6 +722,7 @@ def _graphql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sparql_update_roundtrip": _sparql_update_roundtrip,
     "gremlin_segment_counts": _gremlin_segment_counts,
     "gremlin_order_count": _gremlin_order_count,
     "graphql_customers": _graphql_customers,

@@ -98,6 +98,17 @@ class GrafeoSpark:
 
         return _run(self.triples, query)
 
+    def sparql_update(self, query: str) -> None:
+        """Apply a SPARQL update (INSERT/DELETE DATA, DELETE WHERE,
+        DELETE/INSERT WHERE, CLEAR ALL) to the attached TripleStore,
+        replacing it with the updated store (immutable-store semantics,
+        like the Cypher write path)."""
+        if self.triples is None:
+            raise ValueError("no triple store attached")
+        from grafeo_spark.lang.sparql import sparql_update as _run
+
+        self.triples = _run(self.triples, query)
+
     # -- direct store API (database.rs:618-931 'side door') ---------------
 
     def nodes(self, label: str | None = None) -> DataFrame:

@@ -202,4 +202,125 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
 
 
 def sparql(ts: TripleStore, query: str) -> DataFrame:
-    return compile_select(ts, P.parse(query))
+    q = P.parse(query)
+    if isinstance(q, P.UpdateQuery):
+        raise SparqlCompileError("update query — use sparql_update()")
+    return compile_select(ts, q)
+
+
+# -- updates --------------------------------------------------------------
+
+# A bound variable's RDF-term kind (IRI vs literal) is collapsed to a
+# string in the bindings frame; when a template re-emits it, values with an
+# IRI scheme go to o_iri, everything else to o_lit. Exact for this slice's
+# corpus (full http:// IRIs); constants are always placed exactly.
+_IRI_SHAPE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+
+
+def _obj_cols(term, df: DataFrame | None) -> tuple[Column, Column, Column]:
+    """(o_iri, o_lit, o_dt) for a template object term."""
+    if isinstance(term, P.Iri):
+        return F.lit(term.value), F.lit(None).cast("string"), F.lit(None).cast("string")
+    if isinstance(term, P.Lit):
+        return (
+            F.lit(None).cast("string"),
+            F.lit(str(term.value)),
+            F.lit(term.datatype).cast("string"),
+        )
+    val = _term_col(term, df) if df is not None else F.lit(None)
+    is_iri = val.rlike(_IRI_SHAPE)
+    return (
+        F.when(is_iri, val),
+        F.when(~is_iri, val.cast("string")),
+        F.lit(None).cast("string"),
+    )
+
+
+def _iri_col(term, df: DataFrame | None, pos: str) -> Column:
+    if isinstance(term, P.Iri):
+        return F.lit(term.value)
+    if isinstance(term, P.Var) and df is not None:
+        return _term_col(term, df)
+    raise SparqlCompileError(f"unexpected {pos} term {term!r} in template")
+
+
+def _template_rows(
+    spark, triples: list[P.TriplePattern], bindings: DataFrame | None
+) -> DataFrame:
+    """Instantiate template triples (against WHERE bindings, or ground) as
+    store-shaped rows (s, p, o_iri, o_lit, o_dt, g)."""
+    base = bindings if bindings is not None else spark.range(1)
+    out: DataFrame | None = None
+    for tp in triples:
+        oi, ol, od = _obj_cols(tp.o, bindings)
+        row = base.select(
+            _iri_col(tp.s, bindings, "subject").alias("s"),
+            _iri_col(tp.p, bindings, "predicate").alias("p"),
+            oi.alias("o_iri"),
+            ol.alias("o_lit"),
+            od.alias("o_dt"),
+            F.lit(None).cast("string").alias("g"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise SparqlCompileError("empty update template")
+    return out.distinct()
+
+
+def _minus_rows(store: DataFrame, rows: DataFrame) -> DataFrame:
+    """Anti-join the store against instantiated rows, matching the object by
+    bound value (o_iri or o_lit) so variable bindings erase either kind."""
+    r = rows.select(
+        F.col("s").alias("_ds"),
+        F.col("p").alias("_dp"),
+        F.coalesce("o_iri", "o_lit").alias("_dv"),
+    ).distinct()
+    cond = (
+        (F.col("s") == F.col("_ds"))
+        & (F.col("p") == F.col("_dp"))
+        & (F.coalesce("o_iri", "o_lit") == F.col("_dv"))
+    )
+    return store.join(r, cond, "left_anti")
+
+
+def compile_update(ts: TripleStore, u: P.UpdateQuery) -> TripleStore:
+    """Apply one update, returning the new (immutable) TripleStore — the
+    DataFrame analogue of the reference's SPARQL update execution
+    (sparql_translator.rs update lowering; graph/rdf/store.rs mutation)."""
+    spark = ts.df.sparkSession
+    if u.kind == "clear":
+        return TripleStore.empty(spark)
+    if u.kind == "insert_data":
+        return ts.insert(_template_rows(spark, u.data, None))
+    if u.kind == "delete_data":
+        return TripleStore(_minus_rows(ts.df, _template_rows(spark, u.data, None)))
+    if u.kind == "modify":
+        bindings = _compile_group(ts, u.where) if u.where is not None else None
+        out = ts.df
+        if u.delete_tpl:
+            out = _minus_rows(out, _template_rows(spark, u.delete_tpl, bindings))
+        new = TripleStore(out)
+        if u.insert_tpl:
+            ins = _template_rows(spark, u.insert_tpl, bindings)
+            # set semantics: only triples not already present
+            existing = out.select("s", "p", "o_iri", "o_lit")
+            fresh = ins.join(
+                existing,
+                [
+                    ins["s"] == existing["s"],
+                    ins["p"] == existing["p"],
+                    ins["o_iri"].eqNullSafe(existing["o_iri"]),
+                    ins["o_lit"].eqNullSafe(existing["o_lit"]),
+                ],
+                "left_anti",
+            )
+            new = new.insert(fresh)
+        return new
+    raise SparqlCompileError(f"unknown update kind {u.kind!r}")
+
+
+def sparql_update(ts: TripleStore, query: str) -> TripleStore:
+    q = P.parse(query)
+    if not isinstance(q, P.UpdateQuery):
+        raise SparqlCompileError("not an update query — use sparql()")
+    return compile_update(ts, q)

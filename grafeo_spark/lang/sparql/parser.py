@@ -1,4 +1,4 @@
-"""SPARQL parser — the SELECT slice.
+"""SPARQL parser — the SELECT + UPDATE slice.
 
 Covers the reference's core SPARQL query surface
 (crates/grafeo-adapters/src/query/sparql/ast.rs — SELECT :51, graph
@@ -8,9 +8,15 @@ patterns OPTIONAL/UNION/FILTER :283-346, solution modifiers :471-519):
     pattern; FILTER(expr); OPTIONAL { ... }; { ... } UNION { ... } },
     ORDER BY [ASC|DESC](?v), LIMIT, OFFSET.
 
+and the update forms (ast.rs update variants; sparql_translator.rs):
+
+    INSERT DATA { triples }, DELETE DATA { triples },
+    DELETE WHERE { pattern }, DELETE { tpl } INSERT { tpl } WHERE { pattern }
+    (either template optional), CLEAR ALL.
+
 Terms: ?var, <iri>, prefix:name, "literal" (with optional ^^type), numbers,
-``a`` (rdf:type). Property paths / CONSTRUCT / ASK / updates are out of
-scope for this slice.
+``a`` (rdf:type). Property paths / CONSTRUCT / ASK are out of scope for
+this slice.
 """
 
 from __future__ import annotations
@@ -88,6 +94,21 @@ class SelectQuery:
     offset: Optional[int] = None
 
 
+@dataclass
+class UpdateQuery:
+    """kind: insert_data | delete_data | modify | clear.
+
+    *_data carry ground triples in ``data``; modify carries delete/insert
+    templates plus the WHERE pattern (DELETE WHERE reuses the pattern as
+    its own delete template)."""
+
+    kind: str
+    data: list[TriplePattern] = field(default_factory=list)
+    delete_tpl: list[TriplePattern] = field(default_factory=list)
+    insert_tpl: list[TriplePattern] = field(default_factory=list)
+    where: Optional[GroupPattern] = None
+
+
 _TOKEN = re.compile(
     r"""
     (?P<ws>\s+|\#[^\n]*)
@@ -145,7 +166,7 @@ class Parser:
 
     # -- entry ------------------------------------------------------------
 
-    def parse(self) -> SelectQuery:
+    def parse(self) -> Union[SelectQuery, UpdateQuery]:
         while self.at("name", "PREFIX"):
             self.next()
             pname = self.eat("pname")[1] if self.at("pname") else self.eat("name")[1] + self.eat("op", ":")[1]
@@ -155,6 +176,11 @@ class Parser:
                 pfx = pname.split(":", 1)[0]
             iri = self.eat("iri")[1][1:-1]
             self.prefixes[pfx] = iri
+        if self.at("name", "INSERT") or self.at("name", "DELETE") or self.at("name", "CLEAR"):
+            return self._update()
+        return self._select()
+
+    def _select(self) -> SelectQuery:
         self.eat("name", "SELECT")
         distinct = False
         if self.at("name", "DISTINCT"):
@@ -195,6 +221,59 @@ class Parser:
         if not self.at("eof"):
             raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
         return SelectQuery(variables, where, distinct, order, limit, offset)
+
+    # -- updates ----------------------------------------------------------
+
+    def _update(self) -> UpdateQuery:
+        if self.at("name", "CLEAR"):
+            self.next()
+            self.eat("name", "ALL")
+            q = UpdateQuery("clear")
+        elif self.at("name", "INSERT"):
+            self.next()
+            if self.at("name", "DATA"):
+                self.next()
+                q = UpdateQuery("insert_data", data=self._template())
+            else:
+                tpl = self._template()
+                self.eat("name", "WHERE")
+                q = UpdateQuery("modify", insert_tpl=tpl, where=self.group())
+        else:
+            self.eat("name", "DELETE")
+            if self.at("name", "DATA"):
+                self.next()
+                q = UpdateQuery("delete_data", data=self._template())
+            elif self.at("name", "WHERE"):
+                self.next()
+                where = self.group()
+                q = UpdateQuery("modify", delete_tpl=list(where.triples), where=where)
+            else:
+                delete_tpl = self._template()
+                insert_tpl: list[TriplePattern] = []
+                if self.at("name", "INSERT"):
+                    self.next()
+                    insert_tpl = self._template()
+                self.eat("name", "WHERE")
+                q = UpdateQuery(
+                    "modify",
+                    delete_tpl=delete_tpl,
+                    insert_tpl=insert_tpl,
+                    where=self.group(),
+                )
+        if not self.at("eof"):
+            raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
+        return q
+
+    def _template(self) -> list[TriplePattern]:
+        """{ triples } with no FILTER/OPTIONAL/UNION (an update template)."""
+        self.eat("op", "{")
+        triples: list[TriplePattern] = []
+        while not self.at("op", "}"):
+            triples.extend(self.triple_block())
+            if self.at("op", "."):
+                self.next()
+        self.eat("op", "}")
+        return triples
 
     # -- graph patterns ---------------------------------------------------
 

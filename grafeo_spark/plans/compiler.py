@@ -759,6 +759,9 @@ class Compiler:
             lbl = self._expr(e.args[1], scope, df)
             if info is not None and info.label is not None:
                 return F.lit(info.label) == lbl
+            if _p(e.args[0].name, "_labels") in df.columns:
+                # merged multi-label scan: membership in the full label set
+                return F.array_contains(F.col(_p(e.args[0].name, "_labels")), lbl)
             return F.col(_p(e.args[0].name, "_label")) == lbl
         if name == "array_join" and e.args:
             # needs a Python-str delimiter; unwrap the literal

@@ -162,3 +162,84 @@ def test_tpch_triples_smoke(spark):
         db.sparql(PFX + "SELECT ?name WHERE { ?r a ex:Region . ?r ex:name ?name } ORDER BY ?name")
     )
     assert len(out) == 5 and out[0] == ("AFRICA",)
+
+
+# -- updates (INSERT/DELETE DATA, DELETE WHERE, modify, CLEAR) ------------
+
+
+@pytest.fixture()
+def wdb(spark, ts):
+    """A writable engine over a fresh copy of the module store."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import TripleStore
+
+    return GrafeoSpark(spark, graph=None, triples=TripleStore(ts.df))
+
+
+def _names(db):
+    return rows(db.sparql(PFX + "SELECT ?n WHERE { ?s ex:name ?n } ORDER BY ?n"))
+
+
+def test_insert_data(wdb):
+    wdb.sparql_update(
+        PFX + 'INSERT DATA { ex:dave a ex:Person ; ex:name "Dave" . }'
+    )
+    assert ("Dave",) in _names(wdb)
+    out = rows(wdb.sparql(PFX + "SELECT ?p WHERE { ?p a ex:Person }"))
+    assert (EX + "dave",) in out
+
+
+def test_delete_data(wdb):
+    wdb.sparql_update(PFX + 'DELETE DATA { ex:carol ex:name "Carol" . }')
+    assert ("Carol",) not in _names(wdb)
+    # the rest of carol's triples survive
+    out = rows(wdb.sparql(PFX + "SELECT ?p WHERE { ?p a ex:Person }"))
+    assert (EX + "carol",) in out
+
+
+def test_delete_where(wdb):
+    wdb.sparql_update(PFX + "DELETE WHERE { ?s ex:knows ?o }")
+    out = rows(wdb.sparql(PFX + "SELECT ?s WHERE { ?s ex:knows ?o }"))
+    assert out == []
+    assert len(_names(wdb)) == 4  # names untouched
+
+
+def test_modify_delete_insert(wdb):
+    # rename Bob -> Robert via DELETE/INSERT WHERE
+    wdb.sparql_update(
+        PFX
+        + 'DELETE { ?p ex:name "Bob" } INSERT { ?p ex:name "Robert" } '
+        + 'WHERE { ?p ex:name "Bob" }'
+    )
+    names = _names(wdb)
+    assert ("Robert",) in names and ("Bob",) not in names
+
+
+def test_insert_where_binds_iri_object(wdb):
+    # derive a new predicate from bindings; the bound object is an IRI and
+    # must land in o_iri
+    wdb.sparql_update(
+        PFX + "INSERT { ?city ex:inhabitant ?p } WHERE { ?p ex:livesIn ?city }"
+    )
+    out = rows(wdb.sparql(PFX + "SELECT ?p WHERE { ex:city1 ex:inhabitant ?p }"))
+    assert out == [(EX + "alice",)]
+    # inserting again is a no-op (set semantics)
+    before = wdb.triples.df.count()
+    wdb.sparql_update(
+        PFX + "INSERT { ?city ex:inhabitant ?p } WHERE { ?p ex:livesIn ?city }"
+    )
+    assert wdb.triples.df.count() == before
+
+
+def test_clear_all(wdb):
+    wdb.sparql_update("CLEAR ALL")
+    assert wdb.triples.df.count() == 0
+
+
+def test_update_dispatch_errors(wdb):
+    from grafeo_spark.lang.sparql import SparqlCompileError
+
+    with pytest.raises(SparqlCompileError):
+        wdb.sparql(PFX + 'INSERT DATA { ex:x ex:name "X" }')
+    with pytest.raises(SparqlCompileError):
+        wdb.sparql_update(PFX + "SELECT ?s WHERE { ?s ?p ?o }")
