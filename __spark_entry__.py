@@ -372,6 +372,19 @@ _ORACLE: dict[str, str] = {
         UNION ALL SELECT 'PROBE' AS name
         ORDER BY name
     """,
+    "vq_codes_profile": """
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(round((least(greatest(CAST(x AS DOUBLE), -1.0), 1.0)
+                                   + 1.0) * 127.5) AS BIGINT)) AS codes
+            FROM embeddings WHERE vec_id < 20
+        )
+        SELECT vec_id, CAST(list_sum(codes) AS BIGINT) AS code_sum,
+               CAST(list_min(codes) AS BIGINT) AS code_min,
+               CAST(list_max(codes) AS BIGINT) AS code_max
+        FROM q
+    """,
     "dedup_near_pairs": """
         WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         s AS (SELECT doc_id,
@@ -677,6 +690,24 @@ _SPARQL: dict[str, str] = {
 }
 
 
+def _vq_codes_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization of embeddings (quantization.rs analogue): per
+    vector the sum/min/max of the uint8 codes — integer-exact against the
+    same arithmetic in the oracle."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.functions import scalar_quantize
+
+    emb = _embs(spark, sf_dir).filter(F.col("vec_id") < 20)
+    q = scalar_quantize(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("code_sum"),
+        F.array_min(q).cast("bigint").alias("code_min"),
+        F.array_max(q).cast("bigint").alias("code_max"),
+    )
+
+
 def _sparql_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL update path end-to-end: INSERT DATA -> DELETE WHERE ->
     DELETE/INSERT WHERE (rename) -> read-back, mirroring the Cypher
@@ -723,6 +754,7 @@ def _graphql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_update_roundtrip": _sparql_update_roundtrip,
+    "vq_codes_profile": _vq_codes_profile,
     "gremlin_segment_counts": _gremlin_segment_counts,
     "gremlin_order_count": _gremlin_order_count,
     "graphql_customers": _graphql_customers,

@@ -4,6 +4,9 @@ from grafeo_spark.functions.vector import (
     euclidean_distance,
     manhattan_distance,
     l2_normalize,
+    quantization_error,
+    scalar_dequantize,
+    scalar_quantize,
 )
 
 __all__ = [
@@ -12,4 +15,7 @@ __all__ = [
     "euclidean_distance",
     "manhattan_distance",
     "l2_normalize",
+    "scalar_quantize",
+    "scalar_dequantize",
+    "quantization_error",
 ]

@@ -280,3 +280,33 @@ def test_sample_frames(media):
     out = sample_frames(media.filter(F.col("media_id") == 2), every_ms=1000)
     ts = sorted(r.ts_ms for r in out.collect())
     assert ts == [0, 1000, 2000]
+
+
+def test_scalar_quantization_roundtrip(spark):
+    import math
+
+    from grafeo_spark.functions import (
+        quantization_error,
+        scalar_dequantize,
+        scalar_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0, -1.0, 0.5, -0.25]), (1, [2.0, -3.0, 0.1, 0.0, 0.9])],
+        "id long, v array<double>",
+    )
+    out = df.select(
+        "id",
+        scalar_quantize("v").alias("q"),
+        scalar_dequantize(scalar_quantize("v")).alias("d"),
+        quantization_error("v").alias("err"),
+    ).collect()
+    r = {row["id"]: row for row in out}
+    assert r[0]["q"] == [128, 255, 0, 191, 96]
+    # out-of-range values clamp to the boundary codes
+    assert r[1]["q"][0] == 255 and r[1]["q"][1] == 0
+    # reconstruction within half a quantization step for in-range values
+    step = 2.0 / 255.0
+    for x, y in zip([0.0, 1.0, -1.0, 0.5, -0.25], r[0]["d"]):
+        assert math.isclose(x, y, abs_tol=step / 2 + 1e-12)
+    assert r[0]["err"] < (step / 2) ** 2 + 1e-12
