@@ -398,6 +398,19 @@ _ORACLE: dict[str, str] = {
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
               / len(list_distinct(a.sh || b.sh)) >= 0.8
     """,
+    "ngram_jaccard_pairs": """
+        WITH g AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              range(1, greatest(length(text) - 4, 1) + 1),
+                              i -> substr(lower(text), i, 5))) AS ng
+                   FROM documents)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               round(len(list_intersect(a.ng, b.ng))::DOUBLE
+                     / len(list_distinct(a.ng || b.ng)), 4) AS jaccard
+        FROM g a JOIN g b ON b.doc_id > a.doc_id
+        WHERE len(list_intersect(a.ng, b.ng))::DOUBLE
+              / len(list_distinct(a.ng || b.ng)) >= 0.75
+    """,
     "dedup_exact_count": """
         SELECT CAST(count(DISTINCT lower(text)) AS BIGINT) AS n FROM documents
     """,
@@ -569,6 +582,27 @@ def _dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = near_duplicate_pairs(_docs(spark, sf_dir), threshold=0.8)
     return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dups via the banded MinHash pipeline;
+    oracle is brute-force all-pairs over the same n-gram sets."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.75)
+    return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-radius pairs via rotated-prefix buckets (no
+    all-pairs). No SQL oracle (64-bit xxhash semantics aren't replicable
+    in DuckDB) — rows-only driver check; exactness is covered by
+    tests/test_llm.py."""
+    from grafeo_spark.llm import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy("a", "b")
 
 
 def _dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,6 +795,8 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graphql_nested": _graphql_nested,
     "mutation_roundtrip": _mutation_roundtrip,
     "dedup_near_pairs": _dedup_near_pairs,
+    "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+    "simhash_near_pairs": _simhash_near_pairs,
     "dedup_exact_count": _dedup_exact_count,
     "text_quality_stats": _text_quality_stats,
     "knn_cosine_top10": _knn_cosine_top10,

@@ -13,6 +13,8 @@ from grafeo_spark.llm.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     near_duplicate_pairs,
+    ngram_jaccard_pairs,
+    signatures_from_sets,
     simhash,
     simhash_near_pairs,
     verify_jaccard,
@@ -53,6 +55,8 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_signatures",
     "near_duplicate_pairs",
+    "ngram_jaccard_pairs",
+    "signatures_from_sets",
     "simhash",
     "simhash_near_pairs",
     "verify_jaccard",

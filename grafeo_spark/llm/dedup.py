@@ -52,6 +52,27 @@ def shingle_sets(
     return df.select(F.col(id_col).alias("id"), sh.alias("_sh")).filter(F.size("_sh") > 0)
 
 
+def signatures_from_sets(set_df: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(id, signature) from an (id, _sh: array<string>) element-set frame.
+
+    signature[i] = min over elements of xxhash64(elem, i), computed by
+    exploding the sets and running `num_hashes` codegen'd min-aggregates
+    (map-side partial agg, one shuffle on id). This deliberately avoids the
+    nested higher-order-function formulation: HOF lambdas are interpreted
+    per element and are re-evaluated in every self-join branch downstream,
+    whereas the groupBy leaves the signatures behind a shuffle exchange that
+    Spark's ReuseExchange serves to all branches of the LSH join without
+    recomputation — the property that keeps the pipeline linear at scale."""
+    exploded = set_df.select("id", F.explode("_sh").alias("_s"))
+    mins = [
+        F.min(F.xxhash64("_s", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+    ]
+    agg = exploded.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -59,25 +80,9 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, signature: array<long>[num_hashes]).
-
-    signature[i] = min over shingles of xxhash64(shingle, i), computed by
-    exploding shingles and running `num_hashes` codegen'd min-aggregates
-    (map-side partial agg, one shuffle on id). This deliberately avoids the
-    nested higher-order-function formulation: HOF lambdas are interpreted
-    per element and are re-evaluated in every self-join branch downstream,
-    whereas the groupBy leaves the signatures behind a shuffle exchange that
-    Spark's ReuseExchange serves to all branches of the LSH join without
-    recomputation — the property that keeps the pipeline linear at scale."""
-    exploded = shingle_sets(df, id_col, text_col, shingle_k).select(
-        "id", F.explode("_sh").alias("_s")
-    )
-    mins = [
-        F.min(F.xxhash64("_s", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
-    ]
-    agg = exploded.groupBy("id").agg(*mins)
-    return agg.select(
-        "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature")
+    """(id, signature: array<long>[num_hashes]) over k-token shingles."""
+    return signatures_from_sets(
+        shingle_sets(df, id_col, text_col, shingle_k), num_hashes
     )
 
 
@@ -165,6 +170,28 @@ def dedup_near(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """(a, b, jaccard) near-duplicates under character-n-gram Jaccard —
+    the same banded MinHash pipeline with char n-grams as the element set
+    (robust to tokenization differences; the classic fuzzy-dup variant)."""
+    from grafeo_spark.llm.text import char_ngrams
+
+    sets = df.select(
+        F.col(id_col).alias("id"), char_ngrams(F.col(text_col), n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sigs = signatures_from_sets(sets, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands)
+    return verify_jaccard(cands, sets).filter(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------- #

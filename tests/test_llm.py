@@ -310,3 +310,14 @@ def test_scalar_quantization_roundtrip(spark):
     for x, y in zip([0.0, 1.0, -1.0, 0.5, -0.25], r[0]["d"]):
         assert math.isclose(x, y, abs_tol=step / 2 + 1e-12)
     assert r[0]["err"] < (step / 2) ** 2 + 1e-12
+
+
+def test_ngram_jaccard_pairs(docs):
+    from grafeo_spark.llm import ngram_jaccard_pairs
+
+    out = rows(ngram_jaccard_pairs(docs, n=5, threshold=0.5))
+    found = {(a, b) for a, b, _ in out}
+    assert (0, 2) in found  # case-only difference -> jaccard 1.0
+    j = {(a, b): jac for a, b, jac in out}
+    assert j[(0, 2)] == 1.0
+    assert (0, 1) in found  # one-word edit keeps most 5-grams
