@@ -399,17 +399,18 @@ _ORACLE: dict[str, str] = {
               / len(list_distinct(a.sh || b.sh)) >= 0.8
     """,
     "ngram_jaccard_pairs": """
-        WITH g AS (SELECT doc_id,
-                          list_distinct(list_transform(
-                              range(1, greatest(length(text) - 4, 1) + 1),
-                              i -> substr(lower(text), i, 5))) AS ng
-                   FROM documents)
+        WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        g AS (SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(w) - 1, 1) + 1),
+                         i -> array_to_string(w[i:i+1], ' '))) AS ng
+              FROM t)
         SELECT a.doc_id AS a, b.doc_id AS b,
                round(len(list_intersect(a.ng, b.ng))::DOUBLE
                      / len(list_distinct(a.ng || b.ng)), 4) AS jaccard
         FROM g a JOIN g b ON b.doc_id > a.doc_id
         WHERE len(list_intersect(a.ng, b.ng))::DOUBLE
-              / len(list_distinct(a.ng || b.ng)) >= 0.75
+              / len(list_distinct(a.ng || b.ng)) >= 0.6
     """,
     "dedup_exact_count": """
         SELECT CAST(count(DISTINCT lower(text)) AS BIGINT) AS n FROM documents
@@ -585,13 +586,14 @@ def _dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-5-gram Jaccard near-dups via the banded MinHash pipeline;
-    oracle is brute-force all-pairs over the same n-gram sets."""
+    """Word-bigram Jaccard near-dups via the banded MinHash pipeline
+    (the Gopher/C4-style n-gram dedup unit); oracle is brute-force
+    all-pairs over the same bigram sets."""
     from pyspark.sql import functions as F
 
     from grafeo_spark.llm import ngram_jaccard_pairs
 
-    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.75)
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.6)
     return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -746,7 +748,13 @@ def _sparql_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL update path end-to-end: INSERT DATA -> DELETE WHERE ->
     DELETE/INSERT WHERE (rename) -> read-back, mirroring the Cypher
     mutation round-trip (sparql_translator.rs update lowering)."""
+    from grafeo_spark.graph import TripleStore
+
     db = _sparql_db(spark, sf_dir)
+    # materialize the derived triple store once: the three updates and the
+    # final read each reference it, and without this every anti-join branch
+    # re-derives the full union-of-tables recast
+    db.triples = TripleStore(db.triples.df.localCheckpoint(eager=True))
     db.sparql_update(
         _SPARQL_PFX + 'INSERT DATA { ex:probe a ex:Region ; ex:name "PROBE" . }'
     )

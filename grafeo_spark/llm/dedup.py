@@ -176,19 +176,30 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 5,
-    threshold: float = 0.5,
+    n: int = 2,
+    threshold: float = 0.6,
     num_hashes: int = 64,
     bands: int = 32,
+    unit: str = "word",
 ) -> DataFrame:
-    """(a, b, jaccard) near-duplicates under character-n-gram Jaccard —
-    the same banded MinHash pipeline with char n-grams as the element set
-    (robust to tokenization differences; the classic fuzzy-dup variant)."""
+    """(a, b, jaccard) near-duplicates under n-gram Jaccard — the same
+    banded MinHash pipeline with word n-grams (the Gopher/C4-style dedup
+    unit) or character n-grams (``unit="char"``, robust to tokenization
+    differences) as the element set.
+
+    Banding only separates pairs when the corpus's background similarity
+    sits well below the threshold; char n-grams over a narrow vocabulary
+    violate that (most pairs collide in some band), which is why word
+    n-grams are the default unit."""
     from grafeo_spark.llm.text import char_ngrams
 
-    sets = df.select(
-        F.col(id_col).alias("id"), char_ngrams(F.col(text_col), n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    if unit == "char":
+        sh = char_ngrams(F.col(text_col), n)
+    else:
+        sh = shingles(tokenize(F.col(text_col)), n)
+    sets = df.select(F.col(id_col).alias("id"), sh.alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
     sigs = signatures_from_sets(sets, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands)
     return verify_jaccard(cands, sets).filter(F.col("jaccard") >= threshold)
@@ -201,24 +212,35 @@ def ngram_jaccard_pairs(
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash over token hashes: bit i is the
-    sign of sum(±1) of each token's hash bit i. Pure aggregate expressions."""
-    toks = tokenize(F.col(text_col))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    # shiftleft's bit count must be a Python literal, so the 64 bit
-    # positions are unrolled here (still one codegen'd expression tree).
-    def _vote_fn(m):
-        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+    sign of sum(±1) of each token's hash bit i.
 
-    code = F.lit(0).cast("long")
+    Computed by exploding tokens and running 64 codegen'd sum-aggregates
+    (same rationale as ``signatures_from_sets``: interpreted HOF aggregates
+    would be re-evaluated in every branch of the bucket self-join, whereas
+    the groupBy leaves codes behind a reusable shuffle exchange). Tokenless
+    documents keep code 0 via the left join."""
+    ids = df.select(F.col(id_col).alias("id"))
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    votes = []
+    masks = []
     for i in range(64):
         mask = (1 << i) if i < 63 else -(1 << 63)  # signed-long bit 63
-        vote = F.aggregate(F.col("_th"), F.lit(0).cast("long"), _vote_fn(mask))
-        code = code + F.when(vote > 0, F.lit(mask).cast("long")).otherwise(
+        masks.append(mask)
+        votes.append(
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+        )
+    agg = exploded.groupBy("id").agg(*votes)
+    code = F.lit(0).cast("long")
+    for i, mask in enumerate(masks):
+        code = code + F.when(F.col(f"_v{i}") > 0, F.lit(mask).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return df.select(F.col(id_col).alias("id"), th.alias("_th")).select(
-        "id", code.alias("simhash")
-    )
+    codes = agg.select("id", code.alias("simhash"))
+    return ids.join(codes, "id", "left").fillna({"simhash": 0})
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

@@ -315,9 +315,12 @@ def test_scalar_quantization_roundtrip(spark):
 def test_ngram_jaccard_pairs(docs):
     from grafeo_spark.llm import ngram_jaccard_pairs
 
-    out = rows(ngram_jaccard_pairs(docs, n=5, threshold=0.5))
+    out = rows(ngram_jaccard_pairs(docs, n=2, threshold=0.5))
     found = {(a, b) for a, b, _ in out}
     assert (0, 2) in found  # case-only difference -> jaccard 1.0
     j = {(a, b): jac for a, b, jac in out}
     assert j[(0, 2)] == 1.0
-    assert (0, 1) in found  # one-word edit keeps most 5-grams
+    assert (0, 1) in found  # one-word edit keeps most bigrams
+    # char-unit variant still available for tokenization-robust matching
+    chars = rows(ngram_jaccard_pairs(docs, n=5, threshold=0.9, unit="char"))
+    assert (0, 2) in {(a, b) for a, b, _ in chars}
