@@ -544,6 +544,21 @@ def _alg_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed approximate top-10 for the vec_id=0 embedding — the
+    scale path (bucket probe + exact rerank of candidates only, no full
+    scan). No SQL oracle (bucket membership is hash-defined) — rows-only
+    driver check; recall vs exact is asserted in tests/test_llm.py."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import ann_topk
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = ann_topk(e, [float(x) for x in q], k=10, multiprobe=2)
+    return out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
+
+
 def _mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cypher write path end-to-end: CREATE -> SET -> DETACH DELETE ->
     read-back (the reference's per-language mutation round-trip,
@@ -808,6 +823,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_count": _dedup_exact_count,
     "text_quality_stats": _text_quality_stats,
     "knn_cosine_top10": _knn_cosine_top10,
+    "ann_knn_top10": _ann_knn_top10,
     "sim_join_top2": _sim_join_top2,
     "text_features_profile": _text_features_profile,
     "alg_degree_top": _alg_degree_top,
