@@ -589,9 +589,11 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs, exact-verified at >= 0.8 Jaccard
-    (3-word shingles). The oracle is brute-force all-pairs; with 64 hashes
-    in 32 bands a 0.8-Jaccard pair escapes with P ~ 6e-15, so the verified
-    LSH output is exact."""
+    (3-word shingles). The oracle is brute-force all-pairs; banding is
+    derived from the threshold (0.8 -> 128 hashes as 32 bands x 4 rows,
+    S-curve midpoint 0.42, miss P ~ 5e-8), so the verified LSH output is
+    exact while candidates track true near-dups, not background
+    similarity."""
     from pyspark.sql import functions as F
 
     from grafeo_spark.llm import near_duplicate_pairs

@@ -12,15 +12,19 @@ The only O(candidates) work is the exact-Jaccard verification of bucket
 collisions, which is the standard MinHash pipeline shape. All expressions
 are Catalyst built-ins (xxhash64 / transform / array ops) — no Python UDFs.
 
-With the default 64 hashes in 32 bands of 2 rows, a pair at Jaccard 0.8
-is missed with probability (1 - 0.8²)^32 ≈ 6e-15 — the verified output is
-exact in practice, which is what the correctness battery checks against a
-brute-force oracle at sf0.01.
+Banding is derived from the requested threshold (``banding_for_threshold``):
+(num_hashes, bands, rows) are chosen so the S-curve midpoint (1/b)^(1/r)
+sits just below the threshold while the miss probability (1 - t^r)^b stays
+under 1e-6 — the verified output is exact in practice, which is what the
+correctness battery checks against a brute-force oracle at sf0.01. A fixed
+wide-band default (e.g. 32 bands of 2 rows, midpoint 0.18) would instead
+promote every pair above the *background* similarity to an exact-verify
+candidate — the scale-killer on any corpus with boilerplate.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from grafeo_spark.llm.text import shingles, tokenize
@@ -50,6 +54,60 @@ def shingle_sets(
     """(id, _sh: array<string>) distinct k-token shingles per document."""
     sh = shingles(tokenize(F.col(text_col)), shingle_k)
     return df.select(F.col(id_col).alias("id"), sh.alias("_sh")).filter(F.size("_sh") > 0)
+
+
+def shingle_hash_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    unit: str = "word",
+) -> DataFrame:
+    """(id, _shh: long) — one row per k-element shingle *occurrence*,
+    identified by a 64-bit hash of its elements.
+
+    This is the shared scale-path input for MinHash signatures AND exact
+    verification: explode elements with position, form each shingle with
+    window ``lead`` (all JVM-side — the array-of-strings formulation pays
+    an interpreted higher-order-function lambda per shingle, ~3× slower),
+    and hash the k elements in one ``xxhash64`` call. The window sort and
+    every downstream aggregate share one hash-partition-by-id exchange,
+    which ReuseExchange serves to both the signature and the set branch.
+
+    Set semantics downstream: MinHash is duplicate-insensitive (min over a
+    multiset equals min over its set), and the verify branch applies
+    ``collect_set``. Documents shorter than k elements contribute their
+    single truncated shingle (``xxhash64`` skips the null leads), matching
+    the array formulation in :func:`shingles`.
+    """
+    if unit == "char":
+        elems = F.split(F.lower(F.col(text_col)), "")
+    else:
+        elems = tokenize(F.col(text_col))
+    rows = df.select(F.col(id_col).alias("id"), F.posexplode(elems).alias("pos", "_t"))
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, shingle_k)]
+    n = F.count("*").over(Window.partitionBy("id"))
+    return (
+        rows.select("id", "pos", F.xxhash64(*parts).alias("_shh"), n.alias("_n"))
+        .filter(
+            (F.col("pos") <= F.col("_n") - shingle_k)
+            | ((F.col("_n") < shingle_k) & (F.col("pos") == 0))
+        )
+        .select("id", "_shh")
+    )
+
+
+def signatures_from_hash_rows(row_df: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, signature) from a (id, _shh) shingle-occurrence frame: num_hashes
+    codegen'd min-aggregates over fixed-width rehashes of the shingle hash."""
+    mins = [
+        F.min(F.xxhash64("_shh", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+    ]
+    agg = row_df.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def signatures_from_sets(set_df: DataFrame, num_hashes: int = 64) -> DataFrame:
@@ -86,6 +144,36 @@ def minhash_signatures(
     )
 
 
+def banding_for_threshold(
+    threshold: float, target_miss: float = 1e-6, max_hashes: int = 192
+) -> tuple[int, int, int]:
+    """Choose ``(num_hashes, bands, rows)`` for a Jaccard threshold.
+
+    Maximizes the S-curve midpoint ``(1/bands)**(1/rows)`` (fewer false
+    candidates) subject to the miss probability at the threshold,
+    ``(1 - threshold**rows)**bands``, staying below ``target_miss`` — so the
+    banded pipeline remains effectively exact versus a brute-force oracle.
+    Ties break toward fewer hashes (cheaper signatures). E.g. threshold
+    0.8 → (128, 32, 4) with midpoint 0.42 and miss ≈ 5e-8; threshold
+    0.6 → (192, 64, 3) with midpoint 0.25 and miss ≈ 2e-7.
+    """
+    best_key, best = None, None
+    for rows in range(2, 9):
+        for bands in (4, 6, 8, 12, 16, 24, 32, 48, 64):
+            n = bands * rows
+            if n > max_hashes:
+                continue
+            miss = (1.0 - threshold**rows) ** bands
+            if miss > target_miss:
+                continue
+            key = ((1.0 / bands) ** (1.0 / rows), -n)
+            if best_key is None or key > best_key:
+                best_key, best = key, (n, bands, rows)
+    if best is None:  # very low thresholds: widest allowed configuration
+        return (max_hashes // 2 * 2, max_hashes // 2, 2)
+    return best
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32) -> DataFrame:
     """(a, b) candidate pairs whose signatures collide in >= 1 band.
 
@@ -108,6 +196,15 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
+
+
+def verify_jaccard_from_hash_rows(pairs: DataFrame, row_df: DataFrame) -> DataFrame:
+    """(a, b, jaccard) — exact Jaccard over the hashed shingle sets.
+    ``row_df`` is :func:`shingle_hash_rows` output; the ``collect_set``
+    aggregate reuses the same by-id exchange as the signature branch.
+    Identical to string-set Jaccard (element→hash is injective w.h.p.)."""
+    sets = row_df.groupBy("id").agg(F.collect_set("_shh").alias("_sh"))
+    return verify_jaccard(pairs, sets)
 
 
 def verify_jaccard(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
@@ -134,16 +231,24 @@ def near_duplicate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    num_hashes: int = 64,
-    bands: int = 32,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_k: int = 3,
 ) -> DataFrame:
     """(a, b, jaccard) verified near-duplicate pairs — the full banded
-    MinHash pipeline (shingle → minhash → band bucket → join → verify)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    MinHash pipeline (shingle → minhash → band bucket → join → verify).
+
+    ``num_hashes``/``bands`` default to ``banding_for_threshold(threshold)``
+    so the candidate set tracks true near-duplicates, not the corpus's
+    background similarity."""
+    if num_hashes is None or bands is None:
+        num_hashes, bands, _ = banding_for_threshold(threshold)
+    sh_rows = shingle_hash_rows(df, id_col, text_col, shingle_k)
+    sigs = signatures_from_hash_rows(sh_rows, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands)
-    sh = shingle_sets(df, id_col, text_col, shingle_k)
-    return verify_jaccard(cands, sh).filter(F.col("jaccard") >= threshold)
+    return verify_jaccard_from_hash_rows(cands, sh_rows).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def duplicate_clusters(pairs: DataFrame) -> DataFrame:
@@ -178,8 +283,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.6,
-    num_hashes: int = 64,
-    bands: int = 32,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     unit: str = "word",
 ) -> DataFrame:
     """(a, b, jaccard) near-duplicates under n-gram Jaccard — the same
@@ -191,18 +296,14 @@ def ngram_jaccard_pairs(
     sits well below the threshold; char n-grams over a narrow vocabulary
     violate that (most pairs collide in some band), which is why word
     n-grams are the default unit."""
-    from grafeo_spark.llm.text import char_ngrams
-
-    if unit == "char":
-        sh = char_ngrams(F.col(text_col), n)
-    else:
-        sh = shingles(tokenize(F.col(text_col)), n)
-    sets = df.select(F.col(id_col).alias("id"), sh.alias("_sh")).filter(
-        F.size("_sh") > 0
-    )
-    sigs = signatures_from_sets(sets, num_hashes)
+    if num_hashes is None or bands is None:
+        num_hashes, bands, _ = banding_for_threshold(threshold)
+    sh_rows = shingle_hash_rows(df, id_col, text_col, shingle_k=n, unit=unit)
+    sigs = signatures_from_hash_rows(sh_rows, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands)
-    return verify_jaccard(cands, sets).filter(F.col("jaccard") >= threshold)
+    return verify_jaccard_from_hash_rows(cands, sh_rows).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -252,19 +353,26 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
     tables: int = 4,
 ) -> DataFrame:
-    """(a, b, hamming) pairs within a Hamming radius, via the rotated-prefix
-    bucket trick: hash each code into `tables` buckets of `prefix_bits`
-    (rotations spread differing bits), join within buckets, verify exact
-    Hamming — again no all-pairs."""
+    """(a, b, hamming) pairs within a Hamming radius, via disjoint bit
+    windows: split each 64-bit code into `tables` windows of 64//tables
+    bits, join within windows, verify exact Hamming — again no all-pairs.
+
+    Exactness (pigeonhole) requires ``max_hamming < tables``: a pair with
+    fewer differing bits than windows must agree on at least one whole
+    window. The window width is derived from ``tables`` (not a free knob —
+    an independent prefix width silently voids the guarantee)."""
+    if max_hamming >= tables:
+        raise ValueError(
+            f"simhash_near_pairs requires max_hamming < tables for the "
+            f"pigeonhole guarantee (got max_hamming={max_hamming}, tables={tables})"
+        )
     codes = simhash(df, id_col, text_col)
-    # disjoint bit windows: a pair within Hamming distance < tables must
-    # agree on at least one window (pigeonhole); shift counts are Python
-    # literals, so the windows are unrolled as a union
+    # disjoint bit windows: shift counts are Python literals, so the
+    # windows are unrolled as a union
     window_shift = 64 // tables
-    mask = (1 << prefix_bits) - 1
+    mask = (1 << window_shift) - 1
     b = None
     for t in range(tables):
         cur = codes.select(
