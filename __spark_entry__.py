@@ -157,6 +157,21 @@ _CYPHER: dict[str, str] = {
         "RETURN count(*) AS n, toInteger(min(length(p))) AS lo, "
         "toInteger(max(length(p))) AS hi, toInteger(max(size(nodes(p)))) AS max_nodes"
     ),
+    # allShortestPaths: ONE ROW PER SHORTEST PATH (plan.rs:578-598) — a part
+    # bought on several order lines / via several orders contributes one row
+    # per 2-hop route, so the count equals customer 1's lineitem count
+    "allshortest_customer_parts": (
+        "MATCH p = allShortestPaths((c:Customer {custkey: 1})-[*..3]->(t:Part)) "
+        "RETURN count(*) AS n_paths, toInteger(min(length(p))) AS lo, "
+        "toInteger(max(length(p))) AS hi"
+    ),
+    # shortestPath as a PATH VALUE: nodes(p) materialized for the
+    # representative path (shortest_path.rs:1-18 returns full paths)
+    "sp_region_path_nodes": (
+        "MATCH p = shortestPath((c:Customer {custkey: 1})-[*..3]->(r:Region)) "
+        "RETURN r.name AS region_name, toInteger(length(p)) AS len, "
+        "toInteger(size(nodes(p))) AS n_nodes"
+    ),
     # SKIP/OFFSET pagination determinism
     "skip_limit_page": (
         "MATCH (n:Nation) RETURN n.name AS name ORDER BY name ASC SKIP 5 LIMIT 5"
@@ -280,6 +295,19 @@ _ORACLE: dict[str, str] = {
                CAST(2 AS BIGINT) AS min_hops, CAST(2 AS BIGINT) AS max_hops
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_custkey = 1
+    """,
+    "allshortest_customer_parts": """
+        SELECT CAST(count(*) AS BIGINT) AS n_paths,
+               CAST(2 AS BIGINT) AS lo, CAST(2 AS BIGINT) AS hi
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey = 1
+    """,
+    "sp_region_path_nodes": """
+        SELECT r_name AS region_name, CAST(2 AS BIGINT) AS len,
+               CAST(3 AS BIGINT) AS n_nodes
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_custkey = 1
     """,
     "path_value_2hop": """
         SELECT r_name AS region_name, CAST(count(*) AS BIGINT) AS n_paths,

@@ -268,4 +268,14 @@ def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGra
         "SUPPLIED_BY": ("Part", "Supplier"),
         "HAS_EMBEDDING": ("Document", "Embedding"),
     }
-    return PropertyGraph(nodes, edges, endpoints, disjoint_labels=True)
+    # (src, dst)-distinct edge frames: everything except CONTAINS (one edge
+    # per lineitem — an order can contain a part on several lines).
+    return PropertyGraph(
+        nodes,
+        edges,
+        endpoints,
+        disjoint_labels=True,
+        distinct_pairs={
+            "IN_REGION", "FROM_NATION", "PLACED", "SUPPLIED_BY", "HAS_EMBEDDING"
+        },
+    )

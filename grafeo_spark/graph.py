@@ -44,9 +44,16 @@ class PropertyGraph:
         edge_frames: dict[str, DataFrame],
         endpoints: dict[str, tuple[str | None, str | None]] | None = None,
         disjoint_labels: bool = False,
+        distinct_pairs: frozenset[str] | set[str] | None = None,
     ) -> None:
         self.node_frames = dict(node_frames)
         self.edge_frames = dict(edge_frames)
+        # Edge types whose (src, dst) pairs are known distinct (no parallel
+        # edges). Reachability operators skip their global edge-set dedup
+        # shuffle for these — per-frame metadata, so one multi-edge type
+        # (e.g. CONTAINS) doesn't force a full-|E| distinct on an untyped
+        # traversal at 100 TB.
+        self.distinct_pairs = frozenset(distinct_pairs or ())
         # Declared metadata: ids unique ACROSS label frames. When False
         # (the safe default), a node id present in several frames is ONE
         # node with a label set (lpg/node.rs), so unlabeled scans merge
@@ -127,12 +134,19 @@ class PropertyGraph:
     def with_nodes(self, label: str, df: DataFrame) -> "PropertyGraph":
         frames = dict(self.node_frames)
         frames[label] = df
-        return PropertyGraph(frames, self.edge_frames, self.endpoints, self.disjoint_labels)
+        return PropertyGraph(
+            frames, self.edge_frames, self.endpoints, self.disjoint_labels,
+            self.distinct_pairs,
+        )
 
     def with_edges(self, etype: str, df: DataFrame) -> "PropertyGraph":
         frames = dict(self.edge_frames)
         frames[etype] = df
-        return PropertyGraph(self.node_frames, frames, self.endpoints, self.disjoint_labels)
+        # the replaced frame's distinctness is no longer known
+        return PropertyGraph(
+            self.node_frames, frames, self.endpoints, self.disjoint_labels,
+            self.distinct_pairs - {etype},
+        )
 
     def create_nodes(self, label: str, df: DataFrame) -> "PropertyGraph":
         """Append nodes (CreateNodeOperator analogue, mutation.rs:21) —
@@ -157,7 +171,10 @@ class PropertyGraph:
                 e = e.join(ids.withColumnRenamed(ID, SRC), on=SRC, how="left_anti")
                 e = e.join(ids.withColumnRenamed(ID, DST), on=DST, how="left_anti")
                 eframes[t] = e
-        return PropertyGraph(frames, eframes, self.endpoints, self.disjoint_labels)
+        # anti-join keeps each frame a subset: distinctness is preserved
+        return PropertyGraph(
+            frames, eframes, self.endpoints, self.disjoint_labels, self.distinct_pairs
+        )
 
     def merge_nodes(self, label: str, df: DataFrame, keys: list[str]) -> "PropertyGraph":
         """MERGE: keep existing rows, append the anti-joined remainder

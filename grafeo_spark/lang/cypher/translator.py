@@ -34,6 +34,9 @@ class _Ctx:
     # or None meaning "all" (bare variable reference). ``used is None``
     # disables the analysis (mutation path, subpatterns) — conservative.
     used: dict | None = None
+    # The statement being translated (for usage scans, e.g. whether a
+    # shortestPath path variable needs full path values or only length).
+    stmt: object = None
 
     def fresh_var(self) -> str:
         self.fresh += 1
@@ -147,6 +150,46 @@ def _collect_used(stmt: P.Statement) -> dict:
     return used
 
 
+def _needs_path_value(stmt, var: str) -> bool:
+    """Does any expression in the statement use the path variable as a path
+    VALUE — ``nodes(p)``, ``relationships(p)``, bare ``p`` — rather than only
+    ``length(p)``? Decides whether shortestPath materializes node lists or
+    runs the cheap pair-level BFS."""
+    import dataclasses as _dc
+
+    found = False
+
+    def visit(e) -> bool:
+        nonlocal found
+        if (
+            isinstance(e, E.Fn)
+            and e.name.lower() == "length"
+            and len(e.args) == 1
+            and isinstance(e.args[0], E.Col)
+            and e.args[0].name == var
+        ):
+            return True  # length(p) alone doesn't need path values
+        if isinstance(e, E.Col) and e.name == var:
+            found = True
+        return found
+
+    stack = [stmt]
+    while stack and not found:
+        cur = stack.pop()
+        if cur is None:
+            continue
+        if isinstance(cur, (tuple, list)):
+            stack.extend(cur)
+            continue
+        if not _dc.is_dataclass(cur):
+            continue
+        if visit(cur):
+            continue
+        for f in _dc.fields(cur):
+            stack.append(getattr(cur, f.name))
+    return found
+
+
 def translate(q: P.UnionQuery) -> ir.Plan:
     plan = _statement(q.parts[0])
     for part, is_all in zip(q.parts[1:], q.alls):
@@ -157,6 +200,7 @@ def translate(q: P.UnionQuery) -> ir.Plan:
 def _statement(stmt: P.Statement) -> ir.Plan:
     ctx = _Ctx()
     ctx.used = _collect_used(stmt)
+    ctx.stmt = stmt
     for clause in stmt.clauses:
         if isinstance(clause, P.MatchClause):
             _match(ctx, clause)
@@ -398,6 +442,7 @@ def _shortest(ctx: _Ctx, pat: P.PatternPath, known: dict) -> None:
             ctx.plan = scan if ctx.plan is None else ir.Cartesian(ctx.plan, scan)
             ctx.bound[v] = ("node", label)
     hops_alias = pat.path_var or ctx.fresh_var()
+    with_nodes = pat.path_var is not None and _needs_path_value(ctx.stmt, pat.path_var)
     ctx.plan = ir.ShortestPath(
         ctx.plan,
         src_var=a.var,
@@ -407,9 +452,15 @@ def _shortest(ctx: _Ctx, pat: P.PatternPath, known: dict) -> None:
         max_hops=rel.max_hops or DEFAULT_VARLEN_CAP,
         hops_alias=hops_alias,
         all_paths=pat.all_shortest,
+        with_nodes=with_nodes,
     )
     ctx.bound[hops_alias] = ("value", None)
-    ctx.sp_vars.add(hops_alias)
+    if with_nodes:
+        # nodes(p)/relationships(p)/bare p resolve through the named-path
+        # machinery against the materialized <p>__nodes / <p>__len columns
+        ctx.path_vars.add(hops_alias)
+    else:
+        ctx.sp_vars.add(hops_alias)
 
 
 # ----------------------------------------------------------------------- #

@@ -153,6 +153,7 @@ def reachable_pairs(
     max_hops: int,
     src_ids: Optional[DataFrame] = None,
     early_exit: bool = False,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Distinct (src, dst, hops=first reached) — BFS with per-level dedup.
 
@@ -164,13 +165,21 @@ def reachable_pairs(
     eager checkpoint per hop) and stops — required for large ``max_hops``
     (algorithm callers); query compilation keeps the default fully-lazy
     plan for its small hop caps.
+
+    ``pairs_distinct=True`` declares the input's (src, dst) pairs already
+    distinct, skipping the global edge-set dedup shuffle — at 100 TB a full
+    |E| shuffle per query regardless of frontier size. The compiler sets it
+    from per-edge-type metadata (catalog knows which frames hold distinct
+    pairs; only multi-edge frames need a per-frame dedup).
     """
-    e = _prep_edges(edges).select("_esrc", "_edst").distinct()
-    frontier = (
-        _seed(e, src_ids)
-        .select(F.col("_esrc").alias("origin"), F.col("_edst").alias("cur"))
-        .distinct()
+    e = _prep_edges(edges).select("_esrc", "_edst")
+    if not pairs_distinct:
+        e = e.distinct()
+    frontier = _seed(e, src_ids).select(
+        F.col("_esrc").alias("origin"), F.col("_edst").alias("cur")
     )
+    if not pairs_distinct:
+        frontier = frontier.distinct()
     if early_exit:
         e = e.localCheckpoint(eager=True)
         frontier = frontier.localCheckpoint(eager=True)
@@ -205,7 +214,10 @@ def reachable_pairs(
 
 
 def shortest_path_lengths(
-    edges: DataFrame, max_hops: int, src_ids: Optional[DataFrame] = None
+    edges: DataFrame,
+    max_hops: int,
+    src_ids: Optional[DataFrame] = None,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """(src, dst, hops) with hops = BFS shortest-path length (1..max_hops).
 
@@ -213,4 +225,68 @@ def shortest_path_lengths(
     are explored in order and previously-seen pairs are anti-joined away,
     the first time a pair appears IS its shortest distance.
     """
-    return reachable_pairs(edges, 1, max_hops, src_ids=src_ids)
+    return reachable_pairs(
+        edges, 1, max_hops, src_ids=src_ids, pairs_distinct=pairs_distinct
+    )
+
+
+def all_shortest_paths(
+    edges: DataFrame,
+    max_hops: int,
+    src_ids: Optional[DataFrame] = None,
+    with_nodes: bool = False,
+) -> DataFrame:
+    """(src, dst, hops[, path_nodes]) — ONE ROW PER SHORTEST PATH.
+
+    Cypher ``allShortestPaths`` semantics (reference plan.rs:578-598,
+    shortest_path.rs:97-105): every minimum-length path between each
+    reachable pair, so a pair connected by k tied-length routes yields k
+    rows — parallel edges count as distinct paths, so the edge bag is NOT
+    deduplicated here. BFS level order with a per-level anti-join against
+    already-reached pairs prunes every non-minimal prefix as soon as it is
+    one hop longer than the first reach — the frontier is bounded by the
+    number of shortest paths, not all trails, and no trail-repeat filter is
+    needed (a path that revisits a node is never minimal, so its prefix is
+    already pruned).
+
+    ``path_nodes`` (``with_nodes=True``) lists the node ids visited after
+    the source ([n1, .., dst]), matching :func:`var_length_expand`.
+    """
+    e = _prep_edges(edges).select("_esrc", "_edst")
+    frontier = _seed(e, src_ids).select(
+        F.col("_esrc").alias("origin"),
+        F.col("_edst").alias("cur"),
+        F.lit(1).alias("hops"),
+    )
+    if with_nodes:
+        frontier = frontier.withColumn("_pnodes", F.array(F.col("cur")))
+    results = [frontier]
+    seen = frontier.select("origin", "cur").distinct()
+    hop = 1
+    while hop < max_hops:
+        hop += 1
+        cols = [
+            F.col("origin"),
+            F.col("_edst").alias("cur"),
+            (F.col("hops") + 1).alias("hops"),
+        ]
+        if with_nodes:
+            cols.append(F.array_append(F.col("_pnodes"), F.col("_edst")).alias("_pnodes"))
+        nxt = (
+            frontier.join(e, frontier["cur"] == e["_esrc"], "inner")
+            .select(*cols)
+            .join(seen, ["origin", "cur"], "left_anti")
+        )
+        if hop % _CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=False)
+        frontier = nxt
+        seen = seen.unionByName(frontier.select("origin", "cur")).distinct()
+        results.append(frontier)
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    sel = [F.col("origin").alias("src"), F.col("cur").alias("dst"), F.col("hops")]
+    if with_nodes:
+        sel.append(F.col("_pnodes").alias("path_nodes"))
+    return out.select(*sel)

@@ -53,6 +53,10 @@ class Compiler:
         self.spark = spark
         self.params = params or {}
         self._uid = 0
+        # >0 while compiling the right side of a semi/anti join (EXISTS
+        # subquery): row multiplicity is irrelevant there, so var-length
+        # expansions may legally collapse to distinct reachability.
+        self._semi_depth = 0
 
     def _fresh(self, stem: str) -> str:
         self._uid += 1
@@ -135,6 +139,52 @@ class Compiler:
             )
             e = e.unionByName(rev)
         return e, label
+
+    def _edge_pairs(self, etypes: tuple[str, ...], direction: str) -> DataFrame:
+        """(src, dst)-DISTINCT oriented edge pairs for reachability operators
+        (reachable_pairs / shortest_path_lengths).
+
+        Instead of a global ``.distinct()`` over the unioned edge set (a full
+        |E| shuffle per query regardless of frontier size), dedup only the
+        frames the catalog does NOT declare pair-distinct, and skip the final
+        global dedup when no two oriented frames can collide (their declared
+        endpoint-label pairs differ; labels are disjoint id namespaces).
+        """
+        types = list(etypes) if etypes else self.graph.edge_types()
+        frames: list[DataFrame] = []
+        orient_eps: list[tuple[Optional[str], Optional[str]]] = []
+        for t in types:
+            f = self.graph.edge_frames[t].select("src", "dst")
+            if t not in self.graph.distinct_pairs:
+                f = f.distinct()  # bounded by this type's pair count
+            s_lbl, d_lbl = self.graph.endpoints.get(t, (None, None))
+            rev = f.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            if direction == ir.IN:
+                frames.append(rev)
+                orient_eps.append((d_lbl, s_lbl))
+            elif direction == ir.BOTH:
+                frames.append(f)
+                frames.append(rev)
+                orient_eps.append((s_lbl, d_lbl))
+                orient_eps.append((d_lbl, s_lbl))
+            else:
+                frames.append(f)
+                orient_eps.append((s_lbl, d_lbl))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        if not self.graph.disjoint_labels:
+            return out.distinct()
+        # two oriented frames can share a pair only if both endpoint labels
+        # can coincide (None = unknown label, collides with anything)
+        for i in range(len(orient_eps)):
+            for j in range(i + 1, len(orient_eps)):
+                (s1, d1), (s2, d2) = orient_eps[i], orient_eps[j]
+                if (s1 is None or s2 is None or s1 == s2) and (
+                    d1 is None or d2 is None or d1 == d2
+                ):
+                    return out.distinct()
+        return out
 
     def _c_expand(self, p: ir.Expand) -> tuple[DataFrame, Scope]:
         child, scope = self._compile(p.child)
@@ -252,20 +302,34 @@ class Compiler:
     def _var_length(self, p: ir.Expand, child: DataFrame, scope: Scope) -> tuple[DataFrame, Scope]:
         from grafeo_spark.operators.expand import reachable_pairs, var_length_expand
 
-        e, _ = self._edge_frame(p.etypes, p.direction)
         lo = p.min_hops if p.min_hops is not None else 1
         hi = p.max_hops if p.max_hops is not None else lo
         # Seed the BFS from the bound side's ids instead of all-pairs over
         # the whole edge set — the 100 TB-scale fix (frontier bounded by the
         # child's rows, not |E|^hops).
         seeds = child.select(_p(p.src_var, "id")).distinct()
-        if p.edge_var is None and p.path_alias is None and lo <= 1:
-            # No edge variable bound: only distinct reachability matters for
-            # downstream use; per-level dedup keeps frontier state bounded.
-            # (Only valid when lo <= 1: reachable_pairs records first-reach
-            # hop, so a pair first seen below lo would be wrongly dropped.)
-            pairs = reachable_pairs(e, lo, hi, src_ids=seeds)
+        if (
+            p.edge_var is None
+            and p.path_alias is None
+            and lo <= 1
+            and self._semi_depth > 0
+        ):
+            # Inside an EXISTS semi/anti join row multiplicity is provably
+            # irrelevant, so distinct reachability is legal AND the scale
+            # path (per-level dedup bounds frontier state). Everywhere else
+            # Cypher bag semantics require one row per trail — a diamond
+            # yields 2 rows even with no edge variable bound
+            # (variable_length_expand.rs trail enumeration). (lo <= 1 because
+            # reachable_pairs records first-reach hop only.)
+            pairs = reachable_pairs(
+                self._edge_pairs(p.etypes, p.direction),
+                lo,
+                hi,
+                src_ids=seeds,
+                pairs_distinct=True,
+            )
         else:
+            e, _ = self._edge_frame(p.etypes, p.direction)
             pairs = var_length_expand(
                 e, lo, hi, src_ids=seeds, with_nodes=p.path_alias is not None
             )  # (src, dst, hops[, path_nodes])
@@ -280,6 +344,10 @@ class Compiler:
         pairs = pairs.select(*psel)
         ndf, ninfo = self._node_frame(p.dst_var, p.dst_label)
         right = pairs.join(ndf, F.col(_p(pvar, "dst")) == F.col(_p(p.dst_var, "id")), "inner")
+        for key, val in p.dst_props:
+            right = right.filter(
+                F.col(_p(p.dst_var, key)) == self._expr(val, {p.dst_var: ninfo}, right)
+            )
         cond = F.col(_p(p.src_var, "id")) == F.col(_p(pvar, "src"))
         how = "left" if p.optional else "inner"
         out = child.join(right, cond, how)
@@ -294,24 +362,63 @@ class Compiler:
         return out, scope
 
     def _c_shortestpath(self, p: ir.ShortestPath) -> tuple[DataFrame, Scope]:
-        from grafeo_spark.operators.expand import shortest_path_lengths
+        from grafeo_spark.operators.expand import (
+            all_shortest_paths,
+            shortest_path_lengths,
+        )
 
         child, scope = self._compile(p.child)
-        e, _ = self._edge_frame(p.etypes, p.direction)
         seeds = child.select(_p(p.src_var, "id")).distinct()
-        dist = shortest_path_lengths(e.select("src", "dst"), p.max_hops, src_ids=seeds)
         dvar = self._fresh("sp")
-        dist = dist.select(
+        if p.all_paths or p.with_nodes:
+            # Path enumeration: one row per shortest path (parallel edges
+            # distinct), optionally carrying the visited node ids.
+            e, _ = self._edge_frame(p.etypes, p.direction)
+            dist = all_shortest_paths(
+                e.select("src", "dst"), p.max_hops, src_ids=seeds, with_nodes=True
+            )
+            if not p.all_paths:
+                # shortestPath: ONE representative path per pair,
+                # deterministic (lexicographically least node list).
+                dist = dist.groupBy("src", "dst").agg(
+                    F.min("hops").alias("hops"),
+                    F.min("path_nodes").alias("path_nodes"),
+                )
+        else:
+            # Lengths only — the scale path: per-level pair dedup, and the
+            # edge set is pre-deduped per frame using catalog metadata (no
+            # global |E| distinct).
+            dist = shortest_path_lengths(
+                self._edge_pairs(p.etypes, p.direction),
+                p.max_hops,
+                src_ids=seeds,
+                pairs_distinct=True,
+            )
+        sel = [
             F.col("src").alias(_p(dvar, "src")),
             F.col("dst").alias(_p(dvar, "dst")),
-            F.col("hops").alias(p.hops_alias),
-        )
+        ]
+        if p.with_nodes:
+            sel.append(F.col("hops").alias(f"{p.hops_alias}__len"))
+            # full node list: [src, n1, .., dst]
+            sel.append(
+                F.concat(F.array(F.col("src")), F.col("path_nodes")).alias(
+                    f"{p.hops_alias}__nodes"
+                )
+            )
+        else:
+            sel.append(F.col("hops").alias(p.hops_alias))
+        dist = dist.select(*sel)
         cond = (F.col(_p(p.src_var, "id")) == F.col(_p(dvar, "src"))) & (
             F.col(_p(p.dst_var, "id")) == F.col(_p(dvar, "dst"))
         )
         out = child.join(dist, cond, "inner").drop(_p(dvar, "src"), _p(dvar, "dst"))
         scope = dict(scope)
-        scope[p.hops_alias] = VarInfo("value")
+        if p.with_nodes:
+            scope[f"{p.hops_alias}__len"] = VarInfo("value")
+            scope[f"{p.hops_alias}__nodes"] = VarInfo("value")
+        else:
+            scope[p.hops_alias] = VarInfo("value")
         return out, scope
 
     def _c_cartesian(self, p: ir.Cartesian) -> tuple[DataFrame, Scope]:
@@ -396,7 +503,11 @@ class Compiler:
 
     def _c_semijoin(self, p: ir.SemiJoin) -> tuple[DataFrame, Scope]:
         l, ls = self._compile(p.left)
-        r, _ = self._compile(p.right)
+        self._semi_depth += 1
+        try:
+            r, _ = self._compile(p.right)
+        finally:
+            self._semi_depth -= 1
         cond = None
         for v in p.on_vars:
             c = l[_p(v, "id")] == r[_p(v, "id")]

@@ -85,6 +85,10 @@ class ShortestPath(Plan):
     max_hops: int
     hops_alias: str
     all_paths: bool = False
+    # Statement uses nodes(p)/relationships(p)/bare p on the path variable:
+    # the compiler materializes <alias>__nodes / <alias>__len path-value
+    # columns (otherwise only the hop count, the cheap pair-level BFS).
+    with_nodes: bool = False
 
 
 @dataclass

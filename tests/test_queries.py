@@ -164,11 +164,52 @@ def test_var_length_with_edge_var(db):
 
 
 def test_var_length_reachable(db):
-    # no edge var => distinct reachability
+    # Cypher bag semantics: one row PER TRAIL even with no edge variable
+    # bound — Carol is reachable both directly (8-1-3) and through Bob
+    # (8-1-2-3), so she appears twice (variable_length_expand.rs trail
+    # enumeration; the round-2 advice's diamond case).
     out = rows(
         db.cypher("MATCH (a:Person {name: 'Heidi'})-[:KNOWS*1..3]->(b) RETURN b.name AS n")
     )
-    assert out == [("Alice",), ("Bob",), ("Carol",), ("Dave",)]
+    assert out == [("Alice",), ("Bob",), ("Carol",), ("Carol",), ("Dave",)]
+
+
+def test_var_length_exists_distinct(db):
+    # Inside EXISTS the same pattern legally collapses to reachability —
+    # the compiler's semi-join context keeps the scale path there.
+    out = rows(
+        db.cypher(
+            "MATCH (a:Person) WHERE EXISTS((a)-[:KNOWS*1..3]->(:Person {name: 'Dave'})) "
+            "RETURN a.name AS n"
+        )
+    )
+    assert out == [("Alice",), ("Bob",), ("Carol",), ("Heidi",)]
+
+
+def test_all_shortest_paths_and_path_values(spark):
+    # Diamond s->{m1,m2}->t: two tied 2-hop shortest paths (plan.rs:578-598
+    # all_shortest cardinality); shortestPath picks ONE deterministic
+    # representative and exposes full path values (shortest_path.rs:1-18).
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [(1, "s"), (2, "m1"), (3, "m2"), (4, "t")], "id long, name string"
+    )
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long")
+    db2 = GrafeoSpark(spark, PropertyGraph({"N": nodes}, {"E": edges}))
+    both = db2.cypher(
+        "MATCH p = allShortestPaths((a:N {name: 's'})-[:E*..4]->(b:N {name: 't'})) "
+        "RETURN length(p) AS l"
+    ).collect()
+    assert sorted(r.l for r in both) == [2, 2]
+    one = db2.cypher(
+        "MATCH p = shortestPath((a:N {name: 's'})-[:E*..4]->(b:N {name: 't'})) "
+        "RETURN nodes(p) AS ns, length(p) AS l"
+    ).collect()
+    assert len(one) == 1
+    assert one[0].l == 2
+    assert list(one[0].ns) == [1, 2, 4]
 
 
 def test_shortest_path_length(db):
