@@ -377,6 +377,14 @@ _ORACLE: dict[str, str] = {
         SELECT n_name AS nation, r_name AS r_region
         FROM nation JOIN region ON n_regionkey = r_regionkey
     """,
+    "graphql_three_level": """
+        SELECT c_name AS name, o_orderkey AS o_orderkey,
+               l_partkey AS o_p_partkey
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_custkey = 1
+    """,
     "sparql_region_names": """
         SELECT r_name AS name FROM region ORDER BY name
     """,
@@ -839,6 +847,16 @@ def _graphql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graphql_three_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level nesting (customer -> PLACED -> CONTAINS), endpoint-resolved
+    labels at every level (graphql_translator.rs:28 recursive walk); one row
+    per lineitem of customer 1."""
+    return _db(spark, sf_dir).graphql(
+        "{ Customer(custkey: 1) { name o: PLACED { orderkey "
+        "p: CONTAINS { partkey } } } }"
+    )
+
+
 _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_update_roundtrip": _sparql_update_roundtrip,
     "vq_codes_profile": _vq_codes_profile,
@@ -846,6 +864,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_order_count": _gremlin_order_count,
     "graphql_customers": _graphql_customers,
     "graphql_nested": _graphql_nested,
+    "graphql_three_level": _graphql_three_level,
     "mutation_roundtrip": _mutation_roundtrip,
     "dedup_near_pairs": _dedup_near_pairs,
     "ngram_jaccard_pairs": _ngram_jaccard_pairs,

@@ -101,19 +101,31 @@ def shortest_paths(
 
 
 def dijkstra(
-    edges: DataFrame, source: int, weight_col: str = "weight", directed: bool = True
+    edges: DataFrame,
+    source: int,
+    weight_col: str = "weight",
+    directed: bool = True,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Single-source weighted shortest paths (shortest_path.rs:595)."""
-    return shortest_paths(edges, [source], weight_col=weight_col, directed=directed)
+    return shortest_paths(
+        edges, [source], weight_col=weight_col, directed=directed, max_iter=max_iter
+    )
 
 
 def bellman_ford(
-    edges: DataFrame, source: int, weight_col: str = "weight", directed: bool = True
+    edges: DataFrame,
+    source: int,
+    weight_col: str = "weight",
+    directed: bool = True,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Alias with reference naming (shortest_path.rs:702); supports the
     same relaxation loop (negative weights converge within max_iter=|V|-1
-    if no negative cycle — pass a larger max_iter for that guarantee)."""
-    return shortest_paths(edges, [source], weight_col=weight_col, directed=directed)
+    if no negative cycle — pass max_iter >= |V|-1 for that guarantee)."""
+    return shortest_paths(
+        edges, [source], weight_col=weight_col, directed=directed, max_iter=max_iter
+    )
 
 
 def floyd_warshall(

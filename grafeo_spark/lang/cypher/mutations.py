@@ -50,10 +50,13 @@ def execute(db, uq: P.UnionQuery, params: dict[str, Any]) -> DataFrame:
         raise MutationError("UNION is not supported in mutation statements")
     stmt = uq.parts[0]
     mx = _Mutator(db, params)
+    result: DataFrame | None = None
     for clause in stmt.clauses:
-        if isinstance(clause, (P.MatchClause, P.UnwindClause, P.WithClause)):
-            if isinstance(clause, P.WithClause) and clause.is_return:
-                raise MutationError("RETURN after write clauses is not supported yet")
+        if isinstance(clause, P.WithClause) and clause.is_return:
+            # CREATE ... RETURN n (query_correctness.rs mutation sections):
+            # project over the binding frame against the POST-write snapshot
+            result = mx.returning(clause)
+        elif isinstance(clause, (P.MatchClause, P.UnwindClause, P.WithClause)):
             mx.read_clause(clause)
         elif isinstance(clause, P.CreateClause):
             mx.create(clause)
@@ -68,6 +71,8 @@ def execute(db, uq: P.UnionQuery, params: dict[str, Any]) -> DataFrame:
         else:
             raise MutationError(f"unsupported clause in mutation: {clause!r}")
     db.graph = mx.graph
+    if result is not None:
+        return result
     spark = db.spark
     return spark.createDataFrame(
         [
@@ -145,6 +150,55 @@ class _Mutator:
         compiler = Compiler(self.graph, self.spark, self.params)
         return compiler._expr(T._rw(self.ctx, e), self._scope, df)
 
+    def returning(self, clause: P.WithClause) -> DataFrame:
+        """RETURN after write clauses: refresh every bound node variable's
+        properties from the post-write frames (so SET results are visible),
+        then project/aggregate the binding frame."""
+        df, scope = self._bindings()
+        # refresh node vars from the current (post-write) label frames
+        for var, info in list(scope.items()):
+            if getattr(info, "kind", None) != "node" or not info.label:
+                continue
+            frame = self.graph.node_frames.get(info.label)
+            idc = _p(var, "id")
+            if frame is None or idc not in df.columns:
+                continue
+            renamed = frame.select(*[F.col(c).alias(_p(var, c)) for c in frame.columns])
+            keep = [c for c in df.columns if not (c.startswith(var + "__") and c != idc)]
+            df = df.select(*keep).join(renamed, [idc], "left")
+            from grafeo_spark.plans.compiler import VarInfo
+
+            scope[var] = VarInfo("node", info.label, tuple(frame.columns))
+        comp = Compiler(self.graph, self.spark, self.params)
+        items = [(T._rw(self.ctx, it.expr), it.alias) for it in clause.items]
+        agg_items = [(e, a) for e, a in items if E.is_aggregate(e)]
+        if agg_items:
+            key_items = [(e, a) for e, a in items if not E.is_aggregate(e)]
+            aggs = [comp._agg_expr(e, scope, df).alias(a) for e, a in agg_items]
+            if key_items:
+                tmp = df
+                for e, a in key_items:
+                    tmp = tmp.withColumn(a, comp._expr(e, scope, df))
+                out = tmp.groupBy(*[a for _, a in key_items]).agg(*aggs)
+            else:
+                out = df.agg(*aggs)
+        else:
+            out = df.select(*[comp._expr(e, scope, df).alias(a) for e, a in items])
+            if clause.distinct:
+                out = out.distinct()
+        if clause.order:
+            cols = []
+            for e, asc in clause.order:
+                if not (isinstance(e, E.Col) and e.name in out.columns):
+                    raise MutationError("ORDER BY after writes supports projected aliases only")
+                cols.append(F.col(e.name).asc() if asc else F.col(e.name).desc())
+            out = out.orderBy(*cols)
+        if clause.skip is not None:
+            out = out.offset(clause.skip)
+        if clause.limit is not None:
+            out = out.limit(clause.limit)
+        return out
+
     def _next_id(self) -> int:
         mx = 0
         for frame in self.graph.node_frames.values():
@@ -190,6 +244,11 @@ class _Mutator:
             new_nodes = base.select(*cols).localCheckpoint(eager=True)
             self.graph = self.graph.create_nodes(label, new_nodes)
             self.stats["nodes_created"] += new_nodes.count()
+            # multi-label CREATE (n:A:B): the node exists under every label
+            # (lpg/node.rs label sets -> one row per label frame here)
+            for extra in node.labels[1:]:
+                self.graph = self.graph.merge_nodes(extra, new_nodes, keys=["id"])
+                self.stats["labels_added"] += new_nodes.count()
             # make the new var usable by later clauses/edges
             self.ctx.bound[var] = ("node", label)
             if self._scope is not None:
@@ -234,39 +293,85 @@ class _Mutator:
             raise MutationError("MERGE supports a single node or single relationship")
 
     def _merge_node(self, node: P.NodePat, clause: P.MergeClause) -> None:
+        """MERGE executed per binding row (merge.rs:1-18): the property
+        expressions are evaluated against the binding frame (so
+        ``MATCH (c) MERGE (t:Tag {name: c.name})`` merges one node per
+        distinct key value), missing keys are found with one anti-join
+        against the label frame, and the merged node's id is joined back so
+        later clauses (SET / CREATE / RETURN) can use the variable."""
         if not node.labels:
             raise MutationError("MERGE node requires a label")
         label = node.labels[0]
+        df, _scope = self._bindings()
         frame = self.graph.node_frames.get(label)
-        lits = {}
-        for k, v in node.props:
-            col = self.spark.range(1).select(self._expr(v, self.spark.range(1)))
-            lits[k] = col.collect()[0][0]
-        existing = None
-        if frame is not None:
-            existing = frame
-            for k, val in lits.items():
-                existing = existing.filter(F.col(k) == F.lit(val))
-            matched = not existing.isEmpty()
+
+        if not node.props:
+            # MERGE (n:Label): match any node of the label, create one if none
+            matched = frame is not None and not frame.isEmpty()
+            if matched:
+                if clause.on_match:
+                    self._apply_set_to_ids(label, frame.select("id"), clause.on_match, node.var)
+            else:
+                new_df = self.spark.createDataFrame([(self._next_id(),)], "id long")
+                self.graph = self.graph.create_nodes(label, new_df)
+                self.stats["nodes_created"] += 1
+            if node.var:
+                self.ctx.bound[node.var] = ("node", label)
+            return
+
+        keys = [k for k, _ in node.props]
+        wanted = (
+            df.select(*[self._expr(v, df).alias(k) for k, v in node.props])
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        keys_present = frame is not None and all(k in frame.columns for k in keys)
+        if keys_present:
+            missing = wanted.join(frame.select(*keys), keys, "left_anti")
+            matched_ids = frame.join(wanted, keys, "left_semi").select("id")
         else:
-            matched = False
-        if matched:
-            if clause.on_match:
-                self._apply_set_to_ids(
-                    label, existing.select("id"), clause.on_match, node.var
-                )
-        else:
-            nid = self._next_id()
-            row_vals = {"id": nid, **lits}
+            missing = wanted
+            matched_ids = None
+        missing = missing.localCheckpoint(eager=True)
+        n_missing = missing.count()
+        if n_missing:
+            start = self._next_id()
+            w = Window.orderBy(F.monotonically_increasing_id())
+            new_nodes = missing.withColumn(
+                "id", F.lit(start - 1) + F.row_number().over(w).cast("long")
+            ).select("id", *keys)
             for it in clause.on_create:
-                if it.kind == "prop":
-                    col = self.spark.range(1).select(self._expr(it.expr, self.spark.range(1)))
-                    row_vals[it.key] = col.collect()[0][0]
-                    self.stats["properties_set"] += 1
-            new_df = self.spark.createDataFrame([tuple(row_vals.values())], list(row_vals.keys()))
-            self.graph = self.graph.create_nodes(label, new_df)
-            self.stats["nodes_created"] += 1
+                if it.kind != "prop":
+                    raise MutationError("ON CREATE SET supports property items only")
+                new_nodes = new_nodes.withColumn(it.key, self._expr(it.expr, new_nodes))
+                self.stats["properties_set"] += n_missing
+            new_nodes = new_nodes.localCheckpoint(eager=True)
+            self.graph = self.graph.create_nodes(label, new_nodes)
+            self.stats["nodes_created"] += n_missing
+        if matched_ids is not None and clause.on_match:
+            matched_ids = matched_ids.localCheckpoint(eager=True)
+            if not matched_ids.isEmpty():
+                self._apply_set_to_ids(label, matched_ids, clause.on_match, node.var)
         if node.var:
+            # join the merged node's id back onto the binding frame
+            final = self.graph.node_frames[label]
+            add = final.select(
+                F.col("id").alias(_p(node.var, "id")),
+                *[F.col(k).alias(f"__mk_{k}") for k in keys],
+            )
+            df2 = df
+            for k, v in node.props:
+                df2 = df2.withColumn(f"__mg_{k}", self._expr(v, df))
+            cond = None
+            for k in keys:
+                c = df2[f"__mg_{k}"] == add[f"__mk_{k}"]
+                cond = c if cond is None else cond & c
+            self._df = df2.join(add, cond, "left").drop(
+                *[f"__mg_{k}" for k in keys], *[f"__mk_{k}" for k in keys]
+            )
+            from grafeo_spark.plans.compiler import VarInfo
+
+            self._scope[node.var] = VarInfo("node", label, ("id",))
             self.ctx.bound[node.var] = ("node", label)
 
     def _merge_edge(self, left: P.NodePat, rel: P.RelPat, right: P.NodePat, clause: P.MergeClause) -> None:

@@ -155,69 +155,114 @@ def parse(src: str) -> list[Field]:
 _PAGINATION = ("first", "limit", "offset")
 
 
+def _split_args(args: list[tuple[str, Any]]):
+    """(filters, label, limit, offset) from a field's argument list."""
+    filters: list[tuple[str, Any]] = []
+    label = limit = offset = None
+    for k, v in args:
+        if k in ("first", "limit"):
+            limit = int(v)
+        elif k == "offset":
+            offset = int(v)
+        elif k == "label":
+            label = v
+        else:
+            filters.append((k, v))
+    return filters, label, limit, offset
+
+
+def _join_nested(
+    graph: PropertyGraph,
+    frame: DataFrame,
+    parent_id_col: str,
+    parent_label: Optional[str],
+    sel: Field,
+    prefix: str,
+) -> tuple[DataFrame, list[str]]:
+    """Expand one nested selection (recursively, any depth): join the edge
+    type named by the field, then the destination label frame.
+
+    The destination label is resolved from the field's ``label:`` arg, else
+    the graph's declared edge endpoints (graphql_translator.rs:28 walks the
+    schema the same way) — only unknown endpoints fall back to the
+    all-labels union. Argument filters COMPOSE (each restricts the running
+    frame), and ``first``/``offset`` paginate PER PARENT (row_number over
+    the parent id, ordered by destination id for determinism).
+    """
+    if sel.name not in graph.edge_frames:
+        raise GraphQLError(
+            f"unknown edge type {sel.name!r}; known: {graph.edge_types()}"
+        )
+    filters, label, limit, offset = _split_args(sel.args)
+    if label is None:
+        ep = graph.endpoints.get(sel.name)
+        if ep is not None:
+            label = ep[1]
+    base = graph.nodes(label) if label else graph.nodes(None)
+    for k, v in filters:
+        base = base.filter(F.col(k) == F.lit(v))
+
+    child_prefix = prefix + sel.out_name + "_"
+    child_id = f"__id_{child_prefix}"
+    scalars = [s for s in sel.selections if not s.selections]
+    nested = [s for s in sel.selections if s.selections]
+    child = base.select(
+        F.col("id").alias(child_id),
+        *[F.col(s.name).alias(child_prefix + s.out_name) for s in scalars],
+    )
+    esrc, edst = f"__src_{child_prefix}", f"__dst_{child_prefix}"
+    e = graph.edges(sel.name).select(
+        F.col("src").alias(esrc), F.col("dst").alias(edst)
+    )
+    out = (
+        frame.join(e, F.col(parent_id_col) == F.col(esrc), "inner")
+        .join(child, F.col(edst) == F.col(child_id), "inner")
+        .drop(esrc, edst)
+    )
+    if limit is not None or offset is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(parent_id_col).orderBy(F.col(child_id))
+        rn = f"__rn_{child_prefix}"
+        out = out.withColumn(rn, F.row_number().over(w))
+        lo = offset or 0
+        cond = F.col(rn) > lo
+        if limit is not None:
+            cond = cond & (F.col(rn) <= lo + limit)
+        out = out.filter(cond).drop(rn)
+    out_cols = [child_prefix + s.out_name for s in scalars]
+    for sub in nested:
+        out, sub_cols = _join_nested(graph, out, child_id, label, sub, child_prefix)
+        out_cols += sub_cols
+    return out.drop(child_id), out_cols
+
+
 def _compile_field(graph: PropertyGraph, root: Field) -> DataFrame:
     if root.name not in graph.node_frames:
         raise GraphQLError(
             f"unknown root type {root.name!r}; known: {graph.labels()}"
         )
     df = graph.nodes(root.name)
-    limit = offset = None
-    for k, v in root.args:
-        if k in ("first", "limit"):
-            limit = int(v)
-        elif k == "offset":
-            offset = int(v)
-        else:
-            df = df.filter(F.col(k) == F.lit(v))
+    filters, _, limit, offset = _split_args(root.args)
+    for k, v in filters:
+        df = df.filter(F.col(k) == F.lit(v))
+    # root pagination selects root OBJECTS (deterministic by id), before
+    # nested expansion multiplies rows
+    if offset is not None or limit is not None:
+        df = df.orderBy("id")
+        if offset is not None:
+            df = df.offset(offset)
+        if limit is not None:
+            df = df.limit(limit)
 
-    cols: list = []
-    for sel in _ordered_scalars(root):
-        cols.append(F.col(sel.name).alias(sel.out_name))
+    cols = [F.col(s.name).alias(s.out_name) for s in root.selections if not s.selections]
     out = df
     for sel in root.selections:
         if not sel.selections:
             continue
-        # nested selection: expand along edge type sel.name
-        if sel.name not in graph.edge_frames:
-            raise GraphQLError(
-                f"unknown edge type {sel.name!r}; known: {graph.edge_types()}"
-            )
-        e = graph.edges(sel.name).select(
-            F.col("src").alias("__src"), F.col("dst").alias("__dst")
-        )
-        # destination label: find frames containing dst ids (declared via
-        # the nested field's own 'label' arg, else inferred = any label)
-        target = None
-        for k, v in sel.args:
-            if k == "label":
-                target = v
-        nested_nodes = graph.nodes(target) if target else graph.nodes(None)
-        prefix = sel.out_name + "_"
-        ncols = [F.col("id").alias("__nid")]
-        for s2 in sel.selections:
-            if s2.selections:
-                raise GraphQLError("selection nesting deeper than 2 not supported yet")
-            ncols.append(F.col(s2.name).alias(prefix + s2.out_name))
-        nested = nested_nodes.select(*ncols)
-        for k, v in sel.args:
-            if k not in _PAGINATION and k != "label":
-                nested = nested_nodes.filter(F.col(k) == F.lit(v)).select(*ncols)
-        out = (
-            out.join(e, out["id"] == F.col("__src"), "inner")
-            .join(nested, F.col("__dst") == F.col("__nid"), "inner")
-            .drop("__src", "__dst", "__nid")
-        )
-        cols.extend(F.col(prefix + s2.out_name) for s2 in sel.selections)
-    result = out.select(*cols) if cols else out
-    if offset is not None:
-        result = result.offset(offset)
-    if limit is not None:
-        result = result.limit(limit)
-    return result
-
-
-def _ordered_scalars(f: Field) -> list[Field]:
-    return [s for s in f.selections if not s.selections]
+        out, nested_cols = _join_nested(graph, out, "id", root.name, sel, "")
+        cols.extend(F.col(c) for c in nested_cols)
+    return out.select(*cols) if cols else out
 
 
 def execute(graph: PropertyGraph, query: str) -> DataFrame:

@@ -51,6 +51,43 @@ def test_nested_with_filter(db):
     assert ("Bob", "Carol") in out and ("Heidi", "Alice") in out and len(out) == 4
 
 
+def test_nested_filters_compose(db):
+    # round-2 advice: multiple non-pagination args must ALL apply
+    out = rows(
+        db.graphql('{ Person { name k: KNOWS(city: "NYC", age: 35) { name } } }')
+    )
+    assert out == [("Alice", "Carol"), ("Bob", "Carol")]
+    # contradictory filters -> empty (the old bug kept only the last one)
+    none = rows(
+        db.graphql('{ Person { name k: KNOWS(city: "LA", age: 35) { name } } }')
+    )
+    assert none == []
+
+
+def test_three_level_nesting(db):
+    out = rows(
+        db.graphql(
+            '{ Person(name: "Heidi") { name k: KNOWS { name k2: KNOWS { name } } } }'
+        )
+    )
+    # Heidi->Alice->{Bob, Carol}
+    assert out == [("Heidi", "Alice", "Bob"), ("Heidi", "Alice", "Carol")]
+    df = db.graphql(
+        '{ Person(name: "Heidi") { name k: KNOWS { name k2: KNOWS { name } } } }'
+    )
+    assert df.columns == ["name", "k_name", "k_k2_name"]
+
+
+def test_nested_pagination_per_parent(db):
+    # first: 1 on a nested field keeps ONE child per parent (by id order)
+    out = rows(
+        db.graphql('{ Person { name k: KNOWS(first: 1) { name } } }')
+    )
+    # parents with >=1 out-edge each contribute exactly one row
+    assert len(out) == 6  # Alice, Bob, Carol, Dave, Eve, Heidi
+    assert ("Alice", "Bob") in out  # Bob (id 2) < Carol (id 3)
+
+
 def test_unknown_type_error(db):
     from grafeo_spark.lang.graphql import GraphQLError
 

@@ -229,3 +229,44 @@ def test_create_per_match_row(wdb):
     assert s.nodes_created == 3
     out = rows(wdb.cypher("MATCH (s:Shadow) RETURN s.of AS n"))
     assert out == [("Alice",), ("Carol",), ("Frank",)]
+
+
+def test_merge_per_binding_row(wdb):
+    # round-2 advice: MERGE evaluated against the MATCH binding frame —
+    # one Tag per distinct city, idempotent on re-run
+    s = wdb.cypher("MATCH (p:Person) MERGE (t:City {name: p.city})").collect()[0]
+    assert s.nodes_created == 5  # NYC, LA, Chicago, Phoenix, Houston
+    s2 = wdb.cypher("MATCH (p:Person) MERGE (t:City {name: p.city})").collect()[0]
+    assert s2.nodes_created == 0
+    out = rows(wdb.cypher("MATCH (t:City) RETURN t.name AS n"))
+    assert out == [("Chicago",), ("Houston",), ("LA",), ("NYC",), ("Phoenix",)]
+
+
+def test_create_return(wdb):
+    out = wdb.cypher(
+        "CREATE (n:Person {name: 'Zed', age: 21, city: 'LA'}) "
+        "RETURN n.name AS name, n.age AS age"
+    ).collect()
+    assert [(r.name, r.age) for r in out] == [("Zed", 21)]
+
+
+def test_set_return_sees_post_write(wdb):
+    out = wdb.cypher(
+        "MATCH (p:Person {name: 'Alice'}) SET p.age = 31 RETURN p.age AS age"
+    ).collect()
+    assert [r.age for r in out] == [31]
+
+
+def test_create_return_aggregate(wdb):
+    out = wdb.cypher(
+        "MATCH (p:Person {city: 'NYC'}) CREATE (s:Shadow {of: p.name}) "
+        "RETURN count(*) AS n"
+    ).collect()
+    assert out[0].n == 3
+
+
+def test_multi_label_create(wdb):
+    wdb.cypher("CREATE (n:Admin:Person {name: 'Root', age: 1, city: 'NYC'})")
+    assert rows(wdb.cypher("MATCH (a:Admin) RETURN a.name AS n")) == [("Root",)]
+    out = rows(wdb.cypher("MATCH (p:Person {name: 'Root'}) RETURN p.age AS a"))
+    assert out == [(1,)]
