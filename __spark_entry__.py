@@ -377,6 +377,17 @@ _ORACLE: dict[str, str] = {
         SELECT n_name AS nation, r_name AS r_region
         FROM nation JOIN region ON n_regionkey = r_regionkey
     """,
+    "gremlin_project_orders": """
+        SELECT c_custkey AS custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        WHERE c_custkey <= 20
+        GROUP BY c_custkey
+        ORDER BY custkey
+    """,
+    "gremlin_mutation_roundtrip": """
+        SELECT CAST(count(*) AS BIGINT) AS "count"
+        FROM customer WHERE c_custkey <= 5
+    """,
     "graphql_three_level": """
         SELECT c_name AS name, o_orderkey AS o_orderkey,
                l_partkey AS o_p_partkey
@@ -835,6 +846,28 @@ def _gremlin_order_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gremlin_project_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """project/by with a per-element anonymous sub-traversal aggregate
+    (ast.rs Project/By + scoped count): per-customer order counts, zero
+    included — compiled as one groupBy + left join, no per-row dispatch."""
+    return _db(spark, sf_dir).gremlin(
+        "g.V().hasLabel('Customer').has('custkey', P.lte(20))"
+        ".project('custkey', 'n_orders').by('custkey').by(__.out('PLACED').count())"
+        ".order().by('custkey')"
+    )
+
+
+def _gremlin_mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin write path end-to-end (ast.rs AddV/Property/Drop lowered on
+    the functional graph): addV -> property on matched nodes -> drop ->
+    read-back count."""
+    db = _db(spark, sf_dir)
+    db.gremlin("g.addV('Tag').property('name', 'probe')")
+    db.gremlin("g.V().hasLabel('Customer').has('custkey', P.lte(5)).property('gflag', 1)")
+    db.gremlin("g.V().hasLabel('Tag').drop()")
+    return db.gremlin("g.V().hasLabel('Customer').has('gflag', 1).count()")
+
+
 def _graphql_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _db(spark, sf_dir).graphql(
         '{ Customer(mktsegment: "BUILDING") { custkey name } }'
@@ -862,6 +895,8 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vq_codes_profile": _vq_codes_profile,
     "gremlin_segment_counts": _gremlin_segment_counts,
     "gremlin_order_count": _gremlin_order_count,
+    "gremlin_project_orders": _gremlin_project_orders,
+    "gremlin_mutation_roundtrip": _gremlin_mutation_roundtrip,
     "graphql_customers": _graphql_customers,
     "graphql_nested": _graphql_nested,
     "graphql_three_level": _graphql_three_level,

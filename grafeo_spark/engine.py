@@ -72,14 +72,15 @@ class GrafeoSpark:
         gremlin_translator.rs:21). Use ``.g`` for the fluent form."""
         from grafeo_spark.lang.gremlin import execute, traversal
 
-        return execute(traversal(self.graph), query).toDF()
+        return execute(traversal(self.graph, self), query).toDF()
 
     @property
     def g(self):
-        """Fluent Gremlin traversal source (GraphTraversalSource)."""
+        """Fluent Gremlin traversal source (GraphTraversalSource); mutation
+        steps (addV/addE/property/drop) rebind ``self.graph``."""
         from grafeo_spark.lang.gremlin import traversal
 
-        return traversal(self.graph)
+        return traversal(self.graph, self)
 
     def graphql(self, query: str) -> DataFrame:
         """Execute a GraphQL query (execute_graphql analogue,

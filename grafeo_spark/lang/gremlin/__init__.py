@@ -3,11 +3,16 @@
 
 from grafeo_spark.lang.gremlin.parser import execute
 from grafeo_spark.lang.gremlin.traversal import (
+    Anon,
     GremlinError,
     GremlinSource,
     P,
     Traversal,
+    __,
     traversal,
 )
 
-__all__ = ["execute", "traversal", "GremlinSource", "Traversal", "P", "GremlinError"]
+__all__ = [
+    "execute", "traversal", "GremlinSource", "Traversal", "P", "GremlinError",
+    "Anon", "__",
+]

@@ -12,7 +12,13 @@ from __future__ import annotations
 
 import ast
 
-from grafeo_spark.lang.gremlin.traversal import GremlinError, GremlinSource, P, Traversal
+from grafeo_spark.lang.gremlin.traversal import (
+    Anon,
+    GremlinError,
+    GremlinSource,
+    P,
+    Traversal,
+)
 
 # Gremlin step name -> python method (reserved words get a trailing _)
 _METHODS = {
@@ -24,10 +30,47 @@ _METHODS = {
     "as": "as_",
     "id": "id_",
     "not": "not_",
+    "and": "and_",
+    "or": "or_",
 }
 
 
+def _root_name(node: ast.expr):
+    """Innermost Name of an attribute/call chain, or None."""
+    while True:
+        if isinstance(node, ast.Call):
+            node = node.func
+        elif isinstance(node, ast.Attribute):
+            node = node.value
+        elif isinstance(node, ast.Name):
+            return node.id
+        else:
+            return None
+
+
+def _anon(node: ast.expr) -> Anon:
+    """Build an Anon from a chain rooted at ``__`` (e.g. __.out('K').count())."""
+    steps: list[tuple[str, tuple, dict]] = []
+    while True:
+        if isinstance(node, ast.Call):
+            fn = node.func
+            if not isinstance(fn, ast.Attribute):
+                raise GremlinError("unsupported anonymous-traversal form")
+            name = _METHODS.get(fn.attr, fn.attr)
+            steps.append((name, tuple(_literal(a) for a in node.args), {}))
+            node = fn.value
+        elif isinstance(node, ast.Name):
+            if node.id != "__":
+                raise GremlinError("anonymous traversals must be rooted at __")
+            return Anon(tuple(reversed(steps)))
+        else:
+            raise GremlinError(f"unsupported syntax in anonymous traversal: {ast.dump(node)}")
+
+
 def _literal(node: ast.expr):
+    root = _root_name(node)
+    if root == "__":
+        return _anon(node)
     if isinstance(node, ast.Call):
         # P.gt(5) style predicate
         fn = node.func
@@ -41,7 +84,9 @@ def _literal(node: ast.expr):
                 return getattr(P, fn.attr)(*args)
             except AttributeError:
                 raise GremlinError(f"unknown predicate P.{fn.attr}")
-        raise GremlinError("only P.<predicate>(...) calls are allowed as arguments")
+        raise GremlinError(
+            "only P.<predicate>(...) and __.<step>()... calls are allowed as arguments"
+        )
     try:
         return ast.literal_eval(node)
     except ValueError:
@@ -72,8 +117,8 @@ def execute(g: GremlinSource, query: str) -> Traversal:
     except SyntaxError as ex:
         raise GremlinError(f"gremlin syntax error: {ex}")
     steps = _flatten(tree.body)
-    if not steps or steps[0][0] not in ("V", "E"):
-        raise GremlinError("traversal must start with g.V() or g.E()")
+    if not steps or steps[0][0] not in ("V", "E", "addV", "addE"):
+        raise GremlinError("traversal must start with g.V()/g.E()/g.addV()/g.addE()")
     cur = g
     for name, args in steps:
         method = _METHODS.get(name, name)
@@ -83,6 +128,9 @@ def execute(g: GremlinSource, query: str) -> Traversal:
         if target is None:
             raise GremlinError(f"unknown traversal-source step .{name}()")
         cur = target(*args)
-    if not isinstance(cur, Traversal):
-        raise GremlinError("query did not produce a traversal")
-    return cur
+    if isinstance(cur, Traversal):
+        return cur
+    if hasattr(cur, "toDF"):
+        # mutation builders / group modulators finalize via toDF
+        return cur
+    raise GremlinError("query did not produce a traversal")

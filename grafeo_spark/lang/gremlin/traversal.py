@@ -1,16 +1,20 @@
 """Gremlin front-end: fluent traversal API compiling to DataFrames.
 
 Covers the step surface of the reference's Gremlin AST
-(crates/grafeo-adapters/src/query/gremlin/ast.rs:31-157 — V/E, out/in/both
-(+E/V variants), has/hasLabel/hasNot, where-style predicates, values/
-valueMap/elementMap, dedup, order/by, limit/skip/range, count/sum/mean/
-min/max, fold, group/groupCount, path, select/as, coalesce-ish optional,
-addV/addE/property/drop mutations) re-expressed as a lazy step list that
-compiles onto the same column-namespaced DataFrame model as the Cypher
-compiler (var__prop columns), so Catalyst sees one joined plan — not
-per-step materialization.
+(crates/grafeo-adapters/src/query/gremlin/ast.rs:31-157): V/E, out/in/both
+(+E/V variants), has/hasLabel/hasNot/hasId, where/and/or/not with
+anonymous (``__``) sub-traversals, values/valueMap/elementMap, dedup,
+order/by, limit/skip/range, count/sum/mean/min/max, fold/unfold, group/
+groupCount, path, select/as, project/by, coalesce/optional/union/choose,
+aggregate/store/cap/sideEffect, and the mutation steps addV/addE/property/
+drop (lowered onto the functional PropertyGraph mutations, mutation.rs
+operator analogues). Everything compiles onto the same column-namespaced
+DataFrame model as the Cypher compiler (var__prop columns), so Catalyst
+sees one joined plan — not per-step materialization; where()-style
+existence checks are id semi-joins, never row explosions.
 
-Predicates (P.gt etc.) mirror TinkerPop's ``P`` class.
+Predicates (P.gt etc.) mirror TinkerPop's ``P`` class; ``__`` is the
+anonymous-traversal builder.
 """
 
 from __future__ import annotations
@@ -26,6 +30,30 @@ from grafeo_spark.graph import PropertyGraph
 
 class GremlinError(Exception):
     pass
+
+
+class Anon:
+    """Recorded anonymous traversal (TinkerPop ``__``): step calls append
+    to an immutable list, replayed against a live Traversal later."""
+
+    def __init__(self, steps: tuple = ()) -> None:
+        self._steps = tuple(steps)
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+
+        def record(*args, **kwargs):
+            return Anon(self._steps + ((name, args, kwargs),))
+
+        return record
+
+
+__ = Anon()  # the anonymous traversal source, TinkerPop-style
+
+# anonymous-traversal terminal aggregations (per-traverser scoping in
+# project/group/where contexts)
+_ANON_AGGS = ("count", "sum_", "mean", "min_", "max_", "fold", "values")
 
 
 @dataclass(frozen=True)
@@ -106,15 +134,96 @@ class Traversal:
         self.kind = kind  # 'node' | 'edge' | 'value'
         self.n = n
         self.labels: dict[str, str] = {}
+        self.trail: list[str] = [cur] if kind in ("node", "edge") else []
 
     def _fresh(self) -> str:
         self.n += 1
         return f"g{self.n}"
 
-    def _derive(self, df: DataFrame, cur: str, kind: str) -> "Traversal":
+    def _derive(self, df: DataFrame, cur: str, kind: str, extend_trail: bool = False) -> "Traversal":
         t = Traversal(self.g, df, cur, kind, self.n)
         t.labels = dict(self.labels)
+        t.trail = list(self.trail) + ([cur] if extend_trail else [])
         return t
+
+    def _apply_anon(self, anon: Anon) -> "Traversal":
+        t = self
+        for name, args, kwargs in anon._steps:
+            method = getattr(t, name, None)
+            if method is None:
+                raise GremlinError(f"unknown anonymous step .{name}()")
+            t = method(*args, **kwargs)
+        if not isinstance(t, Traversal):
+            raise GremlinError("anonymous traversal ended mid-modulator")
+        return t
+
+    def _exists_ids(self, anon: Anon) -> DataFrame:
+        """Distinct current-element ids for which the anonymous traversal
+        yields at least one result — the EXISTS semi-join key set. The anon
+        is replayed on the DEDUPED current elements (not the full row bag),
+        so cost tracks distinct elements.
+
+        Terminal steps that cannot change existence are normalized away:
+        ``values(k)`` ≡ ``has(k)`` (exists iff the property is non-null),
+        and count/fold/sum/… always yield one row, so they are stripped."""
+        steps = list(anon._steps)
+        while steps:
+            name, args, _kw = steps[-1]
+            if name == "values" and len(args) == 1:
+                steps[-1] = ("has", (args[0],), {})
+                break
+            if name in (
+                "count", "fold", "sum_", "mean", "min_", "max_",
+                "valueMap", "elementMap", "id_", "label",
+            ):
+                steps.pop()
+                continue
+            break
+        idc = _p(self.cur, "id")
+        seed_cols = [c for c in self.df.columns if c.startswith(self.cur + "__")]
+        seed = self.df.select(*seed_cols).dropDuplicates([idc])
+        res = self._derive(seed, self.cur, self.kind)._apply_anon(Anon(tuple(steps)))
+        if idc not in res.df.columns:
+            raise GremlinError(
+                "where/not/and/or sub-traversals must not project away the "
+                "current element (avoid select inside them)"
+            )
+        return res.df.select(idc).distinct()
+
+    # -- filters with anonymous traversals (ast.rs Where/And/Or/Not) ------
+
+    def where(self, cond) -> "Traversal":
+        if isinstance(cond, Anon):
+            ok = self._exists_ids(cond)
+            return self._derive(
+                self.df.join(ok, _p(self.cur, "id"), "left_semi"), self.cur, self.kind
+            )
+        raise GremlinError("where() expects an anonymous traversal (__. ...)")
+
+    def not_(self, cond) -> "Traversal":
+        if isinstance(cond, Anon):
+            ok = self._exists_ids(cond)
+            return self._derive(
+                self.df.join(ok, _p(self.cur, "id"), "left_anti"), self.cur, self.kind
+            )
+        raise GremlinError("not() expects an anonymous traversal (__. ...)")
+
+    def and_(self, *conds) -> "Traversal":
+        t = self
+        for c in conds:
+            t = t.where(c)
+        return t
+
+    def or_(self, *conds) -> "Traversal":
+        if not conds:
+            return self
+        ok = None
+        for c in conds:
+            ids = self._exists_ids(c)
+            ok = ids if ok is None else ok.unionByName(ids).distinct()
+        return self._derive(
+            self.df.join(ok, _p(self.cur, "id"), "left_semi"), self.cur, self.kind
+        )
 
     # -- filters ---------------------------------------------------------
 
@@ -168,7 +277,7 @@ class Traversal:
             e, F.col(_p(self.cur, "id")) == F.col(_p(evar, "src")), "inner"
         )
         if not to_vertex:
-            return self._derive(joined, evar, "edge")
+            return self._derive(joined, evar, "edge", extend_trail=True)
         nvar = self._fresh()
         nodes = self.g.graph.nodes(None)
         nodes = nodes.select(*[F.col(c).alias(_p(nvar, c)) for c in nodes.columns])
@@ -176,6 +285,7 @@ class Traversal:
             nodes, F.col(_p(evar, "dst")) == F.col(_p(nvar, "id")), "inner"
         )
         t2 = self._derive(out, nvar, "node")
+        t2.trail = self.trail + [evar, nvar]
         return t2
 
     def out(self, *etypes: str) -> "Traversal":
@@ -202,7 +312,7 @@ class Traversal:
         out = self.df.join(
             nodes, F.col(_p(self.cur, "dst")) == F.col(_p(nvar, "id")), "inner"
         )
-        return self._derive(out, nvar, "node")
+        return self._derive(out, nvar, "node", extend_trail=True)
 
     def outV(self) -> "Traversal":
         if self.kind != "edge":
@@ -213,7 +323,7 @@ class Traversal:
         out = self.df.join(
             nodes, F.col(_p(self.cur, "src")) == F.col(_p(nvar, "id")), "inner"
         )
-        return self._derive(out, nvar, "node")
+        return self._derive(out, nvar, "node", extend_trail=True)
 
     # -- modulators ------------------------------------------------------
 
@@ -315,6 +425,276 @@ class Traversal:
             self.df.agg(F.array_sort(F.collect_list(col)).alias("value")), "value", "value"
         )
 
+    # -- path / project / group ------------------------------------------
+
+    def path(self) -> "Traversal":
+        """Element-id path of each traverser (ast.rs Path): array of the
+        ids of every node/edge visited, in step order. Edge entries use the
+        edge's (src, dst) hash when it has no id column."""
+        cols = []
+        for var in self.trail:
+            idc = _p(var, "id")
+            if idc in self.df.columns:
+                cols.append(F.col(idc))
+            else:  # edge without an id column: synthesize a stable one
+                cols.append(F.xxhash64(F.col(_p(var, "src")), F.col(_p(var, "dst"))))
+        out = self.df.select(F.array(*cols).alias("path"))
+        return self._derive(out, "path", "value")
+
+    def project(self, *keys: str) -> "_ProjectStep":
+        if not keys:
+            raise GremlinError("project() needs at least one key")
+        return _ProjectStep(self, keys)
+
+    def group(self) -> "_GroupStep":
+        return _GroupStep(self)
+
+    def _anon_value(self, df: DataFrame, anon: Anon, alias: str) -> DataFrame:
+        """Append a per-current-element column computed by an anonymous
+        traversal with a terminal aggregation (the project/group ``by``
+        modulator): replay the body on deduped elements, aggregate per
+        element id, join back (left; counts fill 0)."""
+        if not anon._steps or anon._steps[-1][0] not in _ANON_AGGS:
+            raise GremlinError(
+                "by(__) needs a terminal aggregation (count/sum/mean/min/max/"
+                "fold/values)"
+            )
+        term_name, term_args, _ = anon._steps[-1]
+        body = Anon(anon._steps[:-1])
+        idc = _p(self.cur, "id")
+        seed_cols = [c for c in df.columns if c.startswith(self.cur + "__")]
+        seed = df.select(*seed_cols).dropDuplicates([idc])
+        res = self._derive(seed, self.cur, self.kind)._apply_anon(body)
+        if term_name == "count":
+            agg = res.df.groupBy(idc).agg(F.count(F.lit(1)).alias(alias))
+            joined = df.join(agg, idc, "left")
+            return joined.withColumn(alias, F.coalesce(F.col(alias), F.lit(0)))
+        if term_name == "values":
+            vcol = F.col(_p(res.cur, term_args[0]))
+            agg = res.df.groupBy(idc).agg(F.min(vcol).alias(alias))
+        elif term_name == "fold":
+            vcol = F.col(_p(res.cur, "id")) if res.kind != "value" else F.col(res.df.columns[-1])
+            agg = res.df.groupBy(idc).agg(F.array_sort(F.collect_list(vcol)).alias(alias))
+        else:
+            fn = {"sum_": F.sum, "mean": F.avg, "min_": F.min, "max_": F.max}[term_name]
+            key = term_args[0] if term_args else None
+            vcol = F.col(_p(res.cur, key)) if key else F.col(res.df.columns[-1])
+            agg = res.df.groupBy(idc).agg(fn(vcol).alias(alias))
+        return df.join(agg, idc, "left")
+
+    # -- branching (ast.rs Coalesce/Optional/Union/Choose) ----------------
+
+    def _replay_renamed(self, anon: Anon, target_var: str, base: Optional[DataFrame] = None) -> tuple[DataFrame, str]:
+        """Replay an anon on (a subset of) the current traversal and rename
+        its result columns to a common shape so branch results union:
+        element branches rename to ``target_var`` columns, single-column
+        value branches rename to ``value``."""
+        src = self if base is None else self._derive(base, self.cur, self.kind)
+        res = src._apply_anon(anon)
+        if res.kind == "value":
+            if len(res.df.columns) == 1:
+                return res.df.select(F.col(res.df.columns[0]).alias("value")), "value"
+            return res.df, "value"
+        ren = res.df.select(
+            *[
+                F.col(c).alias(_p(target_var, c[len(res.cur) + 2:]))
+                for c in res.df.columns
+                if c.startswith(res.cur + "__")
+            ]
+        )
+        return ren, res.kind
+
+    def coalesce(self, *anons: Anon) -> "Traversal":
+        """First branch per element that yields results (ast.rs Coalesce):
+        evaluate branch k only for elements with no result in branches <k
+        (anti-join cascade — still set-at-a-time, no per-row dispatch)."""
+        if not anons:
+            raise GremlinError("coalesce() needs at least one branch")
+        tvar = self._fresh()
+        remaining = self.df
+        outs: list[DataFrame] = []
+        kind = None
+        for anon in anons:
+            ids = self._derive(remaining, self.cur, self.kind)._exists_ids(anon)
+            hit = remaining.join(ids, _p(self.cur, "id"), "left_semi")
+            branch_df, res_kind = self._replay_renamed(anon, tvar, base=hit)
+            kind = kind or res_kind
+            if res_kind != kind:
+                raise GremlinError("coalesce branches must produce the same kind")
+            outs.append(branch_df)
+            remaining = remaining.join(ids, _p(self.cur, "id"), "left_anti")
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o, allowMissingColumns=True)
+        return self._derive(out, tvar if kind != "value" else "value", kind)
+
+    def optional(self, anon: Anon) -> "Traversal":
+        """Result of the sub-traversal where it exists, the incoming element
+        otherwise — coalesce(anon, identity)."""
+        return self.coalesce(anon, Anon())
+
+    def identity(self) -> "Traversal":
+        return self._derive(self.df, self.cur, self.kind)
+
+    def union(self, *anons: Anon) -> "Traversal":
+        if not anons:
+            raise GremlinError("union() needs at least one branch")
+        tvar = self._fresh()
+        outs, kind = [], None
+        for anon in anons:
+            branch_df, res_kind = self._replay_renamed(anon, tvar)
+            kind = kind or res_kind
+            if res_kind != kind:
+                raise GremlinError("union branches must produce the same kind")
+            outs.append(branch_df)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o, allowMissingColumns=True)
+        return self._derive(out, tvar if kind != "value" else "value", kind)
+
+    def choose(self, pred: Anon, true_branch: Anon, false_branch: Anon) -> "Traversal":
+        """if/then/else per element (ast.rs Choose): split on EXISTS(pred),
+        run each branch on its partition, union."""
+        ids = self._exists_ids(pred)
+        idc = _p(self.cur, "id")
+        hit = self.df.join(ids, idc, "left_semi")
+        miss = self.df.join(ids, idc, "left_anti")
+        tvar = self._fresh()
+        t_df, t_kind = self._replay_renamed(true_branch, tvar, base=hit)
+        f_df, f_kind = self._replay_renamed(false_branch, tvar, base=miss)
+        if t_kind != f_kind:
+            raise GremlinError("choose branches must produce the same kind")
+        return self._derive(
+            t_df.unionByName(f_df, allowMissingColumns=True),
+            tvar if t_kind != "value" else "value",
+            t_kind,
+        )
+
+    def unfold(self) -> "Traversal":
+        """Explode a folded array value back to rows (ast.rs Unfold)."""
+        if self.kind != "value":
+            raise GremlinError("unfold() applies to a folded value traversal")
+        col = self.df.columns[-1]
+        return self._derive(
+            self.df.select(F.explode(F.col(col)).alias(col)), self.cur, "value"
+        )
+
+    # -- side-effect collections (ast.rs Aggregate/Store/Cap) -------------
+
+    def aggregate(self, key: str) -> "Traversal":
+        """Store the current elements (eager/global, TinkerPop aggregate())
+        into the source's side-effect registry; read back with cap(key)."""
+        col = (
+            F.col(self.df.columns[-1])
+            if self.kind == "value"
+            else F.col(_p(self.cur, "id"))
+        )
+        self.g.side_effects[key] = self.df.select(col.alias(key))
+        return self
+
+    store = aggregate  # lazy/local variant — same materialization here
+
+    def cap(self, key: str) -> "Traversal":
+        if key not in self.g.side_effects:
+            raise GremlinError(f"unknown side-effect key {key!r}")
+        df = self.g.side_effects[key]
+        out = df.agg(F.array_sort(F.collect_list(F.col(key))).alias(key))
+        return self._derive(out, key, "value")
+
+    def sideEffect(self, anon: Anon) -> "Traversal":
+        """Run the sub-traversal for its side effects (aggregate/store),
+        pass the incoming elements through unchanged."""
+        self._apply_anon(anon)
+        return self
+
+    # -- mutations (ast.rs AddV/AddE/Property/Drop; lowered on the
+    #    functional PropertyGraph ops, mutation.rs analogues) --------------
+
+    def property(self, key: str, value: Any) -> "Traversal":
+        """Set a property on every current element (SetPropertyOperator,
+        mutation.rs:748): per-label id semi-joins, graph rebound."""
+        if self.kind == "node":
+            pairs = self.df.select(
+                F.col(_p(self.cur, "id")).alias("id"),
+                F.col(_p(self.cur, "_label")).alias("_lbl"),
+            ).distinct()
+            labels = [r._lbl for r in pairs.select("_lbl").distinct().collect()]
+            g2 = self.g.graph
+            for lbl in labels:
+                ids = pairs.filter(F.col("_lbl") == lbl).select("id")
+                frame = g2.node_frames[lbl]
+                joined = frame.join(ids.withColumn("__hit", F.lit(True)), "id", "left")
+                old = F.col(key) if key in frame.columns else F.lit(None)
+                g2 = g2.with_nodes(
+                    lbl,
+                    joined.withColumn(
+                        key, F.when(F.col("__hit"), F.lit(value)).otherwise(old)
+                    ).drop("__hit"),
+                )
+            self.g._rebind(g2)
+            return self
+        if self.kind == "edge":
+            pairs = self.df.select(
+                F.col(_p(self.cur, "src")).alias("src"),
+                F.col(_p(self.cur, "dst")).alias("dst"),
+                F.col(_p(self.cur, "_type")).alias("_t"),
+            ).distinct()
+            types = [r._t for r in pairs.select("_t").distinct().collect()]
+            g2 = self.g.graph
+            for t in types:
+                keys = pairs.filter(F.col("_t") == t).select("src", "dst").withColumn(
+                    "__hit", F.lit(True)
+                )
+                frame = g2.edge_frames[t]
+                joined = frame.join(keys, ["src", "dst"], "left")
+                old = F.col(key) if key in frame.columns else F.lit(None)
+                g2 = g2.with_edges(
+                    t,
+                    joined.withColumn(
+                        key, F.when(F.col("__hit"), F.lit(value)).otherwise(old)
+                    ).drop("__hit"),
+                )
+            self.g._rebind(g2)
+            return self
+        raise GremlinError("property() applies to node or edge traversals")
+
+    def drop(self) -> "Traversal":
+        """Remove the current elements (DeleteNode/DeleteEdge,
+        mutation.rs:369/:477); nodes are detach-deleted."""
+        if self.kind == "node":
+            pairs = self.df.select(
+                F.col(_p(self.cur, "id")).alias("id"),
+                F.col(_p(self.cur, "_label")).alias("_lbl"),
+            ).distinct()
+            labels = [r._lbl for r in pairs.select("_lbl").distinct().collect()]
+            g2 = self.g.graph
+            for lbl in labels:
+                ids = pairs.filter(F.col("_lbl") == lbl).select("id")
+                g2 = g2.delete_nodes(lbl, ids, detach=True)
+            self.g._rebind(g2)
+        elif self.kind == "edge":
+            pairs = self.df.select(
+                F.col(_p(self.cur, "src")).alias("src"),
+                F.col(_p(self.cur, "dst")).alias("dst"),
+                F.col(_p(self.cur, "_type")).alias("_t"),
+            ).distinct()
+            types = [r._t for r in pairs.select("_t").distinct().collect()]
+            g2 = self.g.graph
+            for t in types:
+                keys = pairs.filter(F.col("_t") == t).select("src", "dst")
+                g2 = g2.with_edges(
+                    t, g2.edge_frames[t].join(keys, ["src", "dst"], "left_anti")
+                )
+            self.g._rebind(g2)
+        else:
+            raise GremlinError("drop() applies to node or edge traversals")
+        empty = self.df.limit(0).select(F.lit(1).alias("dropped"))
+        return self._derive(empty, "dropped", "value")
+
+    def iterate(self) -> "Traversal":
+        """Terminal no-op (mutations here apply eagerly step-by-step)."""
+        return self
+
     # -- execution --------------------------------------------------------
 
     def toDF(self) -> DataFrame:
@@ -336,6 +716,182 @@ class Traversal:
         return [tuple(r) for r in rows]
 
 
+class _ProjectStep:
+    """``project(k1, k2, ...).by(spec).by(spec)...`` modulator (ast.rs
+    Project/By): one column per key; spec = property name, ``None`` (the
+    element id), or an anonymous traversal with a terminal aggregation
+    (per-element scoped — e.g. ``__.out().count()``)."""
+
+    def __init__(self, t: Traversal, keys: tuple) -> None:
+        self.t = t
+        self.keys = keys
+        self.bys: list = []
+
+    def by(self, spec=None):
+        self.bys.append(spec)
+        if len(self.bys) < len(self.keys):
+            return self
+        t = self.t
+        df = t.df
+        for key, spec in zip(self.keys, self.bys):
+            if isinstance(spec, Anon):
+                df = t._anon_value(df, spec, key)
+            elif spec is None:
+                df = df.withColumn(key, F.col(_p(t.cur, "id")))
+            else:
+                df = df.withColumn(key, F.col(_p(t.cur, spec)))
+        return t._derive(df.select(*self.keys), self.keys[0], "value")
+
+
+class _GroupStep:
+    """``group().by(key).by(value)`` (ast.rs Group): key = property /
+    ``None`` (id); value = property (sorted list per group), ``None``
+    (sorted id list), or an anonymous traversal with terminal count/sum/
+    mean/min/max over a property (group-scoped aggregate)."""
+
+    def __init__(self, t: Traversal) -> None:
+        self.t = t
+        self.bys: list = []
+
+    def by(self, spec=None):
+        self.bys.append(spec)
+        return self._build() if len(self.bys) == 2 else self
+
+    def toDF(self) -> DataFrame:
+        return self._build().toDF()
+
+    def toList(self) -> list:
+        return self._build().toList()
+
+    def _build(self) -> Traversal:
+        t = self.t
+        kspec = self.bys[0] if self.bys else None
+        vspec = self.bys[1] if len(self.bys) > 1 else None
+        key = (
+            F.col(_p(t.cur, "id")) if kspec is None else F.col(_p(t.cur, kspec))
+        ).alias("key")
+        if vspec is None:
+            agg = F.array_sort(F.collect_list(F.col(_p(t.cur, "id")))).alias("value")
+        elif isinstance(vspec, str):
+            agg = F.array_sort(F.collect_list(F.col(_p(t.cur, vspec)))).alias("value")
+        elif isinstance(vspec, Anon):
+            if not vspec._steps or vspec._steps[-1][0] not in (
+                "count", "sum_", "mean", "min_", "max_", "fold",
+            ):
+                raise GremlinError("group().by(__) needs a terminal aggregation")
+            name, args, _ = vspec._steps[-1]
+            if len(vspec._steps) > 1:
+                raise GremlinError("group() value traversal supports a single aggregation step")
+            if name == "count":
+                agg = F.count(F.lit(1)).alias("value")
+            elif name == "fold":
+                agg = F.array_sort(F.collect_list(F.col(_p(t.cur, "id")))).alias("value")
+            else:
+                fn = {"sum_": F.sum, "mean": F.avg, "min_": F.min, "max_": F.max}[name]
+                if not args:
+                    raise GremlinError(f"group().by(__.{name}(k)) needs a property key")
+                agg = fn(F.col(_p(t.cur, args[0]))).alias("value")
+        else:
+            raise GremlinError(f"unsupported group by spec: {vspec!r}")
+        out = t.df.groupBy(key).agg(agg)
+        return t._derive(out, "key", "value")
+
+
+class _AddV:
+    """``g.addV(label).property(k, v)....iterate()`` — CreateNodeOperator
+    analogue (mutation.rs:21) on the functional graph."""
+
+    def __init__(self, g: "GremlinSource", label: str) -> None:
+        self.g = g
+        self.label = label
+        self.props: list[tuple[str, Any]] = []
+
+    def property(self, key: str, value: Any) -> "_AddV":
+        self.props.append((key, value))
+        return self
+
+    def iterate(self) -> "_AddV":
+        frames = list(self.g.graph.node_frames.values()) or list(
+            self.g.graph.edge_frames.values()
+        )
+        spark = frames[0].sparkSession
+        nid = _next_node_id(self.g.graph)
+        row = {"id": nid, **dict(self.props)}
+        df = spark.createDataFrame([tuple(row.values())], list(row.keys()))
+        self.g._rebind(self.g.graph.create_nodes(self.label, df))
+        self._created = df
+        return self
+
+    def toDF(self) -> DataFrame:
+        if not hasattr(self, "_created"):
+            self.iterate()
+        return self._created
+
+    def toList(self) -> list:
+        return [tuple(r) for r in self.toDF().collect()]
+
+
+class _AddE:
+    """``g.addE(type).from_(src).to(dst).property(...).iterate()`` —
+    CreateEdgeOperator analogue (mutation.rs:189). ``from_``/``to`` accept a
+    node id or an anonymous traversal over ``g.V()`` resolving to nodes;
+    one edge per (from, to) pair."""
+
+    def __init__(self, g: "GremlinSource", etype: str) -> None:
+        self.g = g
+        self.etype = etype
+        self.src = None
+        self.dst = None
+        self.props: list[tuple[str, Any]] = []
+
+    def from_(self, spec) -> "_AddE":
+        self.src = spec
+        return self
+
+    def to(self, spec) -> "_AddE":
+        self.dst = spec
+        return self
+
+    def property(self, key: str, value: Any) -> "_AddE":
+        self.props.append((key, value))
+        return self
+
+    def _ids(self, spec, alias: str) -> DataFrame:
+        if isinstance(spec, Anon):
+            t = self.g.V()._apply_anon(spec)
+            if t.kind != "node":
+                raise GremlinError("addE from_/to traversals must resolve to nodes")
+            return t.df.select(F.col(_p(t.cur, "id")).alias(alias)).distinct()
+        spark = next(iter(self.g.graph.node_frames.values())).sparkSession
+        return spark.createDataFrame([(int(spec),)], f"{alias} long")
+
+    def iterate(self) -> "_AddE":
+        if self.src is None or self.dst is None:
+            raise GremlinError("addE needs both from_() and to()")
+        edges = self._ids(self.src, "src").crossJoin(self._ids(self.dst, "dst"))
+        for k, v in self.props:
+            edges = edges.withColumn(k, F.lit(v))
+        self.g._rebind(self.g.graph.create_edges(self.etype, edges))
+        self._created = edges
+        return self
+
+    def toDF(self) -> DataFrame:
+        if not hasattr(self, "_created"):
+            self.iterate()
+        return self._created
+
+    def toList(self) -> list:
+        return [tuple(r) for r in self.toDF().collect()]
+
+
+def _next_node_id(graph: PropertyGraph) -> int:
+    mx = 0
+    for frame in graph.node_frames.values():
+        v = frame.agg(F.max("id")).collect()[0][0]
+        mx = max(mx, v if v is not None else 0)
+    return mx + 1
+
+
 class _OrderStep:
     """`.order().by(key[, desc])` modulator (ast.rs Order/By)."""
 
@@ -353,10 +909,27 @@ class _OrderStep:
 
 
 class GremlinSource:
-    """``g`` — the traversal source (GraphTraversalSource analogue)."""
+    """``g`` — the traversal source (GraphTraversalSource analogue).
 
-    def __init__(self, graph: PropertyGraph) -> None:
+    ``db`` (optional) is the owning engine: mutation steps rebind both the
+    source's and the engine's graph (functional snapshots, like the Cypher
+    write path)."""
+
+    def __init__(self, graph: PropertyGraph, db=None) -> None:
         self.graph = graph
+        self.db = db
+        self.side_effects: dict[str, DataFrame] = {}
+
+    def _rebind(self, new_graph: PropertyGraph) -> None:
+        self.graph = new_graph
+        if self.db is not None:
+            self.db.graph = new_graph
+
+    def addV(self, label: str) -> _AddV:
+        return _AddV(self, label)
+
+    def addE(self, etype: str) -> _AddE:
+        return _AddE(self, etype)
 
     def V(self, *ids) -> Traversal:
         nodes = self.graph.nodes(None)
@@ -377,5 +950,5 @@ class GremlinSource:
         return Traversal(self, df, var, "edge")
 
 
-def traversal(graph: PropertyGraph) -> GremlinSource:
-    return GremlinSource(graph)
+def traversal(graph: PropertyGraph, db=None) -> GremlinSource:
+    return GremlinSource(graph, db)

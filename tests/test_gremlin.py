@@ -105,3 +105,164 @@ def test_string_form_errors(db):
 def test_range_skip(g):
     out = g.V().order().by("name").range_(2, 4).values("name").toList()
     assert out == ["Carol", "Dave"]
+
+
+# --------------------------------------------------------------------- #
+# round-3 steps: where/not/and/or, path, project/by, group, coalesce,
+# union, choose, unfold, aggregate/cap, mutations
+# --------------------------------------------------------------------- #
+
+
+def test_where_anon(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = g.V().where(__.out("KNOWS").has("name", "Carol")).values("name").toList()
+    assert sorted(out) == ["Alice", "Bob"]
+
+
+def test_not_anon(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = g.V().hasLabel("Person").not_(__.out("KNOWS")).values("name").toList()
+    assert sorted(out) == ["Frank", "Grace"]  # no out-edges
+
+
+def test_and_or_anons(g):
+    from grafeo_spark.lang.gremlin import __
+
+    both = (
+        g.V()
+        .and_(__.out("KNOWS").has("name", "Carol"), __.has("city", "NYC"))
+        .values("name")
+        .toList()
+    )
+    assert both == ["Alice"]
+    either = (
+        g.V()
+        .or_(__.out("KNOWS").has("name", "Dave"), __.has("city", "Phoenix"))
+        .values("name")
+        .toList()
+    )
+    assert sorted(either) == ["Carol", "Grace"]
+
+
+def test_path(g):
+    out = g.V().has("name", "Heidi").out("KNOWS").out("KNOWS").path().toList()
+    # 8 -[107]-> 1 -[101]-> 2 and 8 -> 1 -[103]-> 3
+    assert sorted(out) == [[8, 107, 1, 101, 2], [8, 107, 1, 103, 3]]
+
+
+def test_project_by(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = (
+        g.V()
+        .hasLabel("Person")
+        .project("n", "deg")
+        .by("name")
+        .by(__.out("KNOWS").count())
+        .toList()
+    )
+    assert ("Alice", 2) in out and ("Grace", 0) in out and len(out) == 8
+
+
+def test_group_by_key_value(g):
+    out = dict(g.V().group().by("city").by("name").toList())
+    assert out["NYC"] == ["Alice", "Carol", "Frank"]
+    counts = dict(g.V().group().by("city").by("name").toList())
+    assert len(counts) == 5
+
+
+def test_group_count_agg(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = dict(g.V().group().by("city").by(__.count()).toList())
+    assert out == {"NYC": 3, "LA": 2, "Chicago": 1, "Phoenix": 1, "Houston": 1}
+
+
+def test_coalesce(g):
+    from grafeo_spark.lang.gremlin import __
+
+    # people with friends -> friend names; others -> own name
+    out = (
+        g.V()
+        .hasLabel("Person")
+        .coalesce(__.out("KNOWS").values("name"), __.values("name"))
+        .toList()
+    )
+    assert sorted(out) == sorted(
+        ["Bob", "Carol", "Carol", "Dave", "Eve", "Frank", "Alice", "Frank", "Grace"]
+    )
+
+
+def test_union(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = g.V().has("name", "Alice").union(__.out("KNOWS"), __.in_("KNOWS")).values("name").toList()
+    assert sorted(out) == ["Bob", "Carol", "Heidi"]
+
+
+def test_choose(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = (
+        g.V()
+        .hasLabel("Person")
+        .choose(__.has("city", "NYC"), __.values("city"), __.values("name"))
+        .toList()
+    )
+    assert sorted(out) == sorted(["NYC", "NYC", "NYC", "Bob", "Dave", "Eve", "Grace", "Heidi"])
+
+
+def test_fold_unfold(g):
+    folded = g.V().hasLabel("Person").values("name").fold().toList()
+    assert len(folded) == 1 and len(folded[0]) == 8
+    names = g.V().hasLabel("Person").values("name").fold().unfold().toList()
+    assert sorted(names)[0] == "Alice"
+
+
+def test_aggregate_cap(g):
+    out = g.V().has("city", "NYC").aggregate("x").cap("x").toList()
+    assert out == [[1, 3, 6]]
+
+
+def test_mutations_fluent(spark):
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+    from grafeo_spark.lang.gremlin import __
+    from tests.conftest import KNOWS, PEOPLE
+
+    nodes = spark.createDataFrame(PEOPLE, "id long, name string, age long, city string")
+    edges = spark.createDataFrame(KNOWS, "id long, src long, dst long, since long")
+    wdb = GrafeoSpark(spark, PropertyGraph({"Person": nodes}, {"KNOWS": edges}))
+    g = wdb.g
+    g.addV("Person").property("name", "Zed").property("age", 21).property("city", "LA").iterate()
+    assert wdb.cypher("MATCH (p:Person {name: 'Zed'}) RETURN count(*) AS n").collect()[0].n == 1
+    # property() on matched nodes
+    g.V().has("name", "Zed").property("age", 22).iterate()
+    assert wdb.cypher("MATCH (p:Person {name: 'Zed'}) RETURN p.age AS a").collect()[0].a == 22
+    # addE between resolved endpoints
+    g.addE("KNOWS").from_(__.has("name", "Zed")).to(__.has("name", "Alice")).iterate()
+    out = g.V().has("name", "Zed").out("KNOWS").values("name").toList()
+    assert out == ["Alice"]
+    # drop edge then node
+    g.V().has("name", "Zed").outE("KNOWS").drop()
+    assert g.V().has("name", "Zed").out("KNOWS").count().toList() == [0]
+    g.V().has("name", "Zed").drop()
+    assert wdb.cypher("MATCH (p:Person {name: 'Zed'}) RETURN count(*) AS n").collect()[0].n == 0
+
+
+def test_mutation_string_form(spark):
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+    from tests.conftest import KNOWS, PEOPLE
+
+    nodes = spark.createDataFrame(PEOPLE, "id long, name string, age long, city string")
+    edges = spark.createDataFrame(KNOWS, "id long, src long, dst long, since long")
+    wdb = GrafeoSpark(spark, PropertyGraph({"Person": nodes}, {"KNOWS": edges}))
+    wdb.gremlin("g.addV('Person').property('name', 'Str').property('age', 9).property('city', 'LA')")
+    assert wdb.cypher("MATCH (p:Person {name: 'Str'}) RETURN count(*) AS n").collect()[0].n == 1
+    out = rows(wdb.gremlin("g.V().where(__.out('KNOWS').has('name', 'Carol')).values('name')"))
+    assert out == [("Alice",), ("Bob",)]
+    wdb.gremlin("g.V().has('name', 'Str').drop()")
+    assert wdb.cypher("MATCH (p:Person {name: 'Str'}) RETURN count(*) AS n").collect()[0].n == 0
