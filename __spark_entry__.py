@@ -413,6 +413,31 @@ _ORACLE: dict[str, str] = {
         UNION
         SELECT n_name AS name FROM nation
     """,
+    "sparql_ask_region": """
+        SELECT count(*) > 0 AS ask FROM region WHERE r_name = 'ASIA'
+    """,
+    "sparql_values_nations": """
+        SELECT n_name AS name FROM nation
+        WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_99') ORDER BY name
+    """,
+    "sparql_minus_segment": """
+        SELECT c_name AS cname FROM customer WHERE c_mktsegment <> 'BUILDING'
+    """,
+    "sparql_path_customer_region": """
+        SELECT c_name AS cname, r_name AS rname
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+    "sparql_count_by_segment": """
+        SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY seg ORDER BY seg
+    """,
+    "sparql_construct_located": """
+        SELECT DISTINCT 'http://example.org/customer/' || c_custkey AS s,
+               'http://example.org/locatedIn' AS p,
+               'http://example.org/region/' || n_regionkey AS o
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
     "sparql_update_roundtrip": """
         SELECT CASE WHEN r_name = 'AFRICA' THEN 'AFRIKA' ELSE r_name END AS name
         FROM region WHERE r_name <> 'ASIA'
@@ -786,6 +811,33 @@ _SPARQL: dict[str, str] = {
     "sparql_union_names": (
         "SELECT DISTINCT ?name WHERE { { ?r a ex:Region . ?r ex:name ?name } "
         "UNION { ?n a ex:Nation . ?n ex:name ?name } }"
+    ),
+    # ASK query form (ast.rs:51-64): EXISTS short-circuit
+    "sparql_ask_region": ('ASK { ?r a ex:Region ; ex:name "ASIA" }'),
+    # VALUES inline data joined on the shared variable (ast.rs:283-346)
+    "sparql_values_nations": (
+        "SELECT ?name WHERE { ?n a ex:Nation ; ex:name ?name . "
+        'VALUES ?name { "NATION_3" "NATION_7" "NATION_99" } } ORDER BY ?name'
+    ),
+    # MINUS graph pattern: anti-join on the shared domain
+    "sparql_minus_segment": (
+        "SELECT ?cname WHERE { ?c a ex:Customer ; ex:name ?cname . "
+        'MINUS { ?c ex:mktsegment "BUILDING" } }'
+    ),
+    # property-path sequence customer -> nation -> region (ast.rs:388)
+    "sparql_path_customer_region": (
+        "SELECT ?cname ?rname WHERE { ?c a ex:Customer ; ex:name ?cname . "
+        "?c ex:fromNation/ex:inRegion ?r . ?r ex:name ?rname }"
+    ),
+    # aggregates + GROUP BY in SELECT (planner_rdf.rs aggregate lowering)
+    "sparql_count_by_segment": (
+        "SELECT ?seg (COUNT(?c) AS ?n) WHERE { ?c a ex:Customer ; "
+        "ex:mktsegment ?seg } GROUP BY ?seg ORDER BY ?seg"
+    ),
+    # CONSTRUCT: template instantiation over WHERE bindings
+    "sparql_construct_located": (
+        "CONSTRUCT { ?c ex:locatedIn ?r } WHERE { ?c a ex:Customer ; "
+        "ex:fromNation ?n . ?n ex:inRegion ?r }"
     ),
 }
 

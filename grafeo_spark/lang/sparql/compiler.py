@@ -27,8 +27,19 @@ class SparqlCompileError(Exception):
     pass
 
 
+# BFS cap for p+ transitive closure (arbitrary-length SPARQL paths have SET
+# semantics, so distinct reachability is exact up to this depth)
+PATH_PLUS_MAX_HOPS = 16
+
+# Term-kind heuristic shared with the update path: bound variables collapse
+# IRI/literal to one lexical string; an IRI scheme prefix recovers the kind.
+_IRI_SHAPE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+
+
 def _pattern_scan(ts: TripleStore, tp: P.TriplePattern, uid: int) -> tuple[DataFrame, dict[str, str]]:
     """One triple pattern -> filtered scan projecting its variables."""
+    if isinstance(tp.p, P.PathPlus):
+        return _path_plus_scan(ts, tp, uid)
     df = ts.df
     # constant positions become pushed-down filters
     if isinstance(tp.s, P.Iri):
@@ -58,6 +69,47 @@ def _pattern_scan(ts: TripleStore, tp: P.TriplePattern, uid: int) -> tuple[DataF
     return df.select(*cols), seen
 
 
+def _path_plus_scan(ts: TripleStore, tp: P.TriplePattern, uid: int) -> tuple[DataFrame, dict[str, str]]:
+    """``?s p+ ?o`` — transitive closure of one predicate, lowered to the
+    distributed distinct-reachability BFS (set semantics per the SPARQL
+    spec; reference property paths, ast.rs:388). Seeded from a constant
+    subject when given, so a bound start never touches the full closure."""
+    from grafeo_spark.operators.expand import reachable_pairs
+
+    base = ts.df.filter(F.col("p") == tp.p.inner.value).select(
+        F.col("s").alias("src"), F.coalesce("o_iri", "o_lit").alias("dst")
+    )
+    seeds = None
+    if isinstance(tp.s, P.Iri):
+        seeds = base.sparkSession.createDataFrame([(tp.s.value,)], "id string")
+    # early_exit: per-level eager checkpoint + stop on an empty frontier —
+    # without it the 16-level lazy plan compounds join+distinct+anti-join
+    # into an analysis-time blowup, and closures usually terminate early
+    pairs = reachable_pairs(
+        base, 1, PATH_PLUS_MAX_HOPS, src_ids=seeds, early_exit=True
+    ).select("src", "dst")
+    if isinstance(tp.s, P.Iri):
+        pairs = pairs.filter(F.col("src") == tp.s.value)
+    elif isinstance(tp.s, P.Lit):
+        raise SparqlCompileError("literal in subject position")
+    if isinstance(tp.o, P.Iri):
+        pairs = pairs.filter(F.col("dst") == tp.o.value)
+    elif isinstance(tp.o, P.Lit):
+        pairs = pairs.filter(F.col("dst") == str(tp.o.value))
+    cols: list[Column] = []
+    seen: dict[str, str] = {}
+    for term, col in ((tp.s, F.col("src")), (tp.o, F.col("dst"))):
+        if isinstance(term, P.Var):
+            if term.name in seen:
+                pairs = pairs.filter(col == F.col(seen[term.name]))
+            else:
+                cols.append(col.alias(term.name))
+                seen[term.name] = term.name
+    if not cols:
+        cols = [F.lit(1).alias(f"__m{uid}")]
+    return pairs.select(*cols), seen
+
+
 def _join_bgp(ts: TripleStore, triples: list[P.TriplePattern]) -> Optional[DataFrame]:
     out: Optional[DataFrame] = None
     for i, tp in enumerate(triples):
@@ -68,6 +120,26 @@ def _join_bgp(ts: TripleStore, triples: list[P.TriplePattern]) -> Optional[DataF
             shared = [c for c in scan.columns if c in out.columns]
             out = out.join(scan, shared, "inner") if shared else out.crossJoin(scan)
     return out
+
+
+def _values_frame(ts: TripleStore, names: list[str], rows: list[list]) -> DataFrame:
+    """VALUES inline data as a one-off frame (lexical string columns, None
+    for UNDEF)."""
+    py_rows = []
+    for row in rows:
+        vals = []
+        for t in row:
+            if t is None:
+                vals.append(None)
+            elif isinstance(t, P.Iri):
+                vals.append(t.value)
+            elif isinstance(t, P.Lit):
+                vals.append(str(t.value))
+            else:
+                raise SparqlCompileError("VALUES terms must be constants")
+        py_rows.append(tuple(vals))
+    schema = ", ".join(f"{n} string" for n in names)
+    return ts.df.sparkSession.createDataFrame(py_rows, schema)
 
 
 def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
@@ -81,6 +153,13 @@ def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
         else:
             shared = [c for c in u.columns if c in out.columns]
             out = out.join(u, shared, "inner") if shared else out.crossJoin(u)
+    for names, rows in g.values:
+        v = _values_frame(ts, names, rows)
+        if out is None:
+            out = v
+        else:
+            shared = [c for c in v.columns if c in out.columns]
+            out = out.join(v, shared, "inner") if shared else out.crossJoin(v)
     if out is None:
         raise SparqlCompileError("empty graph pattern")
     for opt in g.optionals:
@@ -90,6 +169,15 @@ def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
             out = out.join(right, shared, "left")
         else:
             out = out.join(right, F.lit(True), "left")
+    for m in g.minuses:
+        right = _compile_group(ts, m)
+        shared = [
+            c for c in right.columns if c in out.columns and not c.startswith("__m")
+        ]
+        if shared:
+            # SPARQL MINUS: drop solutions compatible with some right
+            # solution on the shared domain; disjoint domains remove nothing
+            out = out.join(right.select(*shared).distinct(), shared, "left_anti")
     for f in g.filters:
         out = out.filter(_filter_col(f, out))
     return out
@@ -140,6 +228,18 @@ def _filter_col(e, df: DataFrame) -> Column:
             return _filter_col(e.args[0], df).rlike(pattern)
         if op == "bound":
             return _filter_col(e.args[0], df).isNotNull()
+        if op == "call:replace":
+            # REPLACE(str, pattern, replacement[, flags]) — pattern and
+            # replacement must be literals so flags can fold into the regex
+            s = _filter_col(e.args[0], df)
+            pat, rep = e.args[1], e.args[2]
+            if not isinstance(pat, P.Lit) or not isinstance(rep, P.Lit):
+                raise SparqlCompileError("REPLACE pattern/replacement must be literals")
+            pattern = str(pat.value)
+            flags = str(e.args[3].value) if len(e.args) > 3 and isinstance(e.args[3], P.Lit) else ""
+            if "i" in flags:
+                pattern = "(?i)" + pattern
+            return F.regexp_replace(s, pattern, str(rep.value))
         if op.startswith("call:"):
             return _builtin(op[5:], [_filter_col(a, df) for a in e.args])
         raise SparqlCompileError(f"unsupported filter op {op!r}")
@@ -174,23 +274,85 @@ def _builtin(name: str, args: list[Column]) -> Column:
         "floor": lambda a: F.floor(a[0]),
         "round": lambda a: F.round(a[0], 0),
         "coalesce": lambda a: F.coalesce(*a),
+        "if": lambda a: F.when(a[0], a[1]).otherwise(a[2]),
+        # percent-encoding: url_encode is form-encoding; space fixes up
+        "encode_for_uri": lambda a: F.replace(
+            F.url_encode(a[0]), F.lit("+"), F.lit("%20")
+        ),
+        # term-kind tests over the collapsed lexical binding (the scheme
+        # heuristic shared with the update template path)
+        "isiri": lambda a: a[0].rlike(_IRI_SHAPE),
+        "isuri": lambda a: a[0].rlike(_IRI_SHAPE),
+        "isblank": lambda a: a[0].startswith("_:"),
+        "isliteral": lambda a: a[0].isNotNull()
+        & ~a[0].rlike(_IRI_SHAPE)
+        & ~a[0].startswith("_:"),
+        "isnumeric": lambda a: a[0].cast("double").isNotNull(),
     }
     if name not in table:
         raise SparqlCompileError(f"unsupported builtin {name}()")
     return table[name](args)
 
 
+_AGG_FNS = {
+    "count": (F.count, F.count_distinct),
+    "sum": (F.sum, F.sum_distinct),
+    "avg": (F.avg, None),
+    "min": (F.min, None),
+    "max": (F.max, None),
+}
+
+
 def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
     out = _compile_group(ts, q.where)
+    if q.aggregates:
+        aggs = []
+        for fn, arg, alias, distinct in q.aggregates:
+            if fn not in _AGG_FNS:
+                raise SparqlCompileError(f"unsupported aggregate {fn.upper()}()")
+            plain, dist = _AGG_FNS[fn]
+            if arg == "*":
+                col = F.lit(1) if fn == "count" else None
+                if col is None:
+                    raise SparqlCompileError(f"{fn.upper()}(*) is not valid")
+            else:
+                col = F.col(arg)
+                if fn in ("sum", "avg"):
+                    col = col.cast("double")
+            if distinct:
+                if dist is None:
+                    raise SparqlCompileError(f"DISTINCT not supported for {fn.upper()}")
+                aggs.append(dist(col).alias(alias))
+            else:
+                aggs.append(plain(col).alias(alias))
+        if q.group_by:
+            out = out.groupBy(*q.group_by).agg(*aggs)
+        else:
+            out = out.agg(*aggs)
+        proj = (q.variables or q.group_by) + [a for _, _, a, _ in q.aggregates]
+        # projected plain vars must be grouping keys
+        for v in q.variables:
+            if v not in q.group_by:
+                raise SparqlCompileError(
+                    f"?{v} projected alongside aggregates must appear in GROUP BY"
+                )
+        out = out.select(*dict.fromkeys(proj))
+        return _apply_modifiers(out, q)
     if q.variables:
         missing = [v for v in q.variables if v not in out.columns]
         for v in missing:
             out = out.withColumn(v, F.lit(None).cast("string"))
         out = out.select(*q.variables)
     else:
-        out = out.select(*[c for c in out.columns if not c.startswith("__m")])
+        out = out.select(
+            *[c for c in out.columns if not (c.startswith("__m") or c.startswith("__pp"))]
+        )
     if q.distinct:
         out = out.distinct()
+    return _apply_modifiers(out, q)
+
+
+def _apply_modifiers(out: DataFrame, q: P.SelectQuery) -> DataFrame:
     if q.order:
         keys = [F.col(v).asc_nulls_last() if asc else F.col(v).desc_nulls_last() for v, asc in q.order]
         out = out.orderBy(*keys)
@@ -201,10 +363,29 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
     return out
 
 
+def compile_ask(ts: TripleStore, q: P.AskQuery) -> DataFrame:
+    """ASK (ast.rs:51-64): one row, boolean ``ask`` — EXISTS over the
+    pattern, evaluated as count(limit 1) > 0 so the scan short-circuits."""
+    out = _compile_group(ts, q.where)
+    return out.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+
+def compile_construct(ts: TripleStore, q: P.ConstructQuery) -> DataFrame:
+    """CONSTRUCT (ast.rs:51-64): instantiate the template against the WHERE
+    bindings; returns distinct (s, p, o) lexical triples."""
+    bindings = _compile_group(ts, q.where)
+    rows = _template_rows(ts.df.sparkSession, q.template, bindings)
+    return rows.select("s", "p", F.coalesce("o_iri", "o_lit").alias("o")).distinct()
+
+
 def sparql(ts: TripleStore, query: str) -> DataFrame:
     q = P.parse(query)
     if isinstance(q, P.UpdateQuery):
         raise SparqlCompileError("update query — use sparql_update()")
+    if isinstance(q, P.AskQuery):
+        return compile_ask(ts, q)
+    if isinstance(q, P.ConstructQuery):
+        return compile_construct(ts, q)
     return compile_select(ts, q)
 
 
@@ -212,9 +393,9 @@ def sparql(ts: TripleStore, query: str) -> DataFrame:
 
 # A bound variable's RDF-term kind (IRI vs literal) is collapsed to a
 # string in the bindings frame; when a template re-emits it, values with an
-# IRI scheme go to o_iri, everything else to o_lit. Exact for this slice's
-# corpus (full http:// IRIs); constants are always placed exactly.
-_IRI_SHAPE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+# IRI scheme (_IRI_SHAPE above) go to o_iri, everything else to o_lit.
+# Exact for this slice's corpus (full http:// IRIs); constants are always
+# placed exactly.
 
 
 def _obj_cols(term, df: DataFrame | None) -> tuple[Column, Column, Column]:

@@ -15,8 +15,13 @@ and the update forms (ast.rs update variants; sparql_translator.rs):
     (either template optional), CLEAR ALL.
 
 Terms: ?var, <iri>, prefix:name, "literal" (with optional ^^type), numbers,
-``a`` (rdf:type). Property paths / CONSTRUCT / ASK are out of scope for
-this slice.
+``a`` (rdf:type).
+
+Round-3 additions (ast.rs:51-64 query forms, :283-388 patterns):
+ASK / CONSTRUCT query forms, VALUES (inline data) and MINUS graph
+patterns, property paths (``p1/p2`` sequences desugared to fresh-variable
+triples; ``p+`` transitive closure), and aggregate projections
+``SELECT (COUNT(?x) AS ?n) ... GROUP BY ?g``.
 """
 
 from __future__ import annotations
@@ -55,9 +60,18 @@ Term = Union[Var, Iri, Lit]
 
 
 @dataclass(frozen=True)
+class PathPlus:
+    """Transitive-closure property path ``p+`` (ast.rs:388). SPARQL gives
+    arbitrary-length paths SET semantics, so the compiler lowers this to
+    distinct reachability."""
+
+    inner: Iri
+
+
+@dataclass(frozen=True)
 class TriplePattern:
     s: Term
-    p: Term
+    p: Term  # Term | PathPlus (sequences are desugared at parse time)
     o: Term
 
 
@@ -82,16 +96,34 @@ class GroupPattern:
     filters: list[FExpr] = field(default_factory=list)
     optionals: list["GroupPattern"] = field(default_factory=list)
     unions: list[tuple["GroupPattern", "GroupPattern"]] = field(default_factory=list)
+    # VALUES inline data: (variable names, rows of Term|None (UNDEF))
+    values: list[tuple[list[str], list[list]]] = field(default_factory=list)
+    # MINUS { ... } groups (ast.rs:283-346)
+    minuses: list["GroupPattern"] = field(default_factory=list)
 
 
 @dataclass
 class SelectQuery:
-    variables: list[str]  # empty = *
+    variables: list[str]  # empty = * (when no aggregates)
     where: GroupPattern
     distinct: bool = False
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: Optional[int] = None
     offset: Optional[int] = None
+    # (fn, var-or-"*", alias, distinct) projections: SELECT (COUNT(?x) AS ?n)
+    aggregates: list[tuple[str, str, str, bool]] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+
+
+@dataclass
+class AskQuery:
+    where: GroupPattern
+
+
+@dataclass
+class ConstructQuery:
+    template: list[TriplePattern]
+    where: GroupPattern
 
 
 @dataclass
@@ -118,7 +150,7 @@ _TOKEN = re.compile(
   | (?P<num>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_.-]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*/:a])
+  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*/:a+|])
     """,
     re.VERBOSE,
 )
@@ -178,6 +210,22 @@ class Parser:
             self.prefixes[pfx] = iri
         if self.at("name", "INSERT") or self.at("name", "DELETE") or self.at("name", "CLEAR"):
             return self._update()
+        if self.at("name", "ASK"):
+            self.next()
+            if self.at("name", "WHERE"):
+                self.next()
+            q = AskQuery(self.group())
+            if not self.at("eof"):
+                raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
+            return q
+        if self.at("name", "CONSTRUCT"):
+            self.next()
+            tpl = self._template()
+            self.eat("name", "WHERE")
+            q = ConstructQuery(tpl, self.group())
+            if not self.at("eof"):
+                raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
+            return q
         return self._select()
 
     def _select(self) -> SelectQuery:
@@ -187,13 +235,40 @@ class Parser:
             self.next()
             distinct = True
         variables: list[str] = []
+        aggregates: list[tuple[str, str, str, bool]] = []
         if self.at("op", "*"):
             self.next()
         else:
-            while self.at("var"):
-                variables.append(self.next()[1][1:])
+            while self.at("var") or self.at("op", "("):
+                if self.at("var"):
+                    variables.append(self.next()[1][1:])
+                    continue
+                # (AGG([DISTINCT] ?v | *) AS ?alias)
+                self.next()  # '('
+                fname = self.eat("name")[1].lower()
+                self.eat("op", "(")
+                agg_distinct = False
+                if self.at("name", "DISTINCT"):
+                    self.next()
+                    agg_distinct = True
+                if self.at("op", "*"):
+                    self.next()
+                    arg = "*"
+                else:
+                    arg = self.eat("var")[1][1:]
+                self.eat("op", ")")
+                self.eat("name", "AS")
+                alias = self.eat("var")[1][1:]
+                self.eat("op", ")")
+                aggregates.append((fname, arg, alias, agg_distinct))
         self.eat("name", "WHERE")
         where = self.group()
+        group_by: list[str] = []
+        if self.at("name", "GROUP"):
+            self.next()
+            self.eat("name", "BY")
+            while self.at("var"):
+                group_by.append(self.next()[1][1:])
         order: list[tuple[str, bool]] = []
         limit = offset = None
         if self.at("name", "ORDER"):
@@ -220,7 +295,9 @@ class Parser:
                 offset = n
         if not self.at("eof"):
             raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
-        return SelectQuery(variables, where, distinct, order, limit, offset)
+        return SelectQuery(
+            variables, where, distinct, order, limit, offset, aggregates, group_by
+        )
 
     # -- updates ----------------------------------------------------------
 
@@ -289,6 +366,12 @@ class Parser:
             elif self.at("name", "OPTIONAL"):
                 self.next()
                 g.optionals.append(self.group())
+            elif self.at("name", "MINUS"):
+                self.next()
+                g.minuses.append(self.group())
+            elif self.at("name", "VALUES"):
+                self.next()
+                g.values.append(self._values_block())
             elif self.at("op", "{"):
                 left = self.group()
                 self.eat("name", "UNION")
@@ -306,13 +389,59 @@ class Parser:
         self.eat("op", "}")
         return g
 
+    def _values_block(self) -> tuple[list[str], list[list]]:
+        """``VALUES ?x { t1 t2 }`` or ``VALUES (?x ?y) { (a b) (c d) }``;
+        UNDEF rows hold None."""
+        if self.at("var"):
+            names = [self.next()[1][1:]]
+            self.eat("op", "{")
+            rows: list[list] = []
+            while not self.at("op", "}"):
+                rows.append([self._values_term()])
+            self.eat("op", "}")
+            return names, rows
+        self.eat("op", "(")
+        names = []
+        while self.at("var"):
+            names.append(self.next()[1][1:])
+        self.eat("op", ")")
+        self.eat("op", "{")
+        rows = []
+        while self.at("op", "("):
+            self.next()
+            row = []
+            while not self.at("op", ")"):
+                row.append(self._values_term())
+            self.eat("op", ")")
+            if len(row) != len(names):
+                raise SparqlSyntaxError("VALUES row arity mismatch")
+            rows.append(row)
+        self.eat("op", "}")
+        return names, rows
+
+    def _values_term(self):
+        if self.at("name", "UNDEF"):
+            self.next()
+            return None
+        return self.term()
+
+    def _expand_path(self, s: Term, p, o: Term, out: list[TriplePattern]) -> None:
+        """Desugar a sequence path into fresh-variable triples."""
+        if isinstance(p, tuple) and p[0] == "seq":
+            self._ppn = getattr(self, "_ppn", 0) + 1
+            mid = Var(f"__pp{self._ppn}")
+            self._expand_path(s, p[1], mid, out)
+            self._expand_path(mid, p[2], o, out)
+        else:
+            out.append(TriplePattern(s, p, o))
+
     def triple_block(self) -> list[TriplePattern]:
         s = self.term()
         out = []
         while True:
             p = self.predicate()
             o = self.term()
-            out.append(TriplePattern(s, p, o))
+            self._expand_path(s, p, o, out)
             if self.at("op", ";"):
                 self.next()
                 if self.at("op", ".") or self.at("op", "}"):
@@ -322,7 +451,7 @@ class Parser:
                 self.next()
                 while True:
                     o2 = self.term()
-                    out.append(TriplePattern(s, p, o2))
+                    self._expand_path(s, p, o2, out)
                     if self.at("op", ","):
                         self.next()
                         continue
@@ -330,11 +459,28 @@ class Parser:
             break
         return out
 
-    def predicate(self) -> Term:
+    def predicate(self):
+        """Predicate term or property path: ``p1/p2`` sequences (returned as
+        nested ('seq', a, b) tuples, desugared by the caller) and ``p+``
+        closures (ast.rs:388)."""
+        left = self._path_elt()
+        while self.at("op", "/"):
+            self.next()
+            left = ("seq", left, self._path_elt())
+        return left
+
+    def _path_elt(self):
         if self.at("op", "a") or self.at("name", "a"):
             self.next()
-            return Iri(RDF_TYPE)
-        return self.term()
+            base: Term = Iri(RDF_TYPE)
+        else:
+            base = self.term()
+        if self.at("op", "+"):
+            self.next()
+            if not isinstance(base, Iri):
+                raise SparqlSyntaxError("p+ requires a constant predicate")
+            return PathPlus(base)
+        return base
 
     def term(self) -> Term:
         k, v = self.peek()
@@ -395,9 +541,8 @@ class Parser:
         if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
             return FExpr(v, (left, self.primary()))
-        if isinstance(left, FExpr):
-            return left
-        raise SparqlSyntaxError(f"incomplete filter expression near {self.peek()!r}")
+        # bare term / call (effective boolean value, or a function argument)
+        return left
 
     def primary(self):
         if self.at("op", "("):
@@ -410,7 +555,8 @@ class Parser:
             self.eat("op", "(")
             args = []
             while not self.at("op", ")"):
-                args.append(self.primary())
+                # full expressions as arguments (IF conditions etc.)
+                args.append(self.filter_expr())
                 if self.at("op", ","):
                     self.next()
             self.eat("op", ")")

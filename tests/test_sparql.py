@@ -243,3 +243,115 @@ def test_update_dispatch_errors(wdb):
         wdb.sparql(PFX + 'INSERT DATA { ex:x ex:name "X" }')
     with pytest.raises(SparqlCompileError):
         wdb.sparql_update(PFX + "SELECT ?s WHERE { ?s ?p ?o }")
+
+
+# --------------------------------------------------------------------- #
+# round-3: ASK / CONSTRUCT / VALUES / MINUS / property paths / aggregates
+# --------------------------------------------------------------------- #
+
+
+def test_ask(sdb):
+    assert sdb.sparql(PFX + 'ASK { ?p ex:name "Alice" }').collect()[0].ask is True
+    assert sdb.sparql(PFX + 'ASK { ?p ex:name "Nobody" }').collect()[0].ask is False
+
+
+def test_construct(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + "CONSTRUCT { ?a ex:friendOf ?b } WHERE { ?a ex:knows ?b }"
+        )
+    )
+    assert out == [
+        (EX + "alice", EX + "friendOf", EX + "bob"),
+        (EX + "bob", EX + "friendOf", EX + "carol"),
+    ]
+
+
+def test_values_single_var(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + 'SELECT ?name WHERE { ?p ex:name ?name . VALUES ?name { "Alice" "Carol" "Zed" } }'
+        )
+    )
+    assert out == [("Alice",), ("Carol",)]
+
+
+def test_values_multi_var(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?p ?name WHERE { ?p ex:name ?name . "
+            'VALUES (?p ?name) { (ex:alice "Alice") (ex:bob "Zed") } }'
+        )
+    )
+    assert out == [(EX + "alice", "Alice")]
+
+
+def test_minus(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?name WHERE { ?p a ex:Person ; ex:name ?name . "
+            "MINUS { ?p ex:knows ex:carol } }"
+        )
+    )
+    assert out == [("Alice",), ("Carol",)]  # bob knows carol -> removed
+
+
+def test_path_sequence(sdb):
+    out = rows(
+        sdb.sparql(PFX + "SELECT ?n WHERE { ex:alice ex:knows/ex:name ?n }")
+    )
+    assert out == [("Bob",)]
+    out2 = rows(
+        sdb.sparql(PFX + "SELECT ?n WHERE { ex:alice ex:knows/ex:knows/ex:name ?n }")
+    )
+    assert out2 == [("Carol",)]
+
+
+def test_path_plus(sdb):
+    out = rows(sdb.sparql(PFX + "SELECT ?x WHERE { ex:alice ex:knows+ ?x }"))
+    assert out == [(EX + "bob",), (EX + "carol",)]
+    out2 = rows(sdb.sparql(PFX + "SELECT ?x ?y WHERE { ?x ex:knows+ ?y }"))
+    assert sorted(out2) == [
+        (EX + "alice", EX + "bob"),
+        (EX + "alice", EX + "carol"),
+        (EX + "bob", EX + "carol"),
+    ]
+
+
+def test_aggregates_group_by(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?t (COUNT(?p) AS ?n) WHERE { ?p a ?t } GROUP BY ?t"
+        )
+    )
+    assert (EX + "Person", 3) in out and (EX + "City", 1) in out
+
+
+def test_aggregate_no_group(sdb):
+    out = sdb.sparql(
+        PFX + "SELECT (COUNT(*) AS ?n) WHERE { ?p a ex:Person }"
+    ).collect()
+    assert out[0].n == 3
+
+
+def test_new_builtins(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + 'SELECT ?name WHERE { ?p ex:name ?name . FILTER(REPLACE(?name, "a", "X", "i") = "Xlice") }'
+        )
+    )
+    assert out == [("Alice",)]
+    out2 = rows(
+        sdb.sparql(PFX + "SELECT ?x WHERE { ex:alice ex:knows ?x . FILTER(isIRI(?x)) }")
+    )
+    assert out2 == [(EX + "bob",)]
+    out3 = rows(
+        sdb.sparql(PFX + "SELECT ?a WHERE { ex:alice ex:age ?a . FILTER(isNumeric(?a)) }")
+    )
+    assert out3 == [("30",)]
+    out4 = rows(
+        sdb.sparql(
+            PFX + 'SELECT ?v WHERE { ex:alice ex:name ?n . FILTER(IF(?n = "Alice", BOUND(?n), !BOUND(?n))) }'
+        )
+    )
+    assert len(out4) == 1
