@@ -377,6 +377,34 @@ _ORACLE: dict[str, str] = {
         SELECT n_name AS nation, r_name AS r_region
         FROM nation JOIN region ON n_regionkey = r_regionkey
     """,
+    "events_windowed_counts": """
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS total
+        FROM events GROUP BY 1, 2, 3
+    """,
+    "events_sessionized": """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS total
+        FROM numbered GROUP BY user_id, sid
+    """,
     "gremlin_project_orders": """
         SELECT c_custkey AS custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
@@ -898,6 +926,28 @@ def _gremlin_order_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming operator under its batch contract: watermarked tumbling
+    window aggregation over the events table (window() runs identically on
+    batch frames — the hard oracle for the streaming arm; DuckDB
+    time_bucket is the reference)."""
+    from grafeo_spark.catalog import load_tables
+    from grafeo_spark.streaming import windowed_event_counts
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return windowed_event_counts(ev, window="1 hour", watermark="1 hour")
+
+
+def _events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (merge-on-gap) under its batch contract; oracle is
+    the classic gaps-and-islands SQL."""
+    from grafeo_spark.catalog import load_tables
+    from grafeo_spark.streaming import sessionize
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return sessionize(ev, gap="30 minutes", watermark="1 hour")
+
+
 def _gremlin_project_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """project/by with a per-element anonymous sub-traversal aggregate
     (ast.rs Project/By + scoped count): per-customer order counts, zero
@@ -947,6 +997,8 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vq_codes_profile": _vq_codes_profile,
     "gremlin_segment_counts": _gremlin_segment_counts,
     "gremlin_order_count": _gremlin_order_count,
+    "events_windowed_counts": _events_windowed_counts,
+    "events_sessionized": _events_sessionized,
     "gremlin_project_orders": _gremlin_project_orders,
     "gremlin_mutation_roundtrip": _gremlin_mutation_roundtrip,
     "graphql_customers": _graphql_customers,

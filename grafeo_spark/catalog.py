@@ -73,7 +73,10 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         for c in _NANO_TS.get(t, ()):
             if c in df.columns and dict(df.dtypes)[c] == "bigint":
-                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                # integer division: `/` is double division and epoch-ns
+                # exceeds double's 53-bit mantissa, wobbling the µs value
+                # ±1 vs DuckDB's exact ns->µs truncation
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         out[t] = df
     return out
 

@@ -107,3 +107,37 @@ def test_merge_nodes_idempotent(spark, social):
     )
     g2 = social.merge_nodes("Person", dup, keys=["id"])
     assert g2.nodes("Person").count() == 9  # Alice not duplicated
+
+
+# --------------------------------------------------------------------- #
+# NetworkX bridge (reference bridges/networkx.rs:1-7)
+# --------------------------------------------------------------------- #
+
+
+def test_networkx_roundtrip(spark, social):
+    nx = __import__("networkx")
+    from grafeo_spark.bridges import from_networkx, to_networkx
+
+    g = to_networkx(social)
+    assert g.number_of_nodes() == 8
+    assert g.number_of_edges() == 7
+    assert g.nodes[1]["name"] == "Alice" and g.nodes[1]["label"] == "Person"
+    assert any(d["type"] == "KNOWS" for _, _, d in g.edges(data=True))
+    # local algorithm over the exported snapshot
+    assert nx.has_path(g, 8, 6)
+
+    back = from_networkx(spark, g)
+    assert set(back.node_frames) == {"Person"}
+    assert back.nodes("Person").count() == 8
+    assert back.edges("KNOWS").count() == 7
+    names = {r.name for r in back.nodes("Person").collect()}
+    assert "Alice" in names and "Heidi" in names
+
+
+def test_to_networkx_size_guard(social):
+    import pytest as _pytest
+
+    from grafeo_spark.bridges import to_networkx
+
+    with _pytest.raises(ValueError, match="guard"):
+        to_networkx(social, max_nodes=2)
