@@ -497,7 +497,9 @@ class Compiler:
             }[e.op](x)
         if isinstance(e, E.Fn):
             return self._apply_named_fn(
-                e.name, [self._expr_with_resolver(a, scope, resolve) for a in e.args]
+                e.name,
+                [self._expr_with_resolver(a, scope, resolve) for a in e.args],
+                e.args,
             )
         raise CompileError(f"unsupported expression in optional-match WHERE: {e!r}")
 
@@ -751,7 +753,7 @@ class Compiler:
             return {"NOT": lambda c: ~c, "NEG": lambda c: -c, "ISNULL": lambda c: c.isNull(), "ISNOTNULL": lambda c: c.isNotNull()}[e.op](inner)
         if isinstance(e, E.Fn):
             args = [self._lambda_expr(a, var, x, scope, df) for a in e.args]
-            return self._apply_named_fn(e.name, args)
+            return self._apply_named_fn(e.name, args, e.args)
         return self._expr(e, scope, df)
 
     def _binop(self, e: E.BinOp, scope: Scope, df: DataFrame) -> Column:
@@ -760,21 +762,86 @@ class Compiler:
             return left.isin([i.value if isinstance(i, E.Lit) else self._expr(i, scope, df) for i in e.right.items])
         left = self._expr(e.left, scope, df)
         right = self._expr(e.right, scope, df)
+        if e.op == "+":
+            return self._plus(
+                left,
+                right,
+                df,
+                lt=self._dtype_try(e.left, scope, df),
+                rt=self._dtype_try(e.right, scope, df),
+            )
         return self._binop_cols(e.op, left, right, df)
 
-    def _plus(self, left: Column, right: Column, df: Optional[DataFrame]) -> Column:
+    def _dtype_try(self, e: E.Expr, scope: Scope, df: DataFrame):
+        """Planning-time data type of an expression, cheaply when possible:
+        literals from their Python type, bare column/property references
+        from ``df.schema`` (analyzed once per frame and cached by Spark);
+        only computed expressions pay a one-column select-analysis. Returns
+        None when the type cannot be determined."""
+        from pyspark.sql.types import (
+            ArrayType,
+            BooleanType,
+            DoubleType,
+            LongType,
+            StringType,
+        )
+
+        if isinstance(e, E.Lit):
+            v = e.value
+            if isinstance(v, bool):
+                return BooleanType()
+            if isinstance(v, int):
+                return LongType()
+            if isinstance(v, float):
+                return DoubleType()
+            if isinstance(v, str):
+                return StringType()
+            if isinstance(v, (list, tuple)):
+                return ArrayType(StringType())
+            return None
+        if isinstance(e, E.ListLit):
+            return ArrayType(StringType())
+        name = None
+        if isinstance(e, E.Prop):
+            info = scope.get(e.var)
+            if info is not None and info.kind != "value":
+                name = _p(e.var, e.key)
+        elif isinstance(e, E.Col):
+            info = scope.get(e.name)
+            name = _p(e.name, "id") if (info and info.kind != "value") else e.name
+        if name is not None:
+            try:
+                return df.schema[name].dataType
+            except KeyError:
+                return None
+        try:
+            col = self._expr(e, scope, df)
+            return df.select(col.alias("_t")).schema[0].dataType
+        except Exception:
+            return None
+
+    def _plus(
+        self,
+        left: Column,
+        right: Column,
+        df: Optional[DataFrame],
+        lt=None,
+        rt=None,
+    ) -> Column:
         """Cypher `+`: numeric add, string concat, or list concat/append —
         the reference's Add concatenates strings and lists (filter.rs:712).
-        Dispatch on the analyzed operand types (planning-time only)."""
-        if df is None:
-            return left + right
+        Dispatch on the (pre-analyzed) operand types; unknown types fall
+        back to numeric add."""
         from pyspark.sql.types import ArrayType, StringType
 
-        try:
-            lt = df.select(left.alias("_l")).schema[0].dataType
-            rt = df.select(right.alias("_r")).schema[0].dataType
-        except Exception:
-            return left + right
+        if lt is None and rt is None:
+            if df is None:
+                return left + right
+            try:
+                lt = df.select(left.alias("_l")).schema[0].dataType
+                rt = df.select(right.alias("_r")).schema[0].dataType
+            except Exception:
+                return left + right
         l_arr, r_arr = isinstance(lt, ArrayType), isinstance(rt, ArrayType)
         if l_arr and r_arr:
             return F.concat(left, right)
@@ -880,21 +947,30 @@ class Compiler:
             return F.array_join(self._expr(e.args[0], scope, df), delim)
         if name in ("size", "length") and e.args:
             # size()/length() work on strings, lists and maps in the
-            # reference (filter.rs:790-820); dispatch on the analyzed type.
+            # reference (filter.rs:790-820); dispatch on the analyzed type
+            # (cheap for bare refs/literals — see _dtype_try).
             c = self._expr(e.args[0], scope, df)
             from pyspark.sql.types import ArrayType, MapType, StringType
 
-            dtype = df.select(c.alias("_t")).schema[0].dataType
+            dtype = self._dtype_try(e.args[0], scope, df)
             if isinstance(dtype, (ArrayType, MapType)):
                 return F.size(c)
             if isinstance(dtype, StringType):
                 return F.length(c)
             return F.size(c)
         args = [self._expr(a, scope, df) for a in e.args]
-        return self._apply_named_fn(name, args)
+        return self._apply_named_fn(name, args, e.args)
 
-    def _apply_named_fn(self, name: str, args: list[Column]) -> Column:
+    def _apply_named_fn(
+        self, name: str, args: list[Column], raw_args: tuple = ()
+    ) -> Column:
         name = name.lower()
+        if name == "date_trunc":
+            # unit must be a Python string — unwrap the AST literal instead
+            # of poking Column internals (Connect-safe)
+            if raw_args and isinstance(raw_args[0], E.Lit):
+                return F.date_trunc(str(raw_args[0].value), args[1])
+            raise CompileError("date_trunc unit must be a literal string")
         simple = {
             "coalesce": lambda a: F.coalesce(*a),
             "tostring": lambda a: a[0].cast("string"),
@@ -968,7 +1044,6 @@ class Compiler:
             "euclidean_distance": lambda a: vfn.euclidean_distance(a[0], a[1]),
             "dot_product": lambda a: vfn.dot_product(a[0], a[1]),
             "manhattan_distance": lambda a: vfn.manhattan_distance(a[0], a[1]),
-            "date_trunc": lambda a: F.date_trunc(args_lit(a[0]), a[1]),
             "year": lambda a: F.year(a[0]),
             "month": lambda a: F.month(a[0]),
             "day": lambda a: F.dayofmonth(a[0]),
@@ -1027,10 +1102,9 @@ class Compiler:
                     else ","
                 )
                 return F.array_join(self._agg_expr(e.args[0], scope, df), delim)
-            return self._apply_named_fn(e.name, [self._agg_expr(a, scope, df) for a in e.args])
+            return self._apply_named_fn(
+                e.name, [self._agg_expr(a, scope, df) for a in e.args], e.args
+            )
         return self._expr(e, scope, df)
 
 
-def args_lit(c: Column) -> str:
-    # extract a literal string from a Column (for date_trunc unit)
-    return c._jc.toString().strip("'\"")
