@@ -377,6 +377,15 @@ _ORACLE: dict[str, str] = {
         SELECT n_name AS nation, r_name AS r_region
         FROM nation JOIN region ON n_regionkey = r_regionkey
     """,
+    "embedding_near_pairs": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        )
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 4) AS score
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+    """,
     "events_windowed_counts": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
                time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
@@ -926,6 +935,20 @@ def _gremlin_order_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (completes the dedup family:
+    exact / MinHash / n-gram / SimHash / embedding-cosine). This corpus's
+    similarity ceiling is ~0.51, below the SRP selectivity regime, so the
+    operator takes its exact all-pairs arm; the SRP-bucketed scale arm is
+    exactness-tested in pytest on clustered vectors."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import cosine_near_pairs
+
+    out = cosine_near_pairs(_embs(spark, sf_dir), threshold=0.3)
+    return out.select("a", "b", F.round("score", 4).alias("score"))
+
+
 def _events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming operator under its batch contract: watermarked tumbling
     window aggregation over the events table (window() runs identically on
@@ -997,6 +1020,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vq_codes_profile": _vq_codes_profile,
     "gremlin_segment_counts": _gremlin_segment_counts,
     "gremlin_order_count": _gremlin_order_count,
+    "embedding_near_pairs": _embedding_near_pairs,
     "events_windowed_counts": _events_windowed_counts,
     "events_sessionized": _events_sessionized,
     "gremlin_project_orders": _gremlin_project_orders,

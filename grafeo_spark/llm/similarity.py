@@ -146,6 +146,83 @@ def ann_topk(
     return topk(cands, query_vec, k, id_col, vec_col, metric)
 
 
+def srp_tables_for_threshold(
+    threshold: float, nbits: int, target_miss: float = 1e-6
+) -> int:
+    """Number of independent SRP tables so a pair at the given cosine
+    threshold shares >= 1 bucket with probability 1 - target_miss.
+    Per-bit agreement is 1 - acos(cos) / pi (Goemans–Williamson); a table
+    matches when all nbits agree."""
+    import math
+
+    p_bit = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    p_table = p_bit**nbits
+    if p_table >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(target_miss) / math.log(1.0 - p_table)))
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    tables: Optional[int] = None,
+    seed: int = 42,
+    brute_force_below: float = 0.7,
+) -> DataFrame:
+    """(a, b, score) — all pairs with cosine similarity >= threshold (the
+    embedding near-duplicate detector, completing the dedup family next to
+    MinHash/SimHash).
+
+    Scale path (high thresholds): multi-table SRP bucketing — ``tables``
+    derived from the threshold so the miss probability stays under 1e-6 —
+    then exact-cosine verification of bucket collisions only; the join key
+    is (table, code), never n×m. Below ``brute_force_below`` hyperplane
+    buckets stop pruning (per-bit agreement approaches 1/2, so every pair
+    collides in some table) and the operator honestly switches to the
+    exact all-pairs join rather than paying LSH overhead for no
+    selectivity — LSH only earns its keep in its selectivity regime.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), v.alias("_v"))
+    score = vfn.cosine_similarity(F.col("_va"), F.col("_vb"))
+    if threshold < brute_force_below:
+        a = base.select(F.col("id").alias("a"), F.col("_v").alias("_va"))
+        b = base.select(F.col("id").alias("b"), F.col("_v").alias("_vb"))
+        return (
+            a.join(b, F.col("a") < F.col("b"))
+            .select("a", "b", score.alias("score"))
+            .filter(F.col("score") >= threshold)
+        )
+    if tables is None:
+        tables = srp_tables_for_threshold(threshold, nbits)
+    dim = len(df.select(vec_col).first()[0])
+    buckets = None
+    for t in range(tables):
+        planes = _planes(dim, nbits, seed + 1000 * t)
+        cur = base.select(
+            "id", "_v", F.lit(t).alias("t"), srp_code(F.col("_v"), planes).alias("code")
+        )
+        buckets = cur if buckets is None else buckets.unionByName(cur)
+    l = buckets.select(
+        F.col("t").alias("t1"), F.col("code").alias("c1"),
+        F.col("id").alias("a"), F.col("_v").alias("_va"),
+    )
+    r = buckets.select(
+        F.col("t").alias("t2"), F.col("code").alias("c2"),
+        F.col("id").alias("b"), F.col("_v").alias("_vb"),
+    )
+    cands = (
+        l.join(r, (F.col("t1") == F.col("t2")) & (F.col("c1") == F.col("c2")) & (F.col("a") < F.col("b")))
+        .select("a", "b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+        .distinct()
+    )
+    return cands
+
+
 def ann_join(
     queries: DataFrame,
     items: DataFrame,

@@ -324,3 +324,59 @@ def test_ngram_jaccard_pairs(docs):
     # char-unit variant still available for tokenization-robust matching
     chars = rows(ngram_jaccard_pairs(docs, n=5, threshold=0.9, unit="char"))
     assert (0, 2) in {(a, b) for a, b, _ in chars}
+
+
+def test_cosine_near_pairs_brute(spark):
+    from grafeo_spark.llm import cosine_near_pairs
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = {(r.a, r.b) for r in cosine_near_pairs(embs, threshold=0.3).collect()}
+    # brute-force reference in python
+    import numpy as np
+
+    rows_ = embs.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows_}
+    ids = sorted(vecs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if cos >= 0.3:
+                expected.add((a, b))
+    assert out == expected
+
+
+def test_cosine_near_pairs_srp_exact(spark):
+    # tight synthetic clusters: the SRP path (threshold-derived tables,
+    # miss < 1e-6) must match brute force exactly
+    import numpy as np
+
+    from grafeo_spark.llm import cosine_near_pairs
+
+    rng = np.random.default_rng(7)
+    rows_ = []
+    vid = 0
+    for c in range(5):
+        center = rng.standard_normal(16)
+        center /= np.linalg.norm(center)
+        for _ in range(6):
+            v = center + 0.05 * rng.standard_normal(16)
+            rows_.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows_, "vec_id long, embedding array<double>")
+    srp = {(r.a, r.b) for r in cosine_near_pairs(df, threshold=0.9).collect()}
+    brute = {
+        (r.a, r.b)
+        for r in cosine_near_pairs(df, threshold=0.9, brute_force_below=1.1).collect()
+    }
+    assert srp == brute and len(brute) > 30
+
+
+def test_srp_tables_for_threshold():
+    from grafeo_spark.llm.similarity import srp_tables_for_threshold
+
+    # higher thresholds need fewer tables; all positive
+    t9 = srp_tables_for_threshold(0.9, 8)
+    t7 = srp_tables_for_threshold(0.7, 8)
+    assert 0 < t9 < t7
