@@ -377,6 +377,21 @@ _ORACLE: dict[str, str] = {
         SELECT n_name AS nation, r_name AS r_region
         FROM nation JOIN region ON n_regionkey = r_regionkey
     """,
+    "multimodal_features": """
+        WITH h AS (
+            -- sha256(VARCHAR) hashes the UTF-8 encoding == the binary content
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS hx
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+               round(list_sum(list_transform(range(1, 17), i ->
+                   ((strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1)
+                   / 255.0 * 2 - 1)), 4) AS feat_sum
+        FROM h
+    """,
     "embedding_near_pairs": """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
@@ -935,6 +950,35 @@ def _gremlin_order_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end under a hard oracle: documents cast
+    to binary media content, featurized via the Arrow-batched mapInPandas
+    pipeline with the deterministic sha256-derived fake decoder (the real
+    decoder is an environmental stub) — DuckDB replicates the digest math
+    exactly, so schema, batching, and UDF plumbing are value-checked."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x), 4).alias(
+            "feat_sum"
+        ),
+    )
+
+
 def _embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (completes the dedup family:
     exact / MinHash / n-gram / SimHash / embedding-cosine). This corpus's
@@ -1020,6 +1064,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vq_codes_profile": _vq_codes_profile,
     "gremlin_segment_counts": _gremlin_segment_counts,
     "gremlin_order_count": _gremlin_order_count,
+    "multimodal_features": _multimodal_features,
     "embedding_near_pairs": _embedding_near_pairs,
     "events_windowed_counts": _events_windowed_counts,
     "events_sessionized": _events_sessionized,

@@ -43,6 +43,8 @@ class GrafeoSpark:
         self.spark = spark
         self.graph = graph
         self.triples = triples
+        # GQL DDL schema registry (gql/ast.rs:335-403), populated lazily
+        self.ddl = None
 
     # -- query front-ends -------------------------------------------------
 
@@ -62,7 +64,13 @@ class GrafeoSpark:
 
     def gql(self, query: str, params: dict[str, Any] | None = None) -> DataFrame:
         """GQL shares the Cypher grammar subset (the reference's two
-        translators are near-twins; SURVEY.md §3.2)."""
+        translators are near-twins; SURVEY.md §3.2), plus the DDL forms
+        CREATE NODE TYPE / EDGE TYPE / VECTOR INDEX (gql/ast.rs:335-403)
+        lowered onto the schema registry."""
+        from grafeo_spark.lang.ddl import execute_ddl, is_ddl
+
+        if is_ddl(query):
+            return execute_ddl(self, query)
         return self.cypher(query, params)
 
     execute = gql  # reference default language is GQL (session.execute)

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -48,7 +48,7 @@ FEATURES_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("mime", StringType()),
         StructField("n_bytes", LongType()),
-        StructField("features", ArrayType(FloatType())),
+        StructField("features", ArrayType(DoubleType())),
     ]
 )
 
@@ -113,7 +113,7 @@ def sample_frames(
         [
             StructField("media_id", LongType()),
             StructField("ts_ms", LongType()),
-            StructField("features", ArrayType(FloatType())),
+            StructField("features", ArrayType(DoubleType())),
         ]
     )
 

@@ -288,3 +288,20 @@ def test_xor_not(db):
 def test_coalesce_case_insensitive_fn(db):
     r = db.cypher("RETURN coalesce(null, 5) AS c, COALESCE(null, null, 'x') AS d").collect()[0]
     assert r.c == 5 and r.d == "x"
+
+
+def test_gql_ddl_registry(spark, social):
+    # CREATE NODE/EDGE TYPE / VECTOR INDEX (gql/ast.rs:335-403): schema
+    # registry + declared endpoints feeding the compiler metadata
+    from grafeo_spark.engine import GrafeoSpark
+
+    db2 = GrafeoSpark(spark, social)
+    r = db2.gql("CREATE NODE TYPE Person (name STRING, age INT)").collect()[0]
+    assert (r.created, r.name) == ("node_type", "Person")
+    db2.gql("CREATE EDGE TYPE KNOWS FROM Person TO Person (since INT)")
+    assert db2.ddl.edge_types["KNOWS"].src == "Person"
+    assert db2.graph.endpoints["KNOWS"] == ("Person", "Person")
+    db2.gql("CREATE VECTOR INDEX emb_idx ON Person(embedding) DIMENSIONS 64 METRIC cosine")
+    vi = db2.ddl.vector_indexes["emb_idx"]
+    assert (vi.label, vi.column, vi.dimensions, vi.metric) == ("Person", "embedding", 64, "cosine")
+    assert db2.ddl.node_types["Person"].properties == {"name": "STRING", "age": "INT"}
