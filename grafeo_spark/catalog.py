@@ -61,7 +61,18 @@ _NANO_TS = {
 }
 
 
+# (session id, sf_dir) -> frames. DataFrames are immutable, so sharing the
+# parsed/read plans across queries is safe (mutation paths build NEW graphs
+# from them); this avoids re-listing and re-footer-reading every parquet
+# table on every query of a battery run.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    key = (id(spark), sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     # Defensive for externally-created sessions (e.g. the driver's): the
     # testdata uses TIMESTAMP(NANOS) parquet which needs this legacy flag.
     try:
@@ -78,6 +89,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
                 # ±1 vs DuckDB's exact ns->µs truncation
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         out[t] = df
+    _TABLE_CACHE[key] = dict(out)
     return out
 
 
