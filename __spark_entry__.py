@@ -584,6 +584,61 @@ _ORACLE: dict[str, str] = {
 }
 
 
+def _pagerank_oracle_sql(iters: int = 10, alpha: float = 0.85) -> str:
+    """Replay the distributed PageRank's power iterations as chained CTEs:
+    same graph (customer->order PLACED, order->part one edge PER LINEITEM),
+    same dangling-mass redistribution, same float64 arithmetic."""
+    parts = [
+        """
+        WITH edges AS MATERIALIZED (
+            SELECT 'C' || o_custkey AS src, 'O' || o_orderkey AS dst FROM orders
+            UNION ALL
+            SELECT 'O' || l_orderkey, 'P' || l_partkey FROM lineitem
+        ),
+        verts AS MATERIALIZED (
+            SELECT DISTINCT v FROM (
+                SELECT src AS v FROM edges UNION SELECT dst FROM edges
+            )
+        ),
+        deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+        pr0 AS MATERIALIZED (
+            SELECT v, 1.0 / (SELECT n FROM nn) AS pr,
+                   coalesce(outdeg, 0) AS outdeg
+            FROM verts LEFT JOIN deg ON deg.src = verts.v
+        )"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        dang{k} AS MATERIALIZED (SELECT coalesce(sum(pr), 0) AS d FROM pr{p} WHERE outdeg = 0),
+        contrib{k} AS MATERIALIZED (
+            SELECT e.dst AS v, sum(p.pr / p.outdeg) AS c
+            FROM edges e JOIN pr{p} p ON p.v = e.src
+            GROUP BY e.dst
+        ),
+        pr{k} AS MATERIALIZED (
+            SELECT s.v,
+                   (1 - {alpha}) / (SELECT n FROM nn)
+                   + {alpha} * (SELECT d FROM dang{k}) / (SELECT n FROM nn)
+                   + {alpha} * coalesce(c.c, 0) AS pr,
+                   s.outdeg
+            FROM pr{p} s LEFT JOIN contrib{k} c ON c.v = s.v
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT CAST(substr(v, 2) AS BIGINT) AS partkey, round(pr, 8) AS pagerank
+        FROM pr{iters} WHERE v LIKE 'P%'
+        ORDER BY pagerank DESC, partkey ASC LIMIT 10"""
+    )
+    return "".join(parts)
+
+
+_ORACLE["alg_pagerank_top"] = _pagerank_oracle_sql()
+
+
 def _cypher_query(q: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _db(spark, sf_dir).cypher(q)
@@ -652,9 +707,11 @@ def _alg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _alg_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over PLACED+CONTAINS; top suppliers-of-attention parts.
-    No SQL oracle (iterative) — rows-only driver check; exactness is
-    covered by tests/test_algorithms.py against numpy power iteration."""
+    """PageRank over PLACED+CONTAINS; top attention-receiving parts.
+    The oracle replays the same 10 power iterations (dangling-mass
+    redistribution included) as chained SQL CTEs in DuckDB — iterative
+    but still value-checkable; ordering uses the ROUNDED score so float64
+    last-ulp drift can't flip the top-k tie-break."""
     from pyspark.sql import functions as F
 
     db = _db(spark, sf_dir)
