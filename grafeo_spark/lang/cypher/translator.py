@@ -363,6 +363,7 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
     path_len: E.Expr = E.Lit(0)
 
     prev = var
+    prev_orig = first.var  # original name (None = anonymous) for used-analysis
     i = 1
     while i < len(els):
         rel: P.RelPat = els[i]
@@ -388,6 +389,7 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
             max_hops=max_h if rel.var_length else None,
             dst_bound=dst_bound,
             dst_used=ctx.dst_used_for(node.var),
+            src_used=ctx.dst_used_for(prev_orig),
             path_alias=seg,
         )
         if rel.var_length:
@@ -408,6 +410,7 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
                 rel.types[0] if len(rel.types) == 1 else None,
             )
         prev = dvar
+        prev_orig = node.var
         i += 2
 
     if pat.path_var:

@@ -186,10 +186,53 @@ class Compiler:
                     return out.distinct()
         return out
 
+    def _can_elide_src(self, p: ir.Expand) -> bool:
+        """Source-scan elision precondition: the child is a bare label scan
+        of the source variable, only its id is needed downstream, and every
+        edge type's declared start endpoint satisfies the scan's label — so
+        the edge's src column IS a valid node id of that label (referential
+        integrity) and both the scan and the source join can be skipped."""
+        if not (
+            isinstance(p.child, ir.NodeScan)
+            and p.child.var == p.src_var
+            and not p.child.props
+            and not p.optional
+            and not p.dst_bound
+            and p.min_hops is None
+            and p.max_hops is None
+            and p.src_used is not None
+            and set(p.src_used) <= {"id"}
+            and p.etypes
+        ):
+            return False
+        lbl = p.child.label
+        for t in p.etypes:
+            ep = self.graph.endpoints.get(t)
+            if ep is None:
+                return False
+            if lbl is None:
+                continue  # unrestricted scan: any valid node id qualifies
+            if p.direction == ir.OUT:
+                start = ep[0]
+            elif p.direction == ir.IN:
+                start = ep[1]
+            else:
+                if ep[0] != ep[1]:
+                    return False
+                start = ep[0]
+            if start != lbl:
+                return False
+        return True
+
     def _c_expand(self, p: ir.Expand) -> tuple[DataFrame, Scope]:
-        child, scope = self._compile(p.child)
-        if p.src_var not in scope:
-            raise CompileError(f"unbound source variable {p.src_var!r}")
+        if self._can_elide_src(p):
+            child, scope = None, {
+                p.src_var: VarInfo("node", p.child.label, ("id",))
+            }
+        else:
+            child, scope = self._compile(p.child)
+            if p.src_var not in scope:
+                raise CompileError(f"unbound source variable {p.src_var!r}")
 
         if p.min_hops is not None or p.max_hops is not None:
             return self._var_length(p, child, scope)
@@ -224,14 +267,21 @@ class Compiler:
             # Id-only destination with declared edge endpoints: the edge's
             # dst IS the node id (referential integrity) — skip the node
             # table entirely, saving one join (+broadcast/shuffle) per hop.
-            cond = src_id == F.col(_p(evar, "src"))
             scope_for_props = dict(scope)
             scope_for_props[evar] = new_scope_edge
-            for key, val in p.edge_props:
-                cond = cond & (F.col(_p(evar, key)) == self._expr(val, scope_for_props, child))
-            out = child.join(e, cond, how).withColumn(
-                _p(p.dst_var, "id"), F.col(_p(evar, "dst"))
-            )
+            if child is None:
+                # elided source: the edge frame carries the src binding
+                out = e.withColumn(_p(p.src_var, "id"), F.col(_p(evar, "src")))
+                for key, val in p.edge_props:
+                    out = out.filter(
+                        F.col(_p(evar, key)) == self._expr(val, scope_for_props, out)
+                    )
+            else:
+                cond = src_id == F.col(_p(evar, "src"))
+                for key, val in p.edge_props:
+                    cond = cond & (F.col(_p(evar, key)) == self._expr(val, scope_for_props, child))
+                out = child.join(e, cond, how)
+            out = out.withColumn(_p(p.dst_var, "id"), F.col(_p(evar, "dst")))
             label = p.dst_label or self._endpoint_label(p)
             scope[p.dst_var] = VarInfo("node", label, ("id",))
             if p.edge_var:
@@ -244,17 +294,30 @@ class Compiler:
         right = e.join(
             ndf, F.col(_p(evar, "dst")) == F.col(_p(p.dst_var, "id")), "inner"
         )
-        cond = src_id == F.col(_p(evar, "src"))
         scope_for_props = dict(scope)
         scope_for_props[p.dst_var] = ninfo
         scope_for_props[evar] = new_scope_edge
-        for key, val in p.dst_props:
-            cond = cond & (F.col(_p(p.dst_var, key)) == self._expr(val, scope_for_props, child))
-        for key, val in p.edge_props:
-            cond = cond & (F.col(_p(evar, key)) == self._expr(val, scope_for_props, child))
-        if p.where is not None:
-            cond = cond & self._expr(p.where, scope_for_props, child)
-        out = child.join(right, cond, how)
+        if child is None:
+            out = right.withColumn(_p(p.src_var, "id"), F.col(_p(evar, "src")))
+            for key, val in p.dst_props:
+                out = out.filter(
+                    F.col(_p(p.dst_var, key)) == self._expr(val, scope_for_props, out)
+                )
+            for key, val in p.edge_props:
+                out = out.filter(
+                    F.col(_p(evar, key)) == self._expr(val, scope_for_props, out)
+                )
+            if p.where is not None:
+                out = out.filter(self._expr(p.where, scope_for_props, out))
+        else:
+            cond = src_id == F.col(_p(evar, "src"))
+            for key, val in p.dst_props:
+                cond = cond & (F.col(_p(p.dst_var, key)) == self._expr(val, scope_for_props, child))
+            for key, val in p.edge_props:
+                cond = cond & (F.col(_p(evar, key)) == self._expr(val, scope_for_props, child))
+            if p.where is not None:
+                cond = cond & self._expr(p.where, scope_for_props, child)
+            out = child.join(right, cond, how)
         scope[p.dst_var] = ninfo
         if p.edge_var:
             scope[evar] = new_scope_edge

@@ -67,6 +67,11 @@ class Expand(Plan):
     # needed and the edge type declares a matching endpoint label, the
     # compiler skips the destination node join entirely.
     dst_used: Optional[tuple[str, ...]] = None
+    # Same analysis for the SOURCE variable: when the child is a bare
+    # label scan, only the id is used, and the edge declares a matching
+    # start endpoint, the compiler elides the scan AND the source join
+    # (the edge's src column IS the node id).
+    src_used: Optional[tuple[str, ...]] = None
     # Set for a var-length segment inside a named path ``p = (a)-[*]->(b)``:
     # the compiler exposes ``<path_alias>__nodes`` (array of node ids after
     # the source) and ``<path_alias>__hops`` columns for path assembly.
