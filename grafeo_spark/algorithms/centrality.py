@@ -69,11 +69,11 @@ def pagerank(
         .persist()
     )
     for it in range(1, max_iter + 1):
-        # state is always checkpointed here (init above, loop tail below),
-        # so this per-iteration scalar action is a cheap scan — collecting
-        # from un-materialized state would re-execute every prior superstep.
-        dangling = (
-            state.filter(F.col("outdeg") == 0).agg(F.sum("pr")).collect()[0][0] or 0.0
+        # dangling mass as a broadcast 1-row aggregate folded into the same
+        # superstep job: one action per iteration (the checkpoint) instead
+        # of a separate driver collect — halves the per-superstep job count
+        dang = state.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang")
         )
         contrib = (
             e.join(state, e["_es"] == state["id"], "inner")
@@ -81,14 +81,17 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
-        base = (1.0 - alpha) / n + alpha * dangling / n
         state = (
             state.drop("pr")
             .join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
             .withColumn(
-                "pr", F.lit(base) + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                "pr",
+                F.lit((1.0 - alpha) / n)
+                + F.lit(alpha) * F.col("_dang") / F.lit(float(n))
+                + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)),
             )
-            .drop("contrib")
+            .drop("contrib", "_dang")
         )
         state = state.localCheckpoint(eager=True)
     e.unpersist()
