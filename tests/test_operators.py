@@ -141,3 +141,59 @@ def test_to_networkx_size_guard(social):
 
     with _pytest.raises(ValueError, match="guard"):
         to_networkx(social, max_nodes=2)
+
+
+# --------------------------------------------------------------------- #
+# graph persistence (sources.py)
+# --------------------------------------------------------------------- #
+
+
+def test_graph_save_load_roundtrip(spark, social, tmp_path):
+    from grafeo_spark.graph import PropertyGraph
+    from grafeo_spark.sources import load_graph, save_graph
+
+    g = PropertyGraph(
+        social.node_frames,
+        social.edge_frames,
+        endpoints={"KNOWS": ("Person", "Person")},
+        disjoint_labels=True,
+        distinct_pairs={"KNOWS"},
+    )
+    path = str(tmp_path / "graph")
+    save_graph(g, path)
+    back = load_graph(spark, path)
+    assert set(back.node_frames) == {"Person"}
+    assert back.nodes("Person").count() == 8
+    assert back.edges("KNOWS").count() == 7
+    assert back.endpoints == {"KNOWS": ("Person", "Person")}
+    assert back.disjoint_labels is True
+    assert back.distinct_pairs == frozenset({"KNOWS"})
+    # reloaded graph answers queries identically
+    from grafeo_spark.engine import GrafeoSpark
+
+    out = GrafeoSpark(spark, back).cypher(
+        "MATCH (a:Person {name: 'Alice'})-[:KNOWS]->(b) RETURN b.name AS n"
+    )
+    assert sorted(r.n for r in out.collect()) == ["Bob", "Carol"]
+
+
+def test_triples_save_load_partition_pruning(spark, tmp_path):
+    from grafeo_spark.graph import TripleStore
+    from grafeo_spark.sources import load_triples, save_triples
+
+    data = [
+        ("a", "http://x/p1", "b", None, None, None),
+        ("a", "http://x/p2", None, "v", None, None),
+        ("c", "http://x/p1", "d", None, None, None),
+    ]
+    ts = TripleStore(
+        spark.createDataFrame(
+            data, "s string, p string, o_iri string, o_lit string, o_dt string, g string"
+        )
+    )
+    path = str(tmp_path / "triples")
+    save_triples(ts, path)
+    back = load_triples(spark, path)
+    assert back.df.count() == 3
+    got = back.df.filter("p = 'http://x/p1'").select("s").collect()
+    assert sorted(r.s for r in got) == ["a", "c"]
