@@ -284,7 +284,9 @@ def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGra
         "HAS_EMBEDDING": ("Document", "Embedding"),
     }
     # (src, dst)-distinct edge frames: everything except CONTAINS (one edge
-    # per lineitem — an order can contain a part on several lines).
+    # per lineitem — an order can contain a part on several lines; its
+    # lineitem PK (orderkey=src, linenumber) is declared as the edge key so
+    # path operators get a cheap deterministic edge id).
     return PropertyGraph(
         nodes,
         edges,
@@ -293,4 +295,5 @@ def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGra
         distinct_pairs={
             "IN_REGION", "FROM_NATION", "PLACED", "SUPPLIED_BY", "HAS_EMBEDDING"
         },
+        edge_keys={"CONTAINS": ("linenumber",)},
     )

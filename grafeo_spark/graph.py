@@ -45,9 +45,17 @@ class PropertyGraph:
         endpoints: dict[str, tuple[str | None, str | None]] | None = None,
         disjoint_labels: bool = False,
         distinct_pairs: frozenset[str] | set[str] | None = None,
+        edge_keys: dict[str, tuple[str, ...]] | None = None,
     ) -> None:
         self.node_frames = dict(node_frames)
         self.edge_frames = dict(edge_frames)
+        # Property columns that together with (src, dst) uniquely identify
+        # an edge row (e.g. CONTAINS: linenumber — the lineitem PK). Lets
+        # the compiler stamp a deterministic edge id as a 3-4 column hash
+        # instead of hashing every property column per hop, and gives
+        # byte-identical parallel edges distinct ids only where the schema
+        # can't (see Compiler._edge_identity fallback).
+        self.edge_keys = dict(edge_keys or {})
         # Edge types whose (src, dst) pairs are known distinct (no parallel
         # edges). Reachability operators skip their global edge-set dedup
         # shuffle for these — per-frame metadata, so one multi-edge type
@@ -136,16 +144,17 @@ class PropertyGraph:
         frames[label] = df
         return PropertyGraph(
             frames, self.edge_frames, self.endpoints, self.disjoint_labels,
-            self.distinct_pairs,
+            self.distinct_pairs, self.edge_keys,
         )
 
     def with_edges(self, etype: str, df: DataFrame) -> "PropertyGraph":
         frames = dict(self.edge_frames)
         frames[etype] = df
-        # the replaced frame's distinctness is no longer known
+        # the replaced frame's distinctness / key uniqueness is no longer known
         return PropertyGraph(
             self.node_frames, frames, self.endpoints, self.disjoint_labels,
             self.distinct_pairs - {etype},
+            {t: k for t, k in self.edge_keys.items() if t != etype},
         )
 
     def create_nodes(self, label: str, df: DataFrame) -> "PropertyGraph":
@@ -171,9 +180,10 @@ class PropertyGraph:
                 e = e.join(ids.withColumnRenamed(ID, SRC), on=SRC, how="left_anti")
                 e = e.join(ids.withColumnRenamed(ID, DST), on=DST, how="left_anti")
                 eframes[t] = e
-        # anti-join keeps each frame a subset: distinctness is preserved
+        # anti-join keeps each frame a subset: distinctness/keys preserved
         return PropertyGraph(
-            frames, eframes, self.endpoints, self.disjoint_labels, self.distinct_pairs
+            frames, eframes, self.endpoints, self.disjoint_labels,
+            self.distinct_pairs, self.edge_keys,
         )
 
     def merge_nodes(self, label: str, df: DataFrame, keys: list[str]) -> "PropertyGraph":

@@ -17,9 +17,17 @@ distributed self-join loops:
 - **seeding**: when the pattern binds the source side (e.g.
   ``(c {custkey: 1})-[:PLACED*1..3]->()``), pass ``src_ids`` so hop 1
   starts from the bound frontier instead of every edge in the graph —
-  the difference between O(frontier) and O(|E|^hops) state at scale.
+  the difference between O(frontier) and O(|E|^hops) state at scale;
+- **per-hop edge frames**: ``edges`` may be a *list* of frames, one per
+  hop. The compiler builds these pruned by endpoint-label reachability
+  (from a ``Customer`` hop 1 can only traverse ``PLACED``/``FROM_NATION``),
+  so each hop scans only the edge types actually reachable there instead
+  of the union of every type in the graph — at 100 TB the difference
+  between a frontier-sized join and re-scanning the full edge set per hop.
+  A list shorter than ``max_hops`` means the expansion provably dead-ends
+  (no edge type leaves the reachable label set) and the loop stops early.
 
-The edge frame passed in is renamed to private column names (``_esrc``,
+The edge frame(s) passed in are renamed to private column names (``_esrc``,
 ``_edst``, ``_eid``) before the loop, so frontier-vs-edge joins are never
 ambiguous self-joins (the round-1 bug: joining a frame against a frame
 derived from it).
@@ -27,22 +35,25 @@ derived from it).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _CHECKPOINT_EVERY = 3
 
+Edges = Union[DataFrame, Sequence[DataFrame]]
+
 
 def _prep_edges(edges: DataFrame, id_col: Optional[str] = None) -> DataFrame:
     """Project edges to private names (_esrc, _edst, _eid).
 
     Edge identity for the trail no-repeat rule: an explicit ``id_col`` if
-    given, else a hash over *all* columns so parallel edges with distinct
-    properties (e.g. two CONTAINS lineitems for one order+part) stay
-    distinct — the reference tracks real edge ids
-    (variable_length_expand.rs:217-240).
+    given (the compiler stamps a precomputed ``_eid`` from catalog
+    uniqueness metadata), else a hash over *all* columns. The hash arm
+    collapses byte-identical parallel edges — callers that can see such
+    duplicates must pass real ids (the reference tracks edge ids,
+    variable_length_expand.rs:217-240).
     """
     if id_col is not None and id_col in edges.columns:
         eid = F.col(id_col).cast("long")
@@ -53,6 +64,23 @@ def _prep_edges(edges: DataFrame, id_col: Optional[str] = None) -> DataFrame:
         F.col("dst").alias("_edst"),
         eid.alias("_eid"),
     )
+
+
+def _hop_list(edges: Edges, max_hops: int, id_col: Optional[str] = None) -> list[DataFrame]:
+    """Normalize ``edges`` into a per-hop list of prepped frames.
+
+    A single frame is reused for every hop; a sequence is prepped once per
+    distinct frame object (the compiler reuses one object for consecutive
+    hops with the same reachable type set, keeping the plan shared)."""
+    if isinstance(edges, DataFrame):
+        return [_prep_edges(edges, id_col)] * max_hops
+    prepped: dict[int, DataFrame] = {}
+    out = []
+    for f in list(edges)[:max_hops]:
+        if id(f) not in prepped:
+            prepped[id(f)] = _prep_edges(f, id_col)
+        out.append(prepped[id(f)])
+    return out
 
 
 def _seed(e: DataFrame, src_ids: Optional[DataFrame]) -> DataFrame:
@@ -66,7 +94,7 @@ def _seed(e: DataFrame, src_ids: Optional[DataFrame]) -> DataFrame:
 
 
 def var_length_expand(
-    edges: DataFrame,
+    edges: Edges,
     min_hops: int,
     max_hops: int,
     src_ids: Optional[DataFrame] = None,
@@ -76,58 +104,64 @@ def var_length_expand(
     """All trails of length in [min_hops, max_hops]: (src, dst, hops),
     one row per path (bag semantics, matching Cypher var-length MATCH).
 
-    ``edges`` must have columns src, dst (+ any property columns, which
-    feed edge identity). ``src_ids`` (single-column DataFrame) seeds the
-    BFS frontier from the bound side of the pattern. ``with_nodes`` adds a
-    ``path_nodes`` column — the node ids visited AFTER the source
-    ([n1, .., dst]) — for named-path (`p = ...`) materialization.
+    ``edges`` (frame or per-hop list) must have columns src, dst (+ any
+    property columns, which feed edge identity). ``src_ids`` (single-column
+    DataFrame) seeds the BFS frontier from the bound side of the pattern.
+    ``with_nodes`` adds a ``path_nodes`` column — the node ids visited AFTER
+    the source ([n1, .., dst]) — for named-path (`p = ...`)
+    materialization.
     """
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
-    e = _prep_edges(edges, id_col)
+    hop_e = _hop_list(edges, max_hops, id_col)
+    eff_max = min(max_hops, len(hop_e))
 
-    # frontier: (origin, cur, hops, _path: array of traversed edge ids
-    #            [, _pnodes: array of visited node ids after origin])
-    first = _seed(e, src_ids).select(
-        F.col("_esrc").alias("origin"),
-        F.col("_edst").alias("cur"),
-        F.lit(1).alias("hops"),
-        F.array(F.col("_eid")).alias("_path"),
-    )
-    if with_nodes:
-        first = first.withColumn("_pnodes", F.array(F.col("cur")))
-    frontier = first
-    results = [frontier] if min_hops <= 1 else []
-    hop = 1
-    while hop < max_hops:
-        hop += 1
-        cols = [
-            F.col("origin"),
+    results = []
+    if eff_max >= 1:
+        # frontier: (origin, cur, hops, _path: array of traversed edge ids
+        #            [, _pnodes: array of visited node ids after origin])
+        first = _seed(hop_e[0], src_ids).select(
+            F.col("_esrc").alias("origin"),
             F.col("_edst").alias("cur"),
-            (F.col("hops") + 1).alias("hops"),
-            F.array_append(F.col("_path"), F.col("_eid")).alias("_path"),
-        ]
-        if with_nodes:
-            cols.append(F.array_append(F.col("_pnodes"), F.col("_edst")).alias("_pnodes"))
-        nxt = (
-            frontier.join(e, frontier["cur"] == e["_esrc"], "inner")
-            .filter(~F.array_contains(F.col("_path"), F.col("_eid")))
-            .select(*cols)
+            F.lit(1).alias("hops"),
+            F.array(F.col("_eid")).alias("_path"),
         )
-        if hop % _CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=False)
-        frontier = nxt
-        if hop >= min_hops:
+        if with_nodes:
+            first = first.withColumn("_pnodes", F.array(F.col("cur")))
+        frontier = first
+        if min_hops <= 1:
             results.append(frontier)
+        hop = 1
+        while hop < eff_max:
+            e = hop_e[hop]
+            hop += 1
+            cols = [
+                F.col("origin"),
+                F.col("_edst").alias("cur"),
+                (F.col("hops") + 1).alias("hops"),
+                F.array_append(F.col("_path"), F.col("_eid")).alias("_path"),
+            ]
+            if with_nodes:
+                cols.append(F.array_append(F.col("_pnodes"), F.col("_edst")).alias("_pnodes"))
+            nxt = (
+                frontier.join(e, frontier["cur"] == e["_esrc"], "inner")
+                .filter(~F.array_contains(F.col("_path"), F.col("_eid")))
+                .select(*cols)
+            )
+            if hop % _CHECKPOINT_EVERY == 0:
+                nxt = nxt.localCheckpoint(eager=False)
+            frontier = nxt
+            if hop >= min_hops:
+                results.append(frontier)
 
     if min_hops == 0:
-        src_nodes = (
-            src_ids.select(F.col(src_ids.columns[0]).alias("origin"))
-            if src_ids is not None
-            else edges.select(F.col("src").alias("origin")).unionAll(
-                edges.select(F.col("dst").alias("origin"))
+        if src_ids is not None:
+            src_nodes = src_ids.select(F.col(src_ids.columns[0]).alias("origin"))
+        else:
+            base = edges if isinstance(edges, DataFrame) else edges[0]
+            src_nodes = base.select(F.col("src").alias("origin")).unionAll(
+                base.select(F.col("dst").alias("origin"))
             )
-        )
         zero = src_nodes.distinct().select(
             "origin",
             F.col("origin").alias("cur"),
@@ -138,6 +172,8 @@ def var_length_expand(
             zero = zero.withColumn("_pnodes", F.array().cast("array<long>"))
         results.insert(0, zero)
 
+    if not results:
+        raise ValueError("var_length_expand: no hop frames and min_hops > 0")
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
@@ -148,7 +184,7 @@ def var_length_expand(
 
 
 def reachable_pairs(
-    edges: DataFrame,
+    edges: Edges,
     min_hops: int,
     max_hops: int,
     src_ids: Optional[DataFrame] = None,
@@ -166,27 +202,52 @@ def reachable_pairs(
     (algorithm callers); query compilation keeps the default fully-lazy
     plan for its small hop caps.
 
-    ``pairs_distinct=True`` declares the input's (src, dst) pairs already
-    distinct, skipping the global edge-set dedup shuffle — at 100 TB a full
-    |E| shuffle per query regardless of frontier size. The compiler sets it
-    from per-edge-type metadata (catalog knows which frames hold distinct
-    pairs; only multi-edge frames need a per-frame dedup).
+    Dedup strategy: the OUTPUT is always pair-distinct. With a single edge
+    frame, ``pairs_distinct=True`` declares its (src, dst) pairs already
+    distinct, skipping the edge-set dedup shuffle (algorithm callers reuse
+    the deduped frame across every hop, so pre-dedup pays off there). With a
+    per-hop frame LIST (the compiler's seeded path), edge frames are never
+    pre-deduped — the frontier is deduped after each hop join instead, so
+    the shuffle is bounded by the frontier size, not |E| (at 100 TB,
+    pre-deduping a full edge type per query to serve a 10-row frontier is
+    the wrong side of the join to clean).
     """
-    e = _prep_edges(edges).select("_esrc", "_edst")
-    if not pairs_distinct:
-        e = e.distinct()
-    frontier = _seed(e, src_ids).select(
+    is_list = not isinstance(edges, DataFrame)
+    raw = _hop_list(edges, max_hops)
+    eff_max = min(max_hops, len(raw))
+    if eff_max == 0:
+        raise ValueError("reachable_pairs: no hop frames")
+    # preserve object identity across hops sharing a frame so the dedup /
+    # checkpoint caches below fire once per distinct frame, not once per hop
+    xform: dict[int, DataFrame] = {}
+    for e in raw:
+        if id(e) not in xform:
+            pe = e.select("_esrc", "_edst")
+            xform[id(e)] = (
+                pe if (is_list or pairs_distinct) else pe.distinct()
+            )
+    hop_e = [xform[id(e)] for e in raw]
+    ckpt: dict[int, DataFrame] = {}
+
+    def _hop(i: int) -> DataFrame:
+        if not early_exit:
+            return hop_e[i]
+        if id(hop_e[i]) not in ckpt:
+            ckpt[id(hop_e[i])] = hop_e[i].localCheckpoint(eager=True)
+        return ckpt[id(hop_e[i])]
+
+    frontier = _seed(_hop(0), src_ids).select(
         F.col("_esrc").alias("origin"), F.col("_edst").alias("cur")
     )
-    if not pairs_distinct:
+    if is_list or not pairs_distinct:
         frontier = frontier.distinct()
     if early_exit:
-        e = e.localCheckpoint(eager=True)
         frontier = frontier.localCheckpoint(eager=True)
     results = [frontier.withColumn("hops", F.lit(1))] if min_hops <= 1 else []
     hop = 1
     all_seen = frontier
-    while hop < max_hops:
+    while hop < eff_max:
+        e = _hop(hop)
         hop += 1
         nxt = (
             frontier.join(e, frontier["cur"] == e["_esrc"], "inner")
@@ -207,6 +268,11 @@ def reachable_pairs(
         if hop >= min_hops:
             results.append(frontier.withColumn("hops", F.lit(hop)))
 
+    if not results:
+        # pruning dead-ended before min_hops: nothing is reachable that far
+        return frontier.select(
+            F.col("origin").alias("src"), F.col("cur").alias("dst"), F.lit(0).alias("hops")
+        ).limit(0)
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
@@ -214,7 +280,7 @@ def reachable_pairs(
 
 
 def shortest_path_lengths(
-    edges: DataFrame,
+    edges: Edges,
     max_hops: int,
     src_ids: Optional[DataFrame] = None,
     pairs_distinct: bool = False,
@@ -231,7 +297,7 @@ def shortest_path_lengths(
 
 
 def all_shortest_paths(
-    edges: DataFrame,
+    edges: Edges,
     max_hops: int,
     src_ids: Optional[DataFrame] = None,
     with_nodes: bool = False,
@@ -252,8 +318,11 @@ def all_shortest_paths(
     ``path_nodes`` (``with_nodes=True``) lists the node ids visited after
     the source ([n1, .., dst]), matching :func:`var_length_expand`.
     """
-    e = _prep_edges(edges).select("_esrc", "_edst")
-    frontier = _seed(e, src_ids).select(
+    hop_e = [e.select("_esrc", "_edst") for e in _hop_list(edges, max_hops)]
+    eff_max = min(max_hops, len(hop_e))
+    if eff_max == 0:
+        raise ValueError("all_shortest_paths: no hop frames")
+    frontier = _seed(hop_e[0], src_ids).select(
         F.col("_esrc").alias("origin"),
         F.col("_edst").alias("cur"),
         F.lit(1).alias("hops"),
@@ -263,7 +332,8 @@ def all_shortest_paths(
     results = [frontier]
     seen = frontier.select("origin", "cur").distinct()
     hop = 1
-    while hop < max_hops:
+    while hop < eff_max:
+        e = hop_e[hop]
         hop += 1
         cols = [
             F.col("origin"),

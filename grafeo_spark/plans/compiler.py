@@ -140,51 +140,157 @@ class Compiler:
             e = e.unionByName(rev)
         return e, label
 
-    def _edge_pairs(self, etypes: tuple[str, ...], direction: str) -> DataFrame:
-        """(src, dst)-DISTINCT oriented edge pairs for reachability operators
-        (reachable_pairs / shortest_path_lengths).
+    # -- per-hop pruned edge frames for path operators -------------------
 
-        Instead of a global ``.distinct()`` over the unioned edge set (a full
-        |E| shuffle per query regardless of frontier size), dedup only the
-        frames the catalog does NOT declare pair-distinct, and skip the final
-        global dedup when no two oriented frames can collide (their declared
-        endpoint-label pairs differ; labels are disjoint id namespaces).
+    def _edge_identity(self, t: str) -> DataFrame:
+        """(src, dst, _eid) for edge type ``t`` with a deterministic,
+        per-edge-unique id for the trail no-repeat rule
+        (variable_length_expand.rs:217-240 tracks real edge ids).
+
+        Cheapest available witness of uniqueness, in order: a pair-distinct
+        frame hashes (type, src, dst); a declared edge key hashes
+        (type, src, dst, *keys); otherwise an occurrence number over
+        byte-identical rows disambiguates true duplicate parallel edges
+        (a window shuffle — only user-built frames without metadata pay it).
         """
-        types = list(etypes) if etypes else self.graph.edge_types()
-        frames: list[DataFrame] = []
-        orient_eps: list[tuple[Optional[str], Optional[str]]] = []
-        for t in types:
-            f = self.graph.edge_frames[t].select("src", "dst")
-            if t not in self.graph.distinct_pairs:
-                f = f.distinct()  # bounded by this type's pair count
-            s_lbl, d_lbl = self.graph.endpoints.get(t, (None, None))
-            rev = f.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            if direction == ir.IN:
-                frames.append(rev)
-                orient_eps.append((d_lbl, s_lbl))
-            elif direction == ir.BOTH:
-                frames.append(f)
-                frames.append(rev)
-                orient_eps.append((s_lbl, d_lbl))
-                orient_eps.append((d_lbl, s_lbl))
+        f = self.graph.edge_frames[t]
+        tag = F.lit(t)
+        if t in self.graph.distinct_pairs:
+            eid = F.xxhash64(tag, F.col("src"), F.col("dst"))
+        else:
+            keys = self.graph.edge_keys.get(t)
+            if keys:
+                eid = F.xxhash64(tag, F.col("src"), F.col("dst"), *[F.col(k) for k in keys])
             else:
-                frames.append(f)
-                orient_eps.append((s_lbl, d_lbl))
+                from pyspark.sql import Window
+
+                occ = F.row_number().over(
+                    Window.partitionBy(*f.columns).orderBy(F.lit(1))
+                )
+                eid = F.xxhash64(tag, *[F.col(c) for c in f.columns], occ)
+        return f.select("src", "dst", eid.alias("_eid"))
+
+    def _oriented_types(
+        self, etypes: tuple[str, ...], direction: str
+    ) -> list[tuple[str, bool, Optional[str], Optional[str]]]:
+        """(etype, reversed, start_label, end_label) per traversal
+        orientation. BOTH contributes each type in both orientations —
+        pruning is per-orientation (from a Customer, PLACED is traversable
+        forward but not backward)."""
+        types = list(etypes) if etypes else self.graph.edge_types()
+        out = []
+        for t in types:
+            s_lbl, d_lbl = self.graph.endpoints.get(t, (None, None))
+            if direction in (ir.OUT, ir.BOTH):
+                out.append((t, False, s_lbl, d_lbl))
+            if direction in (ir.IN, ir.BOTH):
+                out.append((t, True, d_lbl, s_lbl))
+        return out
+
+    def _hop_edge_frames(
+        self,
+        etypes: tuple[str, ...],
+        direction: str,
+        src_label: Optional[str],
+        max_hops: int,
+        mode: str,
+        dst_label: Optional[str] = None,
+    ) -> list[DataFrame]:
+        """Per-hop edge frames for the path operators, pruned by
+        endpoint-label reachability in BOTH directions: hop h unions only
+        the edge types whose start label is reachable from the source at h
+        (from ``Customer``, hop 1 can only be PLACED/FROM_NATION) AND whose
+        end label can still reach ``dst_label`` within the remaining hops
+        (``(c:Customer)-[*..3]->(t:Part)`` keeps only PLACED then CONTAINS —
+        hop 3 provably dead-ends). Sound because every path that ends at
+        ``dst_label`` uses only edges satisfying both conditions, so all
+        such paths — and therefore their counts and shortest lengths —
+        survive unchanged; only rows the final dst join would discard are
+        pruned. At 100 TB this is the difference between joining a tiny
+        frontier against the reachable slice and re-scanning the full edge
+        set per hop.
+
+        mode: 'eid'   -> (src, dst, _eid) for trail enumeration;
+              'pairs' -> (src, dst), duplicates kept — reachable_pairs
+                          dedups on the frontier side, bounded by frontier
+                          size instead of |E|;
+              'bag'   -> (src, dst) duplicates kept (allShortestPaths).
+
+        Consecutive hops with the same usable type set share one DataFrame
+        object (the operators prep each distinct object once). The list is
+        shorter than ``max_hops`` when expansion provably dead-ends; empty
+        when even hop 1 has no usable type.
+        """
+        oriented = self._oriented_types(etypes, direction)
+        # back[k] = labels that can reach dst_label in <= k hops
+        # (None = unknown/all). Monotone, so "edge at hop h can be part of
+        # some path ending at dst_label by hop max_hops" reduces to
+        # end-label ∈ back[max_hops - h].
+        back: Optional[list] = None
+        if dst_label is not None:
+            back = [{dst_label}]
+            for _ in range(max_hops):
+                prev = back[-1]
+                if prev is None:
+                    back.append(None)
+                    continue
+                nxt, unknown = set(prev), False
+                for _t, _rev, s_lbl, e_lbl in oriented:
+                    if e_lbl is None or e_lbl in prev:
+                        if s_lbl is None:
+                            unknown = True
+                        else:
+                            nxt.add(s_lbl)
+                back.append(None if unknown else nxt)
+        frames: list[DataFrame] = []
+        built: dict[frozenset, DataFrame] = {}
+        cur: Optional[set] = {src_label} if src_label is not None else None
+        for h in range(max_hops):
+            usable = (
+                oriented
+                if cur is None
+                else [o for o in oriented if o[2] is None or o[2] in cur]
+            )
+            if back is not None:
+                b = back[max_hops - (h + 1)]
+                if b is not None:
+                    usable = [o for o in usable if o[3] is None or o[3] in b]
+            if not usable:
+                break
+            key = frozenset((t, rev) for t, rev, _, _ in usable)
+            if key not in built:
+                built[key] = self._oriented_union(usable, mode)
+            frames.append(built[key])
+            cur = (
+                None
+                if any(o[3] is None for o in usable)
+                else {o[3] for o in usable}
+            )
+        return frames
+
+    def _oriented_union(self, usable, mode: str) -> DataFrame:
+        frames: list[DataFrame] = []
+        for t, rev, _s_lbl, _e_lbl in usable:
+            if mode == "eid":
+                f = self._edge_identity(t)
+            else:
+                f = self.graph.edge_frames[t].select("src", "dst")
+            if rev:
+                cols = [F.col("dst").alias("src"), F.col("src").alias("dst")]
+                if mode == "eid":
+                    # id computed on the stored orientation: traversing the
+                    # same edge forward then backward is still a repeat
+                    cols.append(F.col("_eid"))
+                f = f.select(*cols)
+            frames.append(f)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        if not self.graph.disjoint_labels:
-            return out.distinct()
-        # two oriented frames can share a pair only if both endpoint labels
-        # can coincide (None = unknown label, collides with anything)
-        for i in range(len(orient_eps)):
-            for j in range(i + 1, len(orient_eps)):
-                (s1, d1), (s2, d2) = orient_eps[i], orient_eps[j]
-                if (s1 is None or s2 is None or s1 == s2) and (
-                    d1 is None or d2 is None or d1 == d2
-                ):
-                    return out.distinct()
         return out
+
+    def _empty_edges(self, mode: str) -> DataFrame:
+        schema = "src long, dst long" + (", _eid long" if mode == "eid" else "")
+        return self.spark.createDataFrame([], schema)
 
     def _can_elide_src(self, p: ir.Expand) -> bool:
         """Source-scan elision precondition: the child is a bare label scan
@@ -371,6 +477,7 @@ class Compiler:
         # the whole edge set — the 100 TB-scale fix (frontier bounded by the
         # child's rows, not |E|^hops).
         seeds = child.select(_p(p.src_var, "id")).distinct()
+        src_label = scope[p.src_var].label
         if (
             p.edge_var is None
             and p.path_alias is None
@@ -384,17 +491,23 @@ class Compiler:
             # yields 2 rows even with no edge variable bound
             # (variable_length_expand.rs trail enumeration). (lo <= 1 because
             # reachable_pairs records first-reach hop only.)
+            hop_frames = self._hop_edge_frames(
+                p.etypes, p.direction, src_label, hi, "pairs", p.dst_label
+            ) or [self._empty_edges("pairs")]
             pairs = reachable_pairs(
-                self._edge_pairs(p.etypes, p.direction),
+                hop_frames, lo, hi, src_ids=seeds, pairs_distinct=True
+            )
+        else:
+            hop_frames = self._hop_edge_frames(
+                p.etypes, p.direction, src_label, hi, "eid", p.dst_label
+            ) or [self._empty_edges("eid")]
+            pairs = var_length_expand(
+                hop_frames,
                 lo,
                 hi,
                 src_ids=seeds,
-                pairs_distinct=True,
-            )
-        else:
-            e, _ = self._edge_frame(p.etypes, p.direction)
-            pairs = var_length_expand(
-                e, lo, hi, src_ids=seeds, with_nodes=p.path_alias is not None
+                id_col="_eid",
+                with_nodes=p.path_alias is not None,
             )  # (src, dst, hops[, path_nodes])
         pvar = self._fresh("vl")
         psel = [
@@ -405,12 +518,26 @@ class Compiler:
         if p.path_alias is not None:
             psel.append(F.col("path_nodes").alias(_p(p.path_alias, "nodes")))
         pairs = pairs.select(*psel)
-        ndf, ninfo = self._node_frame(p.dst_var, p.dst_label)
-        right = pairs.join(ndf, F.col(_p(pvar, "dst")) == F.col(_p(p.dst_var, "id")), "inner")
-        for key, val in p.dst_props:
-            right = right.filter(
-                F.col(_p(p.dst_var, key)) == self._expr(val, {p.dst_var: ninfo}, right)
+        if (
+            p.dst_label is None
+            and not p.dst_props
+            and p.dst_used is not None
+            and set(p.dst_used) <= {"id"}
+        ):
+            # Unlabeled destination used only by id: every edge dst IS a
+            # valid node id (graph invariant), so the union-of-all-labels
+            # node scan + join adds nothing — skip it.
+            right = pairs.withColumn(_p(p.dst_var, "id"), F.col(_p(pvar, "dst")))
+            ninfo = VarInfo("node", None, ("id",))
+        else:
+            ndf, ninfo = self._node_frame(p.dst_var, p.dst_label)
+            right = pairs.join(
+                ndf, F.col(_p(pvar, "dst")) == F.col(_p(p.dst_var, "id")), "inner"
             )
+            for key, val in p.dst_props:
+                right = right.filter(
+                    F.col(_p(p.dst_var, key)) == self._expr(val, {p.dst_var: ninfo}, right)
+                )
         cond = F.col(_p(p.src_var, "id")) == F.col(_p(pvar, "src"))
         how = "left" if p.optional else "inner"
         out = child.join(right, cond, how)
@@ -432,13 +559,17 @@ class Compiler:
 
         child, scope = self._compile(p.child)
         seeds = child.select(_p(p.src_var, "id")).distinct()
+        src_label = scope[p.src_var].label if p.src_var in scope else None
+        dst_label = scope[p.dst_var].label if p.dst_var in scope else None
         dvar = self._fresh("sp")
         if p.all_paths or p.with_nodes:
             # Path enumeration: one row per shortest path (parallel edges
             # distinct), optionally carrying the visited node ids.
-            e, _ = self._edge_frame(p.etypes, p.direction)
+            hop_frames = self._hop_edge_frames(
+                p.etypes, p.direction, src_label, p.max_hops, "bag", dst_label
+            ) or [self._empty_edges("bag")]
             dist = all_shortest_paths(
-                e.select("src", "dst"), p.max_hops, src_ids=seeds, with_nodes=True
+                hop_frames, p.max_hops, src_ids=seeds, with_nodes=True
             )
             if not p.all_paths:
                 # shortestPath: ONE representative path per pair,
@@ -451,11 +582,11 @@ class Compiler:
             # Lengths only — the scale path: per-level pair dedup, and the
             # edge set is pre-deduped per frame using catalog metadata (no
             # global |E| distinct).
+            hop_frames = self._hop_edge_frames(
+                p.etypes, p.direction, src_label, p.max_hops, "pairs", dst_label
+            ) or [self._empty_edges("pairs")]
             dist = shortest_path_lengths(
-                self._edge_pairs(p.etypes, p.direction),
-                p.max_hops,
-                src_ids=seeds,
-                pairs_distinct=True,
+                hop_frames, p.max_hops, src_ids=seeds, pairs_distinct=True
             )
         sel = [
             F.col("src").alias(_p(dvar, "src")),

@@ -38,6 +38,7 @@ def save_graph(
         "endpoints": {t: list(ep) for t, ep in graph.endpoints.items()},
         "disjoint_labels": graph.disjoint_labels,
         "distinct_pairs": sorted(graph.distinct_pairs),
+        "edge_keys": {t: list(k) for t, k in graph.edge_keys.items()},
     }
     spark = next(
         iter(list(graph.node_frames.values()) + list(graph.edge_frames.values()))
@@ -74,6 +75,7 @@ def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
         endpoints,
         disjoint_labels=manifest.get("disjoint_labels", False),
         distinct_pairs=set(manifest.get("distinct_pairs", ())),
+        edge_keys={t: tuple(k) for t, k in manifest.get("edge_keys", {}).items()},
     )
 
 

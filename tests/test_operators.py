@@ -71,6 +71,52 @@ def test_shortest_path_lengths(spark):
     assert out[(1, 4)] == 1 and out[(1, 3)] == 2
 
 
+def test_var_length_duplicate_parallel_edges(spark):
+    """Two BYTE-IDENTICAL edge rows are two distinct edges: a trail may use
+    both (the reference tracks real edge ids, variable_length_expand.rs:217).
+    Exercises the compiler's occurrence-number identity fallback — the graph
+    declares no distinct_pairs/edge_keys metadata for REL."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    rel = spark.createDataFrame([(1, 2), (1, 2), (2, 3)], "src long, dst long")
+    db = GrafeoSpark(spark, PropertyGraph({"N": nodes}, {"REL": rel}))
+    out = db.cypher("MATCH (a:N)-[*2..2]->(b:N) RETURN count(*) AS n").collect()
+    assert out[0].n == 2  # 1=>2=>3 via each copy of the duplicated edge
+    # and the 2-cycle rule still holds: a single edge can't repeat
+    out = db.cypher("MATCH (a:N)-[*1..1]->(b:N) RETURN count(*) AS n").collect()
+    assert out[0].n == 3
+
+
+def test_hop_frames_label_reachability_pruning(spark):
+    """Per-hop edge frames include only types whose start label is reachable
+    at that hop (from A: hop 1 = AB only, hop 2 = BC only), and dead-end
+    when nothing is reachable."""
+    from grafeo_spark.plans.compiler import Compiler
+    from grafeo_spark.graph import PropertyGraph
+
+    n = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id long")
+    e = lambda pairs: spark.createDataFrame(pairs, "src long, dst long")
+    g = PropertyGraph(
+        {"A": n(1), "B": n(10), "C": n(100)},
+        {"AB": e([(1, 10)]), "BC": e([(10, 100)])},
+        endpoints={"AB": ("A", "B"), "BC": ("B", "C")},
+        disjoint_labels=True,
+        distinct_pairs={"AB", "BC"},
+    )
+    c = Compiler(g, spark)
+    frames = c._hop_edge_frames((), "out", "A", 4, "pairs")
+    # hop 1: AB only; hop 2: BC only; hop 3: dead end (C has no out-edges)
+    assert len(frames) == 2
+    assert [tuple(r) for r in frames[0].collect()] == [(1, 10)]
+    assert [tuple(r) for r in frames[1].collect()] == [(10, 100)]
+    # unknown source label: no pruning at hop 1, then ends are known
+    # (hop 2 = BC only, hop 3 dead-ends: C has no out-edges)
+    frames = c._hop_edge_frames((), "out", None, 3, "pairs")
+    assert len(frames) == 2 and frames[0].count() == 2
+
+
 def test_min_hops_zero(spark):
     from grafeo_spark.operators.expand import var_length_expand
 
