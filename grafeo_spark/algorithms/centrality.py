@@ -44,22 +44,43 @@ def pagerank(
     """Normalized PageRank with dangling-mass redistribution
     (centrality.rs:442 semantics; matches the textbook/NetworkX definition).
 
-    Per iteration: one shuffle for the contribution sum plus one tiny action
-    for the dangling scalar. State (id, pr, outdeg) is checkpointed every
-    superstep so each superstep executes exactly once and the dangling scan
-    reads materialized state.
+    Per iteration: one shuffle for the contribution sum plus one tiny
+    scalar job for the dangling mass, read from the checkpointed state
+    (cached partitions — a driver round-trip, but measurably cheaper than
+    folding the scalar in as a broadcast-exchange branch, which adds a
+    blocking broadcast job whose lineage re-plans the whole superstep).
+    State (id, pr, outdeg) is checkpointed every superstep so each
+    superstep executes exactly once.
     """
-    v = vertices.select("id") if vertices is not None else vertices_from_edges(edges)
-    n = v.count()
+    if vertices is not None:
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+        state = (
+            vertices.select("id")
+            .join(outdeg.withColumnRenamed("src", "id"), "id", "left")
+            .fillna({"outdeg": 0})
+        )
+    else:
+        # vertex set + out-degree in ONE shuffle: every edge contributes
+        # (src, 1) and (dst, 0), so the grouped sum is the out-degree and
+        # the key set is exactly the endpoint union
+        state = (
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src").alias("id"), F.lit(1).alias("d")),
+                        F.struct(F.col("dst").alias("id"), F.lit(0).alias("d")),
+                    )
+                ).alias("x")
+            )
+            .select("x.id", "x.d")
+            .groupBy("id")
+            .agg(F.sum("d").alias("outdeg"))
+        )
+    state = state.localCheckpoint(eager=True)
+    n = state.count()
     if n == 0:
-        return v.withColumn("pagerank", F.lit(0.0))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    state = (
-        v.join(outdeg.withColumnRenamed("src", "id"), "id", "left")
-        .fillna({"outdeg": 0})
-        .withColumn("pr", F.lit(1.0 / n))
-        .localCheckpoint(eager=True)
-    )
+        return state.select("id", F.lit(0.0).alias("pagerank"))
+    state = state.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
     # materialize the edge list once, hash-partitioned by the join key:
     # every iteration's contribution join then co-locates against the cached
     # partitioning and only the (much smaller) vertex state moves
@@ -69,11 +90,10 @@ def pagerank(
         .persist()
     )
     for it in range(1, max_iter + 1):
-        # dangling mass as a broadcast 1-row aggregate folded into the same
-        # superstep job: one action per iteration (the checkpoint) instead
-        # of a separate driver collect — halves the per-superstep job count
-        dang = state.filter(F.col("outdeg") == 0).agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang")
+        dang = (
+            state.filter(F.col("outdeg") == 0)
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .first()[0]
         )
         contrib = (
             e.join(state, e["_es"] == state["id"], "inner")
@@ -84,14 +104,12 @@ def pagerank(
         state = (
             state.drop("pr")
             .join(contrib, "id", "left")
-            .crossJoin(F.broadcast(dang))
             .withColumn(
                 "pr",
-                F.lit((1.0 - alpha) / n)
-                + F.lit(alpha) * F.col("_dang") / F.lit(float(n))
+                F.lit((1.0 - alpha) / n + alpha * dang / n)
                 + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)),
             )
-            .drop("contrib", "_dang")
+            .drop("contrib")
         )
         state = state.localCheckpoint(eager=True)
     e.unpersist()
