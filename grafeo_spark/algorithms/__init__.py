@@ -110,6 +110,7 @@ for _n, _f, _d, _c in [
     ("articulation_points", articulation_points, "cut vertices (driver, guarded)", ("structure",)),
     ("find_bridges", find_bridges, "cut edges (driver, guarded)", ("structure",)),
     ("minimum_spanning_forest", minimum_spanning_forest, "Borůvka MSF", ("mst",)),
+    ("minimum_spanning_tree", minimum_spanning_tree, "Borůvka MST (connected graphs)", ("mst",)),
     ("max_flow", max_flow, "Edmonds-Karp (driver, guarded)", ("flow",)),
     ("min_cost_flow", min_cost_flow, "successive shortest paths (driver, guarded)", ("flow",)),
 ]:

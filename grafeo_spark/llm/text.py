@@ -90,11 +90,16 @@ def quality_score(text: Column) -> Column:
 def detect_language(text: Column) -> Column:
     """Stopword-vote language ID with a CJK character-ratio shortcut —
     the classic cheap heuristic (fasttext-style lid is a model; this is the
-    no-model fallback). Returns the ISO code with the most stopword hits,
-    'zh' for CJK-dominant text, 'und' when nothing matches."""
+    no-model fallback). Returns the ISO code with the most stopword hits;
+    script-dominant text short-circuits to 'ja' (kana), 'ko' (hangul) or
+    'zh' (han) — kana is checked first because Japanese mixes kanji in;
+    'und' when nothing matches."""
     toks = tokenize(text)
     n_tok = F.greatest(F.size(toks), F.lit(1))
-    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    kana = F.length(F.regexp_replace(text, r"[^぀-ヿ]", ""))
+    hangul = F.length(F.regexp_replace(text, r"[^가-힯ᄀ-ᇿ㄰-㆏]", ""))
+    han = F.length(F.regexp_replace(text, r"[^㐀-䶿一-鿿]", ""))
     scores = []
     for lang, words in _STOPWORDS.items():
         sw = F.split(F.lit(words), " ")
@@ -103,7 +108,9 @@ def detect_language(text: Column) -> Column:
         scores.append(F.struct((hits / n_tok).alias("s"), F.lit(lang).alias("l")))
     best = F.greatest(*scores)
     return (
-        F.when(cjk / F.greatest(F.length(text), F.lit(1)) > 0.2, F.lit("zh"))
+        F.when(kana / n_chars > 0.05, F.lit("ja"))
+        .when(hangul / n_chars > 0.2, F.lit("ko"))
+        .when(han / n_chars > 0.2, F.lit("zh"))
         .when(best["s"] >= 0.05, best["l"])
         .otherwise(F.lit("und"))
     )

@@ -270,6 +270,15 @@ def test_articulation_and_bridges(spark):
     assert rows(find_bridges(e)) == [(3, 4)]
 
 
+def test_mst_registered(db):
+    # both spellings reachable through the registry (the tree variant was
+    # exported but unregistered before)
+    from grafeo_spark.algorithms import list_algorithms
+
+    names = set(list_algorithms())
+    assert {"minimum_spanning_forest", "minimum_spanning_tree"} <= names
+
+
 def test_mst_weight(spark):
     from grafeo_spark.algorithms import minimum_spanning_forest
 

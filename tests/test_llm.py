@@ -65,6 +65,8 @@ def test_language_detection(spark):
         ("es", "el perro es grande y la casa es más bonita que el parque"),
         ("fr", "le chien est dans la maison avec le chat et ne dort pas"),
         ("zh", "这是一个中文句子用来测试语言识别的功能是否正常工作"),
+        ("ja", "これは日本語のテスト文です、言語判定が正しく動くか確認します"),
+        ("ko", "이것은 언어 감지 기능을 시험하기 위한 한국어 문장입니다"),
     ]
     df = spark.createDataFrame(samples, "expected string, t string")
     out = df.select("expected", detect_language(F.col("t")).alias("got")).collect()
