@@ -36,11 +36,18 @@ PATH_PLUS_MAX_HOPS = 16
 _IRI_SHAPE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
 
 
-def _pattern_scan(ts: TripleStore, tp: P.TriplePattern, uid: int) -> tuple[DataFrame, dict[str, str]]:
-    """One triple pattern -> filtered scan projecting its variables."""
-    if isinstance(tp.p, P.PathPlus):
-        return _path_plus_scan(ts, tp, uid)
+def _pattern_scan(
+    ts: TripleStore, tp: P.TriplePattern, uid: int, gvar: Optional[str] = None
+) -> tuple[DataFrame, dict[str, str]]:
+    """One triple pattern -> filtered scan projecting its variables.
+    ``gvar`` (inside ``GRAPH ?g``) binds the store's g column too."""
+    if isinstance(tp.p, (P.PathClosure, P.PathAlt, P.PathInverse, tuple)):
+        if gvar is not None:
+            raise SparqlCompileError("property paths inside GRAPH ?var")
+        return _path_scan(ts, tp, uid)
     df = ts.df
+    if gvar is not None:
+        df = df.filter(F.col("g").isNotNull())
     # constant positions become pushed-down filters
     if isinstance(tp.s, P.Iri):
         df = df.filter(F.col("s") == tp.s.value)
@@ -64,30 +71,92 @@ def _pattern_scan(ts: TripleStore, tp: P.TriplePattern, uid: int) -> tuple[DataF
             else:
                 cols.append(col.alias(term.name))
                 seen[term.name] = term.name
+    if gvar is not None and gvar not in seen:
+        cols.append(F.col("g").alias(gvar))
+        seen[gvar] = gvar
     if not cols:
         cols = [F.lit(1).alias(f"__m{uid}")]
     return df.select(*cols), seen
 
 
-def _path_plus_scan(ts: TripleStore, tp: P.TriplePattern, uid: int) -> tuple[DataFrame, dict[str, str]]:
-    """``?s p+ ?o`` — transitive closure of one predicate, lowered to the
-    distributed distinct-reachability BFS (set semantics per the SPARQL
-    spec; reference property paths, ast.rs:388). Seeded from a constant
-    subject when given, so a bound start never touches the full closure."""
+def _graph_terms(ts: TripleStore) -> DataFrame:
+    """Every RDF term occurring in the graph (subjects + objects), as
+    identity (src, dst) pairs — the zero-length-path relation the SPARQL
+    spec defines for ``p*``/``p?`` with unbound endpoints."""
+    terms = ts.df.select(F.col("s").alias("t")).unionAll(
+        ts.df.select(F.coalesce("o_iri", "o_lit").alias("t"))
+    )
+    return terms.distinct().select(F.col("t").alias("src"), F.col("t").alias("dst"))
+
+
+def _path_frame(ts: TripleStore, p, seeds: Optional[DataFrame] = None) -> DataFrame:
+    """Compile any property-path expression to its (src, dst) match
+    relation (reference PropertyPath, ast.rs:388). Bag semantics for
+    sequence/alternative (unionAll, join), set semantics for closures
+    (distinct reachability) per the SPARQL spec. ``seeds`` restricts a
+    closure's BFS to the bound subject."""
     from grafeo_spark.operators.expand import reachable_pairs
 
-    base = ts.df.filter(F.col("p") == tp.p.inner.value).select(
-        F.col("s").alias("src"), F.coalesce("o_iri", "o_lit").alias("dst")
-    )
+    if isinstance(p, P.Iri):
+        return ts.df.filter(F.col("p") == p.value).select(
+            F.col("s").alias("src"), F.coalesce("o_iri", "o_lit").alias("dst")
+        )
+    if isinstance(p, P.PathInverse):
+        f = _path_frame(ts, p.inner)
+        return f.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if isinstance(p, P.PathAlt):
+        if all(isinstance(o, P.Iri) for o in p.options):
+            # all-IRI alternation folds into ONE scan with an IN filter
+            return ts.df.filter(
+                F.col("p").isin([o.value for o in p.options])
+            ).select(F.col("s").alias("src"), F.coalesce("o_iri", "o_lit").alias("dst"))
+        out = None
+        for opt in p.options:
+            f = _path_frame(ts, opt)
+            out = f if out is None else out.unionAll(f)
+        return out
+    if isinstance(p, tuple) and p[0] == "seq":
+        l = _path_frame(ts, p[1]).select(F.col("src"), F.col("dst").alias("_m"))
+        r = _path_frame(ts, p[2]).select(F.col("src").alias("_m2"), F.col("dst"))
+        return l.join(r, l["_m"] == r["_m2"], "inner").select("src", "dst")
+    if isinstance(p, P.PathClosure):
+        base = _path_frame(ts, p.inner)
+        if p.max_hops == 1:  # p? — zero-or-one, no BFS needed
+            hops = base.distinct()
+        else:
+            # early_exit: per-level eager checkpoint + stop on an empty
+            # frontier — without it the 16-level lazy plan compounds
+            # join+distinct+anti-join into an analysis-time blowup, and
+            # closures usually terminate early
+            hops = reachable_pairs(
+                base,
+                1,
+                p.max_hops or PATH_PLUS_MAX_HOPS,
+                src_ids=seeds,
+                early_exit=True,
+            ).select("src", "dst")
+        if p.min_hops == 0:
+            zero = (
+                seeds.select(F.col(seeds.columns[0]).alias("src")).select(
+                    "src", F.col("src").alias("dst")
+                )
+                if seeds is not None
+                else _graph_terms(ts)
+            )
+            hops = hops.unionByName(zero).distinct()
+        return hops
+    raise SparqlCompileError(f"unsupported property path {p!r}")
+
+
+def _path_scan(ts: TripleStore, tp: P.TriplePattern, uid: int) -> tuple[DataFrame, dict[str, str]]:
+    """A triple pattern whose predicate is a property-path expression —
+    lowered through :func:`_path_frame`, then the usual constant filters /
+    variable projection. Seeded from a constant subject when given, so a
+    bound start never touches the full closure."""
     seeds = None
     if isinstance(tp.s, P.Iri):
-        seeds = base.sparkSession.createDataFrame([(tp.s.value,)], "id string")
-    # early_exit: per-level eager checkpoint + stop on an empty frontier —
-    # without it the 16-level lazy plan compounds join+distinct+anti-join
-    # into an analysis-time blowup, and closures usually terminate early
-    pairs = reachable_pairs(
-        base, 1, PATH_PLUS_MAX_HOPS, src_ids=seeds, early_exit=True
-    ).select("src", "dst")
+        seeds = ts.df.sparkSession.createDataFrame([(tp.s.value,)], "id string")
+    pairs = _path_frame(ts, tp.p, seeds=seeds)
     if isinstance(tp.s, P.Iri):
         pairs = pairs.filter(F.col("src") == tp.s.value)
     elif isinstance(tp.s, P.Lit):
@@ -110,10 +179,12 @@ def _path_plus_scan(ts: TripleStore, tp: P.TriplePattern, uid: int) -> tuple[Dat
     return pairs.select(*cols), seen
 
 
-def _join_bgp(ts: TripleStore, triples: list[P.TriplePattern]) -> Optional[DataFrame]:
+def _join_bgp(
+    ts: TripleStore, triples: list[P.TriplePattern], gvar: Optional[str] = None
+) -> Optional[DataFrame]:
     out: Optional[DataFrame] = None
     for i, tp in enumerate(triples):
-        scan, _ = _pattern_scan(ts, tp, i)
+        scan, _ = _pattern_scan(ts, tp, i, gvar=gvar)
         if out is None:
             out = scan
         else:
@@ -144,6 +215,29 @@ def _values_frame(ts: TripleStore, names: list[str], rows: list[list]) -> DataFr
 
 def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
     out = _join_bgp(ts, g.triples)
+    for gterm, gg in g.graphs:
+        # GRAPH <g> narrows the store (constant graphs prune at the scan,
+        # so property paths etc. all work unchanged); GRAPH ?g binds the
+        # g column as a variable (plan.rs:665-734 Graph patterns)
+        if isinstance(gterm, P.Iri):
+            sub = _compile_group(
+                TripleStore(ts.df.filter(F.col("g") == gterm.value)), gg
+            )
+        else:
+            if gg.optionals or gg.unions or gg.minuses or gg.graphs:
+                raise SparqlCompileError(
+                    "GRAPH ?var supports basic patterns + FILTER only"
+                )
+            sub = _join_bgp(ts, gg.triples, gvar=gterm.name)
+            if sub is None:
+                raise SparqlCompileError("empty GRAPH pattern")
+            for f in gg.filters:
+                sub = sub.filter(_filter_col(f, sub))
+        if out is None:
+            out = sub
+        else:
+            shared = [c for c in sub.columns if c in out.columns]
+            out = out.join(sub, shared, "inner") if shared else out.crossJoin(sub)
     for left, right in g.unions:
         l = _compile_group(ts, left)
         r = _compile_group(ts, right)
@@ -378,6 +472,34 @@ def compile_construct(ts: TripleStore, q: P.ConstructQuery) -> DataFrame:
     return rows.select("s", "p", F.coalesce("o_iri", "o_lit").alias("o")).distinct()
 
 
+def compile_describe(ts: TripleStore, q: P.DescribeQuery) -> DataFrame:
+    """DESCRIBE (ast.rs:51-64): the subject-rooted description — every
+    triple whose subject is a described resource (constant IRIs plus each
+    variable's bindings from WHERE), as distinct (s, p, o) lexical rows."""
+    spark = ts.df.sparkSession
+    frames = []
+    iris = [t.value for t in q.terms if isinstance(t, P.Iri)]
+    if iris:
+        frames.append(spark.createDataFrame([(i,) for i in iris], "s string"))
+    vars_ = [t.name for t in q.terms if isinstance(t, P.Var)]
+    if vars_:
+        if q.where is None:
+            raise SparqlCompileError("DESCRIBE ?var needs a WHERE pattern")
+        bindings = _compile_group(ts, q.where)
+        for v in vars_:
+            if v not in bindings.columns:
+                raise SparqlCompileError(f"DESCRIBE ?{v} not bound in WHERE")
+            frames.append(bindings.select(F.col(v).alias("s")).distinct())
+    subjects = frames[0]
+    for f in frames[1:]:
+        subjects = subjects.unionByName(f)
+    return (
+        ts.df.join(subjects.distinct(), "s", "left_semi")
+        .select("s", "p", F.coalesce("o_iri", "o_lit").alias("o"))
+        .distinct()
+    )
+
+
 def sparql(ts: TripleStore, query: str) -> DataFrame:
     q = P.parse(query)
     if isinstance(q, P.UpdateQuery):
@@ -386,6 +508,8 @@ def sparql(ts: TripleStore, query: str) -> DataFrame:
         return compile_ask(ts, q)
     if isinstance(q, P.ConstructQuery):
         return compile_construct(ts, q)
+    if isinstance(q, P.DescribeQuery):
+        return compile_describe(ts, q)
     return compile_select(ts, q)
 
 
@@ -432,7 +556,11 @@ def _template_rows(
     store-shaped rows (s, p, o_iri, o_lit, o_dt, g)."""
     base = bindings if bindings is not None else spark.range(1)
     out: DataFrame | None = None
-    for tp in triples:
+    for entry in triples:
+        g_val = None
+        tp = entry
+        if isinstance(entry, P.GraphedTriple):
+            tp, g_val = entry.tp, entry.g
         oi, ol, od = _obj_cols(tp.o, bindings)
         row = base.select(
             _iri_col(tp.s, bindings, "subject").alias("s"),
@@ -440,7 +568,7 @@ def _template_rows(
             oi.alias("o_iri"),
             ol.alias("o_lit"),
             od.alias("o_dt"),
-            F.lit(None).cast("string").alias("g"),
+            F.lit(g_val).cast("string").alias("g"),
         )
         out = row if out is None else out.unionByName(row)
     if out is None:
@@ -450,16 +578,21 @@ def _template_rows(
 
 def _minus_rows(store: DataFrame, rows: DataFrame) -> DataFrame:
     """Anti-join the store against instantiated rows, matching the object by
-    bound value (o_iri or o_lit) so variable bindings erase either kind."""
+    bound value (o_iri or o_lit) so variable bindings erase either kind.
+    Rows carrying a graph (DELETE DATA { GRAPH <g> { ... } }) match only
+    that graph; graph-less rows match across graphs (this store exposes a
+    union-default-graph view to plain patterns)."""
     r = rows.select(
         F.col("s").alias("_ds"),
         F.col("p").alias("_dp"),
         F.coalesce("o_iri", "o_lit").alias("_dv"),
+        F.col("g").alias("_dg"),
     ).distinct()
     cond = (
         (F.col("s") == F.col("_ds"))
         & (F.col("p") == F.col("_dp"))
         & (F.coalesce("o_iri", "o_lit") == F.col("_dv"))
+        & (F.col("_dg").isNull() | F.col("g").eqNullSafe(F.col("_dg")))
     )
     return store.join(r, cond, "left_anti")
 
@@ -471,6 +604,13 @@ def compile_update(ts: TripleStore, u: P.UpdateQuery) -> TripleStore:
     spark = ts.df.sparkSession
     if u.kind == "clear":
         return TripleStore.empty(spark)
+    if u.kind == "clear_graph":
+        # CLEAR/DROP GRAPH <g>: remove that named graph's triples
+        return TripleStore(
+            ts.df.filter(~F.col("g").eqNullSafe(F.lit(u.graph)))
+        )
+    if u.kind == "create_graph":
+        return ts  # graphs exist implicitly; CREATE is a no-op
     if u.kind == "insert_data":
         return ts.insert(_template_rows(spark, u.data, None))
     if u.kind == "delete_data":

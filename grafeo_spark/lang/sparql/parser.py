@@ -60,18 +60,39 @@ Term = Union[Var, Iri, Lit]
 
 
 @dataclass(frozen=True)
-class PathPlus:
-    """Transitive-closure property path ``p+`` (ast.rs:388). SPARQL gives
-    arbitrary-length paths SET semantics, so the compiler lowers this to
-    distinct reachability."""
+class PathClosure:
+    """Closure property paths ``p+`` / ``p*`` / ``p?`` (ast.rs:388
+    ZeroOrMore/OneOrMore/ZeroOrOne). SPARQL gives arbitrary-length paths
+    SET semantics, so the compiler lowers closures to distinct
+    reachability; ``inner`` may itself be any path expression."""
 
-    inner: Iri
+    inner: object
+    min_hops: int  # 0 for * and ?, 1 for +
+    max_hops: Optional[int]  # None = engine cap; 1 for ?
+
+
+@dataclass(frozen=True)
+class PathAlt:
+    """Alternative path ``a|b`` (ast.rs:388 Alternative) — union of the
+    branch matches (bag semantics, per spec)."""
+
+    options: tuple
+
+
+@dataclass(frozen=True)
+class PathInverse:
+    """Inverse path ``^p`` (ast.rs:388 Inverse) — matches with subject and
+    object swapped."""
+
+    inner: object
 
 
 @dataclass(frozen=True)
 class TriplePattern:
     s: Term
-    p: Term  # Term | PathPlus (sequences are desugared at parse time)
+    # Term | PathClosure | PathAlt | PathInverse (top-level sequences are
+    # desugared into fresh-variable triples at parse time)
+    p: object
     o: Term
 
 
@@ -100,6 +121,9 @@ class GroupPattern:
     values: list[tuple[list[str], list[list]]] = field(default_factory=list)
     # MINUS { ... } groups (ast.rs:283-346)
     minuses: list["GroupPattern"] = field(default_factory=list)
+    # GRAPH <g>/?g { ... } groups (ast.rs:283-346 Graph): constant graphs
+    # filter the store's g column, a variable graph binds it
+    graphs: list[tuple[object, "GroupPattern"]] = field(default_factory=list)
 
 
 @dataclass
@@ -121,6 +145,24 @@ class AskQuery:
 
 
 @dataclass
+class DescribeQuery:
+    """DESCRIBE <iri>... / DESCRIBE ?v WHERE { ... } (ast.rs:51-64) —
+    returns every triple whose subject is a described resource."""
+
+    terms: list  # Iri | Var
+    where: Optional[GroupPattern] = None
+
+
+@dataclass(frozen=True)
+class GraphedTriple:
+    """A ground template triple inside ``GRAPH <g> { ... }`` (update data
+    blocks only)."""
+
+    tp: TriplePattern
+    g: str
+
+
+@dataclass
 class ConstructQuery:
     template: list[TriplePattern]
     where: GroupPattern
@@ -128,17 +170,21 @@ class ConstructQuery:
 
 @dataclass
 class UpdateQuery:
-    """kind: insert_data | delete_data | modify | clear.
+    """kind: insert_data | delete_data | modify | clear | clear_graph |
+    create_graph.
 
-    *_data carry ground triples in ``data``; modify carries delete/insert
-    templates plus the WHERE pattern (DELETE WHERE reuses the pattern as
-    its own delete template)."""
+    *_data carry ground triples in ``data`` (plain or GraphedTriple);
+    modify carries delete/insert templates plus the WHERE pattern (DELETE
+    WHERE reuses the pattern as its own delete template). clear_graph
+    (also DROP GRAPH) empties one named graph; create_graph is a no-op —
+    graphs exist implicitly (plan.rs:665-734)."""
 
     kind: str
-    data: list[TriplePattern] = field(default_factory=list)
+    data: list = field(default_factory=list)  # TriplePattern | GraphedTriple
     delete_tpl: list[TriplePattern] = field(default_factory=list)
     insert_tpl: list[TriplePattern] = field(default_factory=list)
     where: Optional[GroupPattern] = None
+    graph: Optional[str] = None
 
 
 _TOKEN = re.compile(
@@ -150,7 +196,7 @@ _TOKEN = re.compile(
   | (?P<num>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_.-]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*/:a+|])
+  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*/:a+|^?])
     """,
     re.VERBOSE,
 )
@@ -208,8 +254,31 @@ class Parser:
                 pfx = pname.split(":", 1)[0]
             iri = self.eat("iri")[1][1:-1]
             self.prefixes[pfx] = iri
-        if self.at("name", "INSERT") or self.at("name", "DELETE") or self.at("name", "CLEAR"):
+        if (
+            self.at("name", "INSERT")
+            or self.at("name", "DELETE")
+            or self.at("name", "CLEAR")
+            or self.at("name", "DROP")
+            or self.at("name", "CREATE")
+        ):
             return self._update()
+        if self.at("name", "DESCRIBE"):
+            self.next()
+            terms: list = []
+            while self.at("iri") or self.at("pname") or self.at("var"):
+                terms.append(self.term())
+            where = None
+            if self.at("name", "WHERE"):
+                self.next()
+                where = self.group()
+            elif self.at("op", "{"):
+                where = self.group()
+            if not terms:
+                raise SparqlSyntaxError("DESCRIBE needs at least one term")
+            q = DescribeQuery(terms, where)
+            if not self.at("eof"):
+                raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
+            return q
         if self.at("name", "ASK"):
             self.next()
             if self.at("name", "WHERE"):
@@ -302,10 +371,24 @@ class Parser:
     # -- updates ----------------------------------------------------------
 
     def _update(self) -> UpdateQuery:
-        if self.at("name", "CLEAR"):
+        if self.at("name", "CLEAR") or self.at("name", "DROP"):
             self.next()
-            self.eat("name", "ALL")
-            q = UpdateQuery("clear")
+            if self.at("name", "ALL"):
+                self.next()
+                q = UpdateQuery("clear")
+            else:
+                self.eat("name", "GRAPH")
+                g = self.term()
+                if not isinstance(g, Iri):
+                    raise SparqlSyntaxError("CLEAR/DROP GRAPH needs an IRI")
+                q = UpdateQuery("clear_graph", graph=g.value)
+        elif self.at("name", "CREATE"):
+            self.next()
+            self.eat("name", "GRAPH")
+            g = self.term()
+            if not isinstance(g, Iri):
+                raise SparqlSyntaxError("CREATE GRAPH needs an IRI")
+            q = UpdateQuery("create_graph", graph=g.value)
         elif self.at("name", "INSERT"):
             self.next()
             if self.at("name", "DATA"):
@@ -341,12 +424,23 @@ class Parser:
             raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
         return q
 
-    def _template(self) -> list[TriplePattern]:
-        """{ triples } with no FILTER/OPTIONAL/UNION (an update template)."""
+    def _template(self) -> list:
+        """{ triples } with no FILTER/OPTIONAL/UNION (an update template);
+        ``GRAPH <g> { ... }`` blocks wrap their triples as GraphedTriple."""
         self.eat("op", "{")
-        triples: list[TriplePattern] = []
+        triples: list = []
         while not self.at("op", "}"):
-            triples.extend(self.triple_block())
+            if self.at("name", "GRAPH"):
+                self.next()
+                g = self.term()
+                if not isinstance(g, Iri):
+                    raise SparqlSyntaxError("GRAPH in a data block needs an IRI")
+                for tp in self._template():
+                    if isinstance(tp, GraphedTriple):
+                        raise SparqlSyntaxError("nested GRAPH blocks")
+                    triples.append(GraphedTriple(tp, g.value))
+            else:
+                triples.extend(self.triple_block())
             if self.at("op", "."):
                 self.next()
         self.eat("op", "}")
@@ -372,6 +466,12 @@ class Parser:
             elif self.at("name", "VALUES"):
                 self.next()
                 g.values.append(self._values_block())
+            elif self.at("name", "GRAPH"):
+                self.next()
+                gterm = self.term()
+                if not isinstance(gterm, (Iri, Var)):
+                    raise SparqlSyntaxError("GRAPH needs an IRI or variable")
+                g.graphs.append((gterm, self.group()))
             elif self.at("op", "{"):
                 left = self.group()
                 self.eat("name", "UNION")
@@ -432,6 +532,9 @@ class Parser:
             mid = Var(f"__pp{self._ppn}")
             self._expand_path(s, p[1], mid, out)
             self._expand_path(mid, p[2], o, out)
+        elif isinstance(p, PathInverse):
+            # top-level inverse: swap subject and object, recurse
+            self._expand_path(o, p.inner, s, out)
         else:
             out.append(TriplePattern(s, p, o))
 
@@ -460,9 +563,20 @@ class Parser:
         return out
 
     def predicate(self):
-        """Predicate term or property path: ``p1/p2`` sequences (returned as
-        nested ('seq', a, b) tuples, desugared by the caller) and ``p+``
-        closures (ast.rs:388)."""
+        """Predicate term or property path (ast.rs:388): ``p1/p2``
+        sequences (returned as nested ('seq', a, b) tuples, desugared by
+        the caller), ``a|b`` alternatives, ``^p`` inverse, and the
+        ``+``/``*``/``?`` closures — composable, e.g. ``^(a|b)/c+``."""
+        left = self._path_seq()
+        if self.at("op", "|"):
+            opts = [left]
+            while self.at("op", "|"):
+                self.next()
+                opts.append(self._path_seq())
+            return PathAlt(tuple(opts))
+        return left
+
+    def _path_seq(self):
         left = self._path_elt()
         while self.at("op", "/"):
             self.next()
@@ -470,16 +584,27 @@ class Parser:
         return left
 
     def _path_elt(self):
-        if self.at("op", "a") or self.at("name", "a"):
+        if self.at("op", "^"):
             self.next()
-            base: Term = Iri(RDF_TYPE)
+            return PathInverse(self._path_elt())
+        if self.at("op", "("):
+            self.next()
+            base = self.predicate()
+            self.eat("op", ")")
+        elif self.at("op", "a") or self.at("name", "a"):
+            self.next()
+            base = Iri(RDF_TYPE)
         else:
             base = self.term()
         if self.at("op", "+"):
             self.next()
-            if not isinstance(base, Iri):
-                raise SparqlSyntaxError("p+ requires a constant predicate")
-            return PathPlus(base)
+            return PathClosure(base, 1, None)
+        if self.at("op", "*"):
+            self.next()
+            return PathClosure(base, 0, None)
+        if self.at("op", "?"):
+            self.next()
+            return PathClosure(base, 0, 1)
         return base
 
     def term(self) -> Term:

@@ -318,6 +318,125 @@ def test_path_plus(sdb):
     ]
 
 
+def test_path_alternative(sdb):
+    # ex:knows|ex:livesIn from alice: bob (knows) + city1 (livesIn)
+    out = rows(sdb.sparql(PFX + "SELECT ?x WHERE { ex:alice ex:knows|ex:livesIn ?x }"))
+    assert out == [(EX + "bob",), (EX + "city1",)]
+
+
+def test_path_inverse(sdb):
+    # ^ex:knows: who knows bob
+    out = rows(sdb.sparql(PFX + "SELECT ?x WHERE { ex:bob ^ex:knows ?x }"))
+    assert out == [(EX + "alice",)]
+    # composed: inverse inside a sequence — names of people who know bob
+    out2 = rows(sdb.sparql(PFX + "SELECT ?n WHERE { ex:bob ^ex:knows/ex:name ?n }"))
+    assert out2 == [("Alice",)]
+
+
+def test_path_star(sdb):
+    # zero-or-more from a bound subject includes the subject itself
+    out = rows(sdb.sparql(PFX + "SELECT ?x WHERE { ex:alice ex:knows* ?x }"))
+    assert out == [(EX + "alice",), (EX + "bob",), (EX + "carol",)]
+
+
+def test_path_zero_or_one(sdb):
+    out = rows(sdb.sparql(PFX + "SELECT ?x WHERE { ex:alice ex:knows? ?x }"))
+    assert out == [(EX + "alice",), (EX + "bob",)]
+
+
+def test_path_alt_of_closures(sdb):
+    # nested composition: closure inside an alternative
+    out = rows(
+        sdb.sparql(PFX + "SELECT ?x WHERE { ex:alice ex:knows+|ex:livesIn ?x }")
+    )
+    assert out == [(EX + "bob",), (EX + "carol",), (EX + "city1",)]
+
+
+@pytest.fixture()
+def gdb(spark):
+    """Store with named graphs: facts in <g1>, <g2>, plus default-graph
+    triples."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import TripleStore
+
+    data = [
+        (EX + "alice", EX + "name", None, "Alice", None, None),
+        (EX + "alice", EX + "knows", EX + "bob", None, None, EX + "g1"),
+        (EX + "bob", EX + "knows", EX + "carol", None, None, EX + "g2"),
+        (EX + "bob", EX + "name", None, "Bob", None, EX + "g2"),
+    ]
+    ts = TripleStore(
+        spark.createDataFrame(
+            data, "s string, p string, o_iri string, o_lit string, o_dt string, g string"
+        )
+    )
+    return GrafeoSpark(spark, graph=None, triples=ts)
+
+
+def test_graph_constant(gdb):
+    out = rows(
+        gdb.sparql(PFX + "SELECT ?x ?y WHERE { GRAPH <" + EX + "g1> { ?x ex:knows ?y } }")
+    )
+    assert out == [(EX + "alice", EX + "bob")]
+
+
+def test_graph_variable(gdb):
+    out = rows(gdb.sparql(PFX + "SELECT ?g ?x WHERE { GRAPH ?g { ?x ex:knows ?y } }"))
+    assert out == [(EX + "g1", EX + "alice"), (EX + "g2", EX + "bob")]
+
+
+def test_graph_joined_with_default(gdb):
+    # default-graph pattern joined against a named-graph pattern
+    out = rows(
+        gdb.sparql(
+            PFX
+            + "SELECT ?n WHERE { ?x ex:name ?n . GRAPH <"
+            + EX
+            + "g1> { ?x ex:knows ?y } }"
+        )
+    )
+    assert out == [("Alice",)]
+
+
+def test_graph_insert_and_clear(gdb):
+    gdb.sparql_update(
+        PFX + "INSERT DATA { GRAPH <" + EX + "g3> { ex:carol ex:name \"Carol\" } }"
+    )
+    got = rows(gdb.sparql(PFX + "SELECT ?s WHERE { GRAPH <" + EX + "g3> { ?s ex:name ?n } }"))
+    assert got == [(EX + "carol",)]
+    gdb.sparql_update("CLEAR GRAPH <" + EX + "g3>")
+    got = rows(gdb.sparql(PFX + "SELECT ?s WHERE { GRAPH <" + EX + "g3> { ?s ex:name ?n } }"))
+    assert got == []
+    # DROP GRAPH is an alias; other graphs untouched
+    gdb.sparql_update("DROP GRAPH <" + EX + "g2>")
+    left = rows(gdb.sparql(PFX + "SELECT ?g ?x WHERE { GRAPH ?g { ?x ex:knows ?y } }"))
+    assert left == [(EX + "g1", EX + "alice")]
+
+
+def test_describe_constant(sdb):
+    out = rows(sdb.sparql(PFX + "DESCRIBE ex:alice"))
+    assert (EX + "alice", EX + "name", "Alice") in out
+    assert (EX + "alice", EX + "knows", EX + "bob") in out
+    assert all(s == EX + "alice" for s, _, _ in out)
+
+
+def test_describe_where(sdb):
+    # every Person's description
+    out = rows(sdb.sparql(PFX + "DESCRIBE ?p WHERE { ?p a ex:Person }"))
+    subjects = {s for s, _, _ in out}
+    assert subjects == {EX + "alice", EX + "bob", EX + "carol"}
+
+
+def test_filter_replace(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX
+            + 'SELECT ?n WHERE { ?p ex:name ?n FILTER(REPLACE(?n, "o", "0") = "B0b") }'
+        )
+    )
+    assert out == [("Bob",)]
+
+
 def test_aggregates_group_by(sdb):
     out = rows(
         sdb.sparql(
