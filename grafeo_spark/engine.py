@@ -128,20 +128,43 @@ class GrafeoSpark:
 
     # -- vector search (database.rs:1128 vector_search analogue) ----------
 
+    def vector_index_for(self, label: str, vec_col: str):
+        """The declared vector index covering (label, column), if any —
+        DDL-registered via CREATE VECTOR INDEX (database.rs:1021 index
+        lookup analogue)."""
+        if self.ddl is None:
+            return None
+        for vi in self.ddl.vector_indexes.values():
+            if vi.label == label and vi.column == vec_col:
+                return vi
+        return None
+
     def vector_search(
         self,
         label: str,
         query_vec,
         k: int = 10,
         vec_col: str = "embedding",
-        metric: str = "cosine",
-        approximate: bool = False,
+        metric: str | None = None,
+        approximate: bool | None = None,
     ) -> DataFrame:
-        """Top-k nearest nodes of ``label`` by vector distance. Exact
-        brute-force by default (scan_vector.rs brute path); ``approximate``
-        uses SRP-LSH bucketing (the HNSW substitute, SURVEY.md §2.11)."""
+        """Top-k nearest nodes of ``label`` by vector distance.
+
+        When a CREATE VECTOR INDEX declaration covers (label, vec_col),
+        the defaults route through it: SRP-LSH bucketing with the index's
+        declared metric (the HNSW substitute, SURVEY.md §2.11) — at scale
+        the default must be the bucketed path, not a full scan per query
+        (database.rs:1128 routes through the declared index the same way).
+        With no index, the default is the exact brute-force scan
+        (scan_vector.rs brute path). Pass ``approximate`` explicitly to
+        override either way."""
         from grafeo_spark.llm.similarity import ann_topk, topk
 
+        idx = self.vector_index_for(label, vec_col)
+        if metric is None:
+            metric = idx.metric if idx is not None else "cosine"
+        if approximate is None:
+            approximate = idx is not None
         nodes = self.graph.nodes(label)
         fn = ann_topk if approximate else topk
         return fn(nodes, query_vec, k=k, id_col="id", vec_col=vec_col, metric=metric)

@@ -305,3 +305,37 @@ def test_gql_ddl_registry(spark, social):
     vi = db2.ddl.vector_indexes["emb_idx"]
     assert (vi.label, vi.column, vi.dimensions, vi.metric) == ("Person", "embedding", 64, "cosine")
     assert db2.ddl.node_types["Person"].properties == {"name": "STRING", "age": "INT"}
+
+
+def test_vector_index_routes_ann(spark):
+    """A declared vector index makes vector_search take the SRP-bucketed
+    path by default (plan filters on the bucket code instead of scanning
+    every vector), while staying exact-brute-force without one
+    (database.rs:1021,1128)."""
+    import math
+
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    rows_ = [
+        (i, [math.cos(i / 7.0 + d) for d in range(8)]) for i in range(50)
+    ]
+    nodes = spark.createDataFrame(rows_, "id long, embedding array<double>")
+    db = GrafeoSpark(spark, PropertyGraph({"Doc": nodes}, {}))
+    q = rows_[3][1]
+
+    # the bucket filter survives into the optimized plan as an IN over the
+    # probed bucket codes (the column itself gets inlined by the optimizer)
+    def has_bucket_filter(df):
+        return " IN (" in df._jdf.queryExecution().optimizedPlan().toString()
+
+    exact = db.vector_search("Doc", q, k=5)  # no index: brute force
+    assert not has_bucket_filter(exact)
+
+    db.gql("CREATE VECTOR INDEX doc_emb ON Doc(embedding) DIMENSIONS 8 METRIC cosine")
+    routed = db.vector_search("Doc", q, k=5)  # index: bucketed candidates
+    assert has_bucket_filter(routed)
+    # the query's own vector is always in the probed bucket -> top hit
+    assert routed.collect()[0].id == 3
+    # explicit override still forces the exact path
+    assert not has_bucket_filter(db.vector_search("Doc", q, k=5, approximate=False))
