@@ -226,6 +226,75 @@ def verify_jaccard(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
     )
 
 
+def _content_members(sh_rows: DataFrame) -> DataFrame:
+    """(id, gid) — gid = min id among documents with the byte-identical
+    shingle set (exact-content grouping).
+
+    This is the LSH bucket-skew guard: a boilerplate-heavy corpus (millions
+    of identical documents) previously put every copy into the same band
+    bucket, turning the within-bucket join into one quadratic task. Grouping
+    identical contents FIRST means bucketing only ever sees one
+    representative per distinct content, so bucket occupancy is bounded by
+    distinct-content counts, and the identical copies rejoin by linear
+    group joins."""
+    sets = sh_rows.groupBy("id").agg(
+        F.sort_array(F.collect_set("_shh")).alias("_set")
+    )
+    keyed = sets.select(
+        "id", F.xxhash64(F.col("_set").cast("string")).alias("_ck")
+    )
+    groups = keyed.groupBy("_ck").agg(F.min("id").alias("gid"))
+    return keyed.join(groups, "_ck").select("id", "gid")
+
+
+def _group_rep_pairs(
+    sh_rows: DataFrame, num_hashes: int, bands: int, threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """(members, rep_pairs): exact-content groups plus the verified
+    near-duplicate relation between group REPRESENTATIVES — the bounded
+    core of the banded pipeline (everything downstream is linear joins)."""
+    members = _content_members(sh_rows)
+    rep_rows = sh_rows.join(
+        members.filter(F.col("id") == F.col("gid")).select("id"), "id", "left_semi"
+    )
+    sigs = signatures_from_hash_rows(rep_rows, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands)
+    rep_pairs = verify_jaccard_from_hash_rows(cands, rep_rows).filter(
+        F.col("jaccard") >= threshold
+    )
+    return members, rep_pairs
+
+
+def _expand_group_pairs(members: DataFrame, rep_pairs: DataFrame) -> DataFrame:
+    """Fan the representative-level relation out to member-level (a, b,
+    jaccard) pairs. Same-content pairs have jaccard exactly 1.0 (equal
+    sets); a cross-content pair inherits its groups' verified jaccard
+    (every member holds the same set as its representative). Output size is
+    inherently pairwise — the tasks producing it are plain joins."""
+    ma = members.select(F.col("gid").alias("a"), F.col("id").alias("_ia"))
+    mb = members.select(F.col("gid").alias("b"), F.col("id").alias("_ib"))
+    cross = (
+        rep_pairs.join(ma, "a")
+        .join(mb, "b")
+        .select(
+            F.least("_ia", "_ib").alias("a"),
+            F.greatest("_ia", "_ib").alias("b"),
+            "jaccard",
+        )
+    )
+    within = (
+        members.select("gid", F.col("id").alias("_ia"))
+        .join(members.select("gid", F.col("id").alias("_ib")), "gid")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("a"),
+            F.col("_ib").alias("b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return within.unionByName(cross)
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -236,19 +305,18 @@ def near_duplicate_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(a, b, jaccard) verified near-duplicate pairs — the full banded
-    MinHash pipeline (shingle → minhash → band bucket → join → verify).
+    MinHash pipeline (shingle → exact-content group → minhash of
+    representatives → band bucket → join → verify → fan out).
 
     ``num_hashes``/``bands`` default to ``banding_for_threshold(threshold)``
     so the candidate set tracks true near-duplicates, not the corpus's
-    background similarity."""
+    background similarity; identical contents collapse to one
+    representative before bucketing (see :func:`_content_members`)."""
     if num_hashes is None or bands is None:
         num_hashes, bands, _ = banding_for_threshold(threshold)
     sh_rows = shingle_hash_rows(df, id_col, text_col, shingle_k)
-    sigs = signatures_from_hash_rows(sh_rows, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands)
-    return verify_jaccard_from_hash_rows(cands, sh_rows).filter(
-        F.col("jaccard") >= threshold
-    )
+    members, rep_pairs = _group_rep_pairs(sh_rows, num_hashes, bands, threshold)
+    return _expand_group_pairs(members, rep_pairs)
 
 
 def duplicate_clusters(pairs: DataFrame) -> DataFrame:
@@ -268,10 +336,26 @@ def dedup_near(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Rows surviving near-dedup: keep the min-id representative of each
-    near-duplicate cluster."""
-    pairs = near_duplicate_pairs(df, id_col, text_col, threshold)
-    clusters = duplicate_clusters(pairs)
-    drop = clusters.filter(F.col("id") != F.col("cluster")).select(
+    near-duplicate cluster.
+
+    Clustering runs over STAR edges (member → content representative) plus
+    the representative-level near-dup relation — LINEAR in corpus size,
+    never materializing the member-level pair set (which is quadratic per
+    duplicate group and only needed when the pairs themselves are the
+    requested output)."""
+    from grafeo_spark.algorithms.components import connected_components
+
+    num_hashes, bands, _ = banding_for_threshold(threshold)
+    sh_rows = shingle_hash_rows(df, id_col, text_col)
+    members, rep_pairs = _group_rep_pairs(sh_rows, num_hashes, bands, threshold)
+    star = members.filter(F.col("id") != F.col("gid")).select(
+        F.col("id").alias("src"), F.col("gid").alias("dst")
+    )
+    edges = star.unionByName(
+        rep_pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    clusters = connected_components(edges)
+    drop = clusters.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
@@ -299,11 +383,8 @@ def ngram_jaccard_pairs(
     if num_hashes is None or bands is None:
         num_hashes, bands, _ = banding_for_threshold(threshold)
     sh_rows = shingle_hash_rows(df, id_col, text_col, shingle_k=n, unit=unit)
-    sigs = signatures_from_hash_rows(sh_rows, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands)
-    return verify_jaccard_from_hash_rows(cands, sh_rows).filter(
-        F.col("jaccard") >= threshold
-    )
+    members, rep_pairs = _group_rep_pairs(sh_rows, num_hashes, bands, threshold)
+    return _expand_group_pairs(members, rep_pairs)
 
 
 # --------------------------------------------------------------------- #

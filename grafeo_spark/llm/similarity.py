@@ -146,8 +146,20 @@ def ann_topk(
     return topk(cands, query_vec, k, id_col, vec_col, metric)
 
 
+# Max rows per BLAS block: a block pair holds two (rows × dim) float64
+# matrices plus their (rows × rows) similarity matrix — at 4096 rows the
+# similarity matrix is 4096² × 8 B ≈ 134 MB, a safe per-task ceiling.
+_ROWS_PER_BLOCK = 4096
+
+
+def _n_blocks_for(n_rows: int, rows_per_block: int = _ROWS_PER_BLOCK) -> int:
+    import math
+
+    return max(1, math.ceil(n_rows / rows_per_block))
+
+
 def _blocked_exact_pairs(
-    base: DataFrame, threshold: float, n_blocks: int = 32
+    base: DataFrame, threshold: float, n_blocks: Optional[int] = None
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold, BLAS-blocked.
 
@@ -157,13 +169,19 @@ def _blocked_exact_pairs(
     ``collect_list`` each bucket's vectors, join the O(B²/2) block pairs,
     and compute each block-pair's full similarity matrix as one numpy
     matmul inside ``mapInPandas`` (vectorized BLAS, Arrow-batched). Same
-    O(n²) arithmetic, ~100× the throughput; block size (n/B) bounds task
-    memory, so B scales with the corpus.
+    O(n²) arithmetic, ~100× the throughput.
+
+    ``n_blocks`` is derived from the corpus size (``ceil(n / 4096)``, one
+    count job) so per-task memory stays bounded no matter how large the
+    input — a fixed block count would grow each task's matrices linearly
+    with the corpus.
 
     ``base`` must have columns (id, _v: array<double>).
     """
     import pandas as pd
 
+    if n_blocks is None:
+        n_blocks = _n_blocks_for(base.count())
     withb = base.withColumn("_b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
     grouped = withb.groupBy("_b").agg(
         F.collect_list(F.struct("id", "_v")).alias("items")

@@ -129,6 +129,59 @@ def test_lsh_no_false_negatives_on_corpus(docs):
     assert {(0, 1), (0, 2), (1, 2)} <= got
 
 
+def test_minhash_degenerate_identical_corpus(spark):
+    """Boilerplate skew guard: thousands of byte-identical documents must
+    NOT form a quadratic LSH bucket — identical contents collapse to one
+    representative before bucketing, and the pair/cluster results stay
+    exact (every identical pair at jaccard 1.0, one survivor)."""
+    from grafeo_spark.llm import dedup_near, near_duplicate_pairs
+    from grafeo_spark.llm.dedup import _content_members, shingle_hash_rows
+
+    n = 1000
+    rows_ = [(i, "the same boilerplate header text repeated everywhere") for i in range(n)]
+    rows_ += [(n, "a completely different document about graphs and spark")]
+    docs = spark.createDataFrame(rows_, "doc_id long, text string")
+
+    # the LSH stage sees exactly 2 representatives, not 1001 rows
+    members = _content_members(shingle_hash_rows(docs))
+    assert members.select("gid").distinct().count() == 2
+
+    pairs = near_duplicate_pairs(docs, threshold=0.8)
+    assert pairs.count() == n * (n - 1) // 2  # all identical pairs, none lost
+    assert pairs.filter(F.col("jaccard") < 1.0).count() == 0
+
+    kept = sorted(r[0] for r in rows(dedup_near(docs, threshold=0.8).select("doc_id")))
+    assert kept == [0, n]  # one survivor per cluster + the distinct doc
+
+
+def test_blocked_exact_pairs_block_sizing(spark):
+    """n_blocks derives from corpus size so per-task input stays under the
+    row bound regardless of scale; tiny corpora still work (1 block)."""
+    import math
+
+    from grafeo_spark.llm.similarity import _ROWS_PER_BLOCK, _blocked_exact_pairs, _n_blocks_for
+
+    nb = _n_blocks_for(100_000)
+    assert math.ceil(100_000 / nb) <= _ROWS_PER_BLOCK
+    assert _n_blocks_for(10) == 1
+    # e2e on a small corpus: exact pairs match the numpy reference
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "id long, _v array<double>",
+    )
+    got = {(r.a, r.b) for r in _blocked_exact_pairs(df, 0.5, n_blocks=5).collect()}
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    expected = {
+        (i, j) for i in range(60) for j in range(i + 1, 60) if sims[i, j] >= 0.5
+    }
+    assert got == expected
+
+
 def test_simhash_distance(docs):
     from grafeo_spark.llm import hamming_distance, simhash
 
