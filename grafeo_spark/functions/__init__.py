@@ -1,4 +1,6 @@
 from grafeo_spark.functions.vector import (
+    binary_hamming,
+    binary_quantize,
     cosine_similarity,
     dot_product,
     euclidean_distance,
@@ -10,6 +12,8 @@ from grafeo_spark.functions.vector import (
 )
 
 __all__ = [
+    "binary_hamming",
+    "binary_quantize",
     "cosine_similarity",
     "dot_product",
     "euclidean_distance",

@@ -96,3 +96,37 @@ def quantization_error(a, lo: float = -1.0, hi: float = 1.0) -> Column:
     deq = scalar_dequantize(scalar_quantize(a, lo, hi), lo, hi)
     sq = F.zip_with(a, deq, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
     return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) / F.size(a)
+
+
+def binary_quantize(a) -> Column:
+    """1-bit-per-dimension quantization (the reference's 32x variant,
+    index/vector/quantization.rs:1-9): bit = component > 0, packed 63 per
+    long, most-significant-first within each word (the accumulator doubles
+    per element, so packing stays a pure Catalyst aggregate — no Python;
+    63 bits keeps the sign bit clear, so the doubling never overflows
+    under ANSI arithmetic). ~32x smaller than float32; compare with
+    :func:`binary_hamming`."""
+    a = _to_col(a)
+    nwords = ((F.size(a) + F.lit(62)) / F.lit(63)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nwords - 1),
+        lambda w: F.aggregate(
+            F.slice(a, w * 63 + 1, 63),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2
+            + F.when(x.cast("double") > 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+
+
+def binary_hamming(a, b) -> Column:
+    """Hamming distance between two packed binary codes — popcount of the
+    per-word XOR. For sign-quantized vectors this tracks angular distance
+    (same estimator SRP-LSH uses), making it the cheap pre-filter before
+    exact rerank."""
+    a, b = _to_col(a), _to_col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -611,6 +611,33 @@ def compile_update(ts: TripleStore, u: P.UpdateQuery) -> TripleStore:
         )
     if u.kind == "create_graph":
         return ts  # graphs exist implicitly; CREATE is a no-op
+    if u.kind in ("copy_graph", "move_graph", "add_graph"):
+        # COPY/MOVE/ADD <src> TO <dst> (plan.rs:665-734). COPY/MOVE replace
+        # the destination; ADD merges (set semantics). src == dst: no-op.
+        src, dst = u.graph, u.graph2
+        if src == dst:
+            return ts
+        src_rows = ts.df.filter(F.col("g").eqNullSafe(F.lit(src))).withColumn(
+            "g", F.lit(dst).cast("string")
+        )
+        if u.kind == "add_graph":
+            base = ts.df
+            existing = base.filter(F.col("g").eqNullSafe(F.lit(dst)))
+            src_rows = src_rows.join(
+                existing,
+                [
+                    src_rows["s"] == existing["s"],
+                    src_rows["p"] == existing["p"],
+                    src_rows["o_iri"].eqNullSafe(existing["o_iri"]),
+                    src_rows["o_lit"].eqNullSafe(existing["o_lit"]),
+                ],
+                "left_anti",
+            )
+        else:
+            base = ts.df.filter(~F.col("g").eqNullSafe(F.lit(dst)))
+            if u.kind == "move_graph":
+                base = base.filter(~F.col("g").eqNullSafe(F.lit(src)))
+        return TripleStore(base.unionByName(src_rows))
     if u.kind == "insert_data":
         return ts.insert(_template_rows(spark, u.data, None))
     if u.kind == "delete_data":

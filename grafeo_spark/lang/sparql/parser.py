@@ -185,6 +185,8 @@ class UpdateQuery:
     insert_tpl: list[TriplePattern] = field(default_factory=list)
     where: Optional[GroupPattern] = None
     graph: Optional[str] = None
+    # COPY/MOVE/ADD <src> TO <dst> (plan.rs:665-734); None = default graph
+    graph2: Optional[str] = None
 
 
 _TOKEN = re.compile(
@@ -260,6 +262,9 @@ class Parser:
             or self.at("name", "CLEAR")
             or self.at("name", "DROP")
             or self.at("name", "CREATE")
+            or self.at("name", "COPY")
+            or self.at("name", "MOVE")
+            or self.at("name", "ADD")
         ):
             return self._update()
         if self.at("name", "DESCRIBE"):
@@ -389,6 +394,13 @@ class Parser:
             if not isinstance(g, Iri):
                 raise SparqlSyntaxError("CREATE GRAPH needs an IRI")
             q = UpdateQuery("create_graph", graph=g.value)
+        elif self.at("name", "COPY") or self.at("name", "MOVE") or self.at("name", "ADD"):
+            kind = {"copy": "copy_graph", "move": "move_graph", "add": "add_graph"}[
+                self.next()[1].lower()
+            ]
+            src = self._graph_ref()
+            self.eat("name", "TO")
+            q = UpdateQuery(kind, graph=src, graph2=self._graph_ref())
         elif self.at("name", "INSERT"):
             self.next()
             if self.at("name", "DATA"):
@@ -423,6 +435,19 @@ class Parser:
         if not self.at("eof"):
             raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
         return q
+
+    def _graph_ref(self) -> Optional[str]:
+        """[GRAPH] <iri> | DEFAULT — a COPY/MOVE/ADD operand; None is the
+        default graph."""
+        if self.at("name", "DEFAULT"):
+            self.next()
+            return None
+        if self.at("name", "GRAPH"):
+            self.next()
+        g = self.term()
+        if not isinstance(g, Iri):
+            raise SparqlSyntaxError("graph reference needs an IRI or DEFAULT")
+        return g.value
 
     def _template(self) -> list:
         """{ triples } with no FILTER/OPTIONAL/UNION (an update template);

@@ -226,6 +226,15 @@ def test_aggregate_cap(g):
     assert out == [[1, 3, 6]]
 
 
+def test_store_cap(g, db):
+    # store is the lazy/local spelling (ast.rs Store); same collection here
+    out = g.V().has("city", "LA").store("y").cap("y").toList()
+    assert out == [[2, 5]]
+    # and through the string front-end
+    out2 = db.gremlin("g.V().has('city', 'LA').store('y').cap('y')").collect()
+    assert list(out2[0][0]) == [2, 5]
+
+
 def test_mutations_fluent(spark):
     from grafeo_spark.engine import GrafeoSpark
     from grafeo_spark.graph import PropertyGraph

@@ -367,6 +367,81 @@ def test_scalar_quantization_roundtrip(spark):
     assert r[0]["err"] < (step / 2) ** 2 + 1e-12
 
 
+def test_binary_quantize_and_hamming(spark):
+    """Packed sign bits match a python reference (acc-doubling bit order),
+    and packed Hamming equals the per-dimension sign disagreement count."""
+    from grafeo_spark.functions import binary_hamming, binary_quantize
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(100)
+    b = rng.standard_normal(100)
+
+    def pack(v):
+        # 63 bits per word, most-significant-first (matches the Catalyst
+        # accumulator-doubling; never touches the sign bit)
+        words = []
+        for w0 in range(0, len(v), 63):
+            acc = 0
+            for x in v[w0 : w0 + 63]:
+                acc = acc * 2 + (1 if x > 0 else 0)
+            words.append(acc)
+        return words
+
+    df = spark.createDataFrame(
+        [([float(x) for x in a], [float(x) for x in b])],
+        "a array<double>, b array<double>",
+    )
+    row = df.select(
+        binary_quantize("a").alias("qa"),
+        binary_quantize("b").alias("qb"),
+        binary_hamming(binary_quantize("a"), binary_quantize("b")).alias("h"),
+    ).collect()[0]
+    assert list(row.qa) == pack(a) and list(row.qb) == pack(b)
+    assert row.h == int(((a > 0) != (b > 0)).sum())
+
+
+def test_product_quantization_roundtrip(spark):
+    """PQ end-to-end: train on clustered data, encode, and the asymmetric-
+    distance top-1 for a cluster centroid lands inside that cluster; the
+    Catalyst LUT distance matches the numpy distance to the decoded code."""
+    import numpy as np
+
+    from grafeo_spark.llm import (
+        pq_decode,
+        pq_distances,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 5
+    vecs = np.concatenate(
+        [centers[i] + 0.05 * rng.standard_normal((25, 16)) for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_pq_codebooks(df, m=4, k=8, sample=100, seed=5)
+    assert books.shape == (4, 8, 4)
+    codes = pq_encode(df, books)
+    assert codes.schema["pq_code"].dataType.simpleString() == "array<int>"
+
+    q = [float(x) for x in centers[2]]
+    top = pq_topk(codes, q, books, k=5).collect()
+    assert 50 <= top[0].id < 75  # cluster 2 occupies ids 50..74
+
+    # LUT distance == ||q - decode(code)||² (same arithmetic, two routes)
+    one = codes.filter(F.col("vec_id") == 60)
+    got = pq_distances(one, q, books).select("pq_dist").collect()[0][0]
+    dec = one.select(pq_decode(books).alias("d")).collect()[0].d
+    want = float(((np.array(q) - np.array(dec)) ** 2).sum())
+    assert abs(got - want) < 1e-9
+
+
 def test_ngram_jaccard_pairs(docs):
     from grafeo_spark.llm import ngram_jaccard_pairs
 

@@ -413,6 +413,25 @@ def test_graph_insert_and_clear(gdb):
     assert left == [(EX + "g1", EX + "alice")]
 
 
+def test_graph_copy_move_add(gdb):
+    def graphs_of(db):
+        return dict(
+            rows(db.sparql(PFX + "SELECT ?g (COUNT(?x) AS ?n) WHERE { GRAPH ?g { ?x ?p ?y } } GROUP BY ?g"))
+        )
+
+    # COPY replaces the destination with the source's triples
+    gdb.sparql_update("COPY <" + EX + "g2> TO <" + EX + "g1>")
+    g = graphs_of(gdb)
+    assert g[EX + "g1"] == 2 and g[EX + "g2"] == 2
+    # ADD merges (set semantics: adding again changes nothing)
+    gdb.sparql_update("ADD <" + EX + "g2> TO <" + EX + "g1>")
+    assert graphs_of(gdb)[EX + "g1"] == 2
+    # MOVE copies then drops the source
+    gdb.sparql_update("MOVE <" + EX + "g1> TO <" + EX + "g3>")
+    g = graphs_of(gdb)
+    assert g.get(EX + "g1") is None and g[EX + "g3"] == 2
+
+
 def test_describe_constant(sdb):
     out = rows(sdb.sparql(PFX + "DESCRIBE ex:alice"))
     assert (EX + "alice", EX + "name", "Alice") in out
