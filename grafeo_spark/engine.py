@@ -109,14 +109,22 @@ class GrafeoSpark:
 
     def sparql_update(self, query: str) -> None:
         """Apply a SPARQL update (INSERT/DELETE DATA, DELETE WHERE,
-        DELETE/INSERT WHERE, CLEAR ALL) to the attached TripleStore,
-        replacing it with the updated store (immutable-store semantics,
-        like the Cypher write path)."""
+        DELETE/INSERT WHERE, CLEAR/COPY/MOVE/ADD/... GRAPH) to the attached
+        TripleStore, replacing it with the updated store (immutable-store
+        semantics, like the Cypher write path). The new store's lineage is
+        truncated with a lazy localCheckpoint: each update's anti-join +
+        union layers otherwise stack into one ever-deeper plan whose
+        re-analysis cost grows per update (each layer re-expands the
+        multi-branch triples union) — with the checkpoint, every update is
+        planned against a flat leaf and executes once."""
         if self.triples is None:
             raise ValueError("no triple store attached")
+        from grafeo_spark.graph import TripleStore
         from grafeo_spark.lang.sparql import sparql_update as _run
 
-        self.triples = _run(self.triples, query)
+        self.triples = TripleStore(
+            _run(self.triples, query).df.localCheckpoint(eager=False)
+        )
 
     # -- direct store API (database.rs:618-931 'side door') ---------------
 
