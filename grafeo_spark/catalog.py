@@ -144,6 +144,16 @@ def tpch_triples(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
     return TripleStore(out)
 
 
+# (session id, sf_dir) -> built frame dicts. Frames are immutable and the
+# PropertyGraph constructor copies the dicts, so every call gets an
+# isolated graph (in-place metadata edits like DDL endpoint registration
+# can't leak across queries) while the heavy derived frames — the ones
+# embedding a shuffle (SUPPLIED_BY's distinct, the User dedup, the
+# HAS_EMBEDDING join) — are persisted once and shared by every query of a
+# battery run instead of re-shuffling per query.
+_GRAPH_CACHE: dict[tuple[int, str], dict] = {}
+
+
 def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGraph:
     """Recast the driver tables as a PropertyGraph.
 
@@ -151,6 +161,17 @@ def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGra
     Edges: IN_REGION, FROM_NATION, PLACED, CONTAINS, SUPPLIED_BY, PERFORMED.
     Property names drop the TPC-H single-letter prefix (c_name -> name).
     """
+    key = (id(spark), sf_dir)
+    cached = _GRAPH_CACHE.get(key)
+    if cached is not None:
+        return PropertyGraph(
+            cached["nodes"],
+            cached["edges"],
+            dict(cached["endpoints"]),
+            disjoint_labels=True,
+            distinct_pairs=cached["distinct_pairs"],
+            edge_keys=cached["edge_keys"],
+        )
     t = load_tables(spark, sf_dir)
 
     nodes = {
@@ -283,17 +304,22 @@ def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGra
         "SUPPLIED_BY": ("Part", "Supplier"),
         "HAS_EMBEDDING": ("Document", "Embedding"),
     }
+    # shuffle-embedding derived frames: persist so a session's queries
+    # share one materialization (lazy — computed on first use)
+    edges["SUPPLIED_BY"] = edges["SUPPLIED_BY"].persist()
+    edges["HAS_EMBEDDING"] = edges["HAS_EMBEDDING"].persist()
+    nodes["User"] = nodes["User"].persist()
     # (src, dst)-distinct edge frames: everything except CONTAINS (one edge
     # per lineitem — an order can contain a part on several lines; its
     # lineitem PK (orderkey=src, linenumber) is declared as the edge key so
     # path operators get a cheap deterministic edge id).
-    return PropertyGraph(
-        nodes,
-        edges,
-        endpoints,
-        disjoint_labels=True,
-        distinct_pairs={
-            "IN_REGION", "FROM_NATION", "PLACED", "SUPPLIED_BY", "HAS_EMBEDDING"
-        },
-        edge_keys={"CONTAINS": ("linenumber",)},
-    )
+    _GRAPH_CACHE[key] = {
+        "nodes": nodes,
+        "edges": edges,
+        "endpoints": endpoints,
+        "distinct_pairs": frozenset(
+            {"IN_REGION", "FROM_NATION", "PLACED", "SUPPLIED_BY", "HAS_EMBEDDING"}
+        ),
+        "edge_keys": {"CONTAINS": ("linenumber",)},
+    }
+    return tpch_graph(spark, sf_dir)

@@ -611,6 +611,36 @@ def compile_update(ts: TripleStore, u: P.UpdateQuery) -> TripleStore:
         )
     if u.kind == "create_graph":
         return ts  # graphs exist implicitly; CREATE is a no-op
+    if u.kind == "load_graph":
+        # LOAD <doc> [INTO GRAPH <g>] (plan.rs:694-702 LoadGraphOp). The
+        # document IRI is a parquet dataset path (file:// or bare path) in
+        # either the store's 6-column layout (save_triples output — the
+        # partitioned predicate column is restored by the reader) or a
+        # minimal (s, p, o) layout, with o split by the IRI-shape
+        # heuristic. Network IRIs are out of scope for this engine.
+        path = u.graph
+        for prefix in ("file://",):
+            if path.startswith(prefix):
+                path = path[len(prefix):]
+        loaded = spark.read.parquet(path)
+        if set(TripleStore.COLS) <= set(loaded.columns):
+            rows = loaded.select(*TripleStore.COLS)
+        elif {"s", "p", "o"} <= set(loaded.columns):
+            is_iri = F.col("o").rlike(_IRI_SHAPE)
+            rows = loaded.select(
+                "s",
+                "p",
+                F.when(is_iri, F.col("o")).alias("o_iri"),
+                F.when(~is_iri, F.col("o")).alias("o_lit"),
+                F.lit(None).cast("string").alias("o_dt"),
+                F.lit(None).cast("string").alias("g"),
+            )
+        else:
+            raise SparqlCompileError(
+                f"LOAD: unrecognized columns {loaded.columns} at {path}"
+            )
+        rows = rows.withColumn("g", F.lit(u.graph2).cast("string"))
+        return ts.insert(rows)
     if u.kind in ("copy_graph", "move_graph", "add_graph"):
         # COPY/MOVE/ADD <src> TO <dst> (plan.rs:665-734). COPY/MOVE replace
         # the destination; ADD merges (set semantics). src == dst: no-op.

@@ -265,6 +265,7 @@ class Parser:
             or self.at("name", "COPY")
             or self.at("name", "MOVE")
             or self.at("name", "ADD")
+            or self.at("name", "LOAD")
         ):
             return self._update()
         if self.at("name", "DESCRIBE"):
@@ -401,6 +402,16 @@ class Parser:
             src = self._graph_ref()
             self.eat("name", "TO")
             q = UpdateQuery(kind, graph=src, graph2=self._graph_ref())
+        elif self.at("name", "LOAD"):
+            self.next()
+            doc = self.term()
+            if not isinstance(doc, Iri):
+                raise SparqlSyntaxError("LOAD needs a document IRI")
+            dest = None
+            if self.at("name", "INTO"):
+                self.next()
+                dest = self._graph_ref()
+            q = UpdateQuery("load_graph", graph=doc.value, graph2=dest)
         elif self.at("name", "INSERT"):
             self.next()
             if self.at("name", "DATA"):

@@ -27,6 +27,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sampled_matrix(df: DataFrame, vec_col: str, sample: int, seed: int):
+    import numpy as np
+
+    n = df.count()
+    frac = min(1.0, (sample * 1.2) / max(n, 1))
+    rows = (
+        df.select(vec_col).sample(False, frac, seed=seed).limit(sample).collect()
+        if frac < 1.0
+        else df.select(vec_col).limit(sample).collect()
+    )
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def _kmeans(xs, k: int, iters: int, rng):
+    """Seeded fixed-iteration Lloyd's over a driver sample — returns (k,
+    dim) centroids (empty clusters keep their previous centroid)."""
+    import numpy as np
+
+    cent = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)]
+    if len(cent) < k:  # degenerate tiny sample: pad by repetition
+        cent = np.resize(cent, (k, xs.shape[1]))
+    cent = cent.copy()
+    for _ in range(iters):
+        d = -2.0 * xs @ cent.T + (cent**2).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cent[c] = xs[mask].mean(axis=0)
+    return cent
+
+
 def train_pq_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -40,14 +72,7 @@ def train_pq_codebooks(
     bounded sample (deterministic: seeded init, fixed iterations)."""
     import numpy as np
 
-    n = df.count()
-    frac = min(1.0, (sample * 1.2) / max(n, 1))
-    rows = (
-        df.select(vec_col).sample(False, frac, seed=seed).limit(sample).collect()
-        if frac < 1.0
-        else df.select(vec_col).limit(sample).collect()
-    )
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = _sampled_matrix(df, vec_col, sample, seed)
     dim = x.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -55,18 +80,7 @@ def train_pq_codebooks(
     rng = np.random.default_rng(seed)
     books = np.empty((m, k, sub))
     for j in range(m):
-        xs = x[:, j * sub : (j + 1) * sub]
-        cent = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)]
-        if len(cent) < k:  # degenerate tiny sample: pad by repetition
-            cent = np.resize(cent, (k, sub))
-        for _ in range(iters):
-            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = xs[mask].mean(axis=0)
-        books[j] = cent
+        books[j] = _kmeans(x[:, j * sub : (j + 1) * sub], k, iters, rng)
     return books
 
 
@@ -146,6 +160,81 @@ def pq_distances(
         table = F.array(*[F.lit(float(v)) for v in lut])
         total = total + F.element_at(table, c[j] + 1)
     return codes_df.withColumn(dist_col, total)
+
+
+# --------------------------------------------------------------------- #
+# IVF (inverted-file) ANN — the coarse-cluster counterpart to SRP-LSH
+# --------------------------------------------------------------------- #
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 64,
+    sample: int = 10_000,
+    iters: int = 12,
+    seed: int = 42,
+):
+    """Coarse k-means centroids as an (nlist, dim) numpy array — the IVF
+    partitioner. Train once, broadcast, and write the assigned cell as a
+    partition column so a probe reads only its cells' files at scale."""
+    import numpy as np
+
+    x = _sampled_matrix(df, vec_col, sample, seed)
+    return _kmeans(x, nlist, iters, np.random.default_rng(seed))
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Append ``cell_col: int`` — each vector's nearest coarse centroid
+    (one numpy argmin per Arrow batch)."""
+    import numpy as np
+
+    cent = np.asarray(centroids)
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, {cell_col} int"
+    cols = [f.name for f in df.schema.fields]
+
+    def assign(batches):
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = -2.0 * x @ cent.T + (cent**2).sum(axis=1)[None, :]
+            pdf = pdf.copy()
+            pdf[cell_col] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.select(*cols).mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    cells_df: DataFrame,
+    query_vec: Sequence[float],
+    centroids,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Approximate top-k: rank cells by centroid distance to the query on
+    the driver, exact-rerank only the ``nprobe`` nearest cells' members —
+    candidates ∝ probed-cell occupancy, never a full scan (and with
+    cell-partitioned parquet, a partition-pruned read)."""
+    import numpy as np
+
+    from grafeo_spark.llm.similarity import topk
+
+    cent = np.asarray(centroids)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in d.argsort()[:nprobe]]
+    cands = cells_df.filter(F.col(cell_col).isin(probes))
+    return topk(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col, metric=metric)
 
 
 def pq_topk(

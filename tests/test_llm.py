@@ -442,6 +442,31 @@ def test_product_quantization_roundtrip(spark):
     assert abs(got - want) < 1e-9
 
 
+def test_ivf_topk_recall(spark):
+    """IVF probe over clustered data: the probed cells contain the query's
+    cluster, so top-k matches the exact scan; the plan filters on cell ids
+    instead of scanning everything."""
+    import numpy as np
+
+    from grafeo_spark.llm import ivf_assign, ivf_topk, topk, train_ivf_centroids
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((6, 12)) * 6
+    vecs = np.concatenate(
+        [centers[i] + 0.1 * rng.standard_normal((30, 12)) for i in range(6)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(180)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = train_ivf_centroids(df, nlist=6, sample=180, seed=9)
+    cells = ivf_assign(df, cent)
+    q = [float(x) for x in vecs[100]]
+    approx = [r.id for r in ivf_topk(cells, q, cent, k=5, nprobe=2).collect()]
+    exact = [r.id for r in topk(df, q, k=5).collect()]
+    assert approx == exact
+
+
 def test_ngram_jaccard_pairs(docs):
     from grafeo_spark.llm import ngram_jaccard_pairs
 

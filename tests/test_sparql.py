@@ -432,6 +432,31 @@ def test_graph_copy_move_add(gdb):
     assert g.get(EX + "g1") is None and g[EX + "g3"] == 2
 
 
+def test_load_graph_from_parquet(spark, tmp_path):
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import TripleStore
+    from grafeo_spark.sources import save_triples
+
+    data = [(EX + "x", EX + "name", None, "X", None, None)]
+    src = TripleStore(
+        spark.createDataFrame(
+            data, "s string, p string, o_iri string, o_lit string, o_dt string, g string"
+        )
+    )
+    path = str(tmp_path / "dump")
+    save_triples(src, path)
+
+    db = GrafeoSpark(spark, graph=None, triples=TripleStore.empty(spark))
+    db.sparql_update(f"LOAD <file://{path}> INTO GRAPH <{EX}g9>")
+    got = rows(
+        db.sparql(PFX + "SELECT ?s ?n WHERE { GRAPH <" + EX + "g9> { ?s ex:name ?n } }")
+    )
+    assert got == [(EX + "x", "X")]
+    # LOAD without INTO lands in the default graph (g null)
+    db.sparql_update(f"LOAD <file://{path}>")
+    assert db.sparql(PFX + "SELECT ?s WHERE { ?s ex:name ?n }").count() == 2
+
+
 def test_describe_constant(sdb):
     out = rows(sdb.sparql(PFX + "DESCRIBE ex:alice"))
     assert (EX + "alice", EX + "name", "Alice") in out
