@@ -1016,6 +1016,48 @@ _SPARQL: dict[str, str] = {
 }
 
 
+def _alg_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS layers from customer 1 over PLACED+CONTAINS (traversal.rs:376):
+    nodes per depth. Oracle replays the walk as a DuckDB recursive CTE
+    with the same namespaced node ids, taking MIN depth per node."""
+    from pyspark.sql import functions as F
+
+    db = _db(spark, sf_dir)
+    e = db.edges("PLACED").select("src", "dst").unionByName(
+        db.edges("CONTAINS").select("src", "dst")
+    )
+    from grafeo_spark.algorithms import run as alg_run
+
+    src = (3 << 44) + 1  # Customer namespace tag is 3 (catalog._NS)
+    layers = alg_run("bfs", e, sources=[src], max_depth=3)
+    return (
+        layers.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("depth")
+    )
+
+
+_ORACLE["alg_bfs_depths"] = """
+    WITH RECURSIVE walk(node, d) AS (
+        SELECT CAST(3 * 17592186044416 + 1 AS BIGINT), 0
+        UNION ALL
+        SELECT e.dst, w.d + 1
+        FROM walk w
+        JOIN (
+            SELECT 3 * 17592186044416 + o_custkey AS src,
+                   6 * 17592186044416 + o_orderkey AS dst FROM orders
+            UNION ALL
+            SELECT 6 * 17592186044416 + l_orderkey AS src,
+                   5 * 17592186044416 + l_partkey AS dst FROM lineitem
+        ) e ON e.src = w.node
+        WHERE w.d < 3
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+        SELECT node, CAST(MIN(d) AS BIGINT) AS depth FROM walk GROUP BY node
+    ) GROUP BY depth ORDER BY depth
+"""
+
+
 def _sparql_graph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRAPH ?g pattern over a named-graph store (plan.rs:665-734): each
     nation's name triple lives in its region's named graph; count per
@@ -1210,6 +1252,7 @@ def _graphql_three_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_update_roundtrip": _sparql_update_roundtrip,
     "sparql_graph_counts": _sparql_graph_counts,
+    "alg_bfs_depths": _alg_bfs_depths,
     "vq_codes_profile": _vq_codes_profile,
     "gremlin_segment_counts": _gremlin_segment_counts,
     "gremlin_order_count": _gremlin_order_count,
@@ -1246,11 +1289,13 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # a representative core; long-stable entries whose code is untouched sit
 # past the cap — their green rows from earlier rounds stand.
 _PRIORITY = [
-    # never driver-checked before round 4
-    "alg_pagerank_top",
+    # never driver-checked before round 4 (cheapest first: the battery's
+    # opening query absorbs session warm-up, so it should be a small one)
     "alg_degree_top",
-    "alg_wcc_sizes",
     "alg_triangles",
+    "alg_wcc_sizes",
+    "alg_pagerank_top",
+    "alg_bfs_depths",
     "knn_cosine_top10",
     "sim_join_top2",
     "dedup_exact_count",
