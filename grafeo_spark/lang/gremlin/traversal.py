@@ -552,6 +552,47 @@ class Traversal:
             out = out.unionByName(o, allowMissingColumns=True)
         return self._derive(out, tvar if kind != "value" else "value", kind)
 
+    def repeat(self, body: Anon) -> "Traversal":
+        """``repeat(body).times(n)`` / with ``emit()`` (TinkerPop loops;
+        beyond the reference's step list — its Gremlin AST has no Repeat —
+        but core TinkerPop). Deferred: ``times`` expands the loop."""
+        t = self.identity()
+        t._repeat_body = body
+        t._emit_first = getattr(self, "_emit_first", False)
+        return t
+
+    def emit(self) -> "Traversal":
+        """Emit every intermediate traverser (default predicate): before
+        ``repeat`` includes the pre-loop element, after it the per-
+        iteration frontiers."""
+        t = self.identity()
+        body = getattr(self, "_repeat_body", None)
+        if body is not None:
+            t._repeat_body = body
+            t._repeat_emit = True
+        else:
+            t._emit_first = True
+        return t
+
+    def times(self, n) -> "Traversal":
+        """Expand the pending repeat: without emit, the body applied n
+        times in sequence; with emit, the union of every iteration's
+        result — iteration k IS the body's steps repeated k times, so the
+        existing union machinery does the column alignment."""
+        body = getattr(self, "_repeat_body", None)
+        if body is None:
+            raise GremlinError("times() without a pending repeat()")
+        n = int(n)
+        emit = getattr(self, "_repeat_emit", False)
+        emit_first = getattr(self, "_emit_first", False)
+        if not emit and not emit_first:
+            t = self
+            for _ in range(n):
+                t = t._apply_anon(body)
+            return t
+        start = 0 if emit_first else 1
+        return self.union(*[Anon(body._steps * k) for k in range(start, n + 1)])
+
     def choose(self, pred: Anon, true_branch: Anon, false_branch: Anon) -> "Traversal":
         """if/then/else per element (ast.rs Choose): split on EXISTS(pred),
         run each branch on its partition, union."""

@@ -235,6 +235,36 @@ def test_store_cap(g, db):
     assert list(out2[0][0]) == [2, 5]
 
 
+def test_repeat_times(g, db):
+    from grafeo_spark.lang.gremlin import __
+
+    # out().out() from Alice: 1->{2,3} then {2->3, 3->4}
+    names = sorted(
+        g.V().has("name", "Alice").repeat(__.out()).times(2).values("name").toList()
+    )
+    assert names == ["Carol", "Dave"]
+    # string front-end
+    out = db.gremlin(
+        "g.V().has('name', 'Alice').repeat(__.out()).times(2).values('name')"
+    ).collect()
+    assert sorted(r[0] for r in out) == ["Carol", "Dave"]
+
+
+def test_repeat_emit(g):
+    from grafeo_spark.lang.gremlin import __
+
+    # emit after repeat: frontier of every iteration (bag union)
+    ids = sorted(
+        g.V().has("name", "Alice").repeat(__.out()).emit().times(2).id_().toList()
+    )
+    assert ids == [2, 3, 3, 4]
+    # emit BEFORE repeat also includes the starting element
+    ids = sorted(
+        g.V().has("name", "Alice").emit().repeat(__.out()).times(2).id_().toList()
+    )
+    assert ids == [1, 2, 3, 3, 4]
+
+
 def test_mutations_fluent(spark):
     from grafeo_spark.engine import GrafeoSpark
     from grafeo_spark.graph import PropertyGraph

@@ -117,6 +117,16 @@ def test_hop_frames_label_reachability_pruning(spark):
     assert len(frames) == 2 and frames[0].count() == 2
 
 
+def test_var_length_both_direction_no_edge_reuse(db):
+    """Undirected (BOTH) trails: traversing an edge forward then backward
+    is a repeat (identity is computed on the stored orientation). From
+    Alice: 1-2-3, 1-3-2, 1-3-4 — never 1-2-1 over the same edge."""
+    out = db.cypher(
+        "MATCH (a:Person {name: 'Alice'})-[*2..2]-(b) RETURN count(*) AS n"
+    ).collect()
+    assert out[0].n == 3
+
+
 def test_min_hops_zero(spark):
     from grafeo_spark.operators.expand import var_length_expand
 
