@@ -23,8 +23,9 @@ from grafeo_spark.plans.compiler import Compiler
 @lru_cache(maxsize=256)
 def _parse_and_translate(query: str):
     from grafeo_spark.lang.cypher import parse, translate
+    from grafeo_spark.plans.rewrite import optimize
 
-    return translate(parse(query))
+    return optimize(translate(parse(query)))
 
 
 def _parse_fresh(query: str):

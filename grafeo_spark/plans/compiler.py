@@ -551,6 +551,52 @@ class Compiler:
         out = out.drop(*[c for c in out.columns if c.startswith(pvar + "__")])
         return out, scope
 
+    def _c_degreejoin(self, p: ir.DegreeJoin) -> tuple[DataFrame, Scope]:
+        """Per-source edge counts joined onto the child — the compiled form
+        of the aggregate-below-expand rewrite (plans/rewrite.py). The
+        groupBy is map-side combined, so the shuffle carries |V| partial
+        counts, never |E| expansion rows."""
+        child, scope = self._compile(p.child)
+        if p.src_var not in scope:
+            raise CompileError(f"unbound source variable {p.src_var!r}")
+        e, _ = self._edge_frame(p.etypes, p.direction)
+        pairs = e.select("src", "dst")
+        if p.dst_label is not None and not self._endpoints_guarantee(p):
+            ndf = self.graph.nodes(p.dst_label).select(F.col("id").alias("__dj_id"))
+            pairs = pairs.join(ndf, pairs["dst"] == F.col("__dj_id"), "inner")
+        deg = (
+            pairs.groupBy("src")
+            .agg(F.count(F.lit(1)).alias(p.alias))
+            .withColumnRenamed("src", "__dj_src")
+        )
+        out = child.join(
+            deg, F.col(_p(p.src_var, "id")) == F.col("__dj_src"), "inner"
+        ).drop("__dj_src")
+        scope = dict(scope)
+        scope[p.alias] = VarInfo("value")
+        return out, scope
+
+    def _endpoints_guarantee(self, p: ir.DegreeJoin) -> bool:
+        """Do the declared endpoints already pin every destination to
+        dst_label (so the degree frame can skip the node join)?"""
+        if not p.etypes:
+            return False
+        for t in p.etypes:
+            ep = self.graph.endpoints.get(t)
+            if ep is None:
+                return False
+            if p.direction == ir.OUT:
+                end = ep[1]
+            elif p.direction == ir.IN:
+                end = ep[0]
+            else:
+                if ep[0] != ep[1]:
+                    return False
+                end = ep[0]
+            if end != p.dst_label:
+                return False
+        return True
+
     def _c_shortestpath(self, p: ir.ShortestPath) -> tuple[DataFrame, Scope]:
         from grafeo_spark.operators.expand import (
             all_shortest_paths,

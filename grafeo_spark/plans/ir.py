@@ -79,6 +79,23 @@ class Expand(Plan):
 
 
 @dataclass
+class DegreeJoin(Plan):
+    """Aggregate-below-expand rewrite target (plans/rewrite.py): join the
+    per-source edge count (``alias`` column) instead of materializing the
+    1-hop expansion row-per-edge. Inner join: sources with zero edges drop,
+    matching MATCH semantics. The degree frame pre-filters destinations by
+    ``dst_label`` only when the edge-type endpoints don't already guarantee
+    it."""
+
+    child: Plan
+    src_var: str
+    etypes: tuple[str, ...]
+    direction: str
+    dst_label: Optional[str]
+    alias: str
+
+
+@dataclass
 class ShortestPath(Plan):
     """shortestPath((a)-[*..k]->(b)) — BFS (shortest_path.rs:1-18)."""
 
