@@ -593,6 +593,46 @@ class Traversal:
         start = 0 if emit_first else 1
         return self.union(*[Anon(body._steps * k) for k in range(start, n + 1)])
 
+    def until(self, cond: Anon, max_loops: int = 20) -> "Traversal":
+        """``repeat(body).until(cond)`` — do-while: apply the body, emit
+        traversers satisfying ``cond``, keep looping the rest (bounded by
+        ``max_loops``; traversers that dead-end vanish, TinkerPop
+        semantics). Each round is set-at-a-time: one EXISTS split per
+        iteration, with an eager checkpoint so the surviving frontier's
+        lineage stays flat."""
+        body = getattr(self, "_repeat_body", None)
+        if body is None:
+            raise GremlinError("until() without a pending repeat()")
+        tvar = self._fresh()
+        outs: list = []
+        kind = None
+        t = self
+        for _ in range(int(max_loops)):
+            t = t._apply_anon(body)
+            if t.kind == "value":
+                raise GremlinError("repeat().until() needs an element traversal")
+            kind = t.kind
+            ids = t._exists_ids(cond)
+            idc = _p(t.cur, "id")
+            done = t.df.join(ids, idc, "left_semi")
+            outs.append(
+                done.select(
+                    *[
+                        F.col(c).alias(_p(tvar, c[len(t.cur) + 2:]))
+                        for c in done.columns
+                        if c.startswith(t.cur + "__")
+                    ]
+                )
+            )
+            rest = t.df.join(ids, idc, "left_anti").localCheckpoint(eager=True)
+            t = t._derive(rest, t.cur, t.kind)
+            if rest.isEmpty():
+                break
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o, allowMissingColumns=True)
+        return self._derive(out, tvar, kind or "node")
+
     def choose(self, pred: Anon, true_branch: Anon, false_branch: Anon) -> "Traversal":
         """if/then/else per element (ast.rs Choose): split on EXISTS(pred),
         run each branch on its partition, union."""

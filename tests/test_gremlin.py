@@ -265,6 +265,21 @@ def test_repeat_emit(g):
     assert ids == [1, 2, 3, 3, 4]
 
 
+def test_repeat_until(g):
+    from grafeo_spark.lang.gremlin import __
+
+    # walk the chain 3->4->5->6 until reaching Frank
+    names = (
+        g.V()
+        .has("name", "Carol")
+        .repeat(__.out().hasLabel("Person"))
+        .until(__.has("name", "Frank"))
+        .values("name")
+        .toList()
+    )
+    assert names == ["Frank"]
+
+
 def test_mutations_fluent(spark):
     from grafeo_spark.engine import GrafeoSpark
     from grafeo_spark.graph import PropertyGraph
