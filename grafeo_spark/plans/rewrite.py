@@ -93,6 +93,11 @@ def _aggregate_below_expand(agg: ir.Aggregate):
         _vars_of(f.predicate, used)
     if dst in used:
         return None
+    if not agg.keys and not filters:
+        # bare global count over the expansion: the compiler's source-scan
+        # elision already counts edge rows directly — a degree join would
+        # only add a scan and a join there
+        return None
     # every aggregate must count whole expansion rows: count(*) or
     # count(dst) (node variables are never null on an inner expansion);
     # count(dst.prop) is NOT eligible (nullable property)

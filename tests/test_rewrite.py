@@ -40,9 +40,18 @@ def test_rewrite_applies_to_grouped_count():
     assert _find(plan, ir.DegreeJoin) and not _find(plan, ir.Expand)
 
 
-def test_rewrite_applies_to_count_star():
-    plan = _opt("MATCH (c:Customer)-[:PLACED]->(o) RETURN count(*) AS n")
+def test_rewrite_applies_to_count_star_with_filter():
+    plan = _opt(
+        "MATCH (c:Customer)-[:PLACED]->(o) WHERE c.acctbal > 0 RETURN count(*) AS n"
+    )
     assert _find(plan, ir.DegreeJoin) and not _find(plan, ir.Expand)
+
+
+def test_rewrite_skips_bare_global_count():
+    # no keys, no filters: the compiler's source elision already counts
+    # edge rows directly — the rewrite must stay out of the way
+    plan = _opt("MATCH (c:Customer)-[:PLACED]->(o) RETURN count(*) AS n")
+    assert not _find(plan, ir.DegreeJoin) and _find(plan, ir.Expand)
 
 
 def test_rewrite_skips_when_dst_used():
