@@ -1016,6 +1016,38 @@ _SPARQL: dict[str, str] = {
 }
 
 
+def _events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch hypertable rollup over events: hourly time_bucket x event
+    type, with count / distinct users / summed value — the batch twin of
+    the streaming windowed aggregation entries."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.catalog import load_tables
+    from grafeo_spark.functions.time import hypertable_rollup
+
+    events = load_tables(spark, sf_dir)["events"]
+    return hypertable_rollup(
+        events,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("user_id")).alias("users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    ).orderBy("bucket", "event_type")
+
+
+_ORACLE["events_hourly_rollup"] = """
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+"""
+
+
 def _alg_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS layers from customer 1 over PLACED+CONTAINS (traversal.rs:376):
     nodes per depth. Oracle replays the walk as a DuckDB recursive CTE
@@ -1253,6 +1285,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_update_roundtrip": _sparql_update_roundtrip,
     "sparql_graph_counts": _sparql_graph_counts,
     "alg_bfs_depths": _alg_bfs_depths,
+    "events_hourly_rollup": _events_hourly_rollup,
     "vq_codes_profile": _vq_codes_profile,
     "gremlin_segment_counts": _gremlin_segment_counts,
     "gremlin_order_count": _gremlin_order_count,
@@ -1345,6 +1378,7 @@ _PRIORITY = [
     "gremlin_mutation_roundtrip",
     "graphql_three_level",
     "multimodal_features",
+    "events_hourly_rollup",
     "events_windowed_counts",
     "events_sessionized",
 ]

@@ -1,0 +1,57 @@
+"""Time-bucketing for event/hypertable rollups.
+
+The training-data side of the engine treats the events table as a
+hypertable: fixed-width buckets + grouped aggregates are the batch form of
+the streaming windowed aggregations (streaming/__init__.py), sharing
+semantics with `date_trunc`/TimescaleDB `time_bucket`. Pure Catalyst
+expressions — a 100 TB rollup is one map-side-combined groupBy over the
+partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def time_bucket(width: str, ts) -> Column:
+    """Floor ``ts`` to a fixed-width bucket ("15 minutes", "1 hour", ...).
+
+    Single named units use ``date_trunc`` (type-preserving); arbitrary
+    widths floor epoch seconds and cast back. Buckets align to the epoch
+    (1970-01-01 00:00:00 UTC), matching TimescaleDB's default origin."""
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day|week)s?\s*", width)
+    if not m:
+        raise ValueError(f"unrecognized bucket width {width!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    if n == 1 and unit != "week":
+        return F.date_trunc(unit, ts)
+    secs = n * _UNIT_SECONDS[unit]
+    # TIMESTAMP_NTZ has no direct long cast; go through TIMESTAMP (an
+    # identity under the engine's UTC session time zone)
+    epoch = ts.cast("timestamp").cast("long")
+    return (
+        (epoch - (epoch % F.lit(secs))).cast("timestamp").cast("timestamp_ntz")
+    )
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    keys: list[str] | None = None,
+    aggs: list[Column] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Grouped fixed-width rollup: groupBy(time_bucket, *keys).agg(*aggs).
+    Default aggregate is a row count."""
+    keys = keys or []
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    return df.groupBy(
+        time_bucket(width, F.col(ts_col)).alias(bucket_col), *keys
+    ).agg(*aggs)

@@ -1,0 +1,56 @@
+"""time_bucket / hypertable_rollup (functions/time.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    data = [
+        (i, base + dt.timedelta(minutes=7 * i), "a" if i % 2 == 0 else "b", float(i))
+        for i in range(20)
+    ]
+    return spark.createDataFrame(data, "id long, ts timestamp_ntz, k string, v double")
+
+
+def test_time_bucket_named_unit(spark):
+    from grafeo_spark.functions.time import time_bucket
+
+    df = _events(spark).select(time_bucket("1 hour", "ts").alias("b"))
+    got = sorted({r.b for r in df.collect()})
+    assert got == [
+        dt.datetime(2024, 1, 1, 0, 0),
+        dt.datetime(2024, 1, 1, 1, 0),
+        dt.datetime(2024, 1, 1, 2, 0),
+    ]
+
+
+def test_time_bucket_arbitrary_width(spark):
+    from grafeo_spark.functions.time import time_bucket
+
+    df = _events(spark).select("ts", time_bucket("15 minutes", "ts").alias("b"))
+    for r in df.collect():
+        assert r.b <= r.ts < r.b + dt.timedelta(minutes=15)
+        assert r.b.minute % 15 == 0 and r.b.second == 0
+
+
+def test_hypertable_rollup(spark):
+    from grafeo_spark.functions.time import hypertable_rollup
+
+    out = hypertable_rollup(
+        _events(spark),
+        "ts",
+        "1 hour",
+        keys=["k"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")],
+    )
+    got = {(r.bucket, r.k): (r.n, r.total) for r in out.collect()}
+    # first hour holds minutes 0..59 -> i in 0..8 (7*i <= 59)
+    h0 = dt.datetime(2024, 1, 1, 0, 0)
+    assert got[(h0, "a")] == (5, 0.0 + 2 + 4 + 6 + 8)
+    assert got[(h0, "b")] == (4, 1.0 + 3 + 5 + 7)
