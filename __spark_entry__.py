@@ -1048,6 +1048,39 @@ _ORACLE["events_hourly_rollup"] = """
 """
 
 
+def _events_asof_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time feature lookup): each view event joined
+    to the user's latest click at-or-before it; integer-exact totals.
+    The oracle uses DuckDB's native ASOF LEFT JOIN."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.catalog import load_tables
+    from grafeo_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "ts", "user_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    j = asof_join(views, clicks, on="user_id", right_cols=["event_id"])
+    lag = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts_r").cast("timestamp")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.count(F.col("ts_r")).alias("n_matched"),
+        F.sum(lag).alias("total_lag_us"),
+    )
+
+
+_ORACLE["events_asof_views"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_views,
+           CAST(count(c.ts) AS BIGINT) AS n_matched,
+           CAST(sum(epoch_us(v.ts - c.ts)) AS BIGINT) AS total_lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id AND v.ts >= c.ts
+"""
+
+
 def _alg_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS layers from customer 1 over PLACED+CONTAINS (traversal.rs:376):
     nodes per depth. Oracle replays the walk as a DuckDB recursive CTE
@@ -1286,6 +1319,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_graph_counts": _sparql_graph_counts,
     "alg_bfs_depths": _alg_bfs_depths,
     "events_hourly_rollup": _events_hourly_rollup,
+    "events_asof_views": _events_asof_views,
     "vq_codes_profile": _vq_codes_profile,
     "gremlin_segment_counts": _gremlin_segment_counts,
     "gremlin_order_count": _gremlin_order_count,
@@ -1379,6 +1413,7 @@ _PRIORITY = [
     "graphql_three_level",
     "multimodal_features",
     "events_hourly_rollup",
+    "events_asof_views",
     "events_windowed_counts",
     "events_sessionized",
 ]

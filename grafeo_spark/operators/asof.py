@@ -1,0 +1,82 @@
+"""As-of (point-in-time) join.
+
+The training-data staple: join each left row to the most recent right row
+at-or-before its timestamp within a key (feature lookups without leakage).
+Spark has no native ASOF join; the standard range-join formulation
+(``l.ts >= r.ts`` theta join + row_number) explodes to one row per
+(left, earlier-right) pair. This operator instead unions both sides and
+takes a running ``last(right_payload, ignorenulls=True)`` over a
+(key, time)-ordered window — ONE sort shuffle, output exactly |L| rows,
+state bounded by the window frame. The same shape scales to 100 TB: the
+sort key is (key, ts), so AQE/skew handling applies, and nothing is ever
+materialized per candidate pair.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_r",
+    tolerance_sec: Optional[int] = None,
+) -> DataFrame:
+    """Left as-of-backward join: every left row, plus the payload of the
+    latest right row with ``right.ts <= left.ts`` on the same key(s)
+    (nulls when none). Ties on the timestamp pick the right row
+    deterministically (greatest payload struct). ``tolerance_sec`` nulls
+    matches older than the given horizon."""
+    on = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    payload = F.struct(
+        F.col(right_ts).alias("__asof_ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__p"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+    )
+    u = l.select(
+        *[F.col(c) for c in on], "__t", "__side", "__p",
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    ).unionByName(r.select(*on, "__t", "__side", "__p", F.lit(None).alias("__l")))
+    # right rows sort before left rows at equal time: at-or-before is
+    # inclusive; max(payload) breaks exact right-side timestamp ties
+    # deterministically
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn("__m", F.max("__p").over(w)).filter(F.col("__side") == 1)
+    if tolerance_sec is not None:
+        horizon = F.col("__t").cast("timestamp").cast("long") - F.lit(int(tolerance_sec))
+        matched = matched.withColumn(
+            "__m",
+            F.when(
+                F.col("__m.__asof_ts").cast("timestamp").cast("long") >= horizon,
+                F.col("__m"),
+            ),
+        )
+    out_cols = [F.col("__l")[c].alias(c) for c in left.columns]
+    out_cols.append(F.col("__m.__asof_ts").alias(f"{right_ts}{suffix}"))
+    out_cols += [F.col("__m")[c].alias(f"{c}{suffix}") for c in right_cols]
+    return matched.select(*out_cols)

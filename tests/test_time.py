@@ -39,6 +39,40 @@ def test_time_bucket_arbitrary_width(spark):
         assert r.b.minute % 15 == 0 and r.b.second == 0
 
 
+def test_asof_join_basic(spark):
+    from grafeo_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(5), 100), (1, t(10), 101), (2, t(3), 102), (3, t(1), 103)],
+        "user long, ts timestamp_ntz, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, t(4), 900), (1, t(7), 901), (2, t(3), 902)],
+        "user long, ts timestamp_ntz, rid long",
+    )
+    out = {
+        r.lid: (r.rid_r, r.ts_r)
+        for r in asof_join(left, right, on="user", right_cols=["rid"]).collect()
+    }
+    assert out[100] == (900, t(4))  # latest at-or-before :05 is :04
+    assert out[101] == (901, t(7))
+    assert out[102] == (902, t(3))  # equal timestamps match (inclusive)
+    assert out[103] == (None, None)  # user 3 has no right rows
+
+
+def test_asof_join_tolerance(spark):
+    from grafeo_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame([(1, t(30), 100)], "user long, ts timestamp_ntz, lid long")
+    right = spark.createDataFrame([(1, t(5), 900)], "user long, ts timestamp_ntz, rid long")
+    hit = asof_join(left, right, on="user", right_cols=["rid"], tolerance_sec=3600).collect()
+    assert hit[0].rid_r == 900
+    miss = asof_join(left, right, on="user", right_cols=["rid"], tolerance_sec=600).collect()
+    assert miss[0].rid_r is None  # 25 min gap > 10 min horizon
+
+
 def test_hypertable_rollup(spark):
     from grafeo_spark.functions.time import hypertable_rollup
 
