@@ -35,6 +35,17 @@ def token_count(text: Column) -> Column:
     return F.size(tokenize(text))
 
 
+def bpe_token_count(text: Column) -> Column:
+    """GPT-2-style pre-tokenizer segment count — the standard no-model
+    estimate of a BPE tokenizer's token count (each pre-token splits into
+    >= 1 BPE token, so this lower-bounds the true count). Contractions,
+    letter runs, digit runs and punctuation runs each count once;
+    whitespace-only segments don't. Pure Catalyst regexp — no tokenizer
+    model in the hot path."""
+    pat = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+
 def shingles(tokens: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (the MinHash input unit)."""
     n = F.size(tokens)

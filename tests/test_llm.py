@@ -74,6 +74,23 @@ def test_language_detection(spark):
         assert r.got == r.expected, (r.expected, r.got)
 
 
+def test_bpe_token_count(spark):
+    from grafeo_spark.llm import bpe_token_count
+
+    samples = [
+        # "Hello", ",", " world", "!" -> 4 pre-tokens
+        ("Hello, world!", 4),
+        # "It", "'s", " 2024", "." -> 4
+        ("It's 2024.", 4),
+        ("", 0),
+        # letter run + digit run split: "abc", "123" -> 2
+        ("abc123", 2),
+    ]
+    df = spark.createDataFrame(samples, "t string, expected int")
+    for r in df.select("expected", bpe_token_count(F.col("t")).alias("got")).collect():
+        assert r.got == r.expected, (r.expected, r.got)
+
+
 def test_fingerprint_normalizes(spark):
     from grafeo_spark.llm import fingerprint
 
