@@ -14,9 +14,9 @@ materialized per candidate pair.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,3 +80,82 @@ def asof_join(
     out_cols.append(F.col("__m.__asof_ts").alias(f"{right_ts}{suffix}"))
     out_cols += [F.col("__m")[c].alias(f"{c}{suffix}") for c in right_cols]
     return matched.select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str] | str | None = None,
+    point_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_width: Optional[int] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points into enclosing intervals (``start <= point < end``),
+    optionally key-equijoined on ``on`` first.
+
+    The naive formulation is a theta join — a broadcast nested loop that
+    compares every point against every interval. This operator instead
+    buckets the time axis: each point lands in one fixed-width bucket,
+    each interval explodes into the buckets it overlaps, and the join is
+    an EQUI join on (keys, bucket) with the range predicate as a residual
+    filter — shuffle ∝ bucket occupancy, the same trick Spark's own
+    storage-partitioned interval joins and the LSH operators use.
+    ``bucket_width`` (seconds) defaults to a heuristic from the sampled
+    median interval length; pass it explicitly in production.
+    """
+    on = [on] if isinstance(on, str) else list(on or [])
+
+    def secs(c: Column) -> Column:
+        return c.cast("timestamp").cast("long")
+
+    if bucket_width is None:
+        med = intervals.select(
+            F.median(secs(F.col(end_col)) - secs(F.col(start_col))).alias("m")
+        ).first()["m"]
+        bucket_width = max(1, int(med or 3600))
+    p = points.withColumn("__b", (secs(F.col(point_col)) / bucket_width).cast("long"))
+    i = intervals.withColumn(
+        "__bs",
+        F.sequence(
+            (secs(F.col(start_col)) / bucket_width).cast("long"),
+            (secs(F.col(end_col)) / bucket_width).cast("long"),
+        ),
+    ).withColumn("__b", F.explode("__bs")).drop("__bs")
+    cond = (
+        (F.col(f"__p.{point_col}") >= F.col(f"__i.{start_col}"))
+        & (F.col(f"__p.{point_col}") < F.col(f"__i.{end_col}"))
+    )
+    joined = (
+        p.alias("__p")
+        .join(
+            i.alias("__i"),
+            [F.col(f"__p.{k}") == F.col(f"__i.{k}") for k in on]
+            + [F.col("__p.__b") == F.col("__i.__b")]
+            + [cond],
+            "inner",
+        )
+        .select(
+            *[F.col(f"__p.{c}") for c in points.columns],
+            *[
+                F.col(f"__i.{c}").alias(c if c not in points.columns else f"{c}_i")
+                for c in intervals.columns
+            ],
+        )
+    )
+    if how == "inner":
+        return joined
+    if how == "left":
+        # points with no enclosing interval keep null interval columns
+        matched = joined
+        missed = points.join(
+            matched.select(*points.columns).distinct(), points.columns, "left_anti"
+        )
+        for c in intervals.columns:
+            name = c if c not in points.columns else f"{c}_i"
+            missed = missed.withColumn(
+                name, F.lit(None).cast(dict(intervals.dtypes)[c])
+            )
+        return matched.unionByName(missed)
+    raise ValueError(f"unsupported how={how!r}")

@@ -73,6 +73,36 @@ def test_asof_join_tolerance(spark):
     assert miss[0].rid_r is None  # 25 min gap > 10 min horizon
 
 
+def test_range_join(spark):
+    from grafeo_spark.operators.asof import range_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    pts = spark.createDataFrame(
+        [(1, t(5), 100), (1, t(30), 101), (2, t(5), 102), (1, t(59), 103)],
+        "user long, ts timestamp_ntz, pid long",
+    )
+    iv = spark.createDataFrame(
+        [(1, t(0), t(10), 900), (1, t(25), t(59), 901), (2, t(0), t(10), 902)],
+        "user long, start timestamp_ntz, end timestamp_ntz, iid long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(pts, iv, on="user", bucket_width=300).collect()
+    }
+    # pid 103 at :59 is NOT inside [.., :59) (end-exclusive); key scoping
+    # keeps pid 102 out of user 1's intervals
+    assert got == {(100, 900), (101, 901), (102, 902)}
+    # left join keeps unmatched points with null interval columns
+    left = range_join(pts, iv, on="user", bucket_width=300, how="left")
+    r103 = [r for r in left.collect() if r.pid == 103][0]
+    assert r103.iid is None and left.count() == 4
+    # equi-join on the bucket key, range as residual: the executed plan is
+    # a hash/merge join, never a nested loop over all (point, interval)
+    # pairs
+    plan = range_join(pts, iv, on="user", bucket_width=300)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Join" in plan
+
+
 def test_hypertable_rollup(spark):
     from grafeo_spark.functions.time import hypertable_rollup
 
