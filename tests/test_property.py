@@ -1,0 +1,94 @@
+"""Property-based checks (hypothesis) for the path operators — the
+subtlest semantics in the engine (trail multiplicity, first-reach BFS).
+Each case compares the distributed operator against a brute-force Python
+enumeration on a small random graph. Example counts are capped: every
+example runs Spark jobs."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import rows
+
+NODES = list(range(6))
+
+edge_lists = st.lists(
+    st.tuples(st.sampled_from(NODES), st.sampled_from(NODES)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _brute_trails(edges, lo, hi):
+    """All trails (edge-distinct walks) of length in [lo, hi] as
+    (src, dst, hops) bag counts."""
+    out = defaultdict(int)
+    adj = defaultdict(list)
+    for i, (s, d) in enumerate(edges):
+        adj[s].append((i, d))
+
+    def walk(origin, cur, used, depth):
+        if lo <= depth <= hi and depth > 0:
+            out[(origin, cur, depth)] += 1
+        if depth >= hi:
+            return
+        for eid, nxt in adj[cur]:
+            if eid not in used:
+                walk(origin, nxt, used | {eid}, depth + 1)
+
+    for n in NODES:
+        walk(n, n, frozenset(), 0)
+    return dict(out)
+
+
+def _brute_bfs(edges, max_hops):
+    """First-reach distances per (src, dst) pair. The origin is NOT
+    pre-marked visited: returning to it through a cycle records the
+    shortest non-zero cycle length, matching reachable_pairs (and Cypher,
+    where (a)-[*]->(a) legitimately matches)."""
+    dist = {}
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    for n in NODES:
+        frontier, seen, hop = {n}, set(), 0
+        while frontier and hop < max_hops:
+            hop += 1
+            frontier = {d for s in frontier for d in adj[s]} - seen
+            for d in frontier:
+                dist[(n, d)] = hop
+            seen |= frontier
+    return dist
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists, lo=st.integers(1, 2), span=st.integers(0, 2))
+def test_var_length_matches_bruteforce(spark, edges, lo, span):
+    from grafeo_spark.operators.expand import var_length_expand
+
+    hi = lo + span
+    e = spark.createDataFrame(
+        [(i, s, d) for i, (s, d) in enumerate(edges)], "id long, src long, dst long"
+    )
+    got = defaultdict(int)
+    for s, d, h in rows(var_length_expand(e, lo, hi, id_col="id")):
+        got[(s, d, h)] += 1
+    assert dict(got) == _brute_trails(edges, lo, hi)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists, max_hops=st.integers(1, 4))
+def test_reachable_pairs_matches_bruteforce(spark, edges, max_hops):
+    from grafeo_spark.operators.expand import reachable_pairs
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {(s, d): h for s, d, h in rows(reachable_pairs(e, 1, max_hops))}
+    assert got == _brute_bfs(edges, max_hops)
