@@ -178,6 +178,43 @@ class GrafeoSpark:
         fn = ann_topk if approximate else topk
         return fn(nodes, query_vec, k=k, id_col="id", vec_col=vec_col, metric=metric)
 
+    def batch_vector_search(
+        self,
+        label: str,
+        queries: DataFrame,
+        k: int = 10,
+        query_id: str = "id",
+        query_vec: str = "embedding",
+        vec_col: str = "embedding",
+        metric: str | None = None,
+        approximate: bool | None = None,
+    ) -> DataFrame:
+        """Top-k nearest nodes of ``label`` for EVERY query row
+        (database.rs:1220 batch_vector_search): returns (qid, iid, score,
+        rank). Routing matches :meth:`vector_search` — a declared vector
+        index makes the SRP-bucketed k-NN join the default (shuffle ∝
+        bucket occupancy); without one the exact n×m join runs."""
+        from grafeo_spark.llm.similarity import ann_join, similarity_join
+
+        idx = self.vector_index_for(label, vec_col)
+        if metric is None:
+            metric = idx.metric if idx is not None else "cosine"
+        if approximate is None:
+            approximate = idx is not None
+        q = queries
+        if query_vec != vec_col:
+            q = q.withColumnRenamed(query_vec, vec_col)
+        fn = ann_join if approximate else similarity_join
+        return fn(
+            q,
+            self.graph.nodes(label),
+            k=k,
+            query_id=query_id,
+            item_id="id",
+            vec_col=vec_col,
+            metric=metric,
+        )
+
     # -- algorithm plugin surface (plugins/traits.rs via bridges/algorithms.rs)
 
     def algo(self, name: str, etypes: list[str] | str | None = None, **params):

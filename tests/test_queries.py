@@ -307,6 +307,31 @@ def test_gql_ddl_registry(spark, social):
     assert db2.ddl.node_types["Person"].properties == {"name": "STRING", "age": "INT"}
 
 
+def test_batch_vector_search(spark):
+    """batch_vector_search (database.rs:1220 parity): exact n×m by
+    default, SRP-bucketed join once an index is declared."""
+    import math
+
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    rows_ = [(i, [math.cos(i / 5.0 + d) for d in range(6)]) for i in range(40)]
+    nodes = spark.createDataFrame(rows_, "id long, embedding array<double>")
+    db = GrafeoSpark(spark, PropertyGraph({"Doc": nodes}, {}))
+    queries = spark.createDataFrame(rows_[:3], "id long, embedding array<double>")
+
+    exact = db.batch_vector_search("Doc", queries, k=3)
+    got = {(r.qid, r.rank): r.iid for r in exact.collect()}
+    for q in range(3):
+        assert got[(q, 1)] == q  # each query's own vector ranks first
+
+    db.gql("CREATE VECTOR INDEX d ON Doc(embedding) DIMENSIONS 6")
+    approx = db.batch_vector_search("Doc", queries, k=3)
+    got = {(r.qid, r.rank): r.iid for r in approx.collect()}
+    for q in range(3):
+        assert got[(q, 1)] == q  # own bucket always probed
+
+
 def test_vector_index_routes_ann(spark):
     """A declared vector index makes vector_search take the SRP-bucketed
     path by default (plan filters on the bucket code instead of scanning
