@@ -682,6 +682,44 @@ def _pagerank_oracle_sql(iters: int = 10, alpha: float = 0.85) -> str:
 _ORACLE["alg_pagerank_top"] = _pagerank_oracle_sql()
 
 
+def _ann_oracle_sql(nbits: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB replay of `_ann_knn_top10`: same seeded hyperplanes as SQL
+    literals, same sign-bit codes, candidates = Hamming(code, qcode) <= 2
+    (exactly the multiprobe=2 probe set), exact cosine rerank ordered by
+    the RAW score (output rounded), matching the Spark side."""
+    from grafeo_spark.llm.similarity import _planes
+
+    planes = _planes(dim, nbits, seed)
+
+    def lst(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def code(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {lst(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS (
+        SELECT e.vec_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS raw,
+               {code("CAST(e.embedding AS DOUBLE[])")} AS code,
+               {code("q.qe")} AS qc
+        FROM embeddings e, q
+    )
+    SELECT vec_id, round(raw, 6) AS score FROM cand
+    WHERE bit_count(xor(code, qc)) <= 2
+    ORDER BY raw DESC, vec_id ASC LIMIT 10
+    """
+
+
+_ORACLE["ann_knn_top10"] = _ann_oracle_sql()
+
+
 def _cypher_query(q: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _db(spark, sf_dir).cypher(q)
@@ -771,8 +809,10 @@ def _alg_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed approximate top-10 for the vec_id=0 embedding — the
     scale path (bucket probe + exact rerank of candidates only, no full
-    scan). No SQL oracle (bucket membership is hash-defined) — rows-only
-    driver check; recall vs exact is asserted in tests/test_llm.py."""
+    scan). The oracle replays the bucketing exactly: the hyperplanes are
+    deterministic (seeded numpy) and fold into the SQL as literal arrays,
+    and multiprobe=2's probe set is precisely the codes within Hamming
+    distance 2 of the query's code."""
     from pyspark.sql import functions as F
 
     from grafeo_spark.llm import ann_topk
