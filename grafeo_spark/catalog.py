@@ -61,15 +61,24 @@ _NANO_TS = {
 }
 
 
-# (session id, sf_dir) -> frames. DataFrames are immutable, so sharing the
+# (session key, sf_dir) -> frames. DataFrames are immutable, so sharing the
 # parsed/read plans across queries is safe (mutation paths build NEW graphs
 # from them); this avoids re-listing and re-footer-reading every parquet
-# table on every query of a battery run.
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# table on every query of a battery run. Keyed by applicationId, which is
+# unique per real session — id(spark) can be reused after a stopped
+# session is garbage-collected, silently serving dead plans.
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return str(id(spark))
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return dict(cached)
@@ -161,7 +170,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGra
     Edges: IN_REGION, FROM_NATION, PLACED, CONTAINS, SUPPLIED_BY, PERFORMED.
     Property names drop the TPC-H single-letter prefix (c_name -> name).
     """
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     cached = _GRAPH_CACHE.get(key)
     if cached is not None:
         return PropertyGraph(
