@@ -30,8 +30,15 @@ def save_graph(
     path: str,
     mode: str = "overwrite",
     partitions: int | None = None,
+    format: str = "parquet",
 ) -> None:
-    """Write every label/type frame plus the metadata manifest."""
+    """Write every label/type frame plus the metadata manifest.
+
+    ``format``: parquet (default), csv or json — the manifest records the
+    format AND each frame's Spark schema, so text formats reload with
+    exact types instead of inference drift."""
+    if format not in ("parquet", "csv", "json"):
+        raise ValueError(f"unsupported graph format {format!r}")
     manifest = {
         "labels": sorted(graph.node_frames),
         "edge_types": sorted(graph.edge_frames),
@@ -39,6 +46,11 @@ def save_graph(
         "disjoint_labels": graph.disjoint_labels,
         "distinct_pairs": sorted(graph.distinct_pairs),
         "edge_keys": {t: list(k) for t, k in graph.edge_keys.items()},
+        "format": format,
+        "schemas": {
+            **{f"nodes/{l}": df.schema.json() for l, df in graph.node_frames.items()},
+            **{f"edges/{t}": df.schema.json() for t, df in graph.edge_frames.items()},
+        },
     }
     spark = next(
         iter(list(graph.node_frames.values()) + list(graph.edge_frames.values()))
@@ -49,25 +61,45 @@ def save_graph(
         .write.mode(mode)
         .json(f"{path}/_manifest")
     )
+
+    def write(df, dest):
+        w = df.write.mode(mode)
+        if format == "csv":
+            w.option("header", "true").csv(dest)
+        elif format == "json":
+            w.json(dest)
+        else:
+            w.parquet(dest)
+
     for label, df in graph.node_frames.items():
         out = df.repartition(partitions) if partitions else df
-        out.write.mode(mode).parquet(f"{path}/nodes/{label}")
+        write(out, f"{path}/nodes/{label}")
     for etype, df in graph.edge_frames.items():
         out = df.repartition(partitions, "src") if partitions else df.repartition("src")
-        out.write.mode(mode).parquet(f"{path}/edges/{etype}")
+        write(out, f"{path}/edges/{etype}")
 
 
 def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
     """Rebuild a PropertyGraph (with its compiler metadata) from
     :func:`save_graph` output."""
+    from pyspark.sql.types import StructType
+
     row = spark.read.json(f"{path}/_manifest").collect()[0]
     manifest = json.loads(row["manifest"])
-    nodes = {
-        lbl: spark.read.parquet(f"{path}/nodes/{lbl}") for lbl in manifest["labels"]
-    }
-    edges = {
-        t: spark.read.parquet(f"{path}/edges/{t}") for t in manifest["edge_types"]
-    }
+    fmt = manifest.get("format", "parquet")
+    schemas = manifest.get("schemas", {})
+
+    def read(rel: str):
+        dest = f"{path}/{rel}"
+        if fmt == "parquet":
+            return spark.read.parquet(dest)
+        schema = StructType.fromJson(json.loads(schemas[rel]))
+        if fmt == "csv":
+            return spark.read.schema(schema).option("header", "true").csv(dest)
+        return spark.read.schema(schema).json(dest)
+
+    nodes = {lbl: read(f"nodes/{lbl}") for lbl in manifest["labels"]}
+    edges = {t: read(f"edges/{t}") for t in manifest["edge_types"]}
     endpoints = {t: tuple(ep) for t, ep in manifest.get("endpoints", {}).items()}
     return PropertyGraph(
         nodes,

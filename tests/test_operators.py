@@ -233,6 +233,22 @@ def test_graph_save_load_roundtrip(spark, social, tmp_path):
     assert sorted(r.n for r in out.collect()) == ["Bob", "Carol"]
 
 
+def test_graph_save_load_csv_json(spark, social, tmp_path):
+    """Text formats round-trip with exact types: the manifest carries each
+    frame's schema so CSV/JSON reload without inference drift."""
+    from grafeo_spark.sources import load_graph, save_graph
+
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / fmt)
+        save_graph(social, path, format=fmt)
+        back = load_graph(spark, path)
+        assert back.nodes("Person").count() == 8
+        assert back.edges("KNOWS").count() == 7
+        assert dict(back.nodes("Person").dtypes)["age"] == "bigint"
+        got = back.nodes("Person").filter(F.col("name") == "Alice").collect()[0]
+        assert got.age == 30 and got.city == "NYC"
+
+
 def test_triples_save_load_partition_pruning(spark, tmp_path):
     from grafeo_spark.graph import TripleStore
     from grafeo_spark.sources import load_triples, save_triples
