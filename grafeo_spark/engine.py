@@ -201,9 +201,14 @@ class GrafeoSpark:
             metric = idx.metric if idx is not None else "cosine"
         if approximate is None:
             approximate = idx is not None
-        q = queries
-        if query_vec != vec_col:
-            q = q.withColumnRenamed(query_vec, vec_col)
+        # project to exactly (id, vector) before any rename — a stray
+        # pre-existing column named vec_col would otherwise become an
+        # ambiguous duplicate
+        from pyspark.sql import functions as F
+
+        q = queries.select(
+            F.col(query_id), F.col(query_vec).alias(vec_col)
+        )
         fn = ann_join if approximate else similarity_join
         return fn(
             q,

@@ -32,11 +32,15 @@ def time_bucket(width: str, ts) -> Column:
     if n == 1 and unit != "week":
         return F.date_trunc(unit, ts)
     secs = n * _UNIT_SECONDS[unit]
-    # TIMESTAMP_NTZ has no direct long cast; go through TIMESTAMP (an
-    # identity under the engine's UTC session time zone)
-    epoch = ts.cast("timestamp").cast("long")
-    return (
-        (epoch - (epoch % F.lit(secs))).cast("timestamp").cast("timestamp_ntz")
+    # Width-independent output type: date_trunc always yields TIMESTAMP
+    # (coercing NTZ input), so the multi-unit arithmetic starts from a
+    # date_trunc too — truncate to whole seconds, then subtract the epoch
+    # remainder as a day-time interval. Rollups of different widths union
+    # cleanly either way.
+    trunc = F.date_trunc("second", ts)
+    rem = trunc.cast("long") % F.lit(secs)
+    return trunc - F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), rem.cast("double")
     )
 
 

@@ -63,17 +63,27 @@ def _pattern_scan(
         df = df.filter(F.col("o_lit") == str(tp.o.value))
     cols: list[Column] = []
     seen: dict[str, str] = {}
+    # var name -> SOURCE column expression: equality filters for repeated
+    # variables must reference the store's columns (the aliases don't
+    # exist until the final select)
+    srcs: dict[str, Column] = {}
     for term, col in ((tp.s, F.col("s")), (tp.p, F.col("p")), (tp.o, F.coalesce("o_iri", "o_lit"))):
         if isinstance(term, P.Var):
-            if term.name in seen:
+            if term.name in srcs:
                 # same var twice in one pattern: equality filter
-                df = df.filter(col == F.col(seen[term.name]))
+                df = df.filter(col == srcs[term.name])
             else:
                 cols.append(col.alias(term.name))
                 seen[term.name] = term.name
-    if gvar is not None and gvar not in seen:
-        cols.append(F.col("g").alias(gvar))
-        seen[gvar] = gvar
+                srcs[term.name] = col
+    if gvar is not None:
+        if gvar in srcs:
+            # graph variable also bound inside the pattern (GRAPH ?g
+            # { ?g ?p ?o }): the bindings must agree
+            df = df.filter(F.col("g") == srcs[gvar])
+        else:
+            cols.append(F.col("g").alias(gvar))
+            seen[gvar] = gvar
     if not cols:
         cols = [F.lit(1).alias(f"__m{uid}")]
     return df.select(*cols), seen

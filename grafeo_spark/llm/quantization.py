@@ -221,18 +221,32 @@ def ivf_topk(
     cell_col: str = "ivf_cell",
     metric: str = "cosine",
 ) -> DataFrame:
-    """Approximate top-k: rank cells by centroid distance to the query on
-    the driver, exact-rerank only the ``nprobe`` nearest cells' members —
-    candidates ∝ probed-cell occupancy, never a full scan (and with
-    cell-partitioned parquet, a partition-pruned read)."""
+    """Approximate top-k: rank cells by centroid closeness to the query on
+    the driver — UNDER THE REQUESTED METRIC (for cosine the centroids and
+    query are normalized first; ranking cells by raw L2 would probe
+    similarly-scaled clusters instead of similarly-directed ones) — then
+    exact-rerank only the ``nprobe`` nearest cells' members: candidates ∝
+    probed-cell occupancy, never a full scan (and with cell-partitioned
+    parquet, a partition-pruned read)."""
     import numpy as np
 
     from grafeo_spark.llm.similarity import topk
 
-    cent = np.asarray(centroids)
+    cent = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
-    d = ((cent - q[None, :]) ** 2).sum(axis=1)
-    probes = [int(c) for c in d.argsort()[:nprobe]]
+    if metric == "cosine":
+        norms = np.linalg.norm(cent, axis=1, keepdims=True)
+        cent_r = cent / np.where(norms == 0, 1.0, norms)
+        q_r = q / (np.linalg.norm(q) or 1.0)
+        score = cent_r @ q_r
+        order = np.argsort(-score)
+    elif metric == "dot":
+        order = np.argsort(-(cent @ q))
+    elif metric == "manhattan":
+        order = np.argsort(np.abs(cent - q[None, :]).sum(axis=1))
+    else:  # euclidean
+        order = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1))
+    probes = [int(c) for c in order[:nprobe]]
     cands = cells_df.filter(F.col(cell_col).isin(probes))
     return topk(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col, metric=metric)
 

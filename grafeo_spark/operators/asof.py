@@ -147,15 +147,29 @@ def range_join(
     if how == "inner":
         return joined
     if how == "left":
-        # points with no enclosing interval keep null interval columns
-        matched = joined
-        missed = points.join(
-            matched.select(*points.columns).distinct(), points.columns, "left_anti"
+        # points with no enclosing interval keep null interval columns.
+        # Anti-join on a surrogate row id, not the point columns — NULLs
+        # in point columns would fail null-unsafe equality and duplicate
+        # their rows into both branches. The lazy checkpoint freezes the
+        # id assignment so both branches see identical ids.
+        pts = points.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        matched = range_join(
+            pts,
+            intervals,
+            on=on,
+            point_col=point_col,
+            start_col=start_col,
+            end_col=end_col,
+            bucket_width=bucket_width,
+            how="inner",
         )
+        missed = pts.join(matched.select("__rid").distinct(), "__rid", "left_anti")
         for c in intervals.columns:
             name = c if c not in points.columns else f"{c}_i"
             missed = missed.withColumn(
                 name, F.lit(None).cast(dict(intervals.dtypes)[c])
             )
-        return matched.unionByName(missed)
+        return matched.unionByName(missed).drop("__rid")
     raise ValueError(f"unsupported how={how!r}")

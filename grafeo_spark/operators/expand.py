@@ -173,7 +173,16 @@ def var_length_expand(
         results.insert(0, zero)
 
     if not results:
-        raise ValueError("var_length_expand: no hop frames and min_hops > 0")
+        # pruning dead-ended before min_hops: nothing that long exists
+        empty = hop_e[0].select(
+            F.col("_esrc").alias("origin"),
+            F.col("_edst").alias("cur"),
+            F.lit(0).alias("hops"),
+            F.array().cast("array<long>").alias("_path"),
+        ).limit(0)
+        if with_nodes:
+            empty = empty.withColumn("_pnodes", F.array().cast("array<long>"))
+        results = [empty]
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

@@ -222,6 +222,14 @@ class Compiler:
         when even hop 1 has no usable type.
         """
         oriented = self._oriented_types(etypes, direction)
+        # Label reachability is only sound when labels are disjoint id
+        # namespaces: with overlapping labels a node reached as a B-dst may
+        # also carry label X, so an X-starting edge type must not be pruned
+        # — no pruning at all, every hop gets the full oriented union.
+        if not self.graph.disjoint_labels:
+            if not oriented:
+                return []
+            return [self._oriented_union(oriented, mode)] * max_hops
         # back[k] = labels that can reach dst_label in <= k hops
         # (None = unknown/all). Monotone, so "edge at hop h can be part of
         # some path ending at dst_label by hop max_hops" reduces to

@@ -127,6 +127,47 @@ def test_var_length_both_direction_no_edge_reuse(db):
     assert out[0].n == 3
 
 
+def test_var_length_dead_end_before_min_hops(spark):
+    """Pruning (or a short graph) that dead-ends before min_hops returns
+    ZERO rows, not an error — `MATCH (a:A)-[r*3..3]->(b)` on a 2-hop chain."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    n = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id long")
+    e = lambda pairs: spark.createDataFrame(pairs, "src long, dst long")
+    g = PropertyGraph(
+        {"A": n(1), "B": n(10), "C": n(100)},
+        {"AB": e([(1, 10)]), "BC": e([(10, 100)])},
+        endpoints={"AB": ("A", "B"), "BC": ("B", "C")},
+        disjoint_labels=True,
+        distinct_pairs={"AB", "BC"},
+    )
+    db = GrafeoSpark(spark, g)
+    out = db.cypher("MATCH (a:A)-[r*3..3]->(b) RETURN count(*) AS n").collect()
+    assert out[0].n == 0
+
+
+def test_no_label_pruning_with_overlapping_labels(spark):
+    """disjoint_labels=False: a node id may carry several labels, so
+    endpoint-label pruning must stay off — the 2-hop path through a node
+    that is both a B and an X must be found."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    mk = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id long")
+    e = lambda pairs: spark.createDataFrame(pairs, "src long, dst long")
+    g = PropertyGraph(
+        {"A": mk(1), "B": mk(10), "X": mk(10), "C": mk(100)},  # 10 is B AND X
+        {"AB": e([(1, 10)]), "XC": e([(10, 100)])},
+        endpoints={"AB": ("A", "B"), "XC": ("X", "C")},
+        disjoint_labels=False,
+        distinct_pairs={"AB", "XC"},
+    )
+    db = GrafeoSpark(spark, g)
+    out = db.cypher("MATCH (a:A)-[*2..2]->(c) RETURN count(*) AS n").collect()
+    assert out[0].n == 1
+
+
 def test_min_hops_zero(spark):
     from grafeo_spark.operators.expand import var_length_expand
 

@@ -385,6 +385,26 @@ def test_graph_variable(gdb):
     assert out == [(EX + "g1", EX + "alice"), (EX + "g2", EX + "bob")]
 
 
+def test_graph_var_self_binding(spark):
+    """GRAPH ?g { ?g ?p ?o }: the graph variable doubly bound must
+    constrain subject == graph name, not silently drop the g binding."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import TripleStore
+
+    data = [
+        (EX + "g1", EX + "p", None, "self", None, EX + "g1"),   # s == g
+        (EX + "other", EX + "p", None, "no", None, EX + "g1"),  # s != g
+    ]
+    ts = TripleStore(
+        spark.createDataFrame(
+            data, "s string, p string, o_iri string, o_lit string, o_dt string, g string"
+        )
+    )
+    db = GrafeoSpark(spark, graph=None, triples=ts)
+    out = rows(db.sparql("SELECT ?g ?o WHERE { GRAPH ?g { ?g ?p ?o } }"))
+    assert out == [(EX + "g1", "self")]
+
+
 def test_graph_joined_with_default(gdb):
     # default-graph pattern joined against a named-graph pattern
     out = rows(

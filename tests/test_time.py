@@ -103,6 +103,36 @@ def test_range_join(spark):
     assert "NestedLoop" not in plan and "Join" in plan
 
 
+def test_range_join_left_with_null_columns(spark):
+    """A matched point carrying NULLs must not duplicate into the missed
+    branch (null-unsafe anti-join regression)."""
+    from grafeo_spark.operators.asof import range_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    pts = spark.createDataFrame(
+        [(1, t(5), None), (1, t(50), 7)], "user long, ts timestamp_ntz, payload long"
+    )
+    iv = spark.createDataFrame(
+        [(1, t(0), t(10), 900)], "user long, start timestamp_ntz, end timestamp_ntz, iid long"
+    )
+    out = range_join(pts, iv, on="user", bucket_width=300, how="left").collect()
+    assert len(out) == 2
+    by_ts = {r.ts: r for r in out}
+    assert by_ts[t(5)].iid == 900 and by_ts[t(50)].iid is None
+
+
+def test_time_bucket_width_independent_type(spark):
+    # single-unit (date_trunc) and multi-unit (interval arithmetic) widths
+    # must agree on the output type so rollups union cleanly
+    from grafeo_spark.functions.time import time_bucket
+
+    df = _events(spark).select(
+        time_bucket("1 hour", "ts").alias("a"), time_bucket("2 hours", "ts").alias("b")
+    )
+    kinds = dict(df.dtypes)
+    assert kinds["a"] == kinds["b"]
+
+
 def test_hypertable_rollup(spark):
     from grafeo_spark.functions.time import hypertable_rollup
 
