@@ -63,6 +63,18 @@ class GrafeoSpark:
         plan = _parse_and_translate(query)
         return Compiler(self.graph, self.spark, params).compile(plan)
 
+    def explain(
+        self, query: str, params: dict[str, Any] | None = None, mode: str = "formatted"
+    ) -> str:
+        """The Catalyst plan for a Cypher/GQL read query (the engine's
+        EXPLAIN surface): what the reference's plan printer shows, here
+        the real physical plan — scan pushdowns, join strategies,
+        whole-stage codegen spans — for plan audits without executing."""
+        df = self.cypher(query, params)
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+
     def gql(self, query: str, params: dict[str, Any] | None = None) -> DataFrame:
         """GQL shares the Cypher grammar subset (the reference's two
         translators are near-twins; SURVEY.md §3.2), plus the DDL forms

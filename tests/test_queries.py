@@ -307,6 +307,11 @@ def test_gql_ddl_registry(spark, social):
     assert db2.ddl.node_types["Person"].properties == {"name": "STRING", "age": "INT"}
 
 
+def test_explain_surface(db):
+    plan = db.explain("MATCH (p:Person) WHERE p.age > 30 RETURN p.name AS n")
+    assert "Physical Plan" in plan and "Filter" in plan
+
+
 def test_batch_vector_search(spark):
     """batch_vector_search (database.rs:1220 parity): exact n×m by
     default, SRP-bucketed join once an index is declared."""
