@@ -534,6 +534,32 @@ _ORACLE: dict[str, str] = {
         SELECT n_name AS nm FROM nation
         WHERE regexp_replace(n_name, 'NATION_', 'N') = 'N3'
     """,
+    "sparql_negated_path": """
+        SELECT 'http://example.org/nation/' || n_nationkey AS s,
+               'http://example.org/region/' || n_regionkey AS o
+        FROM nation
+        UNION ALL
+        SELECT 'http://example.org/customer/' || c_custkey AS s,
+               'http://example.org/nation/' || c_nationkey AS o
+        FROM customer
+    """,
+    "sparql_negated_inverse_path": """
+        -- forward arm (p NOT IN {name}) with ?y bound to Region IRIs:
+        -- only inRegion triples qualify
+        SELECT 'http://example.org/nation/' || n_nationkey AS x,
+               'http://example.org/region/' || n_regionkey AS y
+        FROM nation
+        UNION ALL
+        -- inverse arm (p NOT IN {inRegion}) reversed over region-subject
+        -- triples: rdf:type and ex:name
+        SELECT 'http://example.org/Region' AS x,
+               'http://example.org/region/' || r_regionkey AS y
+        FROM region
+        UNION ALL
+        SELECT r_name AS x,
+               'http://example.org/region/' || r_regionkey AS y
+        FROM region
+    """,
     "sparql_graph_counts": """
         SELECT 'http://example.org/region/' || n_regionkey AS g,
                CAST(count(*) AS BIGINT) AS n_nations
@@ -1064,6 +1090,19 @@ _SPARQL: dict[str, str] = {
     "sparql_replace_filter": (
         "SELECT ?nm WHERE { ?n a ex:Nation ; ex:name ?nm . "
         'FILTER(REPLACE(?nm, "NATION_", "N") = "N3") }'
+    ),
+    # negated property set, forward-only (ast.rs:416 NegatedPropertySet):
+    # everything but the literal-valued predicates and rdf:type = the two
+    # entity-linking predicates (fromNation, inRegion); compiles to one
+    # scan with a pushed NOT-IN filter on p
+    "sparql_negated_path": (
+        "SELECT ?s ?o WHERE { ?s !(ex:name|ex:mktsegment|ex:acctbal|a) ?o }"
+    ),
+    # mixed forward+inverse negated set: the forward arm excludes ex:name,
+    # the inverse arm excludes ^ex:inRegion — per SPARQL 1.1 the set
+    # splits by direction and the solution is the union of both arms
+    "sparql_negated_inverse_path": (
+        "SELECT ?x ?y WHERE { ?y a ex:Region . ?x !(ex:name|^ex:inRegion) ?y }"
     ),
 }
 

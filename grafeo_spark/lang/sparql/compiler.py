@@ -41,7 +41,7 @@ def _pattern_scan(
 ) -> tuple[DataFrame, dict[str, str]]:
     """One triple pattern -> filtered scan projecting its variables.
     ``gvar`` (inside ``GRAPH ?g``) binds the store's g column too."""
-    if isinstance(tp.p, (P.PathClosure, P.PathAlt, P.PathInverse, tuple)):
+    if isinstance(tp.p, (P.PathClosure, P.PathAlt, P.PathInverse, P.PathNeg, tuple)):
         if gvar is not None:
             raise SparqlCompileError("property paths inside GRAPH ?var")
         return _path_scan(ts, tp, uid)
@@ -124,6 +124,30 @@ def _path_frame(ts: TripleStore, p, seeds: Optional[DataFrame] = None) -> DataFr
         for opt in p.options:
             f = _path_frame(ts, opt)
             out = f if out is None else out.unionAll(f)
+        return out
+    if isinstance(p, P.PathNeg):
+        # negated property set (ast.rs:416): one scan per present arm with
+        # a NOT-IN predicate filter — Catalyst pushes both to the source.
+        # Bag union of the arms per SPARQL 1.1 (a forward and an inverse
+        # match are distinct solutions).
+        arms = []
+        if p.forward is not None:
+            f = ts.df
+            if p.forward:
+                f = f.filter(~F.col("p").isin(list(p.forward)))
+            arms.append(
+                f.select(F.col("s").alias("src"), F.coalesce("o_iri", "o_lit").alias("dst"))
+            )
+        if p.inverse is not None:
+            f = ts.df
+            if p.inverse:
+                f = f.filter(~F.col("p").isin(list(p.inverse)))
+            arms.append(
+                f.select(F.coalesce("o_iri", "o_lit").alias("src"), F.col("s").alias("dst"))
+            )
+        out = arms[0]
+        for a in arms[1:]:
+            out = out.unionAll(a)
         return out
     if isinstance(p, tuple) and p[0] == "seq":
         l = _path_frame(ts, p[1]).select(F.col("src"), F.col("dst").alias("_m"))

@@ -88,10 +88,24 @@ class PathInverse:
 
 
 @dataclass(frozen=True)
+class PathNeg:
+    """Negated property set ``!iri`` / ``!(a|ex:p|^ex:q)`` (ast.rs:416
+    NegatedPropertySet). Per SPARQL 1.1 the set splits by direction:
+    the forward arm matches triples whose predicate is NOT in
+    ``forward``; the inverse arm matches *reversed* triples whose
+    predicate is NOT in ``inverse``. An arm is present only if at least
+    one member of that direction was written (``None`` = absent);
+    ``()`` (from ``!()``) is a present arm excluding nothing."""
+
+    forward: Optional[tuple]  # tuple of IRI strings, or None
+    inverse: Optional[tuple]
+
+
+@dataclass(frozen=True)
 class TriplePattern:
     s: Term
-    # Term | PathClosure | PathAlt | PathInverse (top-level sequences are
-    # desugared into fresh-variable triples at parse time)
+    # Term | PathClosure | PathAlt | PathInverse | PathNeg (top-level
+    # sequences are desugared into fresh-variable triples at parse time)
     p: object
     o: Term
 
@@ -601,8 +615,9 @@ class Parser:
     def predicate(self):
         """Predicate term or property path (ast.rs:388): ``p1/p2``
         sequences (returned as nested ('seq', a, b) tuples, desugared by
-        the caller), ``a|b`` alternatives, ``^p`` inverse, and the
-        ``+``/``*``/``?`` closures — composable, e.g. ``^(a|b)/c+``."""
+        the caller), ``a|b`` alternatives, ``^p`` inverse, ``!(...)``
+        negated property sets, and the ``+``/``*``/``?`` closures —
+        composable, e.g. ``^(a|b)/c+`` or ``!(ex:p|^ex:q)``."""
         left = self._path_seq()
         if self.at("op", "|"):
             opts = [left]
@@ -619,10 +634,70 @@ class Parser:
             left = ("seq", left, self._path_elt())
         return left
 
+    def _nps_member(self) -> tuple[bool, str]:
+        """One PathOneInPropertySet: ``iri``, ``a``, or their ``^`` forms."""
+        inv = False
+        if self.at("op", "^"):
+            self.next()
+            inv = True
+        if self.at("op", "a") or self.at("name", "a"):
+            self.next()
+            return inv, RDF_TYPE
+        t = self.term()
+        if not isinstance(t, Iri):
+            raise SparqlSyntaxError("negated property set members must be IRIs")
+        return inv, t.value
+
     def _path_elt(self):
         if self.at("op", "^"):
             self.next()
             return PathInverse(self._path_elt())
+        if self.at("op", "!"):
+            # negated property set (ast.rs:416): !iri | !(a|iri|^iri|...)
+            self.next()
+            fwd: list[str] = []
+            inv: list[str] = []
+            has_f = has_i = False
+            if self.at("op", "("):
+                self.next()
+                while not self.at("op", ")"):
+                    i, v = self._nps_member()
+                    if i:
+                        inv.append(v)
+                        has_i = True
+                    else:
+                        fwd.append(v)
+                        has_f = True
+                    if self.at("op", "|"):
+                        self.next()
+                        continue
+                    break
+                self.eat("op", ")")
+                if not (has_f or has_i):
+                    has_f = True  # !() excludes nothing: any forward triple
+            else:
+                i, v = self._nps_member()
+                if i:
+                    inv.append(v)
+                    has_i = True
+                else:
+                    fwd.append(v)
+                    has_f = True
+            base = PathNeg(
+                tuple(fwd) if has_f else None, tuple(inv) if has_i else None
+            )
+            # fall through: closure suffixes apply to an NPS too (!(p)* is
+            # legal — PathPrimary includes the NPS form)
+            if self.at("op", "+"):
+                self.next()
+                return PathClosure(base, 1, None)
+            if self.at("op", "*"):
+                self.next()
+                return PathClosure(base, 0, None)
+            if self.at("op", "?"):
+                self.next()
+                return PathClosure(base, 0, 1)
+            return base
         if self.at("op", "("):
             self.next()
             base = self.predicate()

@@ -352,6 +352,52 @@ def test_path_alt_of_closures(sdb):
     assert out == [(EX + "bob",), (EX + "carol",), (EX + "city1",)]
 
 
+def test_path_negated_single(sdb):
+    # !ex:name from alice: every non-name triple (ast.rs:416)
+    out = rows(sdb.sparql(PFX + "SELECT ?x WHERE { ex:alice !ex:name ?x }"))
+    assert out == [
+        ("30",),  # age
+        (EX + "Person",),  # rdf:type
+        (EX + "bob",),  # knows
+        (EX + "city1",),  # livesIn
+    ]
+
+
+def test_path_negated_set_with_a(sdb):
+    # !(a|name|age) from alice: only the entity-linking predicates remain
+    out = rows(sdb.sparql(PFX + "SELECT ?x WHERE { ex:alice !(a|ex:name|ex:age) ?x }"))
+    assert out == [(EX + "bob",), (EX + "city1",)]
+
+
+def test_path_negated_inverse_only(sdb):
+    # all-inverse set: ?x !(^ex:knows) ex:bob matches reversed triples
+    # (bob, p, ?x) with p not in {knows} — bob's type/name/age objects
+    out = rows(sdb.sparql(PFX + "SELECT ?x WHERE { ?x !(^ex:knows) ex:bob }"))
+    assert out == [("40",), ("Bob",), (EX + "Person",)]
+    # single-member parity: !(^p) ≡ the complement of ^p over bob's triples
+    out2 = rows(sdb.sparql(PFX + "SELECT ?x WHERE { ?x !(^a) ex:city1 }"))
+    assert out2 == [("NYC",)]  # city1's only non-type triple is its name
+
+
+def test_path_negated_mixed(sdb):
+    # mixed set splits by direction (SPARQL 1.1): forward arm excludes
+    # name/age/type, inverse arm excludes knows — from/to bob
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?x WHERE { ex:bob !(a|ex:name|ex:age|^ex:knows) ?x }"
+        )
+    )
+    assert out == [(EX + "carol",)]  # forward knows; inverse arm empty
+
+
+def test_path_negated_in_sequence(sdb):
+    # NPS composes with sequences: non-name/age/type edge, then name
+    out = rows(
+        sdb.sparql(PFX + "SELECT ?n WHERE { ex:alice !(a|ex:name|ex:age)/ex:name ?n }")
+    )
+    assert out == [("Bob",), ("NYC",)]
+
+
 @pytest.fixture()
 def gdb(spark):
     """Store with named graphs: facts in <g1>, <g2>, plus default-graph
