@@ -139,11 +139,26 @@ class PropertyGraph:
 
     # -- mutation (functional: returns a new graph) ------------------------
 
-    def with_nodes(self, label: str, df: DataFrame) -> "PropertyGraph":
+    def with_nodes(
+        self, label: str, df: DataFrame, ids_disjoint: bool = False
+    ) -> "PropertyGraph":
+        """Replace (or add) a label frame.
+
+        ``ids_disjoint`` is the caller's assertion that the frame cannot
+        introduce an id already present under ANOTHER label — internal
+        mutation paths qualify (property rewrites keep ids; CREATE/MERGE
+        allocate global max+1 ids). A user-supplied frame defaults to
+        False, which demotes ``disjoint_labels`` — the invariant gates
+        endpoint-label path pruning (plans/compiler.py:229) and an
+        unverifiable frame must not keep it alive (mirrors how
+        ``with_edges`` demotes ``distinct_pairs``/``edge_keys``).
+        """
         frames = dict(self.node_frames)
         frames[label] = df
+        others = any(l != label for l in self.node_frames)
+        disjoint = self.disjoint_labels and (ids_disjoint or not others)
         return PropertyGraph(
-            frames, self.edge_frames, self.endpoints, self.disjoint_labels,
+            frames, self.edge_frames, self.endpoints, disjoint,
             self.distinct_pairs, self.edge_keys,
         )
 
@@ -157,12 +172,15 @@ class PropertyGraph:
             {t: k for t, k in self.edge_keys.items() if t != etype},
         )
 
-    def create_nodes(self, label: str, df: DataFrame) -> "PropertyGraph":
+    def create_nodes(
+        self, label: str, df: DataFrame, ids_disjoint: bool = False
+    ) -> "PropertyGraph":
         """Append nodes (CreateNodeOperator analogue, mutation.rs:21) —
-        functional snapshot semantics replace the reference's MVCC."""
+        functional snapshot semantics replace the reference's MVCC.
+        ``ids_disjoint``: see :meth:`with_nodes`."""
         if label in self.node_frames:
             df = self.node_frames[label].unionByName(df, allowMissingColumns=True)
-        return self.with_nodes(label, df)
+        return self.with_nodes(label, df, ids_disjoint=ids_disjoint)
 
     def create_edges(self, etype: str, df: DataFrame) -> "PropertyGraph":
         if etype in self.edge_frames:

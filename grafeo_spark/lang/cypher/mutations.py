@@ -242,7 +242,7 @@ class _Mutator:
                 cols.append(self._expr(v, base).alias(k))
                 prop_names.append(k)
             new_nodes = base.select(*cols).localCheckpoint(eager=True)
-            self.graph = self.graph.create_nodes(label, new_nodes)
+            self.graph = self.graph.create_nodes(label, new_nodes, ids_disjoint=True)
             self.stats["nodes_created"] += new_nodes.count()
             # multi-label CREATE (n:A:B): the node exists under every label
             # (lpg/node.rs label sets -> one row per label frame here)
@@ -313,7 +313,7 @@ class _Mutator:
                     self._apply_set_to_ids(label, frame.select("id"), clause.on_match, node.var)
             else:
                 new_df = self.spark.createDataFrame([(self._next_id(),)], "id long")
-                self.graph = self.graph.create_nodes(label, new_df)
+                self.graph = self.graph.create_nodes(label, new_df, ids_disjoint=True)
                 self.stats["nodes_created"] += 1
             if node.var:
                 self.ctx.bound[node.var] = ("node", label)
@@ -346,7 +346,7 @@ class _Mutator:
                 new_nodes = new_nodes.withColumn(it.key, self._expr(it.expr, new_nodes))
                 self.stats["properties_set"] += n_missing
             new_nodes = new_nodes.localCheckpoint(eager=True)
-            self.graph = self.graph.create_nodes(label, new_nodes)
+            self.graph = self.graph.create_nodes(label, new_nodes, ids_disjoint=True)
             self.stats["nodes_created"] += n_missing
         if matched_ids is not None and clause.on_match:
             matched_ids = matched_ids.localCheckpoint(eager=True)
@@ -472,7 +472,7 @@ class _Mutator:
                         )
                     else:
                         joined = joined.withColumn(it.key, F.col("__new"))
-                    self.graph = self.graph.with_nodes(lbl, joined.drop("__new"))
+                    self.graph = self.graph.with_nodes(lbl, joined.drop("__new"), ids_disjoint=True)
 
     def remove_items(self, items: list[P.SetItem]) -> None:
         df, scope = self._bindings()
@@ -488,7 +488,7 @@ class _Mutator:
                     frame = self.graph.node_frames[it.key]
                     kept = frame.join(ids, "id", "left_anti")
                     self.stats["labels_removed"] += frame.count() - kept.count()
-                    self.graph = self.graph.with_nodes(it.key, kept)
+                    self.graph = self.graph.with_nodes(it.key, kept, ids_disjoint=True)
             else:
                 labels = [info.label] if info.label else list(self.graph.node_frames)
                 for lbl in labels:
@@ -502,6 +502,7 @@ class _Mutator:
                             it.key,
                             F.when(F.col("__rm"), F.lit(None)).otherwise(F.col(it.key)),
                         ).drop("__rm"),
+                        ids_disjoint=True,
                     )
                 self.stats["properties_set"] += 1
 
@@ -516,5 +517,5 @@ class _Mutator:
                 newcol = F.when(F.col("__hit"), F.lit(val)).otherwise(F.col(it.key))
             else:
                 newcol = F.when(F.col("__hit"), F.lit(val))
-            self.graph = self.graph.with_nodes(label, flagged.withColumn(it.key, newcol).drop("__hit"))
+            self.graph = self.graph.with_nodes(label, flagged.withColumn(it.key, newcol).drop("__hit"), ids_disjoint=True)
             self.stats["properties_set"] += 1

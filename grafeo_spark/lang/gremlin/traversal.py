@@ -711,6 +711,7 @@ class Traversal:
                     joined.withColumn(
                         key, F.when(F.col("__hit"), F.lit(value)).otherwise(old)
                     ).drop("__hit"),
+                    ids_disjoint=True,
                 )
             self.g._rebind(g2)
             return self
@@ -899,7 +900,7 @@ class _AddV:
         nid = _next_node_id(self.g.graph)
         row = {"id": nid, **dict(self.props)}
         df = spark.createDataFrame([tuple(row.values())], list(row.keys()))
-        self.g._rebind(self.g.graph.create_nodes(self.label, df))
+        self.g._rebind(self.g.graph.create_nodes(self.label, df, ids_disjoint=True))
         self._created = df
         return self
 

@@ -168,6 +168,57 @@ def test_no_label_pruning_with_overlapping_labels(spark):
     assert out[0].n == 1
 
 
+def test_with_nodes_user_frame_demotes_disjoint_labels(spark):
+    """A user-supplied frame can introduce a cross-label id collision, so
+    with_nodes/create_nodes must drop disjoint_labels (which gates
+    endpoint-label path pruning) unless the caller asserts id freshness —
+    the var-length result must match the unpruned plan."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    mk = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id long")
+    e = lambda pairs: spark.createDataFrame(pairs, "src long, dst long")
+    g = PropertyGraph(
+        {"A": mk(1), "B": mk(10), "C": mk(100)},
+        {"AB": e([(1, 10)]), "XC": e([(10, 100)])},
+        endpoints={"AB": ("A", "B"), "XC": ("X", "C")},
+        disjoint_labels=True,
+        distinct_pairs={"AB", "XC"},
+    )
+    # user frame makes node 10 both a B and an X — the invariant is gone
+    g2 = g.with_nodes("X", mk(10))
+    assert g2.disjoint_labels is False
+    # create_nodes with a user frame demotes the same way
+    assert g.create_nodes("X", mk(10)).disjoint_labels is False
+    # internal callers that allocate fresh ids keep the flag
+    assert g.with_nodes("X", mk(1000), ids_disjoint=True).disjoint_labels is True
+    # and the 2-hop path through the collided node is found (pruning off)
+    out = GrafeoSpark(spark, g2).cypher(
+        "MATCH (a:A)-[*2..2]->(c) RETURN count(*) AS n"
+    ).collect()
+    assert out[0].n == 1
+
+
+def test_cypher_mutations_keep_disjoint_labels(spark):
+    """The Cypher mutation path allocates global max+1 ids and rewrites
+    properties in place — neither may demote disjoint_labels."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    mk = lambda *ids: spark.createDataFrame([(i, f"n{i}") for i in ids], "id long, name string")
+    g = PropertyGraph(
+        {"A": mk(1), "B": mk(10)},
+        {"AB": spark.createDataFrame([(1, 10)], "src long, dst long")},
+        endpoints={"AB": ("A", "B")},
+        disjoint_labels=True,
+    )
+    db = GrafeoSpark(spark, g)
+    db.cypher("CREATE (x:A {name: 'fresh'})")
+    assert db.graph.disjoint_labels is True
+    db.cypher("MATCH (a:A) SET a.name = 'renamed'")
+    assert db.graph.disjoint_labels is True
+
+
 def test_min_hops_zero(spark):
     from grafeo_spark.operators.expand import var_length_expand
 
