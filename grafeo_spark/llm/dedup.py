@@ -174,11 +174,35 @@ def banding_for_threshold(
     return best
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32) -> DataFrame:
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 32, max_bucket: int = 4096
+) -> DataFrame:
     """(a, b) candidate pairs whose signatures collide in >= 1 band.
 
     Shuffle key is (band index, band hash): only same-bucket rows meet, so
-    cost tracks bucket occupancy — the LSH scale property."""
+    cost tracks bucket occupancy — the LSH scale property.
+
+    Occupancy guard: exact-content grouping upstream bounds buckets on
+    byte-identical corpora, but *near*-identical boilerplate (same long
+    header, one varying line) can still load one (band, bh) bucket with
+    millions of distinct members, making the within-bucket self-join a
+    single quadratic task. Buckets larger than ``max_bucket`` are
+    re-split into ``ceil(size/max_bucket)`` sub-buckets salted by a
+    BAND-DEPENDENT rehash of the full-signature hash: members with
+    IDENTICAL signatures — which collide in every band and must pair —
+    always share a salt, while near-identical members split apart in this
+    band can still meet in any other matching band. The band in the salt
+    hash is what makes the per-band split events independent — salting on
+    the signature hash alone correlates them perfectly (a pair split once
+    is split everywhere), which measured ~0.33 recall on a hot-bucket
+    corpus vs ~1.0 with the band mixed in. A pair is lost only if every
+    one of its matching bands independently splits it: with m matching
+    bands and s splits the miss probability is (1-1/s)^m — negligible
+    except under adversarial skew, the documented recall-at-the-margin
+    trade for bounded per-task work. The bucket size comes from a window
+    count over the same (band, bh) exchange the join shuffles on — no
+    extra shuffle, and the window buffers each bucket linearly (the
+    quadratic join was the hazard, not a linear pass)."""
     sig = F.col("signature")
     n = F.size(sig)
     r = (n / F.lit(bands)).cast("int")
@@ -186,13 +210,35 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32) -> DataFrame:
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(b.alias("band"), F.hash(F.slice(sig, b * r + 1, r)).alias("bh")),
     )
-    buckets = sig_df.select("id", F.explode(band_structs).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    buckets = sig_df.select(
+        "id",
+        F.xxhash64(sig.cast("string")).alias("_sk"),
+        F.explode(band_structs).alias("bk"),
+    ).select("id", "_sk", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    occ = F.count("*").over(Window.partitionBy("band", "bh"))
+    nsplit = F.ceil(occ / F.lit(max_bucket)).cast("long")
+    buckets = buckets.withColumn(
+        "salt",
+        F.when(
+            nsplit > 1, F.pmod(F.xxhash64(F.col("_sk"), F.col("band")), nsplit)
+        ).otherwise(F.lit(0)),
+    ).drop("_sk")
+    l = buckets.select(
+        F.col("band").alias("b1"), F.col("bh").alias("h1"),
+        F.col("salt").alias("s1"), F.col("id").alias("a"),
     )
-    l = buckets.select(F.col("band").alias("b1"), F.col("bh").alias("h1"), F.col("id").alias("a"))
-    rt = buckets.select(F.col("band").alias("b2"), F.col("bh").alias("h2"), F.col("id").alias("b"))
+    rt = buckets.select(
+        F.col("band").alias("b2"), F.col("bh").alias("h2"),
+        F.col("salt").alias("s2"), F.col("id").alias("b"),
+    )
     return (
-        l.join(rt, (F.col("b1") == F.col("b2")) & (F.col("h1") == F.col("h2")) & (F.col("a") < F.col("b")))
+        l.join(
+            rt,
+            (F.col("b1") == F.col("b2"))
+            & (F.col("h1") == F.col("h2"))
+            & (F.col("s1") == F.col("s2"))
+            & (F.col("a") < F.col("b")),
+        )
         .select("a", "b")
         .distinct()
     )
@@ -248,7 +294,11 @@ def _content_members(sh_rows: DataFrame) -> DataFrame:
 
 
 def _group_rep_pairs(
-    sh_rows: DataFrame, num_hashes: int, bands: int, threshold: float
+    sh_rows: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int = 4096,
 ) -> tuple[DataFrame, DataFrame]:
     """(members, rep_pairs): exact-content groups plus the verified
     near-duplicate relation between group REPRESENTATIVES — the bounded
@@ -258,7 +308,7 @@ def _group_rep_pairs(
         members.filter(F.col("id") == F.col("gid")).select("id"), "id", "left_semi"
     )
     sigs = signatures_from_hash_rows(rep_rows, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands)
+    cands = lsh_candidate_pairs(sigs, bands, max_bucket=max_bucket)
     rep_pairs = verify_jaccard_from_hash_rows(cands, rep_rows).filter(
         F.col("jaccard") >= threshold
     )
@@ -303,6 +353,7 @@ def near_duplicate_pairs(
     num_hashes: int | None = None,
     bands: int | None = None,
     shingle_k: int = 3,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """(a, b, jaccard) verified near-duplicate pairs — the full banded
     MinHash pipeline (shingle → exact-content group → minhash of
@@ -315,7 +366,9 @@ def near_duplicate_pairs(
     if num_hashes is None or bands is None:
         num_hashes, bands, _ = banding_for_threshold(threshold)
     sh_rows = shingle_hash_rows(df, id_col, text_col, shingle_k)
-    members, rep_pairs = _group_rep_pairs(sh_rows, num_hashes, bands, threshold)
+    members, rep_pairs = _group_rep_pairs(
+        sh_rows, num_hashes, bands, threshold, max_bucket=max_bucket
+    )
     return _expand_group_pairs(members, rep_pairs)
 
 
@@ -370,6 +423,7 @@ def ngram_jaccard_pairs(
     num_hashes: int | None = None,
     bands: int | None = None,
     unit: str = "word",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """(a, b, jaccard) near-duplicates under n-gram Jaccard — the same
     banded MinHash pipeline with word n-grams (the Gopher/C4-style dedup
@@ -383,7 +437,9 @@ def ngram_jaccard_pairs(
     if num_hashes is None or bands is None:
         num_hashes, bands, _ = banding_for_threshold(threshold)
     sh_rows = shingle_hash_rows(df, id_col, text_col, shingle_k=n, unit=unit)
-    members, rep_pairs = _group_rep_pairs(sh_rows, num_hashes, bands, threshold)
+    members, rep_pairs = _group_rep_pairs(
+        sh_rows, num_hashes, bands, threshold, max_bucket=max_bucket
+    )
     return _expand_group_pairs(members, rep_pairs)
 
 

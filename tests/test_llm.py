@@ -171,6 +171,60 @@ def test_minhash_degenerate_identical_corpus(spark):
     assert kept == [0, n]  # one survivor per cluster + the distinct doc
 
 
+def test_lsh_occupancy_cap_keeps_identical_signatures_together(spark):
+    """The bucket cap salts by the full-signature hash, so members with
+    IDENTICAL signatures (which collide in every band and must pair) land
+    in the same sub-bucket — no pair lost even with a tiny cap."""
+    from grafeo_spark.llm import lsh_candidate_pairs
+
+    sig = [float(j) for j in range(64)]
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in sig]) for i in range(60)], "id long, signature array<long>"
+    )
+    out = rows(lsh_candidate_pairs(df, bands=32, max_bucket=8))
+    assert len(out) == 60 * 59 // 2
+
+
+def test_lsh_occupancy_cap_near_identical_boilerplate(spark):
+    """Near-identical-but-distinct boilerplate (the residual skew case the
+    exact-content grouping can't collapse): a hot (band, bh) bucket is
+    re-split into bounded sub-buckets. Candidates stay a subset of the
+    uncapped set, and recall stays ~1 at a realistic cap because a pair
+    must be split apart in EVERY matching band to be lost."""
+    from grafeo_spark.llm import lsh_candidate_pairs, minhash_signatures
+
+    n = 300
+    base = (
+        "common boilerplate header that is shared by every document in this "
+        "synthetic corpus and makes every pair collide in most bands " * 2
+    )
+    docs = spark.createDataFrame(
+        [(i, base + f"unique trailing token{i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    capped = set(rows(lsh_candidate_pairs(sigs, max_bucket=64)))
+    uncapped = set(rows(lsh_candidate_pairs(sigs, max_bucket=1_000_000_000)))
+    assert capped <= uncapped
+    assert len(capped) >= 0.95 * len(uncapped)
+
+
+def test_lsh_occupancy_cap_bounds_hot_bucket(spark):
+    """2000 docs whose signatures share 31 of 32 band slices — without the
+    cap each hot bucket is a single 2000^2/2 join; with it the per-task
+    work is bounded by max_bucket^2 and the pipeline completes quickly."""
+    from grafeo_spark.llm import lsh_candidate_pairs
+
+    n = 2000
+    shared = list(range(62))
+    df = spark.createDataFrame(
+        [(i, shared + [10_000 + i, 20_000 + i]) for i in range(n)],
+        "id long, signature array<long>",
+    )
+    out = lsh_candidate_pairs(df, bands=32, max_bucket=64)
+    assert out.count() > 0  # sub-buckets still produce candidates
+
+
 def test_blocked_exact_pairs_block_sizing(spark):
     """n_blocks derives from corpus size so per-task input stays under the
     row bound regardless of scale; tiny corpora still work (1 block)."""
