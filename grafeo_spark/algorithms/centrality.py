@@ -40,6 +40,7 @@ def pagerank(
     alpha: float = 0.85,
     max_iter: int = 20,
     vertices: Optional[DataFrame] = None,
+    tol: Optional[float] = None,
 ) -> DataFrame:
     """Normalized PageRank with dangling-mass redistribution
     (centrality.rs:442 semantics; matches the textbook/NetworkX definition).
@@ -51,6 +52,13 @@ def pagerank(
     blocking broadcast job whose lineage re-plans the whole superstep).
     State (id, pr, outdeg) is checkpointed every superstep so each
     superstep executes exactly once.
+
+    ``tol``: convergence early-exit — stop once ``max |Δpr| < tol``
+    (one extra scalar aggregate per superstep, read from the
+    already-checkpointed state). Default None runs exactly ``max_iter``
+    supersteps, matching fixed-iteration oracles (NetworkX's
+    ``tol`` semantics differ: it sums per-node error — use
+    ``tol=n*nx_tol`` for parity).
     """
     if vertices is not None:
         outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -89,6 +97,7 @@ def pagerank(
         .repartition("_es")
         .persist()
     )
+    it = 0
     for it in range(1, max_iter + 1):
         dang = (
             state.filter(F.col("outdeg") == 0)
@@ -102,7 +111,7 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         state = (
-            state.drop("pr")
+            state.withColumnRenamed("pr", "_prev")
             .join(contrib, "id", "left")
             .withColumn(
                 "pr",
@@ -112,8 +121,18 @@ def pagerank(
             .drop("contrib")
         )
         state = state.localCheckpoint(eager=True)
+        if tol is not None:
+            delta = state.agg(F.max(F.abs(F.col("pr") - F.col("_prev")))).first()[0]
+            state = state.drop("_prev")
+            if delta is not None and delta < tol:
+                break
+        else:
+            state = state.drop("_prev")
     e.unpersist()
-    return state.select("id", F.col("pr").alias("pagerank"))
+    out = state.select("id", F.col("pr").alias("pagerank"))
+    # diagnostic for tests/tuning: how many supersteps actually ran
+    out.iterations_run = it  # type: ignore[attr-defined]
+    return out
 
 
 def closeness_centrality(

@@ -101,6 +101,30 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] - pr[ix[v]]) < 1e-9, v
 
 
+def test_pagerank_convergence_early_exit(spark):
+    """tol stops the superstep loop once max |Δpr| < tol: a cycle's
+    uniform distribution is stationary, so iteration 2 measures delta 0
+    and exits — identical ranks, far fewer supersteps than max_iter."""
+    from grafeo_spark.algorithms import pagerank
+
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    out = pagerank(e, max_iter=30, tol=1e-9)
+    assert out.iterations_run < 30
+    got = dict(rows(out))
+    for v in (1, 2, 3, 4):
+        assert abs(got[v] - 0.25) < 1e-9
+    # tol=None keeps exact fixed-iteration semantics (oracle parity)
+    fixed = pagerank(e, max_iter=7)
+    assert fixed.iterations_run == 7
+    # on a non-trivial graph, converged ranks match a long fixed run
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 4)]
+    conv = pagerank(edges_df(spark, pairs), max_iter=100, tol=1e-12)
+    assert conv.iterations_run < 100
+    long_run = dict(rows(pagerank(edges_df(spark, pairs), max_iter=60)))
+    for v, pr in rows(conv):
+        assert abs(pr - long_run[v]) < 1e-9
+
+
 def test_degree_centrality(spark):
     from grafeo_spark.algorithms import degree_centrality
 
