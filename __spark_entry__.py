@@ -534,6 +534,17 @@ _ORACLE: dict[str, str] = {
         SELECT n_name AS nm FROM nation
         WHERE regexp_replace(n_name, 'NATION_', 'N') = 'N3'
     """,
+    "admin_stats_labels": """
+        SELECT 'Customer' AS label, CAST((SELECT count(*) FROM customer) AS BIGINT) AS n
+        UNION ALL SELECT 'Document', (SELECT count(*) FROM documents)
+        UNION ALL SELECT 'Embedding', (SELECT count(*) FROM embeddings)
+        UNION ALL SELECT 'Nation', (SELECT count(*) FROM nation)
+        UNION ALL SELECT 'Order', (SELECT count(*) FROM orders)
+        UNION ALL SELECT 'Part', (SELECT count(*) FROM part)
+        UNION ALL SELECT 'Region', (SELECT count(*) FROM region)
+        UNION ALL SELECT 'Supplier', (SELECT count(*) FROM supplier)
+        UNION ALL SELECT 'User', (SELECT count(DISTINCT user_id) FROM events)
+    """,
     "sparql_negated_path": """
         SELECT 'http://example.org/nation/' || n_nationkey AS s,
                'http://example.org/region/' || n_regionkey AS o
@@ -977,6 +988,16 @@ def _sim_join_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     out = similarity_join(e.filter(F.col("vec_id") < 10), e, k=2)
     return out.select("qid", "iid", "rank")
+
+
+def _admin_stats_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admin/info surface (grafeo-cli/src/commands/{info,stats}.rs):
+    per-label node counts via GrafeoSpark.stats(), returned as a frame so
+    the oracle can check them against the base tables."""
+    st = _db(spark, sf_dir).stats()
+    return spark.createDataFrame(
+        sorted(st["per_label"].items()), "label string, n long"
+    )
 
 
 def _text_features_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1437,6 +1458,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "alg_wcc_sizes": _alg_wcc_sizes,
     "alg_triangles": _alg_triangles,
     "alg_pagerank_top": _alg_pagerank_top,
+    "admin_stats_labels": _admin_stats_labels,
 }
 
 

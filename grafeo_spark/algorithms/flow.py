@@ -37,11 +37,33 @@ def _residual(edges: DataFrame, cap_col: str, cost_col: str | None = None):
     return cap, cost, adj
 
 
+def _flow_assignment(
+    orig: dict[tuple[int, int], float], cap: dict[tuple[int, int], float]
+) -> list[tuple[int, int, float]]:
+    """Positive flow per original edge: initial capacity minus residual
+    (anti-parallel edge pairs report net flow per direction)."""
+    out = []
+    for (u, v), c0 in sorted(orig.items()):
+        if c0 <= 0.0:
+            continue
+        f = c0 - cap.get((u, v), 0.0)
+        if f > 1e-12:
+            out.append((u, v, f))
+    return out
+
+
 def max_flow(
-    edges: DataFrame, source: int, sink: int, capacity_col: str = "capacity"
-) -> float:
-    """Edmonds-Karp BFS augmentation (flow.rs:434)."""
+    edges: DataFrame,
+    source: int,
+    sink: int,
+    capacity_col: str = "capacity",
+    with_edges: bool = False,
+):
+    """Edmonds-Karp BFS augmentation (flow.rs:434). Returns the flow
+    value, or ``(value, [(src, dst, flow), ...])`` with
+    ``with_edges=True`` (the solvOR bridge format, solvor.rs max_flow)."""
     cap, _, adj = _residual(edges, capacity_col)
+    orig = dict(cap)
     flow = 0.0
     while True:
         # BFS for an augmenting path in the residual graph
@@ -54,6 +76,8 @@ def max_flow(
                     parent[v] = u
                     q.append(v)
         if sink not in parent:
+            if with_edges:
+                return flow, _flow_assignment(orig, cap)
             return flow
         # bottleneck
         aug = float("inf")
@@ -78,10 +102,13 @@ def min_cost_flow(
     target_flow: float,
     capacity_col: str = "capacity",
     cost_col: str = "cost",
-) -> tuple[float, float]:
+    with_edges: bool = False,
+):
     """Successive shortest paths with Bellman-Ford (flow.rs:533).
-    Returns (achieved_flow, total_cost)."""
+    Returns (achieved_flow, total_cost), or with ``with_edges=True``
+    (achieved_flow, total_cost, [(src, dst, flow, unit_cost), ...])."""
     cap, cost, adj = _residual(edges, capacity_col, cost_col)
+    orig = dict(cap)
     flow = total_cost = 0.0
     nodes = sorted(adj)
     while flow < target_flow - 1e-12:
@@ -113,4 +140,10 @@ def min_cost_flow(
             total_cost += aug * cost.get((u, v), 0.0)
             v = u
         flow += aug
+    if with_edges:
+        assigned = [
+            (u, v, f, cost.get((u, v), 0.0))
+            for u, v, f in _flow_assignment(orig, cap)
+        ]
+        return flow, total_cost, assigned
     return flow, total_cost

@@ -234,6 +234,66 @@ class GrafeoSpark:
 
     # -- algorithm plugin surface (plugins/traits.rs via bridges/algorithms.rs)
 
+    def schema(self) -> dict:
+        """Schema description (grafeo-cli/src/commands/schema.rs analogue):
+        per-label and per-edge-type column->Spark-type maps, the property
+        key universe, and declared vector indexes. Metadata-only — reads
+        DataFrame schemas, runs no job."""
+        out: dict[str, Any] = {"labels": {}, "edge_types": {}, "indexes": []}
+        keys: set[str] = set()
+        if self.graph is not None:
+            for label, f in sorted(self.graph.node_frames.items()):
+                out["labels"][label] = {fd.name: fd.dataType.simpleString() for fd in f.schema}
+                keys.update(c for c in f.columns if c != "id")
+            for etype, f in sorted(self.graph.edge_frames.items()):
+                out["edge_types"][etype] = {
+                    fd.name: fd.dataType.simpleString() for fd in f.schema
+                }
+                keys.update(c for c in f.columns if c not in ("src", "dst"))
+        if self.triples is not None:
+            out["rdf"] = {fd.name: fd.dataType.simpleString() for fd in self.triples.df.schema}
+        out["property_keys"] = sorted(keys)
+        if self.ddl is not None:
+            out["indexes"] = [
+                {"name": name, "label": vi.label, "column": vi.column, "metric": vi.metric}
+                for name, vi in sorted(self.ddl.vector_indexes.items())
+            ]
+        return out
+
+    def stats(self) -> dict:
+        """Database statistics (grafeo-cli/src/commands/{info,stats}.rs
+        analogue): node/edge/label/type counts, per-label and per-type row
+        counts, property key count, declared index count, triple count.
+        Counts run one lightweight count job per frame (count aggregates
+        push to parquet metadata where the frame is an unfiltered scan).
+        The WAL/backup/compact CLI surface is storage-specific and out of
+        scope (SURVEY.md §2)."""
+        per_label: dict[str, int] = {}
+        per_type: dict[str, int] = {}
+        if self.graph is not None:
+            per_label = {l: f.count() for l, f in sorted(self.graph.node_frames.items())}
+            per_type = {t: f.count() for t, f in sorted(self.graph.edge_frames.items())}
+        sc = self.schema()
+        return {
+            "node_count": sum(per_label.values()),
+            "edge_count": sum(per_type.values()),
+            "label_count": len(per_label),
+            "edge_type_count": len(per_type),
+            "per_label": per_label,
+            "per_edge_type": per_type,
+            "property_key_count": len(sc["property_keys"]),
+            "index_count": len(sc["indexes"]),
+            "triple_count": self.triples.df.count() if self.triples is not None else 0,
+        }
+
+    def as_solvor(self):
+        """solvOR-style OR adapter over the current graph (reference
+        bindings/python/src/bridges/solvor.rs surface): shortest paths with
+        paths, flows with edge assignments, MST, components, centrality."""
+        from grafeo_spark.bridges import SolvORAdapter
+
+        return SolvORAdapter(self.graph)
+
     def algo(self, name: str, etypes: list[str] | str | None = None, **params):
         """Run a registered graph algorithm over the graph's edge set
         (optionally restricted to edge types). Mirrors the reference's

@@ -292,6 +292,97 @@ def test_to_networkx_size_guard(social):
 
 
 # --------------------------------------------------------------------- #
+# admin/info surface (reference grafeo-cli/src/commands/{info,stats,schema})
+# --------------------------------------------------------------------- #
+
+
+def test_stats_and_schema(spark, social):
+    from grafeo_spark.engine import GrafeoSpark
+
+    db = GrafeoSpark(spark, social)
+    st = db.stats()
+    assert st["node_count"] == 8 and st["label_count"] == 1
+    assert st["per_label"]["Person"] == 8
+    assert st["edge_count"] == st["per_edge_type"]["KNOWS"]
+    assert st["index_count"] == 0 and st["triple_count"] == 0
+    sc = db.schema()
+    assert sc["labels"]["Person"]["id"] == "bigint"
+    assert "name" in sc["property_keys"] and "since" in sc["property_keys"]
+    assert "KNOWS" in sc["edge_types"]
+
+
+# --------------------------------------------------------------------- #
+# solvOR bridge (reference bridges/solvor.rs)
+# --------------------------------------------------------------------- #
+
+
+def _solvor(spark, edge_rows, schema):
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    ids = sorted({r[0] for r in edge_rows} | {r[1] for r in edge_rows})
+    nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+    g = PropertyGraph({"N": nodes}, {"E": spark.createDataFrame(edge_rows, schema)})
+    return GrafeoSpark(spark, g).as_solvor()
+
+
+def test_solvor_shortest_paths(spark):
+    s = _solvor(
+        spark,
+        [(1, 2, 1.0), (1, 3, 4.0), (2, 3, 1.0), (3, 4, 1.0), (2, 4, 5.0), (5, 4, 2.0)],
+        "src long, dst long, w double",
+    )
+    dist, path = s.shortest_path(1, 4, weight="w")
+    assert dist == 3.0 and path == [1, 2, 3, 4]
+    assert s.shortest_path(4, 1, weight="w") is None
+    assert s.shortest_path(1, 4, weight="w", method="bellman_ford") == (3.0, [1, 2, 3, 4])
+    apsp = s.all_pairs_shortest_paths(weight="w")
+    assert apsp[(1, 4)] == 3.0 and apsp[(5, 4)] == 2.0
+    stats = s.graph_stats()
+    assert stats["nodes"] == 5 and stats["edges"] == 6 and stats["components"] == 1
+
+
+def test_solvor_flow_mst_order(spark):
+    s = _solvor(
+        spark,
+        [(1, 2, 3.0, 1.0), (1, 3, 2.0, 2.0), (2, 4, 2.0, 1.0), (3, 4, 3.0, 1.0)],
+        "src long, dst long, cap double, cost double",
+    )
+    mf = s.max_flow(1, 4, capacity="cap")
+    assert mf["max_flow"] == 4.0
+    flows = {(a, b): f for a, b, f in mf["flow_edges"]}
+    assert flows[(2, 4)] == 2.0
+    assert flows[(1, 2)] + flows[(1, 3)] == 4.0
+    mcmf = s.min_cost_max_flow(1, 4, capacity="cap", cost="cost")
+    # 2 units via 1→2→4 at cost 2/unit, 2 units via 1→3→4 at cost 3/unit
+    assert mcmf["max_flow"] == 4.0 and mcmf["total_cost"] == 10.0
+    mst = s.minimum_spanning_tree(weight="cap")
+    assert len(mst["edges"]) == 3 and mst["total_weight"] == 7.0
+    topo = s.topological_sort()
+    assert topo.index(1) < topo.index(2) < topo.index(4)
+    pr = s.pagerank(max_iter=10)
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+def test_solvor_structure_and_communities(spark):
+    # barbell: two triangles joined by the 3-4 bridge
+    s = _solvor(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)],
+        "src long, dst long",
+    )
+    assert s.articulation_points() == [3, 4]
+    assert s.bridges() == [(3, 4)]
+    cc = s.connected_components()
+    assert len(set(cc.values())) == 1
+    lv = s.louvain()
+    assert lv["num_communities"] == 2
+    assert lv["communities"][1] == lv["communities"][2] == lv["communities"][3]
+    bc = s.betweenness_centrality(normalized=False)
+    assert bc[3] == bc[4] > bc[1]
+
+
+# --------------------------------------------------------------------- #
 # graph persistence (sources.py)
 # --------------------------------------------------------------------- #
 
