@@ -71,9 +71,20 @@ class GrafeoSpark:
         the real physical plan — scan pushdowns, join strategies,
         whole-stage codegen spans — for plan audits without executing."""
         df = self.cypher(query, params)
-        return df._jdf.queryExecution().explainString(
-            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-        )
+        try:
+            return df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+            )
+        except AttributeError:
+            # Spark Connect: no _jdf/_jvm — capture the public-API
+            # df.explain(mode) output instead (same text, via stdout)
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode=mode)
+            return buf.getvalue()
 
     def gql(self, query: str, params: dict[str, Any] | None = None) -> DataFrame:
         """GQL shares the Cypher grammar subset (the reference's two

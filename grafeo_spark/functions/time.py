@@ -21,22 +21,27 @@ _UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 
 def time_bucket(width: str, ts) -> Column:
     """Floor ``ts`` to a fixed-width bucket ("15 minutes", "1 hour", ...).
 
-    Single named units use ``date_trunc`` (type-preserving); arbitrary
-    widths floor epoch seconds and cast back. Buckets align to the epoch
-    (1970-01-01 00:00:00 UTC), matching TimescaleDB's default origin."""
+    EVERY width floors epoch seconds: buckets align to the epoch
+    (1970-01-01 00:00:00 UTC), matching TimescaleDB's default origin, in
+    every session timezone. A date_trunc fast path for n==1 widths would
+    instead truncate on session-timezone boundaries — in
+    ``America/New_York``, '1 day' and '24 hours' would diverge by the UTC
+    offset and half-hour-offset zones would even split '1 hour' vs
+    '60 minutes' — so the arithmetic is deliberately width-uniform (the
+    fix for the r4 advisory). Consequence shared with TimescaleDB: 'day'
+    and 'week' buckets are UTC-aligned, not local-midnight-aligned
+    (weeks start on the epoch's Thursday); shift the column before
+    bucketing for local-calendar semantics."""
     ts = F.col(ts) if isinstance(ts, str) else ts
     m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day|week)s?\s*", width)
     if not m:
         raise ValueError(f"unrecognized bucket width {width!r}")
     n, unit = int(m.group(1)), m.group(2)
-    if n == 1 and unit != "week":
-        return F.date_trunc(unit, ts)
     secs = n * _UNIT_SECONDS[unit]
     # Width-independent output type: date_trunc always yields TIMESTAMP
-    # (coercing NTZ input), so the multi-unit arithmetic starts from a
-    # date_trunc too — truncate to whole seconds, then subtract the epoch
-    # remainder as a day-time interval. Rollups of different widths union
-    # cleanly either way.
+    # (coercing NTZ input), so the arithmetic starts from a date_trunc —
+    # truncate to whole seconds, then subtract the epoch remainder as a
+    # day-time interval. Rollups of different widths union cleanly.
     trunc = F.date_trunc("second", ts)
     rem = trunc.cast("long") % F.lit(secs)
     return trunc - F.make_dt_interval(

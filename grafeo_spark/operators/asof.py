@@ -38,6 +38,14 @@ def asof_join(
     on = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    clash = sorted(
+        set(left.columns) & {f"{c}{suffix}" for c in [right_ts, *right_cols]}
+    )
+    if clash:
+        raise ValueError(
+            f"asof_join: suffixed right column(s) {clash} collide with left "
+            f"columns — pass a different suffix= or project the left frame"
+        )
     payload = F.struct(
         F.col(right_ts).alias("__asof_ts"),
         *[F.col(c).alias(c) for c in right_cols],

@@ -34,6 +34,23 @@ class VarInfo:
 Scope = dict[str, VarInfo]
 
 
+def _orderable_columns(f: DataFrame) -> list[str]:
+    """Column names whose types can feed a window partition / xxhash64
+    (everything except types containing a map)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def ok(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(ok(x.dataType) for x in dt.fields)
+        return True
+
+    return [fd.name for fd in f.schema if ok(fd.dataType)]
+
+
 def _p(var: str, prop: str) -> str:
     return f"{var}__{prop}"
 
@@ -164,10 +181,16 @@ class Compiler:
             else:
                 from pyspark.sql import Window
 
+                # unorderable/ungroupable columns (map<...> anywhere in the
+                # type) can't feed a window partition or xxhash64 — restrict
+                # identity to the orderable columns. Rows differing only in
+                # a map column then count as byte-identical parallel edges,
+                # which the occurrence number already disambiguates.
+                cols = _orderable_columns(f)
                 occ = F.row_number().over(
-                    Window.partitionBy(*f.columns).orderBy(F.lit(1))
+                    Window.partitionBy(*cols).orderBy(F.lit(1))
                 )
-                eid = F.xxhash64(tag, *[F.col(c) for c in f.columns], occ)
+                eid = F.xxhash64(tag, *[F.col(c) for c in cols], occ)
         return f.select("src", "dst", eid.alias("_eid"))
 
     def _oriented_types(

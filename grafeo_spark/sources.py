@@ -36,7 +36,10 @@ def save_graph(
 
     ``format``: parquet (default), csv or json — the manifest records the
     format AND each frame's Spark schema, so text formats reload with
-    exact types instead of inference drift."""
+    exact types instead of inference drift. CSV cannot natively hold
+    array/struct/map columns (e.g. the stock tpch_graph embedding
+    frames), so complex columns are written as JSON strings and decoded
+    back to their recorded types on load."""
     if format not in ("parquet", "csv", "json"):
         raise ValueError(f"unsupported graph format {format!r}")
     manifest = {
@@ -63,6 +66,8 @@ def save_graph(
     )
 
     def write(df, dest):
+        if format == "csv":
+            df = _csv_encode(df)
         w = df.write.mode(mode)
         if format == "csv":
             w.option("header", "true").csv(dest)
@@ -79,10 +84,41 @@ def save_graph(
         write(out, f"{path}/edges/{etype}")
 
 
+def _is_complex(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return isinstance(dt, (ArrayType, MapType, StructType))
+
+
+def _csv_encode(df):
+    """JSON-stringify complex columns (CSV can only hold atomics)."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.to_json(f.name).alias(f.name) if _is_complex(f.dataType) else F.col(f.name)
+        for f in df.schema
+    ]
+    return df.select(*cols)
+
+
+def _csv_decode(df, schema):
+    """Decode JSON-stringified complex columns back to their recorded
+    types (inverse of :func:`_csv_encode`)."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.from_json(f.name, f.dataType).alias(f.name)
+        if _is_complex(f.dataType)
+        else F.col(f.name)
+        for f in schema
+    ]
+    return df.select(*cols)
+
+
 def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
     """Rebuild a PropertyGraph (with its compiler metadata) from
     :func:`save_graph` output."""
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StringType, StructField, StructType
 
     row = spark.read.json(f"{path}/_manifest").collect()[0]
     manifest = json.loads(row["manifest"])
@@ -95,7 +131,16 @@ def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
             return spark.read.parquet(dest)
         schema = StructType.fromJson(json.loads(schemas[rel]))
         if fmt == "csv":
-            return spark.read.schema(schema).option("header", "true").csv(dest)
+            flat = StructType(
+                [
+                    StructField(f.name, StringType(), True)
+                    if _is_complex(f.dataType)
+                    else f
+                    for f in schema
+                ]
+            )
+            raw = spark.read.schema(flat).option("header", "true").csv(dest)
+            return _csv_decode(raw, schema)
         return spark.read.schema(schema).json(dest)
 
     nodes = {lbl: read(f"nodes/{lbl}") for lbl in manifest["labels"]}

@@ -168,6 +168,24 @@ def test_no_label_pruning_with_overlapping_labels(spark):
     assert out[0].n == 1
 
 
+def test_trail_with_map_property_edge_frame(spark):
+    """User-built edge frames with unorderable columns (map<...>) must
+    still work in var-length trails: _edge_identity restricts its
+    occurrence window/hash to orderable columns (r4 advisory)."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2, {"w": 1}), (2, 3, {"w": 2})],
+        "src long, dst long, attrs map<string, int>",
+    )
+    g = PropertyGraph({"N": nodes}, {"E": edges})
+    db = GrafeoSpark(spark, g)
+    out = db.cypher("MATCH (a:N)-[*1..2]->(b) RETURN count(*) AS n").collect()
+    assert out[0].n == 3  # 1→2, 2→3, 1→2→3
+
+
 def test_with_nodes_user_frame_demotes_disjoint_labels(spark):
     """A user-supplied frame can introduce a cross-label id collision, so
     with_nodes/create_nodes must drop disjoint_labels (which gates
@@ -430,6 +448,28 @@ def test_graph_save_load_csv_json(spark, social, tmp_path):
         assert dict(back.nodes("Person").dtypes)["age"] == "bigint"
         got = back.nodes("Person").filter(F.col("name") == "Alice").collect()[0]
         assert got.age == 30 and got.city == "NYC"
+
+
+def test_graph_save_load_csv_complex_columns(spark, tmp_path):
+    """CSV cannot hold array/struct columns natively (the r4 advisory:
+    stock tpch_graph Embedding frames carry array<double>), so they are
+    JSON-encoded on write and decoded back via the manifest schema."""
+    from grafeo_spark.graph import PropertyGraph
+    from grafeo_spark.sources import load_graph, save_graph
+
+    nodes = spark.createDataFrame(
+        [(1, [0.1, 0.2], {"a": 1}), (2, [0.3, 0.4], {"b": 2})],
+        "id long, embedding array<double>, meta map<string, int>",
+    )
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    g = PropertyGraph({"Vec": nodes}, {"E": edges})
+    path = str(tmp_path / "csvc")
+    save_graph(g, path, format="csv")
+    back = load_graph(spark, path)
+    assert dict(back.nodes("Vec").dtypes)["embedding"] == "array<double>"
+    got = {r.id: r for r in back.nodes("Vec").collect()}
+    assert list(got[1].embedding) == [0.1, 0.2]
+    assert dict(got[2].meta) == {"b": 2}
 
 
 def test_triples_save_load_partition_pruning(spark, tmp_path):

@@ -30,6 +30,30 @@ def test_time_bucket_named_unit(spark):
     ]
 
 
+def test_time_bucket_timezone_invariant(spark):
+    """Epoch alignment holds in every session timezone: '1 day' ==
+    '24 hours' and '1 hour' == '60 minutes' even in offset zones (the r4
+    advisory case — a date_trunc fast path diverged by the UTC offset)."""
+    from grafeo_spark.functions.time import time_bucket
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/New_York", "Asia/Kathmandu"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = _events(spark).select(
+                time_bucket("1 day", "ts").alias("d1"),
+                time_bucket("24 hours", "ts").alias("d2"),
+                time_bucket("1 hour", "ts").alias("h1"),
+                time_bucket("60 minutes", "ts").alias("h2"),
+            )
+            bad = df.filter(
+                (F.col("d1") != F.col("d2")) | (F.col("h1") != F.col("h2"))
+            ).count()
+            assert bad == 0, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_time_bucket_arbitrary_width(spark):
     from grafeo_spark.functions.time import time_bucket
 
@@ -71,6 +95,28 @@ def test_asof_join_tolerance(spark):
     assert hit[0].rid_r == 900
     miss = asof_join(left, right, on="user", right_cols=["rid"], tolerance_sec=600).collect()
     assert miss[0].rid_r is None  # 25 min gap > 10 min horizon
+
+
+def test_asof_join_suffix_collision(spark):
+    """Suffixed right columns must not silently shadow left columns (the
+    r4 advisory: left 'value_r' + right 'value' produced duplicate
+    names); the operator now raises with a clear message."""
+    import datetime as dt
+
+    import pytest
+
+    from grafeo_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, 9.0)], "k long, ts timestamp, value_r double"
+    )
+    right = spark.createDataFrame([(1, t0, 1.0)], "k long, ts timestamp, value double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k")
+    # a different suffix resolves it
+    out = asof_join(left, right, on="k", suffix="_rt")
+    assert out.columns == ["k", "ts", "value_r", "ts_rt", "value_rt"]
 
 
 def test_range_join(spark):
