@@ -1505,11 +1505,15 @@ _PRIORITY = [
     "admin_stats_labels",
     # -- tier C: code changes in round 5 (dedup occupancy cap, pagerank
     # early-exit, time_bucket tz fix, as-of collision guard, gremlin store)
+    # within the dedup family, cheap-to-compile entries lead: the first
+    # shuffle-heavy documents job pays several seconds of JIT/codegen
+    # warm-up (A/B: 13s cold-first vs 6.7s warm for the SAME plan), so
+    # dedup_exact/simhash absorb it before the banded-pair entries run
     "text_quality_stats",
+    "dedup_exact_count",
+    "simhash_near_pairs",
     "dedup_near_pairs",
     "ngram_jaccard_pairs",
-    "dedup_exact_count",  # after 3 documents-touching entries: warm
-    "simhash_near_pairs",
     "embedding_near_pairs",
     "sim_join_top2",  # after vq_codes_profile + embedding_near_pairs: warm
     "alg_pagerank_top",
