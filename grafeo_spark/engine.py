@@ -275,15 +275,37 @@ class GrafeoSpark:
         """Database statistics (grafeo-cli/src/commands/{info,stats}.rs
         analogue): node/edge/label/type counts, per-label and per-type row
         counts, property key count, declared index count, triple count.
-        Counts run one lightweight count job per frame (count aggregates
-        push to parquet metadata where the frame is an unfiltered scan).
-        The WAL/backup/compact CLI surface is storage-specific and out of
-        scope (SURVEY.md §2)."""
+        All frame counts run as ONE Spark job (a union of per-frame count
+        aggregates — the branches scan in parallel and count(*) pushes to
+        parquet row-group metadata on unfiltered scans), not one sequential
+        job per frame. The WAL/backup/compact CLI surface is
+        storage-specific and out of scope (SURVEY.md §2)."""
+        from pyspark.sql import functions as F
+
         per_label: dict[str, int] = {}
         per_type: dict[str, int] = {}
         if self.graph is not None:
-            per_label = {l: f.count() for l, f in sorted(self.graph.node_frames.items())}
-            per_type = {t: f.count() for t, f in sorted(self.graph.edge_frames.items())}
+            branches = [
+                f.agg(
+                    F.lit("label").alias("kind"),
+                    F.lit(name).alias("name"),
+                    F.count("*").alias("n"),
+                )
+                for name, f in sorted(self.graph.node_frames.items())
+            ] + [
+                f.agg(
+                    F.lit("edge_type").alias("kind"),
+                    F.lit(name).alias("name"),
+                    F.count("*").alias("n"),
+                )
+                for name, f in sorted(self.graph.edge_frames.items())
+            ]
+            if branches:
+                u = branches[0]
+                for b in branches[1:]:
+                    u = u.unionByName(b)
+                for kind, name, n in u.collect():
+                    (per_label if kind == "label" else per_type)[name] = n
         sc = self.schema()
         return {
             "node_count": sum(per_label.values()),

@@ -7,12 +7,13 @@ from grafeo_spark.lang.gremlin.traversal import (
     GremlinError,
     GremlinSource,
     P,
+    TextP,
     Traversal,
     __,
     traversal,
 )
 
 __all__ = [
-    "execute", "traversal", "GremlinSource", "Traversal", "P", "GremlinError",
-    "Anon", "__",
+    "execute", "traversal", "GremlinSource", "Traversal", "P", "TextP",
+    "GremlinError", "Anon", "__",
 ]

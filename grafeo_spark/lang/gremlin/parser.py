@@ -77,13 +77,16 @@ def _literal(node: ast.expr):
         if (
             isinstance(fn, ast.Attribute)
             and isinstance(fn.value, ast.Name)
-            and fn.value.id == "P"
+            and fn.value.id in ("P", "TextP")
         ):
+            from grafeo_spark.lang.gremlin.traversal import TextP
+
+            ns = P if fn.value.id == "P" else TextP
             args = [_literal(a) for a in node.args]
             try:
-                return getattr(P, fn.attr)(*args)
+                return getattr(ns, fn.attr)(*args)
             except AttributeError:
-                raise GremlinError(f"unknown predicate P.{fn.attr}")
+                raise GremlinError(f"unknown predicate {fn.value.id}.{fn.attr}")
         raise GremlinError(
             "only P.<predicate>(...) and __.<step>()... calls are allowed as arguments"
         )

@@ -96,6 +96,18 @@ class P:
     def within(*vs):
         return P("within", list(vs[0]) if len(vs) == 1 and isinstance(vs[0], (list, tuple)) else list(vs))
 
+    @staticmethod
+    def without(*vs):
+        return P("without", list(vs[0]) if len(vs) == 1 and isinstance(vs[0], (list, tuple)) else list(vs))
+
+    @staticmethod
+    def inside(lo, hi):
+        return P("inside", lo, hi)  # exclusive both ends, per TinkerPop
+
+    @staticmethod
+    def outside(lo, hi):
+        return P("outside", lo, hi)
+
     def col(self, c: Column) -> Column:
         if self.op == "eq":
             return c == F.lit(self.value)
@@ -113,7 +125,60 @@ class P:
             return (c >= F.lit(self.value)) & (c < F.lit(self.value2))
         if self.op == "within":
             return c.isin(self.value)
+        if self.op == "without":
+            return ~c.isin(self.value)
+        if self.op == "inside":
+            return (c > F.lit(self.value)) & (c < F.lit(self.value2))
+        if self.op == "outside":
+            return (c < F.lit(self.value)) | (c > F.lit(self.value2))
+        if self.op == "containing":
+            return c.contains(F.lit(self.value))
+        if self.op == "notContaining":
+            return ~c.contains(F.lit(self.value))
+        if self.op == "startingWith":
+            return c.startswith(self.value)
+        if self.op == "notStartingWith":
+            return ~c.startswith(self.value)
+        if self.op == "endingWith":
+            return c.endswith(self.value)
+        if self.op == "notEndingWith":
+            return ~c.endswith(self.value)
+        if self.op == "regex":
+            return c.rlike(self.value)
         raise GremlinError(f"unknown predicate {self.op}")
+
+
+class TextP:
+    """TinkerPop text predicates (ast.rs Containing/StartingWith/
+    EndingWith/Regex) — factories returning :class:`P` instances."""
+
+    @staticmethod
+    def containing(v):
+        return P("containing", v)
+
+    @staticmethod
+    def notContaining(v):
+        return P("notContaining", v)
+
+    @staticmethod
+    def startingWith(v):
+        return P("startingWith", v)
+
+    @staticmethod
+    def notStartingWith(v):
+        return P("notStartingWith", v)
+
+    @staticmethod
+    def endingWith(v):
+        return P("endingWith", v)
+
+    @staticmethod
+    def notEndingWith(v):
+        return P("notEndingWith", v)
+
+    @staticmethod
+    def regex(v):
+        return P("regex", v)
 
 
 def _p(var: str, prop: str) -> str:
@@ -261,6 +326,27 @@ class Traversal:
             cur = self.g.graph.edges(t) if t else self.g.graph.edges(None)
             e = cur if e is None else e.unionByName(cur, allowMissingColumns=True)
         evar = self._fresh()
+        if not to_vertex:
+            # Edge steps keep the STORED orientation: TinkerPop's outV/inV
+            # are the edge's own source/target regardless of how the edge
+            # was reached, and the mutation steps (drop/property) match
+            # (src, dst) against the stored frames. ``_near`` records the
+            # endpoint we arrived from, for otherV().
+            base = e.select(*[F.col(c).alias(_p(evar, c)) for c in e.columns])
+            near_src = F.col(_p(self.cur, "id")) == F.col(_p(evar, "src"))
+            near_dst = F.col(_p(self.cur, "id")) == F.col(_p(evar, "dst"))
+            near_col = _p(evar, "_near")
+            if direction == "out":
+                joined = self.df.join(base, near_src).withColumn(near_col, F.lit("src"))
+            elif direction == "in":
+                joined = self.df.join(base, near_dst).withColumn(near_col, F.lit("dst"))
+            else:
+                joined = self.df.join(base, near_src).withColumn(
+                    near_col, F.lit("src")
+                ).unionByName(
+                    self.df.join(base, near_dst).withColumn(near_col, F.lit("dst"))
+                )
+            return self._derive(joined, evar, "edge", extend_trail=True)
         if direction == "both":
             rev = e.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"),
@@ -276,8 +362,6 @@ class Traversal:
         joined = self.df.join(
             e, F.col(_p(self.cur, "id")) == F.col(_p(evar, "src")), "inner"
         )
-        if not to_vertex:
-            return self._derive(joined, evar, "edge", extend_trail=True)
         nvar = self._fresh()
         nodes = self.g.graph.nodes(None)
         nodes = nodes.select(*[F.col(c).alias(_p(nvar, c)) for c in nodes.columns])
@@ -303,26 +387,53 @@ class Traversal:
     def inE(self, *etypes: str) -> "Traversal":
         return self._expand("in", etypes, False)
 
-    def inV(self) -> "Traversal":
+    def bothE(self, *etypes: str) -> "Traversal":
+        return self._expand("both", etypes, False)
+
+    def _edge_to_vertex(self, key: Column) -> "Traversal":
         if self.kind != "edge":
-            raise GremlinError("inV requires an edge traversal")
+            raise GremlinError("inV/outV/otherV/bothV require an edge traversal")
         nvar = self._fresh()
         nodes = self.g.graph.nodes(None)
         nodes = nodes.select(*[F.col(c).alias(_p(nvar, c)) for c in nodes.columns])
-        out = self.df.join(
-            nodes, F.col(_p(self.cur, "dst")) == F.col(_p(nvar, "id")), "inner"
-        )
+        out = self.df.join(nodes, key == F.col(_p(nvar, "id")), "inner")
         return self._derive(out, nvar, "node", extend_trail=True)
 
+    def inV(self) -> "Traversal":
+        """The edge's target vertex (stored orientation, per TinkerPop —
+        independent of whether the edge was reached via outE or inE)."""
+        return self._edge_to_vertex(F.col(_p(self.cur, "dst")))
+
     def outV(self) -> "Traversal":
+        """The edge's source vertex (stored orientation)."""
+        return self._edge_to_vertex(F.col(_p(self.cur, "src")))
+
+    def otherV(self) -> "Traversal":
+        """The endpoint OPPOSITE the vertex the edge was reached from
+        (ast.rs OtherV) — uses the ``_near`` marker stamped by outE/inE/
+        bothE."""
+        near = _p(self.cur, "_near")
+        if near not in self.df.columns:
+            raise GremlinError("otherV requires an edge reached via outE/inE/bothE")
+        other = F.when(
+            F.col(near) == "src", F.col(_p(self.cur, "dst"))
+        ).otherwise(F.col(_p(self.cur, "src")))
+        return self._edge_to_vertex(other)
+
+    def bothV(self) -> "Traversal":
+        """Both endpoints of the edge (ast.rs BothV): one traverser per
+        endpoint."""
         if self.kind != "edge":
-            raise GremlinError("outV requires an edge traversal")
+            raise GremlinError("bothV requires an edge traversal")
         nvar = self._fresh()
         nodes = self.g.graph.nodes(None)
         nodes = nodes.select(*[F.col(c).alias(_p(nvar, c)) for c in nodes.columns])
-        out = self.df.join(
-            nodes, F.col(_p(self.cur, "src")) == F.col(_p(nvar, "id")), "inner"
-        )
+        end = F.explode(
+            F.array(F.col(_p(self.cur, "src")), F.col(_p(self.cur, "dst")))
+        ).alias("__endv")
+        out = self.df.select("*", end).join(
+            nodes, F.col("__endv") == F.col(_p(nvar, "id")), "inner"
+        ).drop("__endv")
         return self._derive(out, nvar, "node", extend_trail=True)
 
     # -- modulators ------------------------------------------------------
@@ -359,6 +470,38 @@ class Traversal:
 
     def elementMap(self, *keys: str) -> "Traversal":
         return self.valueMap(*keys)
+
+    def constant(self, v) -> "Traversal":
+        """Replace each traverser's value with a constant (ast.rs
+        Constant); multiplicity is preserved."""
+        return self._derive(
+            self.df.select(F.lit(v).alias("constant")), "constant", "value"
+        )
+
+    def properties(self, *keys: str) -> "Traversal":
+        """One (key, value) traverser per present property (ast.rs
+        Properties). Values are stringified for the cross-key union;
+        use values(k) for typed access to a single key."""
+        prefix = self.cur + "__"
+        reserved = ("id", "_label", "_type", "src", "dst", "_near")
+        ks = keys or [
+            c[len(prefix):]
+            for c in self.df.columns
+            if c.startswith(prefix) and c[len(prefix):] not in reserved
+        ]
+        parts = [
+            self.df.select(
+                F.lit(k).alias("key"),
+                F.col(_p(self.cur, k)).cast("string").alias("value"),
+            ).filter(F.col("value").isNotNull())
+            for k in ks
+        ]
+        if not parts:
+            raise GremlinError("properties(): no property columns")
+        u = parts[0]
+        for x in parts[1:]:
+            u = u.unionByName(x)
+        return self._derive(u, "value", "value")
 
     def id_(self) -> "Traversal":
         return self.values("id")

@@ -55,6 +55,73 @@ def test_oute_inv_chain(g):
     assert out == ["Alice"]
 
 
+def test_ine_outv_stored_orientation(g):
+    """TinkerPop semantics: outV/inV are the edge's OWN source/target,
+    independent of traversal direction — inE().outV() = who knows Alice,
+    inE().inV() = Alice herself (this was swapped before r5)."""
+    out = g.V().has("name", "Alice").inE("KNOWS").outV().values("name").toList()
+    assert out == ["Heidi"]
+    out2 = g.V().has("name", "Alice").inE("KNOWS").inV().values("name").toList()
+    assert out2 == ["Alice"]
+
+
+def test_bothe_otherv_bothv(g):
+    # otherV: the endpoint opposite the arrival vertex
+    out = g.V().has("name", "Alice").bothE("KNOWS").otherV().values("name").toList()
+    assert sorted(out) == ["Bob", "Carol", "Heidi"]
+    # bothV: both endpoints, one traverser each (2 out-edges -> 4)
+    out2 = g.V().has("name", "Alice").outE("KNOWS").bothV().values("name").toList()
+    assert sorted(out2) == ["Alice", "Alice", "Bob", "Carol"]
+
+
+def test_ine_drop_matches_stored_rows(g, db):
+    """Edge mutations after inE must hit the stored frames (the old
+    reversed representation made drop a silent no-op)."""
+    before = db.graph.edges("KNOWS").count()
+    g.V().has("name", "Alice").inE("KNOWS").drop().iterate()
+    assert db.graph.edges("KNOWS").count() == before - 1  # Heidi->Alice gone
+    # restore the exact row (including its id property) for later tests,
+    # through the same traversal source
+    g.addE("KNOWS").from_(8).to(1).property("id", 107).property(
+        "since", 2021
+    ).iterate()
+    assert db.graph.edges("KNOWS").count() == before
+
+
+def test_text_predicates(g, db):
+    from grafeo_spark.lang.gremlin import TextP
+
+    assert g.V().has("name", TextP.startingWith("A")).values("name").toList() == ["Alice"]
+    assert sorted(
+        g.V().has("name", TextP.containing("ra")).values("name").toList()
+    ) == ["Frank", "Grace"]
+    assert g.V().has("name", TextP.endingWith("ve")).values("name").toList() in (
+        ["Dave", "Eve"], ["Eve", "Dave"],
+    )
+    assert g.V().has("name", TextP.regex("^[AB]")).count().toList() == [2]
+    # string form routes TextP through the parser too
+    out = db.gremlin("g.V().has('name', TextP.notContaining('a')).count()").collect()
+    assert out[0][0] == 4  # Alice, Bob, Eve, Heidi (no lowercase 'a')
+
+
+def test_p_without_inside_outside(g):
+    from grafeo_spark.lang.gremlin import P
+
+    out = g.V().has("city", P.without("NYC", "LA")).values("name").toList()
+    assert sorted(out) == ["Dave", "Grace", "Heidi"]
+    # inside is exclusive on both ends: ages strictly between 30 and 40
+    out2 = g.V().has("age", P.inside(30, 40)).values("name").toList()
+    assert sorted(out2) == ["Carol", "Heidi"]
+    out3 = g.V().has("age", P.outside(28, 45)).values("name").toList()
+    assert sorted(out3) == ["Eve", "Grace"]
+
+
+def test_constant_and_properties(g):
+    assert g.V().hasLabel("Person").constant(7).toList() == [7] * 8
+    props = g.V().has("name", "Alice").properties("age", "city").toList()
+    assert sorted(props) == [("age", "30"), ("city", "NYC")]
+
+
 def test_order_by_limit(g):
     out = g.V().order().by("age", "desc").limit(3).values("name").toList()
     assert out == ["Eve", "Frank", "Bob"]
