@@ -545,6 +545,30 @@ _ORACLE: dict[str, str] = {
         UNION ALL SELECT 'Supplier', (SELECT count(*) FROM supplier)
         UNION ALL SELECT 'User', (SELECT count(DISTINCT user_id) FROM events)
     """,
+    "sparql_bind_strlen": """
+        SELECT n_name AS nm, CAST(length(n_name) AS INTEGER) AS len
+        FROM nation WHERE length(n_name) > 8 ORDER BY nm
+    """,
+    "sparql_exists_nations": """
+        SELECT n_name AS nm FROM nation
+        WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+        ORDER BY nm
+    """,
+    "sparql_not_exists_count": """
+        SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        WHERE c_mktsegment <> 'BUILDING'
+    """,
+    "sparql_having_segments": """
+        SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY c_mktsegment
+        HAVING count(*) > 300 ORDER BY seg
+    """,
+    "sparql_subselect_concat": """
+        SELECT r_name AS rname,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY rname
+    """,
     "sparql_negated_path": """
         SELECT 'http://example.org/nation/' || n_nationkey AS s,
                'http://example.org/region/' || n_regionkey AS o
@@ -1125,6 +1149,34 @@ _SPARQL: dict[str, str] = {
     "sparql_negated_inverse_path": (
         "SELECT ?x ?y WHERE { ?y a ex:Region . ?x !(ex:name|^ex:inRegion) ?y }"
     ),
+    # BIND(expr AS ?v) (ast.rs:311) computed binding + filter over it
+    "sparql_bind_strlen": (
+        "SELECT ?nm ?len WHERE { ?n a ex:Nation ; ex:name ?nm . "
+        "BIND(STRLEN(?nm) AS ?len) FILTER(?len > 8) } ORDER BY ?nm"
+    ),
+    # FILTER EXISTS (ast.rs:574): correlated semi-join on the shared var
+    "sparql_exists_nations": (
+        "SELECT ?nm WHERE { ?n a ex:Nation ; ex:name ?nm . "
+        "FILTER EXISTS { ?c ex:fromNation ?n } } ORDER BY ?nm"
+    ),
+    # FILTER NOT EXISTS (ast.rs:577): correlated anti-join + aggregate
+    "sparql_not_exists_count": (
+        "SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer . "
+        'FILTER NOT EXISTS { ?c ex:mktsegment "BUILDING" } }'
+    ),
+    # HAVING over an aggregate alias (solution modifiers, ast.rs:471-519)
+    "sparql_having_segments": (
+        "SELECT ?seg (COUNT(?c) AS ?n) WHERE { ?c a ex:Customer ; "
+        "ex:mktsegment ?seg } GROUP BY ?seg HAVING(?n > 300) ORDER BY ?seg"
+    ),
+    # { SELECT ... } sub-query (ast.rs:322) + GROUP_CONCAT w/ SEPARATOR
+    # (ast.rs:819; engine sorts members for determinism)
+    "sparql_subselect_concat": (
+        "SELECT ?rname ?nations WHERE { ?r ex:name ?rname . "
+        '{ SELECT ?r (GROUP_CONCAT(?nm; SEPARATOR=",") AS ?nations) '
+        "WHERE { ?n ex:inRegion ?r ; ex:name ?nm } GROUP BY ?r } } "
+        "ORDER BY ?rname"
+    ),
 }
 
 
@@ -1502,6 +1554,11 @@ _PRIORITY = [
     # -- tier B: new in round 5
     "sparql_negated_path",
     "sparql_negated_inverse_path",
+    "sparql_bind_strlen",
+    "sparql_exists_nations",
+    "sparql_not_exists_count",
+    "sparql_having_segments",
+    "sparql_subselect_concat",
     "admin_stats_labels",
     # -- tier C: code changes in round 5 (dedup occupancy cap, pagerank
     # early-exit, time_bucket tz fix, as-of collision guard, gremlin store)

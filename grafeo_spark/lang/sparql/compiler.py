@@ -288,8 +288,25 @@ def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
         else:
             shared = [c for c in v.columns if c in out.columns]
             out = out.join(v, shared, "inner") if shared else out.crossJoin(v)
+    for sq in g.subselects:
+        # { SELECT ... } sub-query (ast.rs:322): compiled independently,
+        # joined on its projected variables
+        sub = compile_select(ts, sq)
+        if out is None:
+            out = sub
+        else:
+            shared = [c for c in sub.columns if c in out.columns]
+            out = out.join(sub, shared, "inner") if shared else out.crossJoin(sub)
+    if out is None and g.binds:
+        # a group of only BINDs produces one solution row
+        out = ts.df.sparkSession.range(1).select(F.lit(1).alias("__m0"))
     if out is None:
         raise SparqlCompileError("empty graph pattern")
+    for v, e in g.binds:
+        # BIND is sequential in the spec; binding after the group's joins
+        # covers the common shapes (a BIND var used by a LATER triple in
+        # the same group is not supported — split the group instead)
+        out = out.withColumn(v, _filter_col(e, out))
     for opt in g.optionals:
         right = _compile_group(ts, opt)
         shared = [c for c in right.columns if c in out.columns]
@@ -306,6 +323,19 @@ def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
             # SPARQL MINUS: drop solutions compatible with some right
             # solution on the shared domain; disjoint domains remove nothing
             out = out.join(right.select(*shared).distinct(), shared, "left_anti")
+    for positive, eg in g.exists:
+        right = _compile_group(ts, eg)
+        how = "left_semi" if positive else "left_anti"
+        shared = [
+            c for c in right.columns if c in out.columns and not c.startswith("__")
+        ]
+        if shared:
+            # correlated (NOT) EXISTS: semi/anti join on the shared vars
+            out = out.join(right.select(*shared).distinct(), shared, how)
+        else:
+            # uncorrelated: keeps every row iff the pattern has any match
+            probe = right.limit(1).select(F.lit(1).alias("__e"))
+            out = out.join(probe, F.lit(True), how)
     for f in g.filters:
         out = out.filter(_filter_col(f, out))
     return out
@@ -435,7 +465,21 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
     out = _compile_group(ts, q.where)
     if q.aggregates:
         aggs = []
-        for fn, arg, alias, distinct in q.aggregates:
+        for fn, arg, alias, distinct, *rest in q.aggregates:
+            if fn == "group_concat":
+                # deterministic order (sorted) — SPARQL leaves the order
+                # unspecified; sorting keeps results reproducible and
+                # oracle-comparable (ast.rs:819 GroupConcat)
+                sep = rest[0] if rest else " "
+                col = F.col(arg).cast("string")
+                coll = F.collect_set(col) if distinct else F.collect_list(col)
+                aggs.append(F.array_join(F.array_sort(coll), sep).alias(alias))
+                continue
+            if fn == "sample":
+                # SAMPLE (ast.rs:813): any value; first non-null, made
+                # deterministic as the minimum
+                aggs.append(F.min(F.col(arg)).alias(alias))
+                continue
             if fn not in _AGG_FNS:
                 raise SparqlCompileError(f"unsupported aggregate {fn.upper()}()")
             plain, dist = _AGG_FNS[fn]
@@ -457,7 +501,10 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
             out = out.groupBy(*q.group_by).agg(*aggs)
         else:
             out = out.agg(*aggs)
-        proj = (q.variables or q.group_by) + [a for _, _, a, _ in q.aggregates]
+        if q.having is not None:
+            # HAVING over grouping keys and aggregate aliases
+            out = out.filter(_filter_col(q.having, out))
+        proj = (q.variables or q.group_by) + [a[2] for a in q.aggregates]
         # projected plain vars must be grouping keys
         for v in q.variables:
             if v not in q.group_by:

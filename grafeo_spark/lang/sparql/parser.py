@@ -22,6 +22,11 @@ ASK / CONSTRUCT query forms, VALUES (inline data) and MINUS graph
 patterns, property paths (``p1/p2`` sequences desugared to fresh-variable
 triples; ``p+`` transitive closure), and aggregate projections
 ``SELECT (COUNT(?x) AS ?n) ... GROUP BY ?g``.
+
+Round-5 additions: negated property sets ``!(...)`` (ast.rs:416),
+``BIND(expr AS ?v)`` (:311), ``FILTER [NOT] EXISTS { }`` (:574-577),
+``{ SELECT ... }`` sub-queries (:322), ``GROUP_CONCAT(...; SEPARATOR)`` /
+``SAMPLE`` aggregates (:813-819), and ``HAVING``.
 """
 
 from __future__ import annotations
@@ -138,6 +143,12 @@ class GroupPattern:
     # GRAPH <g>/?g { ... } groups (ast.rs:283-346 Graph): constant graphs
     # filter the store's g column, a variable graph binds it
     graphs: list[tuple[object, "GroupPattern"]] = field(default_factory=list)
+    # BIND(expr AS ?v) assignments, in pattern order (ast.rs:311 Bind)
+    binds: list[tuple[str, FExpr]] = field(default_factory=list)
+    # FILTER EXISTS { } / FILTER NOT EXISTS { } (ast.rs:574-577)
+    exists: list[tuple[bool, "GroupPattern"]] = field(default_factory=list)
+    # nested { SELECT ... } sub-queries (ast.rs:322 SubSelect)
+    subselects: list["SelectQuery"] = field(default_factory=list)
 
 
 @dataclass
@@ -148,9 +159,11 @@ class SelectQuery:
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: Optional[int] = None
     offset: Optional[int] = None
-    # (fn, var-or-"*", alias, distinct) projections: SELECT (COUNT(?x) AS ?n)
-    aggregates: list[tuple[str, str, str, bool]] = field(default_factory=list)
+    # (fn, var-or-"*", alias, distinct[, separator]) projections:
+    # SELECT (COUNT(?x) AS ?n); GROUP_CONCAT carries its SEPARATOR
+    aggregates: list[tuple] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    having: Optional[FExpr] = None
 
 
 @dataclass
@@ -317,7 +330,7 @@ class Parser:
             return q
         return self._select()
 
-    def _select(self) -> SelectQuery:
+    def _select(self, nested: bool = False) -> SelectQuery:
         self.eat("name", "SELECT")
         distinct = False
         if self.at("name", "DISTINCT"):
@@ -345,11 +358,23 @@ class Parser:
                     arg = "*"
                 else:
                     arg = self.eat("var")[1][1:]
+                sep = None
+                if self.at("op", ";"):
+                    # GROUP_CONCAT(?v; SEPARATOR=", ") (ast.rs:819)
+                    self.next()
+                    kw = self.eat("name")[1]
+                    if kw.upper() != "SEPARATOR":
+                        raise SparqlSyntaxError(f"expected SEPARATOR, got {kw!r}")
+                    self.eat("op", "=")
+                    sep = re.sub(r"\\(.)", r"\1", self.eat("str")[1][1:-1])
                 self.eat("op", ")")
                 self.eat("name", "AS")
                 alias = self.eat("var")[1][1:]
                 self.eat("op", ")")
-                aggregates.append((fname, arg, alias, agg_distinct))
+                if sep is None:
+                    aggregates.append((fname, arg, alias, agg_distinct))
+                else:
+                    aggregates.append((fname, arg, alias, agg_distinct, sep))
         self.eat("name", "WHERE")
         where = self.group()
         group_by: list[str] = []
@@ -358,6 +383,12 @@ class Parser:
             self.eat("name", "BY")
             while self.at("var"):
                 group_by.append(self.next()[1][1:])
+        having = None
+        if self.at("name", "HAVING"):
+            self.next()
+            self.eat("op", "(")
+            having = self.filter_expr()
+            self.eat("op", ")")
         order: list[tuple[str, bool]] = []
         limit = offset = None
         if self.at("name", "ORDER"):
@@ -382,10 +413,11 @@ class Parser:
                 limit = n
             else:
                 offset = n
-        if not self.at("eof"):
+        if not nested and not self.at("eof"):
             raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
         return SelectQuery(
-            variables, where, distinct, order, limit, offset, aggregates, group_by
+            variables, where, distinct, order, limit, offset, aggregates,
+            group_by, having,
         )
 
     # -- updates ----------------------------------------------------------
@@ -504,9 +536,27 @@ class Parser:
         while not self.at("op", "}"):
             if self.at("name", "FILTER"):
                 self.next()
+                # FILTER EXISTS { } / FILTER NOT EXISTS { } (ast.rs:574)
+                if self.at("name", "EXISTS"):
+                    self.next()
+                    g.exists.append((True, self.group()))
+                elif self.at("name", "NOT"):
+                    self.next()
+                    self.eat("name", "EXISTS")
+                    g.exists.append((False, self.group()))
+                else:
+                    self.eat("op", "(")
+                    g.filters.append(self.filter_expr())
+                    self.eat("op", ")")
+            elif self.at("name", "BIND"):
+                # BIND(expr AS ?v) (ast.rs:311)
+                self.next()
                 self.eat("op", "(")
-                g.filters.append(self.filter_expr())
+                e = self.filter_expr()
+                self.eat("name", "AS")
+                v = self.eat("var")[1][1:]
                 self.eat("op", ")")
+                g.binds.append((v, e))
             elif self.at("name", "OPTIONAL"):
                 self.next()
                 g.optionals.append(self.group())
@@ -523,6 +573,15 @@ class Parser:
                     raise SparqlSyntaxError("GRAPH needs an IRI or variable")
                 g.graphs.append((gterm, self.group()))
             elif self.at("op", "{"):
+                # peek past '{': a SELECT keyword means a sub-query
+                # (ast.rs:322 SubSelect), otherwise a UNION group chain
+                if self.toks[self.i + 1][:2] == ("name", "SELECT"):
+                    self.next()
+                    g.subselects.append(self._select(nested=True))
+                    self.eat("op", "}")
+                    if self.at("op", "."):
+                        self.next()
+                    continue
                 left = self.group()
                 self.eat("name", "UNION")
                 right = self.group()

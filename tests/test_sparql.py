@@ -352,6 +352,80 @@ def test_path_alt_of_closures(sdb):
     assert out == [(EX + "bob",), (EX + "carol",), (EX + "city1",)]
 
 
+def test_bind_expression(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n ?l WHERE { ?p a ex:Person ; ex:name ?n . "
+            "BIND(STRLEN(?n) AS ?l) FILTER(?l = 5) }"
+        )
+    )
+    assert out == [("Alice", 5), ("Carol", 5)]
+
+
+def test_bind_only_group(sdb):
+    out = rows(sdb.sparql(PFX + 'SELECT ?x WHERE { BIND(CONCAT("a", "b") AS ?x) }'))
+    assert out == [("ab",)]
+
+
+def test_filter_exists(sdb):
+    # people who know someone
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { ?p a ex:Person ; ex:name ?n . "
+            "FILTER EXISTS { ?p ex:knows ?x } }"
+        )
+    )
+    assert out == [("Alice",), ("Bob",)]
+
+
+def test_filter_not_exists(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { ?p a ex:Person ; ex:name ?n . "
+            "FILTER NOT EXISTS { ?p ex:knows ?x } }"
+        )
+    )
+    assert out == [("Carol",)]
+
+
+def test_subselect_join(sdb):
+    # sub-query aggregates per person, outer joins the name back on
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n ?k WHERE { ?p ex:name ?n . "
+            "{ SELECT ?p (COUNT(?o) AS ?k) WHERE { ?p ex:knows ?o } GROUP BY ?p } }"
+        )
+    )
+    assert out == [("Alice", 1), ("Bob", 1)]
+
+
+def test_group_concat_and_sample(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + 'SELECT (GROUP_CONCAT(?n; SEPARATOR="|") AS ?all) '
+            "WHERE { ?p a ex:Person ; ex:name ?n }"
+        )
+    )
+    assert out == [("Alice|Bob|Carol",)]  # sorted for determinism
+    out2 = rows(
+        sdb.sparql(
+            PFX + "SELECT (SAMPLE(?n) AS ?one) WHERE { ?p a ex:Person ; ex:name ?n }"
+        )
+    )
+    assert out2 == [("Alice",)]  # deterministic minimum
+
+
+def test_having(sdb):
+    # ages per person type: only Person rows counted; HAVING filters groups
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t } "
+            "GROUP BY ?t HAVING(?n > 1) ORDER BY ?t"
+        )
+    )
+    assert out == [(EX + "Person", 3)]
+
+
 def test_path_negated_single(sdb):
     # !ex:name from alice: every non-name triple (ast.rs:416)
     out = rows(sdb.sparql(PFX + "SELECT ?x WHERE { ex:alice !ex:name ?x }"))
