@@ -109,6 +109,12 @@ _CYPHER: dict[str, str] = {
         "WITH c, count(o.orderkey) AS cnt WHERE cnt = 0 "
         "RETURN count(*) AS n"
     ),
+    # pattern comprehension (cypher/ast.rs:440): per-region collected
+    # nation-name list (engine sorts members for determinism)
+    "pattern_comp_nations": (
+        "MATCH (r:Region) RETURN r.name AS rname, "
+        "[(n:Nation)-[:IN_REGION]->(r) | n.name] AS nations ORDER BY rname"
+    ),
     # IN list + regex + boolean mix
     "filter_mix": (
         "MATCH (n:Nation) "
@@ -544,6 +550,11 @@ _ORACLE: dict[str, str] = {
         UNION ALL SELECT 'Region', (SELECT count(*) FROM region)
         UNION ALL SELECT 'Supplier', (SELECT count(*) FROM supplier)
         UNION ALL SELECT 'User', (SELECT count(DISTINCT user_id) FROM events)
+    """,
+    "pattern_comp_nations": """
+        SELECT r_name AS rname, list_sort(list(n_name)) AS nations
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY rname
     """,
     "sparql_bind_strlen": """
         SELECT n_name AS nm, CAST(length(n_name) AS INTEGER) AS len
@@ -1559,6 +1570,7 @@ _PRIORITY = [
     "sparql_not_exists_count",
     "sparql_having_segments",
     "sparql_subselect_concat",
+    "pattern_comp_nations",
     "admin_stats_labels",
     # -- tier C: code changes in round 5 (dedup occupancy cap, pagerank
     # early-exit, time_bucket tz fix, as-of collision guard, gremlin store)

@@ -766,6 +766,20 @@ class Parser:
 
     def list_or_comprehension(self) -> E.Expr:
         self.eat_op("[")
+        # pattern comprehension [(a)-[:T]->(b) WHERE pred | expr]
+        # (cypher/ast.rs:440); try_pattern backtracks, so [(1+2), 3]
+        # still parses as a list literal
+        if self.at_op("("):
+            pat = self.try_pattern()
+            if pat is not None:
+                where = None
+                if self.at_kw("WHERE"):
+                    self.next()
+                    where = self.expr()
+                self.eat_op("|")
+                proj = self.expr()
+                self.eat_op("]")
+                return E.PatternComp(pat, where, proj)
         # lookahead: name IN => comprehension
         if self.peek().kind == "name" and self.peek(1).kind == "kw" and self.peek(1).text.upper() == "IN":
             var = self.next().text

@@ -253,7 +253,7 @@ def _lower_pattern_sub(ctx: _Ctx, path: P.PatternPath) -> tuple[tuple[str, ...],
 
 
 def _contains_pattern_pred(e: E.Expr) -> bool:
-    if isinstance(e, E.PatternPred):
+    if isinstance(e, (E.PatternPred, E.PatternComp)):
         return True
     if isinstance(e, E.BinOp):
         return _contains_pattern_pred(e.left) or _contains_pattern_pred(e.right)
@@ -275,6 +275,13 @@ def _rewrite_count_preds(ctx: _Ctx, e: E.Expr) -> E.Expr:
         ctx.bound[alias] = ("value", None)
         if e.mode == "exists":
             return E.BinOp(">", E.Col(alias), E.Lit(0))
+        return E.Col(alias)
+    if isinstance(e, E.PatternComp):
+        # pattern comprehension -> collect join (cypher/ast.rs:440)
+        on, sub = _lower_pattern_sub(ctx, e.path)
+        alias = ctx.fresh_var()
+        ctx.plan = ir.CollectJoin(ctx.plan, sub, on, alias, e.proj, e.where)
+        ctx.bound[alias] = ("value", None)
         return E.Col(alias)
     if isinstance(e, E.BinOp):
         return E.BinOp(e.op, _rewrite_count_preds(ctx, e.left), _rewrite_count_preds(ctx, e.right))

@@ -815,6 +815,44 @@ class Compiler:
         scope[p.alias] = VarInfo("value")
         return out, scope
 
+    def _c_collectjoin(self, p: ir.CollectJoin) -> tuple[DataFrame, Scope]:
+        """Pattern comprehension (cypher/ast.rs:440): subquery grouped by
+        the correlation keys, projection collected into a list (sorted —
+        Cypher leaves the order unspecified; sorting keeps results
+        deterministic), left-joined back with [] for non-matching rows."""
+        l, ls = self._compile(p.left)
+        r, rs = self._compile(p.right)
+        if p.where is not None:
+            r = r.filter(self._expr(p.where, rs, r))
+        proj = self._expr(p.proj, rs, r)
+        keys = [_p(v, "id") for v in p.on_vars]
+        if not keys:
+            grouped = r.agg(F.array_sort(F.collect_list(proj)).alias(p.alias))
+            out = l.crossJoin(grouped)
+        else:
+            grouped = (
+                r.select(
+                    *[F.col(k).alias(f"__cl_{i}") for i, k in enumerate(keys)],
+                    proj.alias("__cp"),
+                )
+                .groupBy(*[f"__cl_{i}" for i in range(len(keys))])
+                .agg(F.array_sort(F.collect_list("__cp")).alias(p.alias))
+            )
+            cond = None
+            for i, k in enumerate(keys):
+                c = l[k] == grouped[f"__cl_{i}"]
+                cond = c if cond is None else cond & c
+            out = l.join(grouped, cond, "left").drop(
+                *[f"__cl_{i}" for i in range(len(keys))]
+            )
+            dt = grouped.schema[p.alias].dataType
+            out = out.withColumn(
+                p.alias, F.coalesce(F.col(p.alias), F.array().cast(dt))
+            )
+        scope = dict(ls)
+        scope[p.alias] = VarInfo("value")
+        return out, scope
+
     # -- row ops ----------------------------------------------------------
 
     def _c_filter(self, p: ir.Filter) -> tuple[DataFrame, Scope]:

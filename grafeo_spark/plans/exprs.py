@@ -124,6 +124,22 @@ class PatternPred(Expr):
     def __eq__(self, other):  # path is unhashable/mutable; identity is fine
         return self is other
 
+
+@dataclass(frozen=True)
+class PatternComp(Expr):
+    """[(a)-[:T]->(b) WHERE pred | expr] — pattern comprehension
+    (reference cypher/ast.rs:440 PatternComprehension). The translator
+    lowers it to a collect join: the pattern subquery grouped by the
+    correlated vars, the projection collected into a sorted list, left
+    join back, empty array when absent."""
+
+    path: Any  # parser-level PatternPath
+    where: Optional[Expr] = None
+    proj: Optional[Expr] = None
+
+    def __eq__(self, other):
+        return self is other
+
     def __hash__(self):
         return id(self)
 

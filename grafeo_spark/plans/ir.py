@@ -157,6 +157,21 @@ class CountJoin(Plan):
 
 
 @dataclass
+class CollectJoin(Plan):
+    """[(a)-[:T]->(b) WHERE pred | expr] pattern comprehension
+    (cypher/ast.rs:440) — group the pattern subquery by the shared vars,
+    collect the projection into a sorted list, left join back, [] when
+    absent. ``proj``/``where`` are expressions over the subquery scope."""
+
+    left: Plan
+    right: Plan
+    on_vars: tuple[str, ...]
+    alias: str
+    proj: object
+    where: object = None
+
+
+@dataclass
 class Filter(Plan):
     child: Plan
     predicate: Expr

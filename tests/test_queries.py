@@ -248,6 +248,39 @@ def test_list_comprehension_e2e(db):
     assert list(r.xs) == [4, 16, 36]
 
 
+def test_pattern_comprehension(db):
+    """[(p)-[:KNOWS]->(f) | f.name] (cypher/ast.rs:440): per-row collected
+    list (sorted for determinism), [] when no match."""
+    out = {
+        r.n: list(r.friends)
+        for r in db.cypher(
+            "MATCH (p:Person) RETURN p.name AS n, "
+            "[(p)-[:KNOWS]->(f) | f.name] AS friends"
+        ).collect()
+    }
+    assert out["Alice"] == ["Bob", "Carol"]
+    assert out["Heidi"] == ["Alice"]
+    assert out["Frank"] == []  # knows no one -> empty list, not null
+
+
+def test_pattern_comprehension_where_and_size(db):
+    out = {
+        r.n: list(r.older)
+        for r in db.cypher(
+            "MATCH (p:Person) RETURN p.name AS n, "
+            "[(p)-[:KNOWS]->(f) WHERE f.age >= 35 | f.name] AS older"
+        ).collect()
+    }
+    assert out["Alice"] == ["Bob", "Carol"]  # Bob 40, Carol 35
+    assert out["Dave"] == ["Eve"]
+    # composes with size() over the produced list
+    r = db.cypher(
+        "MATCH (p:Person {name: 'Alice'}) "
+        "RETURN size([(p)-[:KNOWS]->(f) | f.name]) AS k"
+    ).collect()[0]
+    assert r.k == 2
+
+
 def test_in_list(db):
     out = rows(
         db.cypher("MATCH (p:Person) WHERE p.city IN ['Phoenix', 'Houston'] RETURN p.name AS n")
