@@ -114,13 +114,16 @@ class GrafeoSpark:
 
         return traversal(self.graph, self)
 
-    def graphql(self, query: str) -> DataFrame:
-        """Execute a GraphQL query (execute_graphql analogue,
+    def graphql(self, query: str, variables: dict[str, Any] | None = None) -> DataFrame:
+        """Execute a GraphQL operation (execute_graphql analogue,
         graphql_translator.rs:28): root field -> label scan, args ->
-        filters, nested selections -> edge expansions, scalars -> columns."""
+        filters (equality + operator suffixes), nested selections -> edge
+        expansions, scalars -> columns; fragments and ``$variables``
+        resolve before compilation; ``mutation { create/update/deleteX }``
+        rebinds the graph functionally."""
         from grafeo_spark.lang.graphql import execute
 
-        return execute(self.graph, query)
+        return execute(self.graph, query, variables=variables, db=self)
 
     def sparql(self, query: str) -> DataFrame:
         """Execute a SPARQL SELECT over the attached TripleStore

@@ -2,15 +2,28 @@
 
 Reference mapping (crates/grafeo-engine/src/query/graphql_translator.rs:28,
 module docs :1-11): root field → NodeScan by label, field arguments →
-equality Filters (plus ``first``/``offset`` pagination), nested selection
-set → Expand along the edge type named by the field, scalar fields →
-Project. Aliases rename output columns; nested scalars are flattened as
-``<fieldAlias>_<prop>`` (the reference likewise returns flat rows).
+Filters (equality, plus the operator suffixes ``_gt _gte _lt _lte _ne
+_contains _starts_with _ends_with _in``, graphql_translator.rs:675-737,
+and ``first``/``offset`` pagination), nested selection set → Expand along
+the edge type named by the field, scalar fields → Project. Aliases rename
+output columns; nested scalars are flattened as ``<fieldAlias>_<prop>``
+(the reference likewise returns flat rows).
+
+Round-5 additions (parser.rs:57-138, graphql_translator.rs:58-137):
+- named fragments (``fragment F on Type { ... }`` + ``...F`` spreads) and
+  inline fragments (``... on Type { ... }``). Type conditions are
+  informational — label frames are single-typed, so fragment selections
+  splice directly;
+- operation variables ``query($seg: String = "BUILDING") { ... }`` with
+  values supplied via ``execute(..., variables={...})``;
+- mutations ``mutation { createX(...) / updateX(...) / deleteX(...) }``
+  with the reference's filter convention (prefer ``id``, else the first
+  argument) — functional graph rebinding through the ``db`` handle.
 
 Example::
 
     query {
-      Customer(mktsegment: "BUILDING", first: 5) {
+      Customer(mktsegment: "BUILDING", acctbal_gt: 100.0, first: 5) {
         name
         acctbal
         orders: PLACED { totalprice orderpriority }
@@ -46,13 +59,31 @@ class Field:
         return self.alias or self.name
 
 
+@dataclass(frozen=True)
+class _Spread:
+    """``...Name`` fragment spread placeholder, resolved post-parse."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class _VarRef:
+    """``$name`` variable reference, substituted post-parse."""
+
+    name: str
+
+
+_REQUIRED = object()  # sentinel: variable declared without a default
+
+
 _TOKEN = re.compile(
     r"""
     (?P<ws>\s+|\#[^\n]*|,)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>[{}():!\[\]])
+  | (?P<op>\.\.\.|[{}():!=\[\]])
     """,
     re.VERBOSE,
 )
@@ -75,6 +106,8 @@ class _Parser:
     def __init__(self, src: str) -> None:
         self.toks = _tokenize(src)
         self.i = 0
+        self.fragments: dict[str, list] = {}
+        self.vardefs: dict[str, Any] = {}  # name -> default or _REQUIRED
 
     def peek(self):
         return self.toks[self.i]
@@ -93,22 +126,71 @@ class _Parser:
             raise GraphQLError(f"expected {text or kind}, got {self.peek()!r}")
         return self.next()
 
-    def parse(self) -> list[Field]:
-        # optional `query [Name]` / `{...}` document
-        if self.at("name", "query"):
-            self.next()
-            if self.at("name"):
+    def parse_document(self) -> tuple[str, list[Field]]:
+        """One operation (query/mutation/bare set) + any fragment
+        definitions, in any order (parser.rs:57-73)."""
+        op: Optional[str] = None
+        roots: list = []
+        while not self.at("eof"):
+            if self.at("name", "fragment"):
                 self.next()
-        roots = self.selection_set()
-        if not self.at("eof"):
-            raise GraphQLError(f"unexpected trailing token {self.peek()!r}")
-        return roots
+                fname = self.eat("name")[1]
+                self.eat("name", "on")
+                self.eat("name")  # type condition — informational
+                self.fragments[fname] = self.selection_set()
+            elif self.at("name", "query") or self.at("name", "mutation"):
+                if op is not None:
+                    raise GraphQLError("exactly one operation per document")
+                op = self.next()[1]
+                if self.at("name"):
+                    self.next()  # operation name
+                if self.at("op", "("):
+                    self._variable_defs()
+                roots = self.selection_set()
+            elif self.at("op", "{"):
+                if op is not None:
+                    raise GraphQLError("exactly one operation per document")
+                op = "query"
+                roots = self.selection_set()
+            else:
+                raise GraphQLError(
+                    f"expected operation or fragment definition, got {self.peek()!r}"
+                )
+        if op is None:
+            raise GraphQLError("document has no operation")
+        return op, roots
 
-    def selection_set(self) -> list[Field]:
+    def _variable_defs(self) -> None:
+        self.eat("op", "(")
+        while not self.at("op", ")"):
+            name = self.eat("var")[1][1:]
+            self.eat("op", ":")
+            self.eat("name")  # type name
+            if self.at("op", "!"):
+                self.next()
+            default: Any = _REQUIRED
+            if self.at("op", "="):
+                self.next()
+                default = self.value()
+            self.vardefs[name] = default
+        self.eat("op", ")")
+
+    def selection_set(self) -> list:
         self.eat("op", "{")
-        fields = []
+        fields: list = []
         while not self.at("op", "}"):
-            fields.append(self.field())
+            if self.at("op", "..."):
+                self.next()
+                if self.at("name", "on"):
+                    # inline fragment: splice its selections (single-label
+                    # frames make the type condition informational)
+                    self.next()
+                    self.eat("name")
+                    fields.extend(self.selection_set())
+                else:
+                    fields.append(_Spread(self.eat("name")[1]))
+            else:
+                fields.append(self.field())
         self.eat("op", "}")
         return fields
 
@@ -138,14 +220,82 @@ class _Parser:
         if k == "num":
             self.next()
             return float(v) if "." in v else int(v)
-        if k == "name" and v in ("true", "false", "null"):
+        if k == "var":
             self.next()
-            return {"true": True, "false": False, "null": None}[v]
+            return _VarRef(v[1:])
+        if k == "op" and v == "[":
+            self.next()
+            items = []
+            while not self.at("op", "]"):
+                items.append(self.value())
+            self.next()
+            return items
+        if k == "name":
+            self.next()
+            if v in ("true", "false", "null"):
+                return {"true": True, "false": False, "null": None}[v]
+            return v  # enum value -> its name as a string
         raise GraphQLError(f"expected value, got {self.peek()!r}")
 
 
-def parse(src: str) -> list[Field]:
-    return _Parser(src).parse()
+def _resolve(
+    fields: list, fragments: dict[str, list], values: dict[str, Any], seen=()
+) -> list[Field]:
+    """Splice fragment spreads and substitute variable references."""
+    out: list[Field] = []
+    for f in fields:
+        if isinstance(f, _Spread):
+            if f.name in seen:
+                raise GraphQLError(f"fragment cycle through {f.name!r}")
+            if f.name not in fragments:
+                raise GraphQLError(f"unknown fragment {f.name!r}")
+            out.extend(
+                _resolve(fragments[f.name], fragments, values, seen + (f.name,))
+            )
+            continue
+        args = []
+        for k, v in f.args:
+            if isinstance(v, _VarRef):
+                if v.name not in values:
+                    raise GraphQLError(f"missing variable ${v.name}")
+                v = values[v.name]
+            elif isinstance(v, list):
+                v = [values[x.name] if isinstance(x, _VarRef) else x for x in v]
+            args.append((k, v))
+        out.append(
+            Field(
+                f.name,
+                f.alias,
+                args,
+                _resolve(f.selections, fragments, values, seen),
+            )
+        )
+    return out
+
+
+def _parse_resolved(
+    src: str, variables: Optional[dict[str, Any]] = None
+) -> tuple[str, list[Field]]:
+    p = _Parser(src)
+    op, roots = p.parse_document()
+    values: dict[str, Any] = {}
+    for name, default in p.vardefs.items():
+        if variables is not None and name in variables:
+            values[name] = variables[name]
+        elif default is not _REQUIRED:
+            values[name] = default
+        else:
+            raise GraphQLError(f"missing required variable ${name}")
+    if variables:
+        values.update({k: v for k, v in variables.items() if k not in values})
+    return op, _resolve(roots, p.fragments, values)
+
+
+def parse(src: str, variables: Optional[dict[str, Any]] = None) -> list[Field]:
+    op, roots = _parse_resolved(src, variables)
+    if op != "query":
+        raise GraphQLError("parse() handles query operations; use execute()")
+    return roots
 
 
 # --------------------------------------------------------------------- #
@@ -153,6 +303,27 @@ def parse(src: str) -> list[Field]:
 # --------------------------------------------------------------------- #
 
 _PAGINATION = ("first", "limit", "offset")
+
+# operator suffixes on argument names (graphql_translator.rs:675-737);
+# longest-first so _gte wins over _gt
+_SUFFIX_OPS: tuple[tuple[str, Any], ...] = (
+    ("_starts_with", lambda c, v: c.startswith(v)),
+    ("_ends_with", lambda c, v: c.endswith(v)),
+    ("_contains", lambda c, v: c.contains(F.lit(v))),
+    ("_gte", lambda c, v: c >= F.lit(v)),
+    ("_lte", lambda c, v: c <= F.lit(v)),
+    ("_gt", lambda c, v: c > F.lit(v)),
+    ("_lt", lambda c, v: c < F.lit(v)),
+    ("_ne", lambda c, v: c != F.lit(v)),
+    ("_in", lambda c, v: c.isin(list(v))),
+)
+
+
+def _filter_cond(k: str, v: Any):
+    for suf, fn in _SUFFIX_OPS:
+        if k.endswith(suf) and len(k) > len(suf):
+            return fn(F.col(k[: -len(suf)]), v)
+    return F.col(k) == F.lit(v)
 
 
 def _split_args(args: list[tuple[str, Any]]):
@@ -200,7 +371,7 @@ def _join_nested(
             label = ep[1]
     base = graph.nodes(label) if label else graph.nodes(None)
     for k, v in filters:
-        base = base.filter(F.col(k) == F.lit(v))
+        base = base.filter(_filter_cond(k, v))
 
     child_prefix = prefix + sel.out_name + "_"
     child_id = f"__id_{child_prefix}"
@@ -245,7 +416,7 @@ def _compile_field(graph: PropertyGraph, root: Field) -> DataFrame:
     df = graph.nodes(root.name)
     filters, _, limit, offset = _split_args(root.args)
     for k, v in filters:
-        df = df.filter(F.col(k) == F.lit(v))
+        df = df.filter(_filter_cond(k, v))
     # root pagination selects root OBJECTS (deterministic by id), before
     # nested expansion multiplies rows
     if offset is not None or limit is not None:
@@ -265,10 +436,97 @@ def _compile_field(graph: PropertyGraph, root: Field) -> DataFrame:
     return out.select(*cols) if cols else out
 
 
-def execute(graph: PropertyGraph, query: str) -> DataFrame:
-    roots = parse(query)
+# --------------------------------------------------------------------- #
+# mutations (graphql_translator.rs:106-343)
+# --------------------------------------------------------------------- #
+
+
+def _next_id(graph: PropertyGraph) -> int:
+    mx = 0
+    for f in graph.node_frames.values():
+        v = f.agg(F.max("id")).first()[0]
+        mx = max(mx, v if v is not None else 0)
+    return mx + 1
+
+
+def _mutation_parts(name: str) -> tuple[str, str]:
+    for kind in ("create", "update", "delete"):
+        if name.startswith(kind) and len(name) > len(kind):
+            t = name[len(kind):]
+            return kind, t[0].upper() + t[1:]
+    raise GraphQLError(
+        f"mutation field {name!r} must start with create/update/delete"
+    )
+
+
+def _execute_mutation(db, root: Field) -> DataFrame:
+    """create/update/delete<Type> (graphql_translator.rs:137-343): the
+    filter prefers an ``id`` argument, else the FIRST argument; remaining
+    arguments are the properties to create/set. The graph rebinds
+    functionally on the db handle; the result projects the selection set
+    (or a deleted-count row)."""
+    kind, label = _mutation_parts(root.name)
+    graph = db.graph
+    spark = next(
+        iter(list(graph.node_frames.values()) + list(graph.edge_frames.values()))
+    ).sparkSession
+    scalars = [s.name for s in root.selections if not s.selections]
+
+    if kind == "create":
+        if not root.args:
+            raise GraphQLError("create mutation requires at least one property")
+        nid = _next_id(graph)
+        row = {"id": nid, **dict(root.args)}
+        df = spark.createDataFrame([tuple(row.values())], list(row.keys()))
+        db.graph = graph.create_nodes(label, df, ids_disjoint=True)
+        return df.select(*(scalars or ["id"]))
+
+    if label not in graph.node_frames:
+        raise GraphQLError(f"unknown type {label!r}; known: {graph.labels()}")
+    frame = graph.node_frames[label]
+    args = dict(root.args)
+    if "id" in args:
+        fkey, fval = "id", args.pop("id")
+    else:
+        fkey, (fval) = root.args[0][0], root.args[0][1]
+        args.pop(fkey, None)
+    cond = F.col(fkey) == F.lit(fval)
+
+    if kind == "update":
+        if not args:
+            raise GraphQLError(
+                "update mutation requires a filter argument and at least one "
+                "property to update"
+            )
+        updated = frame
+        for k, v in args.items():
+            old = F.col(k) if k in frame.columns else F.lit(None)
+            updated = updated.withColumn(k, F.when(cond, F.lit(v)).otherwise(old))
+        db.graph = graph.with_nodes(label, updated, ids_disjoint=True)
+        return db.graph.node_frames[label].filter(cond).select(*(scalars or ["id"]))
+
+    # delete (detach): anti-join via delete_nodes
+    ids = frame.filter(cond).select("id")
+    n = ids.count()
+    db.graph = graph.delete_nodes(label, ids, detach=True)
+    return spark.createDataFrame([(n,)], "deleted long")
+
+
+def execute(
+    graph: PropertyGraph,
+    query: str,
+    variables: Optional[dict[str, Any]] = None,
+    db=None,
+) -> DataFrame:
+    op, roots = _parse_resolved(query, variables)
     if len(roots) != 1:
-        raise GraphQLError("exactly one root field per query is supported")
+        raise GraphQLError("exactly one root field per operation is supported")
+    if op == "mutation":
+        if db is None:
+            raise GraphQLError(
+                "mutations require the engine handle (use GrafeoSpark.graphql)"
+            )
+        return _execute_mutation(db, roots[0])
     return _compile_field(graph, roots[0])
 
 

@@ -102,3 +102,89 @@ def test_syntax_error(db):
 
     with pytest.raises(GraphQLError):
         db.graphql("{ Person { name ")
+
+
+# --------------------------------------------------------------------- #
+# round-5 additions: fragments, variables, operator suffixes, mutations
+# --------------------------------------------------------------------- #
+
+
+def test_named_fragment_spread(db):
+    out = rows(
+        db.graphql(
+            "query { Person(city: \"LA\") { ...basics } } "
+            "fragment basics on Person { name age }"
+        )
+    )
+    assert out == [("Bob", 40), ("Eve", 50)]
+
+
+def test_inline_fragment(db):
+    out = rows(
+        db.graphql('{ Person(name: "Alice") { name ... on Person { city } } }')
+    )
+    assert out == [("Alice", "NYC")]
+
+
+def test_fragment_in_nested_selection(db):
+    out = rows(
+        db.graphql(
+            'query { Person(name: "Heidi") { name KNOWS { ...nb } } } '
+            "fragment nb on Person { name }"
+        )
+    )
+    assert out == [("Heidi", "Alice")]
+
+
+def test_variables_with_default(db):
+    q = 'query($city: String = "NYC", $min: Int) { Person(city: $city, age_gte: $min) { name } }'
+    out = rows(db.graphql(q, variables={"min": 35}))
+    assert out == [("Carol",), ("Frank",)]
+    # default applies when the variable is not supplied
+    out2 = rows(db.graphql(q, variables={"min": 0}))
+    assert len(out2) == 3
+
+
+def test_missing_required_variable(db):
+    import pytest as _pytest
+
+    from grafeo_spark.lang.graphql import GraphQLError
+
+    with _pytest.raises(GraphQLError, match="missing"):
+        db.graphql("query($x: String) { Person(city: $x) { name } }")
+
+
+def test_operator_suffixes(db):
+    assert rows(db.graphql("{ Person(age_gt: 44) { name } }")) == [
+        ("Eve",), ("Frank",),
+    ]
+    assert rows(db.graphql('{ Person(name_starts_with: "A") { name } }')) == [
+        ("Alice",),
+    ]
+    assert rows(db.graphql('{ Person(name_contains: "ra") { name } }')) == [
+        ("Frank",), ("Grace",),
+    ]
+    assert rows(db.graphql('{ Person(city_in: ["Phoenix", "Houston"]) { name } }')) == [
+        ("Grace",), ("Heidi",),
+    ]
+    assert len(rows(db.graphql('{ Person(city_ne: "NYC") { name } }'))) == 5
+
+
+def test_mutations_create_update_delete(spark, social):
+    from grafeo_spark.engine import GrafeoSpark
+
+    mdb = GrafeoSpark(spark, social)
+    created = rows(
+        mdb.graphql('mutation { createPerson(name: "Zed", age: 20) { name age } }')
+    )
+    assert created == [("Zed", 20)]
+    assert mdb.graph.nodes("Person").count() == 9
+
+    updated = rows(
+        mdb.graphql('mutation { updatePerson(name: "Zed", age: 21) { name age } }')
+    )
+    assert updated == [("Zed", 21)]
+
+    deleted = rows(mdb.graphql('mutation { deletePerson(name: "Zed") }'))
+    assert deleted == [(1,)]
+    assert mdb.graph.nodes("Person").count() == 8
