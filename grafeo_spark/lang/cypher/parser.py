@@ -53,6 +53,7 @@ KEYWORDS = {
     "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "DISTINCT",
     "UNION", "ALL", "EXISTS", "OFFSET",
     "CREATE", "MERGE", "DELETE", "DETACH", "SET", "REMOVE", "ON",
+    "INSERT", "LIKE",
 }
 
 
@@ -284,7 +285,9 @@ class Parser:
             elif self.at_kw("RETURN"):
                 self.next()
                 clauses.append(self.projection_clause(is_return=True))
-            elif self.at_kw("CREATE"):
+            elif self.at_kw("CREATE") or self.at_kw("INSERT"):
+                # INSERT is the GQL-standard spelling (gql/ast.rs Insert,
+                # gql_translator.rs:908 lowers it to CreateNode)
                 self.next()
                 pats = [self.pattern_path()]
                 while self.at_op(","):
@@ -603,6 +606,10 @@ class Parser:
             elif self.at_kw("CONTAINS"):
                 self.next()
                 left = E.BinOp("CONTAINS", left, self.add_expr())
+            elif self.at_kw("LIKE"):
+                # GQL LIKE predicate (gql/ast.rs Like): SQL %/_ wildcards
+                self.next()
+                left = E.BinOp("LIKE", left, self.add_expr())
             elif self.at_kw("IS"):
                 self.next()
                 if self.at_kw("NOT"):

@@ -1201,6 +1201,9 @@ class Compiler:
             return left.endswith(right)
         if op == "CONTAINS":
             return left.contains(right)
+        if op == "LIKE":
+            # GQL LIKE (gql/ast.rs Like): SQL %/_ wildcard match
+            return F.like(left, right)
         if op == "REGEX":
             # Column.rlike only takes a str pattern; regexp_like accepts a
             # Column (the round-1 filter_mix failure).

@@ -270,3 +270,16 @@ def test_multi_label_create(wdb):
     assert rows(wdb.cypher("MATCH (a:Admin) RETURN a.name AS n")) == [("Root",)]
     out = rows(wdb.cypher("MATCH (p:Person {name: 'Root'}) RETURN p.age AS a"))
     assert out == [(1,)]
+
+
+def test_gql_insert_is_create(spark, social):
+    """GQL-standard INSERT (gql/ast.rs Insert; gql_translator.rs:908
+    lowers to CreateNode) — a synonym for CREATE."""
+    from grafeo_spark.engine import GrafeoSpark
+
+    db = GrafeoSpark(spark, social)
+    db.gql("INSERT (:Person {name: 'Zed', age: 20})")
+    assert db.graph.nodes("Person").count() == 9
+    assert db.cypher(
+        "MATCH (p:Person {name: 'Zed'}) RETURN count(*) AS n"
+    ).collect()[0].n == 1

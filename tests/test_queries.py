@@ -402,3 +402,11 @@ def test_vector_index_routes_ann(spark):
     assert routed.collect()[0].id == 3
     # explicit override still forces the exact path
     assert not has_bucket_filter(db.vector_search("Doc", q, k=5, approximate=False))
+
+
+def test_gql_like_predicate(db):
+    """GQL LIKE (gql/ast.rs Like): SQL %/_ wildcards."""
+    out = rows(db.gql("MATCH (p:Person) WHERE p.name LIKE 'A%' RETURN p.name AS n"))
+    assert out == [("Alice",)]
+    out2 = rows(db.gql("MATCH (p:Person) WHERE p.name LIKE '_ve' RETURN p.name AS n"))
+    assert out2 == [("Eve",)]
