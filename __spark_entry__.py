@@ -637,6 +637,26 @@ _ORACLE: dict[str, str] = {
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
               / len(list_distinct(a.sh || b.sh)) >= 0.8
     """,
+    "dedup_near_survivors": """
+        WITH RECURSIVE
+        t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        s AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(w) - 1),
+                                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+              FROM t),
+        p AS (SELECT a.doc_id AS a, b.doc_id AS b
+              FROM s a JOIN s b ON b.doc_id > a.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(a.sh || b.sh)) >= 0.8),
+        e AS (SELECT a AS id, b AS r FROM p UNION SELECT b AS id, a AS r FROM p),
+        reach AS (SELECT id, r FROM e
+                  UNION
+                  SELECT x.id, y.r FROM reach x JOIN e y ON x.r = y.id
+                  WHERE y.r <> x.id)
+        SELECT CAST((SELECT count(*) FROM documents)
+                    - (SELECT count(DISTINCT id) FROM reach WHERE r < id)
+                    AS BIGINT) AS n
+    """,
     "ngram_jaccard_pairs": """
         WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         g AS (SELECT doc_id,
@@ -958,6 +978,21 @@ def _simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grafeo_spark.llm import simhash_near_pairs
 
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy("a", "b")
+
+
+def _dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: count of rows surviving MinHash-LSH dedup at
+    Jaccard 0.8 (keep the min-id representative per near-dup cluster;
+    clustering runs over star edges + the representative relation — linear,
+    llm/dedup.py dedup_near). Oracle: exact-Jaccard pair graph + recursive
+    transitive closure; a doc is dropped iff it reaches a smaller id."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import dedup_near
+
+    return dedup_near(_docs(spark, sf_dir), threshold=0.8).agg(
+        F.count("*").cast("long").alias("n")
+    )
 
 
 def _dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1512,6 +1547,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": _ngram_jaccard_pairs,
     "simhash_near_pairs": _simhash_near_pairs,
     "dedup_exact_count": _dedup_exact_count,
+    "dedup_near_survivors": _dedup_near_survivors,
     "text_quality_stats": _text_quality_stats,
     "knn_cosine_top10": _knn_cosine_top10,
     "ann_knn_top10": _ann_knn_top10,
@@ -1582,6 +1618,7 @@ _PRIORITY = [
     "dedup_exact_count",
     "simhash_near_pairs",
     "dedup_near_pairs",
+    "dedup_near_survivors",
     "ngram_jaccard_pairs",
     "embedding_near_pairs",
     "sim_join_top2",  # after vq_codes_profile + embedding_near_pairs: warm
