@@ -695,6 +695,16 @@ _ORACLE: dict[str, str] = {
         ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id ASC
         LIMIT 10
     """,
+    "ivf_knn_top10": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(row_number() OVER (
+                   ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC,
+                            vec_id ASC) AS INT) AS rank
+        FROM embeddings
+        ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id ASC
+        LIMIT 10
+    """,
     "sim_join_top2": """
         SELECT a.vec_id AS qid, b.vec_id AS iid,
                CAST(row_number() OVER (
@@ -913,6 +923,30 @@ def _ann_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     out = ann_topk(e, [float(x) for x in q], k=10, multiprobe=2)
     return out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
+
+
+def _ivf_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end (train coarse centroids -> assign cells ->
+    metric-aware cell ranking -> probe -> exact rerank,
+    llm/quantization.py:170-251). The battery pins nprobe = nlist so the
+    probe set is exhaustive and the result value-checks against the exact
+    cosine oracle regardless of the trained centroids; recall at
+    nprobe < nlist is covered by tests/test_llm.py. At scale the cell
+    column partition-prunes the probe read."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm.quantization import ivf_assign, ivf_topk, train_ivf_centroids
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cent = train_ivf_centroids(e, nlist=16, sample=2000)
+    cells = ivf_assign(e, cent)
+    out = ivf_topk(cells, [float(x) for x in q], cent, k=10, nprobe=16)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").alias("vec_id"), "rank"
+    )
 
 
 def _mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1551,6 +1585,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_stats": _text_quality_stats,
     "knn_cosine_top10": _knn_cosine_top10,
     "ann_knn_top10": _ann_knn_top10,
+    "ivf_knn_top10": _ivf_knn_top10,
     "sim_join_top2": _sim_join_top2,
     "text_features_profile": _text_features_profile,
     "alg_degree_top": _alg_degree_top,
@@ -1638,6 +1673,7 @@ _PRIORITY = [
     "graphql_three_level",
     "knn_cosine_top10",
     "ann_knn_top10",
+    "ivf_knn_top10",
     "varlen_asia_reach",
     "shortest_customer_part",
     "sparql_nation_region_join",
