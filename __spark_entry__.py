@@ -695,6 +695,20 @@ _ORACLE: dict[str, str] = {
         ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id ASC
         LIMIT 10
     """,
+    "bq_codes_hamming": """
+        WITH c AS (
+            SELECT vec_id,
+                   [CAST(list_sum(list_transform(range(1, 64),
+                        j -> CASE WHEN embedding[j] > 0
+                             THEN (1::BIGINT << (63 - j)) ELSE 0::BIGINT END)) AS BIGINT),
+                    CASE WHEN embedding[64] > 0 THEN 1::BIGINT ELSE 0::BIGINT END] AS code
+            FROM embeddings WHERE vec_id < 20
+        ), q AS (SELECT code AS qc FROM c WHERE vec_id = 0)
+        SELECT vec_id, c.code AS code,
+               CAST(bit_count(xor(c.code[1], q.qc[1]))
+                    + bit_count(xor(c.code[2], q.qc[2])) AS BIGINT) AS ham
+        FROM c, q
+    """,
     "ivf_knn_top10": """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
@@ -923,6 +937,31 @@ def _ann_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     out = ann_topk(e, [float(x) for x in q], k=10, multiprobe=2)
     return out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
+
+
+def _bq_codes_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization + packed Hamming distance
+    (functions/vector.py:101-139; reference index/vector/quantization.rs
+    1-bit variant): 64-dim embeddings pack into two 63-bit words
+    MSB-first, distance = popcount of the per-word XOR against the
+    vec_id=0 code. Pure Catalyst aggregates; the oracle replays the
+    packing bit-for-bit with shifts."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.functions.vector import binary_hamming, binary_quantize
+
+    e = _embs(spark, sf_dir).filter(F.col("vec_id") < 20)
+    q = (
+        _embs(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select(binary_quantize(F.col("embedding")).alias("qc"))
+    )
+    code = binary_quantize(F.col("embedding"))
+    return e.crossJoin(q).select(
+        "vec_id",
+        code.alias("code"),
+        binary_hamming(code, F.col("qc")).alias("ham"),
+    )
 
 
 def _ivf_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1586,6 +1625,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_top10": _knn_cosine_top10,
     "ann_knn_top10": _ann_knn_top10,
     "ivf_knn_top10": _ivf_knn_top10,
+    "bq_codes_hamming": _bq_codes_hamming,
     "sim_join_top2": _sim_join_top2,
     "text_features_profile": _text_features_profile,
     "alg_degree_top": _alg_degree_top,
@@ -1674,6 +1714,7 @@ _PRIORITY = [
     "knn_cosine_top10",
     "ann_knn_top10",
     "ivf_knn_top10",
+    "bq_codes_hamming",
     "varlen_asia_reach",
     "shortest_customer_part",
     "sparql_nation_region_join",
