@@ -1683,6 +1683,8 @@ _PRIORITY = [
     "sparql_subselect_concat",
     "pattern_comp_nations",
     "admin_stats_labels",
+    "ivf_knn_top10",
+    "bq_codes_hamming",
     # -- tier C: code changes in round 5 (dedup occupancy cap, pagerank
     # early-exit, time_bucket tz fix, as-of collision guard, gremlin store)
     # within the dedup family, cheap-to-compile entries lead: the first
@@ -1713,8 +1715,6 @@ _PRIORITY = [
     "graphql_three_level",
     "knn_cosine_top10",
     "ann_knn_top10",
-    "ivf_knn_top10",
-    "bq_codes_hamming",
     "varlen_asia_reach",
     "shortest_customer_part",
     "sparql_nation_region_join",
