@@ -110,9 +110,11 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
+        # keep the previous rank only when convergence is checked — the
+        # tol=None path would otherwise checkpoint a dead column per superstep
+        prev = state.withColumnRenamed("pr", "_prev") if tol is not None else state.drop("pr")
         state = (
-            state.withColumnRenamed("pr", "_prev")
-            .join(contrib, "id", "left")
+            prev.join(contrib, "id", "left")
             .withColumn(
                 "pr",
                 F.lit((1.0 - alpha) / n + alpha * dang / n)
@@ -126,8 +128,6 @@ def pagerank(
             state = state.drop("_prev")
             if delta is not None and delta < tol:
                 break
-        else:
-            state = state.drop("_prev")
     e.unpersist()
     out = state.select("id", F.col("pr").alias("pagerank"))
     # diagnostic for tests/tuning: how many supersteps actually ran

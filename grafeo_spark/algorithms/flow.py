@@ -18,23 +18,55 @@ DRIVER_FLOW_MAX_EDGES = 500_000
 
 
 def _residual(edges: DataFrame, cap_col: str, cost_col: str | None = None):
+    """Residual-capacity dicts. Without costs, parallel capacities sum and
+    anti-parallel edges share residuals (net-flow formulation — exact for
+    the max-flow VALUE; :func:`_flow_assignment` then reports net flows).
+    With costs, a (u, v)/(v, u) dict cannot hold two distinct priced arcs
+    — a real reverse edge would overwrite the forward arc's residual cost
+    with its negation — so every priced edge whose reverse (or a parallel
+    duplicate) exists is split through a synthetic intermediate node:
+    (u, m, cap, cost) + (m, v, cap, 0), flow-equivalent and collision-free."""
     rows = edges.collect()
     if len(rows) > DRIVER_FLOW_MAX_EDGES:
         raise ValueError(f"flow guard: {len(rows)} edges > {DRIVER_FLOW_MAX_EDGES}")
     cap: dict[tuple[int, int], float] = {}
     cost: dict[tuple[int, int], float] = {}
     adj: dict[int, set[int]] = {}
-    for r in rows:
-        u, v = r.src, r.dst
-        cap[(u, v)] = cap.get((u, v), 0.0) + float(r[cap_col])
+    via: dict[int, tuple[int, int]] = {}  # synthetic node -> real (u, v)
+
+    def add(u: int, v: int, c: float, w: float | None) -> None:
+        cap[(u, v)] = cap.get((u, v), 0.0) + c
         cap.setdefault((v, u), 0.0)
-        if cost_col is not None:
-            c = float(r[cost_col])
-            cost[(u, v)] = c
-            cost[(v, u)] = -c
+        if w is not None:
+            cost[(u, v)] = w
+            cost[(v, u)] = -w
         adj.setdefault(u, set()).add(v)
         adj.setdefault(v, set()).add(u)
-    return cap, cost, adj
+
+    if cost_col is None:
+        for r in rows:
+            add(r.src, r.dst, float(r[cap_col]), None)
+        return cap, cost, adj, via
+
+    pairs = {(r.src, r.dst) for r in rows}
+    from collections import Counter
+
+    multi = Counter((r.src, r.dst) for r in rows)
+    synth = max((x for p in pairs for x in p), default=0) + 1
+    seen_first: set[tuple[int, int]] = set()
+    for r in rows:
+        u, v, c, w = r.src, r.dst, float(r[cap_col]), float(r[cost_col])
+        clash = (v, u) in pairs or multi[(u, v)] > 1
+        if clash and ((u, v) in seen_first or (v, u) in pairs):
+            m = synth
+            synth += 1
+            via[m] = (u, v)
+            add(u, m, c, w)
+            add(m, v, c, 0.0)
+        else:
+            seen_first.add((u, v))
+            add(u, v, c, w)
+    return cap, cost, adj, via
 
 
 def _flow_assignment(
@@ -62,7 +94,7 @@ def max_flow(
     """Edmonds-Karp BFS augmentation (flow.rs:434). Returns the flow
     value, or ``(value, [(src, dst, flow), ...])`` with
     ``with_edges=True`` (the solvOR bridge format, solvor.rs max_flow)."""
-    cap, _, adj = _residual(edges, capacity_col)
+    cap, _, adj, _via = _residual(edges, capacity_col)
     orig = dict(cap)
     flow = 0.0
     while True:
@@ -107,7 +139,7 @@ def min_cost_flow(
     """Successive shortest paths with Bellman-Ford (flow.rs:533).
     Returns (achieved_flow, total_cost), or with ``with_edges=True``
     (achieved_flow, total_cost, [(src, dst, flow, unit_cost), ...])."""
-    cap, cost, adj = _residual(edges, capacity_col, cost_col)
+    cap, cost, adj, via = _residual(edges, capacity_col, cost_col)
     orig = dict(cap)
     flow = total_cost = 0.0
     nodes = sorted(adj)
@@ -141,9 +173,21 @@ def min_cost_flow(
             v = u
         flow += aug
     if with_edges:
-        assigned = [
-            (u, v, f, cost.get((u, v), 0.0))
-            for u, v, f in _flow_assignment(orig, cap)
-        ]
+        # translate synthetic split arcs back to their real edges: the
+        # (u, m) arc carries the real cost; its (m, v) twin is dropped
+        merged: dict[tuple[int, int, float], float] = {}
+        for u, v, f in _flow_assignment(orig, cap):
+            if v in via:
+                ru, rv = via[v]
+                merged[(ru, rv, cost.get((u, v), 0.0))] = (
+                    merged.get((ru, rv, cost.get((u, v), 0.0)), 0.0) + f
+                )
+            elif u in via:
+                continue
+            else:
+                merged[(u, v, cost.get((u, v), 0.0))] = (
+                    merged.get((u, v, cost.get((u, v), 0.0)), 0.0) + f
+                )
+        assigned = sorted((u, v, f, w) for (u, v, w), f in merged.items())
         return flow, total_cost, assigned
     return flow, total_cost

@@ -125,6 +125,16 @@ class SolvORAdapter:
     def __init__(self, graph: PropertyGraph) -> None:
         self.graph = graph
 
+    def _node_ids(self) -> list:
+        """Every node id (driver-side; the adapter's dict/list results are
+        driver-bound anyway). Ensures isolated nodes — absent from the
+        edge list the algorithms derive their vertex sets from — still
+        appear in components/centrality/sort results (r5 review)."""
+        ids: set = set()
+        for f in self.graph.node_frames.values():
+            ids.update(r.id for r in f.select("id").collect())
+        return sorted(ids)
+
     def _edges(self, prop: Optional[str], default: float, alias: str):
         e = self.graph.edges()
         if prop is not None:
@@ -257,13 +267,19 @@ class SolvORAdapter:
         from grafeo_spark.algorithms.components import connected_components
 
         e = self.graph.edges().select("src", "dst")
-        return {r.id: r.component for r in connected_components(e).collect()}
+        out = {r.id: r.component for r in connected_components(e).collect()}
+        for i in self._node_ids():
+            out.setdefault(i, i)  # isolated node = its own component
+        return out
 
     def strongly_connected_components(self) -> dict:
         from grafeo_spark.algorithms.components import strongly_connected_components
 
         e = self.graph.edges().select("src", "dst")
-        return {r.id: r.component for r in strongly_connected_components(e).collect()}
+        out = {r.id: r.component for r in strongly_connected_components(e).collect()}
+        for i in self._node_ids():
+            out.setdefault(i, i)
+        return out
 
     def topological_sort(self):
         """List of node ids in topological order, or None on a cycle."""
@@ -273,7 +289,11 @@ class SolvORAdapter:
             out = topological_sort(self.graph.edges().select("src", "dst"))
         except ValueError:
             return None
-        return [r.id for r in out.orderBy("level", "id").collect()]
+        order = [r.id for r in out.orderBy("level", "id").collect()]
+        seen = set(order)
+        # isolated nodes are unconstrained: any position is valid
+        order += [i for i in self._node_ids() if i not in seen]
+        return order
 
     # -- centrality (solvor.rs pagerank/betweenness) -----------------------
 
@@ -282,9 +302,15 @@ class SolvORAdapter:
     ) -> dict:
         from grafeo_spark.algorithms.centrality import pagerank
 
+        vertices = None
+        if self.graph.node_frames:
+            frames = [f.select("id") for f in self.graph.node_frames.values()]
+            vertices = frames[0]
+            for f in frames[1:]:
+                vertices = vertices.unionByName(f)
         out = pagerank(
             self.graph.edges().select("src", "dst"),
-            alpha=damping, max_iter=max_iter, tol=tol,
+            alpha=damping, max_iter=max_iter, tol=tol, vertices=vertices,
         )
         return {r.id: r.pagerank for r in out.collect()}
 
@@ -294,7 +320,10 @@ class SolvORAdapter:
         out = betweenness_centrality(
             self.graph.edges().select("src", "dst"), normalized=normalized
         )
-        return {r.id: r.betweenness for r in out.collect()}
+        got = {r.id: r.betweenness for r in out.collect()}
+        for i in self._node_ids():
+            got.setdefault(i, 0.0)
+        return got
 
     # -- communities (solvor.rs louvain) -----------------------------------
 
@@ -308,6 +337,8 @@ class SolvORAdapter:
         e = self.graph.edges().select("src", "dst")
         comm = louvain(e)
         comms = {r.id: r.community for r in comm.collect()}
+        for i in self._node_ids():
+            comms.setdefault(i, i)  # isolated node = singleton community
         return {
             "communities": comms,
             "modularity": modularity(e, comm),
@@ -335,13 +366,17 @@ class SolvORAdapter:
         n = sum(f.count() for f in self.graph.node_frames.values())
         e = sum(f.count() for f in self.graph.edge_frames.values())
         density = e / (n * (n - 1)) if n > 1 else 0.0
-        comps = (
-            connected_components(self.graph.edges().select("src", "dst"))
-            .select("component")
-            .distinct()
-            .count()
-        )
-        return {"nodes": n, "edges": e, "density": density, "components": comps}
+        cc = connected_components(self.graph.edges().select("src", "dst"))
+        comps = cc.select("component").distinct().count()
+        # isolated nodes are singleton components the edge-derived CC misses
+        touched = cc.select("id")
+        isolated = 0
+        for f in self.graph.node_frames.values():
+            isolated += f.select("id").join(touched, "id", "left_anti").count()
+        return {
+            "nodes": n, "edges": e, "density": density,
+            "components": comps + isolated,
+        }
 
     def __repr__(self) -> str:
         n = sum(f.count() for f in self.graph.node_frames.values())

@@ -137,6 +137,20 @@ class PropertyGraph:
             key = e.select(F.col(SRC).alias(ID)).unionAll(e.select(F.col(DST).alias(ID)))
         return key.groupBy(ID).agg(F.count("*").alias("degree"))
 
+    def next_node_id(self) -> int:
+        """Smallest id above every existing node id — the shared fresh-id
+        allocator for the Cypher/Gremlin/GraphQL mutation paths. One Spark
+        job: a union of per-frame max aggregates (same shape as
+        ``GrafeoSpark.stats``)."""
+        frames = list(self.node_frames.values())
+        if not frames:
+            return 1
+        u = frames[0].agg(F.max(ID).alias("m"))
+        for f in frames[1:]:
+            u = u.unionByName(f.agg(F.max(ID).alias("m")))
+        mx = u.agg(F.max("m")).first()[0]
+        return (mx if mx is not None else 0) + 1
+
     # -- mutation (functional: returns a new graph) ------------------------
 
     def with_nodes(

@@ -200,11 +200,7 @@ class _Mutator:
         return out
 
     def _next_id(self) -> int:
-        mx = 0
-        for frame in self.graph.node_frames.values():
-            v = frame.agg(F.max("id")).collect()[0][0]
-            mx = max(mx, v if v is not None else 0)
-        return mx + 1
+        return self.graph.next_node_id()
 
     # -- CREATE ----------------------------------------------------------
 

@@ -260,6 +260,9 @@ def _resolve(
                     raise GraphQLError(f"missing variable ${v.name}")
                 v = values[v.name]
             elif isinstance(v, list):
+                for x in v:
+                    if isinstance(x, _VarRef) and x.name not in values:
+                        raise GraphQLError(f"missing variable ${x.name}")
                 v = [values[x.name] if isinstance(x, _VarRef) else x for x in v]
             args.append((k, v))
         out.append(
@@ -442,11 +445,7 @@ def _compile_field(graph: PropertyGraph, root: Field) -> DataFrame:
 
 
 def _next_id(graph: PropertyGraph) -> int:
-    mx = 0
-    for f in graph.node_frames.values():
-        v = f.agg(F.max("id")).first()[0]
-        mx = max(mx, v if v is not None else 0)
-    return mx + 1
+    return graph.next_node_id()
 
 
 def _mutation_parts(name: str) -> tuple[str, str]:
@@ -475,6 +474,11 @@ def _execute_mutation(db, root: Field) -> DataFrame:
     if kind == "create":
         if not root.args:
             raise GraphQLError("create mutation requires at least one property")
+        if any(k == "id" for k, _ in root.args):
+            raise GraphQLError(
+                "create mutation: id is engine-assigned (a caller-supplied id "
+                "could collide across labels and break pruning invariants)"
+            )
         nid = _next_id(graph)
         row = {"id": nid, **dict(root.args)}
         df = spark.createDataFrame([tuple(row.values())], list(row.keys()))

@@ -464,7 +464,12 @@ class Traversal:
 
     def valueMap(self, *keys: str) -> "Traversal":
         prefix = self.cur + "__"
-        ks = keys or [c[len(prefix):] for c in self.df.columns if c.startswith(prefix) and not c.endswith("_label")]
+        ks = keys or [
+            c[len(prefix):]
+            for c in self.df.columns
+            if c.startswith(prefix)
+            and c[len(prefix):] not in ("_label", "_near")
+        ]
         cols = [F.col(_p(self.cur, k)).alias(k) for k in ks]
         return self._derive(self.df.select(*cols), self.cur, "value")
 
@@ -1110,11 +1115,7 @@ class _AddE:
 
 
 def _next_node_id(graph: PropertyGraph) -> int:
-    mx = 0
-    for frame in graph.node_frames.values():
-        v = frame.agg(F.max("id")).collect()[0][0]
-        mx = max(mx, v if v is not None else 0)
-    return mx + 1
+    return graph.next_node_id()
 
 
 class _OrderStep:

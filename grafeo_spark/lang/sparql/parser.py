@@ -575,7 +575,8 @@ class Parser:
             elif self.at("op", "{"):
                 # peek past '{': a SELECT keyword means a sub-query
                 # (ast.rs:322 SubSelect), otherwise a UNION group chain
-                if self.toks[self.i + 1][:2] == ("name", "SELECT"):
+                nxt = self.toks[self.i + 1]
+                if nxt[0] == "name" and nxt[1].upper() == "SELECT":
                     self.next()
                     g.subselects.append(self._select(nested=True))
                     self.eat("op", "}")

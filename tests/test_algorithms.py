@@ -341,6 +341,31 @@ def test_min_cost_flow(spark):
     assert flow == 2.0 and cost == 4.0
 
 
+def test_min_cost_flow_antiparallel_edges(spark):
+    """Anti-parallel priced edges must not corrupt each other's residual
+    costs (the r5 review finding): (1,2,cost=3) and (2,1,cost=5) are split
+    through synthetic arcs, so forward flow on (1,2) prices at 3, not -5."""
+    from grafeo_spark.algorithms import min_cost_flow
+
+    e = edges_df(
+        spark,
+        [(1, 2, 2.0, 3.0), (2, 1, 2.0, 5.0), (2, 4, 2.0, 1.0)],
+        "src long, dst long, capacity double, cost double",
+    )
+    flow, cost, assigned = min_cost_flow(e, 1, 4, 2.0, with_edges=True)
+    assert flow == 2.0 and cost == 8.0  # 2 * (3 + 1), NOT 2 * (-5 + 1)
+    assert (1, 2, 2.0, 3.0) in assigned and (2, 4, 2.0, 1.0) in assigned
+    assert all(u in (1, 2, 4) and v in (1, 2, 4) for u, v, _, _ in assigned)
+    # parallel duplicates with distinct costs: cheap one first
+    e2 = edges_df(
+        spark,
+        [(1, 2, 1.0, 1.0), (1, 2, 1.0, 9.0), (2, 4, 2.0, 0.0)],
+        "src long, dst long, capacity double, cost double",
+    )
+    flow2, cost2 = min_cost_flow(e2, 1, 4, 2.0)
+    assert flow2 == 2.0 and cost2 == 10.0  # 1*1 + 1*9
+
+
 def test_registry_dispatch(spark):
     from grafeo_spark import algorithms as alg
 

@@ -188,3 +188,19 @@ def test_mutations_create_update_delete(spark, social):
     deleted = rows(mdb.graphql('mutation { deletePerson(name: "Zed") }'))
     assert deleted == [(1,)]
     assert mdb.graph.nodes("Person").count() == 8
+
+
+def test_create_mutation_rejects_explicit_id(spark, social):
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.lang.graphql import GraphQLError
+
+    mdb = GrafeoSpark(spark, social)
+    with pytest.raises(GraphQLError, match="engine-assigned"):
+        mdb.graphql('mutation { createPerson(id: 1, name: "Dup") { id } }')
+
+
+def test_list_variable_missing_raises_graphql_error(db):
+    from grafeo_spark.lang.graphql import GraphQLError
+
+    with pytest.raises(GraphQLError, match="missing variable"):
+        db.graphql("query { Person(city_in: [$a]) { name } }")

@@ -382,6 +382,29 @@ def test_solvor_flow_mst_order(spark):
     assert abs(sum(pr.values()) - 1.0) < 1e-6
 
 
+def test_solvor_isolated_nodes(spark):
+    """Isolated nodes (absent from the edge list) still appear in the
+    adapter's results: singleton components, zero centrality, unconstrained
+    topological position, PageRank mass (r5 review finding)."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], "id long")  # 99 isolated
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s = GrafeoSpark(spark, PropertyGraph({"N": nodes}, {"E": edges})).as_solvor()
+    cc = s.connected_components()
+    assert cc[99] == 99 and cc[1] == cc[2]
+    assert s.strongly_connected_components()[99] == 99
+    topo = s.topological_sort()
+    assert set(topo) == {1, 2, 99} and topo.index(1) < topo.index(2)
+    pr = s.pagerank(max_iter=5)
+    assert 99 in pr and abs(sum(pr.values()) - 1.0) < 1e-6
+    assert s.betweenness_centrality()[99] == 0.0
+    lv = s.louvain()
+    assert lv["communities"][99] == 99
+    assert s.graph_stats()["components"] == 2
+
+
 def test_solvor_structure_and_communities(spark):
     # barbell: two triangles joined by the 3-4 bridge
     s = _solvor(

@@ -658,3 +658,15 @@ def test_new_builtins(sdb):
         )
     )
     assert len(out4) == 1
+
+
+def test_subselect_lowercase_keyword(sdb):
+    # keyword matching is case-insensitive everywhere, including the
+    # sub-select lookahead (r5 review finding)
+    out = rows(
+        sdb.sparql(
+            PFX + "select ?n ?k where { ?p ex:name ?n . "
+            "{ select ?p (count(?o) AS ?k) where { ?p ex:knows ?o } group by ?p } }"
+        )
+    )
+    assert out == [("Alice", 1), ("Bob", 1)]
