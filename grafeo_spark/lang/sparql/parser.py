@@ -336,6 +336,12 @@ class Parser:
         if self.at("name", "DISTINCT"):
             self.next()
             distinct = True
+        elif self.at("name", "REDUCED"):
+            # SELECT REDUCED (ast.rs Reduced): PERMITS eliminating
+            # duplicates without requiring it — any level of dedup is
+            # spec-conformant, so it compiles exactly like DISTINCT
+            self.next()
+            distinct = True
         variables: list[str] = []
         aggregates: list[tuple[str, str, str, bool]] = []
         if self.at("op", "*"):

@@ -174,7 +174,10 @@ def _blocked_exact_pairs(
     ``n_blocks`` is derived from the corpus size (``ceil(n / 4096)``, one
     count job) so per-task memory stays bounded no matter how large the
     input — a fixed block count would grow each task's matrices linearly
-    with the corpus.
+    with the corpus. The sizing count is one full pass; at 100 TB pass
+    ``n_blocks`` explicitly (a row-count estimate from table metadata is
+    enough — the bound only needs the right order of magnitude) to skip
+    it.
 
     ``base`` must have columns (id, _v: array<double>).
     """

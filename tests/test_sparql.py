@@ -670,3 +670,10 @@ def test_subselect_lowercase_keyword(sdb):
         )
     )
     assert out == [("Alice", 1), ("Bob", 1)]
+
+
+def test_select_reduced(sdb):
+    # REDUCED permits duplicate elimination (ast.rs Reduced); the engine
+    # dedups fully, which is spec-conformant
+    out = rows(sdb.sparql(PFX + "SELECT REDUCED ?t WHERE { ?s a ?t }"))
+    assert out == [(EX + "City",), (EX + "Person",)]
