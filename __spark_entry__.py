@@ -375,6 +375,14 @@ _ORACLE: dict[str, str] = {
     "gremlin_order_count": """
         SELECT CAST(count(*) AS BIGINT) AS count FROM orders
     """,
+    "graphql_rdf_customers": """
+        SELECT c_name AS name, n_name AS fromNation_name,
+               r_name AS fromNation_inRegion_name
+        FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE c_mktsegment = 'BUILDING'
+    """,
     "graphql_customers": """
         SELECT c_custkey AS custkey, c_name AS name FROM customer
         WHERE c_mktsegment = 'BUILDING'
@@ -1587,6 +1595,20 @@ def _graphql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graphql_rdf_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQL over RDF (graphql_rdf_translator.rs): root type pattern +
+    argument equality + two nested predicate traversals over the triple
+    store, flattened like the LPG side."""
+    from grafeo_spark.catalog import tpch_triples
+    from grafeo_spark.engine import GrafeoSpark
+
+    db = GrafeoSpark(spark, triples=tpch_triples(spark, sf_dir))
+    return db.graphql_rdf(
+        '{ Customer(mktsegment: "BUILDING") '
+        "{ name fromNation { name inRegion { name } } } }"
+    )
+
+
 def _graphql_three_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-level nesting (customer -> PLACED -> CONTAINS), endpoint-resolved
     labels at every level (graphql_translator.rs:28 recursive walk); one row
@@ -1615,6 +1637,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graphql_customers": _graphql_customers,
     "graphql_nested": _graphql_nested,
     "graphql_three_level": _graphql_three_level,
+    "graphql_rdf_customers": _graphql_rdf_customers,
     "mutation_roundtrip": _mutation_roundtrip,
     "dedup_near_pairs": _dedup_near_pairs,
     "ngram_jaccard_pairs": _ngram_jaccard_pairs,
@@ -1682,6 +1705,7 @@ _PRIORITY = [
     "sparql_having_segments",
     "sparql_subselect_concat",
     "pattern_comp_nations",
+    "graphql_rdf_customers",
     "admin_stats_labels",
     "ivf_knn_top10",
     "bq_codes_hamming",

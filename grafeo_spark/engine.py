@@ -125,6 +125,22 @@ class GrafeoSpark:
 
         return execute(self.graph, query, variables=variables, db=self)
 
+    def graphql_rdf(
+        self,
+        query: str,
+        namespace: str = "http://example.org/",
+        variables: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """GraphQL over the RDF triple store (graphql_rdf_translator.rs):
+        root field -> rdf:type pattern, args -> property equality, nested
+        selections -> predicate traversals; compiled through the SPARQL
+        group compiler."""
+        if self.triples is None:
+            raise ValueError("no triple store attached")
+        from grafeo_spark.lang.graphql import execute_rdf
+
+        return execute_rdf(self.triples, query, namespace=namespace, variables=variables)
+
     def sparql(self, query: str) -> DataFrame:
         """Execute a SPARQL SELECT over the attached TripleStore
         (session.execute_sparql analogue, processor.rs:300-331)."""

@@ -516,6 +516,70 @@ def _execute_mutation(db, root: Field) -> DataFrame:
     return spark.createDataFrame([(n,)], "deleted long")
 
 
+# --------------------------------------------------------------------- #
+# GraphQL over RDF (graphql_rdf_translator.rs:1-483)
+# --------------------------------------------------------------------- #
+
+
+def execute_rdf(
+    ts,
+    query: str,
+    namespace: str = "http://example.org/",
+    variables: Optional[dict[str, Any]] = None,
+) -> DataFrame:
+    """GraphQL over an RDF TripleStore (graphql_rdf_translator.rs mapping):
+    root field -> ``?s rdf:type <ns>Type`` pattern, field arguments ->
+    property patterns with equality filters, scalar fields -> property
+    patterns projected out, nested selections -> predicate traversals to a
+    fresh subject. Compiles to a SPARQL GroupPattern and reuses the SPARQL
+    compiler, so shared-variable joins, fragments and $variables all work.
+    Nested scalars flatten as ``<fieldAlias>_<prop>`` (the LPG side's
+    convention; the reference leaves nested aliases unprefixed, which can
+    collide)."""
+    from grafeo_spark.lang.sparql import parser as SP
+    from grafeo_spark.lang.sparql.compiler import _compile_group
+
+    op, roots = _parse_resolved(query, variables)
+    if op != "query":
+        raise GraphQLError("RDF GraphQL supports query operations only")
+    if len(roots) != 1:
+        raise GraphQLError("exactly one root field per query is supported")
+
+    g = SP.GroupPattern()
+    proj: list[tuple[str, str]] = []  # (sparql var, output alias)
+    counter = [0]
+
+    def nv() -> str:
+        counter[0] += 1
+        return f"__gq{counter[0]}"
+
+    def walk(fld: Field, subj: str, prefix: str) -> None:
+        for k, v in fld.args:
+            g.triples.append(
+                SP.TriplePattern(SP.Var(subj), SP.Iri(namespace + k), SP.Lit(v))
+            )
+        for s in fld.selections:
+            var = nv()
+            g.triples.append(
+                SP.TriplePattern(SP.Var(subj), SP.Iri(namespace + s.name), SP.Var(var))
+            )
+            if s.selections:
+                walk(s, var, prefix + s.out_name + "_")
+            else:
+                proj.append((var, prefix + s.out_name))
+
+    root = roots[0]
+    subj = nv()
+    g.triples.append(
+        SP.TriplePattern(SP.Var(subj), SP.Iri(SP.RDF_TYPE), SP.Iri(namespace + root.name))
+    )
+    walk(root, subj, "")
+    if not proj:
+        raise GraphQLError("selection set has no scalar fields to project")
+    out = _compile_group(ts, g)
+    return out.select(*[F.col(v).alias(a) for v, a in proj])
+
+
 def execute(
     graph: PropertyGraph,
     query: str,
@@ -534,4 +598,4 @@ def execute(
     return _compile_field(graph, roots[0])
 
 
-__all__ = ["parse", "execute", "GraphQLError", "Field"]
+__all__ = ["parse", "execute", "execute_rdf", "GraphQLError", "Field"]

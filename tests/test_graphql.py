@@ -204,3 +204,47 @@ def test_list_variable_missing_raises_graphql_error(db):
 
     with pytest.raises(GraphQLError, match="missing variable"):
         db.graphql("query { Person(city_in: [$a]) { name } }")
+
+
+def test_graphql_over_rdf(spark):
+    """GraphQL over a TripleStore (graphql_rdf_translator.rs): root field
+    -> rdf:type pattern, args -> property equality, nested selections ->
+    predicate traversals; fragments and variables resolve first."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import TripleStore
+
+    EX = "http://example.org/"
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def t(s, p, o_iri=None, o_lit=None):
+        return (s, p, o_iri, o_lit, None, None)
+
+    data = [
+        t(EX + "alice", RT, o_iri=EX + "Person"),
+        t(EX + "alice", EX + "name", o_lit="Alice"),
+        t(EX + "alice", EX + "livesIn", o_iri=EX + "city1"),
+        t(EX + "bob", RT, o_iri=EX + "Person"),
+        t(EX + "bob", EX + "name", o_lit="Bob"),
+        t(EX + "city1", RT, o_iri=EX + "City"),
+        t(EX + "city1", EX + "name", o_lit="NYC"),
+    ]
+    ts = TripleStore(
+        spark.createDataFrame(
+            data, "s string, p string, o_iri string, o_lit string, o_dt string, g string"
+        )
+    )
+    db = GrafeoSpark(spark, graph=None, triples=ts)
+    out = rows(db.graphql_rdf('{ Person(name: "Alice") { name livesIn { name } } }'))
+    assert out == [("Alice", "NYC")]
+    # inner-join semantics: Bob has no livesIn and drops out
+    assert rows(db.graphql_rdf("{ Person { name livesIn { name } } }")) == [
+        ("Alice", "NYC")
+    ]
+    # fragments + variables work through the shared resolution pass
+    out2 = rows(
+        db.graphql_rdf(
+            'query($n: String = "Bob") { Person(name: $n) { ...nm } } '
+            "fragment nm on Person { name }"
+        )
+    )
+    assert out2 == [("Bob",)]
