@@ -338,6 +338,109 @@ class GrafeoSpark:
             "triple_count": self.triples.df.count() if self.triples is not None else 0,
         }
 
+    def validate(self, sample: int = 5) -> dict:
+        """Graph integrity validation (grafeo-cli/src/commands/validate.rs,
+        database.rs:1432): dangling edge endpoints are errors, a node-only
+        graph is a warning — plus checks the reference doesn't have for
+        the DECLARED metadata this engine's compiler exploits: duplicate
+        ids within a label frame, a violated ``disjoint_labels``
+        assertion, and edges outside their declared endpoint labels.
+        Everything is anti-joins and counts (scale-safe); ``sample``
+        offending ids are collected per finding for context."""
+        from pyspark.sql import functions as F
+
+        errors: list[dict] = []
+        warnings: list[dict] = []
+
+        def finding(code: str, message: str, bad, col: str) -> dict:
+            ids = [r[0] for r in bad.select(col).limit(sample).collect()]
+            return {"code": code, "message": message, "context": ids}
+
+        g = self.graph
+        if g is not None and g.node_frames:
+            ids = None
+            for f in g.node_frames.values():
+                cur = f.select("id")
+                ids = cur if ids is None else ids.unionByName(cur)
+            for t, e in sorted(g.edge_frames.items()):
+                for side, code in (("src", "DANGLING_SRC"), ("dst", "DANGLING_DST")):
+                    bad = e.select(F.col(side).alias("id")).join(ids, "id", "left_anti")
+                    n = bad.count()
+                    if n:
+                        errors.append(
+                            finding(
+                                code,
+                                f"{n} {t} edge(s) reference a non-existent {side} node",
+                                bad, "id",
+                            )
+                        )
+            for label, f in sorted(g.node_frames.items()):
+                dup = f.groupBy("id").count().filter(F.col("count") > 1)
+                n = dup.count()
+                if n:
+                    errors.append(
+                        finding(
+                            "DUPLICATE_ID",
+                            f"{n} duplicate id(s) within label {label}",
+                            dup, "id",
+                        )
+                    )
+            if g.disjoint_labels and len(g.node_frames) > 1:
+                tagged = None
+                for label, f in g.node_frames.items():
+                    cur = f.select("id", F.lit(label).alias("_l")).distinct()
+                    tagged = cur if tagged is None else tagged.unionByName(cur)
+                shared = tagged.groupBy("id").count().filter(F.col("count") > 1)
+                n = shared.count()
+                if n:
+                    errors.append(
+                        finding(
+                            "DISJOINT_LABELS_VIOLATED",
+                            f"disjoint_labels is declared but {n} id(s) appear "
+                            "under multiple labels (endpoint-label path pruning "
+                            "would be unsound)",
+                            shared, "id",
+                        )
+                    )
+            for t, (sl, dl) in sorted(g.endpoints.items()):
+                if t not in g.edge_frames:
+                    continue
+                e = g.edge_frames[t]
+                for side, lbl, code in (
+                    ("src", sl, "ENDPOINT_SRC_LABEL"),
+                    ("dst", dl, "ENDPOINT_DST_LABEL"),
+                ):
+                    if lbl is None or lbl not in g.node_frames:
+                        continue
+                    bad = e.select(F.col(side).alias("id")).join(
+                        g.node_frames[lbl].select("id"), "id", "left_anti"
+                    )
+                    n = bad.count()
+                    if n:
+                        errors.append(
+                            finding(
+                                code,
+                                f"{n} {t} edge(s) have a {side} outside the "
+                                f"declared label {lbl}",
+                                bad, "id",
+                            )
+                        )
+            if g.node_frames and not g.edge_frames:
+                warnings.append(
+                    {
+                        "code": "NO_EDGES",
+                        "message": "graph has nodes but no edges",
+                        "context": None,
+                    }
+                )
+        return {
+            "valid": not errors,
+            "error_count": len(errors),
+            "warning_count": len(warnings),
+            "errors": errors,
+            "warnings": warnings,
+        }
+
     def as_solvor(self):
         """solvOR-style OR adapter over the current graph (reference
         bindings/python/src/bridges/solvor.rs surface): shortest paths with

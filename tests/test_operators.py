@@ -515,3 +515,35 @@ def test_triples_save_load_partition_pruning(spark, tmp_path):
     assert back.df.count() == 3
     got = back.df.filter("p = 'http://x/p1'").select("s").collect()
     assert sorted(r.s for r in got) == ["a", "c"]
+
+
+def test_validate_clean_and_violations(spark, social):
+    """validate() (grafeo-cli validate.rs + database.rs:1432): dangling
+    endpoints and metadata-invariant violations are errors with sampled
+    context; a clean graph is valid."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    assert GrafeoSpark(spark, social).validate() == {
+        "valid": True, "error_count": 0, "warning_count": 0,
+        "errors": [], "warnings": [],
+    }
+    # dangling dst + duplicate id + violated disjoint_labels declaration
+    nodes_a = spark.createDataFrame([(1,), (2,), (2,)], "id long")
+    nodes_b = spark.createDataFrame([(2,), (3,)], "id long")
+    edges = spark.createDataFrame([(1, 999)], "src long, dst long")
+    bad = PropertyGraph(
+        {"A": nodes_a, "B": nodes_b}, {"E": edges},
+        endpoints={"E": ("A", "B")}, disjoint_labels=True,
+    )
+    out = GrafeoSpark(spark, bad).validate()
+    codes = {e["code"] for e in out["errors"]}
+    assert not out["valid"]
+    assert {"DANGLING_DST", "DUPLICATE_ID", "DISJOINT_LABELS_VIOLATED",
+            "ENDPOINT_DST_LABEL"} <= codes
+    dangling = next(e for e in out["errors"] if e["code"] == "DANGLING_DST")
+    assert dangling["context"] == [999]
+    # nodes-only graph warns
+    g2 = PropertyGraph({"A": spark.createDataFrame([(1,)], "id long")}, {})
+    out2 = GrafeoSpark(spark, g2).validate()
+    assert out2["valid"] and out2["warnings"][0]["code"] == "NO_EDGES"
