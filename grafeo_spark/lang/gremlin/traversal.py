@@ -558,12 +558,17 @@ class Traversal:
             raise GremlinError("aggregation over elements needs a key (use values(k) first)")
         return self._derive(self.df.agg(fn(col).alias("value")), "value", "value")
 
-    def groupCount(self, key: Optional[str] = None) -> "Traversal":
-        col = (
-            F.col(self.df.columns[0])
-            if self.kind == "value" and key is None
-            else F.col(_p(self.cur, key))
-        )
+    def groupCount(self, key: Optional[str] = None) -> "_GroupCountStep":
+        """``groupCount([key])`` (ast.rs GroupCount(Option<String>)); the
+        key may also arrive as a TinkerPop ``.by('key')`` modulator. With
+        neither, values group by themselves and elements by id."""
+        return _GroupCountStep(self, key)
+
+    def _group_count(self, key: Optional[str]) -> "Traversal":
+        if self.kind == "value":
+            col = F.col(self.df.columns[0]) if key is None else F.col(_p(self.cur, key))
+        else:
+            col = F.col(_p(self.cur, "id" if key is None else key))
         out = self.df.groupBy(col.alias("key")).agg(F.count(F.lit(1)).alias("count"))
         return self._derive(out, "key", "value")
 
@@ -971,6 +976,22 @@ class _ProjectStep:
             else:
                 df = df.withColumn(key, F.col(_p(t.cur, spec)))
         return t._derive(df.select(*self.keys), self.keys[0], "value")
+
+
+class _GroupCountStep:
+    """Deferred ``groupCount()`` awaiting an optional ``.by(key)``
+    modulator; any other chained call builds with the current key and
+    delegates to the resulting Traversal."""
+
+    def __init__(self, t: Traversal, key: Optional[str]) -> None:
+        self._t = t
+        self._key = key
+
+    def by(self, key: str) -> Traversal:
+        return self._t._group_count(key)
+
+    def __getattr__(self, name: str):
+        return getattr(self._t._group_count(self._key), name)
 
 
 class _GroupStep:

@@ -398,6 +398,10 @@ def _filter_col(e, df: DataFrame) -> Column:
             if "i" in flags:
                 pattern = "(?i)" + pattern
             return F.regexp_replace(s, pattern, str(rep.value))
+        if op.startswith("cast:"):
+            # xsd constructor casts (SPARQL 1.1 §17.5; superset — the
+            # reference resolves no cast functions, planner_rdf.rs:1927+)
+            return _filter_col(e.args[0], df).cast(op[5:])
         if op.startswith("call:"):
             return _builtin(op[5:], [_filter_col(a, df) for a in e.args])
         raise SparqlCompileError(f"unsupported filter op {op!r}")

@@ -578,6 +578,24 @@ class Parser:
                 if not isinstance(gterm, (Iri, Var)):
                     raise SparqlSyntaxError("GRAPH needs an IRI or variable")
                 g.graphs.append((gterm, self.group()))
+            elif self.at("name", "SERVICE"):
+                # SERVICE [SILENT] <endpoint> { ... } (ast.rs:324-331).
+                # The reference evaluates the pattern against the LOCAL
+                # store, ignoring the endpoint (sparql_translator.rs:673-680)
+                # — federation is not implemented there either; we match
+                # that behavior by folding the inner group into this one.
+                self.next()
+                if self.at("name", "SILENT"):
+                    self.next()
+                endpoint = self.term()
+                if not isinstance(endpoint, (Iri, Var)):
+                    raise SparqlSyntaxError("SERVICE needs an IRI or variable")
+                inner = self.group()
+                for fld in (
+                    "triples", "filters", "optionals", "unions", "values",
+                    "minuses", "graphs", "binds", "exists", "subselects",
+                ):
+                    getattr(g, fld).extend(getattr(inner, fld))
             elif self.at("op", "{"):
                 # peek past '{': a SELECT keyword means a sub-query
                 # (ast.rs:322 SubSelect), otherwise a UNION group chain
@@ -846,12 +864,37 @@ class Parser:
         # bare term / call (effective boolean value, or a function argument)
         return left
 
+    # XSD constructor casts usable as functions (SPARQL 1.1 §17.5; a
+    # superset of the reference, which has no cast functions —
+    # planner_rdf.rs:1927+ resolves only the builtin list)
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    _CASTS = {
+        XSD + "integer": "long",
+        XSD + "int": "int",
+        XSD + "long": "long",
+        XSD + "decimal": "double",
+        XSD + "double": "double",
+        XSD + "float": "float",
+        XSD + "string": "string",
+        XSD + "boolean": "boolean",
+        XSD + "dateTime": "timestamp",
+        XSD + "date": "date",
+    }
+
     def primary(self):
         if self.at("op", "("):
             self.next()
             e = self.filter_expr()
             self.eat("op", ")")
             return e
+        if self.at("pname") and self.toks[self.i + 1][:2] == ("op", "("):
+            iri = self.term()
+            if isinstance(iri, Iri) and iri.value in self._CASTS:
+                self.eat("op", "(")
+                arg = self.filter_expr()
+                self.eat("op", ")")
+                return FExpr("cast:" + self._CASTS[iri.value], (arg,))
+            raise SparqlSyntaxError(f"unknown function <{iri.value}>")
         if self.at("name"):
             fname = self.next()[1].upper()
             self.eat("op", "(")

@@ -677,3 +677,45 @@ def test_select_reduced(sdb):
     # dedups fully, which is spec-conformant
     out = rows(sdb.sparql(PFX + "SELECT REDUCED ?t WHERE { ?s a ?t }"))
     assert out == [(EX + "City",), (EX + "Person",)]
+
+
+def test_service_local_eval(sdb):
+    # SERVICE [SILENT] <endpoint> { ... } (ast.rs:324-331): the reference
+    # evaluates the pattern against the local store and ignores the
+    # endpoint (sparql_translator.rs:673-680); we match that, joining the
+    # service pattern with its siblings
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?name WHERE { ?p a ex:Person . "
+            "SERVICE <http://remote.example/sparql> { ?p ex:name ?name } }"
+        )
+    )
+    assert out == [("Alice",), ("Bob",), ("Carol",)]
+    out2 = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { SERVICE SILENT ex:ep { "
+            'ex:alice ex:name ?n . FILTER(STRSTARTS(?n, "A")) } }'
+        )
+    )
+    assert out2 == [("Alice",)]
+
+
+def test_xsd_cast_functions(sdb):
+    # xsd constructor casts (SPARQL 1.1 §17.5) — superset: the reference
+    # resolves only its builtin list (planner_rdf.rs:1927+)
+    out = rows(
+        sdb.sparql(
+            PFX + "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?n WHERE { ?p ex:age ?a . ?p ex:name ?n . "
+            "FILTER(xsd:integer(?a) >= 40) }"
+        )
+    )
+    assert out == [("Bob",)]
+    out2 = rows(
+        sdb.sparql(
+            PFX + "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?p ex:age ?a . ex:alice ex:name ?p2 . "
+            "BIND(xsd:string(?a) AS ?s) . FILTER(?s = \"30\" && ?p2 = \"Alice\") }"
+        )
+    )
+    assert out2 == [("30",)]
