@@ -465,3 +465,108 @@ class GrafeoSpark:
                 cur = self.graph.edges(t)
                 e = cur if e is None else e.unionByName(cur, allowMissingColumns=True)
         return A.run(name, e, **params)
+
+    def begin_transaction(self, isolation_level: str | None = None) -> "Transaction":
+        """Start a snapshot transaction (reference: database.rs:988
+        ``begin_transaction`` / PyTransaction, transaction/mod.rs —
+        SnapshotIsolation is the default there too). Immutable DataFrames
+        give snapshot semantics for free: the transaction's queries and
+        mutations run against its own working engine whose frames start as
+        this session's; ``commit()`` publishes the working frames back
+        atomically (a reference swap), ``rollback()`` discards them. The
+        parent session never sees uncommitted writes. Concurrent
+        transactions are last-commit-wins — per-row OLTP conflict
+        detection is a non-goal of the functional-mutation model
+        (SURVEY §1.5), so ``serializable`` is accepted but behaves as
+        snapshot; this is the documented divergence."""
+        return Transaction(self, isolation_level)
+
+
+class Transaction:
+    """Context-manager transaction mirroring the reference PyTransaction
+    (database.rs:1340-1470): auto-commit on clean ``with`` exit, rollback
+    on exception, ``is_active`` / ``isolation_level`` accessors, and
+    "Transaction already completed" errors on double completion."""
+
+    _LEVELS = ("read_committed", "snapshot", "serializable")
+
+    def __init__(self, db: GrafeoSpark, isolation_level: str | None = None) -> None:
+        if isolation_level is not None and isolation_level not in self._LEVELS:
+            raise ValueError(
+                f"Unknown isolation level '{isolation_level}'. "
+                "Use 'read_committed', 'snapshot', or 'serializable'"
+            )
+        self._parent = db
+        self._work = GrafeoSpark(db.spark, db.graph, db.triples)
+        self._work.ddl = db.ddl
+        self._committed = False
+        self._rolled_back = False
+        self.isolation_level = isolation_level or "snapshot"
+
+    # -- lifecycle --------------------------------------------------------
+
+    @property
+    def is_active(self) -> bool:
+        return not (self._committed or self._rolled_back)
+
+    def _check_active(self) -> None:
+        if not self.is_active:
+            raise RuntimeError("Transaction already completed")
+
+    def commit(self) -> None:
+        self._check_active()
+        self._parent.graph = self._work.graph
+        self._parent.triples = self._work.triples
+        self._parent.ddl = self._work.ddl
+        self._committed = True
+
+    def rollback(self) -> None:
+        self._check_active()
+        self._rolled_back = True
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> bool:
+        if self.is_active:
+            if exc_type is not None:
+                self.rollback()
+            else:
+                self.commit()
+        return False
+
+    # -- query surface (delegates to the working engine) ------------------
+
+    def execute(self, query: str, params: dict[str, Any] | None = None) -> DataFrame:
+        """GQL, like the reference's ``tx.execute``."""
+        self._check_active()
+        return self._work.gql(query, params)
+
+    def cypher(self, query: str, params: dict[str, Any] | None = None) -> DataFrame:
+        self._check_active()
+        return self._work.cypher(query, params)
+
+    def gql(self, query: str, params: dict[str, Any] | None = None) -> DataFrame:
+        self._check_active()
+        return self._work.gql(query, params)
+
+    def gremlin(self, query: str) -> DataFrame:
+        self._check_active()
+        return self._work.gremlin(query)
+
+    @property
+    def g(self):
+        self._check_active()
+        return self._work.g
+
+    def graphql(self, query: str, variables: dict[str, Any] | None = None) -> DataFrame:
+        self._check_active()
+        return self._work.graphql(query, variables)
+
+    def sparql(self, query: str) -> DataFrame:
+        self._check_active()
+        return self._work.sparql(query)
+
+    def sparql_update(self, query: str) -> None:
+        self._check_active()
+        self._work.sparql_update(query)

@@ -1,0 +1,94 @@
+"""Transaction facade tests — the reference's shared transaction base
+(tests/python/bases/test_transactions.py: commit, auto-commit on clean
+exit, rollback, is_active, multiple operations) over the snapshot
+Transaction (engine.py, mirroring bindings PyTransaction
+database.rs:1340-1470)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def tdb(spark):
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [(1, "Seed", 1)], "id long, name string, idx long"
+    )
+    edges = spark.createDataFrame([], "id long, src long, dst long")
+    return GrafeoSpark(spark, PropertyGraph({"Person": nodes}, {"REL": edges}))
+
+
+def count_person(db) -> int:
+    return rows(db.cypher("MATCH (p:Person) RETURN count(p) AS cnt"))[0][0]
+
+
+def test_transaction_commit(tdb):
+    with tdb.begin_transaction() as tx:
+        tx.execute("CREATE (:Person {name: 'CommitTest', idx: 2})")
+        tx.commit()
+    out = rows(tdb.cypher("MATCH (p:Person) WHERE p.name = 'CommitTest' RETURN p.name AS n"))
+    assert out == [("CommitTest",)]
+
+
+def test_transaction_auto_commit(tdb):
+    with tdb.begin_transaction() as tx:
+        tx.cypher("CREATE (:Person {name: 'AutoCommit', idx: 3})")
+    assert count_person(tdb) == 2
+
+
+def test_transaction_rollback(tdb):
+    with tdb.begin_transaction() as tx:
+        tx.execute("CREATE (:Person {name: 'RollbackTest', idx: 4})")
+        assert count_person(tx._work) == 2  # visible inside the tx
+        tx.rollback()
+    assert count_person(tdb) == 1
+
+
+def test_rollback_on_exception(tdb):
+    with pytest.raises(ValueError, match="boom"):
+        with tdb.begin_transaction() as tx:
+            tx.execute("CREATE (:Person {name: 'Doomed'})")
+            raise ValueError("boom")
+    assert not tx.is_active
+    assert count_person(tdb) == 1
+
+
+def test_transaction_is_active(tdb):
+    tx = tdb.begin_transaction()
+    assert tx.is_active is True
+    tx.commit()
+    assert tx.is_active is False
+    with pytest.raises(RuntimeError, match="already completed"):
+        tx.commit()
+    with pytest.raises(RuntimeError, match="already completed"):
+        tx.execute("MATCH (p:Person) RETURN count(p) AS c")
+
+
+def test_isolation_uncommitted_invisible(tdb):
+    """The parent session sees a consistent snapshot while the tx works
+    (database.rs:1352 'Other connections see a consistent snapshot')."""
+    tx = tdb.begin_transaction()
+    tx.execute("CREATE (:Person {name: 'Hidden', idx: 9})")
+    assert count_person(tdb) == 1  # parent unchanged pre-commit
+    tx.commit()
+    assert count_person(tdb) == 2
+
+
+def test_multiple_operations_in_transaction(tdb):
+    with tdb.begin_transaction() as tx:
+        for i in (1, 2, 3):
+            tx.execute("CREATE (:Person {name: 'Multi" + str(i) + "', idx: " + str(10 + i) + "})")
+        tx.commit()
+    assert count_person(tdb) == 4
+
+
+def test_isolation_level_validation(tdb):
+    assert tdb.begin_transaction().isolation_level == "snapshot"
+    assert tdb.begin_transaction("serializable").isolation_level == "serializable"
+    with pytest.raises(ValueError, match="Unknown isolation level"):
+        tdb.begin_transaction("chaos")
