@@ -137,6 +137,48 @@ class PropertyGraph:
             key = e.select(F.col(SRC).alias(ID)).unionAll(e.select(F.col(DST).alias(ID)))
         return key.groupBy(ID).agg(F.count("*").alias("degree"))
 
+    # -- direct store API (database.rs:618-931 'side door': get_node /
+    # get_neighbors_* without the query stack, SURVEY §3.4) --------------
+
+    def node(self, node_id, label: str | None = None) -> DataFrame:
+        """Point lookup (get_node analogue, database.rs:618). A label
+        narrows the scan to one pruned frame — the fast path; Parquet
+        row-group stats make the id filter a data-skipping scan at rest."""
+        return self.nodes(label).filter(F.col(ID) == F.lit(node_id))
+
+    def neighbors(
+        self,
+        node_ids,
+        direction: str = "out",
+        etype: str | None = None,
+        label: str | None = None,
+    ) -> DataFrame:
+        """Neighbor node rows of the given id(s) — the get_neighbors_*
+        side door (database.rs:700-931). ``node_ids`` is a scalar id or a
+        DataFrame with an ``id`` column: the DataFrame form is the
+        distributed set-at-a-time shape (one semi-join + one node join, no
+        per-id loop), so batch lookups scale like any other join."""
+        e = self.edges(etype)
+        if direction == "out":
+            pairs = e.select(F.col(SRC).alias("_q"), F.col(DST).alias("_n"))
+        elif direction == "in":
+            pairs = e.select(F.col(DST).alias("_q"), F.col(SRC).alias("_n"))
+        elif direction == "both":
+            pairs = e.select(F.col(SRC).alias("_q"), F.col(DST).alias("_n")).unionAll(
+                e.select(F.col(DST).alias("_q"), F.col(SRC).alias("_n"))
+            )
+        else:
+            raise ValueError("direction must be 'out', 'in', or 'both'")
+        if isinstance(node_ids, DataFrame):
+            ids = node_ids.select(F.col(ID).alias("_q"))
+            # no broadcast hint: AQE picks broadcast when the id set is
+            # small and falls back to a shuffled semi-join when it isn't
+            pairs = pairs.join(ids, "_q", "left_semi")
+        else:
+            pairs = pairs.filter(F.col("_q") == F.lit(node_ids))
+        nbr_ids = pairs.select(F.col("_n").alias(ID)).distinct()
+        return self.nodes(label).join(nbr_ids, ID, "left_semi")
+
     def next_node_id(self) -> int:
         """Smallest id above every existing node id — the shared fresh-id
         allocator for the Cypher/Gremlin/GraphQL mutation paths. One Spark

@@ -199,10 +199,16 @@ def lsh_candidate_pairs(
     one of its matching bands independently splits it: with m matching
     bands and s splits the miss probability is (1-1/s)^m — negligible
     except under adversarial skew, the documented recall-at-the-margin
-    trade for bounded per-task work. The bucket size comes from a window
-    count over the same (band, bh) exchange the join shuffles on — no
-    extra shuffle, and the window buffers each bucket linearly (the
-    quadratic join was the hazard, not a linear pass)."""
+    trade for bounded per-task work.
+
+    The guard is ADAPTIVE: one partial-aggregated occupancy probe over
+    the (checkpointed) bucket table finds the oversized buckets; when
+    there are none — every healthy corpus — the join runs with no salt
+    column at all, identical to the unguarded plan. Only a skewed corpus
+    pays for its skew. (Two rejected formulations, both A/B'd at sf0.1:
+    a window count over (band, bh) added a sort + an exchange per side
+    [+3s/+5s on the two battery entries]; an unconditional salt join kept
+    the broadcast wait and the wider shuffle key on healthy data.)"""
     sig = F.col("signature")
     n = F.size(sig)
     r = (n / F.lit(bands)).cast("int")
@@ -215,33 +221,47 @@ def lsh_candidate_pairs(
         F.xxhash64(sig.cast("string")).alias("_sk"),
         F.explode(band_structs).alias("bk"),
     ).select("id", "_sk", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    occ = F.count("*").over(Window.partitionBy("band", "bh"))
-    nsplit = F.ceil(occ / F.lit(max_bucket)).cast("long")
-    buckets = buckets.withColumn(
-        "salt",
-        F.when(
-            nsplit > 1, F.pmod(F.xxhash64(F.col("_sk"), F.col("band")), nsplit)
-        ).otherwise(F.lit(0)),
-    ).drop("_sk")
+    hot = (
+        buckets.groupBy("band", "bh")
+        .agg(F.count("*").alias("_occ"))
+        .filter(F.col("_occ") > max_bucket)
+        .select(
+            "band",
+            "bh",
+            F.ceil(F.col("_occ") / F.lit(max_bucket)).cast("long").alias("_nsplit"),
+        )
+    )
+    # Adaptive: the probe is one partial-aggregated job whose shuffle
+    # rows are (band, bh, count) — tiny. Callers that compute signatures
+    # through a non-trivial pipeline should checkpoint/persist ``sig_df``
+    # (as _group_rep_pairs does) so the probe and both join sides read
+    # one materialized per-doc signature row instead of recomputing.
+    if not hot.take(1):
+        join_cols = ("band", "bh")
+        buckets = buckets.drop("_sk")
+    else:
+        join_cols = ("band", "bh", "salt")
+        buckets = (
+            buckets.join(F.broadcast(hot), ["band", "bh"], "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("_nsplit") > 1,
+                    F.pmod(F.xxhash64(F.col("_sk"), F.col("band")), F.col("_nsplit")),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_sk", "_nsplit")
+        )
     l = buckets.select(
-        F.col("band").alias("b1"), F.col("bh").alias("h1"),
-        F.col("salt").alias("s1"), F.col("id").alias("a"),
+        *[F.col(c).alias(c + "_l") for c in join_cols], F.col("id").alias("a")
     )
     rt = buckets.select(
-        F.col("band").alias("b2"), F.col("bh").alias("h2"),
-        F.col("salt").alias("s2"), F.col("id").alias("b"),
+        *[F.col(c).alias(c + "_r") for c in join_cols], F.col("id").alias("b")
     )
-    return (
-        l.join(
-            rt,
-            (F.col("b1") == F.col("b2"))
-            & (F.col("h1") == F.col("h2"))
-            & (F.col("s1") == F.col("s2"))
-            & (F.col("a") < F.col("b")),
-        )
-        .select("a", "b")
-        .distinct()
-    )
+    cond = F.col("a") < F.col("b")
+    for c in join_cols:
+        cond = cond & (F.col(c + "_l") == F.col(c + "_r"))
+    return l.join(rt, cond).select("a", "b").distinct()
 
 
 def verify_jaccard_from_hash_rows(pairs: DataFrame, row_df: DataFrame) -> DataFrame:
@@ -307,7 +327,12 @@ def _group_rep_pairs(
     rep_rows = sh_rows.join(
         members.filter(F.col("id") == F.col("gid")).select("id"), "id", "left_semi"
     )
-    sigs = signatures_from_hash_rows(rep_rows, num_hashes)
+    # One signature row per distinct-content representative (64-element
+    # array): persist it (lazily) so the occupancy probe inside
+    # lsh_candidate_pairs — the first action to touch it — populates the
+    # cache as a side effect and both bucket-join sides then read this
+    # tiny frame instead of re-running the shingle -> minhash pipeline.
+    sigs = signatures_from_hash_rows(rep_rows, num_hashes).persist()
     cands = lsh_candidate_pairs(sigs, bands, max_bucket=max_bucket)
     rep_pairs = verify_jaccard_from_hash_rows(cands, rep_rows).filter(
         F.col("jaccard") >= threshold
@@ -404,9 +429,14 @@ def dedup_near(
     star = members.filter(F.col("id") != F.col("gid")).select(
         F.col("id").alias("src"), F.col("gid").alias("dst")
     )
+    # Materialize the cluster-edge frame (|docs| rows at most) before the
+    # iterative CC loop: its lineage is the whole banded dedup pipeline,
+    # and without the checkpoint the first supersteps re-derive that
+    # pipeline through the vertex-state plan until pregel's own periodic
+    # checkpoint truncates it.
     edges = star.unionByName(
         rep_pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     clusters = connected_components(edges)
     drop = clusters.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)

@@ -547,3 +547,27 @@ def test_validate_clean_and_violations(spark, social):
     g2 = PropertyGraph({"A": spark.createDataFrame([(1,)], "id long")}, {})
     out2 = GrafeoSpark(spark, g2).validate()
     assert out2["valid"] and out2["warnings"][0]["code"] == "NO_EDGES"
+
+
+def test_direct_node_lookup(social):
+    # get_node side door (database.rs:618): point lookup without the
+    # query stack
+    out = social.node(3).collect()
+    assert len(out) == 1 and out[0]["name"] == "Carol"
+    assert social.node(3, label="Person").collect()[0]["city"] == "NYC"
+
+
+def test_direct_neighbors(social, spark):
+    # get_neighbors_* side door (database.rs:700-931): scalar and
+    # set-at-a-time forms, all three directions
+    from tests.conftest import rows
+
+    assert rows(social.neighbors(1, "out"), "name") == [("Bob",), ("Carol",)]
+    assert rows(social.neighbors(1, "in"), "name") == [("Heidi",)]
+    assert rows(social.neighbors(1, "both"), "name") == [
+        ("Bob",), ("Carol",), ("Heidi",)
+    ]
+    ids = spark.createDataFrame([(1,), (4,)], "id long")
+    assert rows(social.neighbors(ids, "out"), "name") == [
+        ("Bob",), ("Carol",), ("Eve",)
+    ]
