@@ -264,6 +264,53 @@ class GrafeoSpark:
 
     # -- algorithm plugin surface (plugins/traits.rs via bridges/algorithms.rs)
 
+    # -- property indexes (database.rs:785, 10-20x direct-API lookups in
+    # the reference; here a declaration only — equality lookups are served
+    # by Parquet row-group stats / partition pruning, SURVEY §4) ---------
+
+    def _registry(self):
+        from grafeo_spark.lang.ddl import SchemaRegistry
+
+        if self.ddl is None:
+            self.ddl = SchemaRegistry()
+        return self.ddl
+
+    def create_property_index(self, prop: str) -> None:
+        """Declare a property index (create_property_index analogue).
+        No runtime structure is built: the Spark-native equivalents —
+        pushed predicates against Parquet row-group min/max, partition
+        and bucket pruning — activate from the declarative plan alone.
+        The declaration is recorded so ``schema()``/``stats()`` report
+        it, mirroring the reference CLI's index listing."""
+        self._registry().property_indexes.add(prop)
+
+    def drop_property_index(self, prop: str) -> None:
+        self._registry().property_indexes.discard(prop)
+
+    def has_property_index(self, prop: str) -> bool:
+        return self.ddl is not None and prop in self.ddl.property_indexes
+
+    def find_nodes_by_property(self, prop: str, value, label: str | None = None) -> DataFrame:
+        """Nodes whose ``prop`` equals ``value`` (find_nodes_by_property
+        analogue, database.rs:969 — which returns bare ids; this returns
+        the full node rows, a DataFrame being the natural result shape).
+        Labels without the property are skipped, matching the reference's
+        property-keyed (label-agnostic) lookup."""
+        from pyspark.sql import functions as F
+
+        if label is not None:
+            return self.graph.nodes(label).filter(F.col(prop) == F.lit(value))
+        out = None
+        for lbl in self.graph.labels():
+            f = self.graph.node_frames[lbl]
+            if prop not in f.columns:
+                continue
+            cur = self.graph.nodes(lbl).filter(F.col(prop) == F.lit(value))
+            out = cur if out is None else out.unionByName(cur, allowMissingColumns=True)
+        if out is None:
+            raise KeyError(f"no label carries property {prop!r}")
+        return out
+
     def schema(self) -> dict:
         """Schema description (grafeo-cli/src/commands/schema.rs analogue):
         per-label and per-edge-type column->Spark-type maps, the property
@@ -287,6 +334,9 @@ class GrafeoSpark:
             out["indexes"] = [
                 {"name": name, "label": vi.label, "column": vi.column, "metric": vi.metric}
                 for name, vi in sorted(self.ddl.vector_indexes.items())
+            ] + [
+                {"name": p, "kind": "property", "column": p}
+                for p in sorted(self.ddl.property_indexes)
             ]
         return out
 

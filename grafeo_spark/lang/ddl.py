@@ -55,6 +55,13 @@ class SchemaRegistry:
     node_types: dict[str, NodeTypeDef] = field(default_factory=dict)
     edge_types: dict[str, EdgeTypeDef] = field(default_factory=dict)
     vector_indexes: dict[str, VectorIndexDef] = field(default_factory=dict)
+    # Declared property indexes (database.rs:785 create_property_index —
+    # property-keyed, label-agnostic). In this engine a declaration has no
+    # runtime structure to build: equality lookup speed comes from Parquet
+    # row-group stats + partition/bucket pruning (SURVEY §4's replacement
+    # for the reference's hash/B-tree indexes). Registered so the admin
+    # surface (schema()/stats()) reports them, matching the CLI.
+    property_indexes: set[str] = field(default_factory=set)
 
 
 _NODE = re.compile(

@@ -571,3 +571,23 @@ def test_direct_neighbors(social, spark):
     assert rows(social.neighbors(ids, "out"), "name") == [
         ("Bob",), ("Carol",), ("Eve",)
     ]
+
+
+def test_property_index_registry(spark, social):
+    # create/drop/has_property_index (database.rs:785): declaration-only
+    # here — Parquet stats/pruning serve the lookups — but the admin
+    # surface must report it like the reference CLI does
+    from grafeo_spark.engine import GrafeoSpark
+    from tests.conftest import rows
+
+    db = GrafeoSpark(spark, social)
+    assert db.has_property_index("name") is False
+    db.create_property_index("name")
+    assert db.has_property_index("name") is True
+    assert {"name": "name", "kind": "property", "column": "name"} in db.schema()["indexes"]
+    assert rows(db.find_nodes_by_property("name", "Alice"), "id") == [(1,)]
+    assert rows(db.find_nodes_by_property("city", "LA", label="Person"), "name") == [
+        ("Bob",), ("Eve",)
+    ]
+    db.drop_property_index("name")
+    assert db.has_property_index("name") is False
