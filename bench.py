@@ -43,9 +43,17 @@ def main() -> None:
     for name, df in load_tables(spark, sf_dir).items():
         _ = df.schema
 
+    import gc
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry.queries().items():
+        # Drop the previous entry's DataFrame references so the
+        # ContextCleaner can release its persisted/checkpointed RDDs;
+        # without this, per-entry caches (dedup signature frames, pregel
+        # edge partitions) accumulate across the battery and the iterative
+        # entries late in the order pay their GC/eviction pressure.
+        gc.collect()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

@@ -236,7 +236,11 @@ def lsh_candidate_pairs(
     # through a non-trivial pipeline should checkpoint/persist ``sig_df``
     # (as _group_rep_pairs does) so the probe and both join sides read
     # one materialized per-doc signature row instead of recomputing.
-    if not hot.take(1):
+    # count(), not take(1)/isEmpty(): on the (typical) empty result a
+    # take runs Spark's incremental limit scale-up — the same aggregate
+    # re-executed over 1, then 4x, then 20x partitions — which measured
+    # as multi-second run-to-run jitter on the battery.
+    if hot.count() == 0:
         join_cols = ("band", "bh")
         buckets = buckets.drop("_sk")
     else:
