@@ -194,3 +194,26 @@ def test_edge_count_agrees(db, rdb):
         rdb.sparql(PFX + "SELECT (COUNT(*) AS ?n) WHERE { ?a ex:knows ?b }")
     )
     assert sp[0][0] == expected
+
+
+def test_mutation_visible_across_languages(spark):
+    """A node created through one front-end must be visible through every
+    other — the engines share one functional graph, so a write through
+    any translator rebinds the same frames (the reference's
+    cross-language sections of query_correctness.rs assert the same)."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame([(1, "Seed")], "id long, name string")
+    edges = spark.createDataFrame([], "id long, src long, dst long")
+    mdb = GrafeoSpark(spark, PropertyGraph({"Person": nodes}, {"KNOWS": edges}))
+
+    mdb.cypher("CREATE (:Person {name: 'ViaCypher'})")
+    mdb.g.addV("Person").property("name", "ViaGremlin").iterate()
+    mdb.graphql('mutation { createPerson(name: "ViaGraphQL") { name } }')
+
+    expected = ["Seed", "ViaCypher", "ViaGraphQL", "ViaGremlin"]
+    assert one_col(rows(mdb.cypher("MATCH (p:Person) RETURN p.name AS n"))) == expected
+    assert sorted(mdb.g.V().hasLabel("Person").values("name").toList()) == expected
+    assert one_col(rows(mdb.graphql("{ Person { name } }"))) == expected
+    assert one_col(rows(mdb.gql("MATCH (p:Person) RETURN p.name AS n"))) == expected
