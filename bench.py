@@ -67,7 +67,11 @@ def main() -> None:
         try:
             dt, n = run_once(fn)
             if dt > RERUN_OVER_SEC:
-                dt2, _ = run_once(fn)
+                try:
+                    dt2, _ = run_once(fn)
+                except Exception as ex2:  # noqa: BLE001 — keep run 1's valid timing
+                    print(f"{name}: rerun failed ({ex2}); keeping run 1", file=sys.stderr)
+                    dt2 = dt
                 print(f"{name}: {dt:.3f}s / {dt2:.3f}s (min kept)", file=sys.stderr)
                 dt = min(dt, dt2)
             timings[name] = round(dt, 3)

@@ -299,6 +299,8 @@ class GrafeoSpark:
         from pyspark.sql import functions as F
 
         if label is not None:
+            if prop not in self.graph.node_frames[label].columns:
+                raise KeyError(f"label {label!r} has no property {prop!r}")
             return self.graph.nodes(label).filter(F.col(prop) == F.lit(value))
         out = None
         for lbl in self.graph.labels():
@@ -331,11 +333,19 @@ class GrafeoSpark:
             out["rdf"] = {fd.name: fd.dataType.simpleString() for fd in self.triples.df.schema}
         out["property_keys"] = sorted(keys)
         if self.ddl is not None:
+            # one self-describing shape for every entry: absent facets are
+            # None, so consumers can iterate without per-kind key checks
             out["indexes"] = [
-                {"name": name, "label": vi.label, "column": vi.column, "metric": vi.metric}
+                {
+                    "name": name,
+                    "kind": "vector",
+                    "label": vi.label,
+                    "column": vi.column,
+                    "metric": vi.metric,
+                }
                 for name, vi in sorted(self.ddl.vector_indexes.items())
             ] + [
-                {"name": p, "kind": "property", "column": p}
+                {"name": p, "kind": "property", "label": None, "column": p, "metric": None}
                 for p in sorted(self.ddl.property_indexes)
             ]
         return out
@@ -547,8 +557,28 @@ class Transaction:
                 "Use 'read_committed', 'snapshot', or 'serializable'"
             )
         self._parent = db
-        self._work = GrafeoSpark(db.spark, db.graph, db.triples)
-        self._work.ddl = db.ddl
+        # The working engine must not SHARE mutable state with the parent:
+        # frames are immutable (safe to share), but the graph's metadata
+        # dicts (endpoints — mutated in place by CREATE EDGE TYPE,
+        # ddl.py) and the schema registry (mutated in place by every DDL
+        # statement and create_property_index) are not. Copy both so DDL
+        # inside the transaction stays invisible until commit and truly
+        # disappears on rollback.
+        work_graph = db.graph
+        if work_graph is not None:
+            work_graph = PropertyGraph(
+                work_graph.node_frames,
+                work_graph.edge_frames,
+                endpoints=work_graph.endpoints,
+                disjoint_labels=work_graph.disjoint_labels,
+                distinct_pairs=work_graph.distinct_pairs,
+                edge_keys=work_graph.edge_keys,
+            )
+        self._work = GrafeoSpark(db.spark, work_graph, db.triples)
+        if db.ddl is not None:
+            import copy
+
+            self._work.ddl = copy.deepcopy(db.ddl)
         self._committed = False
         self._rolled_back = False
         self.isolation_level = isolation_level or "snapshot"

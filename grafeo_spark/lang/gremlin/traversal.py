@@ -218,6 +218,9 @@ class Traversal:
             if method is None:
                 raise GremlinError(f"unknown anonymous step .{name}()")
             t = method(*args, **kwargs)
+        if isinstance(t, _GroupCountStep):
+            # bare groupCount() is complete without a .by() modulator
+            t = t._t._group_count(t._key)
         if not isinstance(t, Traversal):
             raise GremlinError("anonymous traversal ended mid-modulator")
         return t

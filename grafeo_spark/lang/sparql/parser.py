@@ -31,6 +31,7 @@ Round-5 additions: negated property sets ``!(...)`` (ast.rs:416),
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from dataclasses import dataclass, field
 from typing import Optional, Union
@@ -591,11 +592,8 @@ class Parser:
                 if not isinstance(endpoint, (Iri, Var)):
                     raise SparqlSyntaxError("SERVICE needs an IRI or variable")
                 inner = self.group()
-                for fld in (
-                    "triples", "filters", "optionals", "unions", "values",
-                    "minuses", "graphs", "binds", "exists", "subselects",
-                ):
-                    getattr(g, fld).extend(getattr(inner, fld))
+                for fld in dataclasses.fields(GroupPattern):
+                    getattr(g, fld.name).extend(getattr(inner, fld.name))
             elif self.at("op", "{"):
                 # peek past '{': a SELECT keyword means a sub-query
                 # (ast.rs:322 SubSelect), otherwise a UNION group chain

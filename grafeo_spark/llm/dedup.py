@@ -332,11 +332,15 @@ def _group_rep_pairs(
         members.filter(F.col("id") == F.col("gid")).select("id"), "id", "left_semi"
     )
     # One signature row per distinct-content representative (64-element
-    # array): persist it (lazily) so the occupancy probe inside
-    # lsh_candidate_pairs — the first action to touch it — populates the
-    # cache as a side effect and both bucket-join sides then read this
-    # tiny frame instead of re-running the shingle -> minhash pipeline.
-    sigs = signatures_from_hash_rows(rep_rows, num_hashes).persist()
+    # array): lazily checkpoint it so the occupancy probe inside
+    # lsh_candidate_pairs — the first action to touch it — materializes it
+    # as a side effect and both bucket-join sides then read this tiny
+    # frame instead of re-running the shingle -> minhash pipeline.
+    # localCheckpoint, not persist(): persist registers a CacheManager
+    # entry that outlives the Python object (a leak per call, and a warm-
+    # cache hit for any later identical plan); checkpointed blocks are
+    # released when the RDD is garbage-collected.
+    sigs = signatures_from_hash_rows(rep_rows, num_hashes).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sigs, bands, max_bucket=max_bucket)
     rep_pairs = verify_jaccard_from_hash_rows(cands, rep_rows).filter(
         F.col("jaccard") >= threshold

@@ -387,3 +387,17 @@ def test_mutation_string_form(spark):
     assert out == [("Alice",), ("Bob",)]
     wdb.gremlin("g.V().has('name', 'Str').drop()")
     assert wdb.cypher("MATCH (p:Person {name: 'Str'}) RETURN count(*) AS n").collect()[0].n == 0
+
+
+def test_bare_groupcount_in_anonymous(g):
+    # bare groupCount() (no .by()) as an anonymous-traversal terminal must
+    # build — it is complete without a modulator (review finding)
+    from grafeo_spark.lang.gremlin import __
+
+    out = g.V().has("name", "Alice").union(__.out("KNOWS").groupCount()).toList()
+    assert len(out) == 2  # one (key=id, count=1) row per neighbor
+
+
+def test_groupcount_by_key(g):
+    out = sorted(g.V().hasLabel("Person").groupCount().by("city").toList())
+    assert ("NYC", 3) in out and ("LA", 2) in out

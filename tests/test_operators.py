@@ -584,7 +584,9 @@ def test_property_index_registry(spark, social):
     assert db.has_property_index("name") is False
     db.create_property_index("name")
     assert db.has_property_index("name") is True
-    assert {"name": "name", "kind": "property", "column": "name"} in db.schema()["indexes"]
+    assert {
+        "name": "name", "kind": "property", "label": None, "column": "name", "metric": None
+    } in db.schema()["indexes"]
     assert rows(db.find_nodes_by_property("name", "Alice"), "id") == [(1,)]
     assert rows(db.find_nodes_by_property("city", "LA", label="Person"), "name") == [
         ("Bob",), ("Eve",)

@@ -92,3 +92,23 @@ def test_isolation_level_validation(tdb):
     assert tdb.begin_transaction("serializable").isolation_level == "serializable"
     with pytest.raises(ValueError, match="Unknown isolation level"):
         tdb.begin_transaction("chaos")
+
+
+def test_ddl_rolls_back(tdb):
+    """DDL inside a transaction must be invisible to the parent until
+    commit and gone after rollback — the registry and the graph's
+    endpoint metadata are copied, not shared (review finding)."""
+    with tdb.begin_transaction() as tx:
+        tx.execute("CREATE NODE TYPE Foo (x INT)")
+        tx.execute("CREATE EDGE TYPE R FROM Foo TO Foo")
+        tx._work.create_property_index("name")
+        assert tdb.ddl is None or "Foo" not in tdb.ddl.node_types
+        assert "R" not in tdb.graph.endpoints
+        tx.rollback()
+    assert tdb.ddl is None or "Foo" not in tdb.ddl.node_types
+    assert "R" not in tdb.graph.endpoints
+    assert not tdb.has_property_index("name")
+    with tdb.begin_transaction() as tx2:
+        tx2.execute("CREATE NODE TYPE Bar (y INT)")
+        tx2.commit()
+    assert "Bar" in tdb.ddl.node_types
