@@ -46,9 +46,15 @@ def main() -> None:
     for name, df in load_tables(spark, sf_dir).items():
         df.count()
 
+    import gc
+
     qs = entry.queries()
     out: dict[str, float] = {}
     for name in names:
+        # release the previous entry's persisted/checkpointed frames so a
+        # heavy neighbor's memory pressure doesn't bleed into this timing
+        # (same rationale as bench.py's per-entry gc)
+        gc.collect()
         t0 = time.perf_counter()
         n = qs[name](spark, sf_dir).count()
         dt = round(time.perf_counter() - t0, 3)
