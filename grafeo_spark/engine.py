@@ -34,6 +34,19 @@ def _parse_fresh(query: str):
     return parse(query)
 
 
+_ASYNC_POOL = None
+
+
+def _async_pool():
+    """Shared executor for execute_async futures (created on first use)."""
+    global _ASYNC_POOL
+    if _ASYNC_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ASYNC_POOL = ThreadPoolExecutor(max_workers=8, thread_name_prefix="grafeo-async")
+    return _ASYNC_POOL
+
+
 class GrafeoSpark:
     def __init__(
         self,
@@ -98,6 +111,20 @@ class GrafeoSpark:
         return self.cypher(query, params)
 
     execute = gql  # reference default language is GQL (session.execute)
+
+    def execute_async(self, query: str, params: dict[str, Any] | None = None):
+        """Asynchronous execution (execute_async / AsyncQueryResult,
+        bindings/python/src/database.rs:28,249): the query compiles on the
+        calling thread — parse/translate errors surface immediately, as in
+        the reference — and the action runs on a shared background thread.
+        Returns a ``concurrent.futures.Future`` whose result is the row
+        list. Spark schedules jobs submitted from different threads
+        concurrently, so several in-flight futures overlap their stages.
+        Mutation statements execute their writes during compilation (the
+        functional-mutation model is eager) and the future resolves to
+        their summary rows."""
+        df = self.gql(query, params)
+        return _async_pool().submit(df.collect)
 
     def gremlin(self, query: str) -> DataFrame:
         """Execute a Gremlin traversal string (execute_gremlin analogue,

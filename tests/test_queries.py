@@ -410,3 +410,19 @@ def test_gql_like_predicate(db):
     assert out == [("Alice",)]
     out2 = rows(db.gql("MATCH (p:Person) WHERE p.name LIKE '_ve' RETURN p.name AS n"))
     assert out2 == [("Eve",)]
+
+
+def test_execute_async(db):
+    # execute_async (bindings database.rs:249 / AsyncQueryResult): compile
+    # on the caller thread, run the action on a background thread, overlap
+    # several in-flight futures
+    f1 = db.execute_async("MATCH (p:Person) RETURN count(p) AS n")
+    f2 = db.execute_async("MATCH (p:Person) WHERE p.age >= 40 RETURN count(p) AS n")
+    assert f1.result(timeout=120)[0]["n"] == 8
+    assert f2.result(timeout=120)[0]["n"] == 3
+    import pytest as _pytest
+
+    from grafeo_spark.lang.cypher.parser import CypherSyntaxError
+
+    with _pytest.raises(CypherSyntaxError):
+        db.execute_async("MATCH (p:Person RETURN")  # parse errors are eager
