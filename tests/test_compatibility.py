@@ -217,3 +217,16 @@ def test_mutation_visible_across_languages(spark):
     assert sorted(mdb.g.V().hasLabel("Person").values("name").toList()) == expected
     assert one_col(rows(mdb.graphql("{ Person { name } }"))) == expected
     assert one_col(rows(mdb.gql("MATCH (p:Person) RETURN p.name AS n"))) == expected
+
+
+def test_graphql_rdf_agrees_with_sparql(rdb):
+    """GraphQL-over-RDF and SPARQL answer the same question on the same
+    triple store (graphql_rdf_translator.rs compiles through the SPARQL
+    group compiler, so a divergence means a translator bug)."""
+    gq = one_col(
+        rows(rdb.graphql_rdf("{ Person { name } }", namespace=EX).select("name"))
+    )
+    sp = one_col(
+        rows(rdb.sparql(PFX + "SELECT ?n WHERE { ?p a ex:Person . ?p ex:name ?n }"))
+    )
+    assert gq == sp

@@ -92,3 +92,40 @@ def test_reachable_pairs_matches_bruteforce(spark, edges, max_hops):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {(s, d): h for s, d, h in rows(reachable_pairs(e, 1, max_hops))}
     assert got == _brute_bfs(edges, max_hops)
+
+
+# --------------------------------------------------------------------- #
+# Adaptive LSH occupancy guard (llm/dedup.py lsh_candidate_pairs)
+# --------------------------------------------------------------------- #
+
+sig_corpus = st.lists(
+    # a few distinct signature "templates"; duplicates across docs are the
+    # interesting case (they collide in EVERY band and must always pair)
+    st.sampled_from([0, 1, 2, 3]),
+    min_size=2,
+    max_size=12,
+)
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(templates=sig_corpus, cap=st.sampled_from([2, 3, 1_000_000]))
+def test_lsh_guard_identical_signatures_always_pair(spark, templates, cap):
+    """Whatever the occupancy cap, docs with IDENTICAL signatures share a
+    salt in every band (the salt hashes the full-signature hash), so every
+    identical pair must appear among the candidates — the invariant that
+    makes the cap a recall-at-the-margin trade only for near-identical,
+    not identical, content."""
+    from grafeo_spark.llm.dedup import lsh_candidate_pairs
+
+    base = [[t * 17 + j for j in range(8)] for t in range(4)]
+    docs = [(i, base[t]) for i, t in enumerate(templates)]
+    df = spark.createDataFrame(docs, "id long, signature array<int>")
+    got = set(rows(lsh_candidate_pairs(df, bands=4, max_bucket=cap)))
+    expected = {
+        (a, b)
+        for a, ta in enumerate(templates)
+        for b, tb in enumerate(templates)
+        if a < b and ta == tb
+    }
+    assert expected <= got
