@@ -486,6 +486,15 @@ _ORACLE: dict[str, str] = {
         SELECT n_name AS name FROM nation
         WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_99') ORDER BY name
     """,
+    "sparql_service_nations": """
+        SELECT n_name AS name FROM nation ORDER BY name
+    """,
+    "sparql_cast_acctbal": """
+        SELECT c_name AS name FROM customer WHERE c_acctbal >= 9900 ORDER BY name
+    """,
+    "direct_find_by_property": """
+        SELECT count(*) AS n FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
     "sparql_minus_segment": """
         SELECT c_name AS cname FROM customer WHERE c_mktsegment <> 'BUILDING'
     """,
@@ -1141,6 +1150,19 @@ def _sim_join_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "iid", "rank")
 
 
+def _direct_find_by_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct-store side door (database.rs:969 find_nodes_by_property):
+    label-agnostic property lookup — scans only the label frames that
+    carry the property (here Customer), equality filter pushed to the
+    parquet scan."""
+    from pyspark.sql import functions as F
+
+    db = _db(spark, sf_dir)
+    return db.find_nodes_by_property("mktsegment", "BUILDING").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
 def _admin_stats_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Admin/info surface (grafeo-cli/src/commands/{info,stats}.rs):
     per-label node counts via GrafeoSpark.stats(), returned as a frame so
@@ -1220,6 +1242,20 @@ _SPARQL: dict[str, str] = {
     "sparql_values_nations": (
         "SELECT ?name WHERE { ?n a ex:Nation ; ex:name ?name . "
         'VALUES ?name { "NATION_3" "NATION_7" "NATION_99" } } ORDER BY ?name'
+    ),
+    # SERVICE evaluated against the local store, endpoint ignored —
+    # matching the reference (sparql_translator.rs:673-680)
+    "sparql_service_nations": (
+        "SELECT ?name WHERE { ?n a ex:Nation . "
+        "SERVICE SILENT <http://remote.example/sparql> { ?n ex:name ?name } } "
+        "ORDER BY ?name"
+    ),
+    # xsd constructor cast in a FILTER (SPARQL 1.1 §17.5 superset); the
+    # store carries acctbal as a string literal, the cast restores double
+    "sparql_cast_acctbal": (
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name ; "
+        "ex:acctbal ?b . FILTER(xsd:double(?b) >= 9900) } ORDER BY ?name"
     ),
     # MINUS graph pattern: anti-join on the shared domain
     "sparql_minus_segment": (
@@ -1656,6 +1692,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "alg_triangles": _alg_triangles,
     "alg_pagerank_top": _alg_pagerank_top,
     "admin_stats_labels": _admin_stats_labels,
+    "direct_find_by_property": _direct_find_by_property,
 }
 
 
@@ -1709,6 +1746,10 @@ _PRIORITY = [
     "admin_stats_labels",
     "ivf_knn_top10",
     "bq_codes_hamming",
+    # -- new in this round's continuation session
+    "sparql_service_nations",
+    "sparql_cast_acctbal",
+    "direct_find_by_property",
     # -- tier C: code changes in round 5 (dedup occupancy cap, pagerank
     # early-exit, time_bucket tz fix, as-of collision guard, gremlin store)
     # within the dedup family, cheap-to-compile entries lead: the first
