@@ -190,3 +190,43 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> None:
 
 def _has_agg(df: DataFrame) -> bool:
     return df.isStreaming and "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def graph_ingest_foreach_batch(
+    db,
+    node_label: str = "User",
+    edge_type: str = "DID",
+    user_col: str = "user_id",
+    event_col: str = "event_id",
+):
+    """``foreachBatch`` sink folding each micro-batch into ``db.graph``
+    — the stream-to-graph ingestion path (SURVEY §7 build plan item 7):
+    users upsert as ``node_label`` nodes (merge_nodes on id), events
+    append as ``edge_type`` edges user->event-node. The functional graph
+    rebinding makes each batch application atomic from the reader's side;
+    at scale the same shape targets Delta/parquet MERGE with the
+    ``batch_id`` enabling idempotent re-application on retry.
+
+    Each batch frame is localCheckpointed before it enters the graph:
+    a streaming micro-batch DataFrame is only valid inside its
+    ``foreachBatch`` call, so the graph must hold materialized frames,
+    not lineage into an expired batch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        users = batch.select(F.col(user_col).alias("id")).distinct()
+        g = db.graph.merge_nodes(node_label, users, keys=["id"])
+        # the event id is unique across the stream, so it IS the edge id:
+        # no max-id fetch, no global window; the anti-join below makes a
+        # retried batch a no-op (idempotent re-application)
+        edges = batch.select(
+            F.col(event_col).alias("id"),
+            F.col(user_col).alias("src"),
+            F.col(event_col).alias("dst"),
+        ).dropDuplicates(["id"])
+        base = g.edge_frames.get(edge_type)
+        if base is not None:
+            edges = edges.join(base.select("id"), "id", "left_anti")
+        db.graph = g.create_edges(edge_type, edges)
+
+    return sink

@@ -145,3 +145,32 @@ def test_foreach_batch_upsert(spark, events_dir):
     q.awaitTermination()
     assert target["batches"] >= 2
     assert sorted(r.user_id for r in target["users"].collect()) == [1, 2]
+
+
+def test_graph_ingest_foreach_batch(spark, events_dir):
+    """Stream-to-graph ingestion (SURVEY §7 item 7): users upsert as
+    nodes, events append as edges, duplicate event_ids (batch retry
+    analogue) ingest once."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+    from grafeo_spark.streaming import graph_ingest_foreach_batch, read_event_stream
+
+    nodes = spark.createDataFrame([(1, "seed")], "id long, tag string")
+    edges = spark.createDataFrame([], "id long, src long, dst long")
+    db = GrafeoSpark(spark, PropertyGraph({"User": nodes}, {"DID": edges}))
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(graph_ingest_foreach_batch(db))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert rows(db.graph.nodes("User"), "id") == [(1,), (2,)]
+    got = rows(db.graph.edges("DID"), "id", "src")
+    assert got == [(1, 1), (2, 1), (3, 2), (4, 1), (5, 2), (6, 2)]
+    # cross-language read over the ingested graph
+    assert rows(db.cypher("MATCH (u:User)-[:DID]->() RETURN u.id AS id, count(*) AS n")) == [
+        (1, 3), (2, 3)
+    ]
