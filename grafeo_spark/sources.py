@@ -34,13 +34,13 @@ def save_graph(
 ) -> None:
     """Write every label/type frame plus the metadata manifest.
 
-    ``format``: parquet (default), csv or json — the manifest records the
+    ``format``: parquet (default), orc, csv or json — the manifest records the
     format AND each frame's Spark schema, so text formats reload with
     exact types instead of inference drift. CSV cannot natively hold
     array/struct/map columns (e.g. the stock tpch_graph embedding
     frames), so complex columns are written as JSON strings and decoded
     back to their recorded types on load."""
-    if format not in ("parquet", "csv", "json"):
+    if format not in ("parquet", "orc", "csv", "json"):
         raise ValueError(f"unsupported graph format {format!r}")
     manifest = {
         "labels": sorted(graph.node_frames),
@@ -73,6 +73,8 @@ def save_graph(
             w.option("header", "true").csv(dest)
         elif format == "json":
             w.json(dest)
+        elif format == "orc":
+            w.orc(dest)
         else:
             w.parquet(dest)
 
@@ -129,6 +131,8 @@ def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
         dest = f"{path}/{rel}"
         if fmt == "parquet":
             return spark.read.parquet(dest)
+        if fmt == "orc":
+            return spark.read.orc(dest)
         schema = StructType.fromJson(json.loads(schemas[rel]))
         if fmt == "csv":
             flat = StructType(

@@ -458,11 +458,12 @@ def test_graph_save_load_roundtrip(spark, social, tmp_path):
 
 
 def test_graph_save_load_csv_json(spark, social, tmp_path):
-    """Text formats round-trip with exact types: the manifest carries each
-    frame's schema so CSV/JSON reload without inference drift."""
+    """Alternate formats round-trip with exact types: the manifest
+    carries each frame's schema so CSV/JSON reload without inference
+    drift; ORC is schema-native like parquet."""
     from grafeo_spark.sources import load_graph, save_graph
 
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "orc"):
         path = str(tmp_path / fmt)
         save_graph(social, path, format=fmt)
         back = load_graph(spark, path)
