@@ -553,6 +553,86 @@ class GrafeoSpark:
                 e = cur if e is None else e.unionByName(cur, allowMissingColumns=True)
         return A.run(name, e, **params)
 
+    # -- session persistence (database.rs:1198 save / GrafeoDB(path) open;
+    # snapshot-at-a-path, the versioned-parquet MVCC analogue) -----------
+
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        """Persist the whole session — graph (with compiler metadata
+        manifest), triple store, and DDL registry — under one directory.
+        The reference's ``db.save(path)``: the live session is unchanged;
+        what lands on disk is a consistent snapshot (immutable frames
+        make it consistent by construction)."""
+        from grafeo_spark.sources import save_graph, save_triples
+
+        if self.graph is not None:
+            save_graph(self.graph, f"{path}/graph", mode=mode)
+        if self.triples is not None:
+            save_triples(self.triples, f"{path}/triples", mode=mode)
+        reg = {}
+        if self.ddl is not None:
+            import dataclasses as _dc
+
+            reg = {
+                "node_types": {n: _dc.asdict(t) for n, t in self.ddl.node_types.items()},
+                "edge_types": {n: _dc.asdict(t) for n, t in self.ddl.edge_types.items()},
+                "vector_indexes": {
+                    n: _dc.asdict(v) for n, v in self.ddl.vector_indexes.items()
+                },
+                "property_indexes": sorted(self.ddl.property_indexes),
+            }
+        import json as _json
+
+        (
+            self.spark.createDataFrame(
+                [
+                    (
+                        _json.dumps(
+                            {
+                                "has_graph": self.graph is not None,
+                                "has_triples": self.triples is not None,
+                                "ddl": reg,
+                            }
+                        ),
+                    )
+                ],
+                "session string",
+            )
+            .coalesce(1)
+            .write.mode(mode)
+            .json(f"{path}/_session")
+        )
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "GrafeoSpark":
+        """Rebuild a session saved by :meth:`save` (GrafeoDB(path) analogue)."""
+        import json as _json
+
+        from grafeo_spark.lang.ddl import (
+            EdgeTypeDef,
+            NodeTypeDef,
+            SchemaRegistry,
+            VectorIndexDef,
+        )
+        from grafeo_spark.sources import load_graph, load_triples
+
+        meta = _json.loads(
+            spark.read.json(f"{path}/_session").collect()[0]["session"]
+        )
+        graph = load_graph(spark, f"{path}/graph") if meta["has_graph"] else None
+        triples = load_triples(spark, f"{path}/triples") if meta["has_triples"] else None
+        db = cls(spark, graph, triples)
+        reg = meta.get("ddl") or {}
+        if reg:
+            db.ddl = SchemaRegistry(
+                node_types={n: NodeTypeDef(**t) for n, t in reg["node_types"].items()},
+                edge_types={n: EdgeTypeDef(**t) for n, t in reg["edge_types"].items()},
+                vector_indexes={
+                    n: VectorIndexDef(**v) for n, v in reg["vector_indexes"].items()
+                },
+                property_indexes=set(reg.get("property_indexes", ())),
+            )
+        return db
+
     def begin_transaction(self, isolation_level: str | None = None) -> "Transaction":
         """Start a snapshot transaction (reference: database.rs:988
         ``begin_transaction`` / PyTransaction, transaction/mod.rs —

@@ -594,3 +594,27 @@ def test_property_index_registry(spark, social):
     ]
     db.drop_property_index("name")
     assert db.has_property_index("name") is False
+
+
+def test_session_save_open_roundtrip(spark, social, tmp_path):
+    """Whole-session persistence (database.rs:1198 save / GrafeoDB(path)):
+    graph + compiler metadata + DDL registry round-trip; the live session
+    is untouched."""
+    from grafeo_spark.engine import GrafeoSpark
+
+    db = GrafeoSpark(spark, social)
+    db.gql("CREATE NODE TYPE Person (name STRING)")
+    db.gql("CREATE VECTOR INDEX emb ON Person(embedding) DIMENSIONS 4")
+    db.create_property_index("name")
+    path = str(tmp_path / "session")
+    db.save(path)
+
+    back = GrafeoSpark.open(spark, path)
+    assert back.graph.nodes("Person").count() == 8
+    assert rows(back.cypher("MATCH (p:Person) WHERE p.city = 'LA' RETURN p.name AS n")) == [
+        ("Bob",), ("Eve",)
+    ]
+    assert back.has_property_index("name")
+    assert "Person" in back.ddl.node_types
+    assert back.ddl.vector_indexes["emb"].column == "embedding"
+    assert back.triples is None
