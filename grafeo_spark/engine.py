@@ -35,15 +35,21 @@ def _parse_fresh(query: str):
 
 
 _ASYNC_POOL = None
+_ASYNC_POOL_LOCK = __import__("threading").Lock()
 
 
 def _async_pool():
-    """Shared executor for execute_async futures (created on first use)."""
+    """Shared executor for execute_async futures (created on first use;
+    lock-guarded — execute_async exists to be called from concurrent
+    contexts, so the lazy init must not race two pools into existence)."""
     global _ASYNC_POOL
-    if _ASYNC_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
+    with _ASYNC_POOL_LOCK:
+        if _ASYNC_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
 
-        _ASYNC_POOL = ThreadPoolExecutor(max_workers=8, thread_name_prefix="grafeo-async")
+            _ASYNC_POOL = ThreadPoolExecutor(
+                max_workers=8, thread_name_prefix="grafeo-async"
+            )
     return _ASYNC_POOL
 
 
@@ -561,9 +567,15 @@ class GrafeoSpark:
         manifest), triple store, and DDL registry — under one directory.
         The reference's ``db.save(path)``: the live session is unchanged;
         what lands on disk is a consistent snapshot (immutable frames
-        make it consistent by construction)."""
-        from grafeo_spark.sources import save_graph, save_triples
+        make it consistent by construction). ``mode`` accepts
+        ``overwrite`` or ``error``/``errorifexists`` only — appending to
+        a snapshot would duplicate frame rows and manifest entries."""
+        from grafeo_spark.sources import save_graph, save_triples, write_manifest
 
+        if mode not in ("overwrite", "error", "errorifexists"):
+            raise ValueError(
+                "session save supports mode='overwrite' or 'error' only"
+            )
         if self.graph is not None:
             save_graph(self.graph, f"{path}/graph", mode=mode)
         if self.triples is not None:
@@ -580,44 +592,29 @@ class GrafeoSpark:
                 },
                 "property_indexes": sorted(self.ddl.property_indexes),
             }
-        import json as _json
-
-        (
-            self.spark.createDataFrame(
-                [
-                    (
-                        _json.dumps(
-                            {
-                                "has_graph": self.graph is not None,
-                                "has_triples": self.triples is not None,
-                                "ddl": reg,
-                            }
-                        ),
-                    )
-                ],
-                "session string",
-            )
-            .coalesce(1)
-            .write.mode(mode)
-            .json(f"{path}/_session")
+        write_manifest(
+            self.spark,
+            {
+                "has_graph": self.graph is not None,
+                "has_triples": self.triples is not None,
+                "ddl": reg,
+            },
+            f"{path}/_session",
+            mode,
         )
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "GrafeoSpark":
         """Rebuild a session saved by :meth:`save` (GrafeoDB(path) analogue)."""
-        import json as _json
-
         from grafeo_spark.lang.ddl import (
             EdgeTypeDef,
             NodeTypeDef,
             SchemaRegistry,
             VectorIndexDef,
         )
-        from grafeo_spark.sources import load_graph, load_triples
+        from grafeo_spark.sources import load_graph, load_triples, read_manifest
 
-        meta = _json.loads(
-            spark.read.json(f"{path}/_session").collect()[0]["session"]
-        )
+        meta = read_manifest(spark, f"{path}/_session")
         graph = load_graph(spark, f"{path}/graph") if meta["has_graph"] else None
         triples = load_triples(spark, f"{path}/triples") if meta["has_triples"] else None
         db = cls(spark, graph, triples)

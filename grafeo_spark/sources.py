@@ -25,6 +25,20 @@ from pyspark.sql import SparkSession
 from grafeo_spark.graph import PropertyGraph, TripleStore
 
 
+def write_manifest(spark: SparkSession, payload: dict, dest: str, mode: str) -> None:
+    """Single-row JSON manifest (shared by graph and session persistence)."""
+    (
+        spark.createDataFrame([(json.dumps(payload),)], "manifest string")
+        .coalesce(1)
+        .write.mode(mode)
+        .json(dest)
+    )
+
+
+def read_manifest(spark: SparkSession, dest: str) -> dict:
+    return json.loads(spark.read.json(dest).collect()[0]["manifest"])
+
+
 def save_graph(
     graph: PropertyGraph,
     path: str,
@@ -58,12 +72,7 @@ def save_graph(
     spark = next(
         iter(list(graph.node_frames.values()) + list(graph.edge_frames.values()))
     ).sparkSession
-    (
-        spark.createDataFrame([(json.dumps(manifest),)], "manifest string")
-        .coalesce(1)
-        .write.mode(mode)
-        .json(f"{path}/_manifest")
-    )
+    write_manifest(spark, manifest, f"{path}/_manifest", mode)
 
     def write(df, dest):
         if format == "csv":
@@ -122,8 +131,7 @@ def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
     :func:`save_graph` output."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    row = spark.read.json(f"{path}/_manifest").collect()[0]
-    manifest = json.loads(row["manifest"])
+    manifest = read_manifest(spark, f"{path}/_manifest")
     fmt = manifest.get("format", "parquet")
     schemas = manifest.get("schemas", {})
 
@@ -174,4 +182,4 @@ def load_triples(spark: SparkSession, path: str) -> TripleStore:
     return TripleStore(df.select("s", "p", "o_iri", "o_lit", "o_dt", "g"))
 
 
-__all__ = ["save_graph", "load_graph", "save_triples", "load_triples"]
+__all__ = ["save_graph", "load_graph", "save_triples", "load_triples", "write_manifest", "read_manifest"]

@@ -195,38 +195,59 @@ def _has_agg(df: DataFrame) -> bool:
 def graph_ingest_foreach_batch(
     db,
     node_label: str = "User",
+    event_label: str = "Event",
     edge_type: str = "DID",
     user_col: str = "user_id",
     event_col: str = "event_id",
+    event_id_offset: int = 1 << 40,
 ):
     """``foreachBatch`` sink folding each micro-batch into ``db.graph``
     — the stream-to-graph ingestion path (SURVEY §7 build plan item 7):
-    users upsert as ``node_label`` nodes (merge_nodes on id), events
-    append as ``edge_type`` edges user->event-node. The functional graph
-    rebinding makes each batch application atomic from the reader's side;
-    at scale the same shape targets Delta/parquet MERGE with the
-    ``batch_id`` enabling idempotent re-application on retry.
+    users upsert as ``node_label`` nodes, events as ``event_label``
+    nodes carrying the event columns, connected by ``edge_type`` edges —
+    so the ingested graph passes ``db.validate()`` (no dangling
+    endpoints) and dst-binding queries see every edge. The functional
+    graph rebinding makes each batch application atomic from the
+    reader's side; at scale the same shape targets Delta/parquet MERGE
+    with the ``batch_id`` enabling idempotent re-application on retry.
 
-    Each batch frame is localCheckpointed before it enters the graph:
-    a streaming micro-batch DataFrame is only valid inside its
-    ``foreachBatch`` call, so the graph must hold materialized frames,
-    not lineage into an expired batch."""
+    Two checkpoints keep a long-running stream healthy: the incoming
+    batch is materialized eagerly (a micro-batch frame is only valid
+    inside its ``foreachBatch`` call), and the ACCUMULATED node/edge
+    frames are lazily checkpointed after each batch so the per-batch
+    union + anti-join layers don't stack into an ever-deeper plan
+    (the same lineage-truncation engine.sparql_update applies)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)
         users = batch.select(F.col(user_col).alias("id")).distinct()
         g = db.graph.merge_nodes(node_label, users, keys=["id"])
-        # the event id is unique across the stream, so it IS the edge id:
-        # no max-id fetch, no global window; the anti-join below makes a
-        # retried batch a no-op (idempotent re-application)
+        # the event id is unique across the stream, so (offset into its
+        # own id namespace — user and event ids share the raw value
+        # space) it IS both the event-node id and the edge id: no max-id
+        # fetch, no global window; dedup within the batch, anti-join
+        # against what's already ingested — a retried batch is a no-op
+        eid = F.col(event_col) + F.lit(event_id_offset)
+        events = batch.withColumn("id", eid).dropDuplicates(["id"])
+        prev = g.node_frames.get(event_label)
+        if prev is not None:
+            events = events.join(prev.select("id"), "id", "left_anti")
+        g = g.create_nodes(event_label, events)
         edges = batch.select(
-            F.col(event_col).alias("id"),
+            eid.alias("id"),
             F.col(user_col).alias("src"),
-            F.col(event_col).alias("dst"),
+            eid.alias("dst"),
         ).dropDuplicates(["id"])
         base = g.edge_frames.get(edge_type)
         if base is not None:
             edges = edges.join(base.select("id"), "id", "left_anti")
-        db.graph = g.create_edges(edge_type, edges)
+        g = g.create_edges(edge_type, edges)
+        for frames, key in (
+            (g.node_frames, node_label),
+            (g.node_frames, event_label),
+            (g.edge_frames, edge_type),
+        ):
+            frames[key] = frames[key].localCheckpoint(eager=False)
+        db.graph = g
 
     return sink

@@ -168,9 +168,18 @@ def test_graph_ingest_foreach_batch(spark, events_dir):
     q.awaitTermination()
 
     assert rows(db.graph.nodes("User"), "id") == [(1,), (2,)]
+    off = 1 << 40
     got = rows(db.graph.edges("DID"), "id", "src")
-    assert got == [(1, 1), (2, 1), (3, 2), (4, 1), (5, 2), (6, 2)]
-    # cross-language read over the ingested graph
-    assert rows(db.cypher("MATCH (u:User)-[:DID]->() RETURN u.id AS id, count(*) AS n")) == [
-        (1, 3), (2, 3)
+    assert got == [
+        (off + 1, 1), (off + 2, 1), (off + 3, 2),
+        (off + 4, 1), (off + 5, 2), (off + 6, 2),
     ]
+    # event nodes exist (no dangling dst) and carry the event columns
+    assert db.graph.nodes("Event").count() == 6
+    assert db.validate()["valid"] is True
+    # cross-language read over the ingested graph, binding the dst node
+    assert rows(
+        db.cypher(
+            "MATCH (u:User)-[:DID]->(e:Event) RETURN u.id AS id, count(e) AS n"
+        )
+    ) == [(1, 3), (2, 3)]
