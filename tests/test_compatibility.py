@@ -230,3 +230,52 @@ def test_graphql_rdf_agrees_with_sparql(rdb):
         rows(rdb.sparql(PFX + "SELECT ?n WHERE { ?p a ex:Person . ?p ex:name ?n }"))
     )
     assert gq == sp
+
+
+def test_optional_match_agrees(db, rdb):
+    """Left-join semantics: Cypher OPTIONAL MATCH vs SPARQL OPTIONAL —
+    every person appears once, neighbor name NULL where none exists."""
+    expected = rows(
+        db.cypher(
+            "MATCH (p:Person) OPTIONAL MATCH (p)-[:KNOWS]->(q:Person) "
+            "RETURN p.name AS name, q.name AS friend"
+        )
+    )
+    sp = rows(
+        rdb.sparql(
+            PFX + "SELECT ?name ?friend WHERE { ?p a ex:Person ; ex:name ?name . "
+            "OPTIONAL { ?p ex:knows ?q . ?q ex:name ?friend } }"
+        )
+    )
+    assert sp == expected
+    # a person with no outgoing KNOWS keeps a NULL friend in both
+    assert ("Frank", None) in expected
+
+
+def test_distinct_aggregation_agrees(db, rdb):
+    """count(DISTINCT city) through Cypher, Gremlin dedup, SPARQL."""
+    expected = rows(
+        db.cypher("MATCH (p:Person) RETURN count(DISTINCT p.city) AS n")
+    )[0][0]
+    assert db.g.V().hasLabel("Person").values("city").dedup().count().toList() == [
+        expected
+    ]
+    sp = rows(
+        rdb.sparql(
+            PFX + "SELECT (COUNT(DISTINCT ?c) AS ?n) WHERE { ?p a ex:Person ; ex:city ?c }"
+        )
+    )
+    assert sp[0][0] == expected
+
+
+def test_gremlin_string_form_agrees(db):
+    """The Gremlin string front-end compiles to the same plan as the
+    fluent form (gremlin_translator.rs parity)."""
+    fluent = sorted(db.g.V().has("city", "NYC").out("KNOWS").values("name").toList())
+    from tests.conftest import rows as _rows
+
+    stringform = sorted(
+        r[0]
+        for r in db.gremlin("g.V().has('city','NYC').out('KNOWS').values('name')").collect()
+    )
+    assert stringform == fluent and fluent  # non-vacuous
