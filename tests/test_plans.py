@@ -99,3 +99,43 @@ def test_neighbors_batch_is_one_semijoin(tdb, spark):
     )
     assert "CartesianProduct" not in text
     assert "LeftSemi" in text or "leftsemi" in text.lower()
+
+
+def test_lsh_candidate_join_is_equi_join(spark):
+    """The banded candidate join must compile to an equi-join on
+    (band, bh) — a shuffle whose cost tracks bucket occupancy. A
+    BroadcastNestedLoopJoin/CartesianProduct here would be the quadratic
+    all-pairs plan the whole design exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm.dedup import lsh_candidate_pairs
+
+    sigs = spark.createDataFrame(
+        [(i, [i % 3, i % 5, 7, 11, i % 2, 13, 17, 19]) for i in range(40)],
+        "id long, signature array<int>",
+    )
+    df = lsh_candidate_pairs(sigs, bands=4)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_sort_shape(spark):
+    """As-of join: one union + one (key, ts)-sorted window — no
+    per-candidate join, no cartesian (operators/asof.py design)."""
+    from grafeo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 15)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 18, 2.0), (2, 10, 3.0)], "k long, ts long, v double"
+    )
+    df = asof_join(left, right, on="k")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
