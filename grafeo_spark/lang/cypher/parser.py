@@ -708,6 +708,22 @@ class Parser:
                 return self.case_expr()
             if kw == "EXISTS":
                 self.next()
+                if self.at_op("{"):
+                    # EXISTS { [MATCH] pattern [WHERE expr] } — the
+                    # full-subquery form (ast.rs Exists(Box<Query>));
+                    # single-MATCH body, the common shape
+                    self.next()
+                    if self.at_kw("MATCH"):
+                        self.next()
+                    pat = self.try_pattern()
+                    if pat is None:
+                        raise CypherSyntaxError("EXISTS { } needs a pattern")
+                    where = None
+                    if self.at_kw("WHERE"):
+                        self.next()
+                        where = self.expr()
+                    self.eat_op("}")
+                    return E.PatternPred(pat, "exists", where)
                 self.eat_op("(")
                 pat = self.try_pattern()
                 if pat is not None:

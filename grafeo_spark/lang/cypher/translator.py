@@ -126,6 +126,8 @@ def _collect_used(stmt: P.Statement) -> dict:
                         mark(el.var, "id")  # correlation key only
                     for _, v in el.props:
                         walk(v)
+            if e.where is not None:
+                walk(e.where)  # inner WHERE may read outer-scope props
 
     def walk_pattern(pat: P.PatternPath) -> None:
         for el in pat.elements:
@@ -239,9 +241,13 @@ def _split_and(e: E.Expr) -> list[E.Expr]:
     return [e]
 
 
-def _lower_pattern_sub(ctx: _Ctx, path: P.PatternPath) -> tuple[tuple[str, ...], ir.Plan]:
+def _lower_pattern_sub(
+    ctx: _Ctx, path: P.PatternPath, where: Optional[E.Expr] = None
+) -> tuple[tuple[str, ...], ir.Plan]:
     """Lower an EXISTS/COUNT pattern into its own subplan; returns the
-    variables shared with the outer scope (the correlation keys)."""
+    variables shared with the outer scope (the correlation keys).
+    ``where`` is the inner predicate of the EXISTS { ... WHERE ... }
+    subquery form, applied inside the subplan."""
     shared = [
         el.var
         for el in path.elements
@@ -249,6 +255,8 @@ def _lower_pattern_sub(ctx: _Ctx, path: P.PatternPath) -> tuple[tuple[str, ...],
     ]
     sub = _Ctx()
     _pattern(sub, path, outer_bound=ctx.bound)
+    if where is not None:
+        _apply_where(sub, where)
     return tuple(dict.fromkeys(shared)), sub.plan
 
 
@@ -269,7 +277,7 @@ def _rewrite_count_preds(ctx: _Ctx, e: E.Expr) -> E.Expr:
     size(pat) -> fresh col; EXISTS(pat) in value position -> fresh col > 0.
     Emits the CountJoin onto ctx.plan."""
     if isinstance(e, E.PatternPred):
-        on, sub = _lower_pattern_sub(ctx, e.path)
+        on, sub = _lower_pattern_sub(ctx, e.path, e.where)
         alias = ctx.fresh_var()
         ctx.plan = ir.CountJoin(ctx.plan, sub, on, alias)
         ctx.bound[alias] = ("value", None)
@@ -300,7 +308,7 @@ def _apply_where(ctx: _Ctx, where: E.Expr) -> None:
     rest: list[E.Expr] = []
     for c in _split_and(where):
         if isinstance(c, E.PatternPred) and c.mode == "exists":
-            on, sub = _lower_pattern_sub(ctx, c.path)
+            on, sub = _lower_pattern_sub(ctx, c.path, c.where)
             ctx.plan = ir.SemiJoin(ctx.plan, sub, on, anti=False)
         elif (
             isinstance(c, E.UnOp)
@@ -308,7 +316,7 @@ def _apply_where(ctx: _Ctx, where: E.Expr) -> None:
             and isinstance(c.operand, E.PatternPred)
             and c.operand.mode == "exists"
         ):
-            on, sub = _lower_pattern_sub(ctx, c.operand.path)
+            on, sub = _lower_pattern_sub(ctx, c.operand.path, c.operand.where)
             ctx.plan = ir.SemiJoin(ctx.plan, sub, on, anti=True)
         elif _contains_pattern_pred(c):
             rest.append(_rewrite_count_preds(ctx, c))

@@ -1010,10 +1010,15 @@ class Compiler:
         if isinstance(e, E.ListLit):
             return F.array(*[self._expr(i, scope, df) for i in e.items])
         if isinstance(e, E.MapLit):
-            parts = []
-            for k, v in e.items:
-                parts += [F.lit(k), self._expr(v, scope, df)]
-            return F.create_map(*parts)
+            # Cypher map literals are heterogeneous records (value.rs:113
+            # Map holds any Value per key); Spark maps require one value
+            # type, so compile to a named struct — field access `m.key`
+            # works on both, and nesting/mixed types are preserved. (An
+            # all-same-type map would also fit create_map, but one
+            # consistent output type beats a data-dependent switch.)
+            return F.struct(
+                *[self._expr(v, scope, df).alias(k) for k, v in e.items]
+            )
         if isinstance(e, E.Index):
             base = self._expr(e.base, scope, df)
             idx = self._expr(e.index, scope, df)

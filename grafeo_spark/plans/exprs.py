@@ -120,6 +120,9 @@ class PatternPred(Expr):
 
     path: Any  # lang.cypher.parser.PatternPath (kept opaque to avoid a cycle)
     mode: str = "exists"  # 'exists' | 'count'
+    # inner predicate of the EXISTS { [MATCH] pat WHERE ... } subquery form
+    # (ast.rs Exists(Box<Query>) carries a full query)
+    where: Optional[Expr] = None
 
     def __eq__(self, other):  # path is unhashable/mutable; identity is fine
         return self is other

@@ -426,3 +426,35 @@ def test_execute_async(db):
 
     with _pytest.raises(CypherSyntaxError):
         db.execute_async("MATCH (p:Person RETURN")  # parse errors are eager
+
+
+def test_exists_subquery_brace_form(db):
+    # EXISTS { [MATCH] pattern [WHERE expr] } — the full-subquery form
+    # (ast.rs Exists(Box<Query>)); parenthesized EXISTS((p)-[...]) keeps
+    # working beside it
+    out = rows(
+        db.cypher(
+            "MATCH (p:Person) WHERE EXISTS { MATCH (p)-[:KNOWS]->() } "
+            "RETURN p.name AS n"
+        )
+    )
+    assert out == rows(
+        db.cypher("MATCH (p:Person) WHERE EXISTS((p)-[:KNOWS]->()) RETURN p.name AS n")
+    )
+    inner = rows(
+        db.cypher(
+            "MATCH (p:Person) WHERE EXISTS { (p)-[:KNOWS]->(q) WHERE q.age > 39 } "
+            "RETURN p.name AS n"
+        )
+    )
+    # Alice knows Bob(40), Dave knows Eve(50), Eve knows Frank(45)
+    assert inner == [("Alice",), ("Dave",), ("Eve",)]
+
+
+def test_heterogeneous_map_literal(db):
+    # Cypher map literals are heterogeneous records -> named struct
+    r = db.cypher(
+        "MATCH (p:Person) WHERE p.name = 'Alice' "
+        "RETURN {name: p.name, meta: {age: p.age}} AS m"
+    ).collect()[0]
+    assert r.m.name == "Alice" and r.m.meta.age == 30
