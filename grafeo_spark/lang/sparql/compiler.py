@@ -386,6 +386,15 @@ def _filter_col(e, df: DataFrame) -> Column:
             return _filter_col(e.args[0], df).rlike(pattern)
         if op == "bound":
             return _filter_col(e.args[0], df).isNotNull()
+        if op == "in":
+            # ?x IN (e1, e2, ...) — OR of equalities (members may be
+            # arbitrary expressions, so Column.isin's literal list is
+            # not general enough)
+            left = _filter_col(e.args[0], df)
+            cond = F.lit(False)
+            for m in e.args[1:]:
+                cond = cond | (left == _filter_col(m, df))
+            return cond
         if op == "call:replace":
             # REPLACE(str, pattern, replacement[, flags]) — pattern and
             # replacement must be literals so flags can fold into the regex
@@ -465,8 +474,32 @@ _AGG_FNS = {
 }
 
 
+def _resolve_having(e, q: P.SelectQuery):
+    """HAVING may repeat an aggregate call — e.g. HAVING (COUNT(?x) = 0)
+    — rather than name its alias; resolve such calls to the aggregate's
+    output column (the aggregation itself already ran)."""
+    if not isinstance(e, P.FExpr):
+        return e
+    if e.op.startswith("call:"):
+        fn = e.op[5:]
+        if fn in P._AGG_NAMES:
+            argname = (
+                e.args[0].name if e.args and isinstance(e.args[0], P.Var) else "*"
+            )
+            for entry in q.aggregates:
+                if entry[0] == fn and entry[1] == argname:
+                    return P.Var(entry[2])
+            raise SparqlCompileError(
+                f"HAVING aggregate {fn.upper()}(?{argname}) has no matching "
+                "SELECT aggregate"
+            )
+    return P.FExpr(e.op, tuple(_resolve_having(a, q) for a in e.args))
+
+
 def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
     out = _compile_group(ts, q.where)
+    for name, e in q.pre_binds:
+        out = out.withColumn(name, _filter_col(e, out))
     if q.aggregates:
         aggs = []
         for fn, arg, alias, distinct, *rest in q.aggregates:
@@ -506,9 +539,17 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
         else:
             out = out.agg(*aggs)
         if q.having is not None:
-            # HAVING over grouping keys and aggregate aliases
-            out = out.filter(_filter_col(q.having, out))
-        proj = (q.variables or q.group_by) + [a[2] for a in q.aggregates]
+            # HAVING over grouping keys, aggregate aliases, or repeated
+            # aggregate calls (resolved onto the output columns)
+            out = out.filter(_filter_col(_resolve_having(q.having, q), out))
+        for alias, e in q.select_exprs:
+            # post-aggregation select expressions (over keys/aliases)
+            out = out.withColumn(alias, _filter_col(e, out))
+        proj = (
+            (q.variables or q.group_by)
+            + [a[2] for a in q.aggregates]
+            + [a for a, _ in q.select_exprs]
+        )
         # projected plain vars must be grouping keys
         for v in q.variables:
             if v not in q.group_by:
@@ -517,11 +558,14 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
                 )
         out = out.select(*dict.fromkeys(proj))
         return _apply_modifiers(out, q)
-    if q.variables:
-        missing = [v for v in q.variables if v not in out.columns]
+    for alias, e in q.select_exprs:
+        out = out.withColumn(alias, _filter_col(e, out))
+    if q.variables or q.select_exprs:
+        cols = q.variables + [a for a, _ in q.select_exprs]
+        missing = [v for v in cols if v not in out.columns]
         for v in missing:
             out = out.withColumn(v, F.lit(None).cast("string"))
-        out = out.select(*q.variables)
+        out = out.select(*cols)
     else:
         out = out.select(
             *[c for c in out.columns if not (c.startswith("__m") or c.startswith("__pp"))]

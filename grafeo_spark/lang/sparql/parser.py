@@ -165,6 +165,12 @@ class SelectQuery:
     aggregates: list[tuple] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: Optional[FExpr] = None
+    # general (expr AS ?alias) projections — SPARQL 1.1 SelectClause
+    # expressions beyond the aggregate fast path (computed per row)
+    select_exprs: list[tuple[str, FExpr]] = field(default_factory=list)
+    # fresh-var bindings feeding aggregates over expressions:
+    # (AVG(xsd:integer(?a)) AS ?x) binds the cast first, aggregates second
+    pre_binds: list[tuple[str, FExpr]] = field(default_factory=list)
 
 
 @dataclass
@@ -230,6 +236,9 @@ _TOKEN = re.compile(
     """,
     re.VERBOSE,
 )
+
+
+_AGG_NAMES = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
 
 
 def tokenize(src: str) -> list[tuple[str, str]]:
@@ -345,6 +354,8 @@ class Parser:
             distinct = True
         variables: list[str] = []
         aggregates: list[tuple[str, str, str, bool]] = []
+        select_exprs: list[tuple[str, FExpr]] = []
+        pre_binds: list[tuple[str, FExpr]] = []
         if self.at("op", "*"):
             self.next()
         else:
@@ -352,36 +363,69 @@ class Parser:
                 if self.at("var"):
                     variables.append(self.next()[1][1:])
                     continue
-                # (AGG([DISTINCT] ?v | *) AS ?alias)
-                self.next()  # '('
-                fname = self.eat("name")[1].lower()
-                self.eat("op", "(")
-                agg_distinct = False
-                if self.at("name", "DISTINCT"):
-                    self.next()
-                    agg_distinct = True
-                if self.at("op", "*"):
-                    self.next()
-                    arg = "*"
+                # (AGG([DISTINCT] ?v | *) AS ?alias) — the aggregate fast
+                # path, which also owns the GROUP_CONCAT SEPARATOR form
+                snap = self.i
+                try:
+                    self.next()  # '('
+                    fname = self.eat("name")[1].lower()
+                    self.eat("op", "(")
+                    agg_distinct = False
+                    if self.at("name", "DISTINCT"):
+                        self.next()
+                        agg_distinct = True
+                    if self.at("op", "*"):
+                        self.next()
+                        arg = "*"
+                    else:
+                        arg = self.eat("var")[1][1:]
+                    sep = None
+                    if self.at("op", ";"):
+                        # GROUP_CONCAT(?v; SEPARATOR=", ") (ast.rs:819)
+                        self.next()
+                        kw = self.eat("name")[1]
+                        if kw.upper() != "SEPARATOR":
+                            raise SparqlSyntaxError(f"expected SEPARATOR, got {kw!r}")
+                        self.eat("op", "=")
+                        sep = re.sub(r"\\(.)", r"\1", self.eat("str")[1][1:-1])
+                    self.eat("op", ")")
+                    self.eat("name", "AS")
+                    alias = self.eat("var")[1][1:]
+                    self.eat("op", ")")
+                except SparqlSyntaxError:
+                    # general (expr AS ?alias) projection (SPARQL 1.1
+                    # SelectClause expressions): restore and re-parse as a
+                    # full expression; an aggregate over a computed arg
+                    # binds the arg to a fresh var first
+                    self.i = snap
+                    self.next()  # '('
+                    e = self.filter_expr()
+                    self.eat("name", "AS")
+                    alias = self.eat("var")[1][1:]
+                    self.eat("op", ")")
+                    if (
+                        isinstance(e, FExpr)
+                        and e.op.startswith("call:")
+                        and e.op[5:] in _AGG_NAMES
+                        and len(e.args) == 1
+                    ):
+                        fresh = f"__selarg{len(pre_binds)}"
+                        pre_binds.append((fresh, e.args[0]))
+                        aggregates.append((e.op[5:], fresh, alias, False))
+                    else:
+                        select_exprs.append((alias, e))
+                    continue
+                if fname in _AGG_NAMES:
+                    if sep is None:
+                        aggregates.append((fname, arg, alias, agg_distinct))
+                    else:
+                        aggregates.append((fname, arg, alias, agg_distinct, sep))
                 else:
-                    arg = self.eat("var")[1][1:]
-                sep = None
-                if self.at("op", ";"):
-                    # GROUP_CONCAT(?v; SEPARATOR=", ") (ast.rs:819)
-                    self.next()
-                    kw = self.eat("name")[1]
-                    if kw.upper() != "SEPARATOR":
-                        raise SparqlSyntaxError(f"expected SEPARATOR, got {kw!r}")
-                    self.eat("op", "=")
-                    sep = re.sub(r"\\(.)", r"\1", self.eat("str")[1][1:-1])
-                self.eat("op", ")")
-                self.eat("name", "AS")
-                alias = self.eat("var")[1][1:]
-                self.eat("op", ")")
-                if sep is None:
-                    aggregates.append((fname, arg, alias, agg_distinct))
-                else:
-                    aggregates.append((fname, arg, alias, agg_distinct, sep))
+                    # a builtin call that happened to fit the narrow
+                    # grammar, e.g. (STRLEN(?n) AS ?l) — per-row expr
+                    select_exprs.append(
+                        (alias, FExpr("call:" + fname, (Var(arg),)))
+                    )
         self.eat("name", "WHERE")
         where = self.group()
         group_by: list[str] = []
@@ -424,7 +468,7 @@ class Parser:
             raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
         return SelectQuery(
             variables, where, distinct, order, limit, offset, aggregates,
-            group_by, having,
+            group_by, having, select_exprs, pre_binds,
         )
 
     # -- updates ----------------------------------------------------------
@@ -859,6 +903,25 @@ class Parser:
         if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
             return FExpr(v, (left, self.primary()))
+        if k == "name" and v.upper() in ("IN", "NOT"):
+            # ?x IN (e1, e2, ...) / ?x NOT IN (...) (SPARQL 1.1 §17.4.1)
+            neg = v.upper() == "NOT"
+            snap = self.i
+            self.next()
+            if neg:
+                if not self.at("name", "IN"):
+                    self.i = snap
+                    return left
+                self.next()
+            self.eat("op", "(")
+            items = []
+            while not self.at("op", ")"):
+                items.append(self.filter_expr())
+                if self.at("op", ","):
+                    self.next()
+            self.eat("op", ")")
+            e = FExpr("in", (left, *items))
+            return FExpr("not", (e,)) if neg else e
         # bare term / call (effective boolean value, or a function argument)
         return left
 

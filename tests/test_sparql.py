@@ -719,3 +719,54 @@ def test_xsd_cast_functions(sdb):
         )
     )
     assert out2 == [("30",)]
+
+
+def test_select_expression_projections(sdb):
+    # SPARQL 1.1 SelectClause expressions beyond the aggregate fast path
+    out = rows(
+        sdb.sparql(
+            PFX + 'SELECT (CONCAT("p:", ?n) AS ?tag) WHERE { ?p ex:name ?n } ORDER BY ?tag'
+        )
+    )
+    assert out[0] == ("p:Alice",)
+    out2 = rows(
+        sdb.sparql(
+            PFX + "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT (AVG(xsd:integer(?a)) AS ?avg) WHERE { ?p ex:age ?a }"
+        )
+    )
+    assert out2 == [(35.0,)]
+    out3 = rows(
+        sdb.sparql(
+            PFX + 'SELECT ?p (IF(BOUND(?k), "y", "n") AS ?has) '
+            "WHERE { ?p a ex:Person OPTIONAL { ?p ex:knows ?k } }"
+        )
+    )
+    assert ("http://example.org/carol", "n") in out3
+
+
+def test_filter_in_not_in(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + 'SELECT ?n WHERE { ?p ex:name ?n . FILTER(?n IN ("Alice", "Zed")) }'
+        )
+    )
+    assert out == [("Alice",)]
+    out2 = rows(
+        sdb.sparql(
+            PFX + 'SELECT ?n WHERE { ?p a ex:Person ; ex:name ?n . '
+            'FILTER(?n NOT IN ("Alice", "Bob")) }'
+        )
+    )
+    assert out2 == [("Carol",)]
+
+
+def test_having_repeats_aggregate_call(sdb):
+    # HAVING may repeat the aggregate call instead of naming its alias
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n (COUNT(?x) AS ?c) WHERE { ?p ex:name ?n . "
+            "OPTIONAL { ?p ex:knows ?x } } GROUP BY ?n HAVING (COUNT(?x) = 0)"
+        )
+    )
+    assert ("Carol", 0) in out and all(c == 0 for _, c in out)
