@@ -11,6 +11,7 @@ calls — no eval, no name resolution beyond ``g``/``P``."""
 from __future__ import annotations
 
 import ast
+import re
 
 from grafeo_spark.lang.gremlin.traversal import (
     Anon,
@@ -33,6 +34,17 @@ _METHODS = {
     "and": "and_",
     "or": "or_",
 }
+
+
+# Steps whose names are Python keywords cannot survive ast.parse in call
+# position; rewrite `.kw(` -> `.kw_(` up front (matching the fluent API's
+# trailing-underscore convention). A property VALUE containing the literal
+# text ".in(" would be rewritten too — accepted, documented limitation of
+# the string form.
+_KEYWORD_STEPS = re.compile(r"\.(in|not|and|or|as|is|from)\(")
+
+# bare Order tokens (groovy static imports): by('age', desc)
+_ORDER_TOKENS = {"asc", "desc", "incr", "decr"}
 
 
 def _root_name(node: ast.expr):
@@ -71,22 +83,33 @@ def _literal(node: ast.expr):
     root = _root_name(node)
     if root == "__":
         return _anon(node)
+    if isinstance(node, ast.Name) and node.id in _ORDER_TOKENS:
+        # groovy statically imports Order members: by('age', desc)
+        return node.id
     if isinstance(node, ast.Call):
-        # P.gt(5) style predicate
+        from grafeo_spark.lang.gremlin.traversal import TextP
+
         fn = node.func
         if (
             isinstance(fn, ast.Attribute)
             and isinstance(fn.value, ast.Name)
             and fn.value.id in ("P", "TextP")
         ):
-            from grafeo_spark.lang.gremlin.traversal import TextP
-
             ns = P if fn.value.id == "P" else TextP
             args = [_literal(a) for a in node.args]
             try:
                 return getattr(ns, fn.attr)(*args)
             except AttributeError:
                 raise GremlinError(f"unknown predicate {fn.value.id}.{fn.attr}")
+        if isinstance(fn, ast.Name) and not fn.id.startswith("_"):
+            # bare gt(5)/within(...)/containing(...) — groovy statically
+            # imports the P/TextP members, so the prefix-less form is the
+            # idiomatic one
+            ns = next((n for n in (P, TextP) if hasattr(n, fn.id)), None)
+            if ns is not None:
+                args = [_literal(a) for a in node.args]
+                return getattr(ns, fn.id)(*args)
+            raise GremlinError(f"unknown predicate {fn.id}")
         raise GremlinError(
             "only P.<predicate>(...) and __.<step>()... calls are allowed as arguments"
         )
@@ -115,8 +138,9 @@ def _flatten(node: ast.expr) -> list[tuple[str, list]]:
 
 
 def execute(g: GremlinSource, query: str) -> Traversal:
+    query = _KEYWORD_STEPS.sub(lambda m: f".{m.group(1)}_(", query.strip())
     try:
-        tree = ast.parse(query.strip(), mode="eval")
+        tree = ast.parse(query, mode="eval")
     except SyntaxError as ex:
         raise GremlinError(f"gremlin syntax error: {ex}")
     steps = _flatten(tree.body)

@@ -235,6 +235,29 @@ class Traversal:
         ``values(k)`` ≡ ``has(k)`` (exists iff the property is non-null),
         and count/fold/sum/… always yield one row, so they are stripped."""
         steps = list(anon._steps)
+        if len(steps) >= 2 and steps[-1][0] == "is_" and steps[-2][0] == "count":
+            # where(__...count().is(P)) — per-element count compared by
+            # the predicate; elements with NO sub-results count 0, so the
+            # counts left-join back onto the seed before filtering
+            pred = steps[-1][1][0]
+            body = Anon(tuple(steps[:-2]))
+            idc = _p(self.cur, "id")
+            seed_cols = [c for c in self.df.columns if c.startswith(self.cur + "__")]
+            seed = self.df.select(*seed_cols).dropDuplicates([idc])
+            res = self._derive(seed, self.cur, self.kind)._apply_anon(body)
+            if idc not in res.df.columns:
+                raise GremlinError(
+                    "where/not/and/or sub-traversals must not project away "
+                    "the current element (avoid select inside them)"
+                )
+            counts = res.df.groupBy(idc).agg(F.count(F.lit(1)).alias("_n"))
+            counts = seed.select(idc).join(counts, idc, "left").fillna({"_n": 0})
+            cond = (
+                pred.col(F.col("_n"))
+                if isinstance(pred, P)
+                else (F.col("_n") == F.lit(pred))
+            )
+            return counts.filter(cond).select(idc).distinct()
         while steps:
             name, args, _kw = steps[-1]
             if name == "values" and len(args) == 1:
@@ -517,6 +540,16 @@ class Traversal:
     def label(self) -> "Traversal":
         out = self.df.select(F.col(_p(self.cur, "_label")).alias("label"))
         return self._derive(out, "label", "value")
+
+    def is_(self, pred: Any) -> "Traversal":
+        """``.is(P)`` / ``.is(literal)`` — filter the current VALUE by a
+        predicate (TinkerPop IsStep); meaningful after a value-producing
+        step (values()/count()/...)."""
+        if self.kind != "value":
+            raise GremlinError(".is() applies to values — use has()/where() on elements")
+        col = F.col(self.df.columns[0])
+        cond = pred.col(col) if isinstance(pred, P) else (col == F.lit(pred))
+        return self._derive(self.df.filter(cond), self.cur, self.kind)
 
     def dedup(self) -> "Traversal":
         if self.kind == "value":

@@ -401,3 +401,49 @@ def test_bare_groupcount_in_anonymous(g):
 def test_groupcount_by_key(g):
     out = sorted(g.V().hasLabel("Person").groupCount().by("city").toList())
     assert ("NYC", 3) in out and ("LA", 2) in out
+
+
+def test_string_form_groovy_idioms(db):
+    """The string front-end accepts Gremlin-Groovy's statically-imported
+    idioms: bare predicates (gt/within/inside/containing), bare order
+    tokens (desc), and steps whose names are Python keywords
+    (.is/.not/.in/.and/.or/.as/.from rewritten to the fluent _-forms)."""
+    assert db.gremlin(
+        "g.V().hasLabel('Person').order().by('age', desc).limit(1).values('name')"
+    ).collect()[0][0] == "Eve"
+    out = sorted(
+        r[0] for r in db.gremlin("g.V().has('age', gte(40)).values('name')").collect()
+    )
+    assert out == ["Bob", "Eve", "Frank"]
+    out2 = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().has('city', within('Phoenix','Houston')).values('name')"
+        ).collect()
+    )
+    assert out2 == ["Grace", "Heidi"]
+    assert db.gremlin("g.V().not(__.both('KNOWS')).values('name')").collect()[0][0] == "Grace"
+
+
+def test_where_count_is_predicate(db):
+    # where(__...count().is(P)): per-element counts, zero included
+    out = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().where(__.out('KNOWS').count().is(gt(1))).values('name')"
+        ).collect()
+    )
+    assert out == ["Alice"]  # only Alice has out-degree 2
+    zero = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().where(__.out('KNOWS').count().is(0)).values('name')"
+        ).collect()
+    )
+    assert zero == ["Frank", "Grace"]
+
+
+def test_values_is_filter(g):
+    from grafeo_spark.lang.gremlin import P
+
+    assert g.V().values("age").is_(P.gte(45)).count().toList() == [2]
