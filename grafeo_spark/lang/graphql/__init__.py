@@ -230,6 +230,19 @@ class _Parser:
                 items.append(self.value())
             self.next()
             return items
+        if k == "op" and v == "{":
+            # input object, e.g. orderBy: {age: DESC} — ordered pairs
+            # (graphql_translator.rs:449 InputValue::Object)
+            self.next()
+            pairs = []
+            while not self.at("op", "}"):
+                name = self.eat("name")[1]
+                self.eat("op", ":")
+                pairs.append((name, self.value()))
+                if self.at("op", ","):
+                    self.next()
+            self.next()
+            return pairs
         if k == "name":
             self.next()
             if v in ("true", "false", "null"):
@@ -330,19 +343,29 @@ def _filter_cond(k: str, v: Any):
 
 
 def _split_args(args: list[tuple[str, Any]]):
-    """(filters, label, limit, offset) from a field's argument list."""
+    """(filters, label, limit, offset, order) from a field's argument
+    list. Special args mirror graphql_translator.rs:430-481: first/limit,
+    skip/offset, and orderBy as an input object {field: ASC|DESC} (a bare
+    string value orders ascending by that field)."""
     filters: list[tuple[str, Any]] = []
     label = limit = offset = None
+    order: list[tuple[str, bool]] = []
     for k, v in args:
         if k in ("first", "limit"):
             limit = int(v)
-        elif k == "offset":
+        elif k in ("offset", "skip"):
             offset = int(v)
         elif k == "label":
             label = v
+        elif k == "orderBy":
+            if isinstance(v, str):
+                order.append((v, True))
+            else:
+                for fld, direction in v:
+                    order.append((fld, str(direction).upper() != "DESC"))
         else:
             filters.append((k, v))
-    return filters, label, limit, offset
+    return filters, label, limit, offset, order
 
 
 def _join_nested(
@@ -367,7 +390,7 @@ def _join_nested(
         raise GraphQLError(
             f"unknown edge type {sel.name!r}; known: {graph.edge_types()}"
         )
-    filters, label, limit, offset = _split_args(sel.args)
+    filters, label, limit, offset, _order = _split_args(sel.args)
     if label is None:
         ep = graph.endpoints.get(sel.name)
         if ep is not None:
@@ -417,13 +440,16 @@ def _compile_field(graph: PropertyGraph, root: Field) -> DataFrame:
             f"unknown root type {root.name!r}; known: {graph.labels()}"
         )
     df = graph.nodes(root.name)
-    filters, _, limit, offset = _split_args(root.args)
+    filters, _, limit, offset, order = _split_args(root.args)
     for k, v in filters:
         df = df.filter(_filter_cond(k, v))
-    # root pagination selects root OBJECTS (deterministic by id), before
-    # nested expansion multiplies rows
-    if offset is not None or limit is not None:
-        df = df.orderBy("id")
+    # orderBy sorts root objects before pagination (translator.rs:404);
+    # id is always the final tiebreak so pagination stays deterministic
+    if order or offset is not None or limit is not None:
+        keys = [
+            (F.col(f).asc() if asc else F.col(f).desc()) for f, asc in order
+        ] + [F.col("id").asc()]
+        df = df.orderBy(*keys)
         if offset is not None:
             df = df.offset(offset)
         if limit is not None:

@@ -248,3 +248,18 @@ def test_graphql_over_rdf(spark):
         )
     )
     assert out2 == [("Bob",)]
+
+
+def test_orderby_and_skip(db):
+    # orderBy input object + skip alias (graphql_translator.rs:430-481)
+    out = [r.name for r in db.graphql(
+        '{ Person(orderBy: {age: DESC}, first: 2) { name } }'
+    ).collect()]
+    assert out == ["Eve", "Frank"]
+    out2 = [r.name for r in db.graphql(
+        '{ Person(orderBy: {age: DESC}, skip: 2, first: 2) { name } }'
+    ).collect()]
+    assert out2 == ["Bob", "Carol"]
+    # bare string form orders ascending
+    out3 = [r.name for r in db.graphql('{ Person(orderBy: "age", first: 1) { name } }').collect()]
+    assert out3 == ["Grace"]
