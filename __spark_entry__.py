@@ -110,10 +110,14 @@ _CYPHER: dict[str, str] = {
         "RETURN count(*) AS n"
     ),
     # pattern comprehension (cypher/ast.rs:440): per-region collected
-    # nation-name list (engine sorts members for determinism)
+    # nation-name list. Serialized with array_join(sort(...)) because the
+    # driver's canonicalizer can only hash atomic columns (the
+    # region_nations_sorted contract) — the comprehension itself is still
+    # the value under test.
     "pattern_comp_nations": (
         "MATCH (r:Region) RETURN r.name AS rname, "
-        "[(n:Nation)-[:IN_REGION]->(r) | n.name] AS nations ORDER BY rname"
+        "array_join(sort([(n:Nation)-[:IN_REGION]->(r) | n.name]), ',') "
+        "AS nations ORDER BY rname"
     ),
     # IN list + regex + boolean mix
     "filter_mix": (
@@ -569,7 +573,8 @@ _ORACLE: dict[str, str] = {
         UNION ALL SELECT 'User', (SELECT count(DISTINCT user_id) FROM events)
     """,
     "pattern_comp_nations": """
-        SELECT r_name AS rname, list_sort(list(n_name)) AS nations
+        SELECT r_name AS rname,
+               string_agg(n_name, ',' ORDER BY n_name ASC) AS nations
         FROM region JOIN nation ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY rname
     """,
@@ -691,6 +696,102 @@ _ORACLE: dict[str, str] = {
     "dedup_exact_count": """
         SELECT CAST(count(DISTINCT lower(text)) AS BIGINT) AS n FROM documents
     """,
+    # Full replay of the SimHash pipeline (sha256 bit-source arm): the
+    # tokenizer, the per-token 64-bit hash (first 16 hex chars of sha256,
+    # assembled with the same two's-complement wrap Spark's shiftleft
+    # applies), the 64 bit votes, the signed code assembly, and the
+    # brute-force Hamming verify the windowed join is exact against.
+    "simhash_near_pairs": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split(trim(lower(regexp_replace(
+                           text, '[^\\p{L}\\p{N}'']+', ' ', 'g'))), ' '),
+                       x -> x <> '')) AS t
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   list_reduce(list_transform(range(1, 9),
+                       i -> strpos('0123456789abcdef', substr(sha256(t), i, 1)) - 1),
+                       (a, x) -> a * 16 + x) AS hi,
+                   list_reduce(list_transform(range(9, 17),
+                       i -> strpos('0123456789abcdef', substr(sha256(t), i, 1)) - 1),
+                       (a, x) -> a * 16 + x) AS lo
+            FROM toks
+        ), h64 AS (
+            SELECT doc_id,
+                   CASE WHEN hi >= 2147483648
+                        THEN (hi - 4294967296) * 4294967296 + lo
+                        ELSE hi * 4294967296 + lo END AS h
+            FROM hashed
+        ), bits AS (
+            SELECT i, CASE WHEN i = 63 THEN -9223372036854775808
+                           ELSE (1::BIGINT << i) END AS mask
+            FROM (SELECT unnest(range(0, 64)) AS i)
+        ), votes AS (
+            SELECT doc_id, mask,
+                   sum(CASE WHEN (h & mask) <> 0 THEN 1 ELSE -1 END) AS v
+            FROM h64 CROSS JOIN bits GROUP BY doc_id, mask
+        ), codes0 AS (
+            SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN mask ELSE 0 END)
+                                AS BIGINT) AS code
+            FROM votes GROUP BY doc_id
+        ), codes AS (
+            SELECT d.doc_id AS id, coalesce(c.code, 0) AS code
+            FROM documents d LEFT JOIN codes0 c USING (doc_id)
+        )
+        SELECT a.id AS a, b.id AS b,
+               CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming
+        FROM codes a JOIN codes b ON b.id > a.id
+        WHERE bit_count(xor(a.code, b.code)) <= 3
+        ORDER BY a, b
+    """,
+    # Closed-form replay of the featurize profile: tokenizer + quality
+    # score terms reproduce llm/text.py:quality_score exactly (same
+    # expression shapes, IEEE-identical per-doc values); distinct_fp
+    # compares the normalized token stream itself — equal to the distinct
+    # xxhash64 fingerprint count barring a 64-bit collision.
+    "text_features_profile": """
+        WITH f AS (
+            SELECT source,
+                   list_filter(string_split(trim(lower(regexp_replace(
+                       text, '[^\\p{L}\\p{N}'']+', ' ', 'g'))), ' '),
+                       x -> x <> '') AS toks,
+                   length(text) AS n_char,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+                   length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS punct
+            FROM documents
+        ), g AS (
+            SELECT source, len(toks) AS n_tok, n_char, digit, punct,
+                   len(list_filter(toks, x -> list_contains(
+                       ['the','of','and','to','in','is','that','it','for','on',
+                        'with','as','are','was','be','this','have','from','or',
+                        'by','not'], x))) AS n_stop,
+                   array_to_string(toks, ' ') AS norm
+            FROM f
+        ), q AS (
+            SELECT source, n_tok, norm,
+                   0.3 * (CASE WHEN n_tok BETWEEN 10 AND 100000
+                               THEN 1.0 ELSE 0.3 END)
+                   + 0.2 * (CASE WHEN n_tok > 0
+                                  AND n_char::DOUBLE / n_tok BETWEEN 3 AND 12
+                                 THEN 1.0 ELSE 0.5 END)
+                   + 0.3 * (1.0 - least(
+                         (CASE WHEN n_char > 0 THEN digit::DOUBLE / n_char
+                               ELSE 0 END) * 2
+                         + (CASE WHEN n_char > 0 THEN punct::DOUBLE / n_char
+                                 ELSE 0 END) * 2, 1.0))
+                   + 0.2 * least((CASE WHEN n_tok > 0
+                                       THEN n_stop::DOUBLE / n_tok
+                                       ELSE 0 END) * 3, 1.0) AS quality
+            FROM g
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS docs,
+               round(avg(quality), 4) AS avg_quality,
+               round(avg(n_tok), 2) AS avg_tokens,
+               CAST(count(DISTINCT norm) AS BIGINT) AS distinct_fp
+        FROM q GROUP BY source ORDER BY source
+    """,
     "text_quality_stats": """
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -721,7 +822,7 @@ _ORACLE: dict[str, str] = {
                     CASE WHEN embedding[64] > 0 THEN 1::BIGINT ELSE 0::BIGINT END] AS code
             FROM embeddings WHERE vec_id < 20
         ), q AS (SELECT code AS qc FROM c WHERE vec_id = 0)
-        SELECT vec_id, c.code AS code,
+        SELECT vec_id, c.code[1] AS code_hi, c.code[2] AS code_lo,
                CAST(bit_count(xor(c.code[1], q.qc[1]))
                     + bit_count(xor(c.code[2], q.qc[2])) AS BIGINT) AS ham
         FROM c, q
@@ -962,7 +1063,9 @@ def _bq_codes_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-bit variant): 64-dim embeddings pack into two 63-bit words
     MSB-first, distance = popcount of the per-word XOR against the
     vec_id=0 code. Pure Catalyst aggregates; the oracle replays the
-    packing bit-for-bit with shifts."""
+    packing bit-for-bit with shifts. The packed code words are emitted as
+    two scalar bigint columns (code_hi, code_lo) — the driver's
+    canonicalizer hashes only atomic columns."""
     from pyspark.sql import functions as F
 
     from grafeo_spark.functions.vector import binary_hamming, binary_quantize
@@ -976,7 +1079,8 @@ def _bq_codes_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = binary_quantize(F.col("embedding"))
     return e.crossJoin(q).select(
         "vec_id",
-        code.alias("code"),
+        F.element_at(code, 1).alias("code_hi"),
+        F.element_at(code, 2).alias("code_lo"),
         binary_hamming(code, F.col("qc")).alias("ham"),
     )
 
@@ -1061,13 +1165,23 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-radius pairs via rotated-prefix buckets (no
-    all-pairs). No SQL oracle (64-bit xxhash semantics aren't replicable
-    in DuckDB) — rows-only driver check; exactness is covered by
-    tests/test_llm.py."""
+    """SimHash Hamming-radius pairs via disjoint bit-window buckets (no
+    all-pairs). Runs the pipeline's sha256 bit-source arm
+    (llm/dedup.py:_token_hash64) so the oracle can replay the ENTIRE
+    computation — tokenize, per-token 64-bit hash, bit votes, code
+    assembly, Hamming filter — as plain DuckDB SQL (sha256 is
+    bit-identical across engines; xxhash64, the fast default, is not
+    available there). Every line downstream of the one-line hash
+    expression is shared with the default arm, whose exactness
+    tests/test_llm.py pins against brute force."""
+    from pyspark.sql import functions as F
+
     from grafeo_spark.llm import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy("a", "b")
+    out = simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, bit_source="sha256")
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming")).orderBy(
+        "a", "b"
+    )
 
 
 def _dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1697,27 +1811,86 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # The driver records oracle rows for a bounded prefix of this battery
-# (~50 entries), so ordering is coverage policy. Round-5 rotation
-# (VERDICT r4 "Next round" #2): the 20 oracle-bearing entries displaced
-# past the cap in r4 — which exercise plans/compiler.py, the file that
-# changed most in r4 — lead; then entries new in r5; then entries whose
-# code changes in r5; then a representative core. Long-stable r4-green
-# entries sit past the cap — their green rows stand.
-#
-# Warm-up accounting (VERDICT r4 "What's wrong" #1, A/B'd in
-# scripts/ab_isolated.py): the first heavy job per session pays several
-# seconds of shuffle/codegen/Arrow spin-up regardless of plan, so cheap
-# entries open the battery, and a documents-toucher (multimodal_features)
-# and an embeddings-toucher (vq_codes_profile) run before the dedup/
-# similarity family absorbs their first full scans.
+# (~50 entries), so ordering is coverage policy. STANDING ROTATION POLICY
+# (recompute each round from CORRECTNESS_r{N-1}.json):
+#   tier 1: entries whose code changed this round, plus any entry that was
+#           red / err / no_oracle last round;
+#   tier 2: green entries ordered by rounds-since-last-checked, OLDEST
+#           first (an entry's green row goes stale as the compiler under
+#           it churns — nothing should sit unchecked for >2 rounds);
+#   tier 3: freshest-green entries rotate through remaining window slots;
+#   tier 4: remainder past the cap — their most recent green rows stand.
+# Within a tier, cheap entries lead and a documents-/embeddings-touching
+# entry runs before the heavy dedup/similarity family (warm-up
+# accounting, A/B'd in scripts/ab_isolated.py: the session's first heavy
+# job pays seconds of JIT/codegen/first-scan cost regardless of plan).
 _PRIORITY = [
-    # -- tier A: the 20 r4-displaced entries (r4 compiler-churn coverage),
-    # cheapest first so the opening query absorbs session warm-up
+    # -- tier 1 (r6): the two r5-red entries (array outputs, now
+    # serialized) and the two newly oracle-bearing entries (sha256 simhash
+    # arm; closed-form text profile). text_features_profile doubles as the
+    # documents warm-up absorber for simhash.
+    "pattern_comp_nations",
+    "bq_codes_hamming",  # embeddings warm-up absorber
+    "text_quality_stats",
+    "text_features_profile",
+    "simhash_near_pairs",
+    # -- tier 2 (r6): the 34 entries last checked in r<=4 (displaced past
+    # the r5 window), oldest-green first. The SPARQL path family and
+    # Cypher path/varlen entries lead — their compilers changed in r5.
+    "sparql_region_names",
+    "sparql_nation_region_join",
+    "sparql_filter_optional",
+    "sparql_union_names",
+    "sparql_ask_region",
+    "sparql_values_nations",
+    "sparql_minus_segment",
+    "sparql_path_customer_region",
+    "sparql_count_by_segment",
+    "sparql_construct_located",
+    "sparql_path_alt",
+    "sparql_path_inverse",
+    "sparql_path_star",
+    "sparql_describe_region",
+    "sparql_replace_filter",
+    "sparql_graph_counts",
+    "sparql_update_roundtrip",
+    "varlen_asia_reach",
+    "shortest_customer_part",
+    "path_value_2hop",
+    "path_varlen_nodes",
+    "allshortest_customer_parts",
+    "sp_region_path_nodes",
+    "asia_customer_revenue",
+    "balance_bands",
+    "customers_without_orders",
+    "order_part_suppliers",
+    "mutation_roundtrip",
+    "graphql_three_level",
+    "knn_cosine_top10",
+    "ann_knn_top10",
+    "alg_degree_top",
+    "alg_wcc_sizes",
+    "alg_triangles",
+    "alg_bfs_depths",
+    # -- tier 3 (r6): fresh r5-greens rotating through remaining slots —
+    # one representative per subsystem, dedup family after its warm-up
+    "flagship_customer_orders",
+    "q1_pricing_summary",
     "region_nations_sorted",
+    "unwind_squares",
+    "events_windowed_counts",
+    "dedup_exact_count",
+    "dedup_near_pairs",
+    "dedup_near_survivors",
+    "ngram_jaccard_pairs",
+    "embedding_near_pairs",
+    "sim_join_top2",
+    "ivf_knn_top10",
+    "alg_pagerank_top",
+    # -- tier 4 (r6): r5-green entries past the cap; their rows stand
     "skip_limit_page",
     "filter_mix",
     "string_funcs",
-    "unwind_squares",
     "top_parts_by_price",
     "order_priority_count",
     "segment_stats",
@@ -1729,11 +1902,9 @@ _PRIORITY = [
     "graphql_nested",
     "gremlin_order_count",
     "gremlin_project_orders",
-    "vq_codes_profile",  # embeddings warm-up absorber
-    "multimodal_features",  # documents warm-up absorber
-    "events_windowed_counts",
+    "vq_codes_profile",
+    "multimodal_features",
     "events_sessionized",
-    # -- tier B: new in round 5
     "sparql_negated_path",
     "sparql_negated_inverse_path",
     "sparql_bind_strlen",
@@ -1741,74 +1912,15 @@ _PRIORITY = [
     "sparql_not_exists_count",
     "sparql_having_segments",
     "sparql_subselect_concat",
-    "pattern_comp_nations",
     "graphql_rdf_customers",
     "admin_stats_labels",
-    "ivf_knn_top10",
-    "bq_codes_hamming",
-    # -- new in this round's continuation session
     "sparql_service_nations",
     "sparql_cast_acctbal",
     "direct_find_by_property",
-    # -- tier C: code changes in round 5 (dedup occupancy cap, pagerank
-    # early-exit, time_bucket tz fix, as-of collision guard, gremlin store)
-    # within the dedup family, cheap-to-compile entries lead: the first
-    # shuffle-heavy documents job pays several seconds of JIT/codegen
-    # warm-up (A/B: 13s cold-first vs 6.7s warm for the SAME plan), so
-    # dedup_exact/simhash absorb it before the banded-pair entries run
-    "text_quality_stats",
-    "dedup_exact_count",
-    "simhash_near_pairs",
-    "dedup_near_pairs",
-    "dedup_near_survivors",
-    "ngram_jaccard_pairs",
-    "embedding_near_pairs",
-    "sim_join_top2",  # after vq_codes_profile + embedding_near_pairs: warm
-    "alg_pagerank_top",
     "events_hourly_rollup",
     "events_asof_views",
     "gremlin_segment_counts",
     "gremlin_mutation_roundtrip",
-    # -- tier D: representative core (r4-green; re-checked as budget allows)
-    "flagship_customer_orders",
-    "q1_pricing_summary",
-    "asia_customer_revenue",
-    "order_part_suppliers",
-    "customers_without_orders",
-    "balance_bands",
-    "mutation_roundtrip",
-    "graphql_three_level",
-    "knn_cosine_top10",
-    "ann_knn_top10",
-    "varlen_asia_reach",
-    "shortest_customer_part",
-    "sparql_nation_region_join",
-    "sparql_update_roundtrip",
-    "alg_degree_top",
-    "alg_wcc_sizes",
-    "alg_triangles",
-    "alg_bfs_depths",
-    # -- tier E: stable r4-green entries, past the cap; their rows stand
-    "text_features_profile",
-    "sparql_path_alt",
-    "sparql_path_inverse",
-    "sparql_path_star",
-    "sparql_describe_region",
-    "sparql_replace_filter",
-    "sparql_graph_counts",
-    "path_value_2hop",
-    "path_varlen_nodes",
-    "allshortest_customer_parts",
-    "sp_region_path_nodes",
-    "sparql_region_names",
-    "sparql_filter_optional",
-    "sparql_union_names",
-    "sparql_ask_region",
-    "sparql_values_nations",
-    "sparql_minus_segment",
-    "sparql_path_customer_region",
-    "sparql_count_by_segment",
-    "sparql_construct_located",
 ]
 
 

@@ -81,16 +81,41 @@ def main() -> None:
             timings[name] = -1.0
             print(f"{name}: ERROR: {ex}", file=sys.stderr)
 
+    # Output hardening (VERDICT r5 "What's wrong" #3): the driver captures
+    # only a ~2.2 KB stdout TAIL, and the full per-query map (86 entries)
+    # overflows it — r5's BENCH json ended up unparseable (parsed: null).
+    # So: persist the full result to bench_last.json for the judge, print
+    # the full line first (best-effort), and make the FINAL stdout line a
+    # compact summary — headline total + the slowest entries — small
+    # enough (<1 KB) to survive any tail truncation intact.
+    full = {
+        "metric": "battery_wall_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "method": f"min_of_2_over_{RERUN_OVER_SEC}s",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full, separators=(",", ":")))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:12]
+    )
     print(
         json.dumps(
             {
                 "metric": "battery_wall_sec",
-                "value": round(total, 3),
+                "value": round(total, 2),
                 "unit": "sec",
                 "method": f"min_of_2_over_{RERUN_OVER_SEC}s",
-                "queries": timings,
+                "n_queries": len(timings),
+                "n_errors": sum(1 for v in timings.values() if v < 0),
+                "queries": {k: round(v, 2) for k, v in slowest.items()},
+                "queries_note": "12 slowest of full map; all in bench_last.json",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -327,13 +327,26 @@ class GrafeoSpark:
         """Nodes whose ``prop`` equals ``value`` (find_nodes_by_property
         analogue, database.rs:969 — which returns bare ids; this returns
         the full node rows, a DataFrame being the natural result shape).
-        Labels without the property are skipped, matching the reference's
-        property-keyed (label-agnostic) lookup."""
+        Labels without the property are skipped, and a property no label
+        carries (or an unknown label / a label lacking the property)
+        yields an EMPTY result, matching the reference's empty-vec
+        behavior for lookup misses rather than raising."""
         from pyspark.sql import functions as F
 
+        def _empty(lbl: str | None) -> DataFrame:
+            base = (
+                self.graph.nodes(lbl)
+                if lbl in self.graph.node_frames
+                else self.graph.nodes(None)
+            )
+            return base.filter(F.lit(False))
+
         if label is not None:
-            if prop not in self.graph.node_frames[label].columns:
-                raise KeyError(f"label {label!r} has no property {prop!r}")
+            if (
+                label not in self.graph.node_frames
+                or prop not in self.graph.node_frames[label].columns
+            ):
+                return _empty(label)
             return self.graph.nodes(label).filter(F.col(prop) == F.lit(value))
         out = None
         for lbl in self.graph.labels():
@@ -343,7 +356,7 @@ class GrafeoSpark:
             cur = self.graph.nodes(lbl).filter(F.col(prop) == F.lit(value))
             out = cur if out is None else out.unionByName(cur, allowMissingColumns=True)
         if out is None:
-            raise KeyError(f"no label carries property {prop!r}")
+            return _empty(None)
         return out
 
     def schema(self) -> dict:

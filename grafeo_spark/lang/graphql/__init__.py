@@ -358,11 +358,23 @@ def _split_args(args: list[tuple[str, Any]]):
         elif k == "label":
             label = v
         elif k == "orderBy":
+            # accepted shapes: a bare field name, or the input object
+            # {field: ASC|DESC} (parsed as (name, value) pairs). A GraphQL
+            # LIST value would silently iterate strings as char pairs —
+            # reject anything else loudly (translator.rs:449 InputValue).
             if isinstance(v, str):
                 order.append((v, True))
-            else:
+            elif isinstance(v, list) and all(
+                isinstance(p, tuple) and len(p) == 2 and isinstance(p[0], str)
+                for p in v
+            ):
                 for fld, direction in v:
                     order.append((fld, str(direction).upper() != "DESC"))
+            else:
+                raise GraphQLError(
+                    "orderBy expects a field name or an input object "
+                    "{field: ASC|DESC}, got " + repr(v)
+                )
         else:
             filters.append((k, v))
     return filters, label, limit, offset, order
@@ -390,7 +402,7 @@ def _join_nested(
         raise GraphQLError(
             f"unknown edge type {sel.name!r}; known: {graph.edge_types()}"
         )
-    filters, label, limit, offset, _order = _split_args(sel.args)
+    filters, label, limit, offset, order = _split_args(sel.args)
     if label is None:
         ep = graph.endpoints.get(sel.name)
         if ep is not None:
@@ -403,9 +415,14 @@ def _join_nested(
     child_id = f"__id_{child_prefix}"
     scalars = [s for s in sel.selections if not s.selections]
     nested = [s for s in sel.selections if s.selections]
+    # orderBy fields ride along as hidden columns (they need not be
+    # selected); they order the per-parent pagination window and, without
+    # pagination, the flattened output rows within each parent
+    ord_cols = [f"{child_prefix}__ord{i}" for i in range(len(order))]
     child = base.select(
         F.col("id").alias(child_id),
         *[F.col(s.name).alias(child_prefix + s.out_name) for s in scalars],
+        *[F.col(f).alias(c) for c, (f, _) in zip(ord_cols, order)],
     )
     esrc, edst = f"__src_{child_prefix}", f"__dst_{child_prefix}"
     e = graph.edges(sel.name).select(
@@ -416,10 +433,14 @@ def _join_nested(
         .join(child, F.col(edst) == F.col(child_id), "inner")
         .drop(esrc, edst)
     )
+    okeys = [
+        (F.col(c).asc() if asc else F.col(c).desc())
+        for c, (_, asc) in zip(ord_cols, order)
+    ]
     if limit is not None or offset is not None:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(parent_id_col).orderBy(F.col(child_id))
+        w = Window.partitionBy(parent_id_col).orderBy(*okeys, F.col(child_id))
         rn = f"__rn_{child_prefix}"
         out = out.withColumn(rn, F.row_number().over(w))
         lo = offset or 0
@@ -427,6 +448,10 @@ def _join_nested(
         if limit is not None:
             cond = cond & (F.col(rn) <= lo + limit)
         out = out.filter(cond).drop(rn)
+    elif okeys:
+        out = out.orderBy(F.col(parent_id_col), *okeys, F.col(child_id))
+    if ord_cols:
+        out = out.drop(*ord_cols)
     out_cols = [child_prefix + s.out_name for s in scalars]
     for sub in nested:
         out, sub_cols = _join_nested(graph, out, child_id, label, sub, child_prefix)

@@ -38,10 +38,24 @@ _METHODS = {
 
 # Steps whose names are Python keywords cannot survive ast.parse in call
 # position; rewrite `.kw(` -> `.kw_(` up front (matching the fluent API's
-# trailing-underscore convention). A property VALUE containing the literal
-# text ".in(" would be rewritten too — accepted, documented limitation of
-# the string form.
+# trailing-underscore convention). The rewrite skips quoted spans so a
+# property VALUE containing the literal text ".in(" survives intact.
 _KEYWORD_STEPS = re.compile(r"\.(in|not|and|or|as|is|from)\(")
+
+# Groovy string literals: single- or double-quoted, backslash escapes
+_QUOTED_SPAN = re.compile(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"")
+
+
+def _rewrite_keyword_steps(query: str) -> str:
+    """Apply the `.kw(` -> `.kw_(` rewrite only OUTSIDE string literals."""
+    out: list[str] = []
+    pos = 0
+    for m in _QUOTED_SPAN.finditer(query):
+        out.append(_KEYWORD_STEPS.sub(lambda k: f".{k.group(1)}_(", query[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(_KEYWORD_STEPS.sub(lambda k: f".{k.group(1)}_(", query[pos:]))
+    return "".join(out)
 
 # bare Order tokens (groovy static imports): by('age', desc)
 _ORDER_TOKENS = {"asc", "desc", "incr", "decr"}
@@ -138,7 +152,7 @@ def _flatten(node: ast.expr) -> list[tuple[str, list]]:
 
 
 def execute(g: GremlinSource, query: str) -> Traversal:
-    query = _KEYWORD_STEPS.sub(lambda m: f".{m.group(1)}_(", query.strip())
+    query = _rewrite_keyword_steps(query.strip())
     try:
         tree = ast.parse(query, mode="eval")
     except SyntaxError as ex:

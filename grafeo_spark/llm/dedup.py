@@ -486,7 +486,33 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------- #
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def _token_hash64(col: Column, bit_source: str) -> Column:
+    """64-bit per-token hash feeding SimHash's bit votes.
+
+    ``xxhash64`` (default) is the fast path — one JVM hash call per token.
+    ``sha256`` derives the same 64-bit shape from the first 16 hex chars of
+    SHA-256, at ~2-3x the hash cost; its value is that SHA-256 is available
+    bit-identically in other engines (DuckDB, Postgres), so the WHOLE
+    SimHash pipeline — tokenize, bit votes, windows, Hamming verify — can
+    be replayed as plain SQL for engine-independent verification. Both
+    arms share every line downstream of this expression."""
+    if bit_source == "xxhash64":
+        return F.xxhash64(col)
+    if bit_source == "sha256":
+        hx = F.sha2(col, 256)
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        # Java shift wraps the sign bit, reproducing the unsigned bit layout
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+    raise ValueError(f"unknown bit_source {bit_source!r}")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bit_source: str = "xxhash64",
+) -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash over token hashes: bit i is the
     sign of sum(±1) of each token's hash bit i.
 
@@ -498,7 +524,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     ids = df.select(F.col(id_col).alias("id"))
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", _token_hash64(F.col("_t"), bit_source))
     votes = []
     masks = []
     for i in range(64):
@@ -529,6 +555,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     tables: int = 4,
+    bit_source: str = "xxhash64",
 ) -> DataFrame:
     """(a, b, hamming) pairs within a Hamming radius, via disjoint bit
     windows: split each 64-bit code into `tables` windows of 64//tables
@@ -543,7 +570,7 @@ def simhash_near_pairs(
             f"simhash_near_pairs requires max_hamming < tables for the "
             f"pigeonhole guarantee (got max_hamming={max_hamming}, tables={tables})"
         )
-    codes = simhash(df, id_col, text_col)
+    codes = simhash(df, id_col, text_col, bit_source=bit_source)
     # disjoint bit windows: shift counts are Python literals, so the
     # windows are unrolled as a union
     window_shift = 64 // tables

@@ -263,3 +263,36 @@ def test_orderby_and_skip(db):
     # bare string form orders ascending
     out3 = [r.name for r in db.graphql('{ Person(orderBy: "age", first: 1) { name } }').collect()]
     assert out3 == ["Grace"]
+
+
+def test_orderby_rejects_list_values(db):
+    # a GraphQL LIST value used to unpack a 2-char string into a bogus
+    # (field, direction) pair silently — now a loud error (ADVICE r5)
+    import pytest
+
+    from grafeo_spark.lang.graphql import GraphQLError
+
+    with pytest.raises(GraphQLError, match="orderBy"):
+        db.graphql('{ Person(orderBy: ["ab"], first: 1) { name } }')
+
+
+def test_nested_orderby_applied(db):
+    """orderBy on a nested field orders the per-parent pagination window
+    (top-N children by the field), not silently dropped (ADVICE r5)."""
+    # Alice KNOWS Bob (40) and Carol (35): first:1 by age DESC -> Bob
+    out = db.graphql(
+        '{ Person(name: "Alice") { name k: KNOWS(orderBy: {age: DESC}, first: 1) '
+        "{ name } } }"
+    ).collect()
+    assert [(r.name, r.k_name) for r in out] == [("Alice", "Bob")]
+    # ascending: first:1 by age ASC -> Carol
+    out2 = db.graphql(
+        '{ Person(name: "Alice") { name k: KNOWS(orderBy: {age: ASC}, first: 1) '
+        "{ name } } }"
+    ).collect()
+    assert [(r.name, r.k_name) for r in out2] == [("Alice", "Carol")]
+    # without pagination the rows come back ordered within the parent
+    out3 = db.graphql(
+        '{ Person(name: "Alice") { name k: KNOWS(orderBy: {age: DESC}) { name } } }'
+    ).collect()
+    assert [r.k_name for r in out3] == ["Bob", "Carol"]

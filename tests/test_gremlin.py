@@ -425,6 +425,22 @@ def test_string_form_groovy_idioms(db):
     assert db.gremlin("g.V().not(__.both('KNOWS')).values('name')").collect()[0][0] == "Grace"
 
 
+def test_keyword_rewrite_skips_string_literals(db):
+    """The `.kw(` -> `.kw_(` rewrite must not touch QUOTED spans: a
+    property value containing the literal text '.in(' (or '.is(', etc.)
+    has to survive to the comparison intact (ADVICE r5)."""
+    out = db.gremlin("g.V().has('name', 'x.in(y)').count()").collect()
+    assert out[0][0] == 0  # no such node — but the VALUE was not mangled
+    # the same text outside quotes is still rewritten as a step
+    names = sorted(
+        r[0]
+        for r in db.gremlin("g.V().in('KNOWS').values('name')").collect()
+    )
+    assert "Alice" in names  # 8->1 spur: Alice has an in-neighbor
+    # double-quoted values too
+    assert db.gremlin('g.V().has("name", "a.not(b)").count()').collect()[0][0] == 0
+
+
 def test_where_count_is_predicate(db):
     # where(__...count().is(P)): per-element counts, zero included
     out = sorted(

@@ -272,6 +272,49 @@ def test_simhash_near_pairs(docs):
     assert (0, 2) in out  # identical codes always collide
 
 
+def test_simhash_sha256_arm_matches_python_replay(docs):
+    """The sha256 bit-source (the battery's oracle-replayable arm) must
+    produce exactly the codes an independent Python replay computes:
+    token -> first 16 sha256 hex chars as a wrapped signed 64-bit int ->
+    per-bit +-1 votes -> signed code. Pins the Spark expression so the
+    DuckDB oracle replay in __spark_entry__ stays bit-faithful."""
+    import hashlib
+    import re
+
+    from grafeo_spark.llm import simhash
+
+    codes = dict(rows(simhash(docs, bit_source="sha256")))
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, text in texts.items():
+        # fixture texts are ASCII alnum, so [^\w']+ == Spark's [^\p{L}\p{N}']+
+        toks = [t for t in re.sub(r"[^\w']+", " ", text.lower()).split(" ") if t]
+        votes = [0] * 64
+        for t in toks:
+            h = int(hashlib.sha256(t.encode()).hexdigest()[:16], 16)
+            for i in range(64):
+                votes[i] += 1 if h & (1 << i) else -1
+        expect = 0
+        for i in range(64):
+            if votes[i] > 0:
+                expect |= 1 << i
+        if expect >= 1 << 63:
+            expect -= 1 << 64
+        assert codes[doc_id] == expect, doc_id
+
+
+def test_simhash_bit_sources_share_pipeline(docs):
+    """Both arms run the same windowed join; pairs with identical
+    normalized text collide under either bit source."""
+    from grafeo_spark.llm import simhash_near_pairs
+
+    out = {
+        (a, b)
+        for a, b, _ in rows(simhash_near_pairs(docs, max_hamming=3, bit_source="sha256"))
+    }
+    assert (0, 2) in out
+
+
 # --------------------------------------------------------------------- #
 # similarity search
 # --------------------------------------------------------------------- #

@@ -592,6 +592,11 @@ def test_property_index_registry(spark, social):
     assert rows(db.find_nodes_by_property("city", "LA", label="Person"), "name") == [
         ("Bob",), ("Eve",)
     ]
+    # lookup misses return empty results, not exceptions — matching the
+    # reference's empty-vec behavior (database.rs:969; ADVICE r5)
+    assert db.find_nodes_by_property("no_such_prop", 1).count() == 0
+    assert db.find_nodes_by_property("no_such_prop", 1, label="Person").count() == 0
+    assert db.find_nodes_by_property("name", "Alice", label="Ghost").count() == 0
     db.drop_property_index("name")
     assert db.has_property_index("name") is False
 
