@@ -119,6 +119,39 @@ _CYPHER: dict[str, str] = {
         "array_join(sort([(n:Nation)-[:IN_REGION]->(r) | n.name]), ',') "
         "AS nations ORDER BY rname"
     ),
+    # list quantifiers + reduce fold (openCypher list predicates;
+    # reference expr.rs quantifier/Reduce) over a collected list
+    "reduce_quantifiers": (
+        "MATCH (n:Nation) WITH collect(n.name) AS names "
+        "RETURN reduce(acc = 0, x IN names | acc + size(x)) AS total_len, "
+        "size([x IN names WHERE size(x) > 8]) AS n_long, "
+        "all(x IN names WHERE size(x) > 5) AS all_long, "
+        "any(x IN names WHERE x = 'NATION_3') AS has_n3, "
+        "none(x IN names WHERE x = 'ZZZ') AS no_zzz, "
+        "single(x IN names WHERE x = 'NATION_7') AS one_n7"
+    ),
+    # nested pattern comprehension: inner comprehension lowered onto the
+    # outer's subplan (CollectJoin over CollectJoin), folded with reduce
+    "nested_pattern_comp": (
+        "MATCH (r:Region) RETURN r.name AS rname, "
+        "reduce(acc = 0, c IN [(n:Nation)-[:IN_REGION]->(r) | "
+        "size([(cu:Customer)-[:FROM_NATION]->(n) | cu])] | acc + c) AS n_cust "
+        "ORDER BY rname"
+    ),
+    # list slicing / negative indexes (0-based, end-exclusive, clamped)
+    "list_slice_ops": (
+        "UNWIND [1, 2, 3] AS k WITH k, range(1, 10) AS xs "
+        "RETURN k, xs[k] AS at_k, xs[-k] AS at_neg_k, "
+        "size(xs[k..k+3]) AS mid_len, xs[..2][1] AS second "
+        "ORDER BY k"
+    ),
+    # unknown label/edge type -> empty relation (dynamic-label semantics)
+    "unknown_label_empty": (
+        "MATCH (g:Ghost) WITH count(*) AS ghosts "
+        "MATCH (c:Customer) WHERE c.custkey <= 10 "
+        "OPTIONAL MATCH (c)-[:NO_SUCH_TYPE]->(x) "
+        "RETURN ghosts, count(c) AS customers, count(x) AS phantom_edges"
+    ),
     # IN list + regex + boolean mix
     "filter_mix": (
         "MATCH (n:Nation) "
@@ -271,6 +304,39 @@ _ORACLE: dict[str, str] = {
         SELECT n_nationkey AS nationkey, n_name AS name FROM nation
         WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
            OR regexp_matches(n_name, '.*_2[0-4]$')
+    """,
+    "reduce_quantifiers": """
+        SELECT CAST(sum(length(n_name)) AS INT) AS total_len,
+               CAST(count(*) FILTER (WHERE length(n_name) > 8) AS INT) AS n_long,
+               bool_and(length(n_name) > 5) AS all_long,
+               bool_or(n_name = 'NATION_3') AS has_n3,
+               NOT bool_or(n_name = 'ZZZ') AS no_zzz,
+               count(*) FILTER (WHERE n_name = 'NATION_7') = 1 AS one_n7
+        FROM nation
+    """,
+    "nested_pattern_comp": """
+        SELECT r_name AS rname,
+               CAST(coalesce(sum(cnt), 0) AS INT) AS n_cust
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        LEFT JOIN (
+            SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1
+        ) cc ON cc.c_nationkey = n_nationkey
+        GROUP BY r_name ORDER BY rname
+    """,
+    "list_slice_ops": """
+        SELECT k,
+               CAST(k + 1 AS INT) AS at_k,        -- xs = [1..10], 0-based [k] = k+1
+               CAST(11 - k AS INT) AS at_neg_k,   -- [-k] = 10th-from-end
+               CAST(3 AS INT) AS mid_len,
+               CAST(2 AS INT) AS second
+        FROM (SELECT unnest([1, 2, 3]) AS k) ORDER BY k
+    """,
+    "unknown_label_empty": """
+        SELECT CAST(0 AS BIGINT) AS ghosts,
+               CAST(count(*) AS BIGINT) AS customers,
+               CAST(0 AS BIGINT) AS phantom_edges
+        FROM customer WHERE c_custkey <= 10
     """,
     "region_nations_sorted": """
         SELECT r_name AS region, string_agg(n_name, ',' ORDER BY n_name ASC) AS nations
@@ -595,6 +661,14 @@ _ORACLE: dict[str, str] = {
         SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
         FROM customer GROUP BY c_mktsegment
         HAVING count(*) > 300 ORDER BY seg
+    """,
+    "sparql_orderby_strlen": """
+        SELECT n_name AS name FROM nation
+        ORDER BY length(n_name) DESC, name LIMIT 10
+    """,
+    "sparql_orderby_aggcall": """
+        SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY seg ORDER BY n DESC, seg
     """,
     "sparql_subselect_concat": """
         SELECT r_name AS rname,
@@ -1446,6 +1520,17 @@ _SPARQL: dict[str, str] = {
         "SELECT ?seg (COUNT(?c) AS ?n) WHERE { ?c a ex:Customer ; "
         "ex:mktsegment ?seg } GROUP BY ?seg HAVING(?n > 300) ORDER BY ?seg"
     ),
+    # ORDER BY over an expression (SPARQL 1.1 §15.1 OrderCondition)
+    "sparql_orderby_strlen": (
+        "SELECT ?name WHERE { ?n a ex:Nation ; ex:name ?name } "
+        "ORDER BY DESC(STRLEN(?name)) ?name LIMIT 10"
+    ),
+    # ORDER BY over a repeated aggregate call, resolved onto the SELECT
+    # aggregate's output column (the HAVING resolution machinery)
+    "sparql_orderby_aggcall": (
+        "SELECT ?seg (COUNT(?c) AS ?n) WHERE { ?c a ex:Customer ; "
+        "ex:mktsegment ?seg } GROUP BY ?seg ORDER BY DESC(COUNT(?c)) ?seg"
+    ),
     # { SELECT ... } sub-query (ast.rs:322) + GROUP_CONCAT w/ SEPARATOR
     # (ast.rs:819; engine sorts members for determinism)
     "sparql_subselect_concat": (
@@ -1834,6 +1919,15 @@ _PRIORITY = [
     "text_quality_stats",
     "text_features_profile",
     "simhash_near_pairs",
+    # new in r6 (adversarial batch #2): quantifiers/reduce, nested
+    # comprehensions, list slicing, dynamic-label semantics, SPARQL
+    # ORDER BY expressions/aggregate calls
+    "reduce_quantifiers",
+    "nested_pattern_comp",
+    "list_slice_ops",
+    "unknown_label_empty",
+    "sparql_orderby_strlen",
+    "sparql_orderby_aggcall",
     # -- tier 2 (r6): the 34 entries last checked in r<=4 (displaced past
     # the r5 window), oldest-green first. The SPARQL path family and
     # Cypher path/varlen entries lead — their compilers changed in r5.

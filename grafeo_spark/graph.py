@@ -83,7 +83,13 @@ class PropertyGraph:
         union of all labels with a ``_label`` discriminator column."""
         if label is not None:
             if label not in self.node_frames:
-                raise KeyError(f"unknown node label: {label!r}")
+                # unknown label -> EMPTY relation, not an error: openCypher
+                # and TinkerPop treat labels dynamically (MATCH (:Ghost)
+                # yields no rows), and the reference's label-index scan
+                # returns an empty iterator for an unindexed label. The
+                # empty frame carries the all-labels union schema so
+                # downstream property references still resolve.
+                return self._empty_nodes()
             return self.node_frames[label].withColumn("_label", F.lit(label))
         out = None
         for lbl, df in self.node_frames.items():
@@ -104,10 +110,12 @@ class PropertyGraph:
         return out
 
     def edges(self, etype: str | None = None) -> DataFrame:
-        """Edge scan by type (single source) or across all types."""
+        """Edge scan by type (single source) or across all types. An
+        unknown type yields an EMPTY relation (same dynamic-label
+        rationale as ``nodes``)."""
         if etype is not None:
             if etype not in self.edge_frames:
-                raise KeyError(f"unknown edge type: {etype!r}")
+                return self._empty_edges()
             return self.edge_frames[etype].withColumn("_type", F.lit(etype))
         out = None
         for t, df in self.edge_frames.items():
@@ -116,6 +124,26 @@ class PropertyGraph:
         if out is None:
             raise ValueError("graph has no edge frames")
         return out
+
+    def _empty_nodes(self) -> DataFrame:
+        """Zero-row frame with the all-labels union schema + _label."""
+        out = None
+        for lbl, df in self.node_frames.items():
+            cur = df.withColumn("_label", F.lit(lbl))
+            out = cur if out is None else out.unionByName(cur, allowMissingColumns=True)
+        if out is None:
+            raise ValueError("graph has no node frames")
+        return out.filter(F.lit(False))
+
+    def _empty_edges(self) -> DataFrame:
+        """Zero-row frame with the all-types union schema + _type."""
+        out = None
+        for t, df in self.edge_frames.items():
+            cur = df.withColumn("_type", F.lit(t))
+            out = cur if out is None else out.unionByName(cur, allowMissingColumns=True)
+        if out is None:
+            raise ValueError("graph has no edge frames")
+        return out.filter(F.lit(False))
 
     def labels(self) -> list[str]:
         return sorted(self.node_frames)

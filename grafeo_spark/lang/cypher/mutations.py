@@ -448,6 +448,53 @@ class _Mutator:
                     if cnt:
                         self.graph = self.graph.merge_nodes(it.key, rows, keys=["id"])
                         self.stats["labels_added"] += cnt
+            elif it.kind in ("merge_props", "all_props"):
+                # SET n += {..} (MergeProperties, ast.rs:323) and
+                # SET n = {..} (AllProperties, ast.rs:316). Merge sets the
+                # listed keys; replace additionally nulls every other
+                # property column on the matched rows. Values may
+                # reference bound vars (n += {t: n.a + 1}).
+                if not isinstance(it.expr, E.MapLit):
+                    raise MutationError("SET n = / n += requires a map literal")
+                entries = list(it.expr.items)
+                keys = [k for k, _ in entries]
+                upd = (
+                    df.select(
+                        F.col(_p(it.var, "id")).alias("id"),
+                        *[self._expr(v, df).alias(f"__new_{k}") for k, v in entries],
+                    )
+                    .groupBy("id")
+                    .agg(*[F.max(f"__new_{k}").alias(f"__new_{k}") for k in keys])
+                    .withColumn("__hit", F.lit(True))
+                    .localCheckpoint(eager=True)
+                )
+                self.stats["properties_set"] += upd.count() * max(len(keys), 1)
+                for lbl in labels:
+                    frame = self.graph.node_frames[lbl]
+                    joined = frame.join(upd, "id", "left")
+                    if it.kind == "all_props":
+                        for c in frame.columns:
+                            if c == "id" or c.startswith("_") or c in keys:
+                                continue
+                            joined = joined.withColumn(
+                                c,
+                                F.when(F.col("__hit"), F.lit(None)).otherwise(F.col(c)),
+                            )
+                    for k in keys:
+                        new = F.col(f"__new_{k}")
+                        if it.kind == "merge_props":
+                            # null map values keep the old value — the
+                            # engine's SET-null convention (see 'prop')
+                            col = F.coalesce(new, F.col(k)) if k in frame.columns else new
+                        else:
+                            col = (
+                                F.when(F.col("__hit"), new).otherwise(F.col(k))
+                                if k in frame.columns
+                                else F.when(F.col("__hit"), new)
+                            )
+                        joined = joined.withColumn(k, col)
+                    joined = joined.drop("__hit", *[f"__new_{k}" for k in keys])
+                    self.graph = self.graph.with_nodes(lbl, joined, ids_disjoint=True)
             else:
                 upd = (
                     df.select(

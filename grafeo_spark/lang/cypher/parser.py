@@ -41,7 +41,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|<>|=~|\.\.|->|<-|[()\[\]{},.:;+\-*/%^=<>|])
+  | (?P<op><=|>=|<>|=~|\+=|\.\.|->|<-|[()\[\]{},.:;+\-*/%^=<>|])
     """,
     re.VERBOSE,
 )
@@ -449,12 +449,21 @@ class Parser:
         return DeleteClause(names, detach)
 
     def set_items(self) -> list[SetItem]:
+        # kinds mirror the reference SetItem enum (cypher/ast.rs:305-336):
+        # prop (n.p = e), label (n:L), merge_props (n += {..}),
+        # all_props (n = {..})
         items: list[SetItem] = []
         while True:
             var = self.name()
             if self.at_op(":"):
                 self.next()
                 items.append(SetItem("label", var, self.name()))
+            elif self.at_op("+="):
+                self.next()
+                items.append(SetItem("merge_props", var, "", self.expr()))
+            elif self.at_op("="):
+                self.next()
+                items.append(SetItem("all_props", var, "", self.expr()))
             else:
                 self.eat_op(".")
                 key = self.name()
@@ -706,6 +715,10 @@ class Parser:
                 return E.Lit(None)
             if kw == "CASE":
                 return self.case_expr()
+            if kw == "ALL" and self.peek(1).kind == "op" and self.peek(1).text == "(":
+                # ALL is a keyword (UNION ALL) but also the list quantifier
+                self.next()
+                return self.quantifier("all")
             if kw == "EXISTS":
                 self.next()
                 if self.at_op("{"):
@@ -744,6 +757,10 @@ class Parser:
             return E.MapLit(items)
         if t.kind == "name":
             name = self.next().text
+            if name.lower() in ("any", "none", "single") and self.at_op("("):
+                return self.quantifier(name.lower())
+            if name.lower() == "reduce" and self.at_op("("):
+                return self.reduce_expr()
             if self.at_op("("):
                 self.next()
                 if name.lower() in ("size", "count") and self.at_op("("):
@@ -772,6 +789,32 @@ class Parser:
                 return E.Fn(lname, tuple(args), distinct)
             return E.Col(name)
         raise CypherSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def quantifier(self, kind: str) -> E.Expr:
+        """all/any/none/single(x IN list WHERE pred) — list predicates."""
+        self.eat_op("(")
+        var = self.name()
+        self.eat_kw("IN")
+        source = self.expr()
+        self.eat_kw("WHERE")
+        pred = self.expr()
+        self.eat_op(")")
+        return E.Quant(kind, var, source, pred)
+
+    def reduce_expr(self) -> E.Expr:
+        """reduce(acc = init, x IN list | body) — list fold."""
+        self.eat_op("(")
+        acc = self.name()
+        self.eat_op("=")
+        init = self.expr()
+        self.eat_op(",")
+        var = self.name()
+        self.eat_kw("IN")
+        source = self.expr()
+        self.eat_op("|")
+        body = self.expr()
+        self.eat_op(")")
+        return E.Reduce(acc, init, var, source, body)
 
     def try_pattern(self) -> Optional[PatternPath]:
         """Backtracking attempt to parse a relationship pattern (for

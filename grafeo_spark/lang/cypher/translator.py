@@ -119,6 +119,13 @@ def _collect_used(stmt: P.Statement) -> dict:
                 walk(e.where)
             if e.projection:
                 walk(e.projection)
+        elif isinstance(e, E.Quant):
+            walk(e.source)
+            walk(e.pred)
+        elif isinstance(e, E.Reduce):
+            walk(e.init)
+            walk(e.source)
+            walk(e.body)
         elif isinstance(e, E.PatternPred):
             for el in e.path.elements:
                 if isinstance(el, (P.NodePat, P.RelPat)):
@@ -243,21 +250,26 @@ def _split_and(e: E.Expr) -> list[E.Expr]:
 
 def _lower_pattern_sub(
     ctx: _Ctx, path: P.PatternPath, where: Optional[E.Expr] = None
-) -> tuple[tuple[str, ...], ir.Plan]:
+) -> tuple[tuple[str, ...], "_Ctx"]:
     """Lower an EXISTS/COUNT pattern into its own subplan; returns the
-    variables shared with the outer scope (the correlation keys).
-    ``where`` is the inner predicate of the EXISTS { ... WHERE ... }
-    subquery form, applied inside the subplan."""
+    variables shared with the outer scope (the correlation keys) and the
+    sub-context (callers use ``.plan``; the pattern-comprehension path
+    also lowers NESTED comprehensions onto it, keyed by the inner
+    pattern's vars). ``where`` is the inner predicate of the
+    EXISTS { ... WHERE ... } subquery form, applied inside the subplan."""
     shared = [
         el.var
         for el in path.elements
         if isinstance(el, P.NodePat) and el.var and el.var in ctx.bound
     ]
     sub = _Ctx()
+    # offset the alias counter so a nested comprehension's fresh column
+    # can never shadow one the outer scope is about to mint
+    sub.fresh = ctx.fresh + 100
     _pattern(sub, path, outer_bound=ctx.bound)
     if where is not None:
         _apply_where(sub, where)
-    return tuple(dict.fromkeys(shared)), sub.plan
+    return tuple(dict.fromkeys(shared)), sub
 
 
 def _contains_pattern_pred(e: E.Expr) -> bool:
@@ -269,6 +281,23 @@ def _contains_pattern_pred(e: E.Expr) -> bool:
         return _contains_pattern_pred(e.operand)
     if isinstance(e, E.Fn):
         return any(_contains_pattern_pred(a) for a in e.args)
+    if isinstance(e, E.ListLit):
+        return any(_contains_pattern_pred(i) for i in e.items)
+    if isinstance(e, E.Index):
+        return _contains_pattern_pred(e.base) or _contains_pattern_pred(e.index)
+    if isinstance(e, E.Slice):
+        return any(
+            _contains_pattern_pred(x) for x in (e.base, e.lo, e.hi) if x is not None
+        )
+    if isinstance(e, E.Case):
+        parts = [e.subject, e.else_, *(x for w in e.whens for x in w)]
+        return any(_contains_pattern_pred(x) for x in parts if x is not None)
+    if isinstance(e, E.ListComp):
+        return _contains_pattern_pred(e.source)
+    if isinstance(e, E.Quant):
+        return _contains_pattern_pred(e.source)
+    if isinstance(e, E.Reduce):
+        return _contains_pattern_pred(e.init) or _contains_pattern_pred(e.source)
     return False
 
 
@@ -279,7 +308,7 @@ def _rewrite_count_preds(ctx: _Ctx, e: E.Expr) -> E.Expr:
     if isinstance(e, E.PatternPred):
         on, sub = _lower_pattern_sub(ctx, e.path, e.where)
         alias = ctx.fresh_var()
-        ctx.plan = ir.CountJoin(ctx.plan, sub, on, alias)
+        ctx.plan = ir.CountJoin(ctx.plan, sub.plan, on, alias)
         ctx.bound[alias] = ("value", None)
         if e.mode == "exists":
             return E.BinOp(">", E.Col(alias), E.Lit(0))
@@ -287,8 +316,14 @@ def _rewrite_count_preds(ctx: _Ctx, e: E.Expr) -> E.Expr:
     if isinstance(e, E.PatternComp):
         # pattern comprehension -> collect join (cypher/ast.rs:440)
         on, sub = _lower_pattern_sub(ctx, e.path)
+        # NESTED pattern comprehensions / pattern predicates inside the
+        # projection or filter lower onto the SUB plan, correlated on the
+        # inner pattern's vars — [p1 | size([p2(inner_var) | x])] becomes
+        # CollectJoin(outer, CollectJoin/CountJoin(sub, ...), ...)
+        proj = _rewrite_count_preds(sub, e.proj) if e.proj is not None else None
+        where = _rewrite_count_preds(sub, e.where) if e.where is not None else None
         alias = ctx.fresh_var()
-        ctx.plan = ir.CollectJoin(ctx.plan, sub, on, alias, e.proj, e.where)
+        ctx.plan = ir.CollectJoin(ctx.plan, sub.plan, on, alias, proj, where)
         ctx.bound[alias] = ("value", None)
         return E.Col(alias)
     if isinstance(e, E.BinOp):
@@ -297,6 +332,41 @@ def _rewrite_count_preds(ctx: _Ctx, e: E.Expr) -> E.Expr:
         return E.UnOp(e.op, _rewrite_count_preds(ctx, e.operand))
     if isinstance(e, E.Fn):
         return E.Fn(e.name, tuple(_rewrite_count_preds(ctx, a) for a in e.args), e.distinct)
+    # plan-scoped positions only: lambda bodies (ListComp.where/projection,
+    # Quant.pred, Reduce.body) bind per-element vars no join can correlate
+    # on, so pattern preds there stay unsupported and fail loudly at
+    # compile ("cannot compile expression PatternComp/PatternPred")
+    if isinstance(e, E.ListLit):
+        return E.ListLit(tuple(_rewrite_count_preds(ctx, i) for i in e.items))
+    if isinstance(e, E.Index):
+        return E.Index(_rewrite_count_preds(ctx, e.base), _rewrite_count_preds(ctx, e.index))
+    if isinstance(e, E.Slice):
+        return E.Slice(
+            _rewrite_count_preds(ctx, e.base),
+            _rewrite_count_preds(ctx, e.lo) if e.lo else None,
+            _rewrite_count_preds(ctx, e.hi) if e.hi else None,
+        )
+    if isinstance(e, E.Case):
+        return E.Case(
+            tuple(
+                (_rewrite_count_preds(ctx, c), _rewrite_count_preds(ctx, v))
+                for c, v in e.whens
+            ),
+            _rewrite_count_preds(ctx, e.else_) if e.else_ else None,
+            _rewrite_count_preds(ctx, e.subject) if e.subject else None,
+        )
+    if isinstance(e, E.ListComp):
+        return E.ListComp(e.var, _rewrite_count_preds(ctx, e.source), e.where, e.projection)
+    if isinstance(e, E.Quant):
+        return E.Quant(e.kind, e.var, _rewrite_count_preds(ctx, e.source), e.pred)
+    if isinstance(e, E.Reduce):
+        return E.Reduce(
+            e.acc,
+            _rewrite_count_preds(ctx, e.init),
+            e.var,
+            _rewrite_count_preds(ctx, e.source),
+            e.body,
+        )
     return e
 
 
@@ -309,7 +379,7 @@ def _apply_where(ctx: _Ctx, where: E.Expr) -> None:
     for c in _split_and(where):
         if isinstance(c, E.PatternPred) and c.mode == "exists":
             on, sub = _lower_pattern_sub(ctx, c.path, c.where)
-            ctx.plan = ir.SemiJoin(ctx.plan, sub, on, anti=False)
+            ctx.plan = ir.SemiJoin(ctx.plan, sub.plan, on, anti=False)
         elif (
             isinstance(c, E.UnOp)
             and c.op == "NOT"
@@ -317,7 +387,7 @@ def _apply_where(ctx: _Ctx, where: E.Expr) -> None:
             and c.operand.mode == "exists"
         ):
             on, sub = _lower_pattern_sub(ctx, c.operand.path, c.operand.where)
-            ctx.plan = ir.SemiJoin(ctx.plan, sub, on, anti=True)
+            ctx.plan = ir.SemiJoin(ctx.plan, sub.plan, on, anti=True)
         elif _contains_pattern_pred(c):
             rest.append(_rewrite_count_preds(ctx, c))
         else:
@@ -633,5 +703,11 @@ def _rw(ctx: _Ctx, e: E.Expr) -> E.Expr:
             _rw(ctx, e.source),
             _rw(ctx, e.where) if e.where else None,
             _rw(ctx, e.projection) if e.projection else None,
+        )
+    if isinstance(e, E.Quant):
+        return E.Quant(e.kind, e.var, _rw(ctx, e.source), _rw(ctx, e.pred))
+    if isinstance(e, E.Reduce):
+        return E.Reduce(
+            e.acc, _rw(ctx, e.init), e.var, _rw(ctx, e.source), _rw(ctx, e.body)
         )
     return e

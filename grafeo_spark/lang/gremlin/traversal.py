@@ -551,11 +551,23 @@ class Traversal:
         cond = pred.col(col) if isinstance(pred, P) else (col == F.lit(pred))
         return self._derive(self.df.filter(cond), self.cur, self.kind)
 
-    def dedup(self) -> "Traversal":
+    def dedup(self) -> "_DedupStep":
+        # deferred: an optional .by(key) modulator dedups on that property
+        return _DedupStep(self)
+
+    def _dedup_plain(self) -> "Traversal":
         if self.kind == "value":
             return self._derive(self.df.distinct(), self.cur, self.kind)
         return self._derive(
             self.df.dropDuplicates([_p(self.cur, "id")]), self.cur, self.kind
+        )
+
+    def sample(self, n: int) -> "Traversal":
+        """TinkerPop sample(n): n uniformly-random traversers. Seeded
+        rand keeps a run reproducible; orderBy(rand).limit(n) compiles to
+        TakeOrderedAndProject — no full shuffle at scale."""
+        return self._derive(
+            self.df.orderBy(F.rand(42)).limit(n), self.cur, self.kind
         )
 
     def order(self) -> "_OrderStep":
@@ -862,7 +874,21 @@ class Traversal:
         self.g.side_effects[key] = self.df.select(col.alias(key))
         return self
 
-    store = aggregate  # lazy/local variant — same materialization here
+    def store(self, key: str) -> "Traversal":
+        """TinkerPop's lazy/local variant of aggregate() (reference keeps
+        them as distinct Step variants, gremlin/ast.rs:140-142).
+
+        DOCUMENTED DIVERGENCE: TinkerPop's store appends per-traverser as
+        elements flow, so a downstream barrier like ``limit(n)`` bounds
+        what lands in the side effect (by an amount TinkerPop itself
+        leaves nondeterministic — lazy pull may prefetch extra
+        traversers). This engine compiles the whole chain to one
+        DataFrame, so store captures the elements AT THIS STEP like
+        aggregate() does — ``g.V().store('x').limit(2)`` stores every
+        vertex here, 2-or-3 in TinkerPop. Pinned by
+        tests/test_gremlin.py::test_store_is_eager_documented_divergence.
+        """
+        return self.aggregate(key)
 
     def cap(self, key: str) -> "Traversal":
         if key not in self.g.side_effects:
@@ -1175,14 +1201,42 @@ def _next_node_id(graph: PropertyGraph) -> int:
     return graph.next_node_id()
 
 
+class _DedupStep:
+    """Deferred ``dedup()`` awaiting an optional ``.by(key)`` modulator
+    (TinkerPop dedup-by: one traverser per distinct key; which survives
+    is unspecified, as in TinkerPop). Any other chained call applies the
+    plain id/value dedup and delegates."""
+
+    def __init__(self, t: Traversal) -> None:
+        self._t = t
+
+    def by(self, key: str) -> Traversal:
+        t = self._t
+        col = key if t.kind == "value" else _p(t.cur, key)
+        return t._derive(t.df.dropDuplicates([col]), t.cur, t.kind)
+
+    def __getattr__(self, name: str):
+        return getattr(self._t._dedup_plain(), name)
+
+
 class _OrderStep:
-    """`.order().by(key[, desc])` modulator (ast.rs Order/By)."""
+    """`.order().by(key[, desc])` modulator (ast.rs Order/By). ``key``
+    may be an anonymous sub-traversal with a terminal aggregation —
+    order().by(__.out('T').count(), desc) — computed per element via the
+    same machinery as project/group by-modulators."""
 
     def __init__(self, t: Traversal) -> None:
         self.t = t
 
-    def by(self, key: Optional[str] = None, order: str = "asc") -> Traversal:
+    def by(self, key=None, order: str = "asc") -> Traversal:
         t = self.t
+        if isinstance(key, Anon):
+            df = t._anon_value(t.df, key, "__ord_tmp")
+            col = F.col("__ord_tmp")
+            keys = [col.desc() if order in ("desc", "decr") else col.asc()]
+            if t.kind != "value":
+                keys.append(F.col(_p(t.cur, "id")).asc())  # deterministic tie
+            return t._derive(df.orderBy(*keys).drop("__ord_tmp"), t.cur, t.kind)
         if t.kind == "value":
             col = F.col(key) if key else F.col(t.df.columns[0])
         else:

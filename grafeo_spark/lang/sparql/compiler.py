@@ -475,9 +475,10 @@ _AGG_FNS = {
 
 
 def _resolve_having(e, q: P.SelectQuery):
-    """HAVING may repeat an aggregate call — e.g. HAVING (COUNT(?x) = 0)
-    — rather than name its alias; resolve such calls to the aggregate's
-    output column (the aggregation itself already ran)."""
+    """HAVING and ORDER BY may repeat an aggregate call — e.g.
+    HAVING (COUNT(?x) = 0), ORDER BY DESC(COUNT(?c)) — rather than name
+    its alias; resolve such calls to the aggregate's output column (the
+    aggregation itself already ran)."""
     if not isinstance(e, P.FExpr):
         return e
     if e.op.startswith("call:"):
@@ -490,8 +491,8 @@ def _resolve_having(e, q: P.SelectQuery):
                 if entry[0] == fn and entry[1] == argname:
                     return P.Var(entry[2])
             raise SparqlCompileError(
-                f"HAVING aggregate {fn.upper()}(?{argname}) has no matching "
-                "SELECT aggregate"
+                f"aggregate call {fn.upper()}(?{argname}) in HAVING/ORDER BY "
+                "has no matching SELECT aggregate"
             )
     return P.FExpr(e.op, tuple(_resolve_having(a, q) for a in e.args))
 
@@ -577,7 +578,17 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
 
 def _apply_modifiers(out: DataFrame, q: P.SelectQuery) -> DataFrame:
     if q.order:
-        keys = [F.col(v).asc_nulls_last() if asc else F.col(v).desc_nulls_last() for v, asc in q.order]
+        # terms are var names (str) or expressions (FExpr); an aggregate
+        # call resolves to its SELECT alias via the HAVING machinery —
+        # ORDER BY DESC(COUNT(?c)) sorts by the already-computed column
+        keys = []
+        for term, asc in q.order:
+            col = (
+                F.col(term)
+                if isinstance(term, str)
+                else _filter_col(_resolve_having(term, q), out)
+            )
+            keys.append(col.asc_nulls_last() if asc else col.desc_nulls_last())
         out = out.orderBy(*keys)
     if q.offset is not None:
         out = out.offset(q.offset)

@@ -440,7 +440,10 @@ class Parser:
             self.eat("op", "(")
             having = self.filter_expr()
             self.eat("op", ")")
-        order: list[tuple[str, bool]] = []
+        # order terms: a bare var name (str), or an expression / aggregate
+        # call (FExpr) — ORDER BY DESC(COUNT(?c)), ORDER BY STRLEN(?nm)
+        # (SPARQL 1.1 §15.1 OrderCondition allows any expression)
+        order: list[tuple[object, bool]] = []
         limit = offset = None
         if self.at("name", "ORDER"):
             self.next()
@@ -450,10 +453,19 @@ class Parser:
                 if self.at("name", "ASC") or self.at("name", "DESC"):
                     asc = self.next()[1].upper() == "ASC"
                     self.eat("op", "(")
-                    v = self.eat("var")[1][1:]
+                    if self.at("var") and self.toks[self.i + 1] == ("op", ")"):
+                        v: object = self.next()[1][1:]
+                    else:
+                        v = self.filter_expr()
                     self.eat("op", ")")
                 elif self.at("var"):
                     v = self.next()[1][1:]
+                elif (
+                    self.at("name")
+                    and self.peek()[1].upper() not in ("LIMIT", "OFFSET")
+                    and self.toks[self.i + 1] == ("op", "(")
+                ):
+                    v = self.filter_expr()
                 else:
                     break
                 order.append((v, asc))

@@ -1026,11 +1026,25 @@ class Compiler:
                 # Cypher list index is 0-based; element_at is 1-based.
                 i = e.index.value
                 return F.element_at(base, i + 1 if i >= 0 else i)
-            return F.element_at(base, idx.cast("int") + 1)
+            # dynamic (or unary-minus-wrapped) index: 0-based non-negative
+            # shifts to 1-based; negatives pass through (element_at counts
+            # them from the end, matching Cypher's xs[-1])
+            i = idx.cast("int")
+            return F.element_at(base, F.when(i >= 0, i + 1).otherwise(i))
         if isinstance(e, E.Slice):
+            # Cypher slice: 0-based, end-exclusive; negative bounds count
+            # from the end; out-of-range bounds clamp to the list
             base = self._expr(e.base, scope, df)
-            lo = self._expr(e.lo, scope, df).cast("int") if e.lo else F.lit(0)
-            hi = self._expr(e.hi, scope, df).cast("int") if e.hi else F.size(base)
+            n = F.size(base)
+
+            def _bound(raw) -> Column:
+                c = self._expr(raw, scope, df).cast("int")
+                return F.when(c >= 0, F.least(c, n)).otherwise(
+                    F.greatest(n + c, F.lit(0))
+                )
+
+            lo = _bound(e.lo) if e.lo else F.lit(0)
+            hi = _bound(e.hi) if e.hi else n
             return F.slice(base, lo + 1, F.greatest(hi - lo, F.lit(0)))
         if isinstance(e, E.Case):
             out = None
@@ -1045,30 +1059,156 @@ class Compiler:
             return out
         if isinstance(e, E.ListComp):
             src = self._expr(e.source, scope, df)
+            bt = {e.var: self._elem_dtype(src, df)}
             if e.where is not None:
-                src = F.filter(src, lambda x: self._lambda_expr(e.where, e.var, x, scope, df))
+                src = F.filter(src, lambda x: self._lambda_expr(e.where, {e.var: x}, scope, df, bt))
             if e.projection is not None:
-                src = F.transform(src, lambda x: self._lambda_expr(e.projection, e.var, x, scope, df))
+                src = F.transform(src, lambda x: self._lambda_expr(e.projection, {e.var: x}, scope, df, bt))
             return src
+        if isinstance(e, E.Quant):
+            # all/any/none/single(x IN list WHERE pred) -> HOF predicates
+            src = self._expr(e.source, scope, df)
+            bt = {e.var: self._elem_dtype(src, df)}
+
+            def pred(x: Column) -> Column:
+                return self._lambda_expr(e.pred, {e.var: x}, scope, df, bt)
+
+            if e.kind == "all":
+                return F.forall(src, pred)
+            if e.kind == "any":
+                return F.exists(src, pred)
+            if e.kind == "none":
+                return ~F.exists(src, pred)
+            if e.kind == "single":
+                return F.size(F.filter(src, pred)) == 1
+            raise CompileError(f"unknown quantifier {e.kind!r}")
+        if isinstance(e, E.Reduce):
+            # reduce(acc = init, x IN list | body) -> F.aggregate fold;
+            # the accumulator's type follows the init expression (so
+            # string/list folds dispatch + to concat, not numeric add)
+            src = self._expr(e.source, scope, df)
+            init = self._expr(e.init, scope, df)
+            bt = {
+                e.acc: self._col_dtype(init, df),
+                e.var: self._elem_dtype(src, df),
+            }
+            return F.aggregate(
+                src,
+                init,
+                lambda acc, x: self._lambda_expr(
+                    e.body, {e.acc: acc, e.var: x}, scope, df, bt
+                ),
+            )
         raise CompileError(f"cannot compile expression {e!r}")
 
-    def _lambda_expr(self, e: E.Expr, var: str, x: Column, scope: Scope, df: DataFrame) -> Column:
-        """Compile an expression where ``var`` is bound to lambda column x."""
-        if isinstance(e, E.Col) and e.name == var:
-            return x
+    def _col_dtype(self, col: Column, df: Optional[DataFrame]):
+        """Runtime dtype of a plan-scoped column, or None."""
+        if df is None:
+            return None
+        try:
+            return df.select(col.alias("_t")).schema[0].dataType
+        except Exception:  # noqa: BLE001 — unanalyzable here; fall back
+            return None
+
+    def _elem_dtype(self, arr: Column, df: Optional[DataFrame]):
+        from pyspark.sql.types import ArrayType
+
+        dt = self._col_dtype(arr, df)
+        return dt.elementType if isinstance(dt, ArrayType) else None
+
+    def _lambda_expr(
+        self,
+        e: E.Expr,
+        binds: dict[str, Column],
+        scope: Scope,
+        df: DataFrame,
+        btypes: Optional[dict] = None,
+    ) -> Column:
+        """Compile an expression where lambda variables are bound to the
+        given HOF columns (one for filter/transform, acc+element for
+        aggregate folds). ``btypes`` carries the known dtypes of the bound
+        vars so polymorphic `+` dispatches correctly inside lambdas."""
+        if isinstance(e, E.Col) and e.name in binds:
+            return binds[e.name]
         if isinstance(e, E.BinOp):
-            return self._binop_cols(
-                e.op,
-                self._lambda_expr(e.left, var, x, scope, df),
-                self._lambda_expr(e.right, var, x, scope, df),
-            )
+            left = self._lambda_expr(e.left, binds, scope, df, btypes)
+            right = self._lambda_expr(e.right, binds, scope, df, btypes)
+            if e.op == "+":
+                return self._plus(
+                    left,
+                    right,
+                    None,
+                    lt=self._lambda_dtype(e.left, binds, btypes, scope, df),
+                    rt=self._lambda_dtype(e.right, binds, btypes, scope, df),
+                )
+            return self._binop_cols(e.op, left, right)
         if isinstance(e, E.UnOp):
-            inner = self._lambda_expr(e.operand, var, x, scope, df)
+            inner = self._lambda_expr(e.operand, binds, scope, df, btypes)
             return {"NOT": lambda c: ~c, "NEG": lambda c: -c, "ISNULL": lambda c: c.isNull(), "ISNOTNULL": lambda c: c.isNotNull()}[e.op](inner)
         if isinstance(e, E.Fn):
-            args = [self._lambda_expr(a, var, x, scope, df) for a in e.args]
+            args = [self._lambda_expr(a, binds, scope, df, btypes) for a in e.args]
+            if e.name.lower() in ("size", "length") and e.args:
+                # same string/list dispatch as the plan-scope path, but on
+                # the lambda-aware dtype (size(x) over string elements)
+                from pyspark.sql.types import ArrayType, MapType, StringType
+
+                dtype = self._lambda_dtype(e.args[0], binds, btypes, scope, df)
+                if isinstance(dtype, StringType):
+                    return F.length(args[0])
+                if isinstance(dtype, (ArrayType, MapType)):
+                    return F.size(args[0])
+                return F.size(args[0])
             return self._apply_named_fn(e.name, args, e.args)
+        if isinstance(e, E.Case):
+            out = None
+            for cond, val in e.whens:
+                c = self._lambda_expr(cond, binds, scope, df, btypes)
+                if e.subject is not None:
+                    c = self._lambda_expr(e.subject, binds, scope, df, btypes) == c
+                v = self._lambda_expr(val, binds, scope, df, btypes)
+                out = F.when(c, v) if out is None else out.when(c, v)
+            if e.else_ is not None:
+                out = out.otherwise(self._lambda_expr(e.else_, binds, scope, df, btypes))
+            return out
         return self._expr(e, scope, df)
+
+    def _lambda_dtype(self, e: E.Expr, binds, btypes, scope: Scope, df: DataFrame):
+        """Best-effort dtype of a lambda-scope expression: literals from
+        their value, bound vars from ``btypes``, lambda-free subexpressions
+        from plan analysis; None (numeric fallback) otherwise."""
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            LongType,
+            StringType,
+        )
+
+        if isinstance(e, E.Lit):
+            return {
+                str: StringType(),
+                bool: BooleanType(),
+                int: LongType(),
+                float: DoubleType(),
+            }.get(type(e.value))
+        if isinstance(e, E.Col) and e.name in binds:
+            return (btypes or {}).get(e.name)
+        if not self._refs_binds(e, binds):
+            return self._dtype_try(e, scope, df)
+        return None
+
+    @staticmethod
+    def _refs_binds(e: E.Expr, binds: dict) -> bool:
+        if isinstance(e, E.Col):
+            return e.name in binds
+        stack = list(getattr(e, "__dict__", {}).values())
+        while stack:
+            child = stack.pop()
+            if isinstance(child, E.Expr):
+                if Compiler._refs_binds(child, binds):
+                    return True
+            elif isinstance(child, tuple):
+                stack.extend(child)
+        return False
 
     def _binop(self, e: E.BinOp, scope: Scope, df: DataFrame) -> Column:
         if e.op == "IN" and isinstance(e.right, E.ListLit):

@@ -113,6 +113,30 @@ class ListComp(Expr):
 
 
 @dataclass(frozen=True)
+class Quant(Expr):
+    """all/any/none/single(x IN list WHERE pred) — openCypher list
+    predicates (reference expr.rs quantifier functions). Lowered to
+    forall/exists/size-of-filter higher-order functions."""
+
+    kind: str  # 'all' | 'any' | 'none' | 'single'
+    var: str
+    source: Expr
+    pred: Expr
+
+
+@dataclass(frozen=True)
+class Reduce(Expr):
+    """reduce(acc = init, x IN list | expr) — list fold (reference
+    expr.rs Reduce). Lowered to F.aggregate with a two-binding lambda."""
+
+    acc: str
+    init: Expr
+    var: str
+    source: Expr
+    body: Expr
+
+
+@dataclass(frozen=True)
 class PatternPred(Expr):
     """EXISTS((a)-[:T]->(b)) / size((a)-->(b)) — pattern subquery
     (plan.rs:906-967 Exists/Count subqueries). ``path`` is the parser-level

@@ -425,6 +425,20 @@ def test_string_form_groovy_idioms(db):
     assert db.gremlin("g.V().not(__.both('KNOWS')).values('name')").collect()[0][0] == "Grace"
 
 
+def test_store_is_eager_documented_divergence(db):
+    """store() == aggregate() here (both capture the elements at the step
+    where they appear). TinkerPop's store is lazy: a downstream limit(2)
+    would bound the stored set to ~2 traversers (nondeterministically —
+    lazy pull prefetches). This engine compiles the whole chain to one
+    plan, so the full step frame is captured; this test PINS that
+    divergence (traversal.py store docstring; reference
+    gremlin/ast.rs:140-142 keeps the variants distinct)."""
+    out = db.gremlin("g.V().store('seen').limit(2).cap('seen')").collect()
+    assert len(out[0][0]) == 8  # all 8 people — TinkerPop would store ~2
+    out2 = db.gremlin("g.V().aggregate('seen2').limit(2).cap('seen2')").collect()
+    assert len(out2[0][0]) == 8  # aggregate agrees with TinkerPop here
+
+
 def test_keyword_rewrite_skips_string_literals(db):
     """The `.kw(` -> `.kw_(` rewrite must not touch QUOTED spans: a
     property value containing the literal text '.in(' (or '.is(', etc.)
@@ -463,3 +477,30 @@ def test_values_is_filter(g):
     from grafeo_spark.lang.gremlin import P
 
     assert g.V().values("age").is_(P.gte(45)).count().toList() == [2]
+
+
+def test_dedup_by_modulator(db):
+    """dedup().by(key): one traverser per distinct key (TinkerPop leaves
+    which survives unspecified); plain dedup() still dedups by id."""
+    assert db.gremlin("g.V().hasLabel('Person').dedup().by('city').count()").collect()[0][0] == 5
+    assert db.gremlin("g.V().hasLabel('Person').dedup().count()").collect()[0][0] == 8
+
+
+def test_order_by_subtraversal(db):
+    """order().by(__.out('T').count(), desc): per-element sub-traversal
+    aggregate as the sort key, id tiebreak for determinism."""
+    out = [
+        r[0]
+        for r in db.gremlin(
+            "g.V().hasLabel('Person')"
+            ".order().by(__.out('KNOWS').count(), desc).limit(2).values('name')"
+        ).collect()
+    ]
+    assert out[0] == "Alice"  # out-degree 2; rest have <= 1
+
+
+def test_sample_step(db):
+    out = db.gremlin("g.V().hasLabel('Person').sample(3).count()").collect()
+    assert out[0][0] == 3
+    # sampling more than exists returns everything
+    assert db.gremlin("g.V().hasLabel('Person').sample(99).count()").collect()[0][0] == 8

@@ -165,6 +165,39 @@ def test_remove_property(wdb):
     assert out["Alice"] is None and out["Bob"] == "LA"
 
 
+def test_set_merge_properties(wdb):
+    """SET n += {map} (MergeProperties, cypher/ast.rs:323): listed keys
+    set — computed values allowed — everything else untouched."""
+    wdb.cypher(
+        "MATCH (p:Person {name: 'Alice'}) SET p += {age: p.age + 1, vip: true}"
+    )
+    r = wdb.cypher(
+        "MATCH (p:Person {name: 'Alice'}) "
+        "RETURN p.age AS a, p.vip AS v, p.city AS c"
+    ).collect()[0]
+    assert (r.a, r.v, r.c) == (31, True, "NYC")
+    # unmatched rows keep their values; new column is null for them
+    other = wdb.cypher(
+        "MATCH (p:Person {name: 'Bob'}) RETURN p.age AS a, p.vip AS v"
+    ).collect()[0]
+    assert other.a == 40 and other.v is None
+
+
+def test_set_all_properties(wdb):
+    """SET n = {map} (AllProperties, cypher/ast.rs:316): the property map
+    is REPLACED — unlisted properties null out on the matched rows."""
+    wdb.cypher("MATCH (p:Person {name: 'Carol'}) SET p = {name: 'Carol', age: 36}")
+    r = wdb.cypher(
+        "MATCH (p:Person {name: 'Carol'}) RETURN p.age AS a, p.city AS c"
+    ).collect()[0]
+    assert r.a == 36 and r.c is None
+    # other rows keep their full map
+    other = wdb.cypher(
+        "MATCH (p:Person {name: 'Dave'}) RETURN p.city AS c"
+    ).collect()[0]
+    assert other.c == "Chicago"
+
+
 def test_set_and_remove_label(wdb):
     wdb.cypher("MATCH (p:Person) WHERE p.age >= 40 SET p:Senior")
     out = rows(wdb.cypher("MATCH (s:Senior) RETURN s.name AS n"))

@@ -458,3 +458,82 @@ def test_heterogeneous_map_literal(db):
         "RETURN {name: p.name, meta: {age: p.age}} AS m"
     ).collect()[0]
     assert r.m.name == "Alice" and r.m.meta.age == 30
+
+
+# --------------------------------------------------------------------- #
+# round-6 adversarial batch: list expressions, quantifiers, reduce,
+# nested pattern comprehensions, unknown-label semantics
+# --------------------------------------------------------------------- #
+
+
+def test_list_slice_and_negative_index(db):
+    """Cypher list slices are 0-based end-exclusive; negative indexes and
+    bounds count from the end; out-of-range bounds clamp."""
+    r = db.cypher(
+        "WITH [1,2,3,4,5] AS xs RETURN xs[1..3] AS mid, xs[-1] AS last_el, "
+        "xs[-3..-1] AS tail2, xs[..2] AS head2, xs[2..99] AS clamp, xs[0] AS first_el"
+    ).collect()[0]
+    assert list(r.mid) == [2, 3]
+    assert r.last_el == 5 and r.first_el == 1
+    assert list(r.tail2) == [3, 4]
+    assert list(r.head2) == [1, 2]
+    assert list(r.clamp) == [3, 4, 5]
+
+
+def test_reduce_fold(db):
+    r = db.cypher(
+        "WITH [1,2,3,4] AS xs RETURN reduce(acc = 0, x IN xs | acc + x) AS total, "
+        "reduce(s = '', w IN ['a','b'] | s + w) AS joined"
+    ).collect()[0]
+    assert r.total == 10 and r.joined == "ab"
+
+
+def test_list_quantifiers(db):
+    r = db.cypher(
+        "WITH [2,4,6] AS xs RETURN all(x IN xs WHERE x % 2 = 0) AS all_even, "
+        "any(x IN xs WHERE x > 5) AS has_big, none(x IN xs WHERE x > 9) AS no_big, "
+        "single(x IN xs WHERE x = 4) AS one_four, "
+        "single(x IN xs WHERE x > 3) AS not_single"
+    ).collect()[0]
+    assert (r.all_even, r.has_big, r.no_big, r.one_four, r.not_single) == (
+        True, True, True, True, False,
+    )
+
+
+def test_quantifier_in_where(db):
+    out = rows(
+        db.cypher(
+            "MATCH (p:Person) WHERE any(c IN [p.city] WHERE c = 'NYC') "
+            "RETURN p.name AS n"
+        )
+    )
+    assert out == [("Alice",), ("Carol",), ("Frank",)]
+
+
+def test_nested_pattern_comprehension(db):
+    """A pattern comprehension inside another's projection lowers onto the
+    inner subplan (CollectJoin over CountJoin/CollectJoin), correlated on
+    the inner pattern's vars."""
+    out = rows(
+        db.cypher(
+            "MATCH (p:Person) WHERE p.name = 'Alice' "
+            "RETURN reduce(acc = 0, k IN "
+            "[(p)-[:KNOWS]->(q) | size([(q)-[:KNOWS]->(r2) | r2])] | acc + k) "
+            "AS friends_of_friends"
+        )
+    )
+    # Alice knows Bob (knows Carol: 1) and Carol (knows Dave: 1) -> 2
+    assert out == [(2,)]
+
+
+def test_unknown_label_and_type_yield_empty(db):
+    """openCypher treats labels dynamically: MATCH on an unknown label or
+    relationship type yields no rows, not an error."""
+    assert db.cypher("MATCH (g:Ghost) RETURN count(*) AS n").collect()[0].n == 0
+    assert (
+        db.cypher("MATCH (p:Person)-[:NO_SUCH]->(x) RETURN count(*) AS n")
+        .collect()[0]
+        .n
+        == 0
+    )
+    assert db.gremlin("g.V().out('NO_SUCH').count()").collect()[0][0] == 0

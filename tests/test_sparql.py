@@ -770,3 +770,38 @@ def test_having_repeats_aggregate_call(sdb):
         )
     )
     assert ("Carol", 0) in out and all(c == 0 for _, c in out)
+
+
+def test_order_by_expression(sdb):
+    """ORDER BY accepts arbitrary expressions (SPARQL 1.1 §15.1
+    OrderCondition), not just bare vars."""
+    out = [
+        r[0]
+        for r in sdb.sparql(
+            PFX + "SELECT ?name WHERE { ?p a ex:Person ; ex:name ?name } "
+            "ORDER BY DESC(STRLEN(?name)) ?name"
+        ).collect()
+    ]
+    assert out == ["Alice", "Carol", "Bob"]  # 5,5 tie -> alpha, then 3
+
+
+def test_order_by_aggregate_call(sdb):
+    """ORDER BY DESC(COUNT(?x)) resolves the repeated aggregate call onto
+    the SELECT aggregate's output column (same machinery as HAVING)."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?p (COUNT(?q) AS ?n) WHERE { ?p ex:knows ?q } "
+            "GROUP BY ?p ORDER BY DESC(COUNT(?q)) ?p"
+        )
+    )
+    assert out == [(EX + "alice", 1), (EX + "bob", 1)]
+
+    import pytest as _pytest
+
+    from grafeo_spark.lang.sparql.compiler import SparqlCompileError
+
+    with _pytest.raises(SparqlCompileError, match="no matching SELECT aggregate"):
+        sdb.sparql(
+            PFX + "SELECT ?p (COUNT(?q) AS ?n) WHERE { ?p ex:knows ?q } "
+            "GROUP BY ?p ORDER BY DESC(SUM(?q))"
+        ).collect()
