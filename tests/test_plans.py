@@ -139,3 +139,46 @@ def test_asof_join_single_sort_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nested_comprehension_no_cartesian(tdb):
+    """A nested pattern comprehension compiles to layered aggregate+join
+    (CollectJoin over CollectJoin), never a cartesian product."""
+    plan = tdb.explain(
+        "MATCH (r:Region) RETURN r.name AS rname, "
+        "reduce(acc = 0, c IN [(n:Nation)-[:IN_REGION]->(r) | "
+        "size([(cu:Customer)-[:FROM_NATION]->(n) | cu])] | acc + c) AS n_cust"
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # one collect per nesting level
+
+
+def test_unknown_label_folds_to_empty_scan(tdb):
+    """An unknown label compiles to an empty relation that Catalyst folds
+    to a LocalTableScan/EmptyRelation — zero parquet I/O at any scale."""
+    plan = tdb.explain("MATCH (g:Ghost) RETURN g.name AS n")
+    assert "LocalTableScan" in plan or "EmptyRelation" in plan or "Scan OneRowRelation" in plan
+
+
+def test_quantifier_stays_whole_stage_codegen(tdb):
+    """List quantifiers/folds are higher-order Catalyst expressions —
+    no Python UDF (BatchEvalPython) may appear in the plan."""
+    plan = tdb.explain(
+        "MATCH (c:Customer) WITH collect(c.name) AS names "
+        "RETURN reduce(acc = 0, x IN names | acc + size(x)) AS t, "
+        "any(x IN names WHERE x STARTS WITH 'Customer') AS has_c"
+    )
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_gremlin_sample_is_take_ordered(tdb):
+    """sample(n) must compile to TakeOrderedAndProject (bounded memory),
+    not a global sort."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = tdb.gremlin("g.V().hasLabel('Customer').sample(5)")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
