@@ -770,6 +770,25 @@ _ORACLE: dict[str, str] = {
     "dedup_exact_count": """
         SELECT CAST(count(DISTINCT lower(text)) AS BIGINT) AS n FROM documents
     """,
+    # Replay of chunk_documents' window arithmetic: whitespace words,
+    # starts = 1, 1+stride, ... while start <= max(n - overlap, 1),
+    # chunk = 50-word slice, chunk_id = (start-1)/stride
+    "chunk_documents": """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+            FROM documents WHERE doc_id < 50
+        ), s AS (
+            SELECT doc_id, w,
+                   unnest(range(1, greatest(len(w) - 10, 1) + 1, 40)) AS start
+            FROM d
+        )
+        SELECT doc_id,
+               CAST((start - 1) // 40 AS INT) AS chunk_id,
+               md5(array_to_string(w[start : start + 49], ' ')) AS chunk_md5,
+               CAST(len(w[start : start + 49]) AS INT) AS n_tokens
+        FROM s
+    """,
     # Full replay of the SimHash pipeline (sha256 bit-source arm): the
     # tokenizer, the per-token 64-bit hash (first 16 hex chars of sha256,
     # assembled with the same two's-complement wrap Spark's shiftleft
@@ -1286,6 +1305,22 @@ def _dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grafeo_spark.llm import dedup_exact
 
     return dedup_exact(_docs(spark, sf_dir)).agg(F.count("*").cast("long").alias("n"))
+
+
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding word-window chunking (llm/text.py:chunk_documents) — the
+    sequence-length-fitting stage of a training pipeline. Pure per-row
+    Catalyst (no shuffle); the oracle replays the window arithmetic with
+    DuckDB list slices."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import chunk_documents
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    out = chunk_documents(d, max_tokens=50, overlap=10)
+    return out.select(
+        "doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5"), "n_tokens"
+    )
 
 
 def _text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1880,6 +1915,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_count": _dedup_exact_count,
     "dedup_near_survivors": _dedup_near_survivors,
     "text_quality_stats": _text_quality_stats,
+    "chunk_documents": _chunk_documents,
     "knn_cosine_top10": _knn_cosine_top10,
     "ann_knn_top10": _ann_knn_top10,
     "ivf_knn_top10": _ivf_knn_top10,
@@ -1928,6 +1964,7 @@ _PRIORITY = [
     "unknown_label_empty",
     "sparql_orderby_strlen",
     "sparql_orderby_aggcall",
+    "chunk_documents",
     # -- tier 2 (r6): the 34 entries last checked in r<=4 (displaced past
     # the r5 window), oldest-green first. The SPARQL path family and
     # Cypher path/varlen entries lead — their compilers changed in r5.

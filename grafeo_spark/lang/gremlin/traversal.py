@@ -323,6 +323,11 @@ class Traversal:
         return self._derive(self.df.filter(col.isin(list(labels))), self.cur, self.kind)
 
     def has(self, key: str, value: Any = ...) -> "Traversal":
+        # a property no element carries (not even a schema column) means
+        # has() matches nothing / hasNot() matches everything — TinkerPop
+        # treats properties dynamically, like labels
+        if _p(self.cur, key) not in self.df.columns:
+            return self._derive(self.df.filter(F.lit(False)), self.cur, self.kind)
         c = F.col(_p(self.cur, key))
         if value is ...:
             pred = c.isNotNull()
@@ -333,6 +338,8 @@ class Traversal:
         return self._derive(self.df.filter(pred), self.cur, self.kind)
 
     def hasNot(self, key: str) -> "Traversal":
+        if _p(self.cur, key) not in self.df.columns:
+            return self._derive(self.df, self.cur, self.kind)
         return self._derive(
             self.df.filter(F.col(_p(self.cur, key)).isNull()), self.cur, self.kind
         )
@@ -628,10 +635,9 @@ class Traversal:
 
     # -- path / project / group ------------------------------------------
 
-    def path(self) -> "Traversal":
-        """Element-id path of each traverser (ast.rs Path): array of the
-        ids of every node/edge visited, in step order. Edge entries use the
-        edge's (src, dst) hash when it has no id column."""
+    def _trail_id_cols(self) -> list:
+        """One id column per visited element, in step order. Edge entries
+        use the edge's (src, dst) hash when the frame has no id column."""
         cols = []
         for var in self.trail:
             idc = _p(var, "id")
@@ -639,8 +645,41 @@ class Traversal:
                 cols.append(F.col(idc))
             else:  # edge without an id column: synthesize a stable one
                 cols.append(F.xxhash64(F.col(_p(var, "src")), F.col(_p(var, "dst"))))
-        out = self.df.select(F.array(*cols).alias("path"))
+        return cols
+
+    def path(self) -> "Traversal":
+        """Element-id path of each traverser (ast.rs Path): array of the
+        ids of every node/edge visited, in step order."""
+        out = self.df.select(F.array(*self._trail_id_cols()).alias("path"))
         return self._derive(out, "path", "value")
+
+    def simplePath(self) -> "Traversal":
+        """Keep traversers whose path repeats no element (TinkerPop
+        simplePath; beyond the reference's 58-step enum but standard
+        Gremlin): pairwise inequality over the trail ids — trail length
+        is the pattern's hop count, so the predicate stays tiny."""
+        ids = self._trail_id_cols()
+        pred = None
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                c = ids[i] != ids[j]
+                pred = c if pred is None else pred & c
+        if pred is None:
+            return self
+        return self._derive(self.df.filter(pred), self.cur, self.kind)
+
+    def cyclicPath(self) -> "Traversal":
+        """Keep traversers whose path repeats at least one element (the
+        complement of simplePath)."""
+        ids = self._trail_id_cols()
+        pred = None
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                c = ids[i] == ids[j]
+                pred = c if pred is None else pred | c
+        if pred is None:
+            return self._derive(self.df.filter(F.lit(False)), self.cur, self.kind)
+        return self._derive(self.df.filter(pred), self.cur, self.kind)
 
     def project(self, *keys: str) -> "_ProjectStep":
         if not keys:

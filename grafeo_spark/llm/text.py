@@ -133,6 +133,49 @@ def fingerprint(text: Column) -> Column:
     return F.xxhash64(F.array_join(tokenize(text), " "))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, n_tokens) — sliding word-window document
+    chunking, the context-length-fitting stage of a training-data pipeline
+    (every pre-training corpus chunks documents to the model's sequence
+    length; the standard shape is fixed windows with overlap so no
+    boundary context is lost).
+
+    Pure Catalyst (split -> sequence of starts -> posexplode -> slice):
+    linear in corpus size, no shuffle at all — chunking is per-row, so at
+    100 TB it runs map-side inside whole-stage codegen. Words are
+    whitespace-split (not the normalizing ``tokenize``) so chunk text
+    preserves the original tokens; runs of whitespace collapse to single
+    spaces on rejoin. Empty documents produce one empty chunk, keeping
+    the doc-id set stable through the stage."""
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than max_tokens ({max_tokens})"
+        )
+    stride = max_tokens - overlap
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(words) - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = df.select(
+        F.col(id_col), words.alias("__w"), F.posexplode(starts).alias("chunk_id", "__start")
+    )
+    piece = F.slice(F.col("__w"), F.col("__start"), max_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append every feature column (the 'featurize' stage of a
     corpus pipeline)."""

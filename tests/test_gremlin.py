@@ -504,3 +504,32 @@ def test_sample_step(db):
     assert out[0][0] == 3
     # sampling more than exists returns everything
     assert db.gremlin("g.V().hasLabel('Person').sample(99).count()").collect()[0][0] == 8
+
+
+def test_has_on_dynamic_property(db):
+    """has/hasNot on a property no element carries: has -> nothing,
+    hasNot -> everything (dynamic-property semantics, like labels)."""
+    assert db.gremlin("g.V().hasLabel('Person').has('ghost').count()").collect()[0][0] == 0
+    assert db.gremlin("g.V().hasLabel('Person').hasNot('ghost').count()").collect()[0][0] == 8
+
+
+def test_simple_and_cyclic_path(db):
+    """simplePath drops repeated-element traversers; cyclicPath keeps
+    only them. both('KNOWS').both('KNOWS') from Alice bounces back to
+    Alice on every reciprocal hop — those are the cyclic traversers."""
+    total = db.gremlin("g.V().has('name', 'Alice').both('KNOWS').both('KNOWS').count()").collect()[0][0]
+    simple = db.gremlin(
+        "g.V().has('name', 'Alice').both('KNOWS').both('KNOWS').simplePath().count()"
+    ).collect()[0][0]
+    cyclic = db.gremlin(
+        "g.V().has('name', 'Alice').both('KNOWS').both('KNOWS').cyclicPath().count()"
+    ).collect()[0][0]
+    assert simple + cyclic == total
+    assert cyclic == 3  # one bounce-back per incident KNOWS edge
+    names = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().has('name', 'Alice').both('KNOWS').both('KNOWS').simplePath().values('name')"
+        ).collect()
+    )
+    assert "Alice" not in names

@@ -649,3 +649,37 @@ def test_srp_tables_for_threshold():
     t9 = srp_tables_for_threshold(0.9, 8)
     t7 = srp_tables_for_threshold(0.7, 8)
     assert 0 < t9 < t7
+
+
+def test_chunk_documents_windows(spark):
+    """Sliding word-window chunking: stride = max_tokens - overlap, last
+    chunk short, consecutive chunks overlap by exactly `overlap` words,
+    short and empty docs produce one chunk."""
+    from grafeo_spark.llm import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # n=25, stride=6, starts at 1,7,13,19 (1-based) -> 4 chunks
+    assert [r.n_tokens for r in c1] == [10, 10, 10, 7]
+    t0, t1 = c1[0].chunk_text.split(" "), c1[1].chunk_text.split(" ")
+    assert t0[6:] == t1[:4]  # 4-word overlap
+    assert t1[0] == "w6"
+    assert by_doc[2][0].chunk_text == "a b c" and by_doc[2][0].n_tokens == 3
+    assert by_doc[3][0].chunk_text == "" and by_doc[3][0].n_tokens == 0
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from grafeo_spark.llm import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=10, overlap=10)
