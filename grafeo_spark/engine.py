@@ -339,6 +339,10 @@ class GrafeoSpark:
                 if lbl in self.graph.node_frames
                 else self.graph.nodes(None)
             )
+            if prop not in base.columns:
+                # hit and miss paths must share a schema: downstream code
+                # selecting the looked-up prop works either way
+                base = base.withColumn(prop, F.lit(None))
             return base.filter(F.lit(False))
 
         if label is not None:

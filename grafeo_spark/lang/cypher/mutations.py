@@ -454,21 +454,37 @@ class _Mutator:
                 # listed keys; replace additionally nulls every other
                 # property column on the matched rows. Values may
                 # reference bound vars (n += {t: n.a + 1}).
-                if not isinstance(it.expr, E.MapLit):
-                    raise MutationError("SET n = / n += requires a map literal")
-                entries = list(it.expr.items)
+                if isinstance(it.expr, E.MapLit):
+                    entries = list(it.expr.items)
+                elif isinstance(it.expr, E.Param):
+                    # SET n += $props with a map-valued parameter
+                    val = self.params.get(it.expr.name)
+                    if not isinstance(val, dict):
+                        raise MutationError(
+                            f"SET n = / n += parameter ${it.expr.name} must be a map"
+                        )
+                    entries = [(k, E.Lit(v)) for k, v in val.items()]
+                else:
+                    raise MutationError(
+                        "SET n = / n += requires a map literal or map parameter"
+                    )
                 keys = [k for k, _ in entries]
+                # the constant __hit agg keeps groupBy().agg() legal for the
+                # degenerate empty map (SET n += {} is a no-op; SET n = {}
+                # still nulls the other columns)
                 upd = (
                     df.select(
                         F.col(_p(it.var, "id")).alias("id"),
                         *[self._expr(v, df).alias(f"__new_{k}") for k, v in entries],
                     )
                     .groupBy("id")
-                    .agg(*[F.max(f"__new_{k}").alias(f"__new_{k}") for k in keys])
-                    .withColumn("__hit", F.lit(True))
+                    .agg(
+                        F.max(F.lit(True)).alias("__hit"),
+                        *[F.max(f"__new_{k}").alias(f"__new_{k}") for k in keys],
+                    )
                     .localCheckpoint(eager=True)
                 )
-                self.stats["properties_set"] += upd.count() * max(len(keys), 1)
+                self.stats["properties_set"] += upd.count() * len(keys)
                 for lbl in labels:
                     frame = self.graph.node_frames[lbl]
                     joined = frame.join(upd, "id", "left")

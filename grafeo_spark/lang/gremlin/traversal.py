@@ -200,6 +200,10 @@ class Traversal:
         self.n = n
         self.labels: dict[str, str] = {}
         self.trail: list[str] = [cur] if kind in ("node", "edge") else []
+        # element kind per trail entry — TinkerPop compares ELEMENTS, so a
+        # vertex and an edge sharing an id are distinct (simplePath must
+        # not conflate their id spaces)
+        self.trail_kinds: list[str] = [kind] if kind in ("node", "edge") else []
 
     def _fresh(self) -> str:
         self.n += 1
@@ -209,6 +213,7 @@ class Traversal:
         t = Traversal(self.g, df, cur, kind, self.n)
         t.labels = dict(self.labels)
         t.trail = list(self.trail) + ([cur] if extend_trail else [])
+        t.trail_kinds = list(self.trail_kinds) + ([kind] if extend_trail else [])
         return t
 
     def _apply_anon(self, anon: Anon) -> "Traversal":
@@ -403,6 +408,7 @@ class Traversal:
         )
         t2 = self._derive(out, nvar, "node")
         t2.trail = self.trail + [evar, nvar]
+        t2.trail_kinds = self.trail_kinds + ["edge", "node"]
         return t2
 
     def out(self, *etypes: str) -> "Traversal":
@@ -657,11 +663,16 @@ class Traversal:
         """Keep traversers whose path repeats no element (TinkerPop
         simplePath; beyond the reference's 58-step enum but standard
         Gremlin): pairwise inequality over the trail ids — trail length
-        is the pattern's hop count, so the predicate stays tiny."""
+        is the pattern's hop count, so the predicate stays tiny. Only
+        same-kind trail entries compare: a vertex and an edge sharing an
+        id are distinct elements in TinkerPop."""
         ids = self._trail_id_cols()
+        kinds = self.trail_kinds
         pred = None
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
+                if kinds[i] != kinds[j]:
+                    continue
                 c = ids[i] != ids[j]
                 pred = c if pred is None else pred & c
         if pred is None:
@@ -670,11 +681,14 @@ class Traversal:
 
     def cyclicPath(self) -> "Traversal":
         """Keep traversers whose path repeats at least one element (the
-        complement of simplePath)."""
+        complement of simplePath; same-kind comparison as simplePath)."""
         ids = self._trail_id_cols()
+        kinds = self.trail_kinds
         pred = None
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
+                if kinds[i] != kinds[j]:
+                    continue
                 c = ids[i] == ids[j]
                 pred = c if pred is None else pred | c
         if pred is None:

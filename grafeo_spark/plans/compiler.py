@@ -1022,30 +1022,12 @@ class Compiler:
         if isinstance(e, E.Index):
             base = self._expr(e.base, scope, df)
             idx = self._expr(e.index, scope, df)
-            if isinstance(e.index, E.Lit) and isinstance(e.index.value, int):
-                # Cypher list index is 0-based; element_at is 1-based.
-                i = e.index.value
-                return F.element_at(base, i + 1 if i >= 0 else i)
-            # dynamic (or unary-minus-wrapped) index: 0-based non-negative
-            # shifts to 1-based; negatives pass through (element_at counts
-            # them from the end, matching Cypher's xs[-1])
-            i = idx.cast("int")
-            return F.element_at(base, F.when(i >= 0, i + 1).otherwise(i))
+            return self._index_col(base, e.index, idx)
         if isinstance(e, E.Slice):
-            # Cypher slice: 0-based, end-exclusive; negative bounds count
-            # from the end; out-of-range bounds clamp to the list
             base = self._expr(e.base, scope, df)
-            n = F.size(base)
-
-            def _bound(raw) -> Column:
-                c = self._expr(raw, scope, df).cast("int")
-                return F.when(c >= 0, F.least(c, n)).otherwise(
-                    F.greatest(n + c, F.lit(0))
-                )
-
-            lo = _bound(e.lo) if e.lo else F.lit(0)
-            hi = _bound(e.hi) if e.hi else n
-            return F.slice(base, lo + 1, F.greatest(hi - lo, F.lit(0)))
+            lo = self._expr(e.lo, scope, df) if e.lo else None
+            hi = self._expr(e.hi, scope, df) if e.hi else None
+            return self._slice_col(base, lo, hi)
         if isinstance(e, E.Case):
             out = None
             for cond, val in e.whens:
@@ -1092,6 +1074,7 @@ class Compiler:
                 e.acc: self._col_dtype(init, df),
                 e.var: self._elem_dtype(src, df),
             }
+            init, bt = self._retype_empty_fold_init(init, e, bt, scope, df)
             return F.aggregate(
                 src,
                 init,
@@ -1100,6 +1083,35 @@ class Compiler:
                 ),
             )
         raise CompileError(f"cannot compile expression {e!r}")
+
+    @staticmethod
+    def _index_col(base: Column, idx_expr: E.Expr, idx: Column) -> Column:
+        """Cypher list index: 0-based; element_at is 1-based. Dynamic
+        non-negative indexes shift; negatives pass through (element_at
+        counts them from the end, matching Cypher's xs[-1])."""
+        if isinstance(idx_expr, E.Lit) and isinstance(idx_expr.value, int):
+            i = idx_expr.value
+            return F.element_at(base, i + 1 if i >= 0 else i)
+        i = idx.cast("int")
+        return F.element_at(base, F.when(i >= 0, i + 1).otherwise(i))
+
+    @staticmethod
+    def _slice_col(
+        base: Column, lo: Optional[Column], hi: Optional[Column]
+    ) -> Column:
+        """Cypher slice: 0-based, end-exclusive; negative bounds count
+        from the end; out-of-range bounds clamp to the list."""
+        n = F.size(base)
+
+        def _bound(c: Column) -> Column:
+            c = c.cast("int")
+            return F.when(c >= 0, F.least(c, n)).otherwise(
+                F.greatest(n + c, F.lit(0))
+            )
+
+        lo_b = _bound(lo) if lo is not None else F.lit(0)
+        hi_b = _bound(hi) if hi is not None else n
+        return F.slice(base, lo_b + 1, F.greatest(hi_b - lo_b, F.lit(0)))
 
     def _col_dtype(self, col: Column, df: Optional[DataFrame]):
         """Runtime dtype of a plan-scoped column, or None."""
@@ -1170,7 +1182,118 @@ class Compiler:
             if e.else_ is not None:
                 out = out.otherwise(self._lambda_expr(e.else_, binds, scope, df, btypes))
             return out
+        if isinstance(e, E.Prop) and e.var in binds:
+            # lambda var holding a struct (map literal / node value)
+            return binds[e.var].getField(e.key)
+        if isinstance(e, E.ListLit):
+            return F.array(
+                *[self._lambda_expr(i, binds, scope, df, btypes) for i in e.items]
+            )
+        if isinstance(e, E.MapLit):
+            return F.struct(
+                *[
+                    self._lambda_expr(v, binds, scope, df, btypes).alias(k)
+                    for k, v in e.items
+                ]
+            )
+        if isinstance(e, E.Index):
+            base = self._lambda_expr(e.base, binds, scope, df, btypes)
+            idx = self._lambda_expr(e.index, binds, scope, df, btypes)
+            return self._index_col(base, e.index, idx)
+        if isinstance(e, E.Slice):
+            base = self._lambda_expr(e.base, binds, scope, df, btypes)
+            lo = self._lambda_expr(e.lo, binds, scope, df, btypes) if e.lo else None
+            hi = self._lambda_expr(e.hi, binds, scope, df, btypes) if e.hi else None
+            return self._slice_col(base, lo, hi)
+        if isinstance(e, E.ListComp):
+            # nested comprehension inside a lambda: merge the outer binds
+            # under the inner var (dict merge = correct shadowing)
+            src = self._lambda_expr(e.source, binds, scope, df, btypes)
+            bt = {
+                **(btypes or {}),
+                e.var: self._lambda_elem_dtype(e.source, binds, btypes, scope, df),
+            }
+            if e.where is not None:
+                src = F.filter(
+                    src,
+                    lambda x: self._lambda_expr(
+                        e.where, {**binds, e.var: x}, scope, df, bt
+                    ),
+                )
+            if e.projection is not None:
+                src = F.transform(
+                    src,
+                    lambda x: self._lambda_expr(
+                        e.projection, {**binds, e.var: x}, scope, df, bt
+                    ),
+                )
+            return src
+        if isinstance(e, E.Quant):
+            src = self._lambda_expr(e.source, binds, scope, df, btypes)
+            bt = {
+                **(btypes or {}),
+                e.var: self._lambda_elem_dtype(e.source, binds, btypes, scope, df),
+            }
+
+            def qpred(x: Column) -> Column:
+                return self._lambda_expr(e.pred, {**binds, e.var: x}, scope, df, bt)
+
+            if e.kind == "all":
+                return F.forall(src, qpred)
+            if e.kind == "any":
+                return F.exists(src, qpred)
+            if e.kind == "none":
+                return ~F.exists(src, qpred)
+            if e.kind == "single":
+                return F.size(F.filter(src, qpred)) == 1
+            raise CompileError(f"unknown quantifier {e.kind!r}")
+        if isinstance(e, E.Reduce):
+            src = self._lambda_expr(e.source, binds, scope, df, btypes)
+            init = self._lambda_expr(e.init, binds, scope, df, btypes)
+            bt = {
+                **(btypes or {}),
+                e.acc: self._lambda_dtype(e.init, binds, btypes, scope, df),
+                e.var: self._lambda_elem_dtype(e.source, binds, btypes, scope, df),
+            }
+            init, bt = self._retype_empty_fold_init(init, e, bt, scope, df)
+            return F.aggregate(
+                src,
+                init,
+                lambda acc, x: self._lambda_expr(
+                    e.body, {**binds, e.acc: acc, e.var: x}, scope, df, bt
+                ),
+            )
+        if self._refs_binds(e, binds):
+            # refusing beats silently rebinding the lambda var to a
+            # same-named outer column (wrong results, ADVICE r6)
+            raise CompileError(
+                f"unsupported expression inside lambda body: {e!r}"
+            )
         return self._expr(e, scope, df)
+
+    def _retype_empty_fold_init(self, init: Column, e, bt, scope: Scope, df):
+        """`reduce(a = [], ...)` compiles its init to ARRAY<VOID>, which
+        the aggregate lambda can't unify with a typed body (the classic
+        accumulate idiom `a + [expr]`); infer the fold's array type from
+        the body and cast the init."""
+        from pyspark.sql.types import ArrayType, NullType
+
+        it = bt.get(e.acc)
+        if not (isinstance(it, ArrayType) and isinstance(it.elementType, NullType)):
+            return init, bt
+        dummy = {e.acc: init, e.var: init}
+        body_t = self._lambda_dtype(e.body, dummy, bt, scope, df)
+        if isinstance(body_t, ArrayType) and not isinstance(
+            body_t.elementType, NullType
+        ):
+            return init.cast(body_t), {**bt, e.acc: body_t}
+        return init, bt
+
+    def _lambda_elem_dtype(self, e: E.Expr, binds, btypes, scope: Scope, df):
+        from pyspark.sql.types import ArrayType
+
+        dt = self._lambda_dtype(e, binds, btypes, scope, df)
+        return dt.elementType if isinstance(dt, ArrayType) else None
 
     def _lambda_dtype(self, e: E.Expr, binds, btypes, scope: Scope, df: DataFrame):
         """Best-effort dtype of a lambda-scope expression: literals from
@@ -1192,6 +1315,37 @@ class Compiler:
             }.get(type(e.value))
         if isinstance(e, E.Col) and e.name in binds:
             return (btypes or {}).get(e.name)
+        if isinstance(e, E.ListLit):
+            from pyspark.sql.types import ArrayType, NullType
+
+            et = (
+                self._lambda_dtype(e.items[0], binds, btypes, scope, df)
+                if e.items
+                else None
+            )
+            return ArrayType(et if et is not None else NullType())
+        if isinstance(e, E.BinOp) and e.op in ("+", "-", "*", "/", "%", "^"):
+            from pyspark.sql.types import ArrayType, NullType
+
+            lt = self._lambda_dtype(e.left, binds, btypes, scope, df)
+            rt = self._lambda_dtype(e.right, binds, btypes, scope, df)
+            if e.op == "+":
+                # mirror _plus dispatch: array concat keeps the non-void
+                # element type; string concat yields string
+                for a, b in ((lt, rt), (rt, lt)):
+                    if isinstance(a, ArrayType):
+                        if isinstance(a.elementType, NullType) and isinstance(
+                            b, ArrayType
+                        ):
+                            return b
+                        return a
+                if isinstance(lt, StringType) or isinstance(rt, StringType):
+                    return StringType()
+            if isinstance(lt, DoubleType) or isinstance(rt, DoubleType):
+                return DoubleType()
+            if isinstance(lt, LongType) and isinstance(rt, LongType):
+                return LongType()
+            return None
         if not self._refs_binds(e, binds):
             return self._dtype_try(e, scope, df)
         return None

@@ -533,3 +533,28 @@ def test_simple_and_cyclic_path(db):
         ).collect()
     )
     assert "Alice" not in names
+
+
+def test_simple_path_edge_node_id_collision(spark):
+    """A vertex and an edge sharing an id are distinct elements in
+    TinkerPop — simplePath must not conflate their id spaces (r6 ADVICE:
+    edge id 1 + node id 1 made out('KNOWS').simplePath() return [])."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    )
+    edges = spark.createDataFrame([(1, 1, 2)], "id long, src long, dst long")
+    db2 = GrafeoSpark(spark, PropertyGraph({"Person": nodes}, {"KNOWS": edges}))
+    got = db2.gremlin(
+        "g.V().has('name', 'a').outE('KNOWS').inV().simplePath().values('name')"
+    ).collect()
+    assert [r[0] for r in got] == ["b"]
+    # and cyclicPath is still its complement: nothing repeats here
+    assert (
+        db2.gremlin(
+            "g.V().has('name', 'a').outE('KNOWS').inV().cyclicPath().count()"
+        ).collect()[0][0]
+        == 0
+    )

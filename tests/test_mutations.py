@@ -316,3 +316,30 @@ def test_gql_insert_is_create(spark, social):
     assert db.cypher(
         "MATCH (p:Person {name: 'Zed'}) RETURN count(*) AS n"
     ).collect()[0].n == 1
+
+
+def test_set_empty_map_forms(wdb):
+    """SET n += {} is a legal no-op; SET n = {} nulls every other
+    property but keeps the row (r6 ADVICE: both crashed in groupBy.agg)."""
+    wdb.cypher("MATCH (p:Person) WHERE p.name = 'Alice' SET p += {}")
+    r = wdb.cypher(
+        "MATCH (p:Person) WHERE p.name = 'Alice' RETURN p.name AS n, p.age AS a"
+    ).collect()[0]
+    assert (r.n, r.a) == ("Alice", 30)
+    wdb.cypher("MATCH (p:Person) WHERE p.age = 40 SET p = {}")
+    rows2 = wdb.cypher(
+        "MATCH (p:Person) WHERE p.name IS NULL RETURN count(*) AS c"
+    ).collect()
+    assert rows2[0].c == 1
+
+
+def test_set_param_map(wdb):
+    """SET n += $props with a map-valued parameter (r6 ADVICE)."""
+    wdb.cypher(
+        "MATCH (p:Person) WHERE p.name = 'Carol' SET p += $props",
+        params={"props": {"age": 36, "title": "dr"}},
+    )
+    r = wdb.cypher(
+        "MATCH (p:Person) WHERE p.name = 'Carol' RETURN p.age AS a, p.title AS t"
+    ).collect()[0]
+    assert (r.a, r.t) == (36, "dr")

@@ -623,3 +623,16 @@ def test_session_save_open_roundtrip(spark, social, tmp_path):
     assert "Person" in back.ddl.node_types
     assert back.ddl.vector_indexes["emb"].column == "embedding"
     assert back.triples is None
+
+
+def test_find_nodes_by_property_miss_schema(db):
+    """Hit and miss paths share a schema: a miss on a known label still
+    carries the requested prop column (r6 ADVICE — selecting the prop on
+    a miss raised AnalysisException)."""
+    miss = db.find_nodes_by_property("no_such_prop", 1, label="Person")
+    assert miss.select("no_such_prop").count() == 0
+    miss_all = db.find_nodes_by_property("no_such_prop", 1)
+    assert miss_all.select("no_such_prop").count() == 0
+    # a known prop on an unknown label also keeps the column
+    ghost = db.find_nodes_by_property("name", "Alice", label="Ghost")
+    assert ghost.select("name").count() == 0

@@ -537,3 +537,61 @@ def test_unknown_label_and_type_yield_empty(db):
         == 0
     )
     assert db.gremlin("g.V().out('NO_SUCH').count()").collect()[0][0] == 0
+
+
+# --------------------------------------------------------------------- #
+# round-7 ADVICE fixes: expressions inside lambda bodies (Index/Slice/
+# Prop/ListLit/nested HOFs) compile against the LAMBDA bindings, never
+# silently fall back to same-named plan-scope columns
+# --------------------------------------------------------------------- #
+
+
+def test_lambda_index_with_shadowed_var(db):
+    """The r6 ADVICE repro: the lambda var shadows an outer WITH alias;
+    x[0] must read the lambda element, not the outer column."""
+    r = db.cypher(
+        "WITH [1,2] AS x, [[3],[4]] AS xs "
+        "RETURN any(x IN xs WHERE x[0] = 3) AS hit"
+    ).collect()[0]
+    assert r.hit is True
+
+
+def test_lambda_index_slice_listlit(db):
+    r = db.cypher(
+        "WITH [[1,2],[3,4,5]] AS xs "
+        "RETURN [x IN xs WHERE size(x) > 2 | x[0]] AS firsts, "
+        "reduce(a = 0, x IN xs | a + x[-1]) AS lasts, "
+        "[x IN [1,2] | [x, x*2]] AS pairs, "
+        "any(x IN [[1,2,3,4]] WHERE size(x[1..3]) = 2) AS sliced"
+    ).collect()[0]
+    assert list(r.firsts) == [3]
+    assert r.lasts == 7
+    assert [list(p) for p in r.pairs] == [[1, 2], [2, 4]]
+    assert r.sliced is True
+
+
+def test_lambda_map_prop_access(db):
+    r = db.cypher(
+        "WITH [{a: 1}, {a: 2}] AS ms RETURN [m IN ms | m.a] AS vals"
+    ).collect()[0]
+    assert list(r.vals) == [1, 2]
+
+
+def test_reduce_empty_list_init(db):
+    """reduce(a = [], ...) — the classic accumulate idiom; the untyped
+    empty init is cast to the body's array type, and `+` concatenates."""
+    r = db.cypher(
+        "WITH [1,2,3] AS xs RETURN reduce(a = [], x IN xs | a + [x*x]) AS sq, "
+        "reduce(a = [], x IN [[1],[2,3]] | a + x) AS flat, "
+        "reduce(a = [], s IN ['x','y'] | a + [s + '!']) AS bang"
+    ).collect()[0]
+    assert list(r.sq) == [1, 4, 9]
+    assert list(r.flat) == [1, 2, 3]
+    assert list(r.bang) == ["x!", "y!"]
+
+
+def test_nested_quantifier_in_comprehension(db):
+    r = db.cypher(
+        "WITH [3,1,2] AS xs RETURN [x IN xs WHERE single(y IN xs WHERE y < x)] AS mid"
+    ).collect()[0]
+    assert list(r.mid) == [2]
