@@ -445,6 +445,25 @@ _ORACLE: dict[str, str] = {
     "gremlin_order_count": """
         SELECT CAST(count(*) AS BIGINT) AS count FROM orders
     """,
+    "gremlin_repeat_reach": """
+        SELECT CAST(
+            1
+            + (SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA')
+            + (SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+            + (SELECT count(*) FROM supplier JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+            AS BIGINT) AS count
+    """,
+    "gremlin_simplepath_reach": """
+        SELECT CAST(
+            (SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+            + (SELECT count(*) FROM supplier JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+            AS BIGINT) AS count
+    """,
     "graphql_rdf_customers": """
         SELECT c_name AS name, n_name AS fromNation_name,
                r_name AS fromNation_inRegion_name
@@ -457,9 +476,20 @@ _ORACLE: dict[str, str] = {
         SELECT c_custkey AS custkey, c_name AS name FROM customer
         WHERE c_mktsegment = 'BUILDING'
     """,
+    "graphql_directive_skip": """
+        SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+        FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
     "graphql_nested": """
         SELECT n_name AS nation, r_name AS r_region
         FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "multimodal_image_dims": """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+               CAST(doc_id % 640 + 16 AS INT) AS width,
+               CAST(doc_id % 480 + 16 AS INT) AS height
+        FROM documents WHERE doc_id < 64
     """,
     "multimodal_features": """
         WITH h AS (
@@ -794,7 +824,7 @@ _ORACLE: dict[str, str] = {
     # assembled with the same two's-complement wrap Spark's shiftleft
     # applies), the 64 bit votes, the signed code assembly, and the
     # brute-force Hamming verify the windowed join is exact against.
-    "simhash_near_pairs": """
+    "simhash_near_pairs_sha256": """
         WITH toks AS (
             SELECT doc_id,
                    unnest(list_filter(
@@ -1266,7 +1296,9 @@ def _simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines; xxhash64, the fast default, is not
     available there). Every line downstream of the one-line hash
     expression is shared with the default arm, whose exactness
-    tests/test_llm.py pins against brute force."""
+    tests/test_llm.py pins against brute force. The entry name records
+    the arm so its bench row (~1.3x the default's per-token hash cost)
+    isn't misread as a regression."""
     from pyspark.sql import functions as F
 
     from grafeo_spark.llm import simhash_near_pairs
@@ -1766,6 +1798,28 @@ def _gremlin_order_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gremlin_repeat_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded repeat().emit().times(2) reachability (TinkerPop loops,
+    traversal.py:809-848 — superset surface, the reference's Gremlin AST
+    has no Repeat): every element within two in-hops of region ASIA.
+    emit-before-repeat includes the start, so the count is
+    1 region + its nations + their customers and suppliers; the oracle
+    replays each frontier as plain joins."""
+    return _db(spark, sf_dir).gremlin(
+        "g.V().has('name', 'ASIA').emit().repeat(__.in()).times(2).count()"
+    )
+
+
+def _gremlin_simplepath_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simplePath() pruning (traversal.py:662): both().both() from region
+    ASIA reaches its nations, then each nation's neighbors — the bounce-
+    backs to ASIA repeat an element and must drop, leaving exactly the
+    customers and suppliers of ASIA nations."""
+    return _db(spark, sf_dir).gremlin(
+        "g.V().has('name', 'ASIA').both().both().simplePath().count()"
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end under a hard oracle: documents cast
     to binary media content, featurized via the Arrow-batched mapInPandas
@@ -1793,6 +1847,50 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feat_sum"
         ),
     )
+
+
+def _multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL multimodal decoder arm (llm/multimodal.py
+    decode_image_header): PNG and JPEG headers are synthesized hex-wise in
+    Spark SQL with dimensions derived from doc_id, then parsed back by the
+    pure-Python header decoder inside the Arrow-batched mapInPandas
+    scaffold. Constructor (SQL hex assembly) and decoder (byte offsets /
+    endianness / JPEG marker scan) are independent implementations, so the
+    oracle's closed-form replay of the doc_id arithmetic checks the
+    decode round-trip."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import image_dimensions
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 64)
+    w = (F.col("doc_id") % 640 + 16).cast("long")
+    h = (F.col("doc_id") % 480 + 16).cast("long")
+
+    def hexn(c, n):
+        return F.lpad(F.lower(F.hex(c)), n, "0")
+
+    png = F.concat(
+        F.lit("89504e470d0a1a0a0000000d49484452"),
+        hexn(w, 8),
+        hexn(h, 8),
+        F.lit("0806000000"),
+    )
+    jpeg = F.concat(
+        F.lit("ffd8ffc0001108"),
+        hexn(h, 4),
+        hexn(w, 4),
+        F.lit("03012200021101031101"),
+    )
+    payload = F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(payload, F.lit("hex")).alias("content"),
+        F.lit("image/*").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return image_dimensions(media)
 
 
 def _embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1865,6 +1963,19 @@ def _graphql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graphql_directive_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """@skip/@include executable directives (lang/graphql: _directive_keep;
+    the reference parses directives, graphql/ast.rs:32-110, but never
+    evaluates them — a documented superset): a variable-driven @include
+    keeps acctbal, a literal @skip drops mktsegment, so the projected
+    schema is (custkey, name, acctbal)."""
+    return _db(spark, sf_dir).graphql(
+        "query($flag: Boolean = true) "
+        '{ Customer(mktsegment: "MACHINERY") { custkey name '
+        "acctbal @include(if: $flag) mktsegment @skip(if: true) } }"
+    )
+
+
 def _graphql_rdf_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphQL over RDF (graphql_rdf_translator.rs): root type pattern +
     argument equality + two nested predicate traversals over the triple
@@ -1898,7 +2009,10 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vq_codes_profile": _vq_codes_profile,
     "gremlin_segment_counts": _gremlin_segment_counts,
     "gremlin_order_count": _gremlin_order_count,
+    "gremlin_repeat_reach": _gremlin_repeat_reach,
+    "gremlin_simplepath_reach": _gremlin_simplepath_reach,
     "multimodal_features": _multimodal_features,
+    "multimodal_image_dims": _multimodal_image_dims,
     "embedding_near_pairs": _embedding_near_pairs,
     "events_windowed_counts": _events_windowed_counts,
     "events_sessionized": _events_sessionized,
@@ -1906,12 +2020,13 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_mutation_roundtrip": _gremlin_mutation_roundtrip,
     "graphql_customers": _graphql_customers,
     "graphql_nested": _graphql_nested,
+    "graphql_directive_skip": _graphql_directive_skip,
     "graphql_three_level": _graphql_three_level,
     "graphql_rdf_customers": _graphql_rdf_customers,
     "mutation_roundtrip": _mutation_roundtrip,
     "dedup_near_pairs": _dedup_near_pairs,
     "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-    "simhash_near_pairs": _simhash_near_pairs,
+    "simhash_near_pairs_sha256": _simhash_near_pairs,
     "dedup_exact_count": _dedup_exact_count,
     "dedup_near_survivors": _dedup_near_survivors,
     "text_quality_stats": _text_quality_stats,
@@ -1954,7 +2069,7 @@ _PRIORITY = [
     "bq_codes_hamming",  # embeddings warm-up absorber
     "text_quality_stats",
     "text_features_profile",
-    "simhash_near_pairs",
+    "simhash_near_pairs_sha256",
     # new in r6 (adversarial batch #2): quantifiers/reduce, nested
     # comprehensions, list slicing, dynamic-label semantics, SPARQL
     # ORDER BY expressions/aggregate calls

@@ -53,6 +53,7 @@ class Field:
     alias: Optional[str] = None
     args: list[tuple[str, Any]] = field(default_factory=list)
     selections: list["Field"] = field(default_factory=list)
+    directives: list[tuple[str, list[tuple[str, Any]]]] = field(default_factory=list)
 
     @property
     def out_name(self) -> str:
@@ -64,6 +65,7 @@ class _Spread:
     """``...Name`` fragment spread placeholder, resolved post-parse."""
 
     name: str
+    directives: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -83,7 +85,7 @@ _TOKEN = re.compile(
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\.\.\.|[{}():!=\[\]])
+  | (?P<op>\.\.\.|[{}():!=\[\]@])
     """,
     re.VERBOSE,
 )
@@ -137,6 +139,13 @@ class _Parser:
                 fname = self.eat("name")[1]
                 self.eat("name", "on")
                 self.eat("name")  # type condition — informational
+                if self.directives():
+                    # @skip/@include are executable-location directives
+                    # (fields/spreads/inline fragments), and no other
+                    # directive is supported — reject loudly, don't drop
+                    raise GraphQLError(
+                        "directives on fragment definitions are not supported"
+                    )
                 self.fragments[fname] = self.selection_set()
             elif self.at("name", "query") or self.at("name", "mutation"):
                 if op is not None:
@@ -146,6 +155,10 @@ class _Parser:
                     self.next()  # operation name
                 if self.at("op", "("):
                     self._variable_defs()
+                if self.directives():
+                    raise GraphQLError(
+                        "directives on operations are not supported"
+                    )
                 roots = self.selection_set()
             elif self.at("op", "{"):
                 if op is not None:
@@ -183,16 +196,46 @@ class _Parser:
                 self.next()
                 if self.at("name", "on"):
                     # inline fragment: splice its selections (single-label
-                    # frames make the type condition informational)
+                    # frames make the type condition informational). Its
+                    # directives distribute over the spliced members —
+                    # @skip/@include are per-member filters, so this is
+                    # semantically identical to gating the whole group.
                     self.next()
                     self.eat("name")
-                    fields.extend(self.selection_set())
+                    dirs = self.directives()
+                    for m in self.selection_set():
+                        if dirs:
+                            if isinstance(m, _Spread):
+                                m = _Spread(m.name, tuple(dirs) + m.directives)
+                            else:
+                                m.directives = list(dirs) + m.directives
+                        fields.append(m)
                 else:
-                    fields.append(_Spread(self.eat("name")[1]))
+                    sname = self.eat("name")[1]
+                    fields.append(_Spread(sname, tuple(self.directives())))
             else:
                 fields.append(self.field())
         self.eat("op", "}")
         return fields
+
+    def directives(self) -> list[tuple[str, list[tuple[str, Any]]]]:
+        """``@name(arg: value, ...)*`` — parsed at every executable
+        location (reference graphql/parser.rs:111; ast.rs:32-110 carries
+        them on operations, fields, and fragments)."""
+        out: list[tuple[str, list[tuple[str, Any]]]] = []
+        while self.at("op", "@"):
+            self.next()
+            name = self.eat("name")[1]
+            args: list[tuple[str, Any]] = []
+            if self.at("op", "("):
+                self.next()
+                while not self.at("op", ")"):
+                    k = self.eat("name")[1]
+                    self.eat("op", ":")
+                    args.append((k, self.value()))
+                self.eat("op", ")")
+            out.append((name, args))
+        return out
 
     def field(self) -> Field:
         name = self.eat("name")[1]
@@ -208,6 +251,7 @@ class _Parser:
                 self.eat("op", ":")
                 f.args.append((k, self.value()))
             self.eat("op", ")")
+        f.directives = self.directives()
         if self.at("op", "{"):
             f.selections = self.selection_set()
         return f
@@ -251,12 +295,45 @@ class _Parser:
         raise GraphQLError(f"expected value, got {self.peek()!r}")
 
 
+def _directive_keep(
+    dirs, values: dict[str, Any]
+) -> bool:
+    """Evaluate the two standard executable directives against operation
+    variables: include the selection iff no @skip(if:) is true and no
+    @include(if:) is false (GraphQL spec §5.7.3; the reference parses
+    directives, ast.rs:32-110, but never evaluates them — executing the
+    standard pair is a documented superset, like LIKE). Unknown directives
+    and malformed arguments are rejected loudly, never dropped."""
+    keep = True
+    for name, args in dirs:
+        if name not in ("skip", "include"):
+            raise GraphQLError(f"unknown directive @{name}")
+        amap = dict(args)
+        if set(amap) != {"if"}:
+            raise GraphQLError(f"@{name} takes exactly one argument: if")
+        cond = amap["if"]
+        if isinstance(cond, _VarRef):
+            if cond.name not in values:
+                raise GraphQLError(f"missing variable ${cond.name}")
+            cond = values[cond.name]
+        if not isinstance(cond, bool):
+            raise GraphQLError(
+                f"@{name}(if:) must be a Boolean, got {cond!r}"
+            )
+        if (name == "skip" and cond) or (name == "include" and not cond):
+            keep = False
+    return keep
+
+
 def _resolve(
     fields: list, fragments: dict[str, list], values: dict[str, Any], seen=()
 ) -> list[Field]:
-    """Splice fragment spreads and substitute variable references."""
+    """Splice fragment spreads, substitute variable references, and apply
+    @skip/@include."""
     out: list[Field] = []
     for f in fields:
+        if not _directive_keep(f.directives, values):
+            continue
         if isinstance(f, _Spread):
             if f.name in seen:
                 raise GraphQLError(f"fragment cycle through {f.name!r}")

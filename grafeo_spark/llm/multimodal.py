@@ -71,6 +71,90 @@ def real_decode_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     )
 
 
+def decode_image_header(content: bytes) -> tuple:
+    """``(format, width, height)`` parsed from the header bytes of
+    PNG/JPEG/GIF/BMP payloads — pure Python over the container magic, no
+    media libraries, so this arm is REAL (not the deterministic fake).
+    Unknown or truncated payloads yield ``(None, None, None)``; full pixel
+    decode beyond the header stays behind ``real_decode_features``'s
+    NotImplementedError."""
+    b = content or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        # IHDR is always the first chunk: width/height at fixed offsets
+        return (
+            "png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if b[:2] == b"BM" and len(b) >= 26:
+        # BITMAPINFOHEADER; height may be negative (top-down rows)
+        return (
+            "bmp",
+            int.from_bytes(b[18:22], "little", signed=True),
+            abs(int.from_bytes(b[22:26], "little", signed=True)),
+        )
+    if b[:2] == b"\xff\xd8":
+        # scan markers for the first SOFn frame header (C0-CF minus the
+        # non-frame C4/C8/CC): dimensions at offset +5 (height), +7 (width)
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    "jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+    return (None, None, None)
+
+
+IMAGE_DIMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def image_dimensions(media: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """media (MEDIA_SCHEMA-shaped) -> IMAGE_DIMS_SCHEMA: the real
+    header-decode arm inside the same Arrow-batched mapInPandas scaffold
+    as ``extract_features`` (bounded batch memory; header parsing touches
+    only the leading bytes of each payload)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                parsed = chunk["content"].map(decode_image_header)
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "format": parsed.map(lambda t: t[0]),
+                        "width": parsed.map(lambda t: t[1]),
+                        "height": parsed.map(lambda t: t[2]),
+                    }
+                )
+
+    return media.mapInPandas(run, IMAGE_DIMS_SCHEMA)
+
+
 def extract_features(
     media: DataFrame,
     decode: Callable[[bytes], list[float]] = fake_decode_features,

@@ -26,7 +26,7 @@ DEFAULT_ENTRIES = [
     "dedup_exact_count",
     "dedup_near_pairs",
     "ngram_jaccard_pairs",
-    "simhash_near_pairs",
+    "simhash_near_pairs_sha256",
     "embedding_near_pairs",
     "sim_join_top2",
     "knn_cosine_top10",

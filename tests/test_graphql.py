@@ -296,3 +296,58 @@ def test_nested_orderby_applied(db):
         '{ Person(name: "Alice") { name k: KNOWS(orderBy: {age: DESC}) { name } } }'
     ).collect()
     assert [r.k_name for r in out3] == ["Bob", "Carol"]
+
+
+# --------------------------------------------------------------------- #
+# round-7: @skip / @include executable directives (the reference parses
+# directives, graphql/ast.rs:32-110, but never evaluates them — running
+# the two standard ones is a documented superset, like LIKE)
+# --------------------------------------------------------------------- #
+
+
+def test_skip_include_literal(db):
+    out = db.graphql(
+        '{ Person(name: "Alice") { name age @skip(if: true) '
+        "city @include(if: true) } }"
+    ).collect()
+    assert out[0].asDict() == {"name": "Alice", "city": "NYC"}
+
+
+def test_skip_include_variable_driven(db):
+    q = (
+        "query($flag: Boolean = false) { "
+        'Person(name: "Alice") { name age @include(if: $flag) } }'
+    )
+    assert db.graphql(q).columns == ["name"]
+    assert db.graphql(q, variables={"flag": True}).columns == ["name", "age"]
+
+
+def test_directive_on_fragment_spread(db):
+    out = db.graphql(
+        "query($v: Boolean!) "
+        '{ Person(name: "Bob") { name ...Extra @skip(if: $v) } } '
+        "fragment Extra on Person { age }",
+        variables={"v": True},
+    ).collect()
+    assert out[0].asDict() == {"name": "Bob"}
+
+
+def test_directive_on_inline_fragment(db):
+    out = db.graphql(
+        '{ Person(name: "Bob") { name ... on Person @include(if: false) '
+        "{ age city } } }"
+    ).collect()
+    assert out[0].asDict() == {"name": "Bob"}
+
+
+def test_unknown_directive_rejected(db):
+    import pytest
+
+    from grafeo_spark.lang.graphql import GraphQLError
+
+    with pytest.raises(GraphQLError, match="unknown directive @cached"):
+        db.graphql('{ Person { name @cached } }')
+    with pytest.raises(GraphQLError, match="exactly one argument"):
+        db.graphql('{ Person { name @skip(unless: true) } }')
+    with pytest.raises(GraphQLError, match="must be a Boolean"):
+        db.graphql('{ Person { name @skip(if: "yes") } }')

@@ -683,3 +683,65 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=10, overlap=10)
+
+
+# --------------------------------------------------------------------- #
+# round-7: real image-header decoder arm (multimodal.py)
+# --------------------------------------------------------------------- #
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    # SOI + APP0 stub + SOF0 with dims (marker scan must skip APP0)
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0\x00\x11\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    return b"\xff\xd8" + app0 + sof0 + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+
+
+def test_decode_image_header_formats():
+    from grafeo_spark.llm import decode_image_header
+
+    assert decode_image_header(_png_bytes(640, 480)) == ("png", 640, 480)
+    assert decode_image_header(_jpeg_bytes(320, 200)) == ("jpeg", 320, 200)
+    gif = b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little")
+    assert decode_image_header(gif) == ("gif", 12, 34)
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + (100).to_bytes(4, "little", signed=True)
+        + (-50).to_bytes(4, "little", signed=True)  # top-down rows
+    )
+    assert decode_image_header(bmp) == ("bmp", 100, 50)
+    assert decode_image_header(b"plain text") == (None, None, None)
+    assert decode_image_header(b"") == (None, None, None)
+    assert decode_image_header(b"\x89PNG\r\n\x1a\n_trunc") == (None, None, None)
+
+
+def test_image_dimensions_pipeline(spark):
+    from grafeo_spark.llm import image_dimensions
+
+    rows_in = [
+        (1, _png_bytes(64, 32), "image/png", None, None, None),
+        (2, _jpeg_bytes(31, 17), "image/jpeg", None, None, None),
+        (3, b"not an image", "text/plain", None, None, None),
+    ]
+    from grafeo_spark.llm.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows_in, MEDIA_SCHEMA)
+    got = {
+        r.media_id: (r.format, r.width, r.height)
+        for r in image_dimensions(media).collect()
+    }
+    assert got == {
+        1: ("png", 64, 32),
+        2: ("jpeg", 31, 17),
+        3: (None, None, None),
+    }
