@@ -272,6 +272,24 @@ def _lower_pattern_sub(
     return tuple(dict.fromkeys(shared)), sub
 
 
+def _var_refs(e: E.Expr) -> set[str]:
+    """All variable names an expression references (Col names and Prop
+    subjects), via a generic dataclass walk."""
+    out: set[str] = set()
+    stack: list = [e]
+    while stack:
+        cur = stack.pop()
+        if isinstance(cur, E.Col):
+            out.add(cur.name)
+        elif isinstance(cur, E.Prop):
+            out.add(cur.var)
+        if isinstance(cur, E.Expr):
+            stack.extend(getattr(cur, "__dict__", {}).values())
+        elif isinstance(cur, tuple):
+            stack.extend(cur)
+    return out
+
+
 def _contains_pattern_pred(e: E.Expr) -> bool:
     if isinstance(e, (E.PatternPred, E.PatternComp)):
         return True
@@ -591,7 +609,13 @@ def _projection(ctx: _Ctx, clause: P.WithClause) -> None:
         if matched is not None:
             order_keys.append((E.Col(matched), asc))
         elif has_agg or clause.distinct:
-            # after aggregation/DISTINCT only projected values exist
+            # after aggregation/DISTINCT only projected values exist — but
+            # an aggregate-free expression over projected aliases alone
+            # (ORDER BY n * 2 for WITH count(*) AS n) is legal: it compiles
+            # against the post-projection frame
+            if _var_refs(e1) <= {it.alias for it in items} and not E.is_aggregate(e1):
+                order_keys.append((e1, asc))
+                continue
             raise TranslateError(
                 f"ORDER BY expression must be projected when using "
                 f"{'aggregation' if has_agg else 'DISTINCT'}: {oe!r}"

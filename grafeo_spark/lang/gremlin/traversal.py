@@ -857,10 +857,32 @@ class Traversal:
         body = getattr(self, "_repeat_body", None)
         if body is None:
             raise GremlinError("until() without a pending repeat()")
+        emit_first = getattr(self, "_emit_first", False)
+        # emit() anywhere means emit-all intermediates; position only
+        # controls whether the pre-loop element is included (same
+        # convention as times(), :847)
+        emit = getattr(self, "_repeat_emit", False) or emit_first
         tvar = self._fresh()
         outs: list = []
         kind = None
+
+        def _renamed(df: DataFrame, cur: str) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(c).alias(_p(tvar, c[len(cur) + 2:]))
+                    for c in df.columns
+                    if c.startswith(cur + "__")
+                ]
+            )
+
         t = self
+        if emit_first:
+            # emit BEFORE repeat also emits the pre-loop element (do-while:
+            # no until check happens before the first body application)
+            if self.kind == "value":
+                raise GremlinError("repeat().until() needs an element traversal")
+            kind = self.kind
+            outs.append(_renamed(self.df, self.cur))
         for _ in range(int(max_loops)):
             t = t._apply_anon(body)
             if t.kind == "value":
@@ -869,16 +891,12 @@ class Traversal:
             ids = t._exists_ids(cond)
             idc = _p(t.cur, "id")
             done = t.df.join(ids, idc, "left_semi")
-            outs.append(
-                done.select(
-                    *[
-                        F.col(c).alias(_p(tvar, c[len(t.cur) + 2:]))
-                        for c in done.columns
-                        if c.startswith(t.cur + "__")
-                    ]
-                )
-            )
+            outs.append(_renamed(done, t.cur))
             rest = t.df.join(ids, idc, "left_anti").localCheckpoint(eager=True)
+            if emit:
+                # emit-all: continuing traversers are ALSO emitted each
+                # iteration (exiting ones appear once, via the until arm)
+                outs.append(_renamed(rest, t.cur))
             t = t._derive(rest, t.cur, t.kind)
             if rest.isEmpty():
                 break

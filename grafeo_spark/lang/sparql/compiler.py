@@ -369,6 +369,16 @@ def _filter_col(e, df: DataFrame) -> Column:
                 ">": l > r,
                 ">=": l >= r,
             }[op]
+        if op in ("+", "-", "*", "/"):
+            # SPARQL numeric expressions (§17.3): lexical string columns
+            # coerce to double; typed numeric columns (COUNT outputs etc.)
+            # keep their type so int arithmetic stays int. Spark's `/` on
+            # integers already returns fractional, matching xsd:decimal
+            # division.
+            l, r = (_num_col(a, df) for a in e.args)
+            return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[op]
+        if op == "neg":
+            return -_num_col(e.args[0], df)
         if op == "and":
             return _filter_col(e.args[0], df) & _filter_col(e.args[1], df)
         if op == "or":
@@ -415,6 +425,17 @@ def _filter_col(e, df: DataFrame) -> Column:
             return _builtin(op[5:], [_filter_col(a, df) for a in e.args])
         raise SparqlCompileError(f"unsupported filter op {op!r}")
     return _term_col(e, df)
+
+
+def _num_col(e, df: DataFrame) -> Column:
+    """Numeric view of an operand: lexical (string) columns cast to
+    double, already-numeric columns pass through unchanged."""
+    c = _filter_col(e, df)
+    try:
+        dt = df.select(c.alias("_t")).schema[0].dataType.simpleString()
+    except Exception:  # noqa: BLE001 — unanalyzable; assume lexical
+        dt = "string"
+    return c.cast("double") if dt == "string" else c
 
 
 def _builtin(name: str, args: list[Column]) -> Column:

@@ -232,7 +232,7 @@ _TOKEN = re.compile(
   | (?P<num>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_.-]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*/:a+|^?])
+  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*/:a+|^?-])
     """,
     re.VERBOSE,
 )
@@ -910,11 +910,11 @@ class Parser:
         return self.cmp_expr()
 
     def cmp_expr(self) -> FExpr:
-        left = self.primary()
+        left = self.add_expr()
         k, v = self.peek()
         if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
-            return FExpr(v, (left, self.primary()))
+            return FExpr(v, (left, self.add_expr()))
         if k == "name" and v.upper() in ("IN", "NOT"):
             # ?x IN (e1, e2, ...) / ?x NOT IN (...) (SPARQL 1.1 §17.4.1)
             neg = v.upper() == "NOT"
@@ -954,7 +954,34 @@ class Parser:
         XSD + "date": "date",
     }
 
+    def add_expr(self) -> FExpr:
+        """Additive level (SPARQL 1.1 §17 AdditiveExpression). The
+        tokenizer folds a sign into adjacent numeric literals, so
+        ``?x -5`` arrives as a signed number — the grammar's
+        NumericLiteralPositive/Negative branch handles exactly this."""
+        left = self.mul_expr()
+        while True:
+            if self.at("op", "+") or self.at("op", "-"):
+                op = self.next()[1]
+                left = FExpr(op, (left, self.mul_expr()))
+            elif self.at("num") and self.peek()[1][0] in "+-":
+                v = self.next()[1]
+                left = FExpr("+", (left, Lit(float(v) if "." in v else int(v))))
+            else:
+                return left
+
+    def mul_expr(self) -> FExpr:
+        left = self.primary()
+        while self.at("op", "*") or self.at("op", "/"):
+            op = self.next()[1]
+            left = FExpr(op, (left, self.primary()))
+        return left
+
     def primary(self):
+        if self.at("op", "-"):
+            # unary minus (UnaryExpression)
+            self.next()
+            return FExpr("neg", (self.primary(),))
         if self.at("op", "("):
             self.next()
             e = self.filter_expr()
@@ -972,7 +999,25 @@ class Parser:
             fname = self.next()[1].upper()
             self.eat("op", "(")
             args = []
+            if fname.lower() in _AGG_NAMES and self.at("name") and self.peek()[1].upper() == "DISTINCT":
+                # aggregate call in expression position (HAVING/ORDER BY):
+                # DISTINCT is resolved against the SELECT aggregate by
+                # (fn, arg) — parse and discard here
+                self.next()
             while not self.at("op", ")"):
+                if self.at("op", ";"):
+                    # GROUP_CONCAT(?x ; separator="…") — the separator
+                    # likewise lives on the SELECT aggregate; accept the
+                    # syntax so repeated calls parse, then discard
+                    self.next()
+                    if not (self.at("name") and self.peek()[1].upper() == "SEPARATOR"):
+                        raise SparqlSyntaxError(
+                            f"expected SEPARATOR after ';', got {self.peek()!r}"
+                        )
+                    self.next()
+                    self.eat("op", "=")
+                    self.eat("str")
+                    continue
                 # full expressions as arguments (IF conditions etc.)
                 args.append(self.filter_expr())
                 if self.at("op", ","):

@@ -558,3 +558,19 @@ def test_simple_path_edge_node_id_collision(spark):
         ).collect()[0][0]
         == 0
     )
+
+
+def test_repeat_until_with_emit(db):
+    """emit() composes with until(): emit-all intermediates, plus the
+    pre-loop element when emit comes before repeat (r7 adversarial batch —
+    emit was silently ignored by until())."""
+    base = "g.V().has('name', 'Carol')"
+    tail = ".until(__.has('name', 'Frank')).values('name')"
+    got = lambda q: sorted(r[0] for r in db.gremlin(q).collect())
+    assert got(base + ".emit().repeat(__.out())" + tail) == [
+        "Carol", "Dave", "Eve", "Frank",
+    ]
+    assert got(base + ".repeat(__.out()).emit()" + tail) == [
+        "Dave", "Eve", "Frank",
+    ]
+    assert got(base + ".repeat(__.out())" + tail) == ["Frank"]

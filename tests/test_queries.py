@@ -595,3 +595,47 @@ def test_nested_quantifier_in_comprehension(db):
         "WITH [3,1,2] AS xs RETURN [x IN xs WHERE single(y IN xs WHERE y < x)] AS mid"
     ).collect()[0]
     assert list(r.mid) == [2]
+
+
+# --------------------------------------------------------------------- #
+# round-7 adversarial batch #3: ORDER BY expressions over aggregate
+# aliases, CASE inside reduce
+# --------------------------------------------------------------------- #
+
+
+def test_orderby_expression_over_agg_alias(db):
+    out = rows(
+        db.cypher(
+            "MATCH (p:Person) WITH p.city AS city, count(*) AS n "
+            "ORDER BY n * 2 DESC, city LIMIT 2 RETURN city, n"
+        )
+    )
+    assert sorted(out) == [("LA", 2), ("NYC", 3)]
+    # DISTINCT variant: expression over the projected alias
+    top = db.cypher(
+        "MATCH (p:Person) RETURN DISTINCT p.city AS city "
+        "ORDER BY size(city) DESC LIMIT 1"
+    ).collect()
+    assert top[0].city == "Chicago"
+
+
+def test_orderby_unprojected_after_agg_still_rejected(db):
+    import pytest
+
+    from grafeo_spark.lang.cypher.translator import TranslateError
+
+    with pytest.raises(TranslateError, match="must be projected"):
+        db.cypher(
+            "MATCH (p:Person) WITH p.city AS c, count(*) AS n "
+            "ORDER BY q * 2 RETURN c"
+        )
+
+
+def test_case_inside_reduce(db):
+    r = db.cypher(
+        "WITH [1,2,3,4] AS xs RETURN "
+        "reduce(a = 0, x IN xs | a + CASE WHEN x % 2 = 0 THEN x ELSE 0 END) AS ev, "
+        "reduce(a = 0, w IN ['a','bb','ccc'] | "
+        "CASE size(w) WHEN 1 THEN a ELSE a + size(w) END) AS sz"
+    ).collect()[0]
+    assert (r.ev, r.sz) == (6, 5)

@@ -805,3 +805,70 @@ def test_order_by_aggregate_call(sdb):
             PFX + "SELECT ?p (COUNT(?q) AS ?n) WHERE { ?p ex:knows ?q } "
             "GROUP BY ?p ORDER BY DESC(SUM(?q))"
         ).collect()
+
+
+# --------------------------------------------------------------------- #
+# round-7 adversarial batch #3: numeric expressions (SPARQL 1.1 §17.3) and
+# aggregate calls with DISTINCT / separator repeated in ORDER BY
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def adb(spark):
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import TripleStore
+
+    rows_ = []
+    for nm, age, city in [
+        ("Alice", 30, "NYC"), ("Bob", 40, "LA"), ("Carol", 35, "NYC"),
+        ("Dave", 28, "Chicago"), ("Eve", 50, "LA"), ("Frank", 45, "NYC"),
+        ("Grace", 22, "Phoenix"), ("Heidi", 33, "Houston"),
+    ]:
+        subj = EX + nm.lower()
+        rows_ += [
+            (subj, EX + "name", None, nm, None, None),
+            (subj, EX + "age", None, str(age), None, None),
+            (subj, EX + "city", None, city, None, None),
+        ]
+    ts2 = TripleStore(
+        spark.createDataFrame(
+            rows_, "s string, p string, o_iri string, o_lit string, o_dt string, g string"
+        )
+    )
+    return GrafeoSpark(spark, graph=None, triples=ts2)
+
+
+def test_arithmetic_in_filter_bind_orderby(adb):
+    out = adb.sparql(
+        PFX + "SELECT ?nm ?dbl WHERE { ?n ex:name ?nm . ?n ex:age ?a . "
+        "BIND(?a * 2 AS ?dbl) FILTER(?a * 2 > 60) } ORDER BY ?nm"
+    ).collect()
+    assert [(r.nm, r.dbl) for r in out] == [
+        ("Bob", 80.0), ("Carol", 70.0), ("Eve", 100.0),
+        ("Frank", 90.0), ("Heidi", 66.0),
+    ]
+    # signed-literal adjacency (?a -5) and unary minus both parse
+    n1 = adb.sparql(
+        PFX + "SELECT (COUNT(?n) AS ?c) WHERE { ?n ex:age ?a FILTER(?a - 5 > 40) }"
+    ).collect()[0].c
+    n2 = adb.sparql(
+        PFX + "SELECT (COUNT(?n) AS ?c) WHERE { ?n ex:age ?a FILTER(-?a < -45) }"
+    ).collect()[0].c
+    assert (n1, n2) == (1, 1)
+
+
+def test_orderby_agg_expression(adb):
+    out = adb.sparql(
+        PFX + "SELECT ?city (COUNT(?n) AS ?c) WHERE { ?n ex:city ?city } "
+        "GROUP BY ?city ORDER BY DESC(?c * 2) ?city LIMIT 2"
+    ).collect()
+    assert [(r.city, r.c) for r in out] == [("NYC", 3), ("LA", 2)]
+
+
+def test_orderby_group_concat_with_separator(adb):
+    out = adb.sparql(
+        PFX + 'SELECT ?city (GROUP_CONCAT(DISTINCT ?nm ; separator="|") AS ?who) '
+        "WHERE { ?n ex:city ?city . ?n ex:name ?nm } GROUP BY ?city "
+        'ORDER BY DESC(GROUP_CONCAT(DISTINCT ?nm ; separator="|")) LIMIT 2'
+    ).collect()
+    assert [r.who for r in out] == ["Heidi", "Grace"]
