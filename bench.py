@@ -52,7 +52,7 @@ def main() -> None:
     tables = load_tables(spark, sf_dir)
     for name, df in tables.items():
         df.select(
-            *[F.sum(F.xxhash64(F.col(c))).alias(c) for c in df.columns[:2]]
+            *[F.max(F.xxhash64(F.col(c))).alias(c) for c in df.columns[:2]]
         ).collect()
         df.limit(10000).groupBy(df.columns[0]).count().collect()
     emb = tables.get("embeddings")

@@ -307,7 +307,9 @@ def tpch_graph(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> PropertyGra
     }
     endpoints = {
         "IN_REGION": ("Nation", "Region"),
-        "FROM_NATION": (None, "Nation"),  # src is Customer OR Supplier
+        # multi-label side: src is Customer OR Supplier (graph.py
+        # endpoint_side normalizes; single-label fast paths see None)
+        "FROM_NATION": (("Customer", "Supplier"), "Nation"),
         "PLACED": ("Customer", "Order"),
         "CONTAINS": ("Order", "Part"),
         "SUPPLIED_BY": ("Part", "Supplier"),

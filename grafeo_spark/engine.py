@@ -516,14 +516,23 @@ class GrafeoSpark:
                 if t not in g.edge_frames:
                     continue
                 e = g.edge_frames[t]
-                for side, lbl, code in (
-                    ("src", sl, "ENDPOINT_SRC_LABEL"),
-                    ("dst", dl, "ENDPOINT_DST_LABEL"),
+                for side, idx, code in (
+                    ("src", 0, "ENDPOINT_SRC_LABEL"),
+                    ("dst", 1, "ENDPOINT_DST_LABEL"),
                 ):
-                    if lbl is None or lbl not in g.node_frames:
+                    from grafeo_spark.graph import endpoint_side
+
+                    labels = endpoint_side((sl, dl), idx)
+                    if labels is None:
                         continue
+                    known = sorted(l for l in labels if l in g.node_frames)
+                    if not known:
+                        continue
+                    ids = g.node_frames[known[0]].select("id")
+                    for l in known[1:]:
+                        ids = ids.unionByName(g.node_frames[l].select("id"))
                     bad = e.select(F.col(side).alias("id")).join(
-                        g.node_frames[lbl].select("id"), "id", "left_anti"
+                        ids, "id", "left_anti"
                     )
                     n = bad.count()
                     if n:
@@ -531,7 +540,7 @@ class GrafeoSpark:
                             finding(
                                 code,
                                 f"{n} {t} edge(s) have a {side} outside the "
-                                f"declared label {lbl}",
+                                f"declared label(s) {'|'.join(known)}",
                                 bad, "id",
                             )
                         )

@@ -27,6 +27,29 @@ SRC = "src"
 DST = "dst"
 
 
+def endpoint_side(ep, i: int):
+    """Normalize one side of an endpoint declaration to a frozenset of
+    labels, or None for unknown. A side may be a single label, None, or a
+    tuple/list of labels (an edge type whose sources span several labels,
+    e.g. FROM_NATION: customer|supplier -> nation)."""
+    if ep is None:
+        return None
+    side = ep[i]
+    if side is None:
+        return None
+    if isinstance(side, str):
+        return frozenset((side,))
+    return frozenset(side) or None
+
+
+def endpoint_scalar(ep, i: int):
+    """The side's single label, or None when unknown OR multi-label —
+    for consumers whose fast path needs exactly one label (they fall
+    back to the safe plan, the same behavior a None side gets)."""
+    s = endpoint_side(ep, i)
+    return next(iter(s)) if s is not None and len(s) == 1 else None
+
+
 class PropertyGraph:
     """A labeled property graph as a set of DataFrames.
 

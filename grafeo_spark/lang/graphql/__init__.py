@@ -481,9 +481,10 @@ def _join_nested(
         )
     filters, label, limit, offset, order = _split_args(sel.args)
     if label is None:
-        ep = graph.endpoints.get(sel.name)
-        if ep is not None:
-            label = ep[1]
+        from grafeo_spark.graph import endpoint_scalar
+
+        # multi-label destinations fall back to the all-labels union
+        label = endpoint_scalar(graph.endpoints.get(sel.name), 1)
     base = graph.nodes(label) if label else graph.nodes(None)
     for k, v in filters:
         base = base.filter(_filter_cond(k, v))

@@ -25,7 +25,7 @@ from typing import Any, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from grafeo_spark.graph import PropertyGraph
+from grafeo_spark.graph import PropertyGraph, endpoint_side
 
 
 class GremlinError(Exception):
@@ -214,6 +214,9 @@ class Traversal:
         t.labels = dict(self.labels)
         t.trail = list(self.trail) + ([cur] if extend_trail else [])
         t.trail_kinds = list(self.trail_kinds) + ([kind] if extend_trail else [])
+        if kind == "edge" and hasattr(self, "_edge_types"):
+            # keep endpoint-pruning metadata across edge-frame filters
+            t._edge_types = self._edge_types
         return t
 
     def _apply_anon(self, anon: Anon) -> "Traversal":
@@ -384,7 +387,9 @@ class Traversal:
                 ).unionByName(
                     self.df.join(base, near_dst).withColumn(near_col, F.lit("dst"))
                 )
-            return self._derive(joined, evar, "edge", extend_trail=True)
+            t = self._derive(joined, evar, "edge", extend_trail=True)
+            t._edge_types = etypes  # for endpoint pruning in inV/outV
+            return t
         if direction == "both":
             rev = e.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"),
@@ -401,7 +406,9 @@ class Traversal:
             e, F.col(_p(self.cur, "id")) == F.col(_p(evar, "src")), "inner"
         )
         nvar = self._fresh()
-        nodes = self.g.graph.nodes(None)
+        nodes = self._endpoint_nodes(
+            etypes, {"out": "dst", "in": "src", "both": "both"}[direction]
+        )
         nodes = nodes.select(*[F.col(c).alias(_p(nvar, c)) for c in nodes.columns])
         out = joined.join(
             nodes, F.col(_p(evar, "dst")) == F.col(_p(nvar, "id")), "inner"
@@ -410,6 +417,38 @@ class Traversal:
         t2.trail = self.trail + [evar, nvar]
         t2.trail_kinds = self.trail_kinds + ["edge", "node"]
         return t2
+
+    def _endpoint_nodes(self, etypes: tuple, which: str) -> DataFrame:
+        """Destination node source for an expansion: when every traversed
+        edge type has declared endpoints, union only those label frames —
+        at scale this prunes unrelated tables (documents, embeddings)
+        from the join entirely; TinkerPop semantics are unchanged because
+        an edge can only ever land on its endpoint labels. ``which`` is
+        the endpoint side reached: 'src', 'dst', or 'both'."""
+        g = self.g.graph
+        eps = g.endpoints or {}
+        types = list(etypes) if etypes else list(g.edge_frames)
+        labels: set[str] = set()
+        for ty in types:
+            ep = eps.get(ty)
+            sides = (
+                (endpoint_side(ep, 0),)
+                if which == "src"
+                else (endpoint_side(ep, 1),)
+                if which == "dst"
+                else (endpoint_side(ep, 0), endpoint_side(ep, 1))
+            )
+            for s in sides:
+                if s is None:
+                    return g.nodes(None)  # undeclared side: no pruning
+                labels |= s
+        frames = [g.nodes(lbl) for lbl in sorted(labels) if lbl in g.node_frames]
+        if not frames:
+            return g.nodes(None)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
 
     def out(self, *etypes: str) -> "Traversal":
         return self._expand("out", etypes, True)
@@ -429,11 +468,16 @@ class Traversal:
     def bothE(self, *etypes: str) -> "Traversal":
         return self._expand("both", etypes, False)
 
-    def _edge_to_vertex(self, key: Column) -> "Traversal":
+    def _edge_to_vertex(self, key: Column, which: str = "both") -> "Traversal":
         if self.kind != "edge":
             raise GremlinError("inV/outV/otherV/bothV require an edge traversal")
         nvar = self._fresh()
-        nodes = self.g.graph.nodes(None)
+        etypes = getattr(self, "_edge_types", None)
+        nodes = (
+            self._endpoint_nodes(etypes, which)
+            if etypes is not None
+            else self.g.graph.nodes(None)
+        )
         nodes = nodes.select(*[F.col(c).alias(_p(nvar, c)) for c in nodes.columns])
         out = self.df.join(nodes, key == F.col(_p(nvar, "id")), "inner")
         return self._derive(out, nvar, "node", extend_trail=True)
@@ -441,11 +485,11 @@ class Traversal:
     def inV(self) -> "Traversal":
         """The edge's target vertex (stored orientation, per TinkerPop —
         independent of whether the edge was reached via outE or inE)."""
-        return self._edge_to_vertex(F.col(_p(self.cur, "dst")))
+        return self._edge_to_vertex(F.col(_p(self.cur, "dst")), "dst")
 
     def outV(self) -> "Traversal":
         """The edge's source vertex (stored orientation)."""
-        return self._edge_to_vertex(F.col(_p(self.cur, "src")))
+        return self._edge_to_vertex(F.col(_p(self.cur, "src")), "src")
 
     def otherV(self) -> "Traversal":
         """The endpoint OPPOSITE the vertex the edge was reached from
@@ -1355,7 +1399,9 @@ class GremlinSource:
             e = cur if e is None else e.unionByName(cur, allowMissingColumns=True)
         var = "g0"
         df = e.select(*[F.col(c).alias(_p(var, c)) for c in e.columns])
-        return Traversal(self, df, var, "edge")
+        t = Traversal(self, df, var, "edge")
+        t._edge_types = etypes
+        return t
 
 
 def traversal(graph: PropertyGraph, db=None) -> GremlinSource:

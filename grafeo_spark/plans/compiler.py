@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grafeo_spark.functions import vector as vfn
-from grafeo_spark.graph import PropertyGraph
+from grafeo_spark.graph import PropertyGraph, endpoint_scalar, endpoint_side
 from grafeo_spark.plans import exprs as E
 from grafeo_spark.plans import ir
 
@@ -195,15 +195,18 @@ class Compiler:
 
     def _oriented_types(
         self, etypes: tuple[str, ...], direction: str
-    ) -> list[tuple[str, bool, Optional[str], Optional[str]]]:
-        """(etype, reversed, start_label, end_label) per traversal
-        orientation. BOTH contributes each type in both orientations —
-        pruning is per-orientation (from a Customer, PLACED is traversable
-        forward but not backward)."""
+    ) -> list[tuple[str, bool, Optional[frozenset], Optional[frozenset]]]:
+        """(etype, reversed, start_labels, end_labels) per traversal
+        orientation; label sides are frozensets (an endpoint side may
+        declare several labels, e.g. FROM_NATION's customer|supplier
+        source) or None for unknown. BOTH contributes each type in both
+        orientations — pruning is per-orientation (from a Customer, PLACED
+        is traversable forward but not backward)."""
         types = list(etypes) if etypes else self.graph.edge_types()
         out = []
         for t in types:
-            s_lbl, d_lbl = self.graph.endpoints.get(t, (None, None))
+            ep = self.graph.endpoints.get(t, (None, None))
+            s_lbl, d_lbl = (endpoint_side(ep, 0), endpoint_side(ep, 1))
             if direction in (ir.OUT, ir.BOTH):
                 out.append((t, False, s_lbl, d_lbl))
             if direction in (ir.IN, ir.BOTH):
@@ -267,11 +270,11 @@ class Compiler:
                     continue
                 nxt, unknown = set(prev), False
                 for _t, _rev, s_lbl, e_lbl in oriented:
-                    if e_lbl is None or e_lbl in prev:
+                    if e_lbl is None or (e_lbl & prev):
                         if s_lbl is None:
                             unknown = True
                         else:
-                            nxt.add(s_lbl)
+                            nxt |= s_lbl
                 back.append(None if unknown else nxt)
         frames: list[DataFrame] = []
         built: dict[frozenset, DataFrame] = {}
@@ -280,12 +283,12 @@ class Compiler:
             usable = (
                 oriented
                 if cur is None
-                else [o for o in oriented if o[2] is None or o[2] in cur]
+                else [o for o in oriented if o[2] is None or (o[2] & cur)]
             )
             if back is not None:
                 b = back[max_hops - (h + 1)]
                 if b is not None:
-                    usable = [o for o in usable if o[3] is None or o[3] in b]
+                    usable = [o for o in usable if o[3] is None or (o[3] & b)]
             if not usable:
                 break
             key = frozenset((t, rev) for t, rev, _, _ in usable)
@@ -295,7 +298,7 @@ class Compiler:
             cur = (
                 None
                 if any(o[3] is None for o in usable)
-                else {o[3] for o in usable}
+                else set().union(*(o[3] for o in usable))
             )
         return frames
 
@@ -349,14 +352,16 @@ class Compiler:
                 return False
             if lbl is None:
                 continue  # unrestricted scan: any valid node id qualifies
+            # elision needs EVERY possible start to be the scanned label —
+            # a multi-label side (endpoint_scalar -> None) disqualifies
             if p.direction == ir.OUT:
-                start = ep[0]
+                start = endpoint_scalar(ep, 0)
             elif p.direction == ir.IN:
-                start = ep[1]
+                start = endpoint_scalar(ep, 1)
             else:
-                if ep[0] != ep[1]:
+                if endpoint_side(ep, 0) != endpoint_side(ep, 1):
                     return False
-                start = ep[0]
+                start = endpoint_scalar(ep, 0)
             if start != lbl:
                 return False
         return True
@@ -463,12 +468,14 @@ class Compiler:
         return out, scope
 
     def _endpoint_label(self, p: ir.Expand) -> Optional[str]:
-        labels = set()
+        labels: set = set()
         for t in p.etypes:
-            ep = self.graph.endpoints.get(t)
-            if ep is None:
+            side = endpoint_side(
+                self.graph.endpoints.get(t), 1 if p.direction == ir.OUT else 0
+            )
+            if side is None:
                 return None
-            labels.add(ep[1] if p.direction == ir.OUT else ep[0])
+            labels |= side
         return labels.pop() if len(labels) == 1 else None
 
     def _skip_dst_join(self, p: ir.Expand) -> bool:
@@ -486,16 +493,21 @@ class Compiler:
             if ep is None:
                 return False
             if p.direction == ir.OUT:
-                end = ep[1]
+                end = endpoint_side(ep, 1)
             elif p.direction == ir.IN:
-                end = ep[0]
+                end = endpoint_side(ep, 0)
             else:  # both: the target may be either endpoint
-                if ep[0] != ep[1]:
+                if endpoint_side(ep, 0) != endpoint_side(ep, 1):
                     return False
-                end = ep[0]
-            if p.dst_label is not None and end != p.dst_label:
+                end = endpoint_side(ep, 0)
+            if p.dst_label is not None and end != frozenset((p.dst_label,)):
+                # pinning to a requested label needs exactly that label;
+                # a multi-label side could land elsewhere
                 return False
             if p.dst_label is None and end is None:
+                # unlabeled dst: ANY declared side (even multi-label)
+                # guarantees the dst is a valid node id — only a fully
+                # unknown side blocks the skip
                 return False
         return True
 
@@ -617,13 +629,13 @@ class Compiler:
             if ep is None:
                 return False
             if p.direction == ir.OUT:
-                end = ep[1]
+                end = endpoint_scalar(ep, 1)
             elif p.direction == ir.IN:
-                end = ep[0]
+                end = endpoint_scalar(ep, 0)
             else:
-                if ep[0] != ep[1]:
+                if endpoint_side(ep, 0) != endpoint_side(ep, 1):
                     return False
-                end = ep[0]
+                end = endpoint_scalar(ep, 0)
             if end != p.dst_label:
                 return False
         return True

@@ -157,7 +157,10 @@ def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
 
     nodes = {lbl: read(f"nodes/{lbl}") for lbl in manifest["labels"]}
     edges = {t: read(f"edges/{t}") for t in manifest["edge_types"]}
-    endpoints = {t: tuple(ep) for t, ep in manifest.get("endpoints", {}).items()}
+    endpoints = {
+        t: tuple(tuple(s) if isinstance(s, list) else s for s in ep)
+        for t, ep in manifest.get("endpoints", {}).items()
+    }
     return PropertyGraph(
         nodes,
         edges,

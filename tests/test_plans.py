@@ -182,3 +182,34 @@ def test_gremlin_sample_is_take_ordered(tdb):
     with redirect_stdout(buf):
         df.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_typed_expand_prunes_endpoint_labels(spark):
+    """Typed expansion joins only the declared endpoint label frames — a
+    multi-label side (FROM_NATION src: Customer|Supplier) prunes to its
+    member frames, never the all-labels union (r7; at 100 TB this is the
+    difference between joining two tables and scanning every table)."""
+    import re
+
+    from grafeo_spark.catalog import tpch_graph
+    from grafeo_spark.engine import GrafeoSpark
+
+    db = GrafeoSpark(spark, tpch_graph(spark, "/root/testdata/sf0.001"))
+
+    def scans(df):
+        return sorted(
+            set(re.findall(r"(\w+)\.parquet",
+                           df._jdf.queryExecution().executedPlan().toString()))
+        )
+
+    cy = db.cypher(
+        "MATCH (n:Nation {name: 'NATION_3'})<-[:FROM_NATION]-(x) "
+        "RETURN count(*) AS c"
+    )
+    assert scans(cy) == ["customer", "nation", "supplier"]
+    gr = db.gremlin(
+        "g.V().hasLabel('Nation').has('name', 'NATION_3').in('FROM_NATION')"
+    )
+    assert scans(gr) == ["customer", "nation", "supplier"]
+    # the gremlin and cypher counts agree (customers + suppliers of n3)
+    assert cy.collect()[0].c == gr.count()
