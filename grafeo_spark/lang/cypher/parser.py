@@ -313,7 +313,16 @@ class Parser:
             else:
                 break
         if not clauses:
-            raise CypherSyntaxError("empty statement")
+            v = self.peek().text
+            word = str(v).upper()
+            if word in ("FOREACH", "CALL", "LOAD"):
+                # explicitly out of surface (not in the reference's Clause
+                # enum, cypher/ast.rs:35) — say so instead of a generic error
+                raise CypherSyntaxError(
+                    f"{word} is not supported (not part of the reference "
+                    "Cypher clause surface)"
+                )
+            raise CypherSyntaxError(f"expected a clause, got {v!r}")
         return Statement(clauses)
 
     # clauses ---------------------------------------------------------------

@@ -419,9 +419,11 @@ def _apply_where(ctx: _Ctx, where: E.Expr) -> None:
 
 def _optional_match(ctx: _Ctx, clause: P.MatchClause) -> None:
     if ctx.plan is None:
-        # OPTIONAL MATCH with nothing bound behaves like MATCH
-        _match(ctx, P.MatchClause(clause.patterns, False, clause.where))
-        return
+        # leading OPTIONAL MATCH: left-join the pattern against a single
+        # row, so a non-matching query still yields ONE all-null row
+        # (openCypher; previously this compiled as plain MATCH and
+        # returned zero rows)
+        ctx.plan = ir.SingleRow()
     sub = _Ctx()
     # pre-seed knowledge of shared variables' labels so the optional side
     # can rebuild scans for them

@@ -178,7 +178,15 @@ class _Parser:
         while not self.at("op", ")"):
             name = self.eat("var")[1][1:]
             self.eat("op", ":")
-            self.eat("name")  # type name
+            # type reference: Name | [Type] — with optional ! at any level
+            if self.at("op", "["):
+                self.next()
+                self.eat("name")
+                if self.at("op", "!"):
+                    self.next()
+                self.eat("op", "]")
+            else:
+                self.eat("name")
             if self.at("op", "!"):
                 self.next()
             default: Any = _REQUIRED

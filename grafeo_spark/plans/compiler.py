@@ -1546,13 +1546,25 @@ class Compiler:
                 return F.lit(info.label)
             return F.col(_p(e.args[0].name, "_type"))
         if name in ("properties",) and e.args and isinstance(e.args[0], E.Col):
+            # PROPERTY keys only: the element id and internal columns
+            # (_label, _type, _near…) are not properties (lpg/node.rs keeps
+            # id/labels outside the property map; Cypher keys()/properties()
+            # expose neither)
             info = scope[e.args[0].name]
             v = e.args[0].name
-            return F.struct(*[F.col(_p(v, p)).alias(p) for p in info.props if _p(v, p) in df.columns])
+            props = [
+                p for p in info.props
+                if _p(v, p) in df.columns and p != "id" and not p.startswith("_")
+            ]
+            return F.struct(*[F.col(_p(v, p)).alias(p) for p in props])
         if name == "keys" and e.args and isinstance(e.args[0], E.Col):
             info = scope[e.args[0].name]
             v = e.args[0].name
-            return F.array(*[F.lit(p) for p in info.props if _p(v, p) in df.columns])
+            props = [
+                p for p in info.props
+                if _p(v, p) in df.columns and p != "id" and not p.startswith("_")
+            ]
+            return F.array(*[F.lit(p) for p in props])
         if name == "exists" and e.args:
             return self._expr(e.args[0], scope, df).isNotNull()
         if name == "haslabel" and len(e.args) == 2 and isinstance(e.args[0], E.Col):

@@ -351,3 +351,15 @@ def test_unknown_directive_rejected(db):
         db.graphql('{ Person { name @skip(unless: true) } }')
     with pytest.raises(GraphQLError, match="must be a Boolean"):
         db.graphql('{ Person { name @skip(if: "yes") } }')
+
+
+def test_list_type_variable_declaration(db):
+    """[String] / [String!]! list-type declarations parse; list-valued
+    variables feed _in filters."""
+    q = 'query($cities: [String] = ["NYC"]) { Person(city_in: $cities) { name } }'
+    assert sorted(r.name for r in db.graphql(q).collect()) == [
+        "Alice", "Carol", "Frank",
+    ]
+    q2 = 'query($cities: [String!]!) { Person(city_in: $cities) { name } }'
+    got = sorted(r.name for r in db.graphql(q2, variables={"cities": ["LA"]}).collect())
+    assert got == ["Bob", "Eve"]

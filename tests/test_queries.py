@@ -639,3 +639,40 @@ def test_case_inside_reduce(db):
         "CASE size(w) WHEN 1 THEN a ELSE a + size(w) END) AS sz"
     ).collect()[0]
     assert (r.ev, r.sz) == (6, 5)
+
+
+def test_leading_optional_match_yields_null_row(db):
+    """A leading OPTIONAL MATCH left-joins against a single row, so a
+    non-matching query still yields one all-null row (openCypher; r7 —
+    previously compiled as plain MATCH and returned zero rows)."""
+    out = db.cypher(
+        "OPTIONAL MATCH (p:Person) WHERE p.age > 99 "
+        "RETURN CASE WHEN p IS NULL THEN 'none' ELSE p.name END AS r"
+    ).collect()
+    assert [r.r for r in out] == ["none"]
+    out2 = db.cypher("OPTIONAL MATCH (p:Ghost) RETURN count(p) AS c").collect()
+    assert out2[0].c == 0 and len(out2) == 1
+    # a matching leading OPTIONAL MATCH behaves like MATCH
+    n = db.cypher("OPTIONAL MATCH (p:Person) RETURN count(*) AS c").collect()[0].c
+    assert n == 8
+
+
+def test_keys_properties_exclude_internals(db):
+    """keys()/properties() expose PROPERTY keys only — not the element id
+    and not internal columns like _label (lpg/node.rs keeps id/labels
+    outside the property map)."""
+    r = db.cypher(
+        "MATCH (p:Person) WHERE p.name = 'Alice' "
+        "RETURN keys(p) AS ks, properties(p) AS pr"
+    ).collect()[0]
+    assert list(r.ks) == ["name", "age", "city"]
+    assert r.pr.asDict() == {"name": "Alice", "age": 30, "city": "NYC"}
+
+
+def test_foreach_rejected_loudly(db):
+    import pytest
+
+    from grafeo_spark.lang.cypher.parser import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="FOREACH is not supported"):
+        db.cypher("FOREACH (x IN [1,2] | CREATE (:Tmp {v: x}))")
