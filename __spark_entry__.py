@@ -838,6 +838,36 @@ _ORACLE: dict[str, str] = {
     # Replay of chunk_documents' window arithmetic: whitespace words,
     # starts = 1, 1+stride, ... while start <= max(n - overlap, 1),
     # chunk = 50-word slice, chunk_id = (start-1)/stride
+    "pack_sequences": """
+        WITH RECURSIVE d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+            FROM documents WHERE doc_id < 50
+        ), s AS (
+            SELECT doc_id, w,
+                   unnest(range(1, greatest(len(w) - 10, 1) + 1, 40)) AS start
+            FROM d
+        ), c AS (
+            SELECT doc_id,
+                   CAST((start - 1) // 40 AS INT) AS chunk_id,
+                   CAST(len(w[start : start + 49]) AS INT) AS n_tokens
+            FROM s
+        ), pack AS (
+            SELECT doc_id, chunk_id, n_tokens,
+                   CAST(0 AS INT) AS seq_id,
+                   CAST(n_tokens AS BIGINT) AS cur
+            FROM c WHERE chunk_id = 0
+            UNION ALL
+            SELECT c.doc_id, c.chunk_id, c.n_tokens,
+                   CAST(CASE WHEN p.cur + c.n_tokens > 128 AND p.cur > 0
+                             THEN p.seq_id + 1 ELSE p.seq_id END AS INT),
+                   CAST(CASE WHEN p.cur + c.n_tokens > 128 AND p.cur > 0
+                             THEN c.n_tokens ELSE p.cur + c.n_tokens END AS BIGINT)
+            FROM c JOIN pack p
+              ON c.doc_id = p.doc_id AND c.chunk_id = p.chunk_id + 1
+        )
+        SELECT doc_id, chunk_id, n_tokens, seq_id FROM pack
+    """,
     "chunk_documents": """
         WITH d AS (
             SELECT doc_id,
@@ -1388,6 +1418,21 @@ def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5"), "n_tokens"
     )
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order sequence packing (llm/text.py:pack_chunk_sequences)
+    — chunks fold into token-budget training sequences per document, the
+    stage after chunking in a pre-training pipeline. One hash shuffle +
+    an F.aggregate fold (no Python, no window sort); the oracle replays
+    the greedy scan as a DuckDB recursive CTE."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import chunk_documents, pack_chunk_sequences
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    ch = chunk_documents(d, max_tokens=50, overlap=10)
+    return pack_chunk_sequences(ch, budget=128)
 
 
 def _text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2093,6 +2138,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_near_survivors": _dedup_near_survivors,
     "text_quality_stats": _text_quality_stats,
     "chunk_documents": _chunk_documents,
+    "pack_sequences": _pack_sequences,
     "knn_cosine_top10": _knn_cosine_top10,
     "ann_knn_top10": _ann_knn_top10,
     "ivf_knn_top10": _ivf_knn_top10,
@@ -2135,6 +2181,7 @@ _PRIORITY = [
     "gremlin_repeat_until_emit",
     "gremlin_simplepath_reach",
     "multimodal_image_dims",
+    "pack_sequences",
     "simhash_near_pairs_sha256",
     # -- tier 2 (r7): the 43 entries standing on r5-green rows - per the
     # policy's >2-rounds rule they must all be covered this round.

@@ -176,6 +176,78 @@ def chunk_documents(
     )
 
 
+def pack_chunk_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 1024,
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, seq_id) — greedy in-order packing of a
+    document's chunks into token-budget training sequences (the sequence-
+    packing stage that follows :func:`chunk_documents` in a pre-training
+    pipeline: batches want sequences filled close to the model's context
+    length, not one short chunk each).
+
+    Semantics: scan chunks in ``chunk_col`` order per document; a chunk
+    that would push the running sequence past ``budget`` starts the next
+    sequence (a chunk larger than the budget gets a sequence of its own).
+    Deterministic — replayable as a recursive CTE.
+
+    Plan shape: ONE hash shuffle (groupBy id), then the whole greedy scan
+    is an F.aggregate fold over the collected per-doc chunk array —
+    Catalyst expressions end to end, no Python, no window sort, and the
+    per-task state is one document's chunk list. At 100 TB: packing is
+    per-document, so it scales with the id-hash partitioning like every
+    other per-doc stage."""
+    from pyspark.sql.types import StructType
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    chunks = df.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(chunk_col).cast("int").alias("c"),
+                    F.col(tokens_col).cast("long").alias("t"),
+                )
+            )
+        ).alias("__cs")
+    )
+    init = F.struct(
+        F.array().cast("array<int>").alias("seqs"),
+        F.lit(0).cast("int").alias("seq"),
+        F.lit(0).cast("long").alias("cur"),
+    )
+
+    def step(acc, x):
+        over = (acc.getField("cur") + x.getField("t") > budget) & (
+            acc.getField("cur") > 0
+        )
+        seq = acc.getField("seq") + F.when(over, 1).otherwise(0)
+        cur = F.when(over, x.getField("t")).otherwise(
+            acc.getField("cur") + x.getField("t")
+        )
+        return F.struct(
+            F.concat(acc.getField("seqs"), F.array(seq)).alias("seqs"),
+            seq.cast("int").alias("seq"),
+            cur.cast("long").alias("cur"),
+        )
+
+    packed = chunks.select(
+        id_col,
+        "__cs",
+        F.aggregate(F.col("__cs"), init, step).getField("seqs").alias("__seqs"),
+    )
+    z = F.explode(F.arrays_zip(F.col("__cs"), F.col("__seqs"))).alias("z")
+    return packed.select(id_col, z).select(
+        id_col,
+        F.col("z.__cs.c").alias(chunk_col),
+        F.col("z.__cs.t").cast("int").alias(tokens_col),
+        F.col("z.__seqs").cast("int").alias("seq_id"),
+    )
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append every feature column (the 'featurize' stage of a
     corpus pipeline)."""

@@ -745,3 +745,41 @@ def test_image_dimensions_pipeline(spark):
         2: ("jpeg", 31, 17),
         3: (None, None, None),
     }
+
+
+def test_pack_chunk_sequences(spark):
+    """Greedy in-order packing: chunks fill a sequence up to the budget,
+    overflow starts the next; an oversized chunk gets its own sequence."""
+    from grafeo_spark.llm import pack_chunk_sequences
+
+    rows_in = [
+        (1, 0, 60), (1, 1, 60), (1, 2, 60),   # 60+60=120 <= 128; third -> seq 1
+        (2, 0, 200),                            # oversized: its own sequence
+        (2, 1, 10), (2, 2, 10),                 # both fit seq 1
+        (3, 0, 128), (3, 1, 1),                 # exact fill; next overflows
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, chunk_id int, n_tokens int")
+    got = {
+        (r.doc_id, r.chunk_id): r.seq_id
+        for r in pack_chunk_sequences(df, budget=128).collect()
+    }
+    assert got == {
+        (1, 0): 0, (1, 1): 0, (1, 2): 1,
+        (2, 0): 0, (2, 1): 1, (2, 2): 1,
+        (3, 0): 0, (3, 1): 1,
+    }
+
+
+def test_pack_chunk_sequences_no_python_stage(spark):
+    """The greedy fold is pure Catalyst: no BatchEvalPython / mapInPandas
+    in the plan, and exactly one exchange (the per-doc groupBy)."""
+    from grafeo_spark.llm import pack_chunk_sequences
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 20)], "doc_id long, chunk_id int, n_tokens int"
+    )
+    plan = (
+        pack_chunk_sequences(df, budget=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
