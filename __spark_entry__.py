@@ -838,6 +838,19 @@ _ORACLE: dict[str, str] = {
     # Replay of chunk_documents' window arithmetic: whitespace words,
     # starts = 1, 1+stride, ... while start <= max(n - overlap, 1),
     # chunk = 50-word slice, chunk_id = (start-1)/stride
+    "split_documents": """
+        WITH u AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), ':r7')), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+            FROM documents
+        )
+        SELECT CASE WHEN u < 0.9 THEN 'train'
+                    WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM u GROUP BY 1 ORDER BY 1
+    """,
     "pack_sequences": """
         WITH RECURSIVE d AS (
             SELECT doc_id,
@@ -1433,6 +1446,27 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
     ch = chunk_documents(d, max_tokens=50, overlap=10)
     return pack_chunk_sequences(ch, budget=128)
+
+
+def _split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (llm/sampling.py:hash_split):
+    assignment is a pure function of md5(doc_id:seed), so re-runs,
+    re-partitioning, and other engines agree exactly — the oracle
+    replays the identical hash arithmetic in DuckDB. Per-split count +
+    doc_id checksum value-check the full assignment, not just sizes."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import hash_split
+
+    out = hash_split(_docs(spark, sf_dir), seed="r7")
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
 
 
 def _text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2139,6 +2173,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_stats": _text_quality_stats,
     "chunk_documents": _chunk_documents,
     "pack_sequences": _pack_sequences,
+    "split_documents": _split_documents,
     "knn_cosine_top10": _knn_cosine_top10,
     "ann_knn_top10": _ann_knn_top10,
     "ivf_knn_top10": _ivf_knn_top10,
@@ -2182,6 +2217,7 @@ _PRIORITY = [
     "gremlin_simplepath_reach",
     "multimodal_image_dims",
     "pack_sequences",
+    "split_documents",
     "simhash_near_pairs_sha256",
     # -- tier 2 (r7): the 43 entries standing on r5-green rows - per the
     # policy's >2-rounds rule they must all be covered this round.

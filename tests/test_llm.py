@@ -783,3 +783,33 @@ def test_pack_chunk_sequences_no_python_stage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from grafeo_spark.llm import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df, seed="s1").collect()}
+    b = {r.doc_id: r.split for r in hash_split(df, seed="s1").collect()}
+    assert a == b  # pure function of (id, seed)
+    c = {r.doc_id: r.split for r in hash_split(df, seed="s2").collect()}
+    assert a != c  # a new seed re-deals
+    from collections import Counter
+
+    n = Counter(a.values())
+    assert set(n) == {"train", "val", "test"}
+    assert 0.85 < n["train"] / 2000 < 0.95  # ~90% within tolerance
+    # custom fractions validate
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, fractions={"a": 0.5, "b": 0.2})
+
+
+def test_hash_split_stable_under_repartition(spark):
+    from grafeo_spark.llm import hash_split
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df.repartition(7)).collect()}
+    assert a == b
