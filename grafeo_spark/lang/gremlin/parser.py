@@ -100,6 +100,9 @@ def _literal(node: ast.expr):
     if isinstance(node, ast.Name) and node.id in _ORDER_TOKENS:
         # groovy statically imports Order members: by('age', desc)
         return node.id
+    if isinstance(node, ast.Name) and node.id in ("true", "false", "null"):
+        # Groovy literals (Python ast sees bare names)
+        return {"true": True, "false": False, "null": None}[node.id]
     if isinstance(node, ast.Call):
         from grafeo_spark.lang.gremlin.traversal import TextP
 

@@ -229,6 +229,8 @@ class Traversal:
         if isinstance(t, _GroupCountStep):
             # bare groupCount() is complete without a .by() modulator
             t = t._t._group_count(t._key)
+        if isinstance(t, (_OrderStep, _SelectStep, _PathStep)):
+            t = t._finalize()
         if not isinstance(t, Traversal):
             raise GremlinError("anonymous traversal ended mid-modulator")
         return t
@@ -327,7 +329,9 @@ class Traversal:
     # -- filters ---------------------------------------------------------
 
     def hasLabel(self, *labels: str) -> "Traversal":
-        col = F.col(_p(self.cur, "_label"))
+        # an edge's label is its type (TinkerPop edge label == relation
+        # type); node frames carry _label, edge frames _type
+        col = F.col(_p(self.cur, "_type" if self.kind == "edge" else "_label"))
         return self._derive(self.df.filter(col.isin(list(labels))), self.cur, self.kind)
 
     def has(self, key: str, value: Any = ...) -> "Traversal":
@@ -526,7 +530,10 @@ class Traversal:
         t.labels[label] = t.cur
         return t
 
-    def select(self, *labels: str) -> "Traversal":
+    def select(self, *labels: str) -> "_SelectStep":
+        return _SelectStep(self, labels)
+
+    def _select_plain(self, labels: tuple) -> "Traversal":
         cols = []
         for lbl in labels:
             if lbl not in self.labels:
@@ -545,19 +552,32 @@ class Traversal:
         cols = [F.col(_p(self.cur, k)).alias(k) for k in keys]
         return self._derive(self.df.select(*cols), keys[0] if len(keys) == 1 else self.cur, "value")
 
-    def valueMap(self, *keys: str) -> "Traversal":
+    def valueMap(self, *keys) -> "Traversal":
+        # valueMap(true) prepends the id and label tokens (TinkerPop
+        # WithOptions.tokens via the boolean overload)
+        with_tokens = False
+        if keys and isinstance(keys[0], bool):
+            with_tokens, keys = keys[0], keys[1:]
         prefix = self.cur + "__"
-        ks = keys or [
+        ks = list(keys) or [
             c[len(prefix):]
             for c in self.df.columns
             if c.startswith(prefix)
-            and c[len(prefix):] not in ("_label", "_near")
+            and c[len(prefix):] not in ("id", "_label", "_type", "_near")
         ]
         cols = [F.col(_p(self.cur, k)).alias(k) for k in ks]
+        if with_tokens:
+            lbl = "_type" if self.kind == "edge" else "_label"
+            cols = [
+                F.col(_p(self.cur, "id")).alias("id"),
+                F.col(_p(self.cur, lbl)).alias("label"),
+            ] + cols
         return self._derive(self.df.select(*cols), self.cur, "value")
 
     def elementMap(self, *keys: str) -> "Traversal":
-        return self.valueMap(*keys)
+        """Like valueMap but always carrying the id and label tokens
+        (TinkerPop elementMap contract)."""
+        return self.valueMap(True, *keys)
 
     def constant(self, v) -> "Traversal":
         """Replace each traverser's value with a constant (ast.rs
@@ -697,9 +717,13 @@ class Traversal:
                 cols.append(F.xxhash64(F.col(_p(var, "src")), F.col(_p(var, "dst"))))
         return cols
 
-    def path(self) -> "Traversal":
+    def path(self) -> "_PathStep":
         """Element-id path of each traverser (ast.rs Path): array of the
-        ids of every node/edge visited, in step order."""
+        ids of every node/edge visited, in step order; ``.by(key)``
+        modulators re-project the elements (round-robin, TinkerPop)."""
+        return _PathStep(self)
+
+    def _path_plain(self) -> "Traversal":
         out = self.df.select(F.array(*self._trail_id_cols()).alias("path"))
         return self._derive(out, "path", "value")
 
@@ -1335,29 +1359,154 @@ class _DedupStep:
 
 
 class _OrderStep:
-    """`.order().by(key[, desc])` modulator (ast.rs Order/By). ``key``
-    may be an anonymous sub-traversal with a terminal aggregation —
+    """`.order().by(key[, desc]).by(key2[, ...])...` modulator (ast.rs
+    Order/By). Multiple ``by`` modulators compose a multi-key sort
+    (TinkerPop comparator chaining); each key may be a property name or
+    an anonymous sub-traversal with a terminal aggregation —
     order().by(__.out('T').count(), desc) — computed per element via the
-    same machinery as project/group by-modulators."""
+    same machinery as project/group by-modulators. The sort applies
+    lazily: any non-``by`` step (or toDF/toList) finalizes it first."""
 
-    def __init__(self, t: Traversal) -> None:
-        self.t = t
+    def __init__(self, t: Traversal, specs: tuple = ()) -> None:
+        self._t = t
+        self._specs = specs
 
-    def by(self, key=None, order: str = "asc") -> Traversal:
-        t = self.t
-        if isinstance(key, Anon):
-            df = t._anon_value(t.df, key, "__ord_tmp")
-            col = F.col("__ord_tmp")
-            keys = [col.desc() if order in ("desc", "decr") else col.asc()]
-            if t.kind != "value":
-                keys.append(F.col(_p(t.cur, "id")).asc())  # deterministic tie
-            return t._derive(df.orderBy(*keys).drop("__ord_tmp"), t.cur, t.kind)
-        if t.kind == "value":
-            col = F.col(key) if key else F.col(t.df.columns[0])
-        else:
-            col = F.col(_p(t.cur, key))
-        k = col.desc() if order in ("desc", "decr") else col.asc()
-        return t._derive(t.df.orderBy(k), t.cur, t.kind)
+    def by(self, key=None, order: str = "asc") -> "_OrderStep":
+        return _OrderStep(self._t, self._specs + ((key, order),))
+
+    def _finalize(self) -> Traversal:
+        t = self._t
+        specs = self._specs or ((None, "asc"),)
+        df = t.df
+        keys = []
+        tmp: list[str] = []
+        for i, (key, order) in enumerate(specs):
+            if isinstance(key, Anon):
+                col_name = f"__ord_tmp{i}"
+                df = t._anon_value(df, key, col_name)
+                col = F.col(col_name)
+                tmp.append(col_name)
+            elif t.kind == "value":
+                col = F.col(key) if key else F.col(df.columns[0])
+            else:
+                col = (
+                    F.col(_p(t.cur, key)) if key else F.col(_p(t.cur, "id"))
+                )
+            keys.append(col.desc() if order in ("desc", "decr") else col.asc())
+        if t.kind != "value":
+            keys.append(F.col(_p(t.cur, "id")).asc())  # deterministic tie
+        out = df.orderBy(*keys)
+        if tmp:
+            out = out.drop(*tmp)
+        return t._derive(out, t.cur, t.kind)
+
+    def toDF(self) -> DataFrame:
+        return self._finalize().toDF()
+
+    def toList(self) -> list:
+        return self._finalize().toList()
+
+    def __getattr__(self, name: str):
+        # any further step finalizes the pending sort and continues on
+        # the ordered traversal
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._finalize(), name)
+
+
+class _SelectStep:
+    """``select(a, b, ...)[.by(spec)...]`` (ast.rs Select/By). Without
+    modulators: the selected elements' full columns (cur = last label,
+    the pre-r7 behavior). With ``by`` specs (round-robin, TinkerPop
+    comparator convention): one value column per label — a property
+    name, or None for the element id."""
+
+    def __init__(self, t: Traversal, labels: tuple, specs: tuple = ()) -> None:
+        self._t = t
+        self._labels = labels
+        self._specs = specs
+
+    def by(self, spec=None) -> "_SelectStep":
+        return _SelectStep(self._t, self._labels, self._specs + (spec,))
+
+    def _finalize(self) -> Traversal:
+        t = self._t
+        if not self._specs:
+            return t._select_plain(self._labels)
+        cols = []
+        for i, lbl in enumerate(self._labels):
+            if lbl not in t.labels:
+                raise GremlinError(f"unknown step label {lbl!r}")
+            var = t.labels[lbl]
+            spec = self._specs[i % len(self._specs)]
+            if spec is None:
+                cols.append(F.col(_p(var, "id")).alias(lbl))
+            elif isinstance(spec, str):
+                c = _p(var, spec)
+                cols.append(
+                    (F.col(c) if c in t.df.columns else F.lit(None)).alias(lbl)
+                )
+            else:
+                raise GremlinError(
+                    "select().by() takes a property name or None (id)"
+                )
+        return t._derive(t.df.select(*cols), "value", "value")
+
+    def toDF(self) -> DataFrame:
+        return self._finalize().toDF()
+
+    def toList(self) -> list:
+        return self._finalize().toList()
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._finalize(), name)
+
+
+class _PathStep:
+    """``path()[.by(key)...]`` — by-specs re-project the trail elements
+    round-robin; an element lacking the key contributes null. Elements
+    render as strings when specs are present (mixed id/property paths
+    need one array type)."""
+
+    def __init__(self, t: Traversal, specs: tuple = ()) -> None:
+        self._t = t
+        self._specs = specs
+
+    def by(self, spec=None) -> "_PathStep":
+        return _PathStep(self._t, self._specs + (spec,))
+
+    def _finalize(self) -> Traversal:
+        t = self._t
+        if not self._specs:
+            return t._path_plain()
+        ids = t._trail_id_cols()
+        cols = []
+        for i, var in enumerate(t.trail):
+            spec = self._specs[i % len(self._specs)]
+            if spec is None:
+                cols.append(ids[i].cast("string"))
+            else:
+                c = _p(var, spec)
+                cols.append(
+                    (F.col(c) if c in t.df.columns else F.lit(None)).cast(
+                        "string"
+                    )
+                )
+        out = t.df.select(F.array(*cols).alias("path"))
+        return t._derive(out, "path", "value")
+
+    def toDF(self) -> DataFrame:
+        return self._finalize().toDF()
+
+    def toList(self) -> list:
+        return self._finalize().toList()
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._finalize(), name)
 
 
 class GremlinSource:

@@ -574,3 +574,61 @@ def test_repeat_until_with_emit(db):
         "Dave", "Eve", "Frank",
     ]
     assert got(base + ".repeat(__.out())" + tail) == ["Frank"]
+
+
+# --------------------------------------------------------------------- #
+# round-7 batch #5: by-modulator composition, tokens, edge labels
+# --------------------------------------------------------------------- #
+
+
+def test_order_multiple_by_modulators(db):
+    got = [
+        r[0]
+        for r in db.gremlin(
+            "g.V().hasLabel('Person').order().by('city').by('age', desc).values('name')"
+        ).collect()
+    ]
+    assert got == ["Dave", "Heidi", "Eve", "Bob", "Frank", "Carol", "Alice", "Grace"]
+
+
+def test_select_by_modulators(db):
+    got = sorted(
+        tuple(r)
+        for r in db.gremlin(
+            "g.V().as('a').out('KNOWS').as('b').select('a','b').by('name').by('name')"
+        ).collect()
+    )
+    assert got == [
+        ("Alice", "Bob"), ("Alice", "Carol"), ("Bob", "Carol"),
+        ("Carol", "Dave"), ("Dave", "Eve"), ("Eve", "Frank"), ("Heidi", "Alice"),
+    ]
+
+
+def test_path_by_modulator(db):
+    got = sorted(
+        tuple(r[0])
+        for r in db.gremlin(
+            "g.V().has('name','Alice').out('KNOWS').path().by('name')"
+        ).collect()
+    )
+    # round-robin: node name, edge (no name -> null), node name
+    assert got == [("Alice", None, "Bob"), ("Alice", None, "Carol")]
+
+
+def test_valuemap_tokens_and_elementmap(db):
+    r = db.gremlin("g.V().has('name','Alice').valueMap(true)").collect()[0]
+    assert (r.id, r.label, r.name) == (1, "Person", "Alice")
+    r2 = db.gremlin("g.V().has('name','Alice').elementMap('name')").collect()[0]
+    assert (r2.id, r2.label, r2.name) == (1, "Person", "Alice")
+    # plain valueMap excludes the id
+    assert "id" not in db.gremlin("g.V().has('name','Alice').valueMap()").columns
+
+
+def test_edge_haslabel_is_type(db):
+    assert db.gremlin("g.E().hasLabel('KNOWS').count()").collect()[0][0] == 7
+    assert (
+        db.gremlin("g.E().hasLabel('KNOWS').has('since', P.gt(2018)).count()")
+        .collect()[0][0]
+        == 3
+    )
+    assert db.gremlin("g.E().hasLabel('GHOST').count()").collect()[0][0] == 0
