@@ -103,6 +103,14 @@ _CYPHER: dict[str, str] = {
         "WHEN c.acctbal < 5000 THEN 'low' ELSE 'high' END AS band "
         "RETURN band, count(*) AS n"
     ),
+    # var-length rel-list variable: the BFS accumulates per-hop property
+    # structs (padded across edge types — PLACED has no quantity), so
+    # quantifiers over rs filter on any hop's properties (r7)
+    "varlen_rel_list_filter": (
+        "MATCH (c:Customer {custkey: 1})-[rs*2]->(x) "
+        "WHERE any(r IN rs WHERE r.quantity >= 30) "
+        "RETURN count(*) AS n"
+    ),
     # ORDER BY expression over aggregate aliases + CASE folded inside
     # reduce (r7 adversarial batch #3; translator.py _var_refs path)
     "orderby_agg_expr": (
@@ -304,6 +312,11 @@ _ORACLE: dict[str, str] = {
                     WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band,
                CAST(count(*) AS BIGINT) AS n
         FROM customer GROUP BY 1
+    """,
+    "varlen_rel_list_filter": """
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_custkey = 1 AND l_quantity >= 30
     """,
     "orderby_agg_expr": """
         SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
@@ -2208,6 +2221,7 @@ _PRIORITY = [
     # repeat/simplePath, graphql directives, real image-header decoder)
     # plus the renamed simhash arm (its green row stands under the old
     # name; the new name needs a fresh row)
+    "varlen_rel_list_filter",
     "orderby_agg_expr",
     "sparql_arith_filter",
     "sparql_orderby_groupconcat",

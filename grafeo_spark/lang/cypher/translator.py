@@ -55,6 +55,21 @@ class _Ctx:
             return None
         return tuple(sorted(u | {"id"}))
 
+    def edge_used_for(self, var: str | None):
+        """What a var-length edge variable needs: () = nothing, None =
+        bare reference (quantifiers/size need the full rel list),
+        else the referenced property keys."""
+        if self.used is None:
+            return None  # analysis off -> conservative (materialize)
+        if var is None:
+            return ()
+        u = self.used.get(var, _NEVER)
+        if u is _NEVER:
+            return ()
+        if u is None:
+            return None
+        return tuple(sorted(u))
+
 
 _NEVER = object()
 
@@ -496,6 +511,7 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
             dst_used=ctx.dst_used_for(node.var),
             src_used=ctx.dst_used_for(prev_orig),
             path_alias=seg,
+            edge_used=ctx.edge_used_for(rel.var) if rel.var_length else None,
         )
         if rel.var_length:
             path_nodes.append(E.Col(f"{seg}__nodes") if seg else E.ListLit(()))

@@ -58,12 +58,17 @@ def _prep_edges(edges: DataFrame, id_col: Optional[str] = None) -> DataFrame:
     if id_col is not None and id_col in edges.columns:
         eid = F.col(id_col).cast("long")
     else:
-        eid = F.xxhash64(*[F.col(c) for c in edges.columns])
-    return edges.select(
+        eid = F.xxhash64(
+            *[F.col(c) for c in edges.columns if c != "_eprops"]
+        )
+    sel = [
         F.col("src").alias("_esrc"),
         F.col("dst").alias("_edst"),
         eid.alias("_eid"),
-    )
+    ]
+    if "_eprops" in edges.columns:
+        sel.append(F.col("_eprops"))
+    return edges.select(*sel)
 
 
 def _hop_list(edges: Edges, max_hops: int, id_col: Optional[str] = None) -> list[DataFrame]:
@@ -100,6 +105,7 @@ def var_length_expand(
     src_ids: Optional[DataFrame] = None,
     id_col: Optional[str] = None,
     with_nodes: bool = False,
+    with_edges: bool = False,
 ) -> DataFrame:
     """All trails of length in [min_hops, max_hops]: (src, dst, hops),
     one row per path (bag semantics, matching Cypher var-length MATCH).
@@ -109,7 +115,9 @@ def var_length_expand(
     DataFrame) seeds the BFS frontier from the bound side of the pattern.
     ``with_nodes`` adds a ``path_nodes`` column — the node ids visited AFTER
     the source ([n1, .., dst]) — for named-path (`p = ...`)
-    materialization.
+    materialization. ``with_edges`` adds ``path_edges`` — the per-hop
+    ``_eprops`` structs carried by the edge frames, in traversal order —
+    for rel-list variable binding (all(r IN rs WHERE …)).
     """
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
@@ -120,12 +128,15 @@ def var_length_expand(
     if eff_max >= 1:
         # frontier: (origin, cur, hops, _path: array of traversed edge ids
         #            [, _pnodes: array of visited node ids after origin])
-        first = _seed(hop_e[0], src_ids).select(
+        first_cols = [
             F.col("_esrc").alias("origin"),
             F.col("_edst").alias("cur"),
             F.lit(1).alias("hops"),
             F.array(F.col("_eid")).alias("_path"),
-        )
+        ]
+        if with_edges:
+            first_cols.append(F.array(F.col("_eprops")).alias("_epath"))
+        first = _seed(hop_e[0], src_ids).select(*first_cols)
         if with_nodes:
             first = first.withColumn("_pnodes", F.array(F.col("cur")))
         frontier = first
@@ -133,19 +144,30 @@ def var_length_expand(
             results.append(frontier)
         hop = 1
         while hop < eff_max:
-            e = hop_e[hop]
+            # a fresh subquery alias per hop: the frontier's array columns
+            # keep lineage references into the (reused) edge frame, which
+            # makes bare e["col"] ambiguous on the self-join — qualified
+            # references resolve cleanly
+            q = f"__vlhop{hop}"
+            e = hop_e[hop].alias(q)
             hop += 1
             cols = [
                 F.col("origin"),
-                F.col("_edst").alias("cur"),
+                F.col(f"{q}._edst").alias("cur"),
                 (F.col("hops") + 1).alias("hops"),
-                F.array_append(F.col("_path"), F.col("_eid")).alias("_path"),
+                F.array_append(F.col("_path"), F.col(f"{q}._eid")).alias("_path"),
             ]
             if with_nodes:
-                cols.append(F.array_append(F.col("_pnodes"), F.col("_edst")).alias("_pnodes"))
+                cols.append(
+                    F.array_append(F.col("_pnodes"), F.col(f"{q}._edst")).alias("_pnodes")
+                )
+            if with_edges:
+                cols.append(
+                    F.array_append(F.col("_epath"), F.col(f"{q}._eprops")).alias("_epath")
+                )
             nxt = (
-                frontier.join(e, frontier["cur"] == e["_esrc"], "inner")
-                .filter(~F.array_contains(F.col("_path"), F.col("_eid")))
+                frontier.join(e, frontier["cur"] == F.col(f"{q}._esrc"), "inner")
+                .filter(~F.array_contains(F.col("_path"), F.col(f"{q}._eid")))
                 .select(*cols)
             )
             if hop % _CHECKPOINT_EVERY == 0:
@@ -170,6 +192,11 @@ def var_length_expand(
         )
         if with_nodes:
             zero = zero.withColumn("_pnodes", F.array().cast("array<long>"))
+        if with_edges:
+            from pyspark.sql.types import ArrayType
+
+            et = hop_e[0].schema["_eprops"].dataType
+            zero = zero.withColumn("_epath", F.array().cast(ArrayType(et)))
         results.insert(0, zero)
 
     if not results:
@@ -182,6 +209,11 @@ def var_length_expand(
         ).limit(0)
         if with_nodes:
             empty = empty.withColumn("_pnodes", F.array().cast("array<long>"))
+        if with_edges:
+            from pyspark.sql.types import ArrayType
+
+            et = hop_e[0].schema["_eprops"].dataType
+            empty = empty.withColumn("_epath", F.array().cast(ArrayType(et)))
         results = [empty]
     out = results[0]
     for r in results[1:]:
@@ -189,6 +221,8 @@ def var_length_expand(
     sel = [F.col("origin").alias("src"), F.col("cur").alias("dst"), F.col("hops")]
     if with_nodes:
         sel.append(F.col("_pnodes").alias("path_nodes"))
+    if with_edges:
+        sel.append(F.col("_epath").alias("path_edges"))
     return out.select(*sel)
 
 

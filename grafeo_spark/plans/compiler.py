@@ -159,10 +159,17 @@ class Compiler:
 
     # -- per-hop pruned edge frames for path operators -------------------
 
-    def _edge_identity(self, t: str) -> DataFrame:
-        """(src, dst, _eid) for edge type ``t`` with a deterministic,
-        per-edge-unique id for the trail no-repeat rule
+    def _edge_identity(
+        self, t: str, prefilter=None, props: Optional[list] = None
+    ) -> DataFrame:
+        """(src, dst, _eid[, _eprops]) for edge type ``t`` with a
+        deterministic, per-edge-unique id for the trail no-repeat rule
         (variable_length_expand.rs:217-240 tracks real edge ids).
+
+        ``prefilter`` (frame -> frame) applies pattern edge-property
+        predicates before identity; ``props`` ([(name, dtype), ...]) adds
+        an ``_eprops`` struct carrying the named property columns (null-
+        typed where this type lacks one) for rel-list materialization.
 
         Cheapest available witness of uniqueness, in order: a pair-distinct
         frame hashes (type, src, dst); a declared edge key hashes
@@ -171,6 +178,8 @@ class Compiler:
         (a window shuffle — only user-built frames without metadata pay it).
         """
         f = self.graph.edge_frames[t]
+        if prefilter is not None:
+            f = prefilter(f)
         tag = F.lit(t)
         if t in self.graph.distinct_pairs:
             eid = F.xxhash64(tag, F.col("src"), F.col("dst"))
@@ -191,7 +200,14 @@ class Compiler:
                     Window.partitionBy(*cols).orderBy(F.lit(1))
                 )
                 eid = F.xxhash64(tag, *[F.col(c) for c in cols], occ)
-        return f.select("src", "dst", eid.alias("_eid"))
+        sel = [F.col("src"), F.col("dst"), eid.alias("_eid")]
+        if props is not None:
+            fields = [
+                (F.col(n) if n in f.columns else F.lit(None)).cast(dt).alias(n)
+                for n, dt in props
+            ]
+            sel.append(F.struct(*fields).alias("_eprops"))
+        return f.select(*sel)
 
     def _oriented_types(
         self, etypes: tuple[str, ...], direction: str
@@ -221,6 +237,8 @@ class Compiler:
         max_hops: int,
         mode: str,
         dst_label: Optional[str] = None,
+        edge_props=(),
+        props: Optional[list] = None,
     ) -> list[DataFrame]:
         """Per-hop edge frames for the path operators, pruned by
         endpoint-label reachability in BOTH directions: hop h unions only
@@ -255,7 +273,9 @@ class Compiler:
         if not self.graph.disjoint_labels:
             if not oriented:
                 return []
-            return [self._oriented_union(oriented, mode)] * max_hops
+            return [
+                self._oriented_union(oriented, mode, edge_props, props)
+            ] * max_hops
         # back[k] = labels that can reach dst_label in <= k hops
         # (None = unknown/all). Monotone, so "edge at hop h can be part of
         # some path ending at dst_label by hop max_hops" reduces to
@@ -293,7 +313,7 @@ class Compiler:
                 break
             key = frozenset((t, rev) for t, rev, _, _ in usable)
             if key not in built:
-                built[key] = self._oriented_union(usable, mode)
+                built[key] = self._oriented_union(usable, mode, edge_props, props)
             frames.append(built[key])
             cur = (
                 None
@@ -302,19 +322,87 @@ class Compiler:
             )
         return frames
 
-    def _oriented_union(self, usable, mode: str) -> DataFrame:
+    def _edge_prop_fields(
+        self, etypes: tuple[str, ...], edge_used: Optional[tuple]
+    ) -> list:
+        """[(name, dtype), ...] for the rel-list struct: the referenced
+        property keys (or every property column when the reference is
+        bare), typed from whichever involved edge frame declares them;
+        keys no frame carries become string nulls."""
+        from pyspark.sql.types import StringType
+
+        names = (
+            None
+            if edge_used is None
+            else [k for k in edge_used if k != "hops"]
+        )
+        types = list(etypes) if etypes else self.graph.edge_types()
+        dtypes: dict = {}
+        order: list[str] = []
+        for t in types:
+            for fld in self.graph.edge_frames[t].schema.fields:
+                if fld.name in ("src", "dst") or fld.name.startswith("_"):
+                    continue
+                if names is not None and fld.name not in names:
+                    continue
+                if fld.name not in dtypes:
+                    dtypes[fld.name] = fld.dataType
+                    order.append(fld.name)
+        if names is not None:
+            for n in names:
+                if n not in dtypes:
+                    dtypes[n] = StringType()
+                    order.append(n)
+        return [(n, dtypes[n]) for n in order]
+
+    def _edge_props_filter(self, t: str, edge_props):
+        """Pattern edge-property map on a traversal — in a var-length
+        pattern the predicate applies to EVERY relationship, so filtering
+        the edge set before expansion is exactly the semantics (a missing
+        property column fails every edge of the type, the Cypher
+        missing-property => null => no-match rule). Values must be
+        scope-free (literals/parameters) — per-hop predicates cannot
+        reference pattern variables."""
+        if not edge_props:
+            return None
+
+        def flt(f: DataFrame) -> DataFrame:
+            for key, val in edge_props:
+                if key not in f.columns:
+                    return f.filter(F.lit(False))
+                try:
+                    v = self._expr(val, {}, f)
+                except Exception as ex:  # noqa: BLE001 — clearer message
+                    raise CompileError(
+                        "var-length edge property values must be literals "
+                        f"or parameters, got {val!r}"
+                    ) from ex
+                f = f.filter(F.col(key) == v)
+            return f
+
+        return flt
+
+    def _oriented_union(
+        self, usable, mode: str, edge_props=(), props: Optional[list] = None
+    ) -> DataFrame:
         frames: list[DataFrame] = []
         for t, rev, _s_lbl, _e_lbl in usable:
+            flt = self._edge_props_filter(t, edge_props)
             if mode == "eid":
-                f = self._edge_identity(t)
+                f = self._edge_identity(t, prefilter=flt, props=props)
             else:
-                f = self.graph.edge_frames[t].select("src", "dst")
+                f = self.graph.edge_frames[t]
+                if flt is not None:
+                    f = flt(f)
+                f = f.select("src", "dst")
             if rev:
                 cols = [F.col("dst").alias("src"), F.col("src").alias("dst")]
                 if mode == "eid":
                     # id computed on the stored orientation: traversing the
                     # same edge forward then backward is still a repeat
                     cols.append(F.col("_eid"))
+                    if props is not None:
+                        cols.append(F.col("_eprops"))
                 f = f.select(*cols)
             frames.append(f)
         out = frames[0]
@@ -322,9 +410,17 @@ class Compiler:
             out = out.unionByName(f)
         return out
 
-    def _empty_edges(self, mode: str) -> DataFrame:
+    def _empty_edges(self, mode: str, props: Optional[list] = None) -> DataFrame:
         schema = "src long, dst long" + (", _eid long" if mode == "eid" else "")
-        return self.spark.createDataFrame([], schema)
+        out = self.spark.createDataFrame([], schema)
+        if props is not None:
+            out = out.withColumn(
+                "_eprops",
+                F.struct(
+                    *[F.lit(None).cast(dt).alias(n) for n, dt in props]
+                ),
+            )
+        return out
 
     def _can_elide_src(self, p: ir.Expand) -> bool:
         """Source-scan elision precondition: the child is a bare label scan
@@ -535,15 +631,29 @@ class Compiler:
             # (variable_length_expand.rs trail enumeration). (lo <= 1 because
             # reachable_pairs records first-reach hop only.)
             hop_frames = self._hop_edge_frames(
-                p.etypes, p.direction, src_label, hi, "pairs", p.dst_label
+                p.etypes, p.direction, src_label, hi, "pairs", p.dst_label,
+                edge_props=p.edge_props,
             ) or [self._empty_edges("pairs")]
             pairs = reachable_pairs(
                 hop_frames, lo, hi, src_ids=seeds, pairs_distinct=True
             )
+            need_list = False
         else:
+            # rel-list materialization: referencing the edge variable
+            # beyond its hop count (all(r IN rs WHERE …), size(rs), …)
+            # makes the BFS accumulate per-hop property structs
+            need_list = p.edge_var is not None and (
+                p.edge_used is None or any(k != "hops" for k in p.edge_used)
+            )
+            props_fields = (
+                self._edge_prop_fields(p.etypes, p.edge_used)
+                if need_list
+                else None
+            )
             hop_frames = self._hop_edge_frames(
-                p.etypes, p.direction, src_label, hi, "eid", p.dst_label
-            ) or [self._empty_edges("eid")]
+                p.etypes, p.direction, src_label, hi, "eid", p.dst_label,
+                edge_props=p.edge_props, props=props_fields,
+            ) or [self._empty_edges("eid", props_fields)]
             pairs = var_length_expand(
                 hop_frames,
                 lo,
@@ -551,7 +661,8 @@ class Compiler:
                 src_ids=seeds,
                 id_col="_eid",
                 with_nodes=p.path_alias is not None,
-            )  # (src, dst, hops[, path_nodes])
+                with_edges=need_list,
+            )  # (src, dst, hops[, path_nodes][, path_edges])
         pvar = self._fresh("vl")
         psel = [
             F.col("src").alias(_p(pvar, "src")),
@@ -560,6 +671,8 @@ class Compiler:
         ]
         if p.path_alias is not None:
             psel.append(F.col("path_nodes").alias(_p(p.path_alias, "nodes")))
+        if need_list:
+            psel.append(F.col("path_edges").alias(_p(pvar, "edges")))
         pairs = pairs.select(*psel)
         if (
             p.dst_label is None
@@ -588,7 +701,13 @@ class Compiler:
         scope[p.dst_var] = ninfo
         if p.edge_var:
             out = out.withColumn(_p(p.edge_var, "hops"), F.col(_p(pvar, "hops")))
-            scope[p.edge_var] = VarInfo("edge", None, ("hops",))
+            if need_list:
+                out = out.withColumn(
+                    _p(p.edge_var, "list"), F.col(_p(pvar, "edges"))
+                )
+                scope[p.edge_var] = VarInfo("edge", None, ("hops", "list"))
+            else:
+                scope[p.edge_var] = VarInfo("edge", None, ("hops",))
         if p.path_alias is not None:
             out = out.withColumn(_p(p.path_alias, "hops"), F.col(_p(pvar, "hops")))
         out = out.drop(*[c for c in out.columns if c.startswith(pvar + "__")])
@@ -992,6 +1111,16 @@ class Compiler:
             return F.lit(self.params[e.name])
         if isinstance(e, E.Col):
             if e.name in scope and scope[e.name].kind != "value":
+                info = scope[e.name]
+                if (
+                    info.kind == "edge"
+                    and "list" in info.props
+                    and df is not None
+                    and _p(e.name, "list") in df.columns
+                ):
+                    # var-length rel variable referenced bare: the
+                    # materialized per-hop property-struct list
+                    return F.col(_p(e.name, "list"))
                 return F.col(_p(e.name, "id"))
             return F.col(e.name)
         if isinstance(e, E.Prop):

@@ -76,6 +76,12 @@ class Expand(Plan):
     # the compiler exposes ``<path_alias>__nodes`` (array of node ids after
     # the source) and ``<path_alias>__hops`` columns for path assembly.
     path_alias: Optional[str] = None
+    # Property keys the statement references on the var-length edge
+    # variable (() = never referenced, None = bare reference / analysis
+    # off). Anything beyond 'hops' makes the compiler accumulate the
+    # per-hop relationship property structs into a list column so
+    # all(r IN rs WHERE r.prop …) and friends work.
+    edge_used: Optional[tuple[str, ...]] = None
 
 
 @dataclass

@@ -676,3 +676,53 @@ def test_foreach_rejected_loudly(db):
 
     with pytest.raises(CypherSyntaxError, match="FOREACH is not supported"):
         db.cypher("FOREACH (x IN [1,2] | CREATE (:Tmp {v: x}))")
+
+
+# --------------------------------------------------------------------- #
+# round-7: var-length edge-property maps and rel-list variables
+# --------------------------------------------------------------------- #
+
+
+def test_varlen_edge_property_map_applies_to_every_hop(db):
+    """A property map on a var-length relationship constrains EVERY hop
+    (openCypher; r7 — previously silently dropped). Edge 101 (2015) is the
+    only since=2015 edge reachable from Alice."""
+    out = rows(
+        db.cypher(
+            "MATCH (a:Person {name:'Alice'})-[r:KNOWS*1..3 {since: 2015}]->(b) "
+            "RETURN b.name AS n"
+        )
+    )
+    assert out == [("Bob",)]
+
+
+def test_varlen_rel_list_variable(db):
+    """The var-length edge variable binds the relationship LIST:
+    quantifiers, size(), and comprehensions over per-hop properties."""
+    out = rows(
+        db.cypher(
+            "MATCH (a:Person {name:'Alice'})-[rs:KNOWS*1..3]->(b) "
+            "WHERE all(r IN rs WHERE r.since >= 2016) "
+            "RETURN DISTINCT b.name AS n"
+        )
+    )
+    assert out == [("Carol",), ("Dave",), ("Eve",)]
+    got = {
+        (r.n, tuple(r.sinces))
+        for r in db.cypher(
+            "MATCH (a:Person {name:'Alice'})-[rs:KNOWS*1..2]->(b) "
+            "RETURN b.name AS n, [r IN rs | r.since] AS sinces"
+        ).collect()
+    }
+    assert got == {
+        ("Bob", (2015,)), ("Carol", (2015, 2016)),
+        ("Carol", (2017,)), ("Dave", (2017, 2018)),
+    }
+    # size(rs) == r.hops, and zero-length paths carry empty lists
+    z = rows(
+        db.cypher(
+            "MATCH (a:Person {name:'Dave'})-[rs:KNOWS*0..2]->(b) "
+            "RETURN b.name AS n, size(rs) AS k"
+        )
+    )
+    assert z == [("Dave", 0), ("Eve", 1), ("Frank", 2)]
