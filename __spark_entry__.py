@@ -532,6 +532,13 @@ _ORACLE: dict[str, str] = {
         SELECT n_name AS nation, r_name AS r_region
         FROM nation JOIN region ON n_regionkey = r_regionkey
     """,
+    "multimodal_audio_meta": """
+        SELECT doc_id AS media_id, 'wav' AS format,
+               CAST(8000 * (doc_id % 4 + 1) AS INT) AS sample_rate,
+               CAST(doc_id % 2 + 1 AS INT) AS channels,
+               CAST((doc_id % 3 + 1) * 1000 AS BIGINT) AS duration_ms
+        FROM documents WHERE doc_id < 64
+    """,
     "multimodal_image_dims": """
         SELECT doc_id AS media_id,
                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
@@ -2046,6 +2053,46 @@ def _multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dimensions(media)
 
 
+def _multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio counterpart of multimodal_image_dims: WAV/RIFF headers
+    synthesized hex-wise in Spark SQL (little-endian fields via byte-swap
+    of lpad(hex)) with rate/channels/duration derived from doc_id, parsed
+    back by decode_audio_header's independent chunk scan; the oracle
+    replays the doc_id arithmetic closed-form."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import audio_metadata
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 64)
+
+    def hexle(c, n):
+        h = F.lpad(F.lower(F.hex(c.cast("long"))), n, "0")
+        pairs = [F.substring(h, i, 2) for i in range(n - 1, 0, -2)]
+        return F.concat(*pairs)
+
+    rate = (F.lit(8000) * ((F.col("doc_id") % 4) + 1)).cast("long")
+    channels = ((F.col("doc_id") % 2) + 1).cast("long")
+    secs = ((F.col("doc_id") % 3) + 1).cast("long")
+    data_size = rate * channels * 2 * secs  # 16-bit PCM
+    payload = F.concat(
+        F.lit("52494646"), hexle(data_size + 36, 8), F.lit("57415645"),
+        F.lit("666d7420"), hexle(F.lit(16), 8),
+        hexle(F.lit(1), 4), hexle(channels, 4), hexle(rate, 8),
+        hexle(rate * channels * 2, 8), hexle(channels * 2, 4),
+        hexle(F.lit(16), 4),
+        F.lit("64617461"), hexle(data_size, 8),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(payload, F.lit("hex")).alias("content"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return audio_metadata(media)
+
+
 def _embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (completes the dedup family:
     exact / MinHash / n-gram / SimHash / embedding-cosine). This corpus's
@@ -2167,6 +2214,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_simplepath_reach": _gremlin_simplepath_reach,
     "multimodal_features": _multimodal_features,
     "multimodal_image_dims": _multimodal_image_dims,
+    "multimodal_audio_meta": _multimodal_audio_meta,
     "embedding_near_pairs": _embedding_near_pairs,
     "events_windowed_counts": _events_windowed_counts,
     "events_sessionized": _events_sessionized,
@@ -2230,6 +2278,7 @@ _PRIORITY = [
     "gremlin_repeat_until_emit",
     "gremlin_simplepath_reach",
     "multimodal_image_dims",
+    "multimodal_audio_meta",
     "pack_sequences",
     "split_documents",
     "simhash_near_pairs_sha256",

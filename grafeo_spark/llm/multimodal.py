@@ -121,6 +121,67 @@ def decode_image_header(content: bytes) -> tuple:
     return (None, None, None)
 
 
+def decode_audio_header(content: bytes) -> tuple:
+    """``(format, sample_rate, channels, duration_ms)`` parsed from
+    WAV/RIFF chunk headers — pure Python, the audio counterpart of
+    :func:`decode_image_header` (sample decode beyond the header stays
+    behind ``real_decode_features``). Unknown/truncated payloads yield
+    all-None; duration derives from the declared data-chunk size and the
+    PCM byte rate."""
+    b = content or b""
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i = 12
+        rate = channels = bits = data_size = None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            sz = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 24 <= len(b):
+                channels = int.from_bytes(b[i + 10 : i + 12], "little")
+                rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            elif cid == b"data":
+                data_size = sz
+            i += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if rate and channels and bits and data_size is not None:
+            dur = int(data_size * 8000 // (rate * channels * bits))
+            return ("wav", rate, channels, dur)
+    return (None, None, None, None)
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def audio_metadata(media: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """media (MEDIA_SCHEMA-shaped) -> AUDIO_META_SCHEMA via the same
+    Arrow-batched mapInPandas scaffold as ``image_dimensions``."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                parsed = chunk["content"].map(decode_audio_header)
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "format": parsed.map(lambda t: t[0]),
+                        "sample_rate": parsed.map(lambda t: t[1]),
+                        "channels": parsed.map(lambda t: t[2]),
+                        "duration_ms": parsed.map(lambda t: t[3]),
+                    }
+                )
+
+    return media.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
 IMAGE_DIMS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

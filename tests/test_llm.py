@@ -813,3 +813,51 @@ def test_hash_split_stable_under_repartition(spark):
     a = {r.doc_id: r.split for r in hash_split(df).collect()}
     b = {r.doc_id: r.split for r in hash_split(df.repartition(7)).collect()}
     assert a == b
+
+
+def test_decode_audio_header():
+    from grafeo_spark.llm import decode_audio_header
+
+    def wav(rate, channels, secs, extra_chunk=False):
+        data = rate * channels * 2 * secs
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * channels * 2).to_bytes(4, "little")
+            + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        junk = b"LIST" + (4).to_bytes(4, "little") + b"INFO" if extra_chunk else b""
+        body = junk + fmt + b"data" + data.to_bytes(4, "little")
+        return b"RIFF" + (len(body) + 4).to_bytes(4, "little") + b"WAVE" + body
+
+    assert decode_audio_header(wav(16000, 2, 3)) == ("wav", 16000, 2, 3000)
+    # chunk scan skips unknown chunks before fmt
+    assert decode_audio_header(wav(8000, 1, 1, extra_chunk=True)) == (
+        "wav", 8000, 1, 1000,
+    )
+    assert decode_audio_header(b"not audio") == (None, None, None, None)
+    assert decode_audio_header(b"RIFF\x00\x00\x00\x00WAVE") == (
+        None, None, None, None,
+    )
+
+
+def test_audio_metadata_pipeline(spark):
+    from grafeo_spark.llm import audio_metadata
+    from grafeo_spark.llm.multimodal import MEDIA_SCHEMA
+
+    wav = (
+        b"RIFF" + (36 + 32000).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (16000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + (32000).to_bytes(4, "little")
+    )
+    media = spark.createDataFrame(
+        [(7, wav, "audio/wav", None, None, None)], MEDIA_SCHEMA
+    )
+    r = audio_metadata(media).collect()[0]
+    assert (r.media_id, r.format, r.sample_rate, r.channels, r.duration_ms) == (
+        7, "wav", 16000, 1, 1000,
+    )
