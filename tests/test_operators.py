@@ -636,3 +636,26 @@ def test_find_nodes_by_property_miss_schema(db):
     # a known prop on an unknown label also keeps the column
     ghost = db.find_nodes_by_property("name", "Alice", label="Ghost")
     assert ghost.select("name").count() == 0
+
+
+def test_save_open_multilabel_endpoints(spark, tmp_path):
+    """Multi-label endpoint sides round-trip through the manifest (tuple
+    sides serialize as nested lists and normalize back on load)."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    nodes = {
+        "A": spark.createDataFrame([(1, "x")], "id long, name string"),
+        "B": spark.createDataFrame([(2, "y")], "id long, name string"),
+        "C": spark.createDataFrame([(3, "z")], "id long, name string"),
+    }
+    edges = {"E": spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")}
+    g = PropertyGraph(
+        nodes, edges, endpoints={"E": (("A", "B"), "C")}, disjoint_labels=True
+    )
+    db2 = GrafeoSpark(spark, g)
+    path = str(tmp_path / "snap")
+    db2.save(path)
+    back = GrafeoSpark.open(spark, path)
+    assert back.graph.endpoints == {"E": (("A", "B"), "C")}
+    assert back.validate()["valid"]
