@@ -1484,7 +1484,14 @@ class Compiler:
                     return StringType()
             if isinstance(lt, DoubleType) or isinstance(rt, DoubleType):
                 return DoubleType()
-            if isinstance(lt, LongType) and isinstance(rt, LongType):
+            if e.op == "/":
+                # Spark's div on integers is fractional (SPARK ANSI `/`)
+                if isinstance(lt, LongType) or isinstance(rt, LongType):
+                    return DoubleType()
+                return None
+            # a NullType/unknown operand coerces to the numeric side
+            # (x + 0 over a void element is BIGINT in Spark)
+            if isinstance(lt, LongType) or isinstance(rt, LongType):
                 return LongType()
             return None
         if not self._refs_binds(e, binds):

@@ -129,3 +129,50 @@ def test_lsh_guard_identical_signatures_always_pair(spark, templates, cap):
         if a < b and ta == tb
     }
     assert expected <= got
+
+
+# --------------------------------------------------------------------- #
+# round-7: list-expression semantics (the lambda compiler) vs a Python
+# reference evaluation — the machinery that changed most this round
+# --------------------------------------------------------------------- #
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(st.integers(0, 9), min_size=0, max_size=6),
+    m=st.integers(1, 4),
+    t=st.integers(-1, 9),
+    lo=st.integers(-7, 7),
+    hi=st.integers(-7, 7),
+    k=st.integers(-3, 3),
+)
+def test_list_expressions_match_python(db, xs, m, t, lo, hi, k):
+    lit = "[" + ", ".join(map(str, xs)) + "]"
+    q = (
+        f"WITH {lit} AS xs RETURN "
+        f"reduce(a = 0, x IN xs | a + CASE WHEN x % {m} = 0 THEN x ELSE 1 END) AS red, "
+        f"[x IN xs WHERE x > {t} | x * {k}] AS comp, "
+        f"any(x IN xs WHERE x > {t}) AS q_any, "
+        f"all(x IN xs WHERE x > {t}) AS q_all, "
+        f"none(x IN xs WHERE x > {t}) AS q_none, "
+        f"single(x IN xs WHERE x > {t}) AS q_single, "
+        f"xs[{lo}..{hi}] AS sl, "
+        f"reduce(a = [], x IN xs | a + [x + {k}]) AS acc"
+    )
+    r = db.cypher(q).collect()[0]
+    matches = [x for x in xs if x > t]
+    assert r.red == sum(x if x % m == 0 else 1 for x in xs)
+    assert list(r.comp) == [x * k for x in matches]
+    assert r.q_any == (len(matches) > 0)
+    assert r.q_all == (len(matches) == len(xs))
+    assert r.q_none == (len(matches) == 0)
+    assert r.q_single == (len(matches) == 1)
+    n = len(xs)
+    lo_b = min(lo, n) if lo >= 0 else max(n + lo, 0)
+    hi_b = min(hi, n) if hi >= 0 else max(n + hi, 0)
+    assert list(r.sl) == (xs[lo_b:hi_b] if hi_b > lo_b else [])
+    assert list(r.acc) == [x + k for x in xs]
