@@ -549,14 +549,23 @@ class Parser:
                 break
         if self.at_kw("SKIP", "OFFSET"):
             self.next()
-            skip = int(self.next().text)
+            skip = self._count_value()
         if self.at_kw("LIMIT"):
             self.next()
-            limit = int(self.next().text)
+            limit = self._count_value()
         if self.at_kw("WHERE") and not is_return:
             self.next()
             where = self.expr()
         return WithClause(items, distinct, star, where, order, skip, limit, is_return)
+
+    def _count_value(self):
+        """SKIP/LIMIT operand: an integer literal or a ``$param``
+        (resolved per execution by the compiler, so the translated-IR
+        cache stays valid across parameter values)."""
+        t = self.next()
+        if t.kind == "param":
+            return E.Param(t.text[1:])
+        return int(t.text)
 
     def proj_item(self) -> ProjItem:
         e = self.expr()

@@ -1059,13 +1059,28 @@ class Compiler:
             keys.append(c.asc_nulls_last() if asc else c.desc_nulls_last())
         return child.orderBy(*keys), scope
 
+    def _count_param(self, n) -> int:
+        """SKIP/LIMIT operand: int, or an E.Param resolved per execution
+        (keeps the translated-IR cache parameter-independent)."""
+        if isinstance(n, E.Param):
+            if n.name not in self.params:
+                raise CompileError(f"missing parameter ${n.name}")
+            v = self.params[n.name]
+            if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                raise CompileError(
+                    f"SKIP/LIMIT parameter ${n.name} must be a non-negative "
+                    f"integer, got {v!r}"
+                )
+            return v
+        return int(n)
+
     def _c_limit(self, p: ir.Limit) -> tuple[DataFrame, Scope]:
         child, scope = self._compile(p.child)
-        return child.limit(p.n), scope
+        return child.limit(self._count_param(p.n)), scope
 
     def _c_skip(self, p: ir.Skip) -> tuple[DataFrame, Scope]:
         child, scope = self._compile(p.child)
-        return child.offset(p.n), scope
+        return child.offset(self._count_param(p.n)), scope
 
     def _c_extend(self, p: ir.Extend) -> tuple[DataFrame, Scope]:
         child, scope = self._compile(p.child)

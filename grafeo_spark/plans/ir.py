@@ -210,13 +210,13 @@ class OrderBy(Plan):
 @dataclass
 class Limit(Plan):
     child: Plan
-    n: int
+    n: object  # int, or E.Param resolved by the compiler per execution
 
 
 @dataclass
 class Skip(Plan):
     child: Plan
-    n: int
+    n: object  # int, or E.Param resolved by the compiler per execution
 
 
 @dataclass

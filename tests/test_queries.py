@@ -726,3 +726,23 @@ def test_varlen_rel_list_variable(db):
         )
     )
     assert z == [("Dave", 0), ("Eve", 1), ("Frank", 2)]
+
+
+def test_parameterized_skip_limit(db):
+    """SKIP $o LIMIT $k (openCypher parameterized pagination): resolved
+    per execution, so the translated-IR cache stays valid across values."""
+    q = "MATCH (p:Person) RETURN p.name AS n ORDER BY n SKIP $o LIMIT $k"
+    assert [r.n for r in db.cypher(q, params={"o": 0, "k": 2}).collect()] == [
+        "Alice", "Bob",
+    ]
+    assert [r.n for r in db.cypher(q, params={"o": 2, "k": 2}).collect()] == [
+        "Carol", "Dave",
+    ]
+    import pytest
+
+    from grafeo_spark.plans.compiler import CompileError
+
+    with pytest.raises(CompileError, match="non-negative"):
+        db.cypher("MATCH (p:Person) RETURN p.name AS n LIMIT $k", params={"k": -1})
+    with pytest.raises(CompileError, match="missing parameter"):
+        db.cypher("MATCH (p:Person) RETURN p.name AS n LIMIT $nope")
