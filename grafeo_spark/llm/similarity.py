@@ -13,13 +13,20 @@ strategies:
   flips) → exact rerank of candidates only. The scale path: the join key
   is the bucket code, never an n×m cross product.
 
-Seeded numpy generates the hyperplanes deterministically on the driver
-(tiny: nbits × dim floats broadcast as literals).
+Seeded numpy generates the hyperplanes deterministically on the driver.
+The hot path computes ALL tables' bucket codes in one Arrow-batched
+pandas_udf against a sparkContext-broadcast (tables, nbits, dim) plane
+tensor — plan size is constant in embedding dim and table count, so the
+family survives production dims (768-1536) with 20-40 tables, where the
+literal-unrolled expression form would put 10⁵-10⁶ nodes in one plan and
+knock out whole-stage codegen.
 """
 
 from __future__ import annotations
 
 from typing import Optional, Sequence
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -95,13 +102,55 @@ def _planes(dim: int, nbits: int, seed: int):
     return rng.standard_normal((nbits, dim))
 
 
+def _plane_tensor(dim: int, nbits: int, seed: int, tables: int = 1):
+    """(tables, nbits, dim) hyperplane tensor; table t seeds at
+    seed + 1000*t — the seeding contract the DuckDB oracles replay."""
+    import numpy as np
+
+    return np.stack([_planes(dim, nbits, seed + 1000 * t) for t in range(tables)])
+
+
 def srp_code(vec: Column, planes) -> Column:
-    """Bucket code: bit i = sign(vec · plane_i), packed into a long."""
+    """Bucket code as a pure-Catalyst expression: bit i = sign(vec · plane_i),
+    packed into a long. This is the *oracle-replay shape* (the DuckDB
+    oracles fold the same planes into SQL literals) — NOT the hot path:
+    unrolling nbits × dim literals per table makes plan size O(tables ×
+    nbits × dim), which at production dims (768+) and 20+ tables is 10⁵-10⁶
+    expression nodes. All runtime callers use `_srp_codes_col` (one
+    Arrow-batched pass over a broadcast plane tensor) instead."""
     code = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         dot = vfn.dot_product(vec, _vec_lit(p))
         code = code + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return code
+
+
+def _srp_codes_col(df: DataFrame, vec_col: str, tensor) -> Column:
+    """All tables' bucket codes in ONE Arrow-batched pandas_udf:
+    ``sign(V @ planes.T)`` bit-packed per table, against a sparkContext
+    broadcast of the (tables, nbits, dim) plane tensor. Plan size is
+    constant in dim/nbits/tables (one UDF node); per-batch cost is one
+    BLAS matmul. Bit convention identical to `srp_code` (strict dot > 0,
+    bit i weight 1 << i) so the seeded oracles replay bit-for-bit.
+
+    Returns an ``array<long>`` column, element t = table t's code."""
+    import numpy as np
+
+    bc = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(tensor, dtype=np.float64))
+
+    @F.pandas_udf("array<long>")
+    def codes(v: pd.Series) -> pd.Series:
+        t = bc.value
+        tables, nbits, dim = t.shape
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(v.tolist(), dtype=np.float64)
+        bits = (V @ t.reshape(tables * nbits, dim).T) > 0
+        weights = np.int64(1) << np.arange(nbits, dtype=np.int64)
+        out = bits.reshape(-1, tables, nbits).astype(np.int64) @ weights
+        return pd.Series(list(out))
+
+    return codes(F.col(vec_col))
 
 
 def add_srp_buckets(
@@ -112,11 +161,13 @@ def add_srp_buckets(
     dim: Optional[int] = None,
 ) -> DataFrame:
     """Append a `bucket` column — precompute once, write bucketed parquet
-    partitioned by it for index-like reuse (the HNSW substitute)."""
+    partitioned by it for index-like reuse (the HNSW substitute). The code
+    is computed by the Arrow-batched broadcast-tensor pass, so plan size
+    stays constant at any embedding dim."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    planes = _planes(dim, nbits, seed)
-    return df.withColumn("bucket", srp_code(F.col(vec_col).cast("array<double>"), planes))
+    tensor = _plane_tensor(dim, nbits, seed, tables=1)
+    return df.withColumn("bucket", _srp_codes_col(df, vec_col, tensor).getItem(0))
 
 
 def ann_topk(
@@ -261,6 +312,7 @@ def cosine_near_pairs(
     tables: Optional[int] = None,
     seed: int = 42,
     brute_force_below: float = 0.7,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """(a, b, score) — all pairs with cosine similarity >= threshold (the
     embedding near-duplicate detector, completing the dedup family next to
@@ -282,14 +334,15 @@ def cosine_near_pairs(
         return _blocked_exact_pairs(base, threshold)
     if tables is None:
         tables = srp_tables_for_threshold(threshold, nbits)
-    dim = len(df.select(vec_col).first()[0])
-    buckets = None
-    for t in range(tables):
-        planes = _planes(dim, nbits, seed + 1000 * t)
-        cur = base.select(
-            "id", "_v", F.lit(t).alias("t"), srp_code(F.col("_v"), planes).alias("code")
-        )
-        buckets = cur if buckets is None else buckets.unionByName(cur)
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    # All tables' codes in one Arrow-batched pass (broadcast plane tensor),
+    # then posexplode to the (table, code) join key — same bucket topology
+    # as the per-table union, at constant plan size in dim/nbits/tables.
+    tensor = _plane_tensor(dim, nbits, seed, tables)
+    buckets = base.withColumn("_codes", _srp_codes_col(base, "_v", tensor)).select(
+        "id", "_v", F.posexplode("_codes").alias("t", "code")
+    )
     l = buckets.select(
         F.col("t").alias("t1"), F.col("code").alias("c1"),
         F.col("id").alias("a"), F.col("_v").alias("_va"),

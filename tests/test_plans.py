@@ -243,3 +243,34 @@ def test_flagship_scan_pushdown_and_pruning(spark):
     assert any(
         "EqualTo(c_mktsegment,BUILDING)" in line for line in scan_lines
     ), "mktsegment filter must push to the parquet scan"
+
+
+def test_srp_plan_constant_size_at_dim768(spark):
+    """SRP bucketing plan size must be CONSTANT in embedding dim and table
+    count. At production dims (768) with 24 tables, the old literal-unrolled
+    `srp_code` form put tables × nbits × dim ≈ 150k expression nodes in one
+    plan — minutes of driver analysis and a codegen fallback. The broadcast-
+    tensor pandas_udf path keeps the analyzed plan small and fast to build;
+    this pins both (build wall-time and plan text size)."""
+    import time
+
+    import numpy as np
+
+    from grafeo_spark.llm.similarity import cosine_near_pairs
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(768)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    t0 = time.monotonic()
+    out = cosine_near_pairs(df, threshold=0.9, nbits=8, tables=24, dim=768)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    build_s = time.monotonic() - t0
+    assert build_s < 5.0, f"plan construction took {build_s:.1f}s at dim=768/tables=24"
+    assert len(analyzed) < 200_000, f"analyzed plan text is {len(analyzed)} chars"
+    # And the candidate join is still the (t, code) equi-join, never a
+    # cartesian / nested-loop over the corpus.
+    phys = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
