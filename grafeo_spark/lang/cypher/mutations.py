@@ -489,6 +489,17 @@ class _Mutator:
                     frame = self.graph.node_frames[lbl]
                     joined = frame.join(upd, "id", "left")
                     if it.kind == "all_props":
+                        # the replace form also WRITES (nulls) every other
+                        # property column on matched rows — openCypher-style
+                        # counters include those removals in properties_set
+                        nulled = [
+                            c
+                            for c in frame.columns
+                            if c != "id" and not c.startswith("_") and c not in keys
+                        ]
+                        if nulled:
+                            matched = frame.join(upd, "id", "left_semi").count()
+                            self.stats["properties_set"] += matched * len(nulled)
                         for c in frame.columns:
                             if c == "id" or c.startswith("_") or c in keys:
                                 continue

@@ -505,11 +505,33 @@ def _resolve_having(e, q: P.SelectQuery):
     if e.op.startswith("call:"):
         fn = e.op[5:]
         if fn in P._AGG_NAMES:
-            argname = (
-                e.args[0].name if e.args and isinstance(e.args[0], P.Var) else "*"
-            )
+            args, meta = e.args, None
+            if args and isinstance(args[-1], P.FExpr) and args[-1].op == "__aggmeta__":
+                meta, args = args[-1].args, args[:-1]
+            argname = args[0].name if args and isinstance(args[0], P.Var) else "*"
             for entry in q.aggregates:
                 if entry[0] == fn and entry[1] == argname:
+                    if meta is not None:
+                        want_distinct = bool(entry[3]) if len(entry) > 3 else False
+                        # SPARQL's default GROUP_CONCAT separator is " "
+                        want_sep = entry[4] if len(entry) > 4 else " "
+                        got_distinct, got_sep = meta
+                        sep_differs = (
+                            fn == "group_concat"
+                            and got_sep is not None
+                            and got_sep != want_sep
+                        )
+                        if got_distinct != want_distinct or sep_differs:
+                            # silently resolving to a differently-modified
+                            # SELECT aggregate would order/filter by the
+                            # wrong value
+                            raise SparqlCompileError(
+                                f"aggregate call {fn.upper()}(?{argname}) in "
+                                "HAVING/ORDER BY repeats a SELECT aggregate "
+                                "with different DISTINCT/separator modifiers "
+                                f"(SELECT has DISTINCT={want_distinct}); alias "
+                                "the SELECT aggregate and reference the alias"
+                            )
                     return P.Var(entry[2])
             raise SparqlCompileError(
                 f"aggregate call {fn.upper()}(?{argname}) in HAVING/ORDER BY "

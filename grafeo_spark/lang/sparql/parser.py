@@ -407,11 +407,19 @@ class Parser:
                         isinstance(e, FExpr)
                         and e.op.startswith("call:")
                         and e.op[5:] in _AGG_NAMES
-                        and len(e.args) == 1
+                        and len(e.args) == 2
+                        and isinstance(e.args[-1], FExpr)
+                        and e.args[-1].op == "__aggmeta__"
                     ):
                         fresh = f"__selarg{len(pre_binds)}"
                         pre_binds.append((fresh, e.args[0]))
-                        aggregates.append((e.op[5:], fresh, alias, False))
+                        m_distinct, m_sep = e.args[-1].args
+                        if m_sep is None:
+                            aggregates.append((e.op[5:], fresh, alias, m_distinct))
+                        else:
+                            aggregates.append(
+                                (e.op[5:], fresh, alias, m_distinct, m_sep)
+                            )
                     else:
                         select_exprs.append((alias, e))
                     continue
@@ -999,16 +1007,20 @@ class Parser:
             fname = self.next()[1].upper()
             self.eat("op", "(")
             args = []
+            agg_distinct = False
+            agg_sep = None
             if fname.lower() in _AGG_NAMES and self.at("name") and self.peek()[1].upper() == "DISTINCT":
                 # aggregate call in expression position (HAVING/ORDER BY):
-                # DISTINCT is resolved against the SELECT aggregate by
-                # (fn, arg) — parse and discard here
+                # the call is resolved against the SELECT aggregate by
+                # (fn, arg) — record the modifier so the resolver can
+                # reject a call whose DISTINCT differs from the SELECT's
                 self.next()
+                agg_distinct = True
             while not self.at("op", ")"):
                 if self.at("op", ";"):
-                    # GROUP_CONCAT(?x ; separator="…") — the separator
-                    # likewise lives on the SELECT aggregate; accept the
-                    # syntax so repeated calls parse, then discard
+                    # GROUP_CONCAT(?x ; separator="…") — record the
+                    # separator so the resolver can reject a repeated call
+                    # whose separator differs from the SELECT aggregate's
                     self.next()
                     if not (self.at("name") and self.peek()[1].upper() == "SEPARATOR"):
                         raise SparqlSyntaxError(
@@ -1016,7 +1028,7 @@ class Parser:
                         )
                     self.next()
                     self.eat("op", "=")
-                    self.eat("str")
+                    agg_sep = re.sub(r"\\(.)", r"\1", self.eat("str")[1][1:-1])
                     continue
                 # full expressions as arguments (IF conditions etc.)
                 args.append(self.filter_expr())
@@ -1027,6 +1039,12 @@ class Parser:
                 return FExpr("regex", tuple(args))
             if fname == "BOUND":
                 return FExpr("bound", tuple(args))
+            if fname.lower() in _AGG_NAMES:
+                # trailing marker arg carrying the call's modifiers; the
+                # HAVING/ORDER BY resolver strips it before (fn, arg)
+                # matching and validates it against the SELECT aggregate
+                meta = FExpr("__aggmeta__", (agg_distinct, agg_sep))
+                return FExpr("call:" + fname.lower(), tuple(args) + (meta,))
             return FExpr("call:" + fname.lower(), tuple(args))
         return self.term()
 

@@ -1143,6 +1143,19 @@ class Compiler:
             if info is None:
                 raise CompileError(f"unbound variable {e.var!r}")
             if info.kind == "value":
+                from pyspark.sql.types import MapType, StructType
+
+                try:
+                    dt = df.schema[e.var].dataType
+                except Exception:
+                    dt = None
+                if dt is not None and not isinstance(dt, (StructType, MapType)):
+                    # a clean error instead of Spark's raw
+                    # INVALID_EXTRACT_BASE_FIELD_TYPE AnalysisException
+                    raise CompileError(
+                        f"property access {e.var}.{e.key} on a non-map value "
+                        f"of type {dt.simpleString()}"
+                    )
                 return F.col(e.var).getField(e.key)
             col = _p(e.var, e.key)
             if col not in df.columns:
@@ -1497,6 +1510,12 @@ class Compiler:
                         return a
                 if isinstance(lt, StringType) or isinstance(rt, StringType):
                     return StringType()
+            if e.op == "^":
+                # `^` compiles to F.pow, which is DOUBLE for any operands —
+                # typing it Long for integer inputs would retype an empty-
+                # list fold init to array<bigint> against an array<double>
+                # fold body (DATATYPE_MISMATCH)
+                return DoubleType()
             if isinstance(lt, DoubleType) or isinstance(rt, DoubleType):
                 return DoubleType()
             if e.op == "/":

@@ -343,3 +343,23 @@ def test_set_param_map(wdb):
         "MATCH (p:Person) WHERE p.name = 'Carol' RETURN p.age AS a, p.title AS t"
     ).collect()[0]
     assert (r.a, r.t) == (36, "dr")
+
+
+def test_set_replace_counts_nulled_properties(wdb):
+    """openCypher-style counters: the replace form SET n = {map} counts the
+    OTHER property columns it nulls on matched rows as properties_set, not
+    just the keys written (r7 ADVICE: SET n = {} reported 0)."""
+    # Person frame has 3 non-id property columns (name, age, city).
+    # Replace with an empty map: 0 keys written, 3 columns nulled, 1 row.
+    s = wdb.cypher("MATCH (p:Person) WHERE p.name = 'Grace' SET p = {}").collect()[0]
+    assert s.properties_set == 3
+    # Replace with 2 keys: 2 written + 1 nulled (city) on 1 row.
+    s2 = wdb.cypher(
+        "MATCH (p:Person) WHERE p.name IS NULL SET p = {name: 'Grace', age: 23}"
+    ).collect()[0]
+    assert s2.properties_set == 3
+    # += stays key-count-only: 1 key on 1 row.
+    s3 = wdb.cypher(
+        "MATCH (p:Person {name: 'Grace'}) SET p += {age: 24}"
+    ).collect()[0]
+    assert s3.properties_set == 1

@@ -746,3 +746,35 @@ def test_parameterized_skip_limit(db):
         db.cypher("MATCH (p:Person) RETURN p.name AS n LIMIT $k", params={"k": -1})
     with pytest.raises(CompileError, match="missing parameter"):
         db.cypher("MATCH (p:Person) RETURN p.name AS n LIMIT $nope")
+
+
+def test_reduce_empty_init_with_pow(db):
+    """`^` compiles to pow (always DOUBLE); the empty-list init must be
+    retyped to array<double>, not array<bigint>, when the fold body squares
+    with `^` over integer operands (previously DATATYPE_MISMATCH)."""
+    r = db.cypher(
+        "WITH [1,2,3] AS xs RETURN reduce(a = [], x IN xs | a + [x ^ 2]) AS sq"
+    ).collect()[0]
+    assert [float(v) for v in r.sq] == [1.0, 4.0, 9.0]
+
+
+def test_orderby_prop_on_scalar_alias_clean_error(db):
+    """ORDER BY m.x where m is a projected SCALAR alias after aggregation
+    must raise a clean CompileError, not Spark's raw
+    INVALID_EXTRACT_BASE_FIELD_TYPE AnalysisException; on a MAP alias the
+    same shape works via getField."""
+    import pytest as _pytest
+
+    from grafeo_spark.plans.compiler import CompileError
+
+    with _pytest.raises(CompileError, match="non-map value"):
+        db.cypher(
+            "MATCH (p:Person) WITH p.name AS m, count(*) AS c "
+            "RETURN m AS name ORDER BY m.x LIMIT 3"
+        ).collect()
+    ok = db.cypher(
+        "MATCH (p:Person) WITH {x: p.name} AS m, count(*) AS c "
+        "RETURN m.x AS name ORDER BY m.x LIMIT 2"
+    ).collect()
+    assert [r.name for r in ok] == sorted(r.name for r in ok)
+

@@ -872,3 +872,50 @@ def test_orderby_group_concat_with_separator(adb):
         'ORDER BY DESC(GROUP_CONCAT(DISTINCT ?nm ; separator="|")) LIMIT 2'
     ).collect()
     assert [r.who for r in out] == ["Heidi", "Grace"]
+
+
+def test_orderby_agg_modifier_mismatch_rejected(adb):
+    """An aggregate call repeated in HAVING/ORDER BY with DIFFERENT
+    DISTINCT/separator modifiers than the SELECT aggregate it resolves to
+    must be rejected, not silently matched by (fn, arg) alone — silently
+    ordering by the differently-modified result is a wrong answer."""
+    from grafeo_spark.lang.sparql.compiler import SparqlCompileError
+
+    # separator mismatch
+    with pytest.raises(SparqlCompileError, match="modifier"):
+        adb.sparql(
+            PFX + 'SELECT ?city (GROUP_CONCAT(?nm ; separator="|") AS ?who) '
+            "WHERE { ?n ex:city ?city . ?n ex:name ?nm } GROUP BY ?city "
+            'ORDER BY DESC(GROUP_CONCAT(?nm ; separator=";"))'
+        ).collect()
+    # DISTINCT mismatch
+    with pytest.raises(SparqlCompileError, match="modifier"):
+        adb.sparql(
+            PFX + "SELECT ?city (COUNT(?nm) AS ?c) "
+            "WHERE { ?n ex:city ?city . ?n ex:name ?nm } GROUP BY ?city "
+            "HAVING (COUNT(DISTINCT ?nm) > 1)"
+        ).collect()
+    # matching modifiers still resolve (incl. explicit default separator)
+    out = adb.sparql(
+        PFX + "SELECT ?city (GROUP_CONCAT(?nm) AS ?who) "
+        "WHERE { ?n ex:city ?city . ?n ex:name ?nm } GROUP BY ?city "
+        'ORDER BY DESC(GROUP_CONCAT(?nm ; separator=" ")) LIMIT 1'
+    ).collect()
+    assert out[0].who == "Heidi"
+
+
+def test_select_expr_agg_keeps_distinct_and_separator(adb):
+    """(GROUP_CONCAT(DISTINCT LCASE(?x); separator=...) AS ?a) — an
+    aggregate over a COMPUTED argument re-parsed through the general
+    expression path must keep its DISTINCT and separator modifiers
+    (previously dropped to non-distinct, default separator)."""
+    out = adb.sparql(
+        PFX + 'SELECT ?city (GROUP_CONCAT(DISTINCT LCASE(?c2) ; separator="+") AS ?who) '
+        "WHERE { ?n ex:city ?city . ?n ex:city ?c2 } GROUP BY ?city ORDER BY ?city"
+    ).collect()
+    # one city each; DISTINCT collapses duplicates, lcase applied, '+' separator
+    assert [r.who for r in out] == ["chicago", "houston", "la", "nyc", "phoenix"]
+    n = adb.sparql(
+        PFX + "SELECT (COUNT(DISTINCT LCASE(?city)) AS ?c) WHERE { ?n ex:city ?city }"
+    ).collect()[0].c
+    assert n == 5
