@@ -111,6 +111,19 @@ _CYPHER: dict[str, str] = {
         "WHERE any(r IN rs WHERE r.quantity >= 30) "
         "RETURN count(*) AS n"
     ),
+    # relationships(p) on a NAMED path yields property-bearing edge structs
+    # in the unified shape (src, dst, type, all declared props) — element
+    # access and comprehensions work across a mixed fixed+var-length chain
+    # (r8; reference full path values, plan.rs:578-598)
+    "path_rels_props": (
+        "MATCH p = (c:Customer {custkey: 1})-[:PLACED]->(o:Order)"
+        "-[:CONTAINS*1..1]->(x:Part) "
+        "RETURN relationships(p)[0].type AS t0, "
+        "relationships(p)[1].type AS t1, "
+        "relationships(p)[1].linenumber AS ln, "
+        "round(relationships(p)[1].quantity, 2) AS qty, "
+        "x.partkey AS partkey"
+    ),
     # ORDER BY expression over aggregate aliases + CASE folded inside
     # reduce (r7 adversarial batch #3; translator.py _var_refs path)
     "orderby_agg_expr": (
@@ -317,6 +330,13 @@ _ORACLE: dict[str, str] = {
         SELECT CAST(count(*) AS BIGINT) AS n
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         WHERE o_custkey = 1 AND l_quantity >= 30
+    """,
+    "path_rels_props": """
+        SELECT 'PLACED' AS t0, 'CONTAINS' AS t1,
+               l_linenumber AS ln, round(l_quantity, 2) AS qty,
+               l_partkey AS partkey
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_custkey = 1
     """,
     "orderby_agg_expr": """
         SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
@@ -2343,6 +2363,8 @@ _PRIORITY = [
     "multimodal_audio_meta",
     "pack_sequences",
     "split_documents",
+    # -- new r8 entries: named-path relationship property structs
+    "path_rels_props",
     # -- tier 3 (r7): r6-green entries; the lambda-compiler family leads
     # (its compiler changed most this round) so any window slack covers
     # it first

@@ -29,6 +29,10 @@ class _Ctx:
     bound: dict = field(default_factory=dict)  # var -> ('node'|'edge'|'value', label|None)
     sp_vars: set = field(default_factory=set)  # shortest-path vars (bound to hop count)
     path_vars: set = field(default_factory=set)  # named-path vars (p = (a)-[*]->(b))
+    # named-path vars whose <p>__rels property-struct column is materialized
+    path_rels_vars: set = field(default_factory=set)
+    # path vars whose relationships(p) is consumed as a value (pre-pass)
+    rels_used: set = field(default_factory=set)
     fresh: int = 0
     # Required-property analysis result: var -> frozenset of property names,
     # or None meaning "all" (bare variable reference). ``used is None``
@@ -55,6 +59,16 @@ class _Ctx:
             return None
         return tuple(sorted(u | {"id"}))
 
+    def path_rels_needed(self, pvar: str | None) -> bool:
+        """Does relationships(p) get consumed as a VALUE (element access,
+        comprehension, projection) rather than only size()? If so the path
+        must materialize per-hop edge property structs."""
+        if pvar is None:
+            return False
+        if self.used is None:
+            return True  # analysis off -> conservative (materialize)
+        return pvar in self.rels_used
+
     def edge_used_for(self, var: str | None):
         """What a var-length edge variable needs: () = nothing, None =
         bare reference (quantifiers/size need the full rel list),
@@ -74,11 +88,15 @@ class _Ctx:
 _NEVER = object()
 
 
-def _collect_used(stmt: P.Statement) -> dict:
+def _collect_used(stmt: P.Statement) -> tuple[dict, set]:
     """Pre-pass: which properties does each variable actually need?
     Feeds the compiler's destination-join elision (an id-only expansion
-    doesn't need the node table at all when edge endpoints are declared)."""
+    doesn't need the node table at all when edge endpoints are declared).
+    Also returns the set of path variables whose relationships(p) is
+    consumed as a VALUE (tracked separately — a bare `p` or `length(p)`
+    reference marks the var as needs-all without implying rel structs)."""
     used: dict = {}
+    rels_of: set = set()
 
     def mark_all(v: str) -> None:
         used[v] = None
@@ -97,6 +115,25 @@ def _collect_used(stmt: P.Statement) -> dict:
             ln = e.name.lower()
             if ln in ("count", "id") and len(e.args) == 1 and isinstance(e.args[0], E.Col):
                 mark(e.args[0].name, "id")  # count(o)/id(o) only touch identity
+            elif (
+                ln in ("size", "length")
+                and len(e.args) == 1
+                and isinstance(e.args[0], E.Fn)
+                and e.args[0].name.lower() in ("relationships", "rels")
+                and len(e.args[0].args) == 1
+                and isinstance(e.args[0].args[0], E.Col)
+            ):
+                # size(relationships(p)) only needs the hop count — the
+                # id-level path suffices, no rel-struct materialization
+                mark(e.args[0].args[0].name, "id")
+            elif (
+                ln in ("relationships", "rels")
+                and len(e.args) == 1
+                and isinstance(e.args[0], E.Col)
+            ):
+                # relationships(p) consumed as a value: the path needs the
+                # per-hop edge property structs, not just node-id pairs
+                rels_of.add(e.args[0].name)
             else:
                 for a in e.args:
                     walk(a)
@@ -171,7 +208,7 @@ def _collect_used(stmt: P.Statement) -> dict:
                 walk(e)
             if clause.where is not None:
                 walk(clause.where)
-    return used
+    return used, rels_of
 
 
 def _needs_path_value(stmt, var: str) -> bool:
@@ -223,7 +260,7 @@ def translate(q: P.UnionQuery) -> ir.Plan:
 
 def _statement(stmt: P.Statement) -> ir.Plan:
     ctx = _Ctx()
-    ctx.used = _collect_used(stmt)
+    ctx.used, ctx.rels_used = _collect_used(stmt)
     ctx.stmt = stmt
     for clause in stmt.clauses:
         if isinstance(clause, P.MatchClause):
@@ -478,9 +515,14 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
             ctx.plan = ir.Filter(ctx.plan, E.BinOp("=", E.Prop(var, k), v))
 
     # Named path: collect node-id / hop parts while lowering the chain,
-    # assembled into p__nodes / p__len value columns afterwards.
+    # assembled into p__nodes / p__len value columns afterwards. When
+    # relationships(p) is consumed as a value, also collect per-segment
+    # relationship-struct lists (unified field shape so mixed-type
+    # segments concat) into a p__rels column.
     path_nodes: list[E.Expr] = [E.ListLit((E.Fn("id", (E.Col(var),)),))]
     path_len: E.Expr = E.Lit(0)
+    want_rels = bool(pat.path_var) and ctx.path_rels_needed(pat.path_var)
+    path_rels: list[E.Expr] = []
 
     prev = var
     prev_orig = first.var  # original name (None = anonymous) for used-analysis
@@ -495,11 +537,17 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
         if rel.var_length and max_h is None:
             max_h = DEFAULT_VARLEN_CAP
         seg = ctx.fresh_var() if (pat.path_var and rel.var_length) else None
+        evar = rel.var
+        if want_rels and not rel.var_length and evar is None:
+            # anonymous single-hop edge in a rels-bearing named path: bind
+            # a fresh edge variable so its property columns survive for the
+            # relationship-struct assembly
+            evar = ctx.fresh_var()
         ctx.plan = ir.Expand(
             ctx.plan,
             src_var=prev,
             dst_var=dvar,
-            edge_var=rel.var,
+            edge_var=evar,
             etypes=rel.types,
             direction={"out": ir.OUT, "in": ir.IN, "both": ir.BOTH}[rel.direction],
             dst_label=None if dst_bound else dlabel,
@@ -512,13 +560,27 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
             src_used=ctx.dst_used_for(prev_orig),
             path_alias=seg,
             edge_used=ctx.edge_used_for(rel.var) if rel.var_length else None,
+            path_rels=want_rels and rel.var_length,
         )
         if rel.var_length:
             path_nodes.append(E.Col(f"{seg}__nodes") if seg else E.ListLit(()))
             path_len = E.BinOp("+", path_len, E.Col(f"{seg}__hops")) if seg else path_len
+            if want_rels:
+                path_rels.append(E.Col(f"{seg}__rels"))
         else:
             path_nodes.append(E.ListLit((E.Fn("id", (E.Col(dvar),)),)))
             path_len = E.BinOp("+", path_len, E.Lit(1))
+            if want_rels:
+                path_rels.append(
+                    E.ListLit(
+                        (
+                            E.Fn(
+                                "__edge_struct",
+                                (E.Lit(evar), E.Lit(rel.direction == "in")),
+                            ),
+                        )
+                    )
+                )
         if dst_bound and node.props:
             for k, v in node.props:
                 ctx.plan = ir.Filter(ctx.plan, E.BinOp("=", E.Prop(dvar, k), v))
@@ -537,9 +599,18 @@ def _pattern(ctx: _Ctx, pat: P.PatternPath, outer_bound: dict | None = None) -> 
     if pat.path_var:
         p = pat.path_var
         nodes_e = path_nodes[0] if len(path_nodes) == 1 else E.Fn("concat", tuple(path_nodes))
-        ctx.plan = ir.Extend(
-            ctx.plan, ((nodes_e, f"{p}__nodes"), (path_len, f"{p}__len"))
-        )
+        extends = [(nodes_e, f"{p}__nodes"), (path_len, f"{p}__len")]
+        if want_rels:
+            rels_e: E.Expr
+            if not path_rels:
+                rels_e = E.ListLit(())
+            elif len(path_rels) == 1:
+                rels_e = path_rels[0]
+            else:
+                rels_e = E.Fn("concat", tuple(path_rels))
+            extends.append((rels_e, f"{p}__rels"))
+            ctx.path_rels_vars.add(p)
+        ctx.plan = ir.Extend(ctx.plan, tuple(extends))
         ctx.bound[p] = ("value", None)
         ctx.path_vars.add(p)
 
@@ -715,6 +786,10 @@ def _rw(ctx: _Ctx, e: E.Expr) -> E.Expr:
             if ln == "nodes":
                 return E.Col(f"{p}__nodes")
             if ln in ("relationships", "rels"):
+                if p in ctx.path_rels_vars:
+                    # property-bearing relationship structs materialized by
+                    # the rels-aware path assembly
+                    return E.Col(f"{p}__rels")
                 return E.Fn("__path_rels", (E.Col(f"{p}__nodes"),))
         return E.Fn(e.name, tuple(_rw(ctx, a) for a in e.args), e.distinct)
     if isinstance(e, E.BinOp):

@@ -209,6 +209,18 @@ class Traversal:
         self.n += 1
         return f"g{self.n}"
 
+    @staticmethod
+    def _frontier_renamed(df: DataFrame, cur: str, tvar: str) -> DataFrame:
+        """Project a loop frontier's `cur__*` columns onto the output
+        variable `tvar` (shared by the until/times-emit iteration loops)."""
+        return df.select(
+            *[
+                F.col(c).alias(_p(tvar, c[len(cur) + 2:]))
+                for c in df.columns
+                if c.startswith(cur + "__")
+            ]
+        )
+
     def _derive(self, df: DataFrame, cur: str, kind: str, extend_trail: bool = False) -> "Traversal":
         t = Traversal(self.g, df, cur, kind, self.n)
         t.labels = dict(self.labels)
@@ -898,9 +910,12 @@ class Traversal:
 
     def times(self, n) -> "Traversal":
         """Expand the pending repeat: without emit, the body applied n
-        times in sequence; with emit, the union of every iteration's
-        result — iteration k IS the body's steps repeated k times, so the
-        existing union machinery does the column alignment."""
+        times in sequence; with emit, the bag-union of every iteration's
+        frontier. The emit path is ITERATIVE — one body application per
+        iteration over a checkpointed frontier (same loop shape as
+        ``until``), so n iterations cost n body applications and the plan
+        stays linear in n, not the n(n+1)/2 replays of expanding iteration
+        k as the body repeated k times from scratch."""
         body = getattr(self, "_repeat_body", None)
         if body is None:
             raise GremlinError("times() without a pending repeat()")
@@ -912,8 +927,27 @@ class Traversal:
             for _ in range(n):
                 t = t._apply_anon(body)
             return t
-        start = 0 if emit_first else 1
-        return self.union(*[Anon(body._steps * k) for k in range(start, n + 1)])
+        tvar = self._fresh()
+        outs: list = []
+        kind = None
+        t = self
+        if emit_first:
+            if self.kind == "value":
+                raise GremlinError("repeat().times() with emit needs an element traversal")
+            kind = self.kind
+            outs.append(self._frontier_renamed(self.df, self.cur, tvar))
+        for _ in range(n):
+            t = t._apply_anon(body)
+            if t.kind == "value":
+                raise GremlinError("repeat().times() with emit needs an element traversal")
+            kind = t.kind
+            frontier = t.df.localCheckpoint(eager=True)
+            outs.append(self._frontier_renamed(frontier, t.cur, tvar))
+            t = t._derive(frontier, t.cur, t.kind)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o, allowMissingColumns=True)
+        return self._derive(out, tvar, kind or "node")
 
     def until(self, cond: Anon, max_loops: int = 20) -> "Traversal":
         """``repeat(body).until(cond)`` — do-while: apply the body, emit
@@ -935,13 +969,7 @@ class Traversal:
         kind = None
 
         def _renamed(df: DataFrame, cur: str) -> DataFrame:
-            return df.select(
-                *[
-                    F.col(c).alias(_p(tvar, c[len(cur) + 2:]))
-                    for c in df.columns
-                    if c.startswith(cur + "__")
-                ]
-            )
+            return self._frontier_renamed(df, cur, tvar)
 
         t = self
         if emit_first:

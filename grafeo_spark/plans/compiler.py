@@ -202,10 +202,17 @@ class Compiler:
                 eid = F.xxhash64(tag, *[F.col(c) for c in cols], occ)
         sel = [F.col("src"), F.col("dst"), eid.alias("_eid")]
         if props is not None:
-            fields = [
-                (F.col(n) if n in f.columns else F.lit(None)).cast(dt).alias(n)
-                for n, dt in props
-            ]
+            fields = []
+            for n, dt in props:
+                if n in f.columns:
+                    c = F.col(n)
+                elif n == "type":
+                    # the edge TYPE is positional knowledge here, not a
+                    # column (unless the user declared a real 'type' prop)
+                    c = F.lit(t)
+                else:
+                    c = F.lit(None)
+                fields.append(c.cast(dt).alias(n))
             sel.append(F.struct(*fields).alias("_eprops"))
         return f.select(*sel)
 
@@ -354,6 +361,48 @@ class Compiler:
                     dtypes[n] = StringType()
                     order.append(n)
         return [(n, dtypes[n]) for n in order]
+
+    def _edge_struct_col(self, e, df: DataFrame):
+        """Compile the translator-generated ``__edge_struct(evar, swapped)``
+        marker: one relationship struct in the unified path shape from a
+        SINGLE-HOP bound edge variable's columns. ``swapped`` is True for an
+        IN-direction hop, whose traversal-oriented src/dst columns must be
+        flipped back to the stored edge orientation. (A BOTH-direction hop
+        cannot recover stored orientation after the union swap — its struct
+        keeps traversal orientation, documented limitation.)"""
+        var = e.args[0].value
+        swapped = bool(e.args[1].value)
+        fields = []
+        for n, dt in self._path_rel_fields():
+            src_name = n
+            if swapped and n in ("src", "dst"):
+                src_name = "dst" if n == "src" else "src"
+            col_name = _p(var, src_name)
+            if col_name in df.columns:
+                c = F.col(col_name)
+            elif n == "type" and _p(var, "_type") in df.columns:
+                c = F.col(_p(var, "_type"))
+            else:
+                c = F.lit(None)
+            fields.append(c.cast(dt).alias(n))
+        return F.struct(*fields)
+
+    def _path_rel_fields(self) -> list:
+        """Unified relationship-struct shape for named-path
+        relationships(p): (src, dst, type, every edge property declared in
+        the graph). One fixed field list — independent of which edge types
+        a given segment traverses — so rel lists from mixed-type segments
+        concat without struct-type mismatches; absent properties are typed
+        nulls. src/dst keep the STORED edge orientation (an edge value's
+        endpoints are intrinsic, not traversal-oriented — reference edge
+        values, plan.rs:578-598)."""
+        from pyspark.sql.types import LongType, StringType
+
+        props = self._edge_prop_fields((), None)
+        out = [("src", LongType()), ("dst", LongType())]
+        if not any(n == "type" for n, _ in props):
+            out.append(("type", StringType()))
+        return out + props
 
     def _edge_props_filter(self, t: str, edge_props):
         """Pattern edge-property map on a traversal — in a var-length
@@ -617,6 +666,7 @@ class Compiler:
         # child's rows, not |E|^hops).
         seeds = child.select(_p(p.src_var, "id")).distinct()
         src_label = scope[p.src_var].label
+        want_rels = p.path_rels and p.path_alias is not None
         if (
             p.edge_var is None
             and p.path_alias is None
@@ -641,15 +691,21 @@ class Compiler:
         else:
             # rel-list materialization: referencing the edge variable
             # beyond its hop count (all(r IN rs WHERE …), size(rs), …)
-            # makes the BFS accumulate per-hop property structs
+            # makes the BFS accumulate per-hop property structs; a
+            # relationships(p)-bearing named path does the same with the
+            # UNIFIED field shape (src, dst, type, all declared edge
+            # props) so mixed-type path segments concat — when both are
+            # requested the rel-list variable shares the wider struct
+            # (a benign superset: fields resolve by name)
             need_list = p.edge_var is not None and (
                 p.edge_used is None or any(k != "hops" for k in p.edge_used)
             )
-            props_fields = (
-                self._edge_prop_fields(p.etypes, p.edge_used)
-                if need_list
-                else None
-            )
+            if want_rels:
+                props_fields = self._path_rel_fields()
+            elif need_list:
+                props_fields = self._edge_prop_fields(p.etypes, p.edge_used)
+            else:
+                props_fields = None
             hop_frames = self._hop_edge_frames(
                 p.etypes, p.direction, src_label, hi, "eid", p.dst_label,
                 edge_props=p.edge_props, props=props_fields,
@@ -661,7 +717,7 @@ class Compiler:
                 src_ids=seeds,
                 id_col="_eid",
                 with_nodes=p.path_alias is not None,
-                with_edges=need_list,
+                with_edges=need_list or want_rels,
             )  # (src, dst, hops[, path_nodes][, path_edges])
         pvar = self._fresh("vl")
         psel = [
@@ -671,6 +727,8 @@ class Compiler:
         ]
         if p.path_alias is not None:
             psel.append(F.col("path_nodes").alias(_p(p.path_alias, "nodes")))
+            if want_rels:
+                psel.append(F.col("path_edges").alias(_p(p.path_alias, "rels")))
         if need_list:
             psel.append(F.col("path_edges").alias(_p(pvar, "edges")))
         pairs = pairs.select(*psel)
@@ -1175,6 +1233,16 @@ class Compiler:
                 return x.isNotNull()
             raise CompileError(f"unknown unary op {e.op}")
         if isinstance(e, E.Fn):
+            if e.name == "__edge_struct":
+                return self._edge_struct_col(e, df)
+            if (
+                e.name == "getfield"
+                and len(e.args) == 2
+                and isinstance(e.args[1], E.Lit)
+            ):
+                # parser-generated postfix field access on a non-variable
+                # expression: relationships(p)[0].since, (CASE ...).key, …
+                return self._expr(e.args[0], scope, df).getField(e.args[1].value)
             return self._scalar_fn(e, scope, df)
         if isinstance(e, E.ListLit):
             return F.array(*[self._expr(i, scope, df) for i in e.items])

@@ -82,6 +82,13 @@ class Expand(Plan):
     # per-hop relationship property structs into a list column so
     # all(r IN rs WHERE r.prop …) and friends work.
     edge_used: Optional[tuple[str, ...]] = None
+    # True when the statement accesses relationships(p) of the enclosing
+    # named path beyond size(): the compiler additionally exposes
+    # ``<path_alias>__rels`` — per-hop edge structs in the UNIFIED path
+    # relationship shape (src, dst, type, every edge property declared in
+    # the graph) so segments of mixed edge types concat into one list
+    # (reference: full edge values on paths, plan.rs:578-598).
+    path_rels: bool = False
 
 
 @dataclass

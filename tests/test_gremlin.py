@@ -632,3 +632,20 @@ def test_edge_haslabel_is_type(db):
         == 3
     )
     assert db.gremlin("g.E().hasLabel('GHOST').count()").collect()[0][0] == 0
+
+
+def test_repeat_times_emit_linear_plan(g):
+    """times(n)+emit must be ITERATIVE: each iteration applies the body once
+    over a checkpointed frontier, so the final plan is a union of n flat
+    frontier scans — zero joins, size linear in n. The old expansion
+    replayed the body k times for iteration k (n(n+1)/2 applications and
+    join towers in one plan)."""
+    from grafeo_spark.lang.gremlin import __
+
+    def plan_of(n):
+        t = g.V().has("name", "Alice").repeat(__.out()).emit().times(n)
+        return t.df._jdf.queryExecution().executedPlan().toString()
+
+    p2, p4 = plan_of(2), plan_of(4)
+    assert "Join" not in p4, "emit frontiers must be checkpointed scans, not join towers"
+    assert len(p4) < 3 * len(p2), f"plan growth not linear: {len(p2)} -> {len(p4)}"

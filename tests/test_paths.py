@@ -125,3 +125,38 @@ class TestMultiLabel:
         # TPC-H-style single-label graphs: conjunction of two labels is empty
         out = db.cypher("MATCH (n:Person:Person) RETURN count(*) AS c").collect()
         assert out[0].c == 8  # same label twice is idempotent
+
+
+def test_relationships_property_structs_varlen(db):
+    """relationships(p) on a var-length NAMED path yields property-bearing
+    edge structs (reference: full edge values on paths, plan.rs:578-598) —
+    element access and comprehensions over r.prop work; src/dst keep the
+    stored edge orientation; type is filled."""
+    out = db.cypher(
+        "MATCH p = (a:Person {name:'Carol'})-[:KNOWS*1..2]->(x) "
+        "RETURN length(p) AS l, [r IN relationships(p) | r.since] AS sinces, "
+        "relationships(p)[0].type AS t0"
+    ).collect()
+    got = sorted((r.l, tuple(r.sinces), r.t0) for r in out)
+    assert [g[0] for g in got] == [1, 2]
+    assert all(g[2] == "KNOWS" for g in got)
+    assert all(all(isinstance(s, int) for s in g[1]) for g in got)
+    assert len(got[1][1]) == 2
+
+
+def test_relationships_property_structs_mixed_segments(db):
+    """Mixed fixed+var-length named path: single-hop segments contribute
+    structs in the SAME unified shape, so the concatenated rel list is
+    homogeneous; an IN-direction hop reports stored src/dst."""
+    out = db.cypher(
+        "MATCH p = (a:Person {name:'Heidi'})-[:KNOWS]->(b)-[:KNOWS*1..1]->(x) "
+        "RETURN size(relationships(p)) AS n, "
+        "[r IN relationships(p) | r.since] AS sinces"
+    ).collect()
+    assert all(r.n == 2 and len(r.sinces) == 2 for r in out)
+    rev = db.cypher(
+        "MATCH p = (b:Person {name:'Bob'})<-[:KNOWS]-(a) "
+        "RETURN relationships(p)[0].src AS s, relationships(p)[0].dst AS d"
+    ).collect()
+    ids = _ids(db)
+    assert [(r.s, r.d) for r in rev] == [(ids["Alice"], ids["Bob"])]
