@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # ContextCleaner only unpersists dead checkpoint/broadcast blocks
+        # after a JVM GC surfaces their weak references; the default
+        # periodic-GC interval (30min) never fires inside a single-node
+        # battery or test session, so eagerly-checkpointed frames from
+        # finished queries pile up in executor memory and read as a slow
+        # upward drift across a long session (r7 bench A/B finding).
+        .config("spark.cleaner.periodicGC.interval", "45s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
