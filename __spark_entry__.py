@@ -581,6 +581,35 @@ _ORACLE: dict[str, str] = {
                    / 255.0 * 2 - 1)), 4) AS feat_sum
         FROM h
     """,
+    "multimodal_pixel_stats": """
+        WITH d AS (
+            SELECT doc_id, doc_id % 3 + 2 AS w, doc_id % 4 + 2 AS h
+            FROM documents WHERE doc_id < 32
+        ),
+        px AS (
+            SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d
+        ),
+        ch AS (
+            SELECT doc_id, w, h, y,
+                   (doc_id*7 + 13*y) % 256 AS rr,
+                   (doc_id*5 + 11*y) % 256 AS gg,
+                   (doc_id*3 + 7*y) % 256 AS bb
+            FROM px
+        ),
+        agg AS (
+            SELECT doc_id, w, h,
+                   sum(rr) AS sr, sum(gg) AS sg, sum(bb) AS sb,
+                   sum(y * gg) AS rwg
+            FROM ch GROUP BY doc_id, w, h
+        )
+        SELECT doc_id AS media_id,
+               CAST(54 + h * ((w*3 + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+               round(CAST(w AS DOUBLE), 6) AS width,
+               round(sr / (255.0 * h), 6) AS mean_r,
+               round(rwg / (255.0 * h * (h - 1)), 6) AS rw_g,
+               round((0.299*sr + 0.587*sg + 0.114*sb) / (255.0 * h), 6) AS luma
+        FROM agg
+    """,
     "embedding_near_pairs": """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
@@ -2113,6 +2142,77 @@ def _multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_metadata(media)
 
 
+def _multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level content decode end to end (r8): uncompressed
+    24-bit BMPs are synthesized hex-wise in Spark SQL — per-row BGR pixel
+    values derived from doc_id arithmetic, rows folded bottom-up with
+    4-byte stride padding — then decoded back by llm/multimodal.py's
+    pure-stdlib decode_pixels (header offsets, row order, BGR->RGB) and
+    featurized by real_decode_features (per-channel means, row-weighted
+    means, luminance). Constructor and decoder are independent
+    implementations; the oracle replays the doc_id arithmetic closed-form,
+    so a row-order / stride / channel-order bug fails the hash."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import extract_features
+    from grafeo_spark.llm.multimodal import real_decode_features
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 32)
+
+    def hexn(c, n):
+        return F.lpad(F.lower(F.hex(c.cast("long"))), n, "0")
+
+    def hexle(c, n):
+        h = hexn(c, n)
+        return F.concat(*[F.substring(h, i, 2) for i in range(n - 1, 0, -2)])
+
+    did = F.col("doc_id")
+    w = (did % 3 + 2).cast("long")
+    h = (did % 4 + 2).cast("long")
+    stride = F.floor((w * 3 + 3) / 4).cast("long") * 4
+    pad = (stride - w * 3).cast("int")
+    body_size = h * stride
+
+    def rowhex(y):
+        # one pixel's B,G,R bytes; constant across the row's columns
+        pix = F.concat(
+            hexn((did * 3 + y * 7) % 256, 2),
+            hexn((did * 5 + y * 11) % 256, 2),
+            hexn((did * 7 + y * 13) % 256, 2),
+        )
+        return F.concat(F.repeat(pix, w.cast("int")), F.repeat(F.lit("00"), pad))
+
+    # BMP stores rows bottom-up: fold y = h-1 .. 0
+    body = F.aggregate(
+        F.sequence(h - 1, F.lit(0).cast("long"), F.lit(-1).cast("long")),
+        F.lit(""),
+        lambda acc, y: F.concat(acc, rowhex(y)),
+    )
+    payload = F.concat(
+        F.lit("424d"), hexle(body_size + 54, 8), F.lit("0000000036000000"),
+        F.lit("28000000"), hexle(w, 8), hexle(h, 8), F.lit("01001800"),
+        F.lit("00000000"), hexle(body_size, 8), F.lit("00" * 16),
+        body,
+    )
+    media = docs.select(
+        did.alias("media_id"),
+        F.to_binary(payload, F.lit("hex")).alias("content"),
+        F.lit("image/bmp").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_features(media, decode=real_decode_features)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("width"),
+        F.round(F.element_at("features", 3), 6).alias("mean_r"),
+        F.round(F.element_at("features", 7), 6).alias("rw_g"),
+        F.round(F.element_at("features", 9), 6).alias("luma"),
+    )
+
+
 def _embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (completes the dedup family:
     exact / MinHash / n-gram / SimHash / embedding-cosine). This corpus's
@@ -2235,6 +2335,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": _multimodal_features,
     "multimodal_image_dims": _multimodal_image_dims,
     "multimodal_audio_meta": _multimodal_audio_meta,
+    "multimodal_pixel_stats": _multimodal_pixel_stats,
     "embedding_near_pairs": _embedding_near_pairs,
     "events_windowed_counts": _events_windowed_counts,
     "events_sessionized": _events_sessionized,
@@ -2363,8 +2464,10 @@ _PRIORITY = [
     "multimodal_audio_meta",
     "pack_sequences",
     "split_documents",
-    # -- new r8 entries: named-path relationship property structs
+    # -- new r8 entries: named-path relationship property structs,
+    # real pixel-level content decode
     "path_rels_props",
+    "multimodal_pixel_stats",
     # -- tier 3 (r7): r6-green entries; the lambda-compiler family leads
     # (its compiler changed most this round) so any window slack covers
     # it first

@@ -2,11 +2,15 @@
 metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side contract (schemas, partition behavior, batch iteration,
-UDF signatures) is real and tested; the actual media decoding is STUBBED —
-this container has no image/audio libraries, so ``decode=`` defaults to a
-clearly-marked deterministic fake and the PIL/av-backed implementations
-raise ``NotImplementedError`` with install hints. Swapping in a real
-decoder changes one function, not the pipeline.
+UDF signatures) is real and tested. Decoding arms, honestly labeled:
+header metadata (PNG/JPEG/GIF/BMP dimensions, WAV chunk scan) and
+pixel-level content for uncompressed 24-bit BMP and 8-bit PNG
+(zlib-inflate + filter reconstruction) are REAL, pure-stdlib
+implementations; JPEG/GIF content decode needs an image library this
+container lacks, so ``decode=`` defaults to a clearly-marked
+deterministic fake and ``real_decode_features`` raises
+``NotImplementedError`` for those formats with install hints. Swapping
+in a full decoder changes one function, not the pipeline.
 
 At 100 TB: binary payloads stay columnar in parquet; `repartition` by size
 before decode so Arrow batches are bounded; feature extraction emits fixed
@@ -63,12 +67,157 @@ def fake_decode_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [((h[i % 32] / 255.0) * 2 - 1) for i in range(dim)]
 
 
+def decode_pixels(content: bytes):
+    """REAL pixel-level decode for the two formats expressible in pure
+    stdlib: uncompressed 24-bit BMP (BI_RGB) and 8-bit PNG (zlib-inflated
+    IDAT + full filter reconstruction: None/Sub/Up/Average/Paeth; color
+    types 0=gray, 2=RGB, 6=RGBA). Returns ``(format, width, height,
+    channels, rows)`` with ``rows`` a top-down list of bytearrays in
+    interleaved RGB(A)/gray order, or None for unsupported/corrupt
+    payloads. No media libraries involved — this is the genuine content
+    arm behind the header decoders."""
+    b = content or b""
+    if b[:2] == b"BM" and len(b) >= 54:
+        data_off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h_raw = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        compression = int.from_bytes(b[30:34], "little")
+        if w <= 0 or h_raw == 0 or bpp != 24 or compression != 0:
+            return None
+        h = abs(h_raw)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+        if data_off + stride * h > len(b):
+            return None
+        rows = []
+        for y in range(h):
+            # positive height = bottom-up storage; negative = top-down
+            sy = (h - 1 - y) if h_raw > 0 else y
+            raw = b[data_off + sy * stride : data_off + sy * stride + w * 3]
+            row = bytearray(w * 3)
+            for x in range(w):  # BGR -> RGB
+                row[3 * x] = raw[3 * x + 2]
+                row[3 * x + 1] = raw[3 * x + 1]
+                row[3 * x + 2] = raw[3 * x]
+            rows.append(row)
+        return ("bmp", w, h, 3, rows)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 33:
+        import zlib
+
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        bit_depth, color_type = b[24], b[25]
+        interlace = b[28]
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if bit_depth != 8 or channels is None or interlace != 0 or w <= 0 or h <= 0:
+            return None
+        # concatenate IDAT chunk payloads
+        idat = bytearray()
+        i = 8
+        while i + 8 <= len(b):
+            ln = int.from_bytes(b[i : i + 4], "big")
+            cid = b[i + 4 : i + 8]
+            if cid == b"IDAT":
+                idat += b[i + 8 : i + 8 + ln]
+            if cid == b"IEND":
+                break
+            i += 12 + ln  # length + id + payload + crc
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return None
+        stride = w * channels
+        if len(raw) < h * (1 + stride):
+            return None
+        rows: list = []
+        prev = bytearray(stride)
+        pos = 0
+        for _y in range(h):
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if ftype == 1:  # Sub
+                for k in range(channels, stride):
+                    line[k] = (line[k] + line[k - channels]) & 0xFF
+            elif ftype == 2:  # Up
+                for k in range(stride):
+                    line[k] = (line[k] + prev[k]) & 0xFF
+            elif ftype == 3:  # Average
+                for k in range(stride):
+                    left = line[k - channels] if k >= channels else 0
+                    line[k] = (line[k] + ((left + prev[k]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for k in range(stride):
+                    a = line[k - channels] if k >= channels else 0
+                    bb = prev[k]
+                    c = prev[k - channels] if k >= channels else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    line[k] = (line[k] + pred) & 0xFF
+            elif ftype != 0:
+                return None
+            rows.append(line)
+            prev = line
+        fmt = {0: "png-gray", 2: "png-rgb", 4: "png-graya", 6: "png-rgba"}[color_type]
+        return (fmt, w, h, channels, rows)
+    return None
+
+
 def real_decode_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    raise NotImplementedError(
-        "media decoding requires an image/audio library (e.g. pillow, librosa, av) "
-        "which is not installed in this environment; pass decode=fake_decode_features "
-        "or plug in your own bytes -> list[float] function"
-    )
+    """REAL pixel-statistics featurizer over :func:`decode_pixels` output.
+
+    Fixed semantics (each oracle-replayable closed-form when the image is
+    synthesized from arithmetic):
+      f0 = width, f1 = height,
+      f2-f4 = per-channel mean / 255 (R, G, B; grayscale repeats),
+      f5-f7 = row-weighted channel mean: sum(row_idx * C) /
+              (255 * w * h * max(h-1, 1)) — top-down row index, so a
+              decoder that mis-orders BMP's bottom-up rows fails here,
+      f8 = mean luminance (0.299 R + 0.587 G + 0.114 B) / 255,
+      remaining dims zero-padded.
+
+    Raises for formats whose content decode genuinely needs a media
+    library (JPEG entropy decode, GIF LZW): that arm stays honest."""
+    decoded = decode_pixels(content)
+    if decoded is None:
+        raise NotImplementedError(
+            "pixel decode implemented for uncompressed 24-bit BMP and 8-bit "
+            "PNG only; JPEG/GIF content decode requires an image library "
+            "(e.g. pillow) not installed here — pass decode="
+            "fake_decode_features or plug in your own bytes -> list[float]"
+        )
+    _fmt, w, h, channels, rows = decoded
+    n = float(w * h)
+    sums = [0.0, 0.0, 0.0]
+    rsums = [0.0, 0.0, 0.0]
+    for y, row in enumerate(rows):
+        for x in range(w):
+            px = row[x * channels : (x + 1) * channels]
+            if channels == 1:
+                r = g = bl = px[0]
+            elif channels == 2:
+                r = g = bl = px[0]
+            else:
+                r, g, bl = px[0], px[1], px[2]
+            for i, v in enumerate((r, g, bl)):
+                sums[i] += v
+                rsums[i] += y * v
+    denom = 255.0 * n
+    rdenom = denom * max(h - 1, 1)
+    feats = [
+        float(w),
+        float(h),
+        sums[0] / denom,
+        sums[1] / denom,
+        sums[2] / denom,
+        rsums[0] / rdenom,
+        rsums[1] / rdenom,
+        rsums[2] / rdenom,
+        (0.299 * sums[0] + 0.587 * sums[1] + 0.114 * sums[2]) / denom,
+    ]
+    feats += [0.0] * (dim - len(feats))
+    return feats[:dim]
 
 
 def decode_image_header(content: bytes) -> tuple:

@@ -422,11 +422,15 @@ def test_extract_features_schema_and_determinism(media):
     assert list(again[1].features) == list(r[1].features)
 
 
-def test_real_decoder_is_explicit_stub(media):
+def test_real_decoder_unsupported_formats_stay_honest(media):
+    """JPEG/GIF content decode genuinely needs a media library — that arm
+    still raises; BMP/PNG are now real (tests below)."""
     from grafeo_spark.llm.multimodal import real_decode_features
 
-    with pytest.raises(NotImplementedError, match="image/audio library"):
+    with pytest.raises(NotImplementedError, match="image library"):
         real_decode_features(b"x")
+    with pytest.raises(NotImplementedError, match="image library"):
+        real_decode_features(b"\xff\xd8\xff\xc0" + b"\x00" * 32)  # JPEG
 
 
 def test_vector_search_api(spark, vectors):
@@ -861,3 +865,148 @@ def test_audio_metadata_pipeline(spark):
     assert (r.media_id, r.format, r.sample_rate, r.channels, r.duration_ms) == (
         7, "wav", 16000, 1, 1000,
     )
+
+
+# --------------------------------------------------------------------- #
+# round-8: REAL pixel-level content decode (uncompressed BMP, zlib PNG)
+# --------------------------------------------------------------------- #
+
+
+def _make_bmp(pixels, top_down=False) -> bytes:
+    """Minimal uncompressed 24-bit BMP encoder (test-side constructor —
+    independent direction from the decoder). ``pixels`` is a top-down
+    list of rows of (r, g, b) tuples."""
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    order = pixels if top_down else list(reversed(pixels))
+    for row in order:
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        body += line
+    size = 54 + len(body)
+    hdr = b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+    ih = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(hdr + ih + body)
+
+
+def _make_png(arr, color_type, filters) -> bytes:
+    """Minimal PNG encoder with per-row filter selection (test-side).
+    ``arr`` is a list of top-down rows of per-pixel channel tuples."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    h, w = len(arr), len(arr[0])
+    stride = w * channels
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, row in enumerate(arr):
+        line = bytearray()
+        for px in row:
+            line += bytes(px)
+        f = filters[y % len(filters)]
+        filt = bytearray(stride)
+        for k in range(stride):
+            a = line[k - channels] if k >= channels else 0
+            b = prev[k]
+            c = prev[k - channels] if k >= channels else 0
+            if f == 0:
+                filt[k] = line[k]
+            elif f == 1:
+                filt[k] = (line[k] - a) & 0xFF
+            elif f == 2:
+                filt[k] = (line[k] - b) & 0xFF
+            elif f == 3:
+                filt[k] = (line[k] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[k] = (line[k] - pred) & 0xFF
+        raw += bytes([f]) + filt
+        prev = line
+
+    def chunk(cid, payload):
+        return (
+            len(payload).to_bytes(4, "big")
+            + cid
+            + payload
+            + zlib.crc32(cid + payload).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # split IDAT in two to exercise chunk concatenation
+    z = zlib.compress(bytes(raw))
+    mid = len(z) // 2
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", z[:mid])
+        + chunk(b"IDAT", z[mid:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def _px(y, x, c):
+    return (y * 37 + x * 11 + c * 5) % 256
+
+
+def test_decode_pixels_bmp_roundtrip():
+    from grafeo_spark.llm.multimodal import decode_pixels
+
+    pixels = [[( _px(y, x, 0), _px(y, x, 1), _px(y, x, 2)) for x in range(5)] for y in range(4)]
+    for top_down in (False, True):
+        fmt, w, h, c, rows = decode_pixels(_make_bmp(pixels, top_down=top_down))
+        assert (fmt, w, h, c) == ("bmp", 5, 4, 3)
+        got = [[(r[3 * x], r[3 * x + 1], r[3 * x + 2]) for x in range(w)] for r in rows]
+        assert got == pixels  # bottom-up storage must come back top-down
+
+
+def test_decode_pixels_png_all_filters():
+    from grafeo_spark.llm.multimodal import decode_pixels
+
+    for color_type, channels in ((0, 1), (2, 3), (6, 4)):
+        arr = [
+            [tuple(_px(y, x, c) for c in range(channels)) for x in range(6)]
+            for y in range(7)
+        ]
+        # every filter type appears at least once
+        payload = _make_png(arr, color_type, filters=[0, 1, 2, 3, 4, 2, 1])
+        decoded = decode_pixels(payload)
+        assert decoded is not None
+        fmt, w, h, c, rows = decoded
+        assert (w, h, c) == (6, 7, channels)
+        got = [
+            [tuple(r[x * c + i] for i in range(c)) for x in range(w)] for r in rows
+        ]
+        assert got == arr
+
+
+def test_real_decode_features_stats():
+    """Feature semantics pinned against directly-computed statistics."""
+    from grafeo_spark.llm.multimodal import real_decode_features
+
+    pixels = [[(_px(y, x, 0), _px(y, x, 1), _px(y, x, 2)) for x in range(3)] for y in range(4)]
+    f = real_decode_features(_make_bmp(pixels))
+    n = 12.0
+    mean_r = sum(p[0] for row in pixels for p in row) / n / 255.0
+    rw_g = sum(y * p[1] for y, row in enumerate(pixels) for p in row) / (255.0 * n * 3)
+    assert f[0] == 3.0 and f[1] == 4.0
+    assert abs(f[2] - mean_r) < 1e-12
+    assert abs(f[6] - rw_g) < 1e-12
+    assert len(f) == 16 and f[9:] == [0.0] * 7
+    # PNG path produces identical stats for identical pixels
+    f2 = real_decode_features(_make_png(pixels, 2, filters=[4, 3, 2, 1]))
+    assert all(abs(a - b) < 1e-12 for a, b in zip(f, f2))
