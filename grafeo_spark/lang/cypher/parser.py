@@ -36,7 +36,7 @@ class CypherSyntaxError(Exception):
 
 _TOKEN_RE = re.compile(
     r"""
-    (?P<ws>\s+|//[^\n]*)
+    (?P<ws>\s+|//[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)
   | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
@@ -311,18 +311,19 @@ class Parser:
                 self.next()
                 clauses.append(RemoveClause(self.remove_items()))
             else:
+                word = str(self.peek().text).upper()
+                if word in ("FOREACH", "CALL", "LOAD"):
+                    # explicitly out of surface (not in the reference's
+                    # Clause enum, cypher/ast.rs:35) — say so loudly at ANY
+                    # clause position, not just statement start, instead of
+                    # a generic unexpected-token error
+                    raise CypherSyntaxError(
+                        f"{word} is not supported (not part of the reference "
+                        "Cypher clause surface)"
+                    )
                 break
         if not clauses:
-            v = self.peek().text
-            word = str(v).upper()
-            if word in ("FOREACH", "CALL", "LOAD"):
-                # explicitly out of surface (not in the reference's Clause
-                # enum, cypher/ast.rs:35) — say so instead of a generic error
-                raise CypherSyntaxError(
-                    f"{word} is not supported (not part of the reference "
-                    "Cypher clause surface)"
-                )
-            raise CypherSyntaxError(f"expected a clause, got {v!r}")
+            raise CypherSyntaxError(f"expected a clause, got {self.peek().text!r}")
         return Statement(clauses)
 
     # clauses ---------------------------------------------------------------

@@ -420,6 +420,7 @@ def dedup_near(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Rows surviving near-dedup: keep the min-id representative of each
     near-duplicate cluster.
@@ -433,7 +434,9 @@ def dedup_near(
 
     num_hashes, bands, _ = banding_for_threshold(threshold)
     sh_rows = shingle_hash_rows(df, id_col, text_col)
-    members, rep_pairs = _group_rep_pairs(sh_rows, num_hashes, bands, threshold)
+    members, rep_pairs = _group_rep_pairs(
+        sh_rows, num_hashes, bands, threshold, max_bucket=max_bucket
+    )
     star = members.filter(F.col("id") != F.col("gid")).select(
         F.col("id").alias("src"), F.col("gid").alias("dst")
     )

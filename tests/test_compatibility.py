@@ -279,3 +279,114 @@ def test_gremlin_string_form_agrees(db):
         for r in db.gremlin("g.V().has('city','NYC').out('KNOWS').values('name')").collect()
     )
     assert stringform == fluent and fluent  # non-vacuous
+
+
+# --------------------------------------------------------------------- #
+# round-8 adversarial batch #4: GQL front-end stress
+# (gql_translator.rs:908 INSERT lowering, gql/ast.rs Like, lexer parity)
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture()
+def gdb(spark):
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [(1, "Alice", 30, "100%"), (2, "Bob", 40, "LA"), (3, "Carol_X", 35, None)],
+        "id long, name string, age long, city string",
+    )
+    edges = spark.createDataFrame(
+        [(101, 1, 2, 2015)], "id long, src long, dst long, since long"
+    )
+    return GrafeoSpark(spark, PropertyGraph({"Person": nodes}, {"KNOWS": edges}))
+
+
+def test_gql_like_wildcards_and_escapes(gdb):
+    """GQL LIKE (gql/ast.rs Like): %/_ wildcards, backslash-escaped
+    literals, NOT LIKE, case sensitivity, parameterized pattern, numeric
+    operand coerces through string."""
+
+    def n(q, **kw):
+        return gdb.gql(q, **kw).collect()[0].n
+
+    base = "MATCH (p:Person) WHERE {} RETURN count(*) AS n"
+    assert n(base.format("p.name LIKE 'A%'")) == 1
+    assert n(base.format("p.name LIKE '_ob'")) == 1
+    assert n(base.format("p.name LIKE 'Carol\\\\_X'")) == 1  # escaped _
+    assert n(base.format("p.city LIKE '100\\\\%'")) == 1  # escaped %
+    assert n(base.format("NOT p.name LIKE 'A%'")) == 2
+    assert n(base.format("p.name LIKE 'a%'")) == 0  # case-sensitive
+    assert n(base.format("p.name LIKE ''")) == 0
+    assert n(base.format("p.name LIKE '%'")) == 3
+    assert n(base.format("p.age LIKE '4%'")) == 1
+    assert n("MATCH (p:Person) WHERE p.name LIKE $pat RETURN count(*) AS n",
+             params={"pat": "%o%"}) == 2  # Bob, Carol_X
+
+
+def test_gql_insert_forms(gdb):
+    """INSERT is the GQL-standard CREATE spelling (gql_translator.rs:908):
+    node/path/multi-pattern forms, expression and parameter property
+    values, RETURN of the created value, mixed MATCH + INSERT."""
+    s = gdb.gql("INSERT (x:Person {name: 'Zed', age: 1 + 2})").collect()[0]
+    assert s.nodes_created == 1
+    r = gdb.gql("INSERT (x:Person {name: toUpper('lo')}) RETURN x.name AS n").collect()
+    assert [x.n for x in r] == ["LO"]
+    s = gdb.gql(
+        "INSERT (a:Person {name: 'P1'})-[:KNOWS {since: 2020}]->(b:Person {name: 'P2'})"
+    ).collect()[0]
+    assert s.nodes_created == 2 and s.relationships_created == 1
+    s = gdb.gql("INSERT (x:Person {name: $nm})", params={"nm": "Para"}).collect()[0]
+    assert s.nodes_created == 1
+    s = gdb.gql(
+        "MATCH (a:Person {name: 'Alice'}) "
+        "INSERT (a)-[:KNOWS {since: 2021}]->(b:Person {name: 'New'})"
+    ).collect()[0]
+    assert s.nodes_created == 1 and s.relationships_created == 1
+    got = gdb.gql(
+        "MATCH (a:Person {name:'Alice'})-[k:KNOWS]->(b) RETURN b.name AS n ORDER BY n"
+    ).collect()
+    assert [x.n for x in got] == ["Bob", "New"]
+
+
+def test_gql_lexer_parity_block_comments(gdb):
+    """The reference lexer accepts /* block */ comments (cypher/lexer.rs
+    test_block_comments) — ours must too, anywhere whitespace is legal."""
+    out = gdb.gql(
+        "MATCH (p:Person) /* block\n comment */ WHERE p.name = 'Bob' "
+        "RETURN /* inline */ p.name AS n"
+    ).collect()
+    assert [r.n for r in out] == ["Bob"]
+
+
+def test_out_of_surface_clauses_rejected_loudly(gdb):
+    """FOREACH/CALL/LOAD are absent from the reference Clause enum
+    (cypher/ast.rs:35): rejection must be the explicit not-supported
+    message at ANY clause position, never a generic unexpected-token."""
+    from grafeo_spark.lang.cypher.parser import CypherSyntaxError
+
+    for q in [
+        "FOREACH (x IN [1] | CREATE (:T {v: x}))",
+        "MATCH (p:Person) CALL { MATCH (q) RETURN q } RETURN p",
+        "MATCH (p:Person) FOREACH (x IN [1] | SET p.z = x)",
+        "LOAD CSV FROM 'f' AS row RETURN row",
+        "MATCH (p:Person) CALL db.labels() YIELD label RETURN label",
+    ]:
+        with pytest.raises(CypherSyntaxError, match="not supported"):
+            gdb.gql(q)
+
+
+def test_gql_ddl_statements(gdb):
+    """GQL DDL surface (gql/ast.rs:335-403): node type, edge type, vector
+    index registrations round-trip through the registry; unknown DDL forms
+    (IF NOT EXISTS is not reference grammar) reject cleanly."""
+    from grafeo_spark.lang.ddl import DdlError
+
+    r = gdb.gql("CREATE NODE TYPE Person (name STRING, age INT64)").collect()[0]
+    assert (r.created, r.name) == ("node_type", "Person")
+    r = gdb.gql("CREATE EDGE TYPE KNOWS FROM Person TO Person (since INT64)").collect()[0]
+    assert (r.created, r.name) == ("edge_type", "KNOWS")
+    r = gdb.gql("CREATE VECTOR INDEX idx ON Person (emb) DIMENSIONS 4").collect()[0]
+    assert (r.created, r.name) == ("vector_index", "idx")
+    with pytest.raises(DdlError):
+        gdb.gql("CREATE NODE TYPE IF NOT EXISTS Person (name STRING)")

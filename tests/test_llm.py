@@ -1010,3 +1010,53 @@ def test_real_decode_features_stats():
     # PNG path produces identical stats for identical pixels
     f2 = real_decode_features(_make_png(pixels, 2, filters=[4, 3, 2, 1]))
     assert all(abs(a - b) < 1e-12 for a, b in zip(f, f2))
+
+
+# --------------------------------------------------------------------- #
+# round-8: adversarial NEAR-identical skew — the salted re-split fires
+# --------------------------------------------------------------------- #
+
+
+def _skew_corpus(spark, n, n_distinct=5):
+    """n near-identical-but-DISTINCT docs (shared 60-token boilerplate, one
+    varying token — pairwise Jaccard ≈ 0.9, so exact-content grouping
+    cannot collapse them and every band bucket goes hot) plus a few
+    unrelated docs."""
+    boiler = [f"word{k}" for k in range(60)]
+    rows_ = []
+    for i in range(n):
+        toks = list(boiler)
+        toks[30] = f"uniq{i}"
+        rows_.append((i, " ".join(toks)))
+    for j in range(n_distinct):
+        rows_.append((n + j, f"totally different document number {j} about spark " + " ".join(f"x{j}y{k}" for k in range(20))))
+    return spark.createDataFrame(rows_, "doc_id long, text string")
+
+
+def test_salted_hot_bucket_cluster_recall_exact(spark):
+    """THE adversarial case the occupancy guard exists for (dedup.py worst
+    case: near-identical boilerplate, distinct contents). With max_bucket
+    far below the corpus size the salted re-split bounds every task, pairs
+    recall pays the documented (1-1/s)^m margin — but the CLUSTER/survivor
+    result stays EXACT: the verified pair graph over the hot cluster is
+    overwhelmingly connected, so connected components recover the full
+    cluster and dedup keeps exactly one survivor."""
+    from grafeo_spark.llm import dedup_near, near_duplicate_pairs
+
+    n = 600
+    docs = _skew_corpus(spark, n)
+    # survivors: one for the hot cluster + each distinct doc (salt forced:
+    # every bucket holds ~600 >> 64)
+    kept = sorted(
+        r[0] for r in dedup_near(docs, threshold=0.8, max_bucket=64).select("doc_id").collect()
+    )
+    assert kept == [0] + [n + j for j in range(5)]
+
+    # pairs recall through the salt at max_bucket=128 (s=5 splits; with
+    # m≈21 matching bands the per-pair miss bound is (1-1/5)^21 ≈ 0.9%):
+    # measured recall must clear 0.97, and no cross-pairs appear
+    pairs = near_duplicate_pairs(docs, threshold=0.8, max_bucket=128)
+    got = pairs.count()
+    expected = n * (n - 1) // 2
+    assert got / expected >= 0.97, f"pairs recall {got}/{expected}"
+    assert pairs.filter((F.col("a") >= n) | (F.col("b") >= n)).count() == 0
