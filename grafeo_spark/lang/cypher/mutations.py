@@ -239,12 +239,16 @@ class _Mutator:
                 prop_names.append(k)
             new_nodes = base.select(*cols).localCheckpoint(eager=True)
             self.graph = self.graph.create_nodes(label, new_nodes, ids_disjoint=True)
-            self.stats["nodes_created"] += new_nodes.count()
+            n_new = new_nodes.count()
+            self.stats["nodes_created"] += n_new
+            # openCypher-style counters: properties written on created
+            # nodes count as properties_set
+            self.stats["properties_set"] += n_new * len(prop_names)
             # multi-label CREATE (n:A:B): the node exists under every label
             # (lpg/node.rs label sets -> one row per label frame here)
             for extra in node.labels[1:]:
                 self.graph = self.graph.merge_nodes(extra, new_nodes, keys=["id"])
-                self.stats["labels_added"] += new_nodes.count()
+                self.stats["labels_added"] += n_new
             # make the new var usable by later clauses/edges
             self.ctx.bound[var] = ("node", label)
             if self._scope is not None:
@@ -272,7 +276,9 @@ class _Mutator:
                 cols.append(self._expr(v, base).alias(k))
             new_edges = base.select(*cols).localCheckpoint(eager=True)
             self.graph = self.graph.create_edges(rel.types[0], new_edges)
-            self.stats["relationships_created"] += new_edges.count()
+            n_new = new_edges.count()
+            self.stats["relationships_created"] += n_new
+            self.stats["properties_set"] += n_new * len(rel.props)
             i += 2
         return base
 

@@ -363,3 +363,13 @@ def test_set_replace_counts_nulled_properties(wdb):
         "MATCH (p:Person {name: 'Grace'}) SET p += {age: 24}"
     ).collect()[0]
     assert s3.properties_set == 1
+
+
+def test_create_counts_properties_set(wdb):
+    """openCypher counters: properties written on CREATEd nodes and
+    relationships count in properties_set."""
+    s = wdb.cypher(
+        "CREATE (a:Tag {name: 'x', weight: 2})-[:REL {since: 1}]->(b:Tag {name: 'y'})"
+    ).collect()[0]
+    assert s.nodes_created == 2 and s.relationships_created == 1
+    assert s.properties_set == 4  # 2 + 1 node props + 1 rel prop
