@@ -52,7 +52,10 @@ def get_spark(
         # battery or test session, so eagerly-checkpointed frames from
         # finished queries pile up in executor memory and read as a slow
         # upward drift across a long session (r7 bench A/B finding).
-        .config("spark.cleaner.periodicGC.interval", "45s")
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "45s"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
