@@ -65,6 +65,8 @@ class GrafeoSpark:
         self.triples = triples
         # GQL DDL schema registry (gql/ast.rs:335-403), populated lazily
         self.ddl = None
+        # snapshot path when saved/opened (info()'s is_persistent flag)
+        self._path: str | None = None
 
     # -- query front-ends -------------------------------------------------
 
@@ -323,6 +325,22 @@ class GrafeoSpark:
     def has_property_index(self, prop: str) -> bool:
         return self.ddl is not None and prop in self.ddl.property_indexes
 
+    def get_node(self, node_id, label: str | None = None):
+        """Single-node point lookup — the reference binding's get_node
+        (database.rs:618; tests/python/bases/test_filters.py:92-107):
+        returns the node Row, or None when the id doesn't exist. A
+        deliberate driver-side single-row fetch (the side-door contract);
+        use graph.node()/nodes() for set-at-a-time access."""
+        rows = self.graph.node(node_id, label).limit(1).collect()
+        return rows[0] if rows else None
+
+    def get_edge(self, edge_id, etype: str | None = None):
+        """Single-edge point lookup by id — get_edge analogue
+        (test_filters.py:109-126): the edge Row, or None. Edge frames
+        without an ``id`` column contribute no rows."""
+        rows = self.graph.edge(edge_id, etype).limit(1).collect()
+        return rows[0] if rows else None
+
     def find_nodes_by_property(self, prop: str, value, label: str | None = None) -> DataFrame:
         """Nodes whose ``prop`` equals ``value`` (find_nodes_by_property
         analogue, database.rs:969 — which returns bare ids; this returns
@@ -447,6 +465,41 @@ class GrafeoSpark:
             "index_count": len(sc["indexes"]),
             "triple_count": self.triples.df.count() if self.triples is not None else 0,
         }
+
+    def info(self) -> dict:
+        """Session summary — the reference binding's ``db.info()``
+        (grafeo-cli info.rs; python suite test_admin.py:42-77): mode,
+        counts, persistence flags, version. ``wal_enabled`` is always
+        False: durability here is the versioned-parquet snapshot
+        (save/open), the documented WAL substitution (SURVEY §2)."""
+        from grafeo_spark import __version__
+
+        s = self.stats()
+        return {
+            "mode": "lpg" if self.graph is not None else "rdf",
+            "node_count": s["node_count"],
+            "edge_count": s["edge_count"],
+            "is_persistent": self._path is not None,
+            "path": self._path,
+            "wal_enabled": False,
+            "version": __version__,
+        }
+
+    def detailed_stats(self) -> dict:
+        """:meth:`stats` plus ``memory_bytes`` — the reference's
+        detailed_stats (test_admin.py:78-113). ``memory_bytes`` reports
+        the Spark block manager's persisted bytes for this session (the
+        buffer-manager allocation analogue); 0 when nothing is
+        materialized."""
+        out = dict(self.stats())
+        mem = 0
+        try:
+            for inf in self.spark.sparkContext._jsc.sc().getRDDStorageInfo():
+                mem += inf.memSize()
+        except Exception:
+            mem = 0
+        out["memory_bytes"] = int(mem)
+        return out
 
     def validate(self, sample: int = 5) -> dict:
         """Graph integrity validation (grafeo-cli/src/commands/validate.rs,
@@ -628,6 +681,7 @@ class GrafeoSpark:
             f"{path}/_session",
             mode,
         )
+        self._path = path
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "GrafeoSpark":
@@ -654,6 +708,7 @@ class GrafeoSpark:
                 },
                 property_indexes=set(reg.get("property_indexes", ())),
             )
+        db._path = path
         return db
 
     def begin_transaction(self, isolation_level: str | None = None) -> "Transaction":

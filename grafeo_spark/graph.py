@@ -197,6 +197,18 @@ class PropertyGraph:
         row-group stats make the id filter a data-skipping scan at rest."""
         return self.nodes(label).filter(F.col(ID) == F.lit(node_id))
 
+    def edge(self, edge_id, etype: str | None = None) -> DataFrame:
+        """Point lookup by edge id (get_edge analogue, the edge side of
+        the database.rs side door; reference binding returns the edge or
+        None — tests/python/bases/test_filters.py:109-121). Requires an
+        ``id`` column on the edge frame(s); frames without one simply
+        contribute no rows (the reference's ids are store-assigned, ours
+        are whatever the user loaded)."""
+        e = self.edges(etype)
+        if ID not in e.columns:
+            return e.limit(0)
+        return e.filter(F.col(ID) == F.lit(edge_id))
+
     def neighbors(
         self,
         node_ids,

@@ -659,3 +659,48 @@ def test_save_open_multilabel_endpoints(spark, tmp_path):
     back = GrafeoSpark.open(spark, path)
     assert back.graph.endpoints == {"E": (("A", "B"), "C")}
     assert back.validate()["valid"]
+
+
+def test_direct_edge_lookup_and_engine_side_door(social, db):
+    """get_edge side door (test_filters.py:109-126 in the reference's
+    python suite): point lookup by edge id; engine-level get_node/get_edge
+    return the Row or None for a miss."""
+    out = social.edge(101).collect()
+    assert len(out) == 1 and out[0]["src"] == 1 and out[0]["dst"] == 2
+    assert social.edge(101, etype="KNOWS").collect()[0]["since"] == 2015
+    assert social.edge(999999).count() == 0
+
+    n = db.get_node(3)
+    assert n is not None and n["name"] == "Carol"
+    assert db.get_node(999999999) is None
+    e = db.get_edge(101)
+    assert e is not None and e["since"] == 2015
+    assert db.get_edge(999999999) is None
+    assert db.get_edge(101, etype="GHOST") is None
+
+
+def test_info_and_detailed_stats(spark, social, tmp_path):
+    """info()/detailed_stats() — reference binding surface
+    (test_admin.py:42-113): mode, counts, persistence flags, version,
+    memory_bytes; is_persistent flips after save()."""
+    from grafeo_spark.engine import GrafeoSpark
+
+    db2 = GrafeoSpark(spark, social)
+    inf = db2.info()
+    assert inf["mode"] == "lpg"
+    assert inf["node_count"] == 8 and inf["edge_count"] == 7
+    assert inf["is_persistent"] is False and inf["wal_enabled"] is False
+    assert inf["version"]
+    ds = db2.detailed_stats()
+    for key in (
+        "node_count", "edge_count", "label_count", "edge_type_count",
+        "property_key_count", "index_count", "memory_bytes",
+    ):
+        assert key in ds
+    assert ds["label_count"] == 1 and ds["edge_type_count"] == 1
+
+    p = str(tmp_path / "snap")
+    db2.save(p)
+    assert db2.info()["is_persistent"] is True and db2.info()["path"] == p
+    db3 = GrafeoSpark.open(spark, p)
+    assert db3.info()["is_persistent"] is True
