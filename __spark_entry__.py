@@ -581,6 +581,47 @@ _ORACLE: dict[str, str] = {
                    / 255.0 * 2 - 1)), 4) AS feat_sum
         FROM h
     """,
+    "decontam_hits": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 11),
+                                         i -> array_to_string(t[i:i+12], ' '))) AS g
+            FROM toks WHERE len(t) >= 13
+        ),
+        bg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 3)
+        SELECT d.doc_id AS id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM grams d JOIN bg USING (g)
+        GROUP BY d.doc_id
+    """,
+    "repetition_profile": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+            FROM documents WHERE doc_id <= 20
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(t) - 0), i -> array_to_string(t[i:i+1], ' ')) AS g2,
+                   list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) AS g3,
+                   list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' ')) AS g4
+            FROM toks
+        )
+        SELECT doc_id, CAST(0.0 AS DOUBLE) AS dup_line_frac,
+               round(1 - len(list_distinct(g2))::DOUBLE / len(g2), 4) AS dup_2gram_frac,
+               round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 4) AS dup_3gram_frac,
+               round(1 - len(list_distinct(g4))::DOUBLE / len(g4), 4) AS dup_4gram_frac
+        FROM g
+    """,
+    "pii_redacted": """
+        SELECT doc_id,
+               CAST(1 AS INT) AS n_email, CAST(1 AS INT) AS n_ipv4,
+               CAST(1 AS INT) AS n_phone,
+               text || ' contact <EMAIL> or <IP> or <PHONE>' AS text
+        FROM documents WHERE doc_id < 32
+    """,
     "multimodal_pixel_stats": """
         WITH d AS (
             SELECT doc_id, doc_id % 3 + 2 AS w, doc_id % 4 + 2 AS h
@@ -2213,6 +2254,63 @@ def _multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm/filtering.py contaminated_ids):
+    documents sharing any exact 13-gram with a 'benchmark' (docs 0-2's
+    texts) and how many — the GPT-3/PaLM-style n-gram leak test. The
+    oracle rebuilds the same 13-grams with DuckDB list ops."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import contaminated_ids
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 3).select("text")
+    return contaminated_ids(docs, bench, n=13)
+
+
+def _repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition ratios (llm/filtering.py):
+    duplicate word-n-gram fractions for n=2..4 plus the duplicate-line
+    fraction — pure per-row Catalyst, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import add_repetition_features
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") <= 20)
+    out = add_repetition_features(docs)
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 4).alias("dup_line_frac"),
+        F.round("dup_2gram_frac", 4).alias("dup_2gram_frac"),
+        F.round("dup_3gram_frac", 4).alias("dup_3gram_frac"),
+        F.round("dup_4gram_frac", 4).alias("dup_4gram_frac"),
+    )
+
+
+def _pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (llm/filtering.py redact_pii): emails / IPv4 / phone
+    numbers synthesized onto each document from doc_id arithmetic, then
+    scrubbed to typed placeholders with per-kind match counts; the oracle
+    replays the construction and the redacted result closed-form."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import redact_pii
+
+    did = F.col("doc_id")
+    docs = _docs(spark, sf_dir).filter(did < 32)
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did, F.lit("@example.com or 10.0."),
+            (did % 256), F.lit("."), ((did * 7) % 256),
+            F.lit(" or +1 555 000 "), (F.lit(1000) + did),
+        ).alias("text"),
+    )
+    out = redact_pii(salted)
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "text")
+
+
 def _embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (completes the dedup family:
     exact / MinHash / n-gram / SimHash / embedding-cosine). This corpus's
@@ -2336,6 +2434,9 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_dims": _multimodal_image_dims,
     "multimodal_audio_meta": _multimodal_audio_meta,
     "multimodal_pixel_stats": _multimodal_pixel_stats,
+    "decontam_hits": _decontam_hits,
+    "repetition_profile": _repetition_profile,
+    "pii_redacted": _pii_redacted,
     "embedding_near_pairs": _embedding_near_pairs,
     "events_windowed_counts": _events_windowed_counts,
     "events_sessionized": _events_sessionized,
@@ -2465,9 +2566,12 @@ _PRIORITY = [
     "pack_sequences",
     "split_documents",
     # -- new r8 entries: named-path relationship property structs,
-    # real pixel-level content decode
+    # real pixel-level content decode, corpus filtering stages
     "path_rels_props",
     "multimodal_pixel_stats",
+    "decontam_hits",
+    "repetition_profile",
+    "pii_redacted",
     # -- tier 3 (r7): r6-green entries; the lambda-compiler family leads
     # (its compiler changed most this round) so any window slack covers
     # it first

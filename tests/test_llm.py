@@ -1060,3 +1060,74 @@ def test_salted_hot_bucket_cluster_recall_exact(spark):
     expected = n * (n - 1) // 2
     assert got / expected >= 0.97, f"pairs recall {got}/{expected}"
     assert pairs.filter((F.col("a") >= n) | (F.col("b") >= n)).count() == 0
+
+
+# --------------------------------------------------------------------- #
+# round-8: corpus filtering stages (decontamination, repetition, PII)
+# --------------------------------------------------------------------- #
+
+
+def test_decontamination(spark):
+    from grafeo_spark.llm import contaminated_ids, decontaminate
+
+    bench = spark.createDataFrame(
+        [("what is the capital of france and when was it founded exactly tell me now",)],
+        "text string",
+    )
+    filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    docs = spark.createDataFrame(
+        [
+            # 0: contains a full 13-gram from the benchmark (leak)
+            (0, "intro words what is the capital of france and when was it founded exactly tell more text"),
+            # 1: only a 12-gram prefix overlap — NOT contaminated at n=13
+            (1, "intro words what is the capital of france and when was it founded differently"),
+            # 2: unrelated
+            (2, filler),
+            # 3: shorter than 13 tokens, sub-gram of the benchmark — not contaminated
+            (3, "what is the capital of france"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.id: r.n_hits for r in contaminated_ids(docs, bench, n=13).collect()}
+    assert set(hits) == {0} and hits[0] >= 1
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench, n=13).collect())
+    assert kept == [1, 2, 3]
+
+
+def test_repetition_features(spark):
+    from grafeo_spark.llm import add_repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),          # 2-grams: ab ba ab ba ab -> 2 distinct of 5
+            (1, "one two three four"),    # no repeats
+            (2, "x\nx\ny\n\n"),          # 3 non-empty lines, 2 distinct
+            (3, "solo"),                  # shorter than every n -> all zero
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in add_repetition_features(docs).collect()}
+    assert abs(out[0].dup_2gram_frac - (1 - 2 / 5)) < 1e-9
+    assert out[1].dup_2gram_frac == 0.0 and out[1].dup_3gram_frac == 0.0
+    assert abs(out[2].dup_line_frac - (1 - 2 / 3)) < 1e-9
+    assert out[3].dup_2gram_frac == 0.0 and out[3].dup_line_frac == 0.0
+
+
+def test_redact_pii(spark):
+    from grafeo_spark.llm import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@ex-ample.co.uk or call +1 (555) 123-4567 now"),
+            (1, "server at 192.168.0.1 and 10.0.0.255 no mail"),
+            (2, "clean text without identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[0].n_email == 1 and out[0].n_phone == 1
+    assert "<EMAIL>" in out[0].text and "<PHONE>" in out[0].text
+    assert "@" not in out[0].text
+    assert out[1].n_ipv4 == 2 and out[1].text.count("<IP>") == 2
+    assert out[2].text == "clean text without identifiers"
+    assert out[2].n_email == out[2].n_ipv4 == out[2].n_phone == 0
