@@ -32,16 +32,28 @@ from grafeo_spark.llm.text import tokenize
 # -- decontamination ---------------------------------------------------- #
 
 
-def word_ngrams_exact(text: Column, n: int) -> Column:
-    """All exact-length word n-grams (NON-distinct, space-joined);
-    documents shorter than n tokens yield none — sub-length grams must
-    not count as benchmark overlap."""
-    toks = tokenize(text)
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """All exact-length word n-grams (NON-distinct, space-joined) from an
+    already-materialized token array; documents shorter than n tokens
+    yield none — sub-length grams must not count as benchmark overlap.
+
+    Callers working on a DataFrame should PROJECT the token array first
+    and pass the column reference: a raw ``tokenize(text)`` expression
+    inlined here is re-evaluated once per gram by the slice lambda
+    (Catalyst does not CSE across lambda bodies) — measured ~5s of the
+    sf0.1 decontamination pass before the projection split."""
     cnt = F.size(toks)
     idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - F.lit(n - 1))).otherwise(
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def word_ngrams_exact(text: Column, n: int) -> Column:
+    """Expression-form convenience over :func:`ngrams_from_tokens` —
+    fine for single-use column contexts; DataFrame pipelines should
+    project ``tokenize(text)`` once instead (see ngrams_from_tokens)."""
+    return ngrams_from_tokens(tokenize(text), n)
 
 
 def contaminated_ids(
@@ -57,14 +69,16 @@ def contaminated_ids(
     (n=13 is the GPT-3/PaLM convention). Grams are compared by xxhash64
     (collision-free w.h.p. at benchmark scale)."""
     bg = (
-        benchmark.select(F.explode(word_ngrams_exact(F.col(bench_text_col), n)).alias("_g"))
+        benchmark.select(tokenize(F.col(bench_text_col)).alias("_t"))
+        .select(F.explode(ngrams_from_tokens(F.col("_t"), n)).alias("_g"))
         .select(F.xxhash64("_g").alias("_gh"))
         .distinct()
     )
-    dg = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams_exact(F.col(text_col), n)).alias("_g"),
-    ).select("id", F.xxhash64("_g").alias("_gh"))
+    dg = (
+        docs.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("_t"))
+        .select("id", F.explode(ngrams_from_tokens(F.col("_t"), n)).alias("_g"))
+        .select("id", F.xxhash64("_g").alias("_gh"))
+    )
     return (
         dg.join(bg, "_gh", "left_semi")
         .groupBy("id")
@@ -120,10 +134,32 @@ def repetition_features(text: Column) -> dict[str, Column]:
 
 
 def add_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    cols = repetition_features(F.col(text_col))
-    for name, c in cols.items():
-        df = df.withColumn(name, c)
-    return df
+    """DataFrame form of :func:`repetition_features`, with the token
+    array projected ONCE — the per-gram slices then reference a cheap
+    attribute instead of re-running tokenize per gram (see
+    ngrams_from_tokens)."""
+    out = df.withColumn("_t", tokenize(F.col(text_col)))
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    nl = F.size(lines)
+    out = out.withColumn(
+        "dup_line_frac",
+        F.when(
+            nl > 0, 1.0 - F.size(F.array_distinct(lines)).cast("double") / nl
+        ).otherwise(F.lit(0.0)),
+    )
+    for n in (2, 3, 4):
+        grams = ngrams_from_tokens(F.col("_t"), n)
+        out = out.withColumn(f"_g{n}", grams)
+        ng = F.size(F.col(f"_g{n}"))
+        out = out.withColumn(
+            f"dup_{n}gram_frac",
+            F.when(
+                ng > 0,
+                1.0 - F.size(F.array_distinct(F.col(f"_g{n}"))).cast("double") / ng,
+            ).otherwise(F.lit(0.0)),
+        ).drop(f"_g{n}")
+    return out.drop("_t")
 
 
 # -- PII redaction ------------------------------------------------------- #
