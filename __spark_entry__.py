@@ -216,6 +216,16 @@ _CYPHER: dict[str, str] = {
         "MATCH p = shortestPath((c:Customer {custkey: 1})-[*..3]->(t:Part)) "
         "RETURN count(*) AS n, min(length(p)) AS min_hops, max(length(p)) AS max_hops"
     ),
+    # relationships(p) property structs on SHORTEST paths (r8): every
+    # 2-hop path c1 -> order -> part, per-hop type/property access;
+    # allShortestPaths so parallel (order, part) lineitems stay distinct
+    # rows and the aggregate is deterministic
+    "sp_rels_props": (
+        "MATCH p = allShortestPaths((c:Customer {custkey: 1})-[*..3]->(t:Part)) "
+        "RETURN count(*) AS n, "
+        "sum(CASE WHEN relationships(p)[0].type = 'PLACED' THEN 1 ELSE 0 END) AS placed_first, "
+        "round(sum(relationships(p)[1].quantity), 2) AS qty_sum"
+    ),
     # named-path value: length/nodes/relationships over a fixed 2-hop path
     "path_value_2hop": (
         "MATCH p = (s:Supplier)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
@@ -423,6 +433,13 @@ _ORACLE: dict[str, str] = {
     "allshortest_customer_parts": """
         SELECT CAST(count(*) AS BIGINT) AS n_paths,
                CAST(2 AS BIGINT) AS lo, CAST(2 AS BIGINT) AS hi
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey = 1
+    """,
+    "sp_rels_props": """
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS placed_first,
+               round(sum(l_quantity), 2) AS qty_sum
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_custkey = 1
     """,
@@ -2568,6 +2585,7 @@ _PRIORITY = [
     # -- new r8 entries: named-path relationship property structs,
     # real pixel-level content decode, corpus filtering stages
     "path_rels_props",
+    "sp_rels_props",
     "multimodal_pixel_stats",
     "decontam_hits",
     "repetition_profile",

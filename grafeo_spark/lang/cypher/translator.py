@@ -638,6 +638,7 @@ def _shortest(ctx: _Ctx, pat: P.PatternPath, known: dict) -> None:
             ctx.bound[v] = ("node", label)
     hops_alias = pat.path_var or ctx.fresh_var()
     with_nodes = pat.path_var is not None and _needs_path_value(ctx.stmt, pat.path_var)
+    want_rels = with_nodes and ctx.path_rels_needed(pat.path_var)
     ctx.plan = ir.ShortestPath(
         ctx.plan,
         src_var=a.var,
@@ -648,12 +649,17 @@ def _shortest(ctx: _Ctx, pat: P.PatternPath, known: dict) -> None:
         hops_alias=hops_alias,
         all_paths=pat.all_shortest,
         with_nodes=with_nodes,
+        path_rels=want_rels,
     )
     ctx.bound[hops_alias] = ("value", None)
     if with_nodes:
         # nodes(p)/relationships(p)/bare p resolve through the named-path
         # machinery against the materialized <p>__nodes / <p>__len columns
         ctx.path_vars.add(hops_alias)
+        if want_rels:
+            # relationships(p) resolves to the materialized <p>__rels
+            # property-struct column instead of id-level pairs
+            ctx.path_rels_vars.add(hops_alias)
     else:
         ctx.sp_vars.add(hops_alias)
 

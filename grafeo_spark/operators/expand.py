@@ -344,6 +344,7 @@ def all_shortest_paths(
     max_hops: int,
     src_ids: Optional[DataFrame] = None,
     with_nodes: bool = False,
+    with_edges: bool = False,
 ) -> DataFrame:
     """(src, dst, hops[, path_nodes]) — ONE ROW PER SHORTEST PATH.
 
@@ -360,33 +361,51 @@ def all_shortest_paths(
 
     ``path_nodes`` (``with_nodes=True``) lists the node ids visited after
     the source ([n1, .., dst]), matching :func:`var_length_expand`.
+    ``path_edges`` (``with_edges=True``) accumulates the per-hop
+    ``_eprops`` structs of the traversed edges (hop frames must carry
+    ``_eprops``), matching var_length_expand's rel-list contract.
     """
-    hop_e = [e.select("_esrc", "_edst") for e in _hop_list(edges, max_hops)]
+    keep = ["_esrc", "_edst"] + (["_eprops"] if with_edges else [])
+    hop_e = [e.select(*keep) for e in _hop_list(edges, max_hops)]
     eff_max = min(max_hops, len(hop_e))
     if eff_max == 0:
         raise ValueError("all_shortest_paths: no hop frames")
-    frontier = _seed(hop_e[0], src_ids).select(
+    first_cols = [
         F.col("_esrc").alias("origin"),
         F.col("_edst").alias("cur"),
         F.lit(1).alias("hops"),
-    )
+    ]
+    if with_edges:
+        first_cols.append(F.array(F.col("_eprops")).alias("_epath"))
+    frontier = _seed(hop_e[0], src_ids).select(*first_cols)
     if with_nodes:
         frontier = frontier.withColumn("_pnodes", F.array(F.col("cur")))
     results = [frontier]
     seen = frontier.select("origin", "cur").distinct()
     hop = 1
     while hop < eff_max:
-        e = hop_e[hop]
+        # a fresh alias per hop: with _eprops the frontier's array column
+        # keeps lineage into the (reused) edge frame, making bare column
+        # references ambiguous on the self-join (same fix as
+        # var_length_expand's qualified per-hop aliases)
+        q = f"__sphop{hop}"
+        e = hop_e[hop].alias(q)
         hop += 1
         cols = [
             F.col("origin"),
-            F.col("_edst").alias("cur"),
+            F.col(f"{q}._edst").alias("cur"),
             (F.col("hops") + 1).alias("hops"),
         ]
         if with_nodes:
-            cols.append(F.array_append(F.col("_pnodes"), F.col("_edst")).alias("_pnodes"))
+            cols.append(
+                F.array_append(F.col("_pnodes"), F.col(f"{q}._edst")).alias("_pnodes")
+            )
+        if with_edges:
+            cols.append(
+                F.array_append(F.col("_epath"), F.col(f"{q}._eprops")).alias("_epath")
+            )
         nxt = (
-            frontier.join(e, frontier["cur"] == e["_esrc"], "inner")
+            frontier.join(e, frontier["cur"] == F.col(f"{q}._esrc"), "inner")
             .select(*cols)
             .join(seen, ["origin", "cur"], "left_anti")
         )
@@ -402,4 +421,6 @@ def all_shortest_paths(
     sel = [F.col("origin").alias("src"), F.col("cur").alias("dst"), F.col("hops")]
     if with_nodes:
         sel.append(F.col("_pnodes").alias("path_nodes"))
+    if with_edges:
+        sel.append(F.col("_epath").alias("path_edges"))
     return out.select(*sel)

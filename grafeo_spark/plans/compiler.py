@@ -828,22 +828,40 @@ class Compiler:
         src_label = scope[p.src_var].label if p.src_var in scope else None
         dst_label = scope[p.dst_var].label if p.dst_var in scope else None
         dvar = self._fresh("sp")
+        want_rels = p.path_rels and p.with_nodes
         if p.all_paths or p.with_nodes:
             # Path enumeration: one row per shortest path (parallel edges
-            # distinct), optionally carrying the visited node ids.
-            hop_frames = self._hop_edge_frames(
-                p.etypes, p.direction, src_label, p.max_hops, "bag", dst_label
-            ) or [self._empty_edges("bag")]
+            # distinct), optionally carrying the visited node ids and the
+            # per-hop relationship structs (unified path shape).
+            if want_rels:
+                hop_frames = self._hop_edge_frames(
+                    p.etypes, p.direction, src_label, p.max_hops, "eid",
+                    dst_label, props=self._path_rel_fields(),
+                ) or [self._empty_edges("eid", self._path_rel_fields())]
+            else:
+                hop_frames = self._hop_edge_frames(
+                    p.etypes, p.direction, src_label, p.max_hops, "bag", dst_label
+                ) or [self._empty_edges("bag")]
             dist = all_shortest_paths(
-                hop_frames, p.max_hops, src_ids=seeds, with_nodes=True
+                hop_frames, p.max_hops, src_ids=seeds, with_nodes=True,
+                with_edges=want_rels,
             )
             if not p.all_paths:
                 # shortestPath: ONE representative path per pair,
-                # deterministic (lexicographically least node list).
-                dist = dist.groupBy("src", "dst").agg(
+                # deterministic (lexicographically least node list; among
+                # PARALLEL edges over that same node list the rel-struct
+                # pick is arbitrary — endpoint-identical edges only).
+                aggs = [
                     F.min("hops").alias("hops"),
                     F.min("path_nodes").alias("path_nodes"),
-                )
+                ]
+                if want_rels:
+                    aggs.append(
+                        F.min_by("path_edges", F.struct("hops", "path_nodes")).alias(
+                            "path_edges"
+                        )
+                    )
+                dist = dist.groupBy("src", "dst").agg(*aggs)
         else:
             # Lengths only — the scale path: per-level pair dedup, and the
             # edge set is pre-deduped per frame using catalog metadata (no
@@ -866,6 +884,8 @@ class Compiler:
                     f"{p.hops_alias}__nodes"
                 )
             )
+            if want_rels:
+                sel.append(F.col("path_edges").alias(f"{p.hops_alias}__rels"))
         else:
             sel.append(F.col("hops").alias(p.hops_alias))
         dist = dist.select(*sel)
@@ -877,6 +897,8 @@ class Compiler:
         if p.with_nodes:
             scope[f"{p.hops_alias}__len"] = VarInfo("value")
             scope[f"{p.hops_alias}__nodes"] = VarInfo("value")
+            if want_rels:
+                scope[f"{p.hops_alias}__rels"] = VarInfo("value")
         else:
             scope[p.hops_alias] = VarInfo("value")
         return out, scope

@@ -124,6 +124,10 @@ class ShortestPath(Plan):
     # the compiler materializes <alias>__nodes / <alias>__len path-value
     # columns (otherwise only the hop count, the cheap pair-level BFS).
     with_nodes: bool = False
+    # relationships(p) consumed as a VALUE: additionally materialize
+    # <alias>__rels — per-hop edge structs in the unified path shape
+    # (same contract as Expand.path_rels).
+    path_rels: bool = False
 
 
 @dataclass

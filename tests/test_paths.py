@@ -160,3 +160,24 @@ def test_relationships_property_structs_mixed_segments(db):
     ).collect()
     ids = _ids(db)
     assert [(r.s, r.d) for r in rev] == [(ids["Alice"], ids["Bob"])]
+
+
+def test_shortestpath_relationships_property_structs(db):
+    """relationships(p) on a shortestPath/allShortestPaths NAMED path
+    yields the same unified property structs as regular named paths
+    (reference: full edge values on shortest paths, shortest_path.rs:1-18);
+    the length-only form keeps the cheap pair-level BFS."""
+    out = db.cypher(
+        "MATCH p = shortestPath((a:Person {name:'Heidi'})-[:KNOWS*..4]->(c:Person {name:'Carol'})) "
+        "RETURN length(p) AS l, [r IN relationships(p) | r.since] AS sinces, "
+        "relationships(p)[0].type AS t0"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.l == len(r.sinces) and r.t0 == "KNOWS"
+    assert all(isinstance(s, int) for s in r.sinces)
+    alls = db.cypher(
+        "MATCH p = allShortestPaths((a:Person {name:'Alice'})-[:KNOWS*..3]->(d:Person {name:'Dave'})) "
+        "RETURN size(relationships(p)) AS n, relationships(p)[0].since AS s0"
+    ).collect()
+    assert alls and all(x.n == x.n and x.s0 is not None for x in alls)
