@@ -374,9 +374,18 @@ def _filter_col(e, df: DataFrame) -> Column:
             # coerce to double; typed numeric columns (COUNT outputs etc.)
             # keep their type so int arithmetic stays int. Spark's `/` on
             # integers already returns fractional, matching xsd:decimal
-            # division.
+            # division. try_* variants, not the raw operators: SPARQL
+            # evaluation errors (x/0, overflow) must PROPAGATE — BIND
+            # leaves the var unbound, FILTER treats the row as false
+            # (§17.2) — while Spark 4's ANSI mode would throw and kill
+            # the query (caught by the round-8 division-by-zero pin).
             l, r = (_num_col(a, df) for a in e.args)
-            return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[op]
+            return {
+                "+": F.try_add(l, r),
+                "-": F.try_subtract(l, r),
+                "*": F.try_multiply(l, r),
+                "/": F.try_divide(l, r),
+            }[op]
         if op == "neg":
             return -_num_col(e.args[0], df)
         if op == "and":

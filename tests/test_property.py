@@ -176,3 +176,163 @@ def test_list_expressions_match_python(db, xs, m, t, lo, hi, k):
     hi_b = min(hi, n) if hi >= 0 else max(n + hi, 0)
     assert list(r.sl) == (xs[lo_b:hi_b] if hi_b > lo_b else [])
     assert list(r.acc) == [x + k for x in xs]
+
+
+# --------------------------------------------------------------------- #
+# round-8: SPARQL numeric-expression fuzzer (the r7 §17.3 grammar).
+# Random arithmetic/comparison/IF trees are rendered with MINIMAL
+# parentheses (so the hand-rolled parser must re-derive the tree purely
+# from precedence), compiled through BIND + FILTER, and compared against
+# a direct Python evaluation per row.
+# --------------------------------------------------------------------- #
+
+
+def _sparql_expr(depth=0):
+    atoms = st.one_of(
+        st.integers(-9, 9).map(lambda v: ("int", v)),
+        st.sampled_from([0.5, 1.5, 2.0, -0.25]).map(lambda v: ("float", v)),
+        st.just(("var_a",)),
+        st.just(("strlen",)),
+    )
+    if depth >= 3:
+        return atoms
+    sub = st.deferred(lambda: _sparql_expr(depth + 1))
+    return st.one_of(
+        atoms,
+        st.tuples(st.sampled_from(["+", "-", "*"]), sub, sub).map(
+            lambda t: ("bin", t[0], t[1], t[2])
+        ),
+        # division by a provably nonzero literal only (x/0 semantics are
+        # error-propagation, pinned separately below)
+        st.tuples(sub, st.sampled_from([2, 4, -3])).map(
+            lambda t: ("bin", "/", t[0], ("int", t[1]))
+        ),
+        sub.map(lambda e: ("neg", e)),
+        st.tuples(st.sampled_from(["<", "<=", ">", ">=", "=", "!="]), sub, sub).map(
+            lambda t: ("if", t[0], t[1], t[2])
+        ),
+    )
+
+
+def _render(e, parent_level=0):
+    # precedence: cmp-ish containers handle their own parens; add=1, mul=2,
+    # unary=3, atom=4. A child is parenthesized only when strictly weaker
+    # than its context, so the parser must reconstruct the tree from
+    # precedence alone.
+    kind = e[0]
+    if kind == "int":
+        return str(e[1]), 4
+    if kind == "float":
+        return repr(e[1]), 4
+    if kind == "var_a":
+        return "?a", 4
+    if kind == "strlen":
+        return "STRLEN(?s)", 4
+    if kind == "neg":
+        s, lvl = _render(e[1], 3)
+        if lvl < 3:
+            s = f"({s})"
+        return f"-{s}", 3
+    if kind == "if":
+        op, l, r = e[1], e[2], e[3]
+        ls, _ = _render(l, 0)
+        rs, _ = _render(r, 0)
+        return f"IF({ls} {op} {rs}, 1, 0)", 4
+    op = e[1]
+    mylvl = 1 if op in "+-" else 2
+    ls, llvl = _render(e[2], mylvl)
+    rs, rlvl = _render(e[3], mylvl)
+    if llvl < mylvl:
+        ls = f"({ls})"
+    # right child needs parens at EQUAL level too (left associativity)
+    if rlvl <= mylvl:
+        rs = f"({rs})"
+    return f"{ls} {op} {rs}", mylvl
+
+
+def _eval(e, a, s):
+    kind = e[0]
+    if kind in ("int", "float"):
+        return e[1]
+    if kind == "var_a":
+        return a
+    if kind == "strlen":
+        return len(s)
+    if kind == "neg":
+        return -_eval(e[1], a, s)
+    if kind == "if":
+        op, l, r = e[1], e[2], e[3]
+        lv, rv = _eval(l, a, s), _eval(r, a, s)
+        return 1 if {
+            "<": lv < rv, "<=": lv <= rv, ">": lv > rv,
+            ">=": lv >= rv, "=": lv == rv, "!=": lv != rv,
+        }[op] else 0
+    op, lv, rv = e[1], _eval(e[2], a, s), _eval(e[3], a, s)
+    if op == "+":
+        return lv + rv
+    if op == "-":
+        return lv - rv
+    if op == "*":
+        return lv * rv
+    return lv / rv  # denominator nonzero by construction
+
+
+@pytest.fixture(scope="module")
+def sparql_fuzz_db(spark):
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import TripleStore
+
+    EX = "http://ex.org/"
+    data = [(1, "ab"), (2, "xyz"), (3, ""), (5, "hello"), (8, "q")]
+    rows_ = []
+    for i, (a, s) in enumerate(data):
+        subj = f"{EX}r{i}"
+        rows_ += [
+            (subj, EX + "val", None, str(a), "http://www.w3.org/2001/XMLSchema#integer", None),
+            (subj, EX + "name", None, s, None, None),
+        ]
+    ts = TripleStore(
+        spark.createDataFrame(
+            rows_, "s string, p string, o_iri string, o_lit string, o_dt string, g string"
+        )
+    )
+    return GrafeoSpark(spark, graph=None, triples=ts), data
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(expr=_sparql_expr())
+def test_sparql_numeric_grammar_matches_python(sparql_fuzz_db, expr):
+    db, data = sparql_fuzz_db
+    text, _ = _render(expr)
+    q = (
+        "PREFIX ex: <http://ex.org/> "
+        f"SELECT ?x (({text}) AS ?v) WHERE {{ ?x ex:val ?a . ?x ex:name ?s }} "
+        "ORDER BY ?x"
+    )
+    got = {r.x.rsplit("/r", 1)[1]: r.v for r in db.sparql(q).collect()}
+    for i, (a, s) in enumerate(data):
+        want = _eval(expr, a, s)
+        g = got[str(i)]
+        assert g is not None, (text, a, s)
+        assert abs(float(g) - float(want)) < 1e-9, (text, a, s, g, want)
+        # integer-typed trees must come back integral-valued
+        if isinstance(want, int):
+            assert float(g) == int(want), (text, g, want)
+
+
+def test_sparql_division_by_zero_error_propagation(sparql_fuzz_db):
+    """SPARQL evaluation errors (x/0) leave BIND variables UNBOUND and
+    make FILTER conditions false — never a crash, never a row with a
+    wrong value (SPARQL 1.1 §17.2 error semantics)."""
+    db, data = sparql_fuzz_db
+    out = db.sparql(
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?x ((?a / 0) AS ?v) WHERE { ?x ex:val ?a } ORDER BY ?x"
+    ).collect()
+    assert len(out) == len(data) and all(r.v is None for r in out)
+    n = db.sparql(
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT (COUNT(*) AS ?c) WHERE { ?x ex:val ?a FILTER(?a / 0 > 0) }"
+    ).collect()[0].c
+    assert n == 0
