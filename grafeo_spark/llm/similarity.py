@@ -237,29 +237,39 @@ def _blocked_exact_pairs(
     if n_blocks is None:
         n_blocks = _n_blocks_for(base.count())
     withb = base.withColumn("_b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
+    # flat (ids, flattened matrix) layout — see _blocked_pair_scores: a
+    # list<struct> column materializes per-element Python objects on the
+    # Arrow->pandas boundary, which dominates at production dims
     grouped = withb.groupBy("_b").agg(
-        F.collect_list(F.struct("id", "_v")).alias("items")
+        F.collect_list("id").alias("ids"),
+        F.flatten(F.collect_list("_v")).alias("flat"),
     )
-    l = grouped.select(F.col("_b").alias("b1"), F.col("items").alias("items1"))
-    r = grouped.select(F.col("_b").alias("b2"), F.col("items").alias("items2"))
+    l = grouped.select(
+        F.col("_b").alias("b1"), F.col("ids").alias("ids1"), F.col("flat").alias("flat1")
+    )
+    r = grouped.select(
+        F.col("_b").alias("b2"), F.col("ids").alias("ids2"), F.col("flat").alias("flat2")
+    )
     pairs = l.join(r, F.col("b1") <= F.col("b2"))
 
     def compute(batches):
         import numpy as np
 
+        def mat(ids_cell, flat_cell):
+            ids = np.asarray(ids_cell, dtype=np.int64)
+            m = np.array(flat_cell, dtype=np.float64, copy=True).reshape(len(ids), -1)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m
+
         for pdf in batches:
             out_a, out_b, out_s = [], [], []
             for row in pdf.itertuples(index=False):
-                i1 = np.array([it["id"] for it in row.items1], dtype=np.int64)
-                v1 = np.array([it["_v"] for it in row.items1], dtype=np.float64)
-                v1 /= np.linalg.norm(v1, axis=1, keepdims=True)
+                i1, v1 = mat(row.ids1, row.flat1)
                 same = row.b1 == row.b2
                 if same:
                     i2, v2 = i1, v1
                 else:
-                    i2 = np.array([it["id"] for it in row.items2], dtype=np.int64)
-                    v2 = np.array([it["_v"] for it in row.items2], dtype=np.float64)
-                    v2 /= np.linalg.norm(v2, axis=1, keepdims=True)
+                    i2, v2 = mat(row.ids2, row.flat2)
                 s = v1 @ v2.T
                 ii, jj = np.nonzero(s >= threshold)
                 if same:
@@ -285,6 +295,128 @@ def _blocked_exact_pairs(
                 )
 
     return pairs.mapInPandas(compute, "a long, b long, score double")
+
+
+def _blocked_pair_scores(
+    base: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    n_blocks: Optional[int] = None,
+) -> DataFrame:
+    """Exact cosine for a CANDIDATE PAIR LIST, BLAS-vectorized.
+
+    Per-pair Catalyst ``aggregate`` lambdas interpret the dot product per
+    element — at dim 768 with 10⁷ candidates that is the plan's dominant
+    cost (measured 9× the bucket join). Instead: hash ids into blocks,
+    group candidate pairs by their (block_a, block_b), join each group
+    with the two blocks' collected vectors, and score every group's pairs
+    in one numpy row-wise einsum inside ``mapInPandas``. Per-task memory
+    is two blocks of vectors plus the group's pair list; the pair list is
+    ids only — vectors move once per (block, partner-block), never once
+    per pair.
+
+    ``base`` must have columns (id, _v: array<double>); ``pairs`` columns
+    (a, b). Returns (a, b, score) for score >= threshold."""
+    import math
+
+    import pandas as pd
+
+    if n_blocks is None:
+        # Block-count tension: every block ships to each of its B partner
+        # cells, so VECTOR traffic grows as 2·B·|V|·dim — B must stay
+        # small — while pairs spread over B² cells, so per-cell pair lists
+        # grow as P/B². The resolution: B only large enough to keep each
+        # cell's collected pair list modest (~200k), and the scoring UDF
+        # CHUNKS each cell's pairs so matrix allocations stay bounded
+        # regardless of cell size. (B from sqrt(P/8k) looked right for
+        # matrices but shipped 96 copies of the corpus at dim 768 —
+        # GC-thrashed the executor heap.)
+        pairs = pairs.localCheckpoint(eager=True)
+        n_pairs = pairs.count()
+        n_blocks = max(
+            _n_blocks_for(base.count()),
+            math.ceil(math.sqrt(max(n_pairs, 1) / 200_000.0)),
+        )
+    withb = base.withColumn("_b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
+    # FLAT layout, not list<struct>: Arrow->pandas turns nested structs
+    # into per-element Python dicts/floats (10⁸ objects at dim 768 — the
+    # conversion, not the math, dominated); plain array<long>/array<double>
+    # columns arrive as numpy arrays zero-ish-copy.
+    blocks = withb.groupBy("_b").agg(
+        F.collect_list("id").alias("ids"),
+        F.flatten(F.collect_list("_v")).alias("flat"),
+    )
+    p2 = (
+        pairs.join(
+            withb.select(F.col("id").alias("a"), F.col("_b").alias("_ba")), "a"
+        )
+        .join(withb.select(F.col("id").alias("b"), F.col("_b").alias("_bb")), "b")
+        .groupBy("_ba", "_bb")
+        .agg(F.collect_list("a").alias("pa"), F.collect_list("b").alias("pb"))
+    )
+    joined = (
+        p2.join(
+            blocks.select(
+                F.col("_b").alias("_ba"),
+                F.col("ids").alias("ids_a"),
+                F.col("flat").alias("flat_a"),
+            ),
+            "_ba",
+        ).join(
+            blocks.select(
+                F.col("_b").alias("_bb"),
+                F.col("ids").alias("ids_b"),
+                F.col("flat").alias("flat_b"),
+            ),
+            "_bb",
+        )
+    )
+
+    CHUNK = 65536  # pairs scored per gather/einsum allocation
+
+    def score(batches):
+        import numpy as np
+
+        def block_matrix(ids_cell, flat_cell):
+            ids = np.asarray(ids_cell, dtype=np.int64)
+            # copy: Arrow-backed buffers arrive read-only
+            M = np.array(flat_cell, dtype=np.float64, copy=True).reshape(len(ids), -1)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            order = np.argsort(ids)
+            return ids[order], M[order]
+
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids_a, A = block_matrix(row.ids_a, row.flat_a)
+                ids_b, Bm = block_matrix(row.ids_b, row.flat_b)
+                a_ids = np.asarray(row.pa, dtype=np.int64)
+                b_ids = np.asarray(row.pb, dtype=np.int64)
+                # id -> block-row position, all-vectorized (no per-pair
+                # Python): sorted block ids + searchsorted gathers
+                pos_a = np.searchsorted(ids_a, a_ids)
+                pos_b = np.searchsorted(ids_b, b_ids)
+                for lo in range(0, len(a_ids), CHUNK):
+                    sl = slice(lo, lo + CHUNK)
+                    s = np.einsum("ij,ij->i", A[pos_a[sl]], Bm[pos_b[sl]])
+                    keep = s >= threshold
+                    out_a.append(a_ids[sl][keep])
+                    out_b.append(b_ids[sl][keep])
+                    out_s.append(s[keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a),
+                        "b": np.concatenate(out_b),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+            else:
+                yield pd.DataFrame({"a": [], "b": [], "score": []}).astype(
+                    {"a": "int64", "b": "int64", "score": "float64"}
+                )
+
+    return joined.mapInPandas(score, "a long, b long, score double")
 
 
 def srp_tables_for_threshold(
@@ -329,7 +461,6 @@ def cosine_near_pairs(
     """
     v = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col).alias("id"), v.alias("_v"))
-    score = vfn.cosine_similarity(F.col("_va"), F.col("_vb"))
     if threshold < brute_force_below:
         return _blocked_exact_pairs(base, threshold)
     if tables is None:
@@ -339,25 +470,32 @@ def cosine_near_pairs(
     # All tables' codes in one Arrow-batched pass (broadcast plane tensor),
     # then posexplode to the (table, code) join key — same bucket topology
     # as the per-table union, at constant plan size in dim/nbits/tables.
+    # Bucket rows carry IDS ONLY: shipping vectors through the bucket
+    # self-join would move each vector once per table (24× at threshold
+    # 0.9) and verify candidates with the interpreted per-element
+    # aggregate — measured 9× the join cost at dim 768. Candidates dedup
+    # to a bare (a, b) list first; exact verification then runs
+    # BLAS-blocked (_blocked_pair_scores), moving each vector once per
+    # partner block.
     tensor = _plane_tensor(dim, nbits, seed, tables)
-    buckets = base.withColumn("_codes", _srp_codes_col(base, "_v", tensor)).select(
-        "id", "_v", F.posexplode("_codes").alias("t", "code")
+    # materialize the (id, t, code) bucket table before the self-join:
+    # tiny (tables rows per vector, three numeric columns), and without it
+    # BOTH join sides re-run the Arrow codes pass and the join planner
+    # sees no stats (profiled 10× slower end-to-end at dim 768)
+    buckets = (
+        base.withColumn("_codes", _srp_codes_col(base, "_v", tensor))
+        .select("id", F.posexplode("_codes").alias("t", "code"))
+        .localCheckpoint(eager=True)
     )
-    l = buckets.select(
-        F.col("t").alias("t1"), F.col("code").alias("c1"),
-        F.col("id").alias("a"), F.col("_v").alias("_va"),
-    )
-    r = buckets.select(
-        F.col("t").alias("t2"), F.col("code").alias("c2"),
-        F.col("id").alias("b"), F.col("_v").alias("_vb"),
-    )
+    l = buckets.select("t", "code", F.col("id").alias("a"))
+    r = buckets.select("t", "code", F.col("id").alias("b"))
     cands = (
-        l.join(r, (F.col("t1") == F.col("t2")) & (F.col("c1") == F.col("c2")) & (F.col("a") < F.col("b")))
-        .select("a", "b", score.alias("score"))
-        .filter(F.col("score") >= threshold)
+        l.join(r, ["t", "code"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .distinct()
     )
-    return cands
+    return _blocked_pair_scores(base, cands, threshold)
 
 
 def ann_join(
