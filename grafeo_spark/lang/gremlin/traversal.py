@@ -927,6 +927,15 @@ class Traversal:
             for _ in range(n):
                 t = t._apply_anon(body)
             return t
+        start = 0 if emit_first else 1
+        if n <= 3:
+            # shallow loops: the union-of-replays form (iteration k = the
+            # body applied k times) stays inside one whole-stage-codegen
+            # job — n(n+1)/2 <= 6 body applications, cheaper than paying
+            # a frontier serialization boundary per iteration. The
+            # iterative form below takes over where the replay count
+            # would grow quadratically.
+            return self.union(*[Anon(body._steps * k) for k in range(start, n + 1)])
         tvar = self._fresh()
         outs: list = []
         kind = None
@@ -941,7 +950,13 @@ class Traversal:
             if t.kind == "value":
                 raise GremlinError("repeat().times() with emit needs an element traversal")
             kind = t.kind
-            frontier = t.df.localCheckpoint(eager=True)
+            # LAZY checkpoint: times() has no mid-loop action (unlike
+            # until(), whose per-round isEmpty() makes eager free), so an
+            # eager checkpoint would add one materialization job per
+            # iteration — measured ~2x on the 2-hop battery entry. Lazy
+            # still computes each frontier once and keeps lineage flat
+            # when the final union executes.
+            frontier = t.df.localCheckpoint(eager=False)
             outs.append(self._frontier_renamed(frontier, t.cur, tvar))
             t = t._derive(frontier, t.cur, t.kind)
         out = outs[0]

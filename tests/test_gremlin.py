@@ -646,6 +646,8 @@ def test_repeat_times_emit_linear_plan(g):
         t = g.V().has("name", "Alice").repeat(__.out()).emit().times(n)
         return t.df._jdf.queryExecution().executedPlan().toString()
 
-    p2, p4 = plan_of(2), plan_of(4)
-    assert "Join" not in p4, "emit frontiers must be checkpointed scans, not join towers"
-    assert len(p4) < 3 * len(p2), f"plan growth not linear: {len(p2)} -> {len(p4)}"
+    # n <= 3 keeps the single-job replay form (codegen-friendly at
+    # trivial depth); from n=4 the iterative frontier loop takes over
+    p4, p6 = plan_of(4), plan_of(6)
+    assert "Join" not in p6, "emit frontiers must be checkpointed scans, not join towers"
+    assert len(p6) < 2 * len(p4), f"plan growth not linear: {len(p4)} -> {len(p6)}"

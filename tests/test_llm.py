@@ -1131,3 +1131,25 @@ def test_redact_pii(spark):
     assert out[1].n_ipv4 == 2 and out[1].text.count("<IP>") == 2
     assert out[2].text == "clean text without identifiers"
     assert out[2].n_email == out[2].n_ipv4 == out[2].n_phone == 0
+
+
+def test_srp_bucket_parquet_partition_pruning(spark, tmp_path, vectors):
+    """The HNSW substitute at rest: add_srp_buckets + parquet partitioned
+    by bucket means an ANN probe reads ONLY the probed buckets' partitions
+    (PartitionFilters in the scan, not a full-corpus read) — at 100 TB the
+    difference between an index lookup and a table scan."""
+    from grafeo_spark.llm import add_srp_buckets
+
+    df, _q = vectors
+    path = str(tmp_path / "bucketed")
+    add_srp_buckets(df, nbits=4).write.partitionBy("bucket").parquet(path)
+    back = spark.read.parquet(path)
+    probes = [0, 3, 7]
+    probed = back.filter(F.col("bucket").isin(probes))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
+    # identical candidate set to recomputing buckets in memory
+    mem = add_srp_buckets(df, nbits=4).filter(F.col("bucket").isin(probes))
+    assert sorted(r.vec_id for r in probed.collect()) == sorted(
+        r.vec_id for r in mem.collect()
+    )
