@@ -2504,15 +2504,78 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # before the first timed entry, so no battery entry absorbs first-job
 # JIT/codegen/first-scan cost anymore.
 _PRIORITY = [
-    # -- tier 1 (r7): the 8 new entries (adversarial batch #3, gremlin
-    # repeat/simplePath, graphql directives, real image-header decoder)
-    # plus the renamed simhash arm (its green row stands under the old
-    # name; the new name needs a fresh row)
-    # exactly 7 new entries lead so head(50) = these + all 43 standing
-    # rows (the staleness rule wins the window): the entries whose
-    # MACHINERY changed this round (rel-list BFS, ORDER BY translator,
-    # emit-until, SPARQL arithmetic grammar, directives) plus the renamed
-    # simhash arm
+    # -- r9 head, tier 1: the 12 entries with NO driver-green row ever
+    # (r7/r8 additions displaced past the window two rounds running --
+    # verdict r8 finding #1). Never-checked == infinitely stale, so the
+    # staleness guard (tests/test_rotation.py) forces them to lead.
+    "path_rels_props",
+    "sp_rels_props",
+    "multimodal_pixel_stats",
+    "decontam_hits",
+    "repetition_profile",
+    "pii_redacted",
+    "gremlin_repeat_reach",
+    "gremlin_simplepath_reach",
+    "multimodal_image_dims",
+    "multimodal_audio_meta",
+    "pack_sequences",
+    "split_documents",
+    # -- tier 2: 38 of the 49 entries standing on r6-green rows (2 rounds
+    # stale, at the policy limit). Verdict-suggested families lead:
+    # sparql updates, the path/varlen family, alg_* rows, knn/ann rows.
+    "sparql_update_roundtrip",
+    "sparql_graph_counts",
+    "varlen_asia_reach",
+    "shortest_customer_part",
+    "path_value_2hop",
+    "path_varlen_nodes",
+    "allshortest_customer_parts",
+    "sp_region_path_nodes",
+    "alg_degree_top",
+    "alg_wcc_sizes",
+    "alg_triangles",
+    "alg_bfs_depths",
+    "knn_cosine_top10",
+    "ann_knn_top10",
+    "bq_codes_hamming",
+    "reduce_quantifiers",
+    "list_slice_ops",
+    "nested_pattern_comp",
+    "pattern_comp_nations",
+    "chunk_documents",
+    "text_quality_stats",
+    "text_features_profile",
+    "sparql_filter_optional",
+    "sparql_minus_segment",
+    "sparql_path_customer_region",
+    "sparql_path_alt",
+    "sparql_path_inverse",
+    "sparql_path_star",
+    "sparql_construct_located",
+    "sparql_replace_filter",
+    "asia_customer_revenue",
+    "balance_bands",
+    "customers_without_orders",
+    "order_part_suppliers",
+    "mutation_roundtrip",
+    "graphql_three_level",
+    "flagship_customer_orders",
+    "q1_pricing_summary",
+    # -- window overflow: the remaining 11 r6-standing entries (the ~50-row
+    # driver prefix is full). All are thin BGP/ORDER-BY shells over
+    # machinery the in-window entries exercise; they LEAD the r10 window.
+    "unknown_label_empty",
+    "sparql_orderby_strlen",
+    "sparql_orderby_aggcall",
+    "sparql_region_names",
+    "sparql_nation_region_join",
+    "sparql_union_names",
+    "sparql_ask_region",
+    "sparql_values_nations",
+    "sparql_count_by_segment",
+    "sparql_describe_region",
+    "region_nations_sorted",
+    # -- tier 4: freshly r8-green entries; their rows stand.
     "varlen_rel_list_filter",
     "orderby_agg_expr",
     "sparql_arith_filter",
@@ -2520,12 +2583,6 @@ _PRIORITY = [
     "graphql_directive_skip",
     "gremlin_repeat_until_emit",
     "simhash_near_pairs_sha256",
-    # -- tier 2 (r7): the 43 entries standing on r5-green rows - per the
-    # policy's >2-rounds rule they must all be covered this round.
-    # Changed-code subsystems lead: gremlin (trail kinds, emit-until),
-    # then cypher (lambda compiler, ORDER BY), sparql (arithmetic
-    # grammar), graphql (directives), engine (find_nodes miss schema);
-    # the untouched dedup/similarity/streaming family follows.
     "gremlin_order_count",
     "gremlin_project_orders",
     "gremlin_segment_counts",
@@ -2567,82 +2624,10 @@ _PRIORITY = [
     "alg_pagerank_top",
     "events_windowed_counts",
     "events_sessionized",
-    # the last two are the window-overflow candidates if the cap is
-    # exactly 50: their operators (asof.py, functions/time.py) are
-    # untouched since their r5-green rows and remain pytest-covered
     "events_hourly_rollup",
     "events_asof_views",
-    # -- displaced new r7 entries (the ~50-row window is exhausted by the
-    # 7 above + the 43 standing): each is oracle-green in the local gate
-    # at sf0.001/sf0.01 (scripts/check.py) and pytest-pinned; they lead
-    # the r8 window
-    "gremlin_repeat_reach",
-    "gremlin_simplepath_reach",
-    "multimodal_image_dims",
-    "multimodal_audio_meta",
-    "pack_sequences",
-    "split_documents",
-    # -- new r8 entries: named-path relationship property structs,
-    # real pixel-level content decode, corpus filtering stages
-    "path_rels_props",
-    "sp_rels_props",
-    "multimodal_pixel_stats",
-    "decontam_hits",
-    "repetition_profile",
-    "pii_redacted",
-    # -- tier 3 (r7): r6-green entries; the lambda-compiler family leads
-    # (its compiler changed most this round) so any window slack covers
-    # it first
-    "reduce_quantifiers",
-    "list_slice_ops",
-    "nested_pattern_comp",
-    "pattern_comp_nations",
-    "unknown_label_empty",
-    "sparql_orderby_strlen",
-    "sparql_orderby_aggcall",
-    "chunk_documents",
-    "bq_codes_hamming",
-    "text_quality_stats",
-    "text_features_profile",
-    "sparql_region_names",
-    "sparql_nation_region_join",
-    "sparql_filter_optional",
-    "sparql_union_names",
-    "sparql_ask_region",
-    "sparql_values_nations",
-    "sparql_minus_segment",
-    "sparql_path_customer_region",
-    "sparql_count_by_segment",
-    "sparql_construct_located",
-    "sparql_path_alt",
-    "sparql_path_inverse",
-    "sparql_path_star",
-    "sparql_describe_region",
-    "sparql_replace_filter",
-    "sparql_graph_counts",
-    "sparql_update_roundtrip",
-    "varlen_asia_reach",
-    "shortest_customer_part",
-    "path_value_2hop",
-    "path_varlen_nodes",
-    "allshortest_customer_parts",
-    "sp_region_path_nodes",
-    "asia_customer_revenue",
-    "balance_bands",
-    "customers_without_orders",
-    "order_part_suppliers",
-    "mutation_roundtrip",
-    "graphql_three_level",
-    "knn_cosine_top10",
-    "ann_knn_top10",
-    "alg_degree_top",
-    "alg_wcc_sizes",
-    "alg_triangles",
-    "alg_bfs_depths",
-    "flagship_customer_orders",
-    "q1_pricing_summary",
-    "region_nations_sorted",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
