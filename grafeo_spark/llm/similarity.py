@@ -125,7 +125,29 @@ def srp_code(vec: Column, planes) -> Column:
     return code
 
 
-def _srp_codes_col(df: DataFrame, vec_col: str, tensor) -> Column:
+# Plane-tensor broadcasts keyed by (applicationId, dim, nbits, tables,
+# seed): the tensor is a pure function of those, so re-broadcasting one
+# per call only accumulates executor-side blocks in long-lived sessions.
+# The appId in the key keeps a fresh SparkSession from reusing a dead
+# broadcast.
+_PLANE_BC_CACHE: dict = {}
+
+
+def _plane_broadcast(sc, tensor, cache_key=None):
+    import numpy as np
+
+    if cache_key is not None:
+        key = (sc.applicationId,) + tuple(cache_key)
+        bc = _PLANE_BC_CACHE.get(key)
+        if bc is not None:
+            return bc
+    bc = sc.broadcast(np.ascontiguousarray(tensor, dtype=np.float64))
+    if cache_key is not None:
+        _PLANE_BC_CACHE[key] = bc
+    return bc
+
+
+def _srp_codes_col(df: DataFrame, vec_col: str, tensor, cache_key=None) -> Column:
     """All tables' bucket codes in ONE Arrow-batched pandas_udf:
     ``sign(V @ planes.T)`` bit-packed per table, against a sparkContext
     broadcast of the (tables, nbits, dim) plane tensor. Plan size is
@@ -133,10 +155,13 @@ def _srp_codes_col(df: DataFrame, vec_col: str, tensor) -> Column:
     BLAS matmul. Bit convention identical to `srp_code` (strict dot > 0,
     bit i weight 1 << i) so the seeded oracles replay bit-for-bit.
 
+    ``cache_key`` — pass (dim, nbits, tables, seed) to reuse one broadcast
+    per tensor per session instead of accumulating blocks.
+
     Returns an ``array<long>`` column, element t = table t's code."""
     import numpy as np
 
-    bc = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(tensor, dtype=np.float64))
+    bc = _plane_broadcast(df.sparkSession.sparkContext, tensor, cache_key)
 
     @F.pandas_udf("array<long>")
     def codes(v: pd.Series) -> pd.Series:
