@@ -9,6 +9,7 @@ differ between engines).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2490,15 +2491,19 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # The driver records oracle rows for a bounded prefix of this battery
-# (~50 entries), so ordering is coverage policy. STANDING ROTATION POLICY
-# (recompute each round from CORRECTNESS_r{N-1}.json):
-#   tier 1: entries whose code changed this round, plus any entry that was
-#           red / err / no_oracle last round, plus brand-new entries;
-#   tier 2: green entries ordered by rounds-since-last-checked, OLDEST
-#           first (an entry's green row goes stale as the compiler under
-#           it churns - nothing should sit unchecked for >2 rounds);
-#   tier 3: freshest-green entries rotate through remaining window slots;
-#   tier 4: remainder past the cap - their most recent green rows stand.
+# (~50 entries), so ordering is coverage policy. THE ORDERING IS
+# SELF-COMPUTING: queries() sorts the battery by staleness derived from
+# the CORRECTNESS_r*.json history at import time — last-green round
+# ascending, never-checked entries first (staleness -1), with _PRIORITY
+# position as the deterministic tiebreak. Hand rotation therefore no
+# longer exists (r9's standing-red-guard failure mode is gone by
+# construction): the driver always checks the stalest ~50 entries, and
+# a brand-new entry leads the window automatically.
+# STALENESS BOUND: 112 entries / 50-row window ⇒ every entry gets a
+# fresh driver row at least every ceil(112/50) = 3 rounds. (The old
+# ">2 rounds" phrasing was arithmetically unsatisfiable at this battery
+# size — restated per verdict r9 finding #4; tests/test_rotation.py
+# enforces the ≤3-round bound via the self-ordering invariant.)
 # Warm-up is no longer an ordering concern: bench.py runs an UNTIMED
 # preamble (per-table scan+agg, a shuffle, a Python-worker spin-up)
 # before the first timed entry, so no battery entry absorbs first-job
@@ -2630,6 +2635,42 @@ _PRIORITY = [
 
 
 
+def _last_green_rounds() -> dict[str, int]:
+    """Per-entry last driver-green round, from the CORRECTNESS_r*.json
+    history (green = rows_match and no err). Entries absent from every
+    file have never been driver-checked."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("rows_match") and not row.get("err"):
+                last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
+def battery_order(names) -> list:
+    """Deterministic driver-check ordering: stalest first (never-checked
+    entries lead with staleness -1), _PRIORITY position then name as the
+    tiebreak. Pure data — tests/test_rotation.py re-runs this exact
+    policy as the guard."""
+    last = _last_green_rounds()
+    pos = {n: i for i, n in enumerate(_PRIORITY)}
+    return sorted(names, key=lambda n: (last.get(n, -1), pos.get(n, len(_PRIORITY)), n))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, q in _CYPHER.items():
@@ -2637,9 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, q in _SPARQL.items():
         out[name] = _sparql_query(q)
     out.update(_DATAFRAME_QUERIES)
-    ordered = {n: out[n] for n in _PRIORITY if n in out}
-    ordered.update({n: f for n, f in out.items() if n not in ordered})
-    return ordered
+    return {n: out[n] for n in battery_order(out)}
 
 
 def oracle_sql() -> dict[str, str]:
