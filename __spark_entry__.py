@@ -1245,24 +1245,40 @@ def _pagerank_oracle_sql(iters: int = 10, alpha: float = 0.85) -> str:
 _ORACLE["alg_pagerank_top"] = _pagerank_oracle_sql()
 
 
-def _ann_oracle_sql(nbits: int = 8, dim: int = 64, seed: int = 42) -> str:
-    """DuckDB replay of `_ann_knn_top10`: same seeded hyperplanes as SQL
-    literals, same sign-bit codes, candidates = Hamming(code, qcode) <= 2
-    (exactly the multiprobe=2 probe set), exact cosine rerank ordered by
-    the RAW score (output rounded), matching the Spark side."""
-    from grafeo_spark.llm.similarity import _planes
+def _ann_oracle_sql(
+    nbits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    tables: int = 12,
+    multiprobe: int = 1,
+) -> str:
+    """DuckDB replay of `_ann_knn_top10`: same seeded hyperplane TABLES
+    (table t seeds at seed + 1000*t) folded in as SQL literals, same
+    sign-bit codes; a row is a candidate when ANY table's code is within
+    Hamming distance <= multiprobe of the query's code in that table —
+    exactly the multi-table probe set — then exact cosine rerank ordered
+    by the RAW score (output rounded), matching the Spark side."""
+    from grafeo_spark.llm.similarity import _plane_tensor
 
-    planes = _planes(dim, nbits, seed)
+    tensor = _plane_tensor(dim, nbits, seed, tables)
 
     def lst(p) -> str:
         return "[" + ", ".join(repr(float(x)) for x in p) + "]"
 
-    def code(col: str) -> str:
+    def code(col: str, t: int) -> str:
         return " + ".join(
             f"(CASE WHEN list_dot_product({col}, {lst(p)}) > 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
+            for i, p in enumerate(tensor[t])
         )
 
+    cols = ",\n               ".join(
+        f'{code("CAST(e.embedding AS DOUBLE[])", t)} AS code{t},\n'
+        f'               {code("q.qe", t)} AS qc{t}'
+        for t in range(tables)
+    )
+    probe = " OR ".join(
+        f"bit_count(xor(code{t}, qc{t})) <= {multiprobe}" for t in range(tables)
+    )
     return f"""
     WITH q AS (
         SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
@@ -1270,12 +1286,11 @@ def _ann_oracle_sql(nbits: int = 8, dim: int = 64, seed: int = 42) -> str:
     cand AS (
         SELECT e.vec_id,
                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS raw,
-               {code("CAST(e.embedding AS DOUBLE[])")} AS code,
-               {code("q.qe")} AS qc
+               {cols}
         FROM embeddings e, q
     )
     SELECT vec_id, round(raw, 6) AS score FROM cand
-    WHERE bit_count(xor(code, qc)) <= 2
+    WHERE {probe}
     ORDER BY raw DESC, vec_id ASC LIMIT 10
     """
 
@@ -1370,19 +1385,20 @@ def _alg_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-bucketed approximate top-10 for the vec_id=0 embedding — the
-    scale path (bucket probe + exact rerank of candidates only, no full
-    scan). The oracle replays the bucketing exactly: the hyperplanes are
-    deterministic (seeded numpy) and fold into the SQL as literal arrays,
-    and multiprobe=2's probe set is precisely the codes within Hamming
-    distance 2 of the query's code."""
+    """Multi-table SRP approximate top-10 for the vec_id=0 embedding at
+    the r10 DEFAULTS (12 tables, 8 bits, multiprobe=1) — the scale path
+    (bucket probe + exact rerank of candidates only, no full scan). The
+    oracle replays the bucketing exactly: all 12 tables' hyperplanes are
+    deterministic (seeded numpy) and fold into the SQL as literal arrays;
+    a candidate is any row whose code in SOME table lies within Hamming
+    distance 1 of the query's code in that table."""
     from pyspark.sql import functions as F
 
     from grafeo_spark.llm import ann_topk
 
     e = _embs(spark, sf_dir)
     q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    out = ann_topk(e, [float(x) for x in q], k=10, multiprobe=2)
+    out = ann_topk(e, [float(x) for x in q], k=10)
     return out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
 
 

@@ -381,6 +381,294 @@ class GrafeoSpark:
             return _empty(None)
         return out
 
+    # -- direct point mutations (database.rs:618-931 'side door';
+    # reference surface: tests/python/lpg/gql/test_property_apis.py) -----
+
+    @staticmethod
+    def _value_column(value):
+        """A typed Column literal for a Python value. Dicts become typed
+        STRUCTS (the typed-model shape of the reference's heterogeneous
+        maps — field access `m.x` keeps each field's own type);
+        homogeneous lists become arrays; heterogeneous lists degrade to
+        array<string> (a typed column must have one element type)."""
+        from pyspark.sql import functions as F
+
+        if isinstance(value, dict):
+            return F.struct(
+                *[GrafeoSpark._value_column(v).alias(str(k)) for k, v in value.items()]
+            )
+        if isinstance(value, (list, tuple)):
+            vals = list(value)
+            if not vals:
+                return F.lit([]).cast("array<string>")
+            if any(type(v) is not type(vals[0]) for v in vals):
+                return F.array(*[F.lit(str(v)) for v in vals])
+            return F.array(*[GrafeoSpark._value_column(v) for v in vals])
+        return F.lit(value)
+
+    def _node_labels_of(self, node_id) -> list[str]:
+        """Labels whose frame contains the id — ONE union-of-point-lookups
+        job (Parquet row-group stats make each branch a data-skipping
+        scan at rest)."""
+        from pyspark.sql import functions as F
+
+        out = None
+        for lbl, f in self.graph.node_frames.items():
+            cur = f.filter(F.col("id") == F.lit(node_id)).select(F.lit(lbl).alias("l"))
+            out = cur if out is None else out.unionAll(cur)
+        if out is None:
+            return []
+        return sorted(r.l for r in out.collect())
+
+    def _edge_type_of(self, edge_id) -> str | None:
+        """The edge type whose frame contains the id (frames without an
+        ``id`` column cannot match — reference ids are store-assigned,
+        ours are whatever the user loaded)."""
+        from pyspark.sql import functions as F
+
+        out = None
+        for t, f in self.graph.edge_frames.items():
+            if "id" not in f.columns:
+                continue
+            cur = f.filter(F.col("id") == F.lit(edge_id)).select(F.lit(t).alias("t"))
+            out = cur if out is None else out.unionAll(cur)
+        if out is None:
+            return None
+        rows = out.limit(1).collect()
+        return rows[0].t if rows else None
+
+    @staticmethod
+    def _with_prop(frame: DataFrame, row_id, key: str, value_col) -> DataFrame:
+        """One-frame conditional rewrite: set ``key`` to ``value_col`` on
+        the row with this id, preserving every other row (the same shape
+        the Cypher SET path builds; lineage truncated lazily so repeated
+        point mutations don't stack an unbounded plan)."""
+        from pyspark.sql import functions as F
+
+        cond = F.col("id") == F.lit(row_id)
+        if key in frame.columns:
+            new = F.when(cond, value_col).otherwise(F.col(key))
+        else:
+            new = F.when(cond, value_col)
+        return frame.withColumn(key, new).localCheckpoint(eager=False)
+
+    def set_node_property(self, node_id, key: str, value) -> None:
+        """Set one property on one node (set_node_property,
+        database.rs:618-660). Silent no-op when the id doesn't exist,
+        matching the reference binding (test_property_apis.py:472)."""
+        col = self._value_column(value)
+        for lbl in self._node_labels_of(node_id):
+            self.graph = self.graph.with_nodes(
+                lbl,
+                self._with_prop(self.graph.node_frames[lbl], node_id, key, col),
+                ids_disjoint=True,
+            )
+
+    def remove_node_property(self, node_id, key: str) -> bool:
+        """Remove one property from one node; True iff the node existed
+        AND carried a non-null value for ``key`` (database.rs:662-700;
+        test_property_apis.py:109-122). In the typed model removal sets
+        the column to null on that row (absent == null, lpg/node.rs)."""
+        from pyspark.sql import functions as F
+
+        labels = self._node_labels_of(node_id)
+        had = False
+        for lbl in labels:
+            f = self.graph.node_frames[lbl]
+            if key not in f.columns:
+                continue
+            cur = f.filter(
+                (F.col("id") == F.lit(node_id)) & F.col(key).isNotNull()
+            ).limit(1)
+            if cur.count() > 0:
+                had = True
+            self.graph = self.graph.with_nodes(
+                lbl, self._with_prop(f, node_id, key, F.lit(None)), ids_disjoint=True
+            )
+        return had
+
+    def set_edge_property(self, edge_id, key: str, value) -> None:
+        """Set one property on one edge (database.rs:702-740). Silent
+        no-op when the id doesn't exist (test_property_apis.py:476)."""
+        t = self._edge_type_of(edge_id)
+        if t is None:
+            return
+        self.graph = self.graph.with_edges(
+            t, self._with_prop(self.graph.edge_frames[t], edge_id, key, self._value_column(value))
+        )
+
+    def remove_edge_property(self, edge_id, key: str) -> bool:
+        """Remove one property from one edge; True iff the edge existed
+        and carried a non-null value (database.rs:742-780)."""
+        from pyspark.sql import functions as F
+
+        t = self._edge_type_of(edge_id)
+        if t is None:
+            return False
+        f = self.graph.edge_frames[t]
+        if key not in f.columns:
+            return False
+        had = (
+            f.filter((F.col("id") == F.lit(edge_id)) & F.col(key).isNotNull())
+            .limit(1)
+            .count()
+            > 0
+        )
+        self.graph = self.graph.with_edges(
+            t, self._with_prop(f, edge_id, key, F.lit(None))
+        )
+        return had
+
+    def add_node_label(self, node_id, label: str) -> bool:
+        """Add a label to an existing node; False when the node doesn't
+        exist or already carries the label (database.rs:782-830;
+        test_property_apis.py:168-182). Label partitioning makes this a
+        one-row append to the target label frame — the node's merged
+        property row flows in as a DataFrame, no driver materialization."""
+        from pyspark.sql import functions as F
+
+        labels = self._node_labels_of(node_id)
+        if not labels or label in labels:
+            return False
+        row = (
+            self.graph.nodes(None)
+            .filter(F.col("id") == F.lit(node_id))
+            .drop("_label", "_labels")
+        )
+        self.graph = self.graph.create_nodes(
+            label, row.localCheckpoint(eager=False), ids_disjoint=False
+        )
+        return True
+
+    def remove_node_label(self, node_id, label: str) -> bool:
+        """Remove a label from a node; False when the node doesn't carry
+        it (database.rs:832-880). Removing the row from that label's
+        frame IS the label removal — the node lives on under its other
+        labels (and disappears entirely when this was the last one,
+        matching the reference's empty-label-set node)."""
+        from pyspark.sql import functions as F
+
+        if label not in self.graph.node_frames:
+            return False
+        f = self.graph.node_frames[label]
+        if f.filter(F.col("id") == F.lit(node_id)).limit(1).count() == 0:
+            return False
+        self.graph = self.graph.with_nodes(
+            label,
+            f.filter(F.col("id") != F.lit(node_id)).localCheckpoint(eager=False),
+            ids_disjoint=True,
+        )
+        return True
+
+    def get_node_labels(self, node_id) -> list[str] | None:
+        """The node's label set, or None when the id doesn't exist
+        (database.rs:882-931; test_property_apis.py:200-210)."""
+        labels = self._node_labels_of(node_id)
+        return labels or None
+
+    def create_node(self, labels, properties: dict | None = None):
+        """Create one node with the given label(s) and properties; returns
+        a Row with the assigned ``id`` (create_node binding,
+        database.rs:618 family). The id comes from the shared max+1
+        allocator the query-language mutation paths use."""
+        from pyspark.sql import Row
+
+        if isinstance(labels, str):
+            labels = [labels]
+        nid = self.graph.next_node_id()
+        from pyspark.sql import functions as F
+
+        base = self.spark.range(1).select(F.lit(nid).cast("long").alias("id"))
+        for k, v in (properties or {}).items():
+            base = base.withColumn(k, self._value_column(v))
+        base = base.localCheckpoint(eager=True)
+        for lbl in labels:
+            self.graph = self.graph.create_nodes(
+                lbl, base, ids_disjoint=(len(labels) == 1)
+            )
+        return Row(id=nid, labels=tuple(labels))
+
+    def create_edge(self, src_id, dst_id, etype: str, properties: dict | None = None):
+        """Create one edge; returns a Row with the assigned ``id``
+        (create_edge binding). Edge ids share one max+1 pool across typed
+        frames that carry an ``id`` column."""
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        mx = 0
+        for f in self.graph.edge_frames.values():
+            if "id" in f.columns:
+                m = f.agg(F.max("id")).first()[0]
+                mx = max(mx, m if m is not None else 0)
+        eid = mx + 100  # clear of loader-assigned ranges
+        base = self.spark.range(1).select(
+            F.lit(eid).cast("long").alias("id"),
+            F.lit(src_id).cast("long").alias("src"),
+            F.lit(dst_id).cast("long").alias("dst"),
+        )
+        for k, v in (properties or {}).items():
+            base = base.withColumn(k, self._value_column(v))
+        self.graph = self.graph.create_edges(etype, base.localCheckpoint(eager=True))
+        return Row(id=eid, src=src_id, dst=dst_id, edge_type=etype)
+
+    def delete_node(self, node_id) -> bool:
+        """Delete one node (detaching its edges); False when the id
+        doesn't exist (delete_node binding; test_property_apis.py:354)."""
+        labels = self._node_labels_of(node_id)
+        if not labels:
+            return False
+        ids = self.spark.createDataFrame([(node_id,)], "id long")
+        for lbl in labels:
+            self.graph = self.graph.delete_nodes(lbl, ids, detach=True)
+        return True
+
+    def delete_edge(self, edge_id) -> bool:
+        """Delete one edge by id; False when the id doesn't exist
+        (delete_edge binding; test_property_apis.py:342-352)."""
+        from pyspark.sql import functions as F
+
+        t = self._edge_type_of(edge_id)
+        if t is None:
+            return False
+        f = self.graph.edge_frames[t]
+        self.graph = self.graph.with_edges(
+            t, f.filter(F.col("id") != F.lit(edge_id)).localCheckpoint(eager=False)
+        )
+        return True
+
+    def get_nodes_by_label(self, label: str, limit: int | None = None, offset: int = 0):
+        """Node rows of one label with deterministic id-ordered pagination
+        (get_nodes_by_label binding, test_property_apis.py:264-291).
+        offset/limit run inside Spark (Catalyst GlobalLimit) — only the
+        requested page is collected."""
+        df = self.graph.nodes(label).orderBy("id")
+        if offset:
+            df = df.offset(offset)
+        if limit is not None:
+            df = df.limit(limit)
+        return df.collect()
+
+    def get_property_batch(self, node_ids, key: str) -> list:
+        """One property for many nodes, aligned with the input order —
+        nulls for missing nodes/properties (get_property_batch binding,
+        test_property_apis.py:294-320). One semi-join job, not a per-id
+        loop."""
+        from pyspark.sql import functions as F
+
+        if not node_ids:
+            return []
+        merged = self.graph.nodes(None)
+        if key not in merged.columns:
+            return [None] * len(node_ids)
+        ids_df = self.spark.createDataFrame([(int(i),) for i in node_ids], "id long")
+        got = {
+            r.id: r.v
+            for r in merged.join(ids_df, "id", "left_semi")
+            .select("id", F.col(key).alias("v"))
+            .collect()
+        }
+        return [got.get(i) for i in node_ids]
+
     def schema(self) -> dict:
         """Schema description (grafeo-cli/src/commands/schema.rs analogue):
         per-label and per-edge-type column->Spark-type maps, the property

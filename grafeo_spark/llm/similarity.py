@@ -143,6 +143,12 @@ def _plane_broadcast(sc, tensor, cache_key=None):
             return bc
     bc = sc.broadcast(np.ascontiguousarray(tensor, dtype=np.float64))
     if cache_key is not None:
+        # evict entries keyed to dead applications: a restarted
+        # SparkSession gets a new appId, and the old session's broadcast
+        # handles would otherwise pin driver memory forever (and would be
+        # dead handles if ever returned)
+        for stale in [k for k in _PLANE_BC_CACHE if k[0] != sc.applicationId]:
+            del _PLANE_BC_CACHE[stale]
         _PLANE_BC_CACHE[key] = bc
     return bc
 
@@ -192,7 +198,23 @@ def add_srp_buckets(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     tensor = _plane_tensor(dim, nbits, seed, tables=1)
-    return df.withColumn("bucket", _srp_codes_col(df, vec_col, tensor).getItem(0))
+    codes = _srp_codes_col(df, vec_col, tensor, cache_key=(dim, nbits, 1, seed))
+    return df.withColumn("bucket", codes.getItem(0))
+
+
+def _probe_codes(qcode: int, nbits: int, multiprobe: int) -> list[int]:
+    """The query code's probe set: all codes within Hamming distance
+    <= multiprobe (0, 1 or 2 bit flips)."""
+    probes = {qcode}
+    if multiprobe >= 1:
+        probes |= {qcode ^ (1 << i) for i in range(nbits)}
+    if multiprobe >= 2:
+        probes |= {
+            qcode ^ (1 << i) ^ (1 << j)
+            for i in range(nbits)
+            for j in range(i + 1, nbits)
+        }
+    return sorted(int(p) for p in probes)
 
 
 def ann_topk(
@@ -205,20 +227,43 @@ def ann_topk(
     nbits: int = 8,
     seed: int = 42,
     multiprobe: int = 1,
+    tables: int = 12,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's bucket (+ buckets at Hamming
-    distance <= multiprobe), exact-rerank only the candidates."""
+    """Approximate top-k with MULTI-TABLE SRP probing: ``tables``
+    independent hyperplane tables (table t seeded at seed + 1000*t, the
+    same contract as `cosine_near_pairs`); a row is a candidate when ANY
+    table's code falls within Hamming distance <= multiprobe of the
+    query's code in that table; exact rerank of the candidates only.
+
+    Single-table SRP degrades as dim grows — at dim 768 one 8-bit table
+    with multiprobe=2 measured recall@10 = 0.5 (BENCH_SCALE.md) because
+    a true neighbor's 8 bits must ALL land near the query's in the one
+    table. With T tables the miss probability decays as (1-p_table)^T
+    while the candidate fraction stays the probe-set union, so the
+    recall/scan trade is tunable. Defaults (12 tables, 8 bits,
+    multiprobe=1) measure recall@10 >= 0.9 at dim 768 on a clustered
+    corpus while scanning a bounded candidate fraction
+    (scripts/ann_dim_proof.py; reference recall bar:
+    crates/grafeo-core/src/index/vector/hnsw.rs:5-8).
+
+    All tables' codes are computed in ONE Arrow-batched pass against a
+    session-cached broadcast plane tensor, so plan size stays constant
+    in dim and table count. Table 0's planes equal the single-table
+    seeding, so tables=1 reproduces the legacy probe set exactly."""
     import numpy as np
 
-    planes = _planes(len(query_vec), nbits, seed)
-    qbits = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0))
-    probes = {qbits}
-    if multiprobe >= 1:
-        probes |= {qbits ^ (1 << i) for i in range(nbits)}
-    if multiprobe >= 2:
-        probes |= {qbits ^ (1 << i) ^ (1 << j) for i in range(nbits) for j in range(i + 1, nbits)}
-    bucketed = add_srp_buckets(df, vec_col, nbits, seed, dim=len(query_vec))
-    cands = bucketed.filter(F.col("bucket").isin([int(p) for p in probes]))
+    dim = len(query_vec)
+    tensor = _plane_tensor(dim, nbits, seed, tables)
+    q = np.asarray(query_vec, dtype=np.float64)
+    weights = np.int64(1) << np.arange(nbits, dtype=np.int64)
+    qcodes = ((tensor @ q) > 0).astype(np.int64) @ weights  # (tables,)
+    codes = _srp_codes_col(df, vec_col, tensor, cache_key=(dim, nbits, tables, seed))
+    withc = df.withColumn("_codes", codes)
+    cond = None
+    for t in range(tables):
+        c = F.col("_codes").getItem(t).isin(_probe_codes(int(qcodes[t]), nbits, multiprobe))
+        cond = c if cond is None else (cond | c)
+    cands = withc.filter(cond).drop("_codes")
     return topk(cands, query_vec, k, id_col, vec_col, metric)
 
 
@@ -507,8 +552,9 @@ def cosine_near_pairs(
     # tiny (tables rows per vector, three numeric columns), and without it
     # BOTH join sides re-run the Arrow codes pass and the join planner
     # sees no stats (profiled 10× slower end-to-end at dim 768)
+    codes = _srp_codes_col(base, "_v", tensor, cache_key=(dim, nbits, tables, seed))
     buckets = (
-        base.withColumn("_codes", _srp_codes_col(base, "_v", tensor))
+        base.withColumn("_codes", codes)
         .select("id", F.posexplode("_codes").alias("t", "code"))
         .localCheckpoint(eager=True)
     )

@@ -1,14 +1,28 @@
-"""Production-dimension ANN rehearsal (follow-up to the r8 SRP rewrite).
+"""Production-dimension ANN rehearsal (r8 SRP rewrite; r10 multi-table).
 
 The r7 verdict's scale-killer was plan size at real embedding dims; the
-rewrite moved bucketing into one Arrow-batched broadcast-tensor pass.
-This measures the whole family EXECUTING at dim=768 — the regime the
-old literal-unrolled plan could not plan, let alone run:
+r8 rewrite moved bucketing into one Arrow-batched broadcast-tensor pass.
+The r9 verdict's carried weakness was single-table recall: one 8-bit
+table with multiprobe=2 measured recall@10 = 0.5 at dim 768. r10 makes
+multi-table probing the default (12 tables, multiprobe=1). This script
+measures the family EXECUTING at dim=768:
 
-- build + run cosine_near_pairs (24 tables, threshold 0.9) over N
-  clustered vectors, checking recall against planted near-duplicate
-  pairs (ground truth by construction);
-- ann_topk at multiprobe=2 vs exact topk (recall@10).
+- cosine_near_pairs (24 tables, threshold 0.9) over N clustered vectors,
+  recall against planted near-duplicate pairs (ground truth by
+  construction);
+- ann_topk at the r10 defaults vs exact topk — recall@10 averaged over
+  NQ queries on a CLUSTERED corpus (centers + noise, same-cluster cosine
+  ~0.75 — the regime real embedding corpora live in, and the regime ANN
+  benchmarks like SIFT/GloVe measure; reference recall bar: HNSW >95%
+  recall@10, crates/grafeo-core/src/index/vector/hnsw.rs:5-8), plus the
+  candidate fraction actually scanned (to prove the probe is not a
+  de-facto full scan);
+- the same measurement on an ISOTROPIC Gaussian corpus, reported but not
+  asserted: for i.i.d. N(0,I) data at dim 768 the query's true top-10
+  sit at cosine ~0.16 — statistically indistinguishable from the other
+  N-10 vectors — so NO sublinear structure (LSH, IVF, HNSW at bounded
+  ef) can find them without scanning ~everything; this is the
+  concentration-of-measure regime, not an index defect.
 
 Usage: python scripts/ann_dim_proof.py [N] [DIM] (default 20000 768)
 Prints one JSON line.
@@ -24,32 +38,73 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _mk_df(spark, mat):
+    return (
+        spark.createDataFrame(
+            [(i, mat[i].tolist()) for i in range(len(mat))],
+            "vec_id long, embedding array<float>",
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _recall_and_scan(spark, df, mat, queries, k=10):
+    """Mean recall@k of ann_topk (defaults) vs exact topk over the given
+    query row indices, plus the mean candidate fraction scanned."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.llm import ann_topk, topk
+    from grafeo_spark.llm.similarity import (
+        _plane_tensor,
+        _probe_codes,
+        _srp_codes_col,
+    )
+
+    n, dim = mat.shape
+    nbits, seed, tables, multiprobe = 8, 42, 12, 1
+    tensor = _plane_tensor(dim, nbits, seed, tables)
+    weights = np.int64(1) << np.arange(nbits, dtype=np.int64)
+    codes = _srp_codes_col(df, "embedding", tensor, cache_key=(dim, nbits, tables, seed))
+    withc = df.withColumn("_codes", codes).localCheckpoint(eager=True)
+
+    recalls, fracs = [], []
+    for qi in queries:
+        q = mat[qi].astype(np.float64)
+        qcodes = ((tensor @ q) > 0).astype(np.int64) @ weights
+        cond = None
+        for t in range(tables):
+            c = F.col("_codes").getItem(t).isin(_probe_codes(int(qcodes[t]), nbits, multiprobe))
+            cond = c if cond is None else (cond | c)
+        fracs.append(withc.filter(cond).count() / n)
+        approx = {r.id for r in ann_topk(df, q.tolist(), k=k).collect()}
+        exact = {r.id for r in topk(df, q.tolist(), k=k).collect()}
+        recalls.append(len(approx & exact) / k)
+    return float(np.mean(recalls)), float(np.mean(fracs))
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 768
 
     import numpy as np
 
-    from grafeo_spark.llm import ann_topk, cosine_near_pairs, topk
+    from grafeo_spark.llm import cosine_near_pairs
     from grafeo_spark.session import get_spark
 
     spark = get_spark("grafeo-ann-dim")
     spark.sparkContext.setLogLevel("ERROR")
-
     rng = np.random.default_rng(42)
+    out: dict = {"n": n, "dim": dim}
+
+    # -- near-pairs recall: isotropic base + planted dups (cosine ~0.995)
     base = rng.standard_normal((n, dim)).astype(np.float32)
-    # plant near-duplicates: vectors i and i+1 for even i < 2*K are
-    # small perturbations of each other (cosine ~0.995)
     K = 500
     for i in range(0, 2 * K, 2):
         base[i + 1] = base[i] + 0.07 * rng.standard_normal(dim).astype(np.float32)
-    ids = list(range(n))
-    df = spark.createDataFrame(
-        [(i, base[i].tolist()) for i in ids], "vec_id long, embedding array<float>"
-    ).repartition(32).localCheckpoint(eager=True)
-
-    out: dict = {"n": n, "dim": dim}
-
+    df = _mk_df(spark, base)
     t0 = time.perf_counter()
     pairs = cosine_near_pairs(df, threshold=0.9, nbits=8, tables=24, dim=dim)
     got = {(r.a, r.b) for r in pairs.collect()}
@@ -63,15 +118,38 @@ def main() -> None:
     }
     print(f"near_pairs: recall {found}/{K}, {len(got)} total, {dt:.1f}s", file=sys.stderr)
 
-    q = base[0].tolist()
+    # -- ann_topk recall: clustered corpus (the realistic regime)
+    n_centers = 64
+    centers = rng.standard_normal((n_centers, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_centers, size=n)
+    noise = rng.standard_normal((n, dim)) * (0.55 / np.sqrt(dim))
+    clustered = (centers[assign] + noise).astype(np.float32)
+    cdf = _mk_df(spark, clustered)
     t0 = time.perf_counter()
-    approx = [r.id for r in ann_topk(df, q, k=10, nbits=8, multiprobe=2).collect()]
-    dt_ann = time.perf_counter() - t0
-    exact = [r.id for r in topk(df, q, k=10).collect()]
-    out["ann_topk"] = {
-        "recall_at_10": round(len(set(approx) & set(exact)) / 10, 2),
-        "sec": round(dt_ann, 1),
+    rec_c, frac_c = _recall_and_scan(spark, cdf, clustered, queries=range(0, 200, 10))
+    out["ann_topk_clustered"] = {
+        "recall_at_10": round(rec_c, 3),
+        "scan_fraction": round(frac_c, 3),
+        "sec": round(time.perf_counter() - t0, 1),
     }
+    print(f"ann_topk clustered: recall {rec_c:.3f}, scan {frac_c:.3f}", file=sys.stderr)
+
+    # -- ann_topk recall: isotropic corpus (reported, not asserted — see
+    # module docstring: no sublinear index can win this regime)
+    t0 = time.perf_counter()
+    rec_i, frac_i = _recall_and_scan(spark, df, base, queries=range(0, 100, 20))
+    out["ann_topk_isotropic"] = {
+        "recall_at_10": round(rec_i, 3),
+        "scan_fraction": round(frac_i, 3),
+        "sec": round(time.perf_counter() - t0, 1),
+    }
+    print(f"ann_topk isotropic: recall {rec_i:.3f}, scan {frac_i:.3f}", file=sys.stderr)
+
+    assert rec_c >= 0.9, (
+        f"ann_topk recall@10 at dim {dim} on the clustered corpus is "
+        f"{rec_c:.3f} < 0.9 (reference bar: HNSW >95%)"
+    )
     print(json.dumps(out))
 
 

