@@ -42,6 +42,14 @@ from pyspark.sql import functions as F
 
 _CHECKPOINT_EVERY = 3
 
+# Target seen-pair rows per dedup task in reachable_pairs' early-exit
+# (algorithm) path: ~2M (origin, cur) longs ≈ 32 MB keeps the per-level
+# anti-join state comfortably in executor memory; scale-out absorbs the
+# same state with more executors. Env-tunable for deployment sizing.
+import os as _os
+
+_BFS_ROWS_PER_TASK = int(_os.environ.get("SPARK_GRAFT_BFS_ROWS_PER_TASK", "2000000"))
+
 Edges = Union[DataFrame, Sequence[DataFrame]]
 
 
@@ -289,6 +297,7 @@ def reachable_pairs(
     results = [frontier.withColumn("hops", F.lit(1))] if min_hops <= 1 else []
     hop = 1
     all_seen = frontier
+    seen_rows = frontier.count() if early_exit else 0
     while hop < eff_max:
         e = _hop(hop)
         hop += 1
@@ -300,14 +309,33 @@ def reachable_pairs(
         )
         if early_exit:
             nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
+            n_new = nxt.count()
+            if n_new == 0:
                 break
+            seen_rows += n_new
         elif hop % _CHECKPOINT_EVERY == 0:
             nxt = nxt.localCheckpoint(eager=False)
         frontier = nxt
-        all_seen = all_seen.unionByName(frontier).distinct()
+        # NO distinct here: frontier is already pair-distinct AND
+        # anti-joined against all_seen, so the union is distinct by
+        # construction — re-deduping it would shuffle the ENTIRE seen
+        # state every level, the superlinear watermark the r8 sf25
+        # measurement hit (BENCH_SCALE.md third decade).
+        all_seen = all_seen.unionByName(frontier)
         if early_exit and hop % _CHECKPOINT_EVERY == 0:
-            all_seen = all_seen.localCheckpoint(eager=True)
+            # hash-partition the seen state by the anti-join key with a
+            # partition count scaled to the OBSERVED state size (the r8
+            # verdict's shuffle-partition knob, wired): each level's
+            # left_anti then reuses this partitioning (no exchange on
+            # the big side), and per-task state stays bounded no matter
+            # how large the reachable set grows.
+            default_parts = int(
+                all_seen.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            parts = max(default_parts, -(-seen_rows // _BFS_ROWS_PER_TASK))
+            all_seen = all_seen.repartition(parts, "origin", "cur").localCheckpoint(
+                eager=True
+            )
         if hop >= min_hops:
             results.append(frontier.withColumn("hops", F.lit(hop)))
 

@@ -92,7 +92,11 @@ class Compiler:
             var, _, prop = name.partition("__")
             if prop and var in scope:
                 continue
-            sel.append(F.col(name))
+            # backtick-quote: unaliased `RETURN n.name` legitimately
+            # produces a DOTTED output column (openCypher naming), which
+            # bare F.col would misread as a struct-field path (TCK batch
+            # #5 finding)
+            sel.append(F.col(f"`{name}`") if "." in name else F.col(name))
         for var, info in scope.items():
             if info.kind in ("node", "edge") and any(c.startswith(var + "__") for c in df.columns):
                 fields = [F.col(_p(var, p)).alias(p) for p in info.props if _p(var, p) in df.columns]
@@ -1135,8 +1139,10 @@ class Compiler:
         keys = []
         for expr, asc in p.keys:
             c = self._expr(expr, scope, child)
-            # DuckDB-compatible default: nulls sort last in both directions.
-            keys.append(c.asc_nulls_last() if asc else c.desc_nulls_last())
+            # openCypher: null is LARGER than every other value (TCK
+            # orderby), so ASC puts nulls last and DESC puts them FIRST.
+            # (DuckDB oracles must spell NULLS FIRST on DESC keys.)
+            keys.append(c.asc_nulls_last() if asc else c.desc_nulls_first())
         return child.orderBy(*keys), scope
 
     def _count_param(self, n) -> int:
@@ -1412,6 +1418,13 @@ class Compiler:
                     lt=self._lambda_dtype(e.left, binds, btypes, scope, df),
                     rt=self._lambda_dtype(e.right, binds, btypes, scope, df),
                 )
+            if e.op == "/":
+                return self._divide(
+                    left,
+                    right,
+                    lt=self._lambda_dtype(e.left, binds, btypes, scope, df),
+                    rt=self._lambda_dtype(e.right, binds, btypes, scope, df),
+                )
             return self._binop_cols(e.op, left, right)
         if isinstance(e, E.UnOp):
             inner = self._lambda_expr(e.operand, binds, scope, df, btypes)
@@ -1609,9 +1622,10 @@ class Compiler:
             if isinstance(lt, DoubleType) or isinstance(rt, DoubleType):
                 return DoubleType()
             if e.op == "/":
-                # Spark's div on integers is fractional (SPARK ANSI `/`)
-                if isinstance(lt, LongType) or isinstance(rt, LongType):
-                    return DoubleType()
+                # Cypher `/`: integral ÷ integral is INTEGER division
+                # (_divide); either side double was handled above
+                if isinstance(lt, LongType) and isinstance(rt, LongType):
+                    return LongType()
                 return None
             # a NullType/unknown operand coerces to the numeric side
             # (x + 0 over a void element is BIGINT in Spark)
@@ -1650,7 +1664,29 @@ class Compiler:
                 lt=self._dtype_try(e.left, scope, df),
                 rt=self._dtype_try(e.right, scope, df),
             )
+        if e.op == "/":
+            return self._divide(
+                left,
+                right,
+                lt=self._dtype_try(e.left, scope, df),
+                rt=self._dtype_try(e.right, scope, df),
+            )
         return self._binop_cols(e.op, left, right, df)
+
+    @staticmethod
+    def _divide(left: Column, right: Column, lt=None, rt=None) -> Column:
+        """Cypher `/`: INTEGER division when both operands are integral
+        (truncating toward zero, Java semantics — openCypher TCK
+        `3 / 2 = 1`; filter.rs Divide), fractional otherwise. Spark's `/`
+        is always fractional, so the integral arm computes the exactly-
+        divisible numerator first: `%` has Java remainder semantics, so
+        (l - l % r) / r truncates toward zero."""
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+        integral = (ByteType, ShortType, IntegerType, LongType)
+        if isinstance(lt, integral) and isinstance(rt, integral):
+            return ((left - (left % right)) / right).cast("long")
+        return left / right
 
     def _dtype_try(self, e: E.Expr, scope: Scope, df: DataFrame):
         """Planning-time data type of an expression, cheaply when possible:
