@@ -9,6 +9,16 @@ Runs the declared query battery (``__spark_entry__.queries()``) at
 
 Everything else (progress, errors) goes to stderr so the stdout line stays
 machine-parsable.
+
+TRACKED NUMBER (r10 annotation, verdict r9 #7): the committed
+idle-machine battery is the performance baseline of record (r8: 108.8s
+/ 111 entries; see BENCH_SCALE.md). Per-round driver BENCH_r{N}.json
+runs share the machine with the round's own build/test workload and
+have measured 10-20% above idle on identical code (r8: six back-to-back
+batteries spread 108.8-156.1s with per-entry jitter in both
+directions). Round-over-round driver numbers are comparable to each
+other in aggregate; per-entry regressions are adjudicated with
+scripts/ab_isolated.py on an idle machine, never from battery rows.
 """
 
 from __future__ import annotations

@@ -1071,6 +1071,136 @@ def test_real_decode_features_stats():
     assert all(abs(a - b) < 1e-12 for a, b in zip(f, f2))
 
 
+def _make_gif(pixels, interlaced=False) -> bytes:
+    """Minimal GIF89a encoder (test-side): 128-entry global palette built
+    from the distinct pixel colors, LZW-coded in the classic
+    'uncompressed' form — min code size 7 so every code is exactly one
+    byte, with a clear code every 100 pixels so the table never forces a
+    code-width bump."""
+    h, w = len(pixels), len(pixels[0])
+    palette = sorted({p for row in pixels for p in row})
+    assert len(palette) <= 128
+    index = {p: i for i, p in enumerate(palette)}
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x06, 0, 0])  # GCT present, 2^(6+1)=128 entries
+    for p in palette:
+        out += bytes(p)
+    out += bytes(3 * (128 - len(palette)))
+    out += b"\x21\xfe\x05hello\x00"  # comment extension (must be skipped)
+    ipacked = 0x40 if interlaced else 0x00
+    out += (
+        b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([ipacked])
+    )
+    rows = list(range(h))
+    if interlaced:
+        rows = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+    codes = bytearray()
+    n = 0
+    for y in rows:
+        for x in range(w):
+            if n % 100 == 0:
+                codes.append(128)  # clear
+            codes.append(index[pixels[y][x]])
+            n += 1
+    codes.append(129)  # end of information
+    out += bytes([7])  # LZW min code size
+    for j in range(0, len(codes), 255):
+        chunk = codes[j : j + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_pixels_gif_roundtrip():
+    from grafeo_spark.llm.multimodal import decode_pixels
+
+    pixels = [
+        [((y * 3 + x) % 40, (x * 7) % 50, (y * 11) % 60) for x in range(6)]
+        for y in range(9)
+    ]
+    for interlaced in (False, True):
+        decoded = decode_pixels(_make_gif(pixels, interlaced=interlaced))
+        assert decoded is not None, f"interlaced={interlaced}"
+        fmt, w, h, c, rows = decoded
+        assert (fmt, w, h, c) == ("gif", 6, 9, 3)
+        got = [[(r[3 * x], r[3 * x + 1], r[3 * x + 2]) for x in range(w)] for r in rows]
+        assert got == pixels, f"interlaced={interlaced}"
+
+
+def test_decode_pixels_gif_real_lzw_compression():
+    """A repetitive image drives real LZW table growth (multi-pixel
+    dictionary entries + the code==len(table) self-reference case), not
+    just the literal-code form the roundtrip writer emits."""
+    from grafeo_spark.llm.multimodal import _gif_lzw, decode_pixels
+
+    # classic LZW stress: long runs -> codes that reference just-added
+    # entries. Build the code stream with a real mini LZW encoder.
+    w, h = 16, 8
+    idx = bytes(((x // 4) % 2) for y in range(h) for x in range(w))  # striped
+    min_code = 2
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code + 1
+    codes: list[tuple[int, int]] = [(clear, code_size)]
+    cur = b""
+    for b0 in idx:
+        nxt = cur + bytes([b0])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append((table[cur], code_size))
+        table[nxt] = next_code
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        next_code += 1
+        cur = bytes([b0])
+    codes.append((table[cur], code_size))
+    codes.append((end, code_size))
+    acc = nbits = 0
+    stream = bytearray()
+    for code, size in codes:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    assert _gif_lzw(bytes(stream), min_code, w * h) == idx
+    # wrap it in a full GIF and decode end-to-end
+    out = bytearray(b"GIF87a") + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80, 0, 0])  # 2-entry palette
+    out += bytes((10, 20, 30)) + bytes((200, 100, 50))
+    out += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([min_code]) + bytes([len(stream)]) + stream + b"\x00\x3b"
+    decoded = decode_pixels(bytes(out))
+    assert decoded is not None
+    fmt, gw, gh, c, rows = decoded
+    assert (fmt, gw, gh, c) == ("gif", 16, 8, 3)
+    assert rows[0][:6] == bytearray((10, 20, 30, 10, 20, 30))
+    assert rows[0][12:15] == bytearray((200, 100, 50))
+
+
+def test_decode_pixels_gif_corrupt_stays_none():
+    from grafeo_spark.llm.multimodal import decode_pixels
+
+    pixels = [[(1, 2, 3)] * 4] * 4
+    good = _make_gif(pixels)
+    assert decode_pixels(good[:30]) is None  # truncated mid-palette
+    assert decode_pixels(b"GIF89a" + b"\x00" * 20) is None
+    # corrupt LZW tail: must degrade to None or a bounded decode, never raise
+    bad = bytearray(good)
+    bad[-4] = 0xFF
+    decode_pixels(bytes(bad))
+
+
 # --------------------------------------------------------------------- #
 # round-8: adversarial NEAR-identical skew — the salted re-split fires
 # --------------------------------------------------------------------- #
