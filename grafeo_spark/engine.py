@@ -636,6 +636,78 @@ class GrafeoSpark:
         )
         return True
 
+    def create_vector_index(
+        self,
+        label: str,
+        column: str,
+        metric: str = "cosine",
+        dimensions: int | None = None,
+        m: int | None = None,
+        ef_construction: int | None = None,
+        name: str | None = None,
+    ) -> None:
+        """Programmatic vector-index declaration (create_vector_index
+        binding, database.rs:1021; reference surface
+        tests/python/lpg/gql/test_vectors.py:222-289) — same registry the
+        GQL ``CREATE VECTOR INDEX`` DDL populates, so vector_search's
+        approximate default routing applies either way. Validates like
+        the reference: unknown metric, vector-less label/column, and a
+        declared-dimension mismatch all raise RuntimeError. HNSW tuning
+        knobs (m, ef_construction) are ACCEPTED for surface parity and
+        ignored: the Spark substitute — multi-table SRP probing over a
+        broadcast plane tensor — has no graph to tune (SURVEY §2.11)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import ArrayType
+
+        from grafeo_spark.lang.ddl import VectorIndexDef
+        from grafeo_spark.llm.similarity import METRICS
+
+        if metric not in METRICS:
+            raise RuntimeError(
+                f"Unknown distance metric {metric!r}: expected one of {sorted(METRICS)}"
+            )
+        nodes = self.graph.nodes(label) if label in self.graph.node_frames else None
+        field = (
+            next((f for f in nodes.schema.fields if f.name == column), None)
+            if nodes is not None
+            else None
+        )
+        if field is None or not isinstance(field.dataType, ArrayType):
+            raise RuntimeError(f"No vector properties at {label}.{column}")
+        sample = (
+            nodes.filter(F.col(column).isNotNull())
+            .select(F.size(column).alias("d"))
+            .limit(1)
+            .collect()
+        )
+        if not sample:
+            raise RuntimeError(f"No vector properties at {label}.{column}")
+        actual = sample[0].d
+        if dimensions is not None and dimensions != actual:
+            raise RuntimeError(
+                f"dimension mismatch: declared {dimensions}, stored vectors have {actual}"
+            )
+        name = name or f"{label}_{column}_idx"
+        self._registry().vector_indexes[name] = VectorIndexDef(
+            name, label, column, dimensions or actual, metric
+        )
+
+    def batch_create_nodes(self, label: str, column: str, vectors) -> list[int]:
+        """Create one node per vector under the given label; returns the
+        assigned ids in input order (batch_create_nodes binding,
+        test_vectors.py:356-380). ONE frame append — the set-at-a-time
+        shape, not a per-vector loop."""
+        if not vectors:
+            return []
+        base = self.graph.next_node_id()
+        ids = list(range(base, base + len(vectors)))
+        df = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in zip(ids, vectors)],
+            f"id long, {column} array<double>",
+        ).localCheckpoint(eager=True)
+        self.graph = self.graph.create_nodes(label, df, ids_disjoint=True)
+        return ids
+
     def get_nodes_by_label(self, label: str, limit: int | None = None, offset: int = 0):
         """Node rows of one label with deterministic id-ordered pagination
         (get_nodes_by_label binding, test_property_apis.py:264-291).

@@ -211,6 +211,61 @@ def test_get_nodes_by_label_pagination(pdb):
     assert pdb.get_nodes_by_label("NonExistent") == []
 
 
+# -- programmatic vector index + batch node creation ---------------------
+# (reference surface: tests/python/lpg/gql/test_vectors.py:222-380)
+
+
+def test_create_vector_index_and_routing(pdb):
+    ids = pdb.batch_create_nodes("Doc", "embedding", [[1.0, 0.0], [0.0, 1.0], [0.7, 0.7]])
+    assert len(ids) == 3 and len(set(ids)) == 3
+    pdb.create_vector_index("Doc", "embedding")
+    assert pdb.vector_index_for("Doc", "embedding") is not None
+    got = pdb.vector_search("Doc", [1.0, 0.1], k=2).collect()
+    assert got[0].id == ids[0]  # nearest by cosine
+
+
+def test_create_vector_index_with_metric_and_dimensions(pdb):
+    pdb.batch_create_nodes("Doc", "embedding", [[1.0, 0.0, 0.0]])
+    pdb.create_vector_index("Doc", "embedding", metric="euclidean", dimensions=3)
+    assert pdb.vector_index_for("Doc", "embedding").metric == "euclidean"
+
+
+def test_create_vector_index_accepts_hnsw_tuning_params(pdb):
+    pdb.batch_create_nodes("Doc", "embedding", [[1.0, 0.0]])
+    pdb.create_vector_index("Doc", "embedding", m=16, ef_construction=200)
+
+
+def test_create_vector_index_no_vectors_fails(pdb):
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="No vector properties"):
+        pdb.create_vector_index("Person", "name")  # string column
+    with _pytest.raises(RuntimeError, match="No vector properties"):
+        pdb.create_vector_index("Ghost", "embedding")  # unknown label
+
+
+def test_create_vector_index_dimension_mismatch_fails(pdb):
+    import pytest as _pytest
+
+    pdb.batch_create_nodes("Doc", "embedding", [[1.0, 0.0, 0.0]])
+    with _pytest.raises(RuntimeError, match="dimension mismatch"):
+        pdb.create_vector_index("Doc", "embedding", dimensions=5)
+
+
+def test_create_vector_index_invalid_metric_fails(pdb):
+    import pytest as _pytest
+
+    pdb.batch_create_nodes("Doc", "embedding", [[1.0, 0.0]])
+    with _pytest.raises(RuntimeError, match="Unknown distance metric"):
+        pdb.create_vector_index("Doc", "embedding", metric="invalid")
+
+
+def test_batch_create_nodes_retrievable(pdb):
+    ids = pdb.batch_create_nodes("Vec", "data", [[1.0, 0.0], [0.0, 1.0]])
+    assert [list(pdb.get_node(i).data) for i in ids] == [[1.0, 0.0], [0.0, 1.0]]
+    assert pdb.batch_create_nodes("Vec", "data", []) == []
+
+
 def test_get_property_batch(pdb):
     vals = pdb.get_property_batch([1, 2, 3], "name")
     assert set(vals) == {"Alice", "Bob", "Charlie"}
