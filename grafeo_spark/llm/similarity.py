@@ -579,19 +579,53 @@ def ann_join(
     metric: str = "cosine",
     nbits: int = 8,
     seed: int = 42,
+    tables: int = 12,
+    multiprobe: int = 1,
+    dim: Optional[int] = None,
 ) -> DataFrame:
-    """Approximate k-NN join: bucket both sides on the same hyperplanes and
-    join on the bucket code — shuffle ∝ bucket occupancy, not n×m."""
+    """Approximate k-NN join with MULTI-TABLE probing (r10 — matches
+    ann_topk's recall fix; single-table bucketing had the same
+    recall-at-production-dim flaw): both sides get all ``tables`` codes
+    in one Arrow pass; the query side additionally explodes its
+    multiprobe set (codes within Hamming ≤ multiprobe, as flipped-bit
+    variants) so near-boundary neighbors still collide. The bucket join
+    carries IDS ONLY — vectors would otherwise travel once per (table ×
+    probe); candidates dedup to distinct (qid, iid) and the exact rerank
+    joins the two vector tables back once. Shuffle ∝ bucket occupancy,
+    never n×m."""
     fn, asc = METRICS[metric]
-    dim = len(items.select(vec_col).first()[0])
-    qb = add_srp_buckets(queries, vec_col, nbits, seed, dim).select(
-        F.col(query_id).alias("qid"), F.col(vec_col).cast("array<double>").alias("_qv"), "bucket"
+    if dim is None:
+        dim = len(items.select(vec_col).first()[0])
+    tensor = _plane_tensor(dim, nbits, seed, tables)
+    key = (dim, nbits, tables, seed)
+    qv = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).cast("array<double>").alias("_qv")
     )
-    ib = add_srp_buckets(items, vec_col, nbits, seed, dim).select(
-        F.col(item_id).alias("iid"), F.col(vec_col).cast("array<double>").alias("_iv"), "bucket"
+    iv = items.select(
+        F.col(item_id).alias("iid"), F.col(vec_col).cast("array<double>").alias("_iv")
     )
-    scored = qb.join(ib, "bucket").select(
-        "qid", "iid", fn(F.col("_qv"), F.col("_iv")).alias("score")
+    # probe-set explosion on the (usually smaller) query side: the exact
+    # code plus every ≤ multiprobe bit-flip variant
+    flips = [0]
+    if multiprobe >= 1:
+        flips += [1 << i for i in range(nbits)]
+    if multiprobe >= 2:
+        flips += [
+            (1 << i) ^ (1 << j) for i in range(nbits) for j in range(i + 1, nbits)
+        ]
+    qcodes = qv.withColumn("_codes", _srp_codes_col(qv, "_qv", tensor, cache_key=key))
+    qb = (
+        qcodes.select("qid", F.posexplode("_codes").alias("t", "_c"))
+        .withColumn("_f", F.explode(F.array(*[F.lit(f) for f in flips])))
+        .select("qid", "t", F.col("_c").bitwiseXOR(F.col("_f")).alias("code"))
+    )
+    icodes = iv.withColumn("_codes", _srp_codes_col(iv, "_iv", tensor, cache_key=key))
+    ib = icodes.select("iid", F.posexplode("_codes").alias("t", "code"))
+    cands = qb.join(ib, ["t", "code"]).select("qid", "iid").distinct()
+    scored = (
+        cands.join(qv, "qid")
+        .join(iv, "iid")
+        .select("qid", "iid", fn(F.col("_qv"), F.col("_iv")).alias("score"))
     )
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col("iid").asc()]
     w = Window.partitionBy("qid").orderBy(*order)

@@ -410,6 +410,32 @@ def test_ann_topk_multi_table_recall_dim768(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_ann_join_multi_table_recall_dim768(spark):
+    """ann_join (the batch_vector_search approximate default) shares
+    ann_topk's r10 multi-table fix; pin its recall at production dim."""
+    import numpy as np
+
+    from grafeo_spark.llm import ann_join, similarity_join
+
+    rng = np.random.default_rng(11)
+    n, dim, n_centers = 600, 768, 8
+    centers = rng.standard_normal((n_centers, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    mat = (
+        centers[rng.integers(0, n_centers, size=n)]
+        + rng.standard_normal((n, dim)) * (0.55 / np.sqrt(dim))
+    ).astype("float32")
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)], "vec_id long, embedding array<float>"
+    ).localCheckpoint(eager=True)
+    qs = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.qid, r.iid) for r in similarity_join(qs, df, k=5).collect()
+    }
+    approx = {(r.qid, r.iid) for r in ann_join(qs, df, k=5, dim=dim).collect()}
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
 def test_ann_topk_tables1_matches_legacy_probe(vectors):
     """tables=1 must reproduce the pre-r10 single-table probe set (table 0
     seeds identically), so existing pipelines pinning tables=1 see
