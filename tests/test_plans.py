@@ -261,6 +261,12 @@ def test_srp_plan_constant_size_at_dim768(spark):
     rng = np.random.default_rng(7)
     rows = [(i, [float(x) for x in rng.standard_normal(768)]) for i in range(8)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # warm the session first: a cold JVM + Python-worker spin-up costs
+    # 5-10s on its own and this guard times PLAN CONSTRUCTION (the
+    # regression it pins was minutes of driver-side analysis at
+    # tables×nbits×dim literal nodes), not first-job startup — without
+    # this the test is order-dependent (fails when run isolated, r10)
+    cosine_near_pairs(df, threshold=0.9, nbits=4, tables=2, dim=768).count()
     t0 = time.monotonic()
     out = cosine_near_pairs(df, threshold=0.9, nbits=8, tables=24, dim=768)
     analyzed = out._jdf.queryExecution().analyzed().toString()
