@@ -1177,8 +1177,20 @@ class Compiler:
         return child, scope
 
     def _c_unwind(self, p: ir.Unwind) -> tuple[DataFrame, Scope]:
+        from pyspark.sql.types import NullType
+
         child, scope = self._compile(p.child)
-        out = child.withColumn(p.alias, F.explode(self._expr(p.expr, scope, child)))
+        col = self._expr(p.expr, scope, child)
+        # UNWIND null produces no rows (openCypher, TCK #6). explode()
+        # already does that for a null ARRAY, but a bare null literal is
+        # VOID-typed and fails analysis — give it an array type first.
+        if isinstance(p.expr, E.Lit) and p.expr.value is None:
+            col = col.cast("array<string>")
+        else:
+            dt = self._dtype_try(p.expr, scope, child)
+            if isinstance(dt, NullType):
+                col = col.cast("array<string>")
+        out = child.withColumn(p.alias, F.explode(col))
         scope = dict(scope)
         scope[p.alias] = VarInfo("value")
         return out, scope
@@ -1905,11 +1917,14 @@ class Compiler:
         simple = {
             "coalesce": lambda a: F.coalesce(*a),
             "tostring": lambda a: a[0].cast("string"),
-            "tointeger": lambda a: a[0].cast("long"),
-            "toint": lambda a: a[0].cast("long"),
-            "tofloat": lambda a: a[0].cast("double"),
-            "toboolean": lambda a: a[0].cast("boolean"),
-            "tobool": lambda a: a[0].cast("boolean"),
+            # to* conversions return null for malformed input (openCypher
+            # toInteger('abc') = null; filter.rs to_int) — ANSI cast would
+            # raise, so try_cast
+            "tointeger": lambda a: a[0].try_cast("long"),
+            "toint": lambda a: a[0].try_cast("long"),
+            "tofloat": lambda a: a[0].try_cast("double"),
+            "toboolean": lambda a: a[0].try_cast("boolean"),
+            "tobool": lambda a: a[0].try_cast("boolean"),
             "abs": lambda a: F.abs(a[0]),
             "ceil": lambda a: F.ceil(a[0]),
             "ceiling": lambda a: F.ceil(a[0]),
@@ -1994,7 +2009,9 @@ class Compiler:
                 return F.count_distinct(arg) if e.distinct else F.count(arg)
             arg = self._expr(e.args[0], scope, df)
             if name == "sum":
-                return F.sum_distinct(arg) if e.distinct else F.sum(arg)
+                # openCypher: sum over no rows is 0, not null (TCK #6)
+                s = F.sum_distinct(arg) if e.distinct else F.sum(arg)
+                return F.coalesce(s, F.lit(0))
             if name in ("avg", "mean"):
                 return F.avg(arg)
             if name == "min":
@@ -2005,9 +2022,17 @@ class Compiler:
                 lst = F.collect_list(arg)
                 return F.array_distinct(lst) if e.distinct else lst
             if name == "stdev":
-                return F.stddev_samp(arg)
+                # openCypher: a single value has deviation 0 (Spark's
+                # stddev_samp yields null/NaN for n=1); no rows stay null
+                return F.when(
+                    F.count(arg) >= 1,
+                    F.coalesce(F.nanvl(F.stddev_samp(arg), F.lit(0.0)), F.lit(0.0)),
+                )
             if name == "stdevp":
-                return F.stddev_pop(arg)
+                return F.when(
+                    F.count(arg) >= 1,
+                    F.coalesce(F.nanvl(F.stddev_pop(arg), F.lit(0.0)), F.lit(0.0)),
+                )
             if name == "percentilecont":
                 p = e.args[1].value if isinstance(e.args[1], E.Lit) else 0.5
                 return F.percentile(arg, F.lit(p))

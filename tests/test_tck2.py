@@ -1,0 +1,217 @@
+"""Adversarial batch #6: openCypher TCK slice, part 2 (round 10).
+
+Pattern-matching edge cases (cycle closes, undirected expansion,
+relationship uniqueness, disconnected patterns), aggregation edge cases
+(empty input, percentiles, stdev, null grouping keys), string/scalar
+conversion functions, and UNWIND semantics. Read-only against the
+shared social fixture.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import rows
+
+
+# -- pattern matching ----------------------------------------------------
+
+
+def test_cycle_close_triangle(db):
+    out = db.cypher(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person)-[:KNOWS]->(c:Person)<-[:KNOWS]-(a) "
+        "RETURN a.name AS a, b.name AS b, c.name AS c"
+    )
+    assert rows(out) == [("Alice", "Bob", "Carol")]
+
+
+def test_undirected_expansion_counts_both_directions(db):
+    out = db.cypher(
+        "MATCH (a:Person {name: 'Alice'})-[:KNOWS]-(b) RETURN b.name AS name"
+    )
+    assert rows(out) == [("Bob",), ("Carol",), ("Heidi",)]
+
+
+def test_two_match_clauses_cross_join(db):
+    out = db.cypher(
+        "MATCH (a:Person {name: 'Alice'}) MATCH (b:Person {name: 'Bob'}) "
+        "RETURN a.age + b.age AS s"
+    )
+    assert rows(out) == [(70,)]
+
+
+def test_disconnected_pattern_in_one_match(db):
+    out = db.cypher(
+        "MATCH (a:Person {name: 'Alice'}), (b:Person {city: 'LA'}) "
+        "RETURN b.name AS name"
+    )
+    assert rows(out) == [("Bob",), ("Eve",)]
+
+
+def test_relationship_uniqueness_two_hops(db):
+    # openCypher relationship isomorphism: a relationship may appear once
+    # per match; the 7 directed 2-hop paths in the fixture
+    out = db.cypher(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person)-[:KNOWS]->(c:Person) "
+        "RETURN count(*) AS n"
+    )
+    assert out.collect()[0].n == 7
+
+
+def test_anonymous_pattern_count(db):
+    assert db.cypher("MATCH ()-[:KNOWS]->() RETURN count(*) AS n").collect()[0].n == 7
+
+
+def test_node_variable_reuse_across_patterns(db):
+    # same variable in both MATCH clauses = equi-constraint, not cartesian
+    out = db.cypher(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person {name: 'Bob'}) "
+        "MATCH (a)-[:KNOWS]->(c:Person {name: 'Carol'}) RETURN a.name AS name"
+    )
+    assert rows(out) == [("Alice",)]
+
+
+# -- aggregation edge cases ----------------------------------------------
+
+
+def test_aggregates_over_empty_input(db):
+    r = db.cypher(
+        "MATCH (n:Person) WHERE n.age > 1000 "
+        "RETURN count(*) AS c, sum(n.age) AS s, avg(n.age) AS a, "
+        "collect(n.name) AS l, min(n.age) AS lo"
+    ).collect()[0]
+    # openCypher: count 0, sum 0, avg null, collect [], min null
+    assert r.c == 0 and r.s == 0 and r.a is None
+    assert list(r.l) == [] and r.lo is None
+
+
+def test_percentiles(db):
+    r = db.cypher(
+        "MATCH (n:Person) RETURN percentileCont(n.age, 0.5) AS med, "
+        "percentileDisc(n.age, 0.5) AS dmed, percentileCont(n.age, 0.0) AS lo, "
+        "percentileCont(n.age, 1.0) AS hi"
+    ).collect()[0]
+    # ages: 22,28,30,33,35,40,45,50 -> cont median 34, disc median 33
+    assert abs(r.med - 34.0) < 1e-9 and r.dmed == 33
+    assert r.lo == 22.0 and r.hi == 50.0
+
+
+def test_stdev_single_row_is_zero(db):
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN stdev(n.age) AS s, stdevP(n.age) AS p"
+    ).collect()[0]
+    assert r.s == 0.0 and r.p == 0.0
+
+
+def test_count_distinct(db):
+    r = db.cypher(
+        "MATCH (n:Person) RETURN count(DISTINCT n.city) AS c, count(n.city) AS t"
+    ).collect()[0]
+    assert r.c == 5 and r.t == 8
+
+
+def test_group_by_null_key_single_group(db):
+    out = db.cypher(
+        "MATCH (n:Person) RETURN n.missing AS k, count(*) AS c"
+    ).collect()
+    assert len(out) == 1 and out[0].k is None and out[0].c == 8
+
+
+def test_aggregate_expression_of_aggregates(db):
+    r = db.cypher(
+        "MATCH (n:Person) RETURN max(n.age) - min(n.age) AS spread"
+    ).collect()[0]
+    assert r.spread == 28
+
+
+# -- string / conversion functions ----------------------------------------
+
+
+def test_string_function_battery(db):
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN "
+        "toUpper(n.name) AS up, toLower(n.name) AS lo, reverse(n.name) AS rev, "
+        "substring(n.name, 1, 3) AS sub, left(n.name, 2) AS l, right(n.name, 2) AS r, "
+        "replace(n.name, 'li', 'LI') AS rep, trim('  x  ') AS t"
+    ).collect()[0]
+    assert (r.up, r.lo, r.rev) == ("ALICE", "alice", "ecilA")
+    assert (r.sub, r.l, r.r, r.rep, r.t) == ("lic", "Al", "ce", "ALIce", "x")
+
+
+def test_split_and_size(db):
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN split('a,b,c', ',') AS parts"
+    ).collect()[0]
+    assert list(r.parts) == ["a", "b", "c"]
+
+
+def test_conversion_functions(db):
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN "
+        "toInteger('42') AS i, toInteger('abc') AS bad, toFloat('2.5') AS f, "
+        "toString(n.age) AS s, toBoolean('true') AS b"
+    ).collect()[0]
+    assert r.i == 42 and r.bad is None
+    assert abs(r.f - 2.5) < 1e-12 and r.s == "30" and r.b is True
+
+
+def test_tointeger_truncates_float(db):
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN toInteger(3.9) AS a, toInteger(-3.9) AS b"
+    ).collect()[0]
+    assert r.a == 3 and r.b == -3
+
+
+# -- UNWIND semantics ------------------------------------------------------
+
+
+def test_unwind_empty_and_null_produce_no_rows(db):
+    assert db.cypher("UNWIND [] AS x RETURN x").count() == 0
+    assert db.cypher("UNWIND null AS x RETURN x").count() == 0
+
+
+def test_unwind_nested_lists(db):
+    out = db.cypher("UNWIND [[1, 2], [3]] AS l UNWIND l AS x RETURN x ORDER BY x")
+    assert [r.x for r in out.collect()] == [1, 2, 3]
+
+
+def test_unwind_range_with_where(db):
+    out = db.cypher("UNWIND range(1, 10) AS x WITH x WHERE x % 3 = 0 RETURN x ORDER BY x")
+    assert [r.x for r in out.collect()] == [3, 6, 9]
+
+
+def test_unwind_preserves_duplicates_and_order(db):
+    out = db.cypher("UNWIND [3, 1, 3, 2] AS x RETURN x")
+    assert [r.x for r in out.collect()] == [3, 1, 3, 2]
+
+
+def test_unwind_collect_roundtrip(db):
+    r = db.cypher(
+        "MATCH (n:Person) WITH collect(n.age) AS ages UNWIND ages AS a "
+        "RETURN count(a) AS c, sum(a) AS s"
+    ).collect()[0]
+    assert r.c == 8 and r.s == 283
+
+
+# -- entity introspection ---------------------------------------------------
+
+
+def test_labels_and_id(db):
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN labels(n) AS l, id(n) AS i"
+    ).collect()[0]
+    assert list(r.l) == ["Person"] and r.i == 1
+
+
+def test_keys_skips_null_properties(db):
+    # openCypher: keys(n) lists only present (non-null) properties
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN keys(n) AS k"
+    ).collect()[0]
+    assert sorted(r.k) == ["age", "city", "name"]
+
+
+def test_properties_map(db):
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN properties(n) AS p"
+    ).collect()[0]
+    p = r.p.asDict() if hasattr(r.p, "asDict") else dict(r.p)
+    assert p["name"] == "Alice" and p["age"] == 30 and p["city"] == "NYC"
