@@ -215,3 +215,60 @@ def test_properties_map(db):
     ).collect()[0]
     p = r.p.asDict() if hasattr(r.p, "asDict") else dict(r.p)
     assert p["name"] == "Alice" and p["age"] == 30 and p["city"] == "NYC"
+
+
+def test_type_function(db):
+    out = db.cypher("MATCH ()-[r:KNOWS]->() RETURN DISTINCT type(r) AS t")
+    assert rows(out) == [("KNOWS",)]
+
+
+def test_negative_list_index_and_slice(db):
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN [10, 20, 30][-1] AS v, "
+        "[1, 2, 3, 4][-2..] AS s, [1, 2, 3, 4][..-2] AS h"
+    ).collect()[0]
+    assert r.v == 30 and list(r.s) == [3, 4] and list(r.h) == [1, 2]
+
+
+def test_xor_operator(db):
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN "
+        "true XOR false AS a, true XOR true AS b"
+    ).collect()[0]
+    assert r.a is True and r.b is False
+
+
+def test_range_with_negative_step(db):
+    out = db.cypher("UNWIND range(5, 1, -2) AS x RETURN x")
+    assert [r.x for r in out.collect()] == [5, 3, 1]
+
+
+def test_zero_length_varlen_includes_start(db):
+    out = db.cypher(
+        "MATCH (a:Person {name: 'Alice'})-[:KNOWS*0..1]->(b) RETURN b.name AS n"
+    )
+    # zero hops binds b to a itself; one hop reaches Bob and Carol
+    assert rows(out) == [("Alice",), ("Bob",), ("Carol",)]
+
+
+def test_string_plus_concatenation(db):
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN n.name + '!' AS s, "
+        "'x' + 1 AS m"
+    ).collect()[0]
+    assert r.s == "Alice!" and r.m == "x1"
+
+
+def test_merge_unbound_relationship_endpoints_rejected_loudly(db):
+    # the reference's MERGE supports single-node patterns only
+    # (cypher_translator.rs:524 'we only support simple single-node
+    # patterns'); ours additionally supports bound-endpoint edge MERGE
+    # and must reject the unbound form with a clear message, not
+    # silently create garbage
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="MERGE relationship endpoints"):
+        db.cypher(
+            "MERGE (a:Person {name: 'Alice'})-[r:KNOWS]->(b:Person {name: 'Bob'}) "
+            "RETURN count(*) AS c"
+        )
