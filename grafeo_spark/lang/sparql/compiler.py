@@ -459,12 +459,19 @@ def _builtin(name: str, args: list[Column]) -> Column:
         "contains": lambda a: a[0].contains(a[1]),
         "strstarts": lambda a: a[0].startswith(a[1]),
         "strends": lambda a: a[0].endswith(a[1]),
-        "strbefore": lambda a: F.substring_index(a[0], a[1], 1),
+        # SPARQL §17.4.3.4-5: "" when the separator is absent. instr via
+        # call_function because F.substring_index/F.locate require plain
+        # Python delimiters, not Columns; instr('abc','') = 1 also gives
+        # the spec's empty-separator results (STRBEFORE -> "",
+        # STRAFTER -> whole string)
+        "strbefore": lambda a: F.when(
+            F.call_function("instr", a[0], a[1]) > 0,
+            a[0].substr(F.lit(1), F.call_function("instr", a[0], a[1]) - 1),
+        ).otherwise(F.lit("")),
         "strafter": lambda a: F.when(
-            a[0].contains(a[1]),
-            F.substring(
-                a[0],
-                F.length(F.substring_index(a[0], a[1], 1)) + F.length(a[1]) + 1,
+            F.call_function("instr", a[0], a[1]) > 0,
+            a[0].substr(
+                F.call_function("instr", a[0], a[1]) + F.length(a[1]),
                 F.length(a[0]),
             ),
         ).otherwise(F.lit("")),
@@ -489,6 +496,10 @@ def _builtin(name: str, args: list[Column]) -> Column:
         & ~a[0].rlike(_IRI_SHAPE)
         & ~a[0].startswith("_:"),
         "isnumeric": lambda a: a[0].cast("double").isNotNull(),
+        # sameTerm: exact RDF-term identity — in the collapsed lexical
+        # binding model that is strict string equality, no numeric
+        # coercion (SPARQL §17.4.1.8; filter ops in planner_rdf.rs)
+        "sameterm": lambda a: a[0] == a[1],
     }
     if name not in table:
         raise SparqlCompileError(f"unsupported builtin {name}()")

@@ -228,7 +228,7 @@ _TOKEN = re.compile(
     (?P<ws>\s+|\#[^\n]*)
   | (?P<iri><[^>]*>)
   | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
-  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<num>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_.-]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
@@ -484,6 +484,13 @@ class Parser:
                 limit = n
             else:
                 offset = n
+        if self.at("name", "VALUES"):
+            # trailing ValuesClause (SPARQL grammar [28]): joined to the
+            # WHERE group — equivalent for the non-aggregated queries the
+            # clause is used for (the reference routes inline data the
+            # same way, sparql_translator.rs VALUES handling)
+            self.next()
+            where.values.append(self._values_block())
         if not nested and not self.at("eof"):
             raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
         return SelectQuery(
@@ -615,10 +622,15 @@ class Parser:
                     self.next()
                     self.eat("name", "EXISTS")
                     g.exists.append((False, self.group()))
-                else:
-                    self.eat("op", "(")
+                elif self.at("op", "("):
+                    self.next()
                     g.filters.append(self.filter_expr())
                     self.eat("op", ")")
+                else:
+                    # bare BuiltInCall constraint — SPARQL grammar [68]
+                    # Constraint ::= BrackettedExpression | BuiltInCall |
+                    # FunctionCall, e.g. FILTER sameTerm(?a, ex:alice)
+                    g.filters.append(self.filter_expr())
             elif self.at("name", "BIND"):
                 # BIND(expr AS ?v) (ast.rs:311)
                 self.next()

@@ -919,3 +919,86 @@ def test_select_expr_agg_keeps_distinct_and_separator(adb):
         PFX + "SELECT (COUNT(DISTINCT LCASE(?city)) AS ?c) WHERE { ?n ex:city ?city }"
     ).collect()[0].c
     assert n == 5
+
+
+# --------------------------------------------------------------------- #
+# round-10 adversarial batch #7: grammar & builtin edge cases
+# --------------------------------------------------------------------- #
+
+
+def test_single_quoted_string_literals(sdb):
+    """SPARQL grammar STRING_LITERAL1: '...' is as legal as \"...\" —
+    the lexer previously rejected single quotes (r10 finding)."""
+    out = rows(sdb.sparql(PFX + "SELECT ?p WHERE { ?p ex:name ?n FILTER(?n = 'Alice') }"))
+    assert out == [(EX + "alice",)]
+
+
+def test_groupconcat_single_quoted_separator(sdb):
+    out = sdb.sparql(
+        PFX + "SELECT (GROUP_CONCAT(?n; separator='|') AS ?all) "
+        "WHERE { ?p a ex:Person . ?p ex:name ?n }"
+    ).collect()
+    assert sorted(out[0].all.split("|")) == ["Alice", "Bob", "Carol"]
+
+
+def test_bare_builtin_filter_constraint(sdb):
+    """Grammar [68] Constraint allows a BuiltInCall without extra parens:
+    FILTER sameTerm(...) — previously required FILTER( ... )."""
+    assert sdb.sparql(
+        PFX + "ASK { ?a ex:knows ?b FILTER sameTerm(?a, ex:alice) }"
+    ).collect()[0][0] is True
+    assert sdb.sparql(
+        PFX + "ASK { ?a ex:knows ?b FILTER sameTerm(?a, ex:city1) }"
+    ).collect()[0][0] is False
+
+
+def test_trailing_values_clause_with_undef(sdb):
+    """ValuesClause after the solution modifiers (grammar [28]); UNDEF
+    leaves the variable unbound for that row."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n ?x WHERE { ?p ex:name ?n } "
+            "VALUES (?n ?x) { ('Alice' 1) ('Bob' UNDEF) }"
+        )
+    )
+    assert out == [("Alice", "1"), ("Bob", None)]
+
+
+def test_strbefore_strafter_semantics(sdb):
+    """§17.4.3.4-5 incl. the absent-separator and empty-separator arms."""
+    r = sdb.sparql(
+        PFX + "SELECT (STRBEFORE('ab-cd', '-') AS ?b) (STRAFTER('ab-cd', '-') AS ?a) "
+        "(STRBEFORE('abc', 'x') AS ?m1) (STRAFTER('abc', 'x') AS ?m2) "
+        "(STRBEFORE('abc', '') AS ?e1) (STRAFTER('abc', '') AS ?e2) "
+        "WHERE { ?p ex:name ?n FILTER(?n = 'Alice') }"
+    ).collect()[0]
+    assert (r.b, r.a) == ("ab", "cd")
+    assert (r.m1, r.m2) == ("", "")
+    assert (r.e1, r.e2) == ("", "abc")
+
+
+def test_filter_inside_optional_scopes_to_optional(sdb):
+    """A FILTER inside OPTIONAL conditions the optional part only — a
+    failing filter nulls the optional binding, never drops the row."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n ?a WHERE { ?p ex:name ?n "
+            "OPTIONAL { ?p ex:age ?a FILTER(?a > '35') } } ORDER BY ?n"
+        )
+    )
+    assert out == [("Alice", None), ("Bob", "40"), ("Carol", None), ("NYC", None)]
+
+
+def test_if_bound_over_optional(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n (IF(BOUND(?a), 'y', 'n') AS ?has) WHERE "
+            "{ ?p a ex:Person . ?p ex:name ?n OPTIONAL { ?p ex:age ?a } }"
+        )
+    )
+    assert out == [("Alice", "y"), ("Bob", "y"), ("Carol", "n")]
+
+
+def test_zero_or_one_path(sdb):
+    out = rows(sdb.sparql(PFX + "SELECT ?y WHERE { ex:alice ex:knows? ?y }"))
+    assert out == [(EX + "alice",), (EX + "bob",)]
