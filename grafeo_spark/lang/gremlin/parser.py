@@ -75,16 +75,25 @@ def _root_name(node: ast.expr):
 
 
 def _anon(node: ast.expr) -> Anon:
-    """Build an Anon from a chain rooted at ``__`` (e.g. __.out('K').count())."""
+    """Build an Anon from a chain rooted at ``__`` (__.out('K').count())
+    or at a bare step call (out('K') — Groovy statically imports the
+    anonymous-traversal members, so the prefix-less form is idiomatic;
+    python-keyword steps like ``in`` still need the __ prefix, exactly
+    as they do in Gremlin-Groovy)."""
     steps: list[tuple[str, tuple, dict]] = []
     while True:
         if isinstance(node, ast.Call):
             fn = node.func
-            if not isinstance(fn, ast.Attribute):
+            if isinstance(fn, ast.Attribute):
+                name = _METHODS.get(fn.attr, fn.attr)
+                steps.append((name, tuple(_literal(a) for a in node.args), {}))
+                node = fn.value
+            elif isinstance(fn, ast.Name):
+                name = _METHODS.get(fn.id, fn.id)
+                steps.append((name, tuple(_literal(a) for a in node.args), {}))
+                return Anon(tuple(reversed(steps)))
+            else:
                 raise GremlinError("unsupported anonymous-traversal form")
-            name = _METHODS.get(fn.attr, fn.attr)
-            steps.append((name, tuple(_literal(a) for a in node.args), {}))
-            node = fn.value
         elif isinstance(node, ast.Name):
             if node.id != "__":
                 raise GremlinError("anonymous traversals must be rooted at __")
@@ -126,7 +135,20 @@ def _literal(node: ast.expr):
             if ns is not None:
                 args = [_literal(a) for a in node.args]
                 return getattr(ns, fn.id)(*args)
+            if hasattr(Traversal, _METHODS.get(fn.id, fn.id)):
+                # bare anonymous-traversal step: coalesce(out('knows'), ...)
+                # (gated on the real Traversal surface — Anon records any
+                # name via __getattr__, so it cannot be the whitelist)
+                return _anon(node)
             raise GremlinError(f"unknown predicate {fn.id}")
+        if isinstance(fn, ast.Attribute):
+            # dotted chain NOT rooted at __ — a bare-step chain like
+            # out('knows').values('name') inside coalesce()/union()
+            root = _root_name(fn)
+            if root is not None and (
+                hasattr(Traversal, _METHODS.get(root, root)) or root == "__"
+            ):
+                return _anon(node)
         raise GremlinError(
             "only P.<predicate>(...) and __.<step>()... calls are allowed as arguments"
         )

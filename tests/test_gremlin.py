@@ -651,3 +651,54 @@ def test_repeat_times_emit_linear_plan(g):
     p4, p6 = plan_of(4), plan_of(6)
     assert "Join" not in p6, "emit frontiers must be checkpointed scans, not join towers"
     assert len(p6) < 2 * len(p4), f"plan growth not linear: {len(p4)} -> {len(p6)}"
+
+
+# --------------------------------------------------------------------- #
+# round-10: bare anonymous-traversal steps in the string form (Groovy
+# statically imports the __ members, so coalesce(out('KNOWS')) is the
+# idiomatic spelling; python-keyword steps still need the __ prefix,
+# exactly as Gremlin-Groovy itself requires)
+# --------------------------------------------------------------------- #
+
+
+def test_string_form_bare_anon_coalesce(db):
+    out = db.gremlin(
+        "g.V().has('name','Grace').coalesce(out('KNOWS').values('name'), values('name'))"
+    )
+    assert [r[0] for r in out.collect()] == ["Grace"]  # isolated: falls back
+    out = db.gremlin(
+        "g.V().has('name','Alice').coalesce(out('KNOWS').values('name'), values('name'))"
+    )
+    assert sorted(r[0] for r in out.collect()) == ["Bob", "Carol"]
+
+
+def test_string_form_bare_anon_union(db):
+    out = db.gremlin(
+        "g.V().has('name','Alice').union(out('KNOWS'), __.in('KNOWS')).values('name')"
+    )
+    assert sorted(r[0] for r in out.collect()) == ["Bob", "Carol", "Heidi"]
+
+
+def test_string_form_bare_anon_choose(db):
+    out = db.gremlin(
+        "g.V().has('city','NYC').choose(has('age', gt(34)), values('name'), constant('young'))"
+    )
+    assert sorted(r[0] for r in out.collect()) == ["Carol", "Frank", "young"]
+
+
+def test_string_form_bare_anon_optional_and_where(db):
+    out = db.gremlin("g.V().has('name','Grace').optional(out('KNOWS')).values('name')")
+    assert [r[0] for r in out.collect()] == ["Grace"]
+    out = db.gremlin("g.V().where(out('KNOWS')).values('name')")
+    assert sorted(r[0] for r in out.collect()) == [
+        "Alice", "Bob", "Carol", "Dave", "Eve", "Heidi",
+    ]
+
+
+def test_string_form_unknown_bare_name_still_rejected(db):
+    import pytest as _pytest
+
+    from grafeo_spark.lang.gremlin.traversal import GremlinError
+
+    with _pytest.raises(GremlinError, match="unknown predicate"):
+        db.gremlin("g.V().coalesce(frobnicate('x'), values('name'))")
