@@ -505,9 +505,15 @@ def _join_nested(
     # selected); they order the per-parent pagination window and, without
     # pagination, the flattened output rows within each parent
     ord_cols = [f"{child_prefix}__ord{i}" for i in range(len(order))]
+    # __typename resolves to the destination label when known, else the
+    # scanned frame's _label discriminator (all-labels union)
+    tname = F.lit(label) if label else F.col("_label")
     child = base.select(
         F.col("id").alias(child_id),
-        *[F.col(s.name).alias(child_prefix + s.out_name) for s in scalars],
+        *[
+            _scalar_col(s, tname, child_prefix)
+            for s in scalars
+        ],
         *[F.col(f).alias(c) for c, (f, _) in zip(ord_cols, order)],
     )
     esrc, edst = f"__src_{child_prefix}", f"__dst_{child_prefix}"
@@ -545,6 +551,15 @@ def _join_nested(
     return out.drop(child_id), out_cols
 
 
+def _scalar_col(s: Field, type_name, prefix: str = ""):
+    """One scalar selection as a Column. ``__typename`` is the GraphQL
+    meta-field every object type must serve (spec §4.5.1) — the
+    reference never evaluates it (documented superset, like directives);
+    it resolves to the resolved label here."""
+    src = type_name if s.name == "__typename" else F.col(s.name)
+    return src.alias(prefix + s.out_name)
+
+
 def _compile_field(graph: PropertyGraph, root: Field) -> DataFrame:
     if root.name not in graph.node_frames:
         raise GraphQLError(
@@ -566,7 +581,11 @@ def _compile_field(graph: PropertyGraph, root: Field) -> DataFrame:
         if limit is not None:
             df = df.limit(limit)
 
-    cols = [F.col(s.name).alias(s.out_name) for s in root.selections if not s.selections]
+    cols = [
+        _scalar_col(s, F.lit(root.name))
+        for s in root.selections
+        if not s.selections
+    ]
     out = df
     for sel in root.selections:
         if not sel.selections:

@@ -363,3 +363,16 @@ def test_list_type_variable_declaration(db):
     q2 = 'query($cities: [String!]!) { Person(city_in: $cities) { name } }'
     got = sorted(r.name for r in db.graphql(q2, variables={"cities": ["LA"]}).collect())
     assert got == ["Bob", "Eve"]
+
+
+def test_typename_meta_field(db):
+    """GraphQL spec §4.5.1: every object type serves __typename. Root
+    fields resolve to the root label; nested fields to the resolved
+    destination label (documented superset — the reference never
+    evaluates meta-fields)."""
+    out = db.graphql("{ Person { name __typename } }").collect()
+    assert all(r["__typename"] == "Person" for r in out)
+    nested = db.graphql(
+        '{ Person(name: "Alice") { name KNOWS { __typename name } } }'
+    ).collect()
+    assert nested[0]["KNOWS___typename"] == "Person"
