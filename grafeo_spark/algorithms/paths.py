@@ -42,19 +42,27 @@ def bfs(
     Always early-exit: per-level eager checkpoints make each level's
     frontier and seen-set materialize exactly once — measured 2x faster
     than the fully-lazy plan even at depth 3, because the lazy all_seen
-    anti-join chain re-derives every prior level per branch."""
+    anti-join chain re-derives every prior level per branch.
+
+    Matches bfs_layers' discovery contract (traversal.rs:140-168): the
+    source is discovered at depth 0 and never re-emitted (a self-loop or
+    cycle back to it is dropped), and a source absent from the graph
+    yields NO rows (get_node(start).is_none() -> empty layers; vertex
+    existence in the edge-list model = appears as some edge endpoint)."""
     from grafeo_spark.operators.expand import reachable_pairs
 
     e = edges.select("src", "dst")
     if not directed:
         e = undirect(e)
-    src = _source_df(edges, sources)
+    src = _source_df(edges, sources).join(
+        vertices_from_edges(e), "id", "left_semi"
+    ).localCheckpoint(eager=True)
     pairs = reachable_pairs(e, 1, max_depth, src_ids=src, early_exit=True)
     zero = src.select(
         F.col("id").alias("source"), F.col("id"), F.lit(0).cast("long").alias("depth")
     )
     return zero.unionByName(
-        pairs.select(
+        pairs.filter(F.col("src") != F.col("dst")).select(
             F.col("src").alias("source"), F.col("dst").alias("id"), F.col("hops").cast("long").alias("depth")
         )
     )

@@ -375,3 +375,24 @@ def test_registry_dispatch(spark):
     assert "pagerank" in alg.list_algorithms()
     alg.register("noop", lambda edges: edges, "identity")
     assert alg.run("noop", e) is e
+
+
+def test_bfs_self_loop_source_not_reemitted(spark):
+    """traversal.rs:150: the source is discovered at depth 0 — a
+    self-loop (or longer cycle) back to it must not re-emit it."""
+    from grafeo_spark.algorithms import bfs
+
+    e = spark.createDataFrame([(1, 1), (1, 2), (2, 1)], "src long, dst long")
+    got = sorted(tuple(r) for r in bfs(e, [1]).collect())
+    assert got == [(1, 1, 0), (1, 2, 1)]
+
+
+def test_bfs_missing_source_yields_no_rows(spark):
+    """traversal.rs:146: get_node(start).is_none() -> empty layers."""
+    from grafeo_spark.algorithms import bfs
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert bfs(e, [99]).count() == 0
+    # multi-source: the existing source still runs
+    got = sorted(tuple(r) for r in bfs(e, [1, 99]).collect())
+    assert got == [(1, 1, 0), (1, 2, 1)]
