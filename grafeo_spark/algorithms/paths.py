@@ -229,14 +229,20 @@ def dfs(
 ) -> DataFrame:
     """DFS preorder with discovery index (traversal.rs:430) — driver-side
     (DFS order is inherently sequential); neighbors visited in ascending id
-    order for determinism."""
+    order for determinism. A source absent from the graph yields NO rows
+    (dfs_with_visitor checks get_node(start) first, traversal.rs:233)."""
     e = edges.select("src", "dst").collect()
     spark = edges.sparkSession
     adj: dict[int, list[int]] = {}
+    verts: set[int] = set()
     for r in e:
         adj.setdefault(r.src, []).append(r.dst)
         if not directed:
             adj.setdefault(r.dst, []).append(r.src)
+        verts.add(r.src)
+        verts.add(r.dst)
+    if source not in verts:
+        return spark.createDataFrame([], "id long, order long")
     if len(adj) > max_nodes:
         raise ValueError(f"dfs guard: {len(adj)} nodes > {max_nodes}")
     for v in adj:

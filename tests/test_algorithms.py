@@ -396,3 +396,14 @@ def test_bfs_missing_source_yields_no_rows(spark):
     # multi-source: the existing source still runs
     got = sorted(tuple(r) for r in bfs(e, [1, 99]).collect())
     assert got == [(1, 1, 0), (1, 2, 1)]
+
+
+def test_dfs_missing_source_yields_no_rows(spark):
+    """traversal.rs:233: dfs_with_visitor checks get_node(start) first."""
+    from grafeo_spark.algorithms import dfs
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert dfs(e, 99).count() == 0
+    # a dst-only vertex exists (no out-edges): one row at order 0
+    got = [tuple(r) for r in dfs(e, 2).collect()]
+    assert got == [(2, 0)]
