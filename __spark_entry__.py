@@ -104,6 +104,25 @@ _CYPHER: dict[str, str] = {
         "WHEN c.acctbal < 5000 THEN 'low' ELSE 'high' END AS band "
         "RETURN band, count(*) AS n"
     ),
+    # r10 TCK batch #5: Cypher `/` on two integrals is INTEGER division
+    # (truncating; 3/2 = 1) — the oracle replays with DuckDB's //
+    "int_division_bands": (
+        "MATCH (c:Customer) WITH c.custkey / 100 AS bucket "
+        "RETURN bucket, count(*) AS n ORDER BY bucket"
+    ),
+    # r10 TCK batch #5: DESC puts nulls FIRST (null sorts largest in
+    # openCypher) — oracle spells DESC NULLS FIRST explicitly
+    "desc_nulls_first_order": (
+        "MATCH (c:Customer) "
+        "RETURN c.name AS name, "
+        "CASE WHEN c.acctbal > 9000 THEN round(c.acctbal, 2) END AS bigbal "
+        "ORDER BY bigbal DESC, name LIMIT 20"
+    ),
+    # r10 TCK batch #6: sum over no rows is 0, not null
+    "sum_empty_is_zero": (
+        "MATCH (c:Customer) WHERE c.acctbal > 999999 "
+        "RETURN count(*) AS c, sum(c.acctbal) AS s"
+    ),
     # var-length rel-list variable: the BFS accumulates per-hop property
     # structs (padded across edge types — PLACED has no quantity), so
     # quantifiers over rs filter on any hop's properties (r7)
@@ -336,6 +355,21 @@ _ORACLE: dict[str, str] = {
                     WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band,
                CAST(count(*) AS BIGINT) AS n
         FROM customer GROUP BY 1
+    """,
+    "int_division_bands": """
+        SELECT CAST(c_custkey // 100 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1 ORDER BY bucket
+    """,
+    "desc_nulls_first_order": """
+        SELECT c_name AS name,
+               CASE WHEN c_acctbal > 9000 THEN round(c_acctbal, 2) END AS bigbal
+        FROM customer ORDER BY bigbal DESC NULLS FIRST, name LIMIT 20
+    """,
+    "sum_empty_is_zero": """
+        SELECT CAST(count(*) AS BIGINT) AS c,
+               COALESCE(SUM(c_acctbal), 0) AS s
+        FROM customer WHERE c_acctbal > 999999
     """,
     "varlen_rel_list_filter": """
         SELECT CAST(count(*) AS BIGINT) AS n
@@ -2585,6 +2619,9 @@ _PRIORITY = [
     # -- window overflow: the remaining 11 r6-standing entries (the ~50-row
     # driver prefix is full). All are thin BGP/ORDER-BY shells over
     # machinery the in-window entries exercise; they LEAD the r10 window.
+    "int_division_bands",
+    "desc_nulls_first_order",
+    "sum_empty_is_zero",
     "unknown_label_empty",
     "sparql_orderby_strlen",
     "sparql_orderby_aggcall",
