@@ -1001,6 +1001,43 @@ class GrafeoSpark:
     # -- session persistence (database.rs:1198 save / GrafeoDB(path) open;
     # snapshot-at-a-path, the versioned-parquet MVCC analogue) -----------
 
+    @property
+    def is_persistent(self) -> bool:
+        """True when the session is bound to an on-disk snapshot path
+        (db.is_persistent binding, test_admin.py surface)."""
+        return self._path is not None
+
+    @property
+    def path(self) -> str | None:
+        """The bound snapshot directory, or None for in-memory sessions."""
+        return self._path
+
+    def to_memory(self) -> None:
+        """Detach the session from its snapshot path (db.to_memory):
+        frames keep working — Spark lineage re-reads lazily until
+        materialized — and subsequent ``info()`` reports in-memory. The
+        reference copies pages out of the mmap'd store; the functional-
+        snapshot equivalent is simply dropping the path binding."""
+        self._path = None
+
+    def wal_status(self) -> dict:
+        """WAL introspection surface (db.wal_status). This engine has no
+        WAL BY DESIGN: durability is the versioned-parquet snapshot
+        (save/open) and atomicity is the functional frame swap — the
+        documented substitution for the reference's MVCC/WAL stack
+        (SURVEY §2/§7). Reports that honestly instead of raising."""
+        return {
+            "enabled": False,
+            "pending_entries": 0,
+            "substitute": "versioned-parquet snapshots (save/open)",
+        }
+
+    def wal_checkpoint(self) -> int:
+        """WAL checkpoint (db.wal_checkpoint): nothing to flush in the
+        snapshot model — returns 0 entries checkpointed. Use ``save`` to
+        produce a durable snapshot."""
+        return 0
+
     def save(self, path: str, mode: str = "overwrite") -> None:
         """Persist the whole session — graph (with compiler metadata
         manifest), triple store, and DDL registry — under one directory.

@@ -112,3 +112,27 @@ def test_ddl_rolls_back(tdb):
         tx2.execute("CREATE NODE TYPE Bar (y INT)")
         tx2.commit()
     assert "Bar" in tdb.ddl.node_types
+
+
+def test_persistence_surface(spark, tmp_path):
+    """is_persistent/path/to_memory/wal_status/wal_checkpoint — the
+    admin persistence surface (reference test_admin.py; WAL methods
+    report the documented snapshot substitution instead of raising)."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame([(1, "A")], "id long, name string")
+    edges = spark.createDataFrame([(1, 1)], "src long, dst long")
+    db = GrafeoSpark(spark, PropertyGraph({"T": nodes}, {"E": edges}))
+    assert db.is_persistent is False and db.path is None
+    assert db.wal_status()["enabled"] is False
+    assert db.wal_checkpoint() == 0
+
+    p = str(tmp_path / "snap")
+    db.save(p)
+    opened = GrafeoSpark.open(spark, p)
+    assert opened.is_persistent is True and opened.path == p
+    assert opened.info()["is_persistent"] is True
+    opened.to_memory()
+    assert opened.is_persistent is False and opened.path is None
+    assert opened.cypher("MATCH (n:T) RETURN count(*) AS c").collect()[0].c == 1
