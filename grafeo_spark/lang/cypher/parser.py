@@ -765,6 +765,13 @@ class Parser:
                 self.eat_op(")")
                 return E.Fn("exists", (inner,))
         if self.at_op("("):
+            # bare pattern predicate (openCypher WHERE (a)-[:T]->(b) —
+            # sugar for exists(...)); try_pattern needs a full
+            # node-rel-node shape and backtracks, so parenthesized
+            # expressions are untouched
+            pat = self.try_pattern()
+            if pat is not None:
+                return E.PatternPred(pat, "exists")
             self.next()
             e = self.expr()
             self.eat_op(")")
@@ -776,6 +783,22 @@ class Parser:
             return E.MapLit(items)
         if t.kind == "name":
             name = self.next().text
+            if name.lower() == "count" and self.at_op("{"):
+                # COUNT { [MATCH] pattern [WHERE expr] } — the Cypher 5
+                # subquery form, same lowering as size(pattern) with the
+                # EXISTS { } body grammar
+                self.next()
+                if self.at_kw("MATCH"):
+                    self.next()
+                pat = self.try_pattern()
+                if pat is None:
+                    raise CypherSyntaxError("COUNT { } needs a pattern")
+                where = None
+                if self.at_kw("WHERE"):
+                    self.next()
+                    where = self.expr()
+                self.eat_op("}")
+                return E.PatternPred(pat, "count", where)
             if name.lower() in ("any", "none", "single") and self.at_op("("):
                 return self.quantifier(name.lower())
             if name.lower() == "reduce" and self.at_op("("):

@@ -272,3 +272,41 @@ def test_merge_unbound_relationship_endpoints_rejected_loudly(db):
             "MERGE (a:Person {name: 'Alice'})-[r:KNOWS]->(b:Person {name: 'Bob'}) "
             "RETURN count(*) AS c"
         )
+
+
+def test_bare_pattern_predicate_in_where(db):
+    """openCypher pattern predicate: WHERE (a)-[:KNOWS]->(b) is sugar
+    for exists(); NOT-wrapped form anti-joins (r10 parser sugar over the
+    existing CountJoin lowering)."""
+    out = db.cypher(
+        "MATCH (a:Person {name: 'Alice'}), (b:Person) "
+        "WHERE (a)-[:KNOWS]->(b) RETURN b.name AS b"
+    )
+    assert rows(out) == [("Bob",), ("Carol",)]
+    out = db.cypher(
+        "MATCH (a:Person {name: 'Heidi'}), (b:Person) "
+        "WHERE NOT (a)-[:KNOWS]->(b) AND b.name <> 'Heidi' RETURN count(*) AS c"
+    )
+    assert out.collect()[0].c == 6  # everyone but Alice (and Heidi herself)
+
+
+def test_count_subquery_expression(db):
+    """Cypher 5 COUNT { [MATCH] pattern [WHERE ...] } subquery."""
+    out = db.cypher(
+        "MATCH (a:Person) RETURN a.name AS n, "
+        "COUNT { (a)-[:KNOWS]->() } AS c ORDER BY n LIMIT 3"
+    )
+    assert rows(out) == [("Alice", 2), ("Bob", 1), ("Carol", 1)]
+    out = db.cypher(
+        "MATCH (a:Person) WHERE COUNT { MATCH (a)-[:KNOWS]->(x) "
+        "WHERE x.age > 34 } >= 1 RETURN a.name AS n"
+    )
+    assert rows(out) == [("Alice",), ("Bob",), ("Dave",), ("Eve",)]
+
+
+def test_parenthesized_expressions_not_hijacked_by_pattern_sugar(db):
+    r = db.cypher(
+        "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) "
+        "RETURN (a.age + 1) * 2 AS v, (a.age) - (b.age) AS d"
+    ).collect()[0]
+    assert r.v == 62 and r.d == -10
