@@ -622,11 +622,28 @@ def ann_join(
     icodes = iv.withColumn("_codes", _srp_codes_col(iv, "_iv", tensor, cache_key=key))
     ib = icodes.select("iid", F.posexplode("_codes").alias("t", "code"))
     cands = qb.join(ib, ["t", "code"]).select("qid", "iid").distinct()
-    scored = (
-        cands.join(qv, "qid")
-        .join(iv, "iid")
-        .select("qid", "iid", fn(F.col("_qv"), F.col("_iv")).alias("score"))
-    )
+    if metric == "cosine":
+        # BLAS-blocked exact rerank: joining vectors per candidate pair
+        # and folding the dot product in Catalyst measured 5× slower
+        # than even the full cross join at dim 768 (each of ~10⁶ pairs
+        # ships a 768-float vector pair through the shuffle and pays an
+        # interpreted 768-term aggregate). Remap query ids into the
+        # negative range so both sides share one id space and the
+        # shared blocked scorer (_blocked_pair_scores: vectors move
+        # once per block, scores are one einsum per cell) applies.
+        base = iv.select(F.col("iid").alias("id"), F.col("_iv").alias("_v")).unionByName(
+            qv.select((-F.col("qid") - 1).alias("id"), F.col("_qv").alias("_v"))
+        )
+        pairs = cands.select((-F.col("qid") - 1).alias("a"), F.col("iid").alias("b"))
+        scored = _blocked_pair_scores(base, pairs, threshold=-2.0).select(
+            (-F.col("a") - 1).alias("qid"), F.col("b").alias("iid"), "score"
+        )
+    else:
+        scored = (
+            cands.join(qv, "qid")
+            .join(iv, "iid")
+            .select("qid", "iid", fn(F.col("_qv"), F.col("_iv")).alias("score"))
+        )
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col("iid").asc()]
     w = Window.partitionBy("qid").orderBy(*order)
     return (
