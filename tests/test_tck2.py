@@ -310,3 +310,19 @@ def test_parenthesized_expressions_not_hijacked_by_pattern_sugar(db):
         "RETURN (a.age + 1) * 2 AS v, (a.age) - (b.age) AS d"
     ).collect()[0]
     assert r.v == 62 and r.d == -10
+
+
+def test_division_by_zero_raises(db):
+    """Integer and float division/modulo by zero raise (openCypher error
+    semantics; the reference's Rust i64 `a / b` panics the same way,
+    filter.rs:655 — and its truncating integer division is exactly what
+    Cypher `/` compiles to here)."""
+    import pytest as _pytest
+
+    for q in (
+        "MATCH (n:Person) RETURN 1 / 0 AS v",
+        "MATCH (n:Person) RETURN 1 % 0 AS v",
+        "MATCH (n:Person) RETURN 1.0 / 0 AS v",
+    ):
+        with _pytest.raises(Exception, match="[Dd]ivi|REMAINDER"):
+            db.cypher(q).collect()
