@@ -735,6 +735,10 @@ def _obj_cols(term, df: DataFrame | None) -> tuple[Column, Column, Column]:
             F.lit(str(term.value)),
             F.lit(term.datatype).cast("string"),
         )
+    b = _fresh_bnode_col(term, df)
+    if b is not None:
+        # a blank-node object is a node reference, never a literal
+        return b, F.lit(None).cast("string"), F.lit(None).cast("string")
     val = _term_col(term, df) if df is not None else F.lit(None)
     is_iri = val.rlike(_IRI_SHAPE)
     return (
@@ -744,9 +748,29 @@ def _obj_cols(term, df: DataFrame | None) -> tuple[Column, Column, Column]:
     )
 
 
+def _fresh_bnode_col(term: "P.Var", df: DataFrame | None) -> Optional[Column]:
+    """Column for a template bnode variable (SPARQL §16.2.1: template
+    bNodes instantiate fresh per solution — _template_rows pre-mints one
+    column per label so the same _:label is the SAME fresh node across
+    the template's triples). Bound bnode variables (the WHERE pattern
+    used the same _:label) keep their binding — the reference's
+    treat-as-variable lowering (sparql_translator.rs:730-740). Returns
+    None when not a bnode var."""
+    if not (isinstance(term, P.Var) and term.name.startswith("_:")):
+        return None
+    if df is not None and term.name in df.columns:
+        return F.col(f"`{term.name}`")
+    return F.concat(
+        F.lit(term.name + "#"), F.monotonically_increasing_id().cast("string")
+    )
+
+
 def _iri_col(term, df: DataFrame | None, pos: str) -> Column:
     if isinstance(term, P.Iri):
         return F.lit(term.value)
+    b = _fresh_bnode_col(term, df)
+    if b is not None:
+        return b
     if isinstance(term, P.Var) and df is not None:
         return _term_col(term, df)
     raise SparqlCompileError(f"unexpected {pos} term {term!r} in template")
@@ -758,16 +782,35 @@ def _template_rows(
     """Instantiate template triples (against WHERE bindings, or ground) as
     store-shaped rows (s, p, o_iri, o_lit, o_dt, g)."""
     base = bindings if bindings is not None else spark.range(1)
+    # pre-mint ONE fresh blank node per (unbound template _:label,
+    # solution row) so the label refers to the same node across every
+    # template triple (SPARQL §16.2.1)
+    labels: set[str] = set()
+    for entry in triples:
+        tp = entry.tp if isinstance(entry, P.GraphedTriple) else entry
+        for t in (tp.s, tp.p, tp.o):
+            if (
+                isinstance(t, P.Var)
+                and t.name.startswith("_:")
+                and t.name not in base.columns
+            ):
+                labels.add(t.name)
+    for lbl in sorted(labels):
+        base = base.withColumn(
+            lbl,
+            F.concat(F.lit(lbl + "#"), F.monotonically_increasing_id().cast("string")),
+        )
+    df = base if (bindings is not None or labels) else None
     out: DataFrame | None = None
     for entry in triples:
         g_val = None
         tp = entry
         if isinstance(entry, P.GraphedTriple):
             tp, g_val = entry.tp, entry.g
-        oi, ol, od = _obj_cols(tp.o, bindings)
+        oi, ol, od = _obj_cols(tp.o, df)
         row = base.select(
-            _iri_col(tp.s, bindings, "subject").alias("s"),
-            _iri_col(tp.p, bindings, "predicate").alias("p"),
+            _iri_col(tp.s, df, "subject").alias("s"),
+            _iri_col(tp.p, df, "predicate").alias("p"),
             oi.alias("o_iri"),
             ol.alias("o_lit"),
             od.alias("o_dt"),

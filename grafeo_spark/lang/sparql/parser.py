@@ -887,6 +887,13 @@ class Parser:
         if k == "pname":
             self.next()
             pfx, local = v.split(":", 1)
+            if pfx == "_":
+                # blank node label: an anonymous variable scoped to the
+                # query — exactly the reference's lowering
+                # (sparql_translator.rs:730-740 maps _:label to the
+                # variable "_:label"); the "_: " name prefix keeps it
+                # from colliding with any user ?variable
+                return Var(f"_:{local}")
             if pfx not in self.prefixes:
                 raise SparqlSyntaxError(f"unknown prefix {pfx!r}")
             return Iri(self.prefixes[pfx] + local)

@@ -1002,3 +1002,28 @@ def test_if_bound_over_optional(sdb):
 def test_zero_or_one_path(sdb):
     out = rows(sdb.sparql(PFX + "SELECT ?y WHERE { ex:alice ex:knows? ?y }"))
     assert out == [(EX + "alice",), (EX + "bob",)]
+
+
+def test_where_blank_nodes_are_anonymous_variables(sdb):
+    """_:label in a WHERE pattern is an anonymous join variable — the
+    reference's lowering (sparql_translator.rs:730-740)."""
+    out = rows(
+        sdb.sparql(PFX + "SELECT ?n WHERE { ex:alice ex:knows _:x . _:x ex:name ?n }")
+    )
+    assert out == [("Bob",)]
+
+
+def test_construct_template_bnodes_fresh_per_solution(sdb):
+    """SPARQL §16.2.1: template bNodes instantiate FRESH per solution
+    row, and the same label is the same node across the template."""
+    got = sdb.sparql(
+        PFX + "CONSTRUCT { _:y ex:label ?n . _:y ex:who ?p } "
+        "WHERE { ?p a ex:Person . ?p ex:name ?n }"
+    ).collect()
+    assert len(got) == 6 and all(r.s.startswith("_:y#") for r in got)
+    by_subject = {}
+    for r in got:
+        by_subject.setdefault(r.s, set()).add(r.p.rsplit("/", 1)[-1])
+    # 3 persons -> 3 distinct fresh subjects, each carrying both triples
+    assert len(by_subject) == 3
+    assert all(v == {"label", "who"} for v in by_subject.values())
