@@ -232,7 +232,7 @@ _TOKEN = re.compile(
   | (?P<num>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_.-]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*/:a+|^?-])
+  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].;,=<>!*/:a+|^?-])
     """,
     re.VERBOSE,
 )
@@ -878,6 +878,13 @@ class Parser:
 
     def term(self) -> Term:
         k, v = self.peek()
+        if k == "op" and v == "[" and self.toks[self.i + 1] == ("op", "]"):
+            # bare [] — an anonymous blank node, i.e. a fresh anonymous
+            # variable (sparql_translator.rs:736 BlankNode::Anonymous)
+            self.next()
+            self.next()
+            self._anon_bnodes = getattr(self, "_anon_bnodes", 0) + 1
+            return Var(f"_:anon{self._anon_bnodes}")
         if k == "var":
             self.next()
             return Var(v[1:])

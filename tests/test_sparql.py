@@ -1027,3 +1027,12 @@ def test_construct_template_bnodes_fresh_per_solution(sdb):
     # 3 persons -> 3 distinct fresh subjects, each carrying both triples
     assert len(by_subject) == 3
     assert all(v == {"label", "who"} for v in by_subject.values())
+
+
+def test_anonymous_bnode_term(sdb):
+    """Bare [] is an anonymous blank node — a fresh anonymous variable
+    (sparql_translator.rs:736 BlankNode::Anonymous)."""
+    assert sdb.sparql(PFX + "ASK { ex:alice ex:knows [] }").collect()[0][0] is True
+    assert sdb.sparql(PFX + "ASK { ex:carol ex:knows [] }").collect()[0][0] is False
+    out = rows(sdb.sparql(PFX + "SELECT ?s WHERE { ?s ex:livesIn [] }"))
+    assert out == [(EX + "alice",)]
