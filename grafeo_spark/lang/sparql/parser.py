@@ -229,7 +229,7 @@ _TOKEN = re.compile(
   | (?P<iri><[^>]*>)
   | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<num>[+-]?\d+(?:\.\d+)?)
+  | (?P<num>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_.-]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].;,=<>!*/:a+|^?-])
@@ -915,7 +915,7 @@ class Parser:
             return Lit(val, dt)
         if k == "num":
             self.next()
-            return Lit(float(v) if "." in v else int(v))
+            return Lit(float(v) if ("." in v or "e" in v or "E" in v) else int(v))
         raise SparqlSyntaxError(f"expected term, got {self.peek()!r}")
 
     # -- filter expressions ----------------------------------------------
@@ -1000,7 +1000,7 @@ class Parser:
                 left = FExpr(op, (left, self.mul_expr()))
             elif self.at("num") and self.peek()[1][0] in "+-":
                 v = self.next()[1]
-                left = FExpr("+", (left, Lit(float(v) if "." in v else int(v))))
+                left = FExpr("+", (left, Lit(float(v) if ("." in v or "e" in v or "E" in v) else int(v))))
             else:
                 return left
 

@@ -1036,3 +1036,18 @@ def test_anonymous_bnode_term(sdb):
     assert sdb.sparql(PFX + "ASK { ex:carol ex:knows [] }").collect()[0][0] is False
     out = rows(sdb.sparql(PFX + "SELECT ?s WHERE { ?s ex:livesIn [] }"))
     assert out == [(EX + "alice",)]
+
+
+def test_numeric_literals_exponent_and_leading_dot(sdb):
+    """SPARQL grammar DOUBLE/DECIMAL forms: exponents and leading-dot
+    decimals lex as one numeric token (r10 lexer gap); a trailing
+    bare-integer before the triple terminator still parses."""
+    assert sdb.sparql(
+        PFX + "ASK { ?p ex:age ?a FILTER(xsd:integer(?a) > 1e1) }"
+    ).collect()[0][0] is True
+    assert sdb.sparql(
+        PFX + "ASK { ?p ex:age ?a FILTER(xsd:integer(?a) < .5) }"
+    ).collect()[0][0] is False
+    assert sdb.sparql(
+        PFX + "ASK { ?p ex:age ?a FILTER(xsd:integer(?a) > 2.5E1) }"
+    ).collect()[0][0] is True
