@@ -37,7 +37,7 @@ class CypherSyntaxError(Exception):
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|//[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)
-  | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
+  | (?P<num>0x[0-9a-fA-F]+|0o[0-7]+|\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
@@ -712,6 +712,9 @@ class Parser:
         t = self.peek()
         if t.kind == "num":
             self.next()
+            if t.text.startswith(("0x", "0o")):
+                # openCypher hex/octal integer literals
+                return E.Lit(int(t.text, 0))
             return E.Lit(float(t.text) if ("." in t.text or "e" in t.text or "E" in t.text) else int(t.text))
         if t.kind == "str":
             self.next()

@@ -326,3 +326,15 @@ def test_division_by_zero_raises(db):
     ):
         with _pytest.raises(Exception, match="[Dd]ivi|REMAINDER"):
             db.cypher(q).collect()
+
+
+def test_numeric_literal_forms(db):
+    """openCypher numeric literal forms: hex, octal, leading-dot decimal,
+    exponent doubles — and no collision with the .. slice operator."""
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN 0x1F AS h, 0o17 AS o, "
+        ".5 AS d, 1.5E-2 AS e, [1, 2, 3, 4][1..3] AS s"
+    ).collect()[0]
+    assert r.h == 31 and r.o == 15
+    assert abs(r.d - 0.5) < 1e-12 and abs(r.e - 0.015) < 1e-12
+    assert list(r.s) == [2, 3]
