@@ -719,7 +719,18 @@ class Parser:
         if t.kind == "str":
             self.next()
             body = t.text[1:-1]
-            body = re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(m.group(1), m.group(1)), body)
+            # openCypher string escapes incl. \uXXXX code points
+            body = re.sub(
+                r"\\u([0-9a-fA-F]{4})|\\(.)",
+                lambda m: (
+                    chr(int(m.group(1), 16))
+                    if m.group(1)
+                    else {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}.get(
+                        m.group(2), m.group(2)
+                    )
+                ),
+                body,
+            )
             return E.Lit(body)
         if t.kind == "param":
             self.next()

@@ -338,3 +338,12 @@ def test_numeric_literal_forms(db):
     assert r.h == 31 and r.o == 15
     assert abs(r.d - 0.5) < 1e-12 and abs(r.e - 0.015) < 1e-12
     assert list(r.s) == [2, 3]
+
+
+def test_string_escape_forms(db):
+    """openCypher string escapes incl. \\uXXXX code points."""
+    r = db.cypher(
+        "MATCH (n:Person {name: 'Alice'}) RETURN "
+        "'\\u0041\\u00e9' AS u, 'a\\tb' AS t, 'q\\\\w' AS bs, \"d'q\" AS dq"
+    ).collect()[0]
+    assert r.u == "Aé" and r.t == "a\tb" and r.bs == "q\\w" and r.dq == "d'q"
