@@ -39,6 +39,21 @@ from typing import Optional, Union
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
+def _unescape(body: str) -> str:
+    """SPARQL string escapes (grammar ECHAR + UCHAR \\uXXXX)."""
+    return re.sub(
+        r"\\u([0-9a-fA-F]{4})|\\(.)",
+        lambda m: (
+            chr(int(m.group(1), 16))
+            if m.group(1)
+            else {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}.get(
+                m.group(2), m.group(2)
+            )
+        ),
+        body,
+    )
+
+
 class SparqlSyntaxError(Exception):
     pass
 
@@ -387,7 +402,7 @@ class Parser:
                         if kw.upper() != "SEPARATOR":
                             raise SparqlSyntaxError(f"expected SEPARATOR, got {kw!r}")
                         self.eat("op", "=")
-                        sep = re.sub(r"\\(.)", r"\1", self.eat("str")[1][1:-1])
+                        sep = _unescape(self.eat("str")[1][1:-1])
                     self.eat("op", ")")
                     self.eat("name", "AS")
                     alias = self.eat("var")[1][1:]
@@ -906,7 +921,7 @@ class Parser:
             return Iri(self.prefixes[pfx] + local)
         if k == "str":
             self.next()
-            val = re.sub(r"\\(.)", r"\1", v[1:-1])
+            val = _unescape(v[1:-1])
             dt = None
             if self.at("op", "^^"):
                 self.next()
@@ -1054,7 +1069,7 @@ class Parser:
                         )
                     self.next()
                     self.eat("op", "=")
-                    agg_sep = re.sub(r"\\(.)", r"\1", self.eat("str")[1][1:-1])
+                    agg_sep = _unescape(self.eat("str")[1][1:-1])
                     continue
                 # full expressions as arguments (IF conditions etc.)
                 args.append(self.filter_expr())
