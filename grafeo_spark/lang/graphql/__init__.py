@@ -268,7 +268,18 @@ class _Parser:
         k, v = self.peek()
         if k == "str":
             self.next()
-            return re.sub(r"\\(.)", r"\1", v[1:-1])
+            # GraphQL spec escapes incl. \uXXXX code points
+            return re.sub(
+                r"\\u([0-9a-fA-F]{4})|\\(.)",
+                lambda m: (
+                    chr(int(m.group(1), 16))
+                    if m.group(1)
+                    else {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}.get(
+                        m.group(2), m.group(2)
+                    )
+                ),
+                v[1:-1],
+            )
         if k == "num":
             self.next()
             return float(v) if "." in v else int(v)
