@@ -447,7 +447,32 @@ class GrafeoSpark:
 
         cond = F.col("id") == F.lit(row_id)
         if key in frame.columns:
-            new = F.when(cond, value_col).otherwise(F.col(key))
+            from pyspark.sql.types import NullType, NumericType
+
+            cur_t = frame.schema[key].dataType
+            try:
+                new_t = frame.select(value_col.alias("_v")).schema[0].dataType
+            except Exception:
+                new_t = None
+            compatible = (
+                new_t is None
+                or isinstance(new_t, NullType)
+                or new_t == cur_t
+                or (isinstance(new_t, NumericType) and isinstance(cur_t, NumericType))
+            )
+            if compatible:
+                new = F.when(cond, value_col).otherwise(F.col(key))
+            else:
+                # permissive retyping (the reference store is schemaless per
+                # node, database.rs:618-660 — setting a string over a long
+                # property just works): a typed column can't host both, so
+                # rewrite the WHOLE column through string, the common type
+                # every value casts to. Plan-time analysis can't catch this
+                # (ANSI implicitly coerces string->bigint and only fails at
+                # RUNTIME on non-numeric text), hence the dtype comparison.
+                new = F.when(cond, value_col.cast("string")).otherwise(
+                    F.col(key).cast("string")
+                )
         else:
             new = F.when(cond, value_col)
         return frame.withColumn(key, new).localCheckpoint(eager=False)

@@ -800,6 +800,13 @@ def _template_rows(
             lbl,
             F.concat(F.lit(lbl + "#"), F.monotonically_increasing_id().cast("string")),
         )
+    if labels:
+        # materialize ONCE: monotonically_increasing_id is nondeterministic
+        # across recomputations, and each template triple's select (plus the
+        # final distinct()) re-evaluates ``base`` independently — without
+        # this, one solution's _:label could bind DIFFERENT fresh nodes in
+        # different template triples, breaking §16.2.1 consistency
+        base = base.localCheckpoint(eager=True)
     df = base if (bindings is not None or labels) else None
     out: DataFrame | None = None
     for entry in triples:

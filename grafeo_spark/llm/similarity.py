@@ -109,6 +109,11 @@ def _blocked_topk_join(q: DataFrame, it: DataFrame, k: int) -> DataFrame:
     ``q`` columns (qid, _qv); ``it`` columns (iid, _iv)."""
     import pandas as pd
 
+    # null vectors would desynchronize collect_list(id) (keeps the row)
+    # from collect_list(vec) (drops it), scrambling the reshape — drop
+    # them up front (a null embedding has no defined cosine anyway)
+    q = q.filter(F.col("_qv").isNotNull())
+    it = it.filter(F.col("_iv").isNotNull())
     nqb = _n_blocks_for(q.count())
     nib = _n_blocks_for(it.count())
     qb = (
@@ -378,6 +383,7 @@ def _blocked_exact_pairs(
     """
     import pandas as pd
 
+    base = base.filter(F.col("_v").isNotNull())  # see _blocked_topk_join
     if n_blocks is None:
         n_blocks = _n_blocks_for(base.count())
     withb = base.withColumn("_b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
@@ -465,6 +471,7 @@ def _blocked_pair_scores(
 
     import pandas as pd
 
+    base = base.filter(F.col("_v").isNotNull())  # see _blocked_topk_join
     if n_blocks is None:
         # Block-count tension: every block ships to each of its B partner
         # cells, so VECTOR traffic grows as 2·B·|V|·dim — B must stay
@@ -586,6 +593,8 @@ def _bipartite_pair_scores(
     columns (qid, iid). Returns (qid, iid, score)."""
     import pandas as pd
 
+    qv = qv.filter(F.col("_qv").isNotNull())  # see _blocked_topk_join
+    iv = iv.filter(F.col("_iv").isNotNull())
     if nq_blocks is None:
         nq_blocks = _n_blocks_for(qv.count())
     if ni_blocks is None:

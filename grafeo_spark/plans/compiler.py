@@ -1690,14 +1690,15 @@ class Compiler:
         """Cypher `/`: INTEGER division when both operands are integral
         (truncating toward zero, Java semantics — openCypher TCK
         `3 / 2 = 1`; filter.rs Divide), fractional otherwise. Spark's `/`
-        is always fractional, so the integral arm computes the exactly-
-        divisible numerator first: `%` has Java remainder semantics, so
-        (l - l % r) / r truncates toward zero."""
+        is always fractional; the integral arm uses Spark's own `div`
+        (IntegralDivide — truncating toward zero and EXACT on longs; the
+        earlier (l - l % r) / r formulation routed through double-precision
+        division and rounded for |operands| >= 2^53)."""
         from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
         integral = (ByteType, ShortType, IntegerType, LongType)
         if isinstance(lt, integral) and isinstance(rt, integral):
-            return ((left - (left % right)) / right).cast("long")
+            return F.call_function("div", left, right)
         return left / right
 
     def _dtype_try(self, e: E.Expr, scope: Scope, df: DataFrame):

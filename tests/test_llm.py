@@ -1368,3 +1368,40 @@ def test_srp_bucket_parquet_partition_pruning(spark, tmp_path, vectors):
     assert sorted(r.vec_id for r in probed.collect()) == sorted(
         r.vec_id for r in mem.collect()
     )
+
+
+def test_similarity_join_null_vectors_excluded(vectors, spark):
+    """Null embeddings must not desynchronize collect_list(id) from
+    collect_list(vec) inside the BLAS-blocked scorers (r10 advice): rows
+    with a null vector are dropped up front, never scored, and never
+    scramble other rows' scores."""
+    df, vecs = vectors
+    from grafeo_spark.llm import similarity_join
+
+    nulls = spark.createDataFrame(
+        [(900, None), (901, None)], "vec_id long, embedding array<float>"
+    )
+    queries = df.filter(F.col("vec_id") < 5).unionByName(
+        spark.createDataFrame([(950, None)], "vec_id long, embedding array<float>")
+    )
+    items = df.unionByName(nulls)
+    out = similarity_join(queries, items, k=2).collect()
+    ids = {r.qid for r in out} | {r.iid for r in out}
+    assert 950 not in ids and 900 not in ids and 901 not in ids
+    # real rows still rank self first, unscrambled
+    top1 = {r.qid: r.iid for r in out if r.rank == 1}
+    assert top1 == {i: i for i in range(5)}
+
+
+def test_embedding_dedup_null_vectors_excluded(vectors, spark):
+    """Same advice item for the all-pairs and candidate-pair scorers."""
+    df, vecs = vectors
+    from grafeo_spark.llm.similarity import _blocked_exact_pairs
+
+    base = df.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("_v")
+    ).unionByName(
+        spark.createDataFrame([(902, None)], "id long, _v array<double>")
+    )
+    out = _blocked_exact_pairs(base, threshold=0.99).collect()
+    assert all(r.a != 902 and r.b != 902 for r in out)

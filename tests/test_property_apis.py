@@ -50,6 +50,22 @@ def test_overwrite_existing_property(pdb):
     assert r.name == "Alicia"
 
 
+def test_overwrite_with_incompatible_type_retypes(pdb):
+    """The reference store is schemaless per node — set_node_property with
+    a string over a numeric property just works (database.rs:618-660). The
+    typed column can't host both, so the whole column retypes through
+    string; other rows keep their (stringified) values instead of raising
+    (r10 advice: the when/otherwise coercion used to fail at runtime)."""
+    pdb.set_node_property(1, "age", "thirty")
+    got = {
+        r.id: r.a
+        for r in pdb.cypher("MATCH (n:Person) RETURN id(n) AS id, n.age AS a").collect()
+    }
+    assert got == {1: "thirty", 2: "25", 3: "35"}
+    # numeric widening does NOT retype: long column accepts a double
+    pdb.set_node_property(2, "since_score", 1)
+
+
 def test_set_property_various_types(pdb):
     pdb.set_node_property(1, "active", True)
     pdb.set_node_property(1, "score", 3.14)

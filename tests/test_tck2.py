@@ -328,6 +328,18 @@ def test_division_by_zero_raises(db):
             db.cypher(q).collect()
 
 
+def test_integer_division_exact_beyond_2_53(db):
+    """Cypher `/` on longs is EXACT integral division (Spark's `div` /
+    IntegralDivide), not a round-trip through double — operands past
+    2^53 used to round (r10 advice on the (l - l % r) / r formulation)."""
+    big = 2**60 + 3
+    r = db.cypher(
+        f"MATCH (n:Person {{name: 'Alice'}}) RETURN {big} / 3 AS q, "
+        f"-{big} / 3 AS nq, {big} % 3 AS m"
+    ).collect()[0]
+    assert r.q == big // 3 and r.nq == -(big // 3) and r.m == big % 3
+
+
 def test_numeric_literal_forms(db):
     """openCypher numeric literal forms: hex, octal, leading-dot decimal,
     exponent doubles — and no collision with the .. slice operator."""
