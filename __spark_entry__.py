@@ -1418,6 +1418,395 @@ def _alg_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- #
+# round-11: the rest of the algorithm library under the driver oracle
+# (verdict r10 item #1 — SCC, toposort, SSSP +/- weights, k-core,
+# modularity, MST each get a DuckDB-replayable battery entry)
+# --------------------------------------------------------------------- #
+
+
+def _scc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SCC testbed (custkey <= 60): one directed RING per
+    nation (a cycle — exactly one SCC per nation) plus ONE-WAY star edges
+    from the global-min hub to every other nation's hub. The cross edges
+    make WCC a single component while SCC keeps per-nation cycles — the
+    directed/undirected distinction the entry pins (components.rs:389)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.catalog import load_tables
+
+    c = (
+        load_tables(spark, sf_dir)["customer"]
+        .filter(F.col("c_custkey") <= 60)
+        .select(F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("n"))
+    )
+    w = Window.partitionBy("n").orderBy("k")
+    ring = c.select(
+        F.col("k").alias("src"),
+        F.coalesce(
+            F.lead("k").over(w), F.min("k").over(Window.partitionBy("n"))
+        ).alias("dst"),
+    )
+    hubs = c.groupBy("n").agg(F.min("k").alias("h"))
+    gh = hubs.agg(F.min("h").alias("gh"))
+    cross = (
+        hubs.crossJoin(gh)
+        .filter(F.col("h") != F.col("gh"))
+        .select(F.col("gh").alias("src"), F.col("h").alias("dst"))
+    )
+    return ring.unionByName(cross)
+
+
+def _alg_scc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC id (= min member id, components.rs:389) and size per component;
+    oracle = one group per nation."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import strongly_connected_components
+
+    scc = strongly_connected_components(_scc_graph(spark, sf_dir))
+    return (
+        scc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("size").cast("long").alias("size"),
+        )
+        .orderBy("component")
+    )
+
+
+def _alg_toposort_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kahn layering (components.rs:417) over a 4-level DAG with SHORTCUT
+    region->customer edges: the level is the LONGEST incoming path, so
+    customers sit at level 2 even though a shortcut reaches them at 1
+    (distinguishes Kahn peeling from BFS depth)."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import topological_sort
+    from grafeo_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_custkey") <= 150)
+    r2n = t["nation"].select(
+        (F.col("n_regionkey") + 1000).alias("src"),
+        (F.col("n_nationkey") + 2000).alias("dst"),
+    )
+    n2c = cust.select(
+        (F.col("c_nationkey") + 2000).alias("src"),
+        (F.col("c_custkey") + 10000).alias("dst"),
+    )
+    r2c = cust.join(
+        t["nation"], F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        (F.col("n_regionkey") + 1000).alias("src"),
+        (F.col("c_custkey") + 10000).alias("dst"),
+    )
+    c2o = (
+        t["orders"]
+        .filter(F.col("o_custkey") <= 150)
+        .select(
+            (F.col("o_custkey") + 10000).alias("src"),
+            (F.col("o_orderkey") + 1000000).alias("dst"),
+        )
+    )
+    edges = r2n.unionByName(n2c).unionByName(r2c).unionByName(c2o)
+    return (
+        topological_sort(edges)
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("level").cast("long").alias("level"), "n")
+        .orderBy("level")
+    )
+
+
+def _nation_chain_edges(spark: SparkSession, sf_dir: str, negative: bool) -> DataFrame:
+    """Weighted DAG over the 25 contiguous nationkeys: k -> k+1 and
+    k -> k+2 with deterministic arithmetic weights (negative variant for
+    the Bellman-Ford entry; a DAG, so no negative cycles and the DuckDB
+    recursive-CTE replay terminates)."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.catalog import load_tables
+
+    n = load_tables(spark, sf_dir)["nation"].select(F.col("n_nationkey").alias("k"))
+    mx = n.agg(F.max("k")).collect()[0][0]
+    if negative:
+        w1 = (F.col("k") * 7) % 10 - 3
+        w2 = (F.col("k") * 3) % 7 - 2
+        w4 = (F.col("k") * 5) % 9 - 1
+    else:
+        w1 = (F.col("k") * 7) % 10 + 1
+        w2 = (F.col("k") * 3) % 7 + 2
+        w4 = (F.col("k") * 5) % 9 + 3
+    e1 = n.filter(F.col("k") + 1 <= mx).select(
+        F.col("k").alias("src"), (F.col("k") + 1).alias("dst"), w1.cast("double").alias("weight")
+    )
+    e2 = n.filter(F.col("k") + 2 <= mx).select(
+        F.col("k").alias("src"), (F.col("k") + 2).alias("dst"), w2.cast("double").alias("weight")
+    )
+    e4 = n.filter(F.col("k") + 4 <= mx).select(
+        F.col("k").alias("src"), (F.col("k") + 4).alias("dst"), w4.cast("double").alias("weight")
+    )
+    return e1.unionByName(e2).unionByName(e4)
+
+
+def _alg_dijkstra_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source weighted shortest distances (shortest_path.rs:595);
+    oracle replays every path of the (acyclic) chain graph in a DuckDB
+    recursive CTE and takes MIN(dist) — exact, integer-valued weights
+    carried in doubles."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import dijkstra
+
+    out = dijkstra(_nation_chain_edges(spark, sf_dir, negative=False), 0, weight_col="weight")
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.round("distance", 6).alias("distance")
+    ).orderBy("id")
+
+
+def _alg_bellman_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bellman-Ford with NEGATIVE edge weights on a DAG
+    (shortest_path.rs:702) — the case Dijkstra's greedy settling cannot
+    handle; pins the relaxation loop's correctness under negative edges."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import bellman_ford
+
+    out = bellman_ford(_nation_chain_edges(spark, sf_dir, negative=True), 0, weight_col="weight")
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.round("distance", 6).alias("distance")
+    ).orderBy("id")
+
+
+def _alg_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership (structure.rs:473) of the same-nation near-key
+    graph (custkey distance <= 10, custkey <= 400); oracle unrolls the
+    degree-peel to a fixpoint (verified stable well before the unroll
+    bound on this data)."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import k_core
+    from grafeo_spark.catalog import load_tables
+
+    c = (
+        load_tables(spark, sf_dir)["customer"]
+        .filter(F.col("c_custkey") <= 400)
+        .select(F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("n"))
+    )
+    a = c.select(F.col("k").alias("a"), F.col("n").alias("n1"))
+    b = c.select(F.col("k").alias("b"), F.col("n").alias("n2"))
+    edges = a.join(
+        b,
+        (F.col("n1") == F.col("n2"))
+        & (F.col("b") > F.col("a"))
+        & (F.col("b") - F.col("a") <= 10),
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return (
+        k_core(edges, k=3)
+        .select(F.col("id").cast("long").alias("id"))
+        .orderBy("id")
+    )
+
+
+def _alg_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (community.rs:363,408 scoring arithmetic) of the
+    nation partition over a mixed intra/cross customer graph; the oracle
+    recomputes Q = intra/2m - sum((d_c/2m)^2) in SQL."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import modularity
+    from grafeo_spark.catalog import load_tables
+
+    c = (
+        load_tables(spark, sf_dir)["customer"]
+        .filter(F.col("c_custkey") <= 300)
+        .select(F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("n"))
+    )
+    a = c.select(F.col("k").alias("a"), F.col("n").alias("na"))
+    b = c.select(F.col("k").alias("b"), F.col("n").alias("nb"))
+    intra = a.join(
+        b,
+        (F.col("na") == F.col("nb"))
+        & (F.col("b") > F.col("a"))
+        & (F.col("b") - F.col("a") <= 2),
+    )
+    cross = a.join(
+        b, (F.col("b") == F.col("a") + 1) & (F.col("na") != F.col("nb"))
+    )
+    edges = intra.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        cross.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comm = c.select(F.col("k").alias("id"), F.col("n").alias("community"))
+    q = modularity(edges, comm)
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
+def _alg_mst_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boruvka MST (mst.rs:288) on a graph with an ANALYTICALLY KNOWN
+    unique MST: per-nation stars (light, distinct weights) + heavy ring
+    fillers + global-hub bridges. The MST must be exactly stars+bridges,
+    so edge count and total weight are closed-form SQL."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import minimum_spanning_forest
+    from grafeo_spark.catalog import load_tables
+
+    c = (
+        load_tables(spark, sf_dir)["customer"]
+        .filter(F.col("c_custkey") <= 300)
+        .select(F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("n"))
+    )
+    hubs = c.groupBy("n").agg(F.min("k").alias("h"))
+    star = (
+        c.join(hubs, "n")
+        .filter(F.col("k") != F.col("h"))
+        .select(
+            F.col("h").alias("src"),
+            F.col("k").alias("dst"),
+            F.col("k").cast("double").alias("weight"),
+        )
+    )
+    w = Window.partitionBy("n").orderBy("k")
+    ring = (
+        c.withColumn("nk", F.lead("k").over(w))
+        .filter(F.col("nk").isNotNull())
+        .select(
+            F.col("k").alias("src"),
+            F.col("nk").alias("dst"),
+            (F.col("nk") + 100000).cast("double").alias("weight"),
+        )
+    )
+    gh = hubs.agg(F.min("h").alias("gh"))
+    bridges = (
+        hubs.crossJoin(gh)
+        .filter(F.col("h") != F.col("gh"))
+        .select(
+            F.col("gh").alias("src"),
+            F.col("h").alias("dst"),
+            (F.col("h") + 10000).cast("double").alias("weight"),
+        )
+    )
+    mst = minimum_spanning_forest(star.unionByName(ring).unionByName(bridges))
+    return mst.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("weight").cast("long").alias("total_weight"),
+    )
+
+
+def _kcore_oracle_sql(rounds: int = 16, k: int = 3) -> str:
+    """Unrolled degree-peel replay of k_core: round i keeps vertices whose
+    degree within round i-1's survivors is >= k. Converges to the fixpoint
+    in far fewer than ``rounds`` on this data (stability is pinned by
+    tests/test_battery.py); extra rounds are no-ops at the fixpoint."""
+    sql = """
+    WITH e AS MATERIALIZED (
+      SELECT c1.c_custkey AS a, c2.c_custkey AS b
+      FROM customer c1 JOIN customer c2
+        ON c1.c_nationkey = c2.c_nationkey
+       AND c2.c_custkey > c1.c_custkey AND c2.c_custkey - c1.c_custkey <= 10
+      WHERE c1.c_custkey <= 400 AND c2.c_custkey <= 400
+    ), v0 AS MATERIALIZED (SELECT a AS id FROM e UNION SELECT b FROM e)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    v{i} AS MATERIALIZED (
+      SELECT id FROM (
+        SELECT id, count(*) AS d FROM (
+          SELECT e.a AS id FROM e
+            WHERE e.a IN (SELECT id FROM v{i-1}) AND e.b IN (SELECT id FROM v{i-1})
+          UNION ALL
+          SELECT e.b FROM e
+            WHERE e.a IN (SELECT id FROM v{i-1}) AND e.b IN (SELECT id FROM v{i-1})
+        ) GROUP BY id
+      ) WHERE d >= {k}
+    )"""
+    sql += f"""
+    SELECT CAST(id AS BIGINT) AS id FROM v{rounds} ORDER BY id"""
+    return sql
+
+
+_SSSP_ORACLE_TEMPLATE = """
+    WITH RECURSIVE e AS (
+      SELECT n_nationkey AS src, n_nationkey + 1 AS dst,
+             CAST((n_nationkey * 7) %% 10 + (%(o1)s) AS DOUBLE) AS w
+      FROM nation WHERE n_nationkey + 1 <= (SELECT max(n_nationkey) FROM nation)
+      UNION ALL
+      SELECT n_nationkey, n_nationkey + 2,
+             CAST((n_nationkey * 3) %% 7 + (%(o2)s) AS DOUBLE)
+      FROM nation WHERE n_nationkey + 2 <= (SELECT max(n_nationkey) FROM nation)
+      UNION ALL
+      SELECT n_nationkey, n_nationkey + 4,
+             CAST((n_nationkey * 5) %% 9 + (%(o4)s) AS DOUBLE)
+      FROM nation WHERE n_nationkey + 4 <= (SELECT max(n_nationkey) FROM nation)
+    ),
+    walk(node, dist) AS (
+      SELECT 0, CAST(0 AS DOUBLE)
+      UNION
+      SELECT e.dst, w.dist + e.w FROM walk w JOIN e ON e.src = w.node
+    )
+    SELECT CAST(node AS BIGINT) AS id, ROUND(MIN(dist), 6) AS distance
+    FROM walk GROUP BY node ORDER BY id
+"""
+
+_ORACLE["alg_scc_sizes"] = """
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS size
+    FROM customer WHERE c_custkey <= 60
+    GROUP BY c_nationkey ORDER BY component
+"""
+
+_ORACLE["alg_toposort_levels"] = """
+    SELECT CAST(0 AS BIGINT) AS level,
+           CAST((SELECT count(*) FROM region) AS BIGINT) AS n
+    UNION ALL SELECT 1, (SELECT count(*) FROM nation)
+    UNION ALL SELECT 2, (SELECT count(*) FROM customer WHERE c_custkey <= 150)
+    UNION ALL SELECT 3, (SELECT count(*) FROM orders WHERE o_custkey <= 150)
+    ORDER BY level
+"""
+
+_ORACLE["alg_dijkstra_nations"] = _SSSP_ORACLE_TEMPLATE % {"o1": "1", "o2": "2", "o4": "3"}
+
+_ORACLE["alg_bellman_negative"] = _SSSP_ORACLE_TEMPLATE % {"o1": "-3", "o2": "-2", "o4": "-1"}
+
+_ORACLE["alg_kcore_members"] = _kcore_oracle_sql()
+
+_ORACLE["alg_modularity_nations"] = """
+    WITH c AS (SELECT c_custkey AS k, c_nationkey AS n
+               FROM customer WHERE c_custkey <= 300),
+    e AS (
+      SELECT c1.k AS a, c1.n AS ca, c2.k AS b, c2.n AS cb
+      FROM c c1 JOIN c c2
+        ON c1.n = c2.n AND c2.k > c1.k AND c2.k - c1.k <= 2
+      UNION ALL
+      SELECT c1.k, c1.n, c2.k, c2.n
+      FROM c c1 JOIN c c2 ON c2.k = c1.k + 1 AND c1.n <> c2.n
+    ),
+    und AS (SELECT a AS x, ca AS cx FROM e UNION ALL SELECT b, cb FROM e),
+    m AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM und),
+    intra AS (SELECT CAST(count(*) AS DOUBLE) AS i FROM e WHERE ca = cb),
+    degs AS (SELECT cx, CAST(count(*) AS DOUBLE) AS dsum FROM und GROUP BY cx)
+    SELECT ROUND(
+        2 * (SELECT i FROM intra) / (SELECT m2 FROM m)
+        - (SELECT SUM((dsum / (SELECT m2 FROM m)) * (dsum / (SELECT m2 FROM m)))
+           FROM degs),
+        6) AS modularity
+"""
+
+_ORACLE["alg_mst_weight"] = """
+    WITH c AS (SELECT c_custkey AS k, c_nationkey AS n
+               FROM customer WHERE c_custkey <= 300),
+    hub AS (SELECT n, MIN(k) AS h FROM c GROUP BY n),
+    g AS (SELECT MIN(k) AS gh FROM c)
+    SELECT CAST((SELECT count(*) FROM c) - 1 AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(k) FROM c JOIN hub USING (n) WHERE k <> h)
+                + (SELECT SUM(10000 + h) FROM hub WHERE h <> (SELECT gh FROM g))
+                AS BIGINT) AS total_weight
+"""
+
+
 def _ann_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table SRP approximate top-10 for the vec_id=0 embedding at
     the r10 DEFAULTS (12 tables, 8 bits, multiprobe=1) — the scale path
@@ -2535,6 +2924,13 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "alg_wcc_sizes": _alg_wcc_sizes,
     "alg_triangles": _alg_triangles,
     "alg_pagerank_top": _alg_pagerank_top,
+    "alg_scc_sizes": _alg_scc_sizes,
+    "alg_toposort_levels": _alg_toposort_levels,
+    "alg_dijkstra_nations": _alg_dijkstra_nations,
+    "alg_bellman_negative": _alg_bellman_negative,
+    "alg_kcore_members": _alg_kcore_members,
+    "alg_modularity_nations": _alg_modularity_nations,
+    "alg_mst_weight": _alg_mst_weight,
     "admin_stats_labels": _admin_stats_labels,
     "direct_find_by_property": _direct_find_by_property,
 }

@@ -63,3 +63,21 @@ def test_every_query_has_oracle_or_documented_exemption():
     allowed_no_oracle: set[str] = set()
     missing = set(entry.queries()) - set(entry.oracle_sql()) - allowed_no_oracle
     assert not missing, f"entries without an oracle: {sorted(missing)}"
+
+
+def test_kcore_oracle_unroll_reaches_fixpoint():
+    """The alg_kcore_members oracle unrolls the degree peel a FIXED number
+    of rounds; the entry is only sound if that bound is past the fixpoint
+    on the driver data. Pin: 16 rounds == 24 rounds at both smoke SFs."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW customer AS SELECT * FROM read_parquet('{sf}/customer.parquet')"
+        )
+        a = con.execute(entry._kcore_oracle_sql(rounds=16)).fetchall()
+        b = con.execute(entry._kcore_oracle_sql(rounds=24)).fetchall()
+        assert a == b and len(a) > 0
