@@ -24,6 +24,7 @@ knock out whole-stage codegen.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import pandas as pd
@@ -114,8 +115,17 @@ def _blocked_topk_join(q: DataFrame, it: DataFrame, k: int) -> DataFrame:
     # them up front (a null embedding has no defined cosine anyway)
     q = q.filter(F.col("_qv").isNotNull())
     it = it.filter(F.col("_iv").isNotNull())
-    nqb = _n_blocks_for(q.count())
-    nib = _n_blocks_for(it.count())
+    nq, ni = q.count(), it.count()
+    # cell count is qB x iB; bound the PRODUCT the same way the all-pairs
+    # guard bounds B^2 (each side alone may be large if the other is tiny)
+    if nq * ni > EXACT_PAIRS_MAX_ROWS**2:
+        raise ValueError(
+            f"_blocked_topk_join: {nq:,} x {ni:,} exact join exceeds the "
+            "guarded cell budget; use ann_join for sublinear candidates "
+            "or raise SPARK_GRAFT_EXACT_PAIRS_MAX."
+        )
+    nqb = _n_blocks_for(nq)
+    nib = _n_blocks_for(ni)
     qb = (
         q.withColumn("_b", F.pmod(F.xxhash64("qid"), F.lit(nqb)))
         .groupBy("_b")
@@ -358,6 +368,27 @@ def _n_blocks_for(n_rows: int, rows_per_block: int = _ROWS_PER_BLOCK) -> int:
     return max(1, math.ceil(n_rows / rows_per_block))
 
 
+# The exact all-pairs path is O(B^2) block-pair cells by construction.
+# Above this corpus size (~2.4k blocks -> ~3M cells) the job stops being
+# a reasonable "just run it" default and the caller must either pass
+# n_blocks explicitly (metadata row-count estimate is enough) or use the
+# banded/ANN paths. Overridable for deliberate large runs.
+EXACT_PAIRS_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_EXACT_PAIRS_MAX", 10_000_000))
+
+
+def _guard_exact_pairs(n_rows: int, what: str) -> None:
+    if n_rows > EXACT_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"{what}: corpus has {n_rows:,} rows; the exact blocked "
+            f"all-pairs path is O(B\u00b2) in block count and above "
+            f"{EXACT_PAIRS_MAX_ROWS:,} rows it will launch millions of "
+            "block-pair cells. Pass n_blocks explicitly to accept the "
+            "cost, raise SPARK_GRAFT_EXACT_PAIRS_MAX, or use the "
+            "banded LSH path (embedding_near_pairs with threshold >= "
+            "brute_force_below) / ann_join instead."
+        )
+
+
 def _blocked_exact_pairs(
     base: DataFrame, threshold: float, n_blocks: Optional[int] = None
 ) -> DataFrame:
@@ -385,7 +416,9 @@ def _blocked_exact_pairs(
 
     base = base.filter(F.col("_v").isNotNull())  # see _blocked_topk_join
     if n_blocks is None:
-        n_blocks = _n_blocks_for(base.count())
+        n = base.count()
+        _guard_exact_pairs(n, "_blocked_exact_pairs")
+        n_blocks = _n_blocks_for(n)
     withb = base.withColumn("_b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
     # flat (ids, flattened matrix) layout — see _blocked_pair_scores: a
     # list<struct> column materializes per-element Python objects on the

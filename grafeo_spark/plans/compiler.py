@@ -1297,20 +1297,35 @@ class Compiler:
                 *[self._expr(v, scope, df).alias(k) for k, v in e.items]
             )
         if isinstance(e, E.Index):
+            from pyspark.sql.types import NullType
+
+            if isinstance(self._dtype_try(e.base, scope, df), NullType):
+                return F.lit(None)  # null[i] is null; element_at rejects VOID
             base = self._expr(e.base, scope, df)
             idx = self._expr(e.index, scope, df)
             return self._index_col(base, e.index, idx)
         if isinstance(e, E.Slice):
+            from pyspark.sql.types import NullType
+
+            if isinstance(self._dtype_try(e.base, scope, df), NullType):
+                return F.lit(None)
             base = self._expr(e.base, scope, df)
             lo = self._expr(e.lo, scope, df) if e.lo else None
             hi = self._expr(e.hi, scope, df) if e.hi else None
             return self._slice_col(base, lo, hi)
         if isinstance(e, E.Case):
+            from pyspark.sql.types import NullType
+
             out = None
             for cond, val in e.whens:
                 c = self._expr(cond, scope, df)
                 if e.subject is not None:
                     c = self._expr(e.subject, scope, df) == c
+                elif isinstance(self._dtype_try(cond, scope, df), NullType):
+                    # CASE WHEN null: a VOID literal is rejected by
+                    # F.when; as boolean it simply never matches (TCK
+                    # null-arm semantics)
+                    c = c.cast("boolean")
                 v = self._expr(val, scope, df)
                 out = F.when(c, v) if out is None else out.when(c, v)
             if e.else_ is not None:
@@ -1368,9 +1383,9 @@ class Compiler:
         counts them from the end, matching Cypher's xs[-1])."""
         if isinstance(idx_expr, E.Lit) and isinstance(idx_expr.value, int):
             i = idx_expr.value
-            return F.element_at(base, i + 1 if i >= 0 else i)
+            return F.try_element_at(base, F.lit(i + 1 if i >= 0 else i))
         i = idx.cast("int")
-        return F.element_at(base, F.when(i >= 0, i + 1).otherwise(i))
+        return F.try_element_at(base, F.when(i >= 0, i + 1).otherwise(i))
 
     @staticmethod
     def _slice_col(
@@ -1664,7 +1679,28 @@ class Compiler:
 
     def _binop(self, e: E.BinOp, scope: Scope, df: DataFrame) -> Column:
         if e.op == "IN" and isinstance(e.right, E.ListLit):
+            from pyspark.sql.types import ArrayType
+
             left = self._expr(e.left, scope, df)
+            if isinstance(e.left, E.ListLit) or isinstance(
+                self._dtype_try(e.left, scope, df), ArrayType
+            ):
+                # list needle (TCK: [1,2] IN [[1,2],[3,4]] is true,
+                # [1,2] IN [1,2] is false): item-wise equality; a
+                # non-list item can never equal a list. The OR chain
+                # keeps three-valued semantics (true beats null).
+                terms = []
+                for i in e.right.items:
+                    if isinstance(i, E.ListLit) or isinstance(
+                        self._dtype_try(i, scope, df), ArrayType
+                    ):
+                        terms.append(left == self._expr(i, scope, df))
+                    else:
+                        terms.append(F.lit(False))
+                out = F.lit(False)
+                for t in terms:
+                    out = out | t
+                return out
             return left.isin([i.value if isinstance(i, E.Lit) else self._expr(i, scope, df) for i in e.right.items])
         left = self._expr(e.left, scope, df)
         right = self._expr(e.right, scope, df)
@@ -1712,11 +1748,14 @@ class Compiler:
             BooleanType,
             DoubleType,
             LongType,
+            NullType,
             StringType,
         )
 
         if isinstance(e, E.Lit):
             v = e.value
+            if v is None:
+                return NullType()
             if isinstance(v, bool):
                 return BooleanType()
             if isinstance(v, int):
@@ -1771,6 +1810,14 @@ class Compiler:
                 rt = df.select(right.alias("_r")).schema[0].dataType
             except Exception:
                 return left + right
+        from pyspark.sql.types import NullType
+
+        if (isinstance(lt, NullType) and rt is not None) or (
+            isinstance(rt, NullType) and lt is not None
+        ):
+            # x + null is null for EVERY Cypher type — without this the
+            # list arm would append a null element (TCK list-concat null)
+            return F.lit(None)
         l_arr, r_arr = isinstance(lt, ArrayType), isinstance(rt, ArrayType)
         if l_arr and r_arr:
             return F.concat(left, right)
@@ -1829,7 +1876,13 @@ class Compiler:
             # Column (the round-1 filter_mix failure).
             return F.regexp_like(left, right)
         if op == "IN":
-            return F.array_contains(right, left)
+            # openCypher three-valued IN over a general list expression.
+            # Spark's `exists` HOF follows exactly the right 3VL: any
+            # true -> true; no true but a null comparison -> null; empty
+            # list -> false (even for a null needle); null list -> null.
+            # (array_contains rejects a VOID-typed needle at analysis —
+            # the round-11 list fuzzer caught `null IN reverse([...])`.)
+            return F.exists(right, lambda e: e == left)
         if op == "CONCAT":
             return F.concat(left, right)
         raise CompileError(f"unknown binary op {op}")
@@ -1889,6 +1942,17 @@ class Compiler:
             # needs a Python-str delimiter; unwrap the literal
             delim = e.args[1].value if len(e.args) > 1 and isinstance(e.args[1], E.Lit) else ","
             return F.array_join(self._expr(e.args[0], scope, df), delim)
+        if (
+            name
+            in ("size", "length", "head", "last", "tail", "keys", "properties", "reverse")
+            and e.args
+        ):
+            from pyspark.sql.types import NullType
+
+            if isinstance(self._dtype_try(e.args[0], scope, df), NullType):
+                # container fns on a VOID literal: Cypher f(null) = null,
+                # and size/element_at reject the VOID type at analysis
+                return F.lit(None)
         if name in ("size", "length") and e.args:
             # size()/length() work on strings, lists and maps in the
             # reference (filter.rs:790-820); dispatch on the analyzed type
@@ -1968,8 +2032,8 @@ class Compiler:
             # lambda-context fallback (typed dispatch happens in _scalar_fn)
             "size": lambda a: F.size(a[0]),
             "length": lambda a: F.length(a[0]),
-            "head": lambda a: F.element_at(a[0], 1),
-            "last": lambda a: F.element_at(a[0], -1),
+            "head": lambda a: F.try_element_at(a[0], F.lit(1)),
+            "last": lambda a: F.try_element_at(a[0], F.lit(-1)),
             "tail": lambda a: F.slice(a[0], 2, F.greatest(F.size(a[0]) - 1, F.lit(0))),
             "range": lambda a: F.sequence(a[0], a[1], a[2] if len(a) > 2 else F.lit(1)),
             "concat": lambda a: F.concat(*a),

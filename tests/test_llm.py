@@ -1405,3 +1405,25 @@ def test_embedding_dedup_null_vectors_excluded(vectors, spark):
     )
     out = _blocked_exact_pairs(base, threshold=0.99).collect()
     assert all(r.a != 902 and r.b != 902 for r in out)
+
+
+def test_exact_pairs_guard_rail(vectors, spark, monkeypatch):
+    """The O(B^2) exact all-pairs path refuses to silently launch a
+    millions-of-cells job: above EXACT_PAIRS_MAX_ROWS it raises with the
+    pass-n_blocks / use-the-banded-path message (r10 verdict item #5 —
+    the docstring promise became enforced behavior). Passing n_blocks
+    explicitly opts in and still runs."""
+    import pytest as _pytest
+
+    from grafeo_spark.llm import similarity as sim
+
+    df, _ = vectors
+    base = df.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("_v")
+    )
+    monkeypatch.setattr(sim, "EXACT_PAIRS_MAX_ROWS", 10)
+    with _pytest.raises(ValueError, match="n_blocks"):
+        sim._blocked_exact_pairs(base, threshold=0.9).collect()
+    # explicit n_blocks bypasses the guard
+    out = sim._blocked_exact_pairs(base, threshold=0.999999, n_blocks=2)
+    assert out.count() >= 0
