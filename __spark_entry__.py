@@ -1888,6 +1888,38 @@ def _mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.cypher("MATCH (c:Customer) WHERE c.flag = 1 RETURN count(*) AS n")
 
 
+def _merge_match_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE match-vs-create semantics end-to-end (merge.rs:1-18): two
+    existing customers take the ON MATCH arm, a fresh key takes ON CREATE,
+    and a SECOND merge of the fresh key must MATCH the node the first one
+    created (the idempotence contract)."""
+    db = _db(spark, sf_dir)
+    for k in (1, 2, 999001):
+        db.cypher(
+            f"MERGE (c:Customer {{custkey: {k}}}) "
+            "ON MATCH SET c.probe = 'matched' ON CREATE SET c.probe = 'created'"
+        )
+    db.cypher(
+        "MERGE (c:Customer {custkey: 999001}) "
+        "ON MATCH SET c.probe2 = 'rematched' ON CREATE SET c.probe2 = 'recreated'"
+    )
+    return db.cypher(
+        "MATCH (c:Customer) WHERE c.probe IS NOT NULL "
+        "RETURN c.custkey AS custkey, c.probe AS probe, c.probe2 AS probe2 "
+        "ORDER BY custkey"
+    )
+
+
+_ORACLE["merge_match_create"] = """
+    SELECT CAST(c_custkey AS BIGINT) AS custkey, 'matched' AS probe,
+           CAST(NULL AS VARCHAR) AS probe2
+    FROM customer WHERE c_custkey IN (1, 2)
+    UNION ALL
+    SELECT 999001, 'created', 'rematched'
+    ORDER BY custkey
+"""
+
+
 # --------------------------------------------------------------------- #
 # LLM-pipeline entries (dedup / similarity / text analysis)
 # --------------------------------------------------------------------- #
@@ -2905,6 +2937,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graphql_three_level": _graphql_three_level,
     "graphql_rdf_customers": _graphql_rdf_customers,
     "mutation_roundtrip": _mutation_roundtrip,
+    "merge_match_create": _merge_match_create,
     "dedup_near_pairs": _dedup_near_pairs,
     "ngram_jaccard_pairs": _ngram_jaccard_pairs,
     "simhash_near_pairs_sha256": _simhash_near_pairs,
