@@ -19,8 +19,9 @@ anonymous-traversal builder.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Any, Callable, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -181,6 +182,103 @@ class TextP:
         return P("regex", v)
 
 
+# TinkerPop MathStep's exp4j function set, mapped onto Catalyst built-ins
+# (every call stays inside whole-stage codegen — no Python evaluation).
+_MATH_FNS = {
+    "abs": F.abs, "ceil": F.ceil, "floor": F.floor, "sqrt": F.sqrt,
+    "cbrt": F.cbrt, "exp": F.exp, "log": F.log, "log10": F.log10,
+    "log2": F.log2, "signum": F.signum, "sin": F.sin, "cos": F.cos,
+    "tan": F.tan, "asin": F.asin, "acos": F.acos, "atan": F.atan,
+    "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+}
+
+_MATH_TOKEN = re.compile(r"\s*(\d+\.\d+|\d+|[A-Za-z_][A-Za-z0-9_]*|[()+\-*/%^])")
+
+
+def _compile_math(expr: str, resolve: Callable[[str], Column]) -> Column:
+    """Compile a TinkerPop ``math()`` expression (the sack-free exp4j
+    grammar: ``+ - * / %``, right-associative ``^``, unary minus, one-arg
+    functions) into a single Catalyst Column. Operands evaluate as double
+    (MathStep contract); ``resolve`` maps a variable token (``_`` or a
+    map key) to its source Column."""
+    toks: list[str] = []
+    pos = 0
+    while pos < len(expr):
+        m = _MATH_TOKEN.match(expr, pos)
+        if not m:
+            if expr[pos:].strip():
+                raise GremlinError(f"unsupported math() expression: {expr!r}")
+            break
+        toks.append(m.group(1))
+        pos = m.end()
+    i = 0
+
+    def peek() -> Optional[str]:
+        return toks[i] if i < len(toks) else None
+
+    def take() -> str:
+        nonlocal i
+        i += 1
+        return toks[i - 1]
+
+    def atom() -> Column:
+        t = peek()
+        if t is None:
+            raise GremlinError(f"math() expression ended early: {expr!r}")
+        if t == "(":
+            take()
+            c = add_sub()
+            if peek() != ")":
+                raise GremlinError(f"unbalanced parens in math(): {expr!r}")
+            take()
+            return c
+        if t == "-":
+            take()
+            return -atom()
+        take()
+        if re.fullmatch(r"\d+(\.\d+)?", t):
+            return F.lit(float(t))
+        if peek() == "(":  # function call
+            fn = _MATH_FNS.get(t)
+            if fn is None:
+                raise GremlinError(f"unknown math() function {t!r}")
+            take()
+            arg = add_sub()
+            if peek() != ")":
+                raise GremlinError(f"unbalanced parens in math(): {expr!r}")
+            take()
+            return fn(arg.cast("double")).cast("double")
+        return resolve(t).cast("double")
+
+    def power() -> Column:  # right-associative ^
+        base = atom()
+        if peek() == "^":
+            take()
+            return F.pow(base, power())
+        return base
+
+    def mul_div() -> Column:
+        c = power()
+        while peek() in ("*", "/", "%"):
+            op = take()
+            r = power()
+            c = c * r if op == "*" else (c / r if op == "/" else c % r)
+        return c
+
+    def add_sub() -> Column:
+        c = mul_div()
+        while peek() in ("+", "-"):
+            op = take()
+            r = mul_div()
+            c = c + r if op == "+" else c - r
+        return c
+
+    out = add_sub()
+    if i != len(toks):
+        raise GremlinError(f"trailing tokens in math() expression: {expr!r}")
+    return out
+
+
 def _p(var: str, prop: str) -> str:
     return f"{var}__{prop}"
 
@@ -287,8 +385,13 @@ class Traversal:
                 break
             if name in (
                 "count", "fold", "sum_", "mean", "min_", "max_",
-                "valueMap", "elementMap", "id_", "label",
+                "valueMap", "elementMap", "id_", "label", "constant",
+                "math",
             ):
+                # terminal steps that map every incoming traverser to
+                # exactly one result cannot change existence (constant/
+                # math included — coalesce branches like
+                # ``__...constant(x)`` exist wherever their prefix does)
                 steps.pop()
                 continue
             break
@@ -640,6 +743,35 @@ class Traversal:
         cond = pred.col(col) if isinstance(pred, P) else (col == F.lit(pred))
         return self._derive(self.df.filter(cond), self.cur, self.kind)
 
+    def math(self, expr: str) -> "Traversal":
+        """TinkerPop ``math()`` step, sack-free form (MathStep): evaluate
+        an arithmetic expression over the incoming numeric traverser
+        (``_``) or, when the incoming traverser is a ``project()`` /
+        ``select()`` map, its keys — ``math('a + b')``. Always yields
+        double, one result per traverser."""
+        if self.kind != "value":
+            raise GremlinError(
+                "math() needs an incoming value traversal "
+                "(values()/project()/select() first)"
+            )
+        cols = set(self.df.columns)
+
+        def resolve(name: str) -> Column:
+            if name == "_":
+                if len(self.df.columns) == 1:
+                    return F.col(self.df.columns[0])
+                raise GremlinError(
+                    "math('_') needs a single-valued incoming traverser"
+                )
+            if name in cols:
+                return F.col(name)
+            raise GremlinError(
+                f"math() variable {name!r} is not a key of the incoming map"
+            )
+
+        col = _compile_math(expr, resolve).cast("double")
+        return self._derive(self.df.select(col.alias("value")), "value", "value")
+
     def dedup(self) -> "_DedupStep":
         # deferred: an optional .by(key) modulator dedups on that property
         return _DedupStep(self)
@@ -701,7 +833,15 @@ class Traversal:
         neither, values group by themselves and elements by id."""
         return _GroupCountStep(self, key)
 
-    def _group_count(self, key: Optional[str]) -> "Traversal":
+    def _group_count(self, key) -> "Traversal":
+        if isinstance(key, Anon):
+            # key traversal (TinkerPop by(__...)): per-element key value
+            # via the shared _anon_value partial, then one count shuffle
+            df = self._anon_value(self.df, key, "_gckey")
+            out = df.groupBy(F.col("_gckey").alias("key")).agg(
+                F.count(F.lit(1)).alias("count")
+            )
+            return self._derive(out, "key", "value")
         if self.kind == "value":
             col = F.col(self.df.columns[0]) if key is None else F.col(_p(self.cur, key))
         else:
@@ -1240,9 +1380,12 @@ class _GroupCountStep:
 
 class _GroupStep:
     """``group().by(key).by(value)`` (ast.rs Group): key = property /
-    ``None`` (id); value = property (sorted list per group), ``None``
-    (sorted id list), or an anonymous traversal with terminal count/sum/
-    mean/min/max over a property (group-scoped aggregate)."""
+    ``None`` (id) / an anonymous traversal (per-element key value, e.g.
+    ``by(__.out().count())``); value = property (sorted list per group),
+    ``None`` (sorted id list), or an anonymous traversal with a terminal
+    count/sum/mean/min/max/fold — including a traversal body
+    (``by(__.out().values('age').sum_())``), which reduces the SUB-RESULTS
+    of every group member, TinkerPop's group-scoped fold."""
 
     def __init__(self, t: Traversal) -> None:
         self.t = t
@@ -1262,21 +1405,61 @@ class _GroupStep:
         t = self.t
         kspec = self.bys[0] if self.bys else None
         vspec = self.bys[1] if len(self.bys) > 1 else None
-        key = (
-            F.col(_p(t.cur, "id")) if kspec is None else F.col(_p(t.cur, kspec))
-        ).alias("key")
+        df = t.df
+        if isinstance(kspec, Anon):
+            # key traversal: per-element key via the _anon_value partial
+            df = t._anon_value(df, kspec, "_gkey")
+            key = F.col("_gkey").alias("key")
+        else:
+            key = (
+                F.col(_p(t.cur, "id")) if kspec is None else F.col(_p(t.cur, kspec))
+            ).alias("key")
         if vspec is None:
             agg = F.array_sort(F.collect_list(F.col(_p(t.cur, "id")))).alias("value")
         elif isinstance(vspec, str):
             agg = F.array_sort(F.collect_list(F.col(_p(t.cur, vspec)))).alias("value")
         elif isinstance(vspec, Anon):
-            if not vspec._steps or vspec._steps[-1][0] not in (
-                "count", "sum_", "mean", "min_", "max_", "fold",
-            ):
-                raise GremlinError("group().by(__) needs a terminal aggregation")
-            name, args, _ = vspec._steps[-1]
-            if len(vspec._steps) > 1:
-                raise GremlinError("group() value traversal supports a single aggregation step")
+            return self._anon_value_build(t, df, key, vspec)
+        else:
+            raise GremlinError(f"unsupported group by spec: {vspec!r}")
+        return t._derive(df.groupBy(key).agg(agg), "key", "value")
+
+    def _anon_value_build(
+        self, t: Traversal, df: DataFrame, key: Column, vspec: Anon
+    ) -> Traversal:
+        """Group-scoped value traversal: the sub-traversal's results for
+        every group member reduce into the group's value. Decomposed as a
+        per-element partial (_anon_value) + a group-level combine
+        (count→sum-of-counts, sum→sum-of-sums, min→min-of-mins,
+        fold→flatten, mean→sum-of-sums / sum-of-counts) — the same
+        partial/final split a distributed aggregate uses, so the plan is
+        one replay of the body plus one shuffle, never per-group work."""
+        steps = list(vspec._steps)
+        if not steps or steps[-1][0] not in (
+            "count", "sum_", "mean", "min_", "max_", "fold", "values",
+        ):
+            raise GremlinError("group().by(__) needs a terminal aggregation")
+        name, args, kw = steps[-1]
+        # __...values(k).agg() ≡ __...agg(k)
+        if (
+            name in ("sum_", "mean", "min_", "max_")
+            and not args
+            and len(steps) >= 2
+            and steps[-2][0] == "values"
+            and len(steps[-2][1]) == 1
+        ):
+            args = steps[-2][1]
+            steps = steps[:-2] + [(name, args, kw)]
+        body = steps[:-1]
+        if name == "values":
+            # bare __.values(k): TinkerPop's default fold — value list
+            if body:
+                raise GremlinError(
+                    "group().by(__) value traversal must end in an aggregation"
+                )
+            agg = F.array_sort(F.collect_list(F.col(_p(t.cur, args[0])))).alias("value")
+        elif not body:
+            # element-scoped terminal: aggregate the group's own rows
             if name == "count":
                 agg = F.count(F.lit(1)).alias("value")
             elif name == "fold":
@@ -1286,10 +1469,18 @@ class _GroupStep:
                 if not args:
                     raise GremlinError(f"group().by(__.{name}(k)) needs a property key")
                 agg = fn(F.col(_p(t.cur, args[0]))).alias("value")
+        elif name == "mean":
+            df = t._anon_value(df, Anon(tuple(body + [("sum_", args, {})])), "_gsum")
+            df = t._anon_value(df, Anon(tuple(body + [("count", (), {})])), "_gcnt")
+            agg = (F.sum("_gsum") / F.sum("_gcnt")).alias("value")
+        elif name == "fold":
+            df = t._anon_value(df, Anon(tuple(steps)), "_gval")
+            agg = F.array_sort(F.flatten(F.collect_list("_gval"))).alias("value")
         else:
-            raise GremlinError(f"unsupported group by spec: {vspec!r}")
-        out = t.df.groupBy(key).agg(agg)
-        return t._derive(out, "key", "value")
+            df = t._anon_value(df, Anon(tuple(steps)), "_gval")
+            fn = {"count": F.sum, "sum_": F.sum, "min_": F.min, "max_": F.max}[name]
+            agg = fn(F.col("_gval")).alias("value")
+        return t._derive(df.groupBy(key).agg(agg), "key", "value")
 
 
 class _AddV:

@@ -702,3 +702,169 @@ def test_string_form_unknown_bare_name_still_rejected(db):
 
     with _pytest.raises(GremlinError, match="unknown predicate"):
         db.gremlin("g.V().coalesce(frobnicate('x'), values('name'))")
+
+
+# round-11 adversarial batch (VERDICT r10 item 6): nested boolean
+# combinators in where(), anonymous key/value traversals in group/
+# groupCount, repeat inside union/where/coalesce branches, and the
+# sack-free math() step (TinkerPop MathStep).
+
+
+def test_where_or_of_anons(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = g.V().where(__.or_(
+        __.out("KNOWS").has("name", "Carol"),
+        __.out("KNOWS").has("name", "Dave"),
+    )).values("name").toList()
+    assert sorted(out) == ["Alice", "Bob", "Carol"]
+
+
+def test_where_nested_or_and(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = g.V().where(__.or_(
+        __.and_(__.out("KNOWS").has("name", "Bob"), __.out("KNOWS").has("name", "Carol")),
+        __.out("KNOWS").has("name", "Eve"),
+    )).values("name").toList()
+    assert sorted(out) == ["Alice", "Dave"]
+
+
+def test_where_or_with_not(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = g.V().where(__.or_(
+        __.not_(__.out("KNOWS")), __.out("KNOWS").has("name", "Eve"),
+    )).values("name").toList()
+    assert sorted(out) == ["Dave", "Frank", "Grace"]
+
+
+def test_group_by_anon_key(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = sorted(
+        (k, sorted(v))
+        for k, v in g.V().group().by(__.out("KNOWS").count()).by("name").toList()
+    )
+    assert out == [
+        (0, ["Frank", "Grace"]),
+        (1, ["Bob", "Carol", "Dave", "Eve", "Heidi"]),
+        (2, ["Alice"]),
+    ]
+
+
+def test_group_value_traversal_chained_agg(g):
+    from grafeo_spark.lang.gremlin import __
+
+    # __.values(k).sum_() ≡ sum over the group's own property
+    out = sorted(g.V().group().by("city").by(__.values("age").sum_()).toList())
+    assert out == [
+        ("Chicago", 28), ("Houston", 33), ("LA", 90), ("NYC", 110), ("Phoenix", 22),
+    ]
+    # traversal body: total out-degree of the group's members (elements
+    # with no sub-results contribute 0, groups of only-those give 0)
+    deg = dict(g.V().group().by("city").by(__.out("KNOWS").count()).toList())
+    assert deg == {"NYC": 3, "LA": 2, "Chicago": 1, "Houston": 1, "Phoenix": 0}
+    # sub-result property sum: ages of out-neighbours, reduced per group
+    nsum = dict(g.V().group().by("city").by(__.out("KNOWS").values("age").sum_()).toList())
+    # NYC: Alice->{Bob 40, Carol 35}, Carol->{Dave 28}, Frank->{} = 103
+    # LA: Bob->{Carol 35}, Eve->{Frank 45} = 80; Chicago: Dave->{Eve 50}
+    # Houston: Heidi->{Alice 30}; Phoenix: Grace->{} (no rows -> null)
+    assert nsum["NYC"] == 103 and nsum["LA"] == 80
+    assert nsum["Chicago"] == 50 and nsum["Houston"] == 30
+    assert nsum["Phoenix"] is None
+
+
+def test_groupcount_by_anon(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = sorted(g.V().groupCount().by(__.out("KNOWS").count()).toList())
+    assert out == [(0, 2), (1, 5), (2, 1)]
+
+
+def test_union_of_repeat(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = g.V().has("name", "Alice").union(
+        __.repeat(__.out("KNOWS")).times(2), __.in_("KNOWS")
+    ).values("name").toList()
+    assert sorted(out) == ["Carol", "Dave", "Heidi"]
+    # emit inside a union branch keeps per-iteration frontiers (bag)
+    out = g.V().has("name", "Alice").union(
+        __.repeat(__.out("KNOWS")).emit().times(2)
+    ).values("name").toList()
+    assert sorted(out) == ["Bob", "Carol", "Carol", "Dave"]
+
+
+def test_where_repeat(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = g.V().where(
+        __.repeat(__.out("KNOWS")).times(2).has("name", "Eve")
+    ).values("name").toList()
+    assert sorted(out) == ["Carol"]
+
+
+def test_coalesce_repeat_branch_and_constant(g):
+    """A coalesce branch ending in values()/constant() exists wherever its
+    prefix does — existence must strip one-result-per-traverser terminals
+    (the r11 fix: __.constant(x) branches raised)."""
+    from grafeo_spark.lang.gremlin import __
+
+    out = g.V().has("name", "Frank").coalesce(
+        __.repeat(__.out("KNOWS")).times(1).values("name"), __.constant("none")
+    ).toList()
+    assert out == ["none"]
+    out = g.V().has("name", "Alice").coalesce(
+        __.repeat(__.out("KNOWS")).times(1).values("name"), __.constant("none")
+    ).toList()
+    assert sorted(out) == ["Bob", "Carol"]
+
+
+def test_math_step(g):
+    out = sorted(g.V().has("city", "NYC").values("age").math("_ * 2").toList())
+    assert out == [60.0, 70.0, 90.0]
+    out = g.V().has("name", "Dave").values("age").math("sqrt(_)").toList()
+    assert out == [28 ** 0.5]
+    # right-assoc pow and precedence
+    out = g.V().has("name", "Dave").values("age").math("2 ^ 3 ^ 2 + _ % 5").toList()
+    assert out == [512.0 + 3.0]
+
+
+def test_math_over_project_keys(g):
+    from grafeo_spark.lang.gremlin import __
+
+    out = g.V().has("name", "Alice").project("a", "b").by(
+        __.values("age")
+    ).by(__.out("KNOWS").count()).math("a + b").toList()
+    assert out == [32.0]
+
+
+def test_math_rejects_bad_expr(g):
+    import pytest as _pytest
+
+    from grafeo_spark.lang.gremlin.traversal import GremlinError
+
+    with _pytest.raises(GremlinError, match="unknown math"):
+        g.V().values("age").math("frob(_)").toList()
+    with _pytest.raises(GremlinError, match="not a key"):
+        g.V().values("age").math("_ + nope").toList()
+    with _pytest.raises(GremlinError, match="value traversal"):
+        g.V().math("_ + 1").toList()
+
+
+def test_string_form_math_group_union_round11(db):
+    out = db.gremlin("g.V().has('city','NYC').values('age').math('_ * 2')")
+    assert sorted(r[0] for r in out.collect()) == [60.0, 70.0, 90.0]
+    out = db.gremlin(
+        "g.V().has('name','Alice')"
+        ".union(__.repeat(__.out('KNOWS')).times(2), __.in('KNOWS')).values('name')"
+    )
+    assert sorted(r[0] for r in out.collect()) == ["Carol", "Dave", "Heidi"]
+    out = db.gremlin("g.V().group().by(__.out('KNOWS').count()).by('name')")
+    got = sorted((r[0], sorted(r[1])) for r in out.collect())
+    assert got == [
+        (0, ["Frank", "Grace"]),
+        (1, ["Bob", "Carol", "Dave", "Eve", "Heidi"]),
+        (2, ["Alice"]),
+    ]
