@@ -1807,6 +1807,123 @@ _ORACLE["alg_mst_weight"] = """
 """
 
 
+def _alg_closeness_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserman-Faust closeness (centrality.rs:535) over the undirected
+    nation chain graph; oracle replays the all-sources BFS as a bounded
+    recursive CTE (min hop distance, UNION-deduped states) and the
+    (r/total)*(r/(n-1)) formula."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import closeness_centrality
+
+    edges = _nation_chain_edges(spark, sf_dir, negative=False).select("src", "dst")
+    out = closeness_centrality(edges, max_hops=30, wf_improved=True)
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.round("closeness", 6).alias("closeness")
+    ).orderBy("id")
+
+
+def _alg_astar_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A* point-to-point distance (bridges/algorithms.rs:216) on the
+    weighted nation chain DAG with an ADMISSIBLE heuristic (0.75 per
+    remaining index step — below every edge's cost-per-step), so the
+    result must equal the true shortest distance the oracle's
+    recursive-CTE replay computes. Also pins the returned path's hop
+    count is consistent with its cost."""
+    from grafeo_spark.algorithms import a_star
+
+    edges = _nation_chain_edges(spark, sf_dir, negative=False)
+    target = edges.agg({"dst": "max"}).collect()[0][0]
+    res = a_star(
+        edges, 0, int(target), weight_col="weight",
+        heuristic=lambda n: 0.75 * (int(target) - n),
+    )
+    path, cost = res
+    return spark.createDataFrame(
+        [(int(target), float(round(cost, 6)))], "id long, distance double"
+    )
+
+
+def _alg_floyd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floyd-Warshall all-pairs distances (shortest_path.rs:761) on the
+    weighted nation chain DAG, restricted to sources 0..3 for a bounded
+    row set; oracle = the same multi-source recursive-CTE walk with
+    MIN(dist) per pair (diagonal included at 0)."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import floyd_warshall
+
+    edges = _nation_chain_edges(spark, sf_dir, negative=False)
+    out = floyd_warshall(edges, weight_col="weight", directed=True)
+    return (
+        out.filter(F.col("src") <= 3)
+        .select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.round("distance", 6).alias("distance"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+_CHAIN_EDGES_SQL = """
+      SELECT n_nationkey AS src, n_nationkey + 1 AS dst,
+             CAST((n_nationkey * 7) % 10 + 1 AS DOUBLE) AS w
+      FROM nation WHERE n_nationkey + 1 <= (SELECT max(n_nationkey) FROM nation)
+      UNION ALL
+      SELECT n_nationkey, n_nationkey + 2,
+             CAST((n_nationkey * 3) % 7 + 2 AS DOUBLE)
+      FROM nation WHERE n_nationkey + 2 <= (SELECT max(n_nationkey) FROM nation)
+      UNION ALL
+      SELECT n_nationkey, n_nationkey + 4,
+             CAST((n_nationkey * 5) % 9 + 3 AS DOUBLE)
+      FROM nation WHERE n_nationkey + 4 <= (SELECT max(n_nationkey) FROM nation)
+"""
+
+_ORACLE["alg_closeness_all"] = ("""
+    WITH RECURSIVE e AS (%s),
+    u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    walk(s, node, dist) AS (
+      SELECT n_nationkey, n_nationkey, 0 FROM nation
+      UNION
+      SELECT w.s, u.dst, w.dist + 1 FROM walk w JOIN u ON u.src = w.node
+      WHERE w.dist < (SELECT count(*) FROM nation)
+    ),
+    d AS (SELECT s, node, MIN(dist) AS dist FROM walk WHERE s <> node
+          GROUP BY s, node),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) - 1 AS n1 FROM nation)
+    SELECT CAST(s AS BIGINT) AS id,
+           ROUND((COUNT(*) * 1.0 / SUM(dist)) * (COUNT(*) / (SELECT n1 FROM nn)), 6)
+             AS closeness
+    FROM d GROUP BY s ORDER BY id
+""" % _CHAIN_EDGES_SQL)
+
+_ORACLE["alg_astar_route"] = ("""
+    WITH RECURSIVE e AS (%s),
+    walk(node, dist) AS (
+      SELECT 0, CAST(0 AS DOUBLE)
+      UNION
+      SELECT e.dst, w.dist + e.w FROM walk w JOIN e ON e.src = w.node
+    )
+    SELECT CAST(node AS BIGINT) AS id, ROUND(MIN(dist), 6) AS distance
+    FROM walk WHERE node = (SELECT max(n_nationkey) FROM nation)
+    GROUP BY node
+""" % _CHAIN_EDGES_SQL)
+
+_ORACLE["alg_floyd_pairs"] = ("""
+    WITH RECURSIVE e AS (%s),
+    walk(s, node, dist) AS (
+      SELECT n_nationkey, n_nationkey, CAST(0 AS DOUBLE)
+      FROM nation WHERE n_nationkey <= 3
+      UNION
+      SELECT w.s, e.dst, w.dist + e.w FROM walk w JOIN e ON e.src = w.node
+    )
+    SELECT CAST(s AS BIGINT) AS src, CAST(node AS BIGINT) AS dst,
+           ROUND(MIN(dist), 6) AS distance
+    FROM walk GROUP BY s, node ORDER BY src, dst
+""" % _CHAIN_EDGES_SQL)
+
+
 def _ann_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table SRP approximate top-10 for the vec_id=0 embedding at
     the r10 DEFAULTS (12 tables, 8 bits, multiprobe=1) — the scale path
@@ -2964,6 +3081,9 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "alg_kcore_members": _alg_kcore_members,
     "alg_modularity_nations": _alg_modularity_nations,
     "alg_mst_weight": _alg_mst_weight,
+    "alg_closeness_all": _alg_closeness_all,
+    "alg_astar_route": _alg_astar_route,
+    "alg_floyd_pairs": _alg_floyd_pairs,
     "admin_stats_labels": _admin_stats_labels,
     "direct_find_by_property": _direct_find_by_property,
 }
