@@ -464,17 +464,29 @@ def _builtin(name: str, args: list[Column]) -> Column:
         # Python delimiters, not Columns; instr('abc','') = 1 also gives
         # the spec's empty-separator results (STRBEFORE -> "",
         # STRAFTER -> whole string)
+        # the trailing .otherwise("") is the spec's absent-separator arm;
+        # null (unbound/error) inputs must stay null — SPARQL type errors
+        # propagate to unbound, they don't hit the "" arm — hence the
+        # explicit isNull guard before it (caught by the SPARQL fuzzer)
         "strbefore": lambda a: F.when(
+            a[0].isNull() | a[1].isNull(), F.lit(None).cast("string")
+        )
+        .when(
             F.call_function("instr", a[0], a[1]) > 0,
             a[0].substr(F.lit(1), F.call_function("instr", a[0], a[1]) - 1),
-        ).otherwise(F.lit("")),
+        )
+        .otherwise(F.lit("")),
         "strafter": lambda a: F.when(
+            a[0].isNull() | a[1].isNull(), F.lit(None).cast("string")
+        )
+        .when(
             F.call_function("instr", a[0], a[1]) > 0,
             a[0].substr(
                 F.call_function("instr", a[0], a[1]) + F.length(a[1]),
                 F.length(a[0]),
             ),
-        ).otherwise(F.lit("")),
+        )
+        .otherwise(F.lit("")),
         "substr": lambda a: a[0].substr(a[1].cast("int"), a[2].cast("int")) if len(a) > 2 else a[0].substr(a[1].cast("int"), F.length(a[0])),
         "concat": lambda a: F.concat(*a),
         "abs": lambda a: F.abs(a[0]),
@@ -482,20 +494,26 @@ def _builtin(name: str, args: list[Column]) -> Column:
         "floor": lambda a: F.floor(a[0]),
         "round": lambda a: F.round(a[0], 0),
         "coalesce": lambda a: F.coalesce(*a),
-        "if": lambda a: F.when(a[0], a[1]).otherwise(a[2]),
+        # IF(error, t, e) is an error (§17.4.1.2) — a null condition must
+        # yield null, not fall through to the ELSE arm
+        "if": lambda a: F.when(a[0].isNull(), F.lit(None)).when(a[0], a[1]).otherwise(a[2]),
         # percent-encoding: url_encode is form-encoding; space fixes up
         "encode_for_uri": lambda a: F.replace(
             F.url_encode(a[0]), F.lit("+"), F.lit("%20")
         ),
         # term-kind tests over the collapsed lexical binding (the scheme
         # heuristic shared with the update template path)
+        # all four propagate unbound/error inputs as null (§17.2: type
+        # error on an unbound argument), not false
         "isiri": lambda a: a[0].rlike(_IRI_SHAPE),
         "isuri": lambda a: a[0].rlike(_IRI_SHAPE),
         "isblank": lambda a: a[0].startswith("_:"),
-        "isliteral": lambda a: a[0].isNotNull()
-        & ~a[0].rlike(_IRI_SHAPE)
-        & ~a[0].startswith("_:"),
-        "isnumeric": lambda a: a[0].cast("double").isNotNull(),
+        "isliteral": lambda a: F.when(a[0].isNull(), F.lit(None).cast("boolean")).otherwise(
+            ~a[0].rlike(_IRI_SHAPE) & ~a[0].startswith("_:")
+        ),
+        "isnumeric": lambda a: F.when(a[0].isNull(), F.lit(None).cast("boolean")).otherwise(
+            a[0].cast("double").isNotNull()
+        ),
         # sameTerm: exact RDF-term identity — in the collapsed lexical
         # binding model that is strict string equality, no numeric
         # coercion (SPARQL §17.4.1.8; filter ops in planner_rdf.rs)

@@ -241,7 +241,7 @@ class UpdateQuery:
 _TOKEN = re.compile(
     r"""
     (?P<ws>\s+|\#[^\n]*)
-  | (?P<iri><[^>]*>)
+  | (?P<iri><[^<>"{}|^`\\\x00-\x20]*>)
   | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<num>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
