@@ -3098,8 +3098,8 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # longer exists (r9's standing-red-guard failure mode is gone by
 # construction): the driver always checks the stalest ~50 entries, and
 # a brand-new entry leads the window automatically.
-# STALENESS BOUND: 112 entries / 50-row window ⇒ every entry gets a
-# fresh driver row at least every ceil(112/50) = 3 rounds. (The old
+# STALENESS BOUND: 125 entries / 50-row window ⇒ every entry gets a
+# fresh driver row at least every ceil(125/50) = 3 rounds. (The old
 # ">2 rounds" phrasing was arithmetically unsatisfiable at this battery
 # size — restated per verdict r9 finding #4; tests/test_rotation.py
 # enforces the ≤3-round bound via the self-ordering invariant.)
@@ -3233,6 +3233,20 @@ _PRIORITY = [
     "events_sessionized",
     "events_hourly_rollup",
     "events_asof_views",
+    # -- r11 additions (never driver-checked, so staleness -1 makes them
+    # lead the next window regardless of position here): the algorithm
+    # library's oracle entries + the MERGE match-vs-create entry.
+    "alg_scc_sizes",
+    "alg_toposort_levels",
+    "alg_dijkstra_nations",
+    "alg_bellman_negative",
+    "alg_kcore_members",
+    "alg_modularity_nations",
+    "alg_mst_weight",
+    "alg_closeness_all",
+    "alg_astar_route",
+    "alg_floyd_pairs",
+    "merge_match_create",
 ]
 
 
