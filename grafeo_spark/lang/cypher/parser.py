@@ -616,10 +616,29 @@ class Parser:
         left = self.add_expr()
         while True:
             t = self.peek()
-            if t.kind == "op" and t.text in ("=", "<>", "<", "<=", ">", ">=", "=~"):
+            if t.kind == "op" and t.text == "=~":
                 self.next()
-                op = {"=~": "REGEX"}.get(t.text, t.text)
-                left = E.BinOp(op, left, self.add_expr())
+                left = E.BinOp("REGEX", left, self.add_expr())
+            elif t.kind == "op" and t.text in ("=", "<>", "<", "<=", ">", ">="):
+                # openCypher chained comparison: `a < b <= c` is
+                # `(a < b) AND (b <= c)` — greedily consume the whole
+                # chain of comparison operators, then AND the adjacent
+                # pairs (a single pair degenerates to the plain BinOp).
+                ops: list[str] = []
+                operands: list[E.Expr] = [left]
+                while True:
+                    tt = self.peek()
+                    if tt.kind == "op" and tt.text in ("=", "<>", "<", "<=", ">", ">="):
+                        self.next()
+                        ops.append(tt.text)
+                        operands.append(self.add_expr())
+                    else:
+                        break
+                left = E.BinOp(ops[0], operands[0], operands[1])
+                for i in range(1, len(ops)):
+                    left = E.BinOp(
+                        "AND", left, E.BinOp(ops[i], operands[i], operands[i + 1])
+                    )
             elif self.at_kw("IN"):
                 self.next()
                 left = E.BinOp("IN", left, self.add_expr())

@@ -578,7 +578,84 @@ def _resolve_having(e, q: P.SelectQuery):
     return P.FExpr(e.op, tuple(_resolve_having(a, q) for a in e.args))
 
 
+def _hoist_aggregates(q: P.SelectQuery) -> None:
+    """Aggregates embedded in larger expressions — composite SELECT
+    projections like ``((SUM(?b) / COUNT(?b)) AS ?m)`` (§18.2.4.4's
+    sample-then-project algebra) and HAVING / ORDER BY aggregate calls
+    with no matching SELECT aggregate (legal per §11.1: HAVING may use
+    aggregates that are not projected) — are hoisted into hidden
+    aggregate entries (``__hagg*`` aliases) computed alongside the
+    declared ones, and the call sites are rewritten to the alias var.
+    Idempotent: rewritten trees contain no aggregate calls, and repeat
+    hoists resolve to the already-registered entries by signature."""
+
+    def sig_of(entry):
+        fn, arg, alias, distinct, *rest = entry
+        return (fn, arg, bool(distinct), rest[0] if rest else None)
+
+    existing = {sig_of(e): e[2] for e in q.aggregates}
+    counter = [0]
+
+    def ensure(fn, argexpr, distinct, sep) -> str:
+        if argexpr == "*":
+            argname = "*"
+        elif isinstance(argexpr, P.Var):
+            argname = argexpr.name
+        else:
+            # computed argument: bind it to a fresh pre-agg column first
+            argname = f"__haggarg{len(q.pre_binds)}"
+            q.pre_binds.append((argname, argexpr))
+        key = (fn, argname, bool(distinct), sep if fn == "group_concat" else None)
+        if key in existing:
+            return existing[key]
+        alias = f"__hagg{counter[0]}"
+        counter[0] += 1
+        entry = (fn, argname, alias, bool(distinct)) + (
+            (sep,) if sep is not None else ()
+        )
+        q.aggregates.append(entry)
+        existing[key] = alias
+        return alias
+
+    def walk(e):
+        if not isinstance(e, P.FExpr):
+            return e
+        if e.op.startswith("call:") and e.op[5:] in P._AGG_NAMES:
+            fn = e.op[5:]
+            args, (distinct, sep) = e.args, (False, None)
+            if args and isinstance(args[-1], P.FExpr) and args[-1].op == "__aggmeta__":
+                (distinct, sep), args = args[-1].args, args[:-1]
+            arg = args[0] if args else "*"
+            return P.Var(ensure(fn, arg, distinct, sep))
+        return P.FExpr(e.op, tuple(walk(a) for a in e.args))
+
+    def has_agg(e) -> bool:
+        if not isinstance(e, P.FExpr):
+            return False
+        if e.op.startswith("call:") and e.op[5:] in P._AGG_NAMES:
+            return True
+        return any(has_agg(a) for a in e.args)
+
+    # SELECT expressions: rewrite only those that embed an aggregate (a
+    # plain per-row expression in a non-aggregate query must stay as-is)
+    q.select_exprs[:] = [
+        (alias, walk(e) if has_agg(e) else e) for alias, e in q.select_exprs
+    ]
+    # HAVING / ORDER BY: calls matching a SELECT aggregate's signature
+    # reuse its alias; the rest get hidden entries. (GROUP BY without any
+    # SELECT aggregate still admits HAVING aggregates, hence the q.group_by
+    # arm.)
+    if q.aggregates or q.group_by:
+        if q.having is not None and has_agg(q.having):
+            q.having = walk(q.having)
+        q.order[:] = [
+            (walk(t) if isinstance(t, P.FExpr) and has_agg(t) else t, asc)
+            for t, asc in q.order
+        ]
+
+
 def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
+    _hoist_aggregates(q)
     out = _compile_group(ts, q.where)
     for name, e in q.pre_binds:
         out = out.withColumn(name, _filter_col(e, out))
@@ -609,7 +686,9 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
             else:
                 col = F.col(arg)
                 if fn in ("sum", "avg"):
-                    col = col.cast("double")
+                    # try_cast, not cast: a non-numeric lexical is a SPARQL
+                    # evaluation error (-> unbound), never an ANSI throw
+                    col = col.try_cast("double")
             if distinct:
                 if dist is None:
                     raise SparqlCompileError(f"DISTINCT not supported for {fn.upper()}")
@@ -627,9 +706,12 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
         for alias, e in q.select_exprs:
             # post-aggregation select expressions (over keys/aliases)
             out = out.withColumn(alias, _filter_col(e, out))
+        # hidden (hoisted) aggregates stay in-frame through ORDER BY, then
+        # drop — they are not part of the declared projection
+        hidden = [a[2] for a in q.aggregates if a[2].startswith("__hagg")]
         proj = (
             (q.variables or q.group_by)
-            + [a[2] for a in q.aggregates]
+            + [a[2] for a in q.aggregates if not a[2].startswith("__hagg")]
             + [a for a, _ in q.select_exprs]
         )
         # projected plain vars must be grouping keys
@@ -638,8 +720,9 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
                 raise SparqlCompileError(
                     f"?{v} projected alongside aggregates must appear in GROUP BY"
                 )
-        out = out.select(*dict.fromkeys(proj))
-        return _apply_modifiers(out, q)
+        out = out.select(*dict.fromkeys(proj + hidden))
+        out = _apply_modifiers(out, q)
+        return out.drop(*hidden) if hidden else out
     for alias, e in q.select_exprs:
         out = out.withColumn(alias, _filter_col(e, out))
     if q.variables or q.select_exprs:

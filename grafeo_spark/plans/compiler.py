@@ -51,6 +51,40 @@ def _orderable_columns(f: DataFrame) -> list[str]:
     return [fd.name for fd in f.schema if ok(fd.dataType)]
 
 
+def _cmp_group(dt) -> str | None:
+    """Comparison type-group of a Spark data type, for the openCypher
+    cross-type comparison rules: values in DIFFERENT groups are never
+    equal and have no ordering. Returns None for types outside the four
+    checked groups (and for unknown/None and NullType), meaning "leave
+    the comparison to Spark's own coercion"."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    if dt is None:
+        return None
+    if isinstance(
+        dt, (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType, DecimalType)
+    ):
+        return "numeric"
+    if isinstance(dt, StringType):
+        return "string"
+    if isinstance(dt, BooleanType):
+        return "boolean"
+    if isinstance(dt, ArrayType):
+        return "list"
+    return None
+
+
 def _p(var: str, prop: str) -> str:
     return f"{var}__{prop}"
 
@@ -1704,6 +1738,21 @@ class Compiler:
             return left.isin([i.value if isinstance(i, E.Lit) else self._expr(i, scope, df) for i in e.right.items])
         left = self._expr(e.left, scope, df)
         right = self._expr(e.right, scope, df)
+        if e.op in ("=", "<>", "<", "<=", ">", ">="):
+            # openCypher cross-type comparison (matches filter.rs
+            # values_equal/compare_values type-mismatch arms): equality
+            # between values of different type GROUPS is false (<>: true),
+            # ordering between them is null — never an analysis error.
+            # Groups checked: numeric / string / boolean / list; anything
+            # else (dates, structs, unknown) keeps Spark's own coercion.
+            lg = _cmp_group(self._dtype_try(e.left, scope, df))
+            rg = _cmp_group(self._dtype_try(e.right, scope, df))
+            if lg is not None and rg is not None and lg != rg:
+                if e.op in ("=", "<>"):
+                    return F.when(
+                        left.isNull() | right.isNull(), F.lit(None).cast("boolean")
+                    ).otherwise(F.lit(e.op == "<>"))
+                return F.lit(None).cast("boolean")
         if e.op == "+":
             return self._plus(
                 left,

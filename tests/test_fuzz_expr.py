@@ -19,6 +19,10 @@ import duckdb
 import pytest
 
 
+def dk(cmp: str) -> str:
+    return "!=" if cmp == "<>" else cmp
+
+
 def _gen(rng: random.Random, depth: int) -> tuple[str, str]:
     """Returns (cypher_text, duckdb_text) for one random expression."""
     if depth == 0 or rng.random() < 0.3:
@@ -28,7 +32,22 @@ def _gen(rng: random.Random, depth: int) -> tuple[str, str]:
             return ("(null)", "(NULL)")
         v = rng.randint(-9, 9)
         return (f"({v})", f"({v})")
-    op = rng.choice(["+", "-", "*", "/", "%", "neg", "case"])
+    op = rng.choice(["+", "-", "*", "/", "%", "neg", "case", "chain"])
+    if op == "chain":
+        # chained comparison in a CASE condition: a op1 b op2 c is the
+        # AND of adjacent pairs (openCypher); DuckDB needs it spelled out
+        a_c, a_d = _gen(rng, depth - 1)
+        b_c, b_d = _gen(rng, depth - 1)
+        c_c, c_d = _gen(rng, depth - 1)
+        t_c, t_d = _gen(rng, depth - 1)
+        e_c, e_d = _gen(rng, depth - 1)
+        cmp1 = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        cmp2 = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return (
+            f"(CASE WHEN {a_c} {cmp1} {b_c} {cmp2} {c_c} THEN {t_c} ELSE {e_c} END)",
+            f"(CASE WHEN ({a_d} {dk(cmp1)} {b_d}) AND ({b_d} {dk(cmp2)} {c_d})"
+            f" THEN {t_d} ELSE {e_d} END)",
+        )
     if op == "neg":
         c, d = _gen(rng, depth - 1)
         return (f"(-{c})", f"(-{d})")

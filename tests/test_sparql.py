@@ -796,15 +796,16 @@ def test_order_by_aggregate_call(sdb):
     )
     assert out == [(EX + "alice", 1), (EX + "bob", 1)]
 
-    import pytest as _pytest
-
-    from grafeo_spark.lang.sparql.compiler import SparqlCompileError
-
-    with _pytest.raises(SparqlCompileError, match="no matching SELECT aggregate"):
+    # round 11: an ORDER BY aggregate with NO matching SELECT aggregate is
+    # legal (§18.2.4.4) — hoisted into a hidden aggregate, computed, and
+    # dropped after ordering (used to raise "no matching SELECT aggregate")
+    out = rows(
         sdb.sparql(
             PFX + "SELECT ?p (COUNT(?q) AS ?n) WHERE { ?p ex:knows ?q } "
-            "GROUP BY ?p ORDER BY DESC(SUM(?q))"
-        ).collect()
+            "GROUP BY ?p ORDER BY DESC(SUM(?q)) ?p"
+        )
+    )
+    assert out == [(EX + "alice", 1), (EX + "bob", 1)]
 
 
 # --------------------------------------------------------------------- #
@@ -874,27 +875,30 @@ def test_orderby_group_concat_with_separator(adb):
     assert [r.who for r in out] == ["Heidi", "Grace"]
 
 
-def test_orderby_agg_modifier_mismatch_rejected(adb):
-    """An aggregate call repeated in HAVING/ORDER BY with DIFFERENT
-    DISTINCT/separator modifiers than the SELECT aggregate it resolves to
-    must be rejected, not silently matched by (fn, arg) alone — silently
-    ordering by the differently-modified result is a wrong answer."""
-    from grafeo_spark.lang.sparql.compiler import SparqlCompileError
-
-    # separator mismatch
-    with pytest.raises(SparqlCompileError, match="modifier"):
-        adb.sparql(
-            PFX + 'SELECT ?city (GROUP_CONCAT(?nm ; separator="|") AS ?who) '
-            "WHERE { ?n ex:city ?city . ?n ex:name ?nm } GROUP BY ?city "
-            'ORDER BY DESC(GROUP_CONCAT(?nm ; separator=";"))'
-        ).collect()
-    # DISTINCT mismatch
-    with pytest.raises(SparqlCompileError, match="modifier"):
+def test_orderby_agg_modifier_mismatch_computed_separately(adb):
+    """An aggregate call in HAVING/ORDER BY with DIFFERENT
+    DISTINCT/separator modifiers than any SELECT aggregate is computed as
+    its OWN hidden aggregate (round 11; used to be rejected) — the
+    ordering/filter uses exactly the aggregate the query wrote, never a
+    silently different SELECT one."""
+    # separator mismatch: ordering by the ";"-joined concat, projecting the
+    # "|"-joined one — both computed
+    out = adb.sparql(
+        PFX + 'SELECT ?city (GROUP_CONCAT(?nm ; separator="|") AS ?who) '
+        "WHERE { ?n ex:city ?city . ?n ex:name ?nm } GROUP BY ?city "
+        'ORDER BY DESC(GROUP_CONCAT(?nm ; separator=";")) LIMIT 1'
+    ).collect()
+    assert out[0].who == "Heidi"
+    # DISTINCT mismatch: HAVING filters on the distinct count while SELECT
+    # projects the plain count
+    got = rows(
         adb.sparql(
             PFX + "SELECT ?city (COUNT(?nm) AS ?c) "
             "WHERE { ?n ex:city ?city . ?n ex:name ?nm } GROUP BY ?city "
-            "HAVING (COUNT(DISTINCT ?nm) > 1)"
-        ).collect()
+            "HAVING (COUNT(DISTINCT ?nm) > 1) ORDER BY ?city"
+        )
+    )
+    assert got == [("LA", 2), ("NYC", 3)]
     # matching modifiers still resolve (incl. explicit default separator)
     out = adb.sparql(
         PFX + "SELECT ?city (GROUP_CONCAT(?nm) AS ?who) "
@@ -919,6 +923,49 @@ def test_select_expr_agg_keeps_distinct_and_separator(adb):
         PFX + "SELECT (COUNT(DISTINCT LCASE(?city)) AS ?c) WHERE { ?n ex:city ?city }"
     ).collect()[0].c
     assert n == 5
+
+
+def test_select_expr_composes_aggregates(adb):
+    """Aggregates EMBEDDED in larger SELECT expressions — §18.2.4.4's
+    project-after-aggregate algebra: ((SUM(?a) / COUNT(?a)) AS ?m) hoists
+    both calls into hidden aggregates and computes the expression over
+    their output columns (round 11; used to die on the __aggmeta__
+    marker)."""
+    m = adb.sparql(
+        PFX + "SELECT ((SUM(?a) / COUNT(?a)) AS ?m) WHERE { ?n ex:age ?a }"
+    ).collect()[0].m
+    assert m == pytest.approx(sum([30, 40, 35, 28, 50, 45, 22, 33]) / 8)
+    # grouped, mixing an aggregate with a per-group key function
+    out = rows(
+        adb.sparql(
+            PFX + "SELECT ?city ((COUNT(?n) * STRLEN(?city)) AS ?x) "
+            "WHERE { ?n ex:city ?city } GROUP BY ?city ORDER BY ?city"
+        )
+    )
+    assert out == [
+        ("Chicago", 7),
+        ("Houston", 7),
+        ("LA", 4),
+        ("NYC", 9),
+        ("Phoenix", 7),
+    ]
+    # identical embedded calls are deduplicated into ONE hidden aggregate
+    out2 = adb.sparql(
+        PFX + "SELECT ((SUM(?a) + SUM(?a)) AS ?d) WHERE { ?n ex:age ?a }"
+    ).collect()[0].d
+    assert out2 == 2 * sum([30, 40, 35, 28, 50, 45, 22, 33])
+
+
+def test_having_without_select_aggregate(adb):
+    """HAVING may use aggregates that are not projected (§11.1) — hoisted
+    into hidden aggregates and dropped after the filter."""
+    got = rows(
+        adb.sparql(
+            PFX + "SELECT ?city WHERE { ?n ex:city ?city } "
+            "GROUP BY ?city HAVING (COUNT(?n) > 1) ORDER BY ?city"
+        )
+    )
+    assert got == [("LA",), ("NYC",)]
 
 
 # --------------------------------------------------------------------- #

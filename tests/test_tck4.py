@@ -1,0 +1,205 @@
+"""openCypher TCK-derived conformance batch #8 (round 11).
+
+Areas: chained comparison operators, cross-type comparison semantics,
+quantifier edge cases, OPTIONAL MATCH pattern-WHERE null propagation,
+aggregate null handling, arithmetic operator semantics. Two real
+divergences fixed this batch are pinned here:
+
+- chained comparisons (`1 < 2 < 3` == `(1 < 2) AND (2 < 3)`) used to
+  left-fold into `(1 < 2) < 3` and die with a Catalyst type error;
+- cross-type comparisons (`1 = 'a'`, `true > 0`) used to raise
+  AnalysisException; openCypher (and filter.rs values_equal /
+  compare_values type-mismatch arms) say equality across type groups is
+  false (<>: true) and ordering across them is null.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import rows
+
+
+def one(db, q):
+    out = db.cypher(q).collect()
+    assert len(out) == 1
+    return tuple(out[0])
+
+
+# -- chained comparisons -------------------------------------------------
+
+
+def test_chained_comparison_basic(db):
+    assert one(db, "RETURN 1 < 2 < 3 AS a") == (True,)
+    assert one(db, "RETURN 3 > 2 > 5 AS a") == (False,)
+    assert one(db, "RETURN 1 <= 1 <= 1 AS a") == (True,)
+
+
+def test_chained_comparison_null_propagates(db):
+    # (1 < 2) AND (2 > null) -> true AND null -> null
+    assert one(db, "RETURN 1 < 2 > null AS a") == (None,)
+    # (1 > 2) AND (2 > null) -> false AND null -> false
+    assert one(db, "RETURN 2 < 1 < null AS a") == (False,)
+
+
+def test_chained_comparison_mixed_ops(db):
+    # operands chain pairwise regardless of operator mix
+    assert one(db, "RETURN 1 <= 2 = true AS a") == (False,)  # 2 = true is false
+    assert one(db, "RETURN 1 = 1 <> 2 AS a") == (True,)
+
+
+def test_chained_comparison_on_properties(db):
+    got = rows(
+        db.cypher(
+            "MATCH (p:Person) WHERE 25 < p.age < 36 RETURN p.name AS name"
+        )
+    )
+    assert got == [("Alice",), ("Carol",), ("Dave",), ("Heidi",)]
+
+
+# -- cross-type comparisons ----------------------------------------------
+
+
+def test_cross_type_equality_is_false(db):
+    assert one(db, "RETURN 1 = 'a' AS a, 1 <> 'a' AS b") == (False, True)
+    assert one(db, "RETURN true = 1 AS a, 'x' = false AS b") == (False, False)
+    assert one(db, "RETURN [1] = 1 AS a, [1] <> 1 AS b") == (False, True)
+
+
+def test_cross_type_equality_null_still_propagates(db):
+    # a null VALUE on either side beats the type-group rule
+    got = one(
+        db,
+        "MATCH (p:Person {name: 'Alice'}) "
+        "RETURN p.missing = 'a' AS a, p.missing <> 1 AS b",
+    )
+    assert got == (None, None)
+
+
+def test_cross_type_ordering_is_null(db):
+    assert one(db, "RETURN 1 < 'a' AS a") == (None,)
+    assert one(db, "RETURN true > 0 AS a") == (None,)
+    assert one(db, "RETURN [1, 2] < 3 AS a") == (None,)
+    assert one(db, "RETURN 'z' <= 5 AS a") == (None,)
+
+
+def test_cross_type_comparison_in_where_filters_row(db):
+    # null predicate -> row dropped, no error (filter.rs ExpressionPredicate
+    # evaluate: non-Bool(true) -> false)
+    got = one(db, "MATCH (p:Person) WHERE p.age > 'x' RETURN count(*) AS c")
+    assert got == (0,)
+
+
+def test_same_type_comparisons_unaffected(db):
+    assert one(db, "RETURN 1 < 2.5 AS a, 'a' < 'b' AS b, false < true AS c") == (
+        True,
+        True,
+        True,
+    )
+
+
+# -- quantifiers ----------------------------------------------------------
+
+
+def test_quantifiers_edge_cases(db):
+    assert one(
+        db,
+        "RETURN none(x IN [1,2] WHERE x > 5) AS n, "
+        "single(x IN [1,2,3] WHERE x = 2) AS s, "
+        "any(x IN [] WHERE x > 0) AS a, "
+        "all(x IN [] WHERE x > 0) AS l",
+    ) == (True, True, False, True)
+
+
+def test_single_false_when_two_match(db):
+    assert one(db, "RETURN single(x IN [2,2] WHERE x = 2) AS s") == (False,)
+
+
+# -- OPTIONAL MATCH pattern-WHERE ------------------------------------------
+
+
+def test_optional_match_where_keeps_left_row(db):
+    # the WHERE belongs to the OPTIONAL MATCH: a failing predicate nulls
+    # the optional side, it does not drop the driving row
+    got = rows(
+        db.cypher(
+            "MATCH (p:Person) WHERE p.name IN ['Alice', 'Grace'] "
+            "OPTIONAL MATCH (p)-[:KNOWS]->(q) WHERE q.age > 100 "
+            "RETURN p.name AS n, q.name AS qn"
+        )
+    )
+    assert got == [("Alice", None), ("Grace", None)]
+
+
+def test_optional_match_where_partial(db):
+    got = rows(
+        db.cypher(
+            "MATCH (p:Person {name: 'Alice'}) "
+            "OPTIONAL MATCH (p)-[:KNOWS]->(q) WHERE q.age > 35 "
+            "RETURN p.name AS n, q.name AS qn"
+        )
+    )
+    assert got == [("Alice", "Bob")]  # Bob 40 matches, Carol 35 filtered
+
+
+# -- aggregates over nulls --------------------------------------------------
+
+
+def test_aggregates_over_all_null_group(db):
+    got = one(
+        db,
+        "UNWIND [null, null] AS x "
+        "RETURN avg(x) AS a, sum(x) AS s, count(x) AS c, collect(x) AS l, "
+        "min(x) AS mn, max(x) AS mx",
+    )
+    assert got == (None, 0, 0, [], None, None)
+
+
+def test_collect_skips_nulls_keeps_order_stability(db):
+    got = one(db, "UNWIND [1, null, 2, null, 3] AS x RETURN collect(x) AS l")
+    assert got == ([1, 2, 3],)
+
+
+def test_count_star_vs_count_expr(db):
+    got = one(
+        db, "UNWIND [1, null, 2] AS x RETURN count(*) AS star, count(x) AS expr"
+    )
+    assert got == (3, 2)
+
+
+# -- arithmetic operator semantics ------------------------------------------
+
+
+def test_modulo_sign_follows_dividend(db):
+    # Java/Cypher %: result sign follows the dividend
+    assert one(db, "RETURN -7 % 3 AS a, 7 % -3 AS b, 5.5 % 2 AS c") == (-1, 1, 1.5)
+
+
+def test_pow_always_float(db):
+    got = one(db, "RETURN 2 ^ 10 AS a, 2 ^ -1 AS b")
+    assert got == (1024.0, 0.5)
+    assert isinstance(got[0], float)
+
+
+def test_xor_three_valued(db):
+    assert one(
+        db,
+        "RETURN true XOR false AS a, true XOR true AS b, true XOR null AS c",
+    ) == (True, False, None)
+
+
+# -- WITH aggregation + WHERE (HAVING shape) --------------------------------
+
+
+def test_with_aggregate_then_where(db):
+    got = rows(
+        db.cypher(
+            "MATCH (p:Person) WITH p.city AS city, count(*) AS c "
+            "WHERE c >= 3 RETURN city, c"
+        )
+    )
+    assert got == [("NYC", 3)]
+
+
+def test_reduce_string_accumulator(db):
+    assert one(
+        db, "RETURN reduce(acc = '', x IN ['a','b','c'] | acc + x) AS r"
+    ) == ("abc",)
