@@ -123,6 +123,11 @@ _CYPHER: dict[str, str] = {
         "MATCH (c:Customer) WHERE c.acctbal > 999999 "
         "RETURN count(*) AS c, sum(c.acctbal) AS s"
     ),
+    # r11 TCK batch #8: chained comparison is the AND of adjacent pairs
+    "chained_cmp_bands": (
+        "MATCH (c:Customer) WHERE 0 < c.acctbal <= 5000 "
+        "RETURN count(*) AS n"
+    ),
     # var-length rel-list variable: the BFS accumulates per-hop property
     # structs (padded across edge types — PLACED has no quantity), so
     # quantifiers over rs filter on any hop's properties (r7)
@@ -365,6 +370,10 @@ _ORACLE: dict[str, str] = {
         SELECT c_name AS name,
                CASE WHEN c_acctbal > 9000 THEN round(c_acctbal, 2) END AS bigbal
         FROM customer ORDER BY bigbal DESC NULLS FIRST, name LIMIT 20
+    """,
+    "chained_cmp_bands": """
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM customer WHERE 0 < c_acctbal AND c_acctbal <= 5000
     """,
     "sum_empty_is_zero": """
         SELECT CAST(count(*) AS BIGINT) AS c,
@@ -886,6 +895,13 @@ _ORACLE: dict[str, str] = {
     """,
     "sparql_having_segments": """
         SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY c_mktsegment
+        HAVING count(*) > 300 ORDER BY seg
+    """,
+    "sparql_agg_expr_spread": """
+        SELECT c_mktsegment AS seg,
+               MAX(c_acctbal) - MIN(c_acctbal) AS spread,
+               CAST(count(c_acctbal) * 2 AS BIGINT) AS dbl
         FROM customer GROUP BY c_mktsegment
         HAVING count(*) > 300 ORDER BY seg
     """,
@@ -2431,6 +2447,16 @@ _SPARQL: dict[str, str] = {
         "SELECT ?seg (COUNT(?c) AS ?n) WHERE { ?c a ex:Customer ; "
         "ex:mktsegment ?seg } GROUP BY ?seg HAVING(?n > 300) ORDER BY ?seg"
     ),
+    # r11: aggregates EMBEDDED in SELECT expressions (hoisted into hidden
+    # aggregates, §18.2.4.4) + a HAVING aggregate not projected (§11.1);
+    # the MAX/MIN args are computed (xsd:double cast -> pre-bound column)
+    "sparql_agg_expr_spread": (
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?seg ((MAX(xsd:double(?b)) - MIN(xsd:double(?b))) AS ?spread) "
+        "((COUNT(?b) * 2) AS ?dbl) "
+        "WHERE { ?c a ex:Customer ; ex:mktsegment ?seg ; ex:acctbal ?b } "
+        "GROUP BY ?seg HAVING (COUNT(?c) > 300) ORDER BY ?seg"
+    ),
     # ORDER BY over an expression (SPARQL 1.1 §15.1 OrderCondition)
     "sparql_orderby_strlen": (
         "SELECT ?name WHERE { ?n a ex:Nation ; ex:name ?name } "
@@ -3247,6 +3273,8 @@ _PRIORITY = [
     "alg_astar_route",
     "alg_floyd_pairs",
     "merge_match_create",
+    "chained_cmp_bands",
+    "sparql_agg_expr_spread",
 ]
 
 

@@ -709,6 +709,15 @@ class Parser:
                     e = E.Prop(e.name, key)
                 else:
                     e = E.Fn("getfield", (e, E.Lit(key)))
+            elif self.at_op(":") and isinstance(e, E.Col):
+                # label predicate expression `a:Person[:Employee...]`
+                # (openCypher 9 label expression; true iff the node has
+                # ALL listed labels)
+                labels = []
+                while self.at_op(":"):
+                    self.next()
+                    labels.append(self.name())
+                e = E.HasLabel(e.name, tuple(labels))
             elif self.at_op("["):
                 self.next()
                 if self.at_op(".."):  # [..hi]

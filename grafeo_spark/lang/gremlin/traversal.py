@@ -339,7 +339,7 @@ class Traversal:
         if isinstance(t, _GroupCountStep):
             # bare groupCount() is complete without a .by() modulator
             t = t._t._group_count(t._key)
-        if isinstance(t, (_OrderStep, _SelectStep, _PathStep)):
+        if isinstance(t, (_OrderStep, _SelectStep, _PathStep, _WhereStep)):
             t = t._finalize()
         if not isinstance(t, Traversal):
             raise GremlinError("anonymous traversal ended mid-modulator")
@@ -380,6 +380,16 @@ class Traversal:
             return counts.filter(cond).select(idc).distinct()
         while steps:
             name, args, _kw = steps[-1]
+            if (
+                name == "is_"
+                and len(steps) >= 2
+                and steps[-2][0] == "values"
+                and len(steps[-2][1]) == 1
+            ):
+                # ``values(k).is_(P)`` ≡ ``has(k, P)`` for existence —
+                # the choose()/where() predicate idiom (r11 batch)
+                steps[-2:] = [("has", (steps[-2][1][0], args[0]), {})]
+                break
             if name == "values" and len(args) == 1:
                 steps[-1] = ("has", (args[0],), {})
                 break
@@ -408,7 +418,18 @@ class Traversal:
 
     # -- filters with anonymous traversals (ast.rs Where/And/Or/Not) ------
 
-    def where(self, cond) -> "Traversal":
+    def where(self, cond, pred=None) -> "Traversal":
+        if pred is not None:
+            # where('a', P.eq('b'))[.by(key)] — label-vs-label comparison
+            # (ast.rs WhereClause::Predicate(String, Predicate))
+            if not isinstance(cond, str) or not isinstance(pred, P):
+                raise GremlinError(
+                    "where(startKey, predicate) expects a step label and a P"
+                )
+            return _WhereStep(self, cond, pred)
+        if isinstance(cond, P):
+            # where(P.eq('a')) — current element vs label 'a'
+            return _WhereStep(self, None, cond)
         if isinstance(cond, Anon):
             ok = self._exists_ids(cond)
             return self._derive(
@@ -694,6 +715,12 @@ class Traversal:
         (TinkerPop elementMap contract)."""
         return self.valueMap(True, *keys)
 
+    def propertyMap(self, *keys: str) -> "Traversal":
+        """TinkerPop propertyMap: per-key property objects. In the typed
+        column model a property IS its value (no metadata to carry), so
+        this collapses to valueMap without tokens."""
+        return self.valueMap(*keys)
+
     def constant(self, v) -> "Traversal":
         """Replace each traverser's value with a constant (ast.rs
         Constant); multiplicity is preserved."""
@@ -802,6 +829,13 @@ class Traversal:
 
     def range_(self, lo: int, hi: int) -> "Traversal":
         return self._derive(self.df.offset(lo).limit(hi - lo), self.cur, self.kind)
+
+    def tail(self, n: int = 1) -> "Traversal":
+        """Last n traversers in the current order (TinkerPop tail). The
+        offset is total-n, which costs one count job — same eager shape
+        the reference's pull execution pays."""
+        total = self.df.count()
+        return self._derive(self.df.offset(max(0, total - n)), self.cur, self.kind)
 
     def count(self) -> "Traversal":
         return self._derive(self.df.agg(F.count(F.lit(1)).alias("count")), "count", "value")
@@ -1643,6 +1677,64 @@ class _OrderStep:
     def __getattr__(self, name: str):
         # any further step finalizes the pending sort and continues on
         # the ordered traversal
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._finalize(), name)
+
+
+class _WhereStep:
+    """``where('a', P.eq('b'))[.by(key)]`` / ``where(P.eq('a'))`` — the
+    label-comparison where (ast.rs WhereClause::Predicate): compares two
+    step labels (or the current element vs a label when start is None) by
+    element id, or by a property via ``by()`` modulators (TinkerPop
+    round-robins them over the two sides). Lazy like the other modulator
+    steps: any non-``by`` call finalizes."""
+
+    def __init__(self, t: Traversal, start, pred, specs: tuple = ()) -> None:
+        self._t = t
+        self._start = start
+        self._pred = pred
+        self._specs = specs
+
+    def by(self, key=None) -> "_WhereStep":
+        return _WhereStep(self._t, self._start, self._pred, self._specs + (key,))
+
+    def _finalize(self) -> Traversal:
+        t = self._t
+
+        def side(label, spec):
+            var = t.cur if label is None else t.labels.get(label)
+            if var is None:
+                raise GremlinError(f"unknown step label {label!r}")
+            if spec is None:
+                return F.col(_p(var, "id"))
+            c = _p(var, spec)
+            return F.col(c) if c in t.df.columns else F.lit(None)
+
+        specs = self._specs or (None,)
+        l = side(self._start, specs[0])
+        r = side(self._pred.value, specs[1 % len(specs)])
+        cmp = {
+            "eq": l == r,
+            "neq": l != r,
+            "gt": l > r,
+            "gte": l >= r,
+            "lt": l < r,
+            "lte": l <= r,
+        }.get(self._pred.op)
+        if cmp is None:
+            raise GremlinError(
+                f"where-label comparison does not support P.{self._pred.op}"
+            )
+        return t._derive(t.df.filter(cmp), t.cur, t.kind)
+
+    def toDF(self) -> DataFrame:
+        return self._finalize().toDF()
+
+    def toList(self) -> list:
+        return self._finalize().toList()
+
+    def __getattr__(self, name: str):
         if name.startswith("_"):
             raise AttributeError(name)
         return getattr(self._finalize(), name)

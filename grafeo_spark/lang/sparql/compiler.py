@@ -518,6 +518,25 @@ def _builtin(name: str, args: list[Column]) -> Column:
         # binding model that is strict string equality, no numeric
         # coercion (SPARQL §17.4.1.8; filter ops in planner_rdf.rs)
         "sameterm": lambda a: a[0] == a[1],
+        # language functions over the collapsed lexical store (which keeps
+        # no language tags — ast.rs:427 parses them, this model drops
+        # them): LANG() is "" for every bound value (null stays null),
+        # and langMatches("", range) is false for every range per
+        # §17.4.3.1 (the empty tag matches nothing, not even "*")
+        "lang": lambda a: F.when(a[0].isNull(), F.lit(None).cast("string")).otherwise(
+            F.lit("")
+        ),
+        "langmatches": lambda a: F.when(
+            a[0].isNull() | a[1].isNull(), F.lit(None).cast("boolean")
+        ).otherwise(F.lit(False)),
+        # STRLANG/STRDT construct tagged/typed literals; collapsed to the
+        # lexical form
+        "strlang": lambda a: F.when(a[1].isNull(), F.lit(None)).otherwise(
+            a[0].cast("string")
+        ),
+        "strdt": lambda a: F.when(a[1].isNull(), F.lit(None)).otherwise(
+            a[0].cast("string")
+        ),
     }
     if name not in table:
         raise SparqlCompileError(f"unsupported builtin {name}()")

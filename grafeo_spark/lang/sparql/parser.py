@@ -244,6 +244,7 @@ _TOKEN = re.compile(
   | (?P<iri><[^<>"{}|^`\\\x00-\x20]*>)
   | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<lang>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<num>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_.-]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
@@ -347,9 +348,21 @@ class Parser:
             return q
         if self.at("name", "CONSTRUCT"):
             self.next()
-            tpl = self._template()
-            self.eat("name", "WHERE")
-            q = ConstructQuery(tpl, self.group())
+            if self.at("name", "WHERE"):
+                # CONSTRUCT WHERE { BGP } shorthand (§10.2.2): the
+                # template IS the pattern (plain triples only)
+                self.next()
+                where = self.group()
+                for tp in where.triples:
+                    if not isinstance(tp.p, (Iri, Var)):
+                        raise SparqlSyntaxError(
+                            "CONSTRUCT WHERE allows only plain triple patterns"
+                        )
+                q = ConstructQuery(list(where.triples), where)
+            else:
+                tpl = self._template()
+                self.eat("name", "WHERE")
+                q = ConstructQuery(tpl, self.group())
             if not self.at("eof"):
                 raise SparqlSyntaxError(f"unexpected trailing token {self.peek()!r}")
             return q
@@ -764,6 +777,10 @@ class Parser:
     def triple_block(self) -> list[TriplePattern]:
         s = self.term()
         out = []
+        # a blank-node property list in SUBJECT position may be the whole
+        # block: `[ ex:p 1 ] .` — its buffered triples are the block
+        if self.at("op", ".") or self.at("op", "}"):
+            return self._drain_pending(out)
         while True:
             p = self.predicate()
             o = self.term()
@@ -783,6 +800,15 @@ class Parser:
                         continue
                     break
             break
+        return self._drain_pending(out)
+
+    def _drain_pending(self, out: list) -> list:
+        """Append (and clear) triples buffered by blank-node property
+        lists parsed inside this block's terms."""
+        pending = getattr(self, "_pending_triples", None)
+        if pending:
+            out.extend(pending)
+            pending.clear()
         return out
 
     def predicate(self):
@@ -900,6 +926,33 @@ class Parser:
             self.next()
             self._anon_bnodes = getattr(self, "_anon_bnodes", 0) + 1
             return Var(f"_:anon{self._anon_bnodes}")
+        if k == "op" and v == "[":
+            # blank node property list [ p o ; p2 o2, o3 ] — a fresh
+            # anonymous variable as subject, its triples buffered onto the
+            # enclosing triple block (parser.rs:960-973 blank_subject +
+            # parse_property_list_not_empty)
+            self.next()
+            self._anon_bnodes = getattr(self, "_anon_bnodes", 0) + 1
+            subj = Var(f"_:anon{self._anon_bnodes}")
+            pending = getattr(self, "_pending_triples", None)
+            if pending is None:
+                pending = self._pending_triples = []
+            while True:
+                p = self.predicate()
+                o = self.term()
+                self._expand_path(subj, p, o, pending)
+                while self.at("op", ","):
+                    self.next()
+                    o2 = self.term()
+                    self._expand_path(subj, p, o2, pending)
+                if self.at("op", ";"):
+                    self.next()
+                    if self.at("op", "]"):
+                        break
+                    continue
+                break
+            self.eat("op", "]")
+            return subj
         if k == "var":
             self.next()
             return Var(v[1:])
@@ -923,7 +976,13 @@ class Parser:
             self.next()
             val = _unescape(v[1:-1])
             dt = None
-            if self.at("op", "^^"):
+            if self.at("lang"):
+                # language-tagged literal 'a'@en (reference ast.rs:427
+                # language: Option<String>) — the collapsed lexical store
+                # keeps only the lexical form, so the tag parses and
+                # drops; LANG() is "" over this model (see _builtin)
+                self.next()
+            elif self.at("op", "^^"):
                 self.next()
                 dt_term = self.term()
                 dt = dt_term.value if isinstance(dt_term, Iri) else None

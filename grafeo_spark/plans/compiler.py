@@ -1347,6 +1347,27 @@ class Compiler:
             lo = self._expr(e.lo, scope, df) if e.lo else None
             hi = self._expr(e.hi, scope, df) if e.hi else None
             return self._slice_col(base, lo, hi)
+        if isinstance(e, E.HasLabel):
+            # label predicate `a:Person[:Emp...]`: true iff the node has
+            # ALL listed labels. Label-known frames fold to a literal;
+            # merged unlabeled scans check the _labels set / _label column.
+            info = scope.get(e.var)
+            if info is None or info.kind == "value":
+                raise CompileError(
+                    f"label predicate on non-graph variable {e.var!r}"
+                )
+            if info.label is not None:
+                return F.lit(all(w == info.label for w in e.labels))
+            cond = None
+            multi = _p(e.var, "_labels") in df.columns
+            for w in e.labels:
+                term = (
+                    F.array_contains(F.col(_p(e.var, "_labels")), w)
+                    if multi
+                    else F.col(_p(e.var, "_label")) == w
+                )
+                cond = term if cond is None else cond & term
+            return cond
         if isinstance(e, E.Case):
             from pyspark.sql.types import NullType
 

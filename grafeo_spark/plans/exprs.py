@@ -137,6 +137,16 @@ class Reduce(Expr):
 
 
 @dataclass(frozen=True)
+class HasLabel(Expr):
+    """Label predicate expression ``a:Person[:Employee...]`` — boolean,
+    true iff the node has ALL the listed labels (openCypher 9 label
+    expression in WHERE/RETURN position)."""
+
+    var: str
+    labels: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class PatternPred(Expr):
     """EXISTS((a)-[:T]->(b)) / size((a)-->(b)) — pattern subquery
     (plan.rs:906-967 Exists/Count subqueries). ``path`` is the parser-level

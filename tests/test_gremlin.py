@@ -868,3 +868,64 @@ def test_string_form_math_group_union_round11(db):
         (1, ["Bob", "Carol", "Dave", "Eve", "Heidi"]),
         (2, ["Alice"]),
     ]
+
+
+# -- round-11 adversarial batch #2: predicate choose, label-comparison
+# where, tail, propertyMap ------------------------------------------------
+
+
+def test_choose_with_predicate_traversal(db):
+    """choose(__.values(k).is_(P), t, f) — the filter-predicate condition
+    form (ast.rs ChooseCondition::Traversal): values(k).is_(P) normalizes
+    to has(k, P) for the existence split."""
+    out = sorted(
+        tuple(r)
+        for r in db.gremlin(
+            "g.V().hasLabel('Person').choose(__.values('age').is_(P.gt(34)), "
+            "__.constant('old'), __.constant('young')).groupCount()"
+        ).collect()
+    )
+    # ages 30,40,35,28,50,45,22,33 -> over 34: 40,35,50,45 = 4
+    assert out == [("old", 4), ("young", 4)]
+
+
+def test_where_label_comparison_by_property(db):
+    """where('a', P.eq('b')).by(key) — label-vs-label comparison with a
+    by() modulator (ast.rs WhereClause::Predicate)."""
+    out = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().as_('a').out('KNOWS').as_('b')"
+            ".where('a', P.eq('b')).by('city').select('a').values('name')"
+        ).collect()
+    )
+    # same-city KNOWS edges: Alice(NYC)->Carol(NYC), Eve(LA)->Frank? check
+    # fixture: (1,2) NYC->LA, (2,3) LA->NYC, (1,3) NYC->NYC, (3,4) NYC->Chi,
+    # (4,5) Chi->LA, (5,6) LA->NYC, (8,1) Houston->NYC -> only (1,3)
+    assert out == ["Alice"]
+
+
+def test_where_one_arg_predicate(db):
+    """where(P.neq('a')) — current element vs a step label."""
+    n = db.gremlin(
+        "g.V().as_('a').out('KNOWS').out('KNOWS').where(P.neq('a')).count()"
+    ).collect()[0][0]
+    m = db.gremlin("g.V().as_('a').out('KNOWS').out('KNOWS').count()").collect()[
+        0
+    ][0]
+    assert n <= m and n > 0
+
+
+def test_tail_step(db):
+    out = [
+        r[0]
+        for r in db.gremlin(
+            "g.V().hasLabel('Person').order().by('name').tail(2).values('name')"
+        ).collect()
+    ]
+    assert out == ["Grace", "Heidi"]
+
+
+def test_property_map(db):
+    row = db.gremlin("g.V().has('name','Alice').propertyMap('name','age')").collect()[0]
+    assert tuple(row) == ("Alice", 30)

@@ -1098,3 +1098,67 @@ def test_numeric_literals_exponent_and_leading_dot(sdb):
     assert sdb.sparql(
         PFX + "ASK { ?p ex:age ?a FILTER(xsd:integer(?a) > 2.5E1) }"
     ).collect()[0][0] is True
+
+
+# --------------------------------------------------------------------- #
+# round-11 adversarial batch #8: blank node property lists, language
+# tags, CONSTRUCT WHERE shorthand
+# --------------------------------------------------------------------- #
+
+
+def test_bnode_property_list_object(sdb):
+    """[ p o ; ... ] in object position desugars to a fresh anonymous
+    variable plus its buffered triples (reference parser.rs:960-973)."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { ?p ex:knows [ ex:name ?n ] } ORDER BY ?n"
+        )
+    )
+    assert out == [("Bob",), ("Carol",)]
+
+
+def test_bnode_property_list_subject(sdb):
+    """[ p o ] as the SUBJECT of its own block."""
+    out = rows(sdb.sparql(PFX + "SELECT ?n WHERE { [ ex:name ?n ; a ex:City ] }"))
+    assert out == [("NYC",)]
+
+
+def test_bnode_property_list_nested(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { ex:alice ex:knows [ ex:knows [ ex:name ?n ] ] }"
+        )
+    )
+    assert out == [("Carol",)]
+
+
+def test_language_tagged_literal_matches_lexical(sdb):
+    """'Alice'@en parses; the collapsed lexical store keeps only the
+    lexical form, so it matches the stored plain literal."""
+    assert (
+        sdb.sparql(PFX + 'ASK { ?p ex:name "Alice"@en }').collect()[0][0] is True
+    )
+
+
+def test_lang_functions_collapsed_model(sdb):
+    """LANG() is "" over the collapsed store (no tags kept); LANGMATCHES
+    with an empty tag is false for every range incl. "*" (§17.4.3.1);
+    STRLANG/STRDT collapse to the lexical form."""
+    out = sdb.sparql(
+        PFX + 'SELECT (LANG(?n) AS ?l) (STRLANG("x", "en") AS ?t) '
+        "WHERE { ex:alice ex:name ?n }"
+    ).collect()[0]
+    assert (out.l, out.t) == ("", "x")
+    n = sdb.sparql(
+        PFX + 'SELECT (COUNT(?n) AS ?c) WHERE { ?p ex:name ?n '
+        'FILTER(LANGMATCHES(LANG(?n), "*")) }'
+    ).collect()[0].c
+    assert n == 0
+
+
+def test_construct_where_shorthand(sdb):
+    """CONSTRUCT WHERE { BGP } — the template is the pattern (§10.2.2)."""
+    got = rows(sdb.sparql(PFX + "CONSTRUCT WHERE { ?p ex:name ?o }"))
+    names = {r[2] for r in got}
+    assert {"Alice", "Bob", "Carol", "NYC"} <= names
+    assert all(p == EX + "name" for _, p, _ in got)

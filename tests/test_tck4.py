@@ -203,3 +203,33 @@ def test_reduce_string_accumulator(db):
     assert one(
         db, "RETURN reduce(acc = '', x IN ['a','b','c'] | acc + x) AS r"
     ) == ("abc",)
+
+
+# -- label predicate expressions (round 11) ----------------------------------
+
+
+def test_label_predicate_in_where(db):
+    got = one(db, "MATCH (p) WHERE p:Person RETURN count(*) AS c")
+    assert got == (8,)
+
+
+def test_label_predicate_false_label(db):
+    got = one(db, "MATCH (p:Person) WHERE p:Robot RETURN count(*) AS c")
+    assert got == (0,)
+
+
+def test_label_predicate_in_return(db):
+    got = one(
+        db,
+        "MATCH (p:Person {name: 'Alice'}) RETURN p:Person AS yes, p:Robot AS no",
+    )
+    assert got == (True, False)
+
+
+def test_label_predicate_in_case(db):
+    got = one(
+        db,
+        "MATCH (p:Person {name: 'Bob'}) "
+        "RETURN CASE WHEN p:Person THEN 'yes' ELSE 'no' END AS a",
+    )
+    assert got == ("yes",)
