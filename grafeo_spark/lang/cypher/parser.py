@@ -560,13 +560,27 @@ class Parser:
         return WithClause(items, distinct, star, where, order, skip, limit, is_return)
 
     def _count_value(self):
-        """SKIP/LIMIT operand: an integer literal or a ``$param``
-        (resolved per execution by the compiler, so the translated-IR
-        cache stays valid across parameter values)."""
-        t = self.next()
+        """SKIP/LIMIT operand: an integer literal, a ``$param`` (resolved
+        per execution by the compiler, so the translated-IR cache stays
+        valid across parameter values), or a CONSTANT integer expression
+        (openCypher allows `LIMIT 1 + 1`; folded here at parse time)."""
+        t = self.peek()
         if t.kind == "param":
+            self.next()
             return E.Param(t.text[1:])
-        return int(t.text)
+        nxt = self.toks[self.i + 1]
+        if t.kind == "num" and not (
+            nxt.kind == "op" and nxt.text in ("+", "-", "*", "/", "%", "^")
+        ):
+            self.next()
+            return int(t.text)
+        e = self.expr()
+        folded = _fold_const_int(e)
+        if folded is None:
+            raise CypherSyntaxError(
+                "SKIP/LIMIT takes a non-negative constant integer expression"
+            )
+        return folded
 
     def proj_item(self) -> ProjItem:
         e = self.expr()
@@ -970,6 +984,44 @@ class Parser:
             else_ = self.expr()
         self.eat_kw("END")
         return E.Case(tuple(whens), else_, subject)
+
+
+def _fold_const_int(e) -> "int | None":
+    """Fold a constant integer arithmetic expression to its value (the
+    openCypher `LIMIT 1 + 1` form); None when non-constant, non-integral,
+    or negative at the top level."""
+
+    def fold(x):
+        if isinstance(x, E.Lit) and isinstance(x.value, int) and not isinstance(x.value, bool):
+            return x.value
+        if isinstance(x, E.UnOp) and x.op == "NEG":
+            v = fold(x.operand)
+            return None if v is None else -v
+        if isinstance(x, E.BinOp) and x.op in ("+", "-", "*", "/", "%", "^"):
+            l, r = fold(x.left), fold(x.right)
+            if l is None or r is None:
+                return None
+            try:
+                if x.op == "+":
+                    return l + r
+                if x.op == "-":
+                    return l - r
+                if x.op == "*":
+                    return l * r
+                if x.op == "/":
+                    q = abs(l) // abs(r)
+                    return q if (l >= 0) == (r >= 0) else -q
+                if x.op == "%":
+                    m = abs(l) % abs(r)
+                    return m if l >= 0 else -m
+                v = l**r
+                return v if isinstance(v, int) else None
+            except ZeroDivisionError:
+                return None
+        return None
+
+    v = fold(e)
+    return v if (v is not None and v >= 0) else None
 
 
 def _expr_name(e: E.Expr) -> str:

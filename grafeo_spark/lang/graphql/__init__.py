@@ -147,6 +147,10 @@ class _Parser:
                         "directives on fragment definitions are not supported"
                     )
                 self.fragments[fname] = self.selection_set()
+            elif self.at("name", "subscription"):
+                # parsed but rejected, exactly like the reference
+                # (graphql_translator.rs:107 Subscription -> Err)
+                raise GraphQLError("subscription operations are not supported")
             elif self.at("name", "query") or self.at("name", "mutation"):
                 if op is not None:
                     raise GraphQLError("exactly one operation per document")

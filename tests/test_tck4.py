@@ -233,3 +233,26 @@ def test_label_predicate_in_case(db):
         "RETURN CASE WHEN p:Person THEN 'yes' ELSE 'no' END AS a",
     )
     assert got == ("yes",)
+
+
+# -- constant-expression SKIP/LIMIT (round 11) --------------------------------
+
+
+def test_limit_constant_expression(db):
+    got = db.cypher(
+        "MATCH (p:Person) RETURN p.name AS n ORDER BY n LIMIT 1 + 1"
+    ).collect()
+    assert [r.n for r in got] == ["Alice", "Bob"]
+    got = db.cypher(
+        "MATCH (p:Person) RETURN p.name AS n ORDER BY n SKIP 2 * 3 LIMIT 10 - 8"
+    ).collect()
+    assert [r.n for r in got] == ["Grace", "Heidi"]
+
+
+def test_limit_non_constant_rejected(db):
+    import pytest
+
+    from grafeo_spark.lang.cypher.parser import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="constant integer"):
+        db.cypher("MATCH (p:Person) RETURN p.name AS n LIMIT p.age")
