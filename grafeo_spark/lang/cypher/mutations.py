@@ -397,8 +397,44 @@ class _Mutator:
         ).localCheckpoint(eager=True)
         n = missing.count()
         if n:
+            # ON CREATE SET r.k = v applies to the rows being created
+            # (merge.rs ON CREATE semantics, same as _merge_node's arm)
+            for it in clause.on_create:
+                if it.kind != "prop":
+                    raise MutationError("ON CREATE SET supports property items only")
+                if rel.var and it.var != rel.var:
+                    raise MutationError(
+                        f"ON CREATE SET target {it.var!r} is not the merged relationship"
+                    )
+                missing = missing.withColumn(it.key, self._expr(it.expr, missing))
+                self.stats["properties_set"] += n
             self.graph = self.graph.create_edges(etype, missing)
             self.stats["relationships_created"] += n
+        if existing is not None and clause.on_match:
+            matched = pairs.join(
+                existing.select("src", "dst"), ["src", "dst"], "left_semi"
+            ).localCheckpoint(eager=True)
+            m = matched.count()
+            if m:
+                hit = matched.withColumn("_hit", F.lit(True))
+                e = self.graph.edge_frames[etype]
+                e2 = e.join(hit, ["src", "dst"], "left")
+                for it in clause.on_match:
+                    if it.kind != "prop":
+                        raise MutationError("ON MATCH SET supports property items only")
+                    if rel.var and it.var != rel.var:
+                        raise MutationError(
+                            f"ON MATCH SET target {it.var!r} is not the merged relationship"
+                        )
+                    old = F.col(it.key) if it.key in e.columns else F.lit(None)
+                    e2 = e2.withColumn(
+                        it.key,
+                        F.when(F.col("_hit"), self._expr(it.expr, e2)).otherwise(old),
+                    )
+                    self.stats["properties_set"] += m
+                self.graph = self.graph.with_edges(
+                    etype, e2.drop("_hit").localCheckpoint(eager=True)
+                )
 
     # -- DELETE ----------------------------------------------------------
 

@@ -373,3 +373,48 @@ def test_create_counts_properties_set(wdb):
     ).collect()[0]
     assert s.nodes_created == 2 and s.relationships_created == 1
     assert s.properties_set == 4  # 2 + 1 node props + 1 rel prop
+
+
+# --------------------------------------------------------------------- #
+# round 11: MERGE relationship ON CREATE / ON MATCH (merge.rs:1-18) —
+# previously the edge arm silently ignored both SET lists
+# --------------------------------------------------------------------- #
+
+
+def test_merge_edge_on_create_sets_property(wdb):
+    # Bob->Alice does not exist: created with the ON CREATE property
+    wdb.cypher(
+        "MATCH (a:Person {name: 'Bob'}), (b:Person {name: 'Alice'}) "
+        "MERGE (a)-[r:KNOWS]->(b) ON CREATE SET r.since = 2024"
+    ).collect()
+    out = rows(
+        wdb.cypher(
+            "MATCH (a:Person {name: 'Bob'})-[r:KNOWS]->(b:Person {name: 'Alice'}) "
+            "RETURN r.since AS s"
+        )
+    )
+    assert out == [(2024,)]
+
+
+def test_merge_edge_on_match_updates_property(wdb):
+    # Alice->Bob exists (since 2015): ON MATCH rewrites it, ON CREATE no-ops
+    wdb.cypher(
+        "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) "
+        "MERGE (a)-[r:KNOWS]->(b) ON CREATE SET r.since = 2024 "
+        "ON MATCH SET r.since = 1999, r.matched = true"
+    ).collect()
+    out = rows(
+        wdb.cypher(
+            "MATCH (a:Person {name: 'Alice'})-[r:KNOWS]->(b:Person {name: 'Bob'}) "
+            "RETURN r.since AS s, r.matched AS m"
+        )
+    )
+    assert out == [(1999, True)]
+    # other edges untouched by the ON MATCH rewrite
+    others = rows(
+        wdb.cypher(
+            "MATCH (a)-[r:KNOWS]->(b) WHERE r.matched IS NULL "
+            "RETURN count(*) AS c"
+        )
+    )
+    assert others == [(len(KNOWS) - 1,)]
