@@ -723,6 +723,31 @@ class Parser:
                     e = E.Prop(e.name, key)
                 else:
                     e = E.Fn("getfield", (e, E.Lit(key)))
+            elif self.at_op("{") and isinstance(e, E.Col):
+                # map projection p{.name, .age, extra: expr, .*}
+                self.next()
+                items: list[tuple[str, "E.Expr | None"]] = []
+                star = False
+                while not self.at_op("}"):
+                    if self.at_op("."):
+                        self.next()
+                        if self.at_op("*"):
+                            self.next()
+                            star = True
+                        else:
+                            items.append((self.name(), None))
+                    else:
+                        key = self.name()
+                        if self.at_op(":"):
+                            self.next()
+                            items.append((key, self.expr()))
+                        else:
+                            # bare variable entry: {v} == {v: v}
+                            items.append((key, E.Col(key)))
+                    if self.at_op(","):
+                        self.next()
+                self.eat_op("}")
+                e = E.MapProj(e.name, tuple(items), star)
             elif self.at_op(":") and isinstance(e, E.Col):
                 # label predicate expression `a:Person[:Employee...]`
                 # (openCypher 9 label expression; true iff the node has

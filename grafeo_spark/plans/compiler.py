@@ -1347,6 +1347,36 @@ class Compiler:
             lo = self._expr(e.lo, scope, df) if e.lo else None
             hi = self._expr(e.hi, scope, df) if e.hi else None
             return self._slice_col(base, lo, hi)
+        if isinstance(e, E.MapProj):
+            # map projection p{.k, extra: expr, .*}: a named struct over
+            # the variable's property columns (the MapLit record model);
+            # a null element (OPTIONAL MATCH miss) projects to null
+            info = scope.get(e.var)
+            if info is None or info.kind == "value":
+                raise CompileError(
+                    f"map projection on non-graph variable {e.var!r}"
+                )
+            reserved = ("id", "_label", "_labels", "_type", "src", "dst", "_near")
+            fields: dict[str, Column] = {}
+            if e.star:
+                pref = e.var + "__"
+                for c in df.columns:
+                    if c.startswith(pref):
+                        k = c[len(pref):]
+                        if k not in reserved:
+                            fields[k] = F.col(c)
+            for k, sub in e.items:
+                if sub is None:
+                    c = _p(e.var, k)
+                    fields[k] = F.col(c) if c in df.columns else F.lit(None)
+                else:
+                    fields[k] = self._expr(sub, scope, df)
+            if not fields:
+                return F.when(
+                    F.col(_p(e.var, "id")).isNotNull(), F.struct(F.lit(True).alias("__empty"))
+                )
+            rec = F.struct(*[c.alias(k) for k, c in fields.items()])
+            return F.when(F.col(_p(e.var, "id")).isNotNull(), rec)
         if isinstance(e, E.HasLabel):
             # label predicate `a:Person[:Emp...]`: true iff the node has
             # ALL listed labels. Label-known frames fold to a literal;

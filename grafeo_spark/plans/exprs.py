@@ -137,6 +137,18 @@ class Reduce(Expr):
 
 
 @dataclass(frozen=True)
+class MapProj(Expr):
+    """Map projection ``p{.name, .age, extra: expr, .*}`` (openCypher 9):
+    selects properties of a graph variable into a record. ``items`` holds
+    (key, Expr|None) pairs — None marks a ``.key`` property selector;
+    ``star`` includes every property of the variable."""
+
+    var: str
+    items: tuple[tuple[str, Optional[Expr]], ...]
+    star: bool = False
+
+
+@dataclass(frozen=True)
 class HasLabel(Expr):
     """Label predicate expression ``a:Person[:Employee...]`` — boolean,
     true iff the node has ALL the listed labels (openCypher 9 label

@@ -256,3 +256,39 @@ def test_limit_non_constant_rejected(db):
 
     with pytest.raises(CypherSyntaxError, match="constant integer"):
         db.cypher("MATCH (p:Person) RETURN p.name AS n LIMIT p.age")
+
+
+# -- map projections (round 11) ----------------------------------------------
+
+
+def test_map_projection_selectors(db):
+    got = one(db, "MATCH (p:Person {name: 'Alice'}) RETURN p{.name, .age} AS m")
+    assert got[0].asDict() == {"name": "Alice", "age": 30}
+
+
+def test_map_projection_star_and_override(db):
+    got = one(db, "MATCH (p:Person {name: 'Alice'}) RETURN p{.*, age: 99} AS m")
+    assert got[0].asDict() == {"name": "Alice", "age": 99, "city": "NYC"}
+
+
+def test_map_projection_computed_and_bare_var(db):
+    got = one(
+        db,
+        "MATCH (p:Person {name: 'Alice'}) WITH p, 42 AS answer "
+        "RETURN p{.name, answer, dbl: p.age * 2} AS m",
+    )
+    assert got[0].asDict() == {"name": "Alice", "answer": 42, "dbl": 60}
+
+
+def test_map_projection_null_element_is_null(db):
+    got = one(
+        db,
+        "MATCH (p:Person {name: 'Grace'}) OPTIONAL MATCH (p)-[:KNOWS]->(q) "
+        "RETURN q{.name} AS m",
+    )
+    assert got == (None,)
+
+
+def test_map_projection_missing_property_is_null_entry(db):
+    got = one(db, "MATCH (p:Person {name: 'Alice'}) RETURN p{.nope} AS m")
+    assert got[0].asDict() == {"nope": None}
