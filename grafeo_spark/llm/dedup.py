@@ -38,14 +38,17 @@ def exact_duplicates(
     fp = F.xxhash64(F.array_join(tokenize(F.col(text_col)), " "))
     with_fp = df.select(F.col(id_col).alias("id"), fp.alias("_fp"))
     keep = with_fp.groupBy("_fp").agg(F.min("id").alias("keep_id"))
-    return with_fp.join(keep, "_fp").select("id", "keep_id")
+    # the fingerprint→keeper map is corpus-sized (one row per distinct
+    # content); hint it off Catalyst's misestimated broadcast path (the
+    # r11 sf25 finding — see _content_members)
+    return with_fp.join(keep.hint("merge"), "_fp").select("id", "keep_id")
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Rows surviving exact dedup (keep the min-id representative)."""
     pairs = exact_duplicates(df, id_col, text_col)
     keep = pairs.filter(F.col("id") == F.col("keep_id")).select(F.col("id").alias(id_col))
-    return df.join(keep, id_col, "left_semi")
+    return df.join(keep.hint("merge"), id_col, "left_semi")
 
 
 def shingle_sets(
@@ -259,9 +262,14 @@ def lsh_candidate_pairs(
     l = buckets.select(
         *[F.col(c).alias(c + "_l") for c in join_cols], F.col("id").alias("a")
     )
+    # shuffle_hash hint: the bucket table is |reps| × bands rows — at
+    # sf25 scale Catalyst's static estimate under the lazily-checkpointed
+    # signature frame read small enough to pick a 200M-row broadcast
+    # build (driver OOM); the hinted shuffle join partitions on the
+    # bucket key, which is exactly the documented scale-out dimension
     rt = buckets.select(
         *[F.col(c).alias(c + "_r") for c in join_cols], F.col("id").alias("b")
-    )
+    ).hint("merge")
     cond = F.col("a") < F.col("b")
     for c in join_cols:
         cond = cond & (F.col(c + "_l") == F.col(c + "_r"))
@@ -280,8 +288,15 @@ def verify_jaccard_from_hash_rows(pairs: DataFrame, row_df: DataFrame) -> DataFr
 def verify_jaccard(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
     """(a, b, jaccard) — exact shingle-set Jaccard for candidate pairs.
     `shingle_df` is `shingle_sets` output (id, _sh)."""
-    sa = shingle_df.select(F.col("id").alias("a"), F.col("_sh").alias("_sha"))
-    sb = shingle_df.select(F.col("id").alias("b"), F.col("_sh").alias("_shb"))
+    # the shingle-set sides are corpus-sized WITH wide array rows — a
+    # misestimated broadcast build here is the worst case; force the
+    # shuffled build (bounded per task)
+    sa = shingle_df.select(F.col("id").alias("a"), F.col("_sh").alias("_sha")).hint(
+        "shuffle_hash"
+    )
+    sb = shingle_df.select(F.col("id").alias("b"), F.col("_sh").alias("_shb")).hint(
+        "shuffle_hash"
+    )
     return (
         pairs.join(sa, "a")
         .join(sb, "b")
@@ -314,7 +329,14 @@ def _content_members(sh_rows: DataFrame) -> DataFrame:
         "id", F.xxhash64(F.col("_set").cast("string")).alias("_ck")
     )
     groups = keyed.groupBy("_ck").agg(F.min("id").alias("gid"))
-    return keyed.join(groups, "_ck").select("id", "gid")
+    # shuffle_hash hint: `groups` is one row per DISTINCT CONTENT — a
+    # corpus-sized frame (on a decorrelated corpus it IS the corpus).
+    # Catalyst's static estimate under the aggregate reads small and
+    # picks a broadcast build, which at sf25 (6.25M docs) dies with
+    # notEnoughMemoryToBuildAndBroadcastTable; the hinted shuffle join
+    # is bounded per task at any corpus size (found by the r11 scale
+    # rehearsal).
+    return keyed.join(groups.hint("merge"), "_ck").select("id", "gid")
 
 
 def _group_rep_pairs(
@@ -328,8 +350,12 @@ def _group_rep_pairs(
     near-duplicate relation between group REPRESENTATIVES — the bounded
     core of the banded pipeline (everything downstream is linear joins)."""
     members = _content_members(sh_rows)
+    # the representative-id set is corpus-sized (all-distinct corpus ⇒
+    # every id is its own rep) — same no-broadcast rationale as above
     rep_rows = sh_rows.join(
-        members.filter(F.col("id") == F.col("gid")).select("id"), "id", "left_semi"
+        members.filter(F.col("id") == F.col("gid")).select("id").hint("merge"),
+        "id",
+        "left_semi",
     )
     # One signature row per distinct-content representative (64-element
     # array): lazily checkpoint it so the occupancy probe inside
@@ -354,8 +380,14 @@ def _expand_group_pairs(members: DataFrame, rep_pairs: DataFrame) -> DataFrame:
     sets); a cross-content pair inherits its groups' verified jaccard
     (every member holds the same set as its representative). Output size is
     inherently pairwise — the tasks producing it are plain joins."""
-    ma = members.select(F.col("gid").alias("a"), F.col("id").alias("_ia"))
-    mb = members.select(F.col("gid").alias("b"), F.col("id").alias("_ib"))
+    # members is corpus-sized: hint both fan-out joins off the broadcast
+    # path (the r11 sf25 OOM — Catalyst misestimates the aggregated map)
+    ma = members.select(F.col("gid").alias("a"), F.col("id").alias("_ia")).hint(
+        "shuffle_hash"
+    )
+    mb = members.select(F.col("gid").alias("b"), F.col("id").alias("_ib")).hint(
+        "shuffle_hash"
+    )
     cross = (
         rep_pairs.join(ma, "a")
         .join(mb, "b")
@@ -367,7 +399,7 @@ def _expand_group_pairs(members: DataFrame, rep_pairs: DataFrame) -> DataFrame:
     )
     within = (
         members.select("gid", F.col("id").alias("_ia"))
-        .join(members.select("gid", F.col("id").alias("_ib")), "gid")
+        .join(members.select("gid", F.col("id").alias("_ib")).hint("merge"), "gid")
         .filter(F.col("_ia") < F.col("_ib"))
         .select(
             F.col("_ia").alias("a"),
@@ -452,7 +484,7 @@ def dedup_near(
     drop = clusters.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(drop, id_col, "left_anti")
+    return df.join(drop.hint("merge"), id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -545,7 +577,7 @@ def simhash(
             F.lit(0).cast("long")
         )
     codes = agg.select("id", code.alias("simhash"))
-    return ids.join(codes, "id", "left").fillna({"simhash": 0})
+    return ids.join(codes.hint("merge"), "id", "left").fillna({"simhash": 0})
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

@@ -530,11 +530,24 @@ def _blocked_pair_scores(
         F.collect_list("id").alias("ids"),
         F.flatten(F.collect_list("_v")).alias("flat"),
     )
+    # join hints (r11 scale finding, see dedup._content_members): the
+    # id->block map is corpus-sized (never broadcastable at scale), and
+    # the block frames carry ~25 MB flattened-matrix ROWS — a
+    # misestimated broadcast of either would ship the whole corpus's
+    # vectors to the driver; merge keeps them shuffled and streamed.
     p2 = (
         pairs.join(
-            withb.select(F.col("id").alias("a"), F.col("_b").alias("_ba")), "a"
+            withb.select(F.col("id").alias("a"), F.col("_b").alias("_ba")).hint(
+                "shuffle_hash"
+            ),
+            "a",
         )
-        .join(withb.select(F.col("id").alias("b"), F.col("_b").alias("_bb")), "b")
+        .join(
+            withb.select(F.col("id").alias("b"), F.col("_b").alias("_bb")).hint(
+                "shuffle_hash"
+            ),
+            "b",
+        )
         .groupBy("_ba", "_bb")
         .agg(F.collect_list("a").alias("pa"), F.collect_list("b").alias("pb"))
     )
@@ -544,14 +557,14 @@ def _blocked_pair_scores(
                 F.col("_b").alias("_ba"),
                 F.col("ids").alias("ids_a"),
                 F.col("flat").alias("flat_a"),
-            ),
+            ).hint("merge"),
             "_ba",
         ).join(
             blocks.select(
                 F.col("_b").alias("_bb"),
                 F.col("ids").alias("ids_b"),
                 F.col("flat").alias("flat_b"),
-            ),
+            ).hint("merge"),
             "_bb",
         )
     )
@@ -642,13 +655,15 @@ def _bipartite_pair_scores(
         F.collect_list("iid").alias("iids"),
         F.flatten(F.collect_list("_iv")).alias("iflat"),
     )
+    # same hint rationale as _blocked_pair_scores: id->block maps are
+    # input-sized, block frames carry flattened-matrix rows
     p2 = (
-        pairs.join(qwb.select("qid", "_qb"), "qid")
-        .join(iwb.select("iid", "_ib"), "iid")
+        pairs.join(qwb.select("qid", "_qb").hint("merge"), "qid")
+        .join(iwb.select("iid", "_ib").hint("merge"), "iid")
         .groupBy("_qb", "_ib")
         .agg(F.collect_list("qid").alias("pq"), F.collect_list("iid").alias("pi"))
     )
-    joined = p2.join(qblocks, "_qb").join(iblocks, "_ib")
+    joined = p2.join(qblocks.hint("merge"), "_qb").join(iblocks.hint("merge"), "_ib")
 
     CHUNK = 65536  # pairs scored per gather/einsum allocation
 
@@ -763,7 +778,7 @@ def cosine_near_pairs(
         .localCheckpoint(eager=True)
     )
     l = buckets.select("t", "code", F.col("id").alias("a"))
-    r = buckets.select("t", "code", F.col("id").alias("b"))
+    r = buckets.select("t", "code", F.col("id").alias("b")).hint("merge")
     cands = (
         l.join(r, ["t", "code"])
         .filter(F.col("a") < F.col("b"))
@@ -838,7 +853,7 @@ def ann_join(
     else:
         scored = (
             cands.join(qv, "qid")
-            .join(iv, "iid")
+            .join(iv.hint("merge"), "iid")
             .select("qid", "iid", fn(F.col("_qv"), F.col("_iv")).alias("score"))
         )
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col("iid").asc()]

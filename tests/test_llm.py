@@ -1427,3 +1427,41 @@ def test_exact_pairs_guard_rail(vectors, spark, monkeypatch):
     # explicit n_blocks bypasses the guard
     out = sim._blocked_exact_pairs(base, threshold=0.999999, n_blocks=2)
     assert out.count() >= 0
+
+
+# --------------------------------------------------------------------- #
+# round 11: corpus-sized join sides must never plan as broadcast builds
+# (the sf25 scale finding: Catalyst's static estimate under aggregates
+# read small and broadcast the content-key->group map, the LSH bucket
+# table, and the blocked-join block frames — driver OOM at 6.25M docs)
+# --------------------------------------------------------------------- #
+
+
+def _physical(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedup_pipelines_plan_no_broadcast(docs):
+    from grafeo_spark.llm.dedup import (
+        exact_duplicates,
+        near_duplicate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # healthy corpus (no hot buckets -> no salt-list broadcast): every
+    # join in the pipeline must be shuffle-based at ANY size, because
+    # every side scales with the corpus
+    for df in (
+        exact_duplicates(docs),
+        near_duplicate_pairs(docs, threshold=0.8),
+        ngram_jaccard_pairs(docs, threshold=0.6),
+    ):
+        plan = _physical(df)
+        assert "BroadcastExchange" not in plan, plan[:2000]
+
+
+def test_simhash_pairs_plan_no_broadcast(docs):
+    from grafeo_spark.llm.dedup import simhash_near_pairs
+
+    plan = _physical(simhash_near_pairs(docs))
+    assert "BroadcastExchange" not in plan, plan[:2000]
