@@ -1000,9 +1000,16 @@ class Parser:
         whens: list[tuple[E.Expr, E.Expr]] = []
         while self.at_kw("WHEN"):
             self.next()
-            cond = self.expr()
+            conds = [self.expr()]
+            while subject is not None and self.at_op(","):
+                # Cypher 5 simple-CASE multi-value WHEN: `WHEN 1, 2 THEN r`
+                # expands to one (cond, result) pair per value
+                self.next()
+                conds.append(self.expr())
             self.eat_kw("THEN")
-            whens.append((cond, self.expr()))
+            result = self.expr()
+            for cond in conds:
+                whens.append((cond, result))
         else_ = None
         if self.at_kw("ELSE"):
             self.next()

@@ -292,3 +292,12 @@ def test_map_projection_null_element_is_null(db):
 def test_map_projection_missing_property_is_null_entry(db):
     got = one(db, "MATCH (p:Person {name: 'Alice'}) RETURN p{.nope} AS m")
     assert got[0].asDict() == {"nope": None}
+
+
+def test_simple_case_multi_value_when(db):
+    # Cypher 5 simple-CASE comma list: WHEN 1, 2 THEN matches either value
+    assert one(
+        db,
+        "RETURN CASE 2 WHEN 1, 2 THEN 'hit' ELSE 'miss' END AS a, "
+        "CASE 5 WHEN 1, 2 THEN 'hit' ELSE 'miss' END AS b",
+    ) == ("hit", "miss")
