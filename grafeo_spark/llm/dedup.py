@@ -555,10 +555,14 @@ def simhash(
     (same rationale as ``signatures_from_sets``: interpreted HOF aggregates
     would be re-evaluated in every branch of the bucket self-join, whereas
     the groupBy leaves codes behind a reusable shuffle exchange). Tokenless
-    documents keep code 0 via the left join."""
-    ids = df.select(F.col(id_col).alias("id"))
+    documents keep code 0 WITHOUT a join-back: explode_outer emits one
+    null-token row for an empty token array, its null hash makes every
+    per-bit vote resolve to -1 (when(null != 0) falls to the otherwise
+    arm), so the sign test assigns bit 0 — the r11 merge-hint work showed
+    the old ids-left-join costing a full extra sort exchange."""
     exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("_t")
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokenize(F.col(text_col))).alias("_t"),
     ).withColumn("_h", _token_hash64(F.col("_t"), bit_source))
     votes = []
     masks = []
@@ -576,8 +580,7 @@ def simhash(
         code = code + F.when(F.col(f"_v{i}") > 0, F.lit(mask).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    codes = agg.select("id", code.alias("simhash"))
-    return ids.join(codes.hint("merge"), "id", "left").fillna({"simhash": 0})
+    return agg.select("id", code.alias("simhash"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
