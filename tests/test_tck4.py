@@ -301,3 +301,45 @@ def test_simple_case_multi_value_when(db):
         "RETURN CASE 2 WHEN 1, 2 THEN 'hit' ELSE 'miss' END AS a, "
         "CASE 5 WHEN 1, 2 THEN 'hit' ELSE 'miss' END AS b",
     ) == ("hit", "miss")
+
+
+# -- batch #9 sweep: all-green probes pinned as regressions ------------------
+
+
+def test_orderby_aliased_and_underlying(db):
+    got = [
+        r.age
+        for r in db.cypher(
+            "MATCH (p:Person) RETURN p.age AS age ORDER BY age"
+        ).collect()
+    ]
+    assert got == sorted(got, key=lambda v: (v is None, v))  # nulls LAST asc
+    got = rows(db.cypher("MATCH (p:Person) RETURN p.name AS n ORDER BY p.age"))
+    assert len(got) == 8
+
+
+def test_misc_value_semantics(db):
+    assert one(
+        db,
+        "RETURN ltrim('  x  ') AS l, rtrim('  x  ') AS r, "
+        "head([]) AS h, last([]) AS lst, {a: {b: {c: 42}}}.a.b.c AS v, "
+        "1e3 AS e, .5 AS d",
+    ) == ("x  ", "  x", None, None, 42, 1000.0, 0.5)
+
+
+def test_min_max_skip_nulls(db):
+    assert one(db, "UNWIND [3, null, 1] AS x RETURN min(x) AS mn, max(x) AS mx") == (
+        1,
+        3,
+    )
+
+
+def test_optional_rel_property_null_flag(db):
+    got = rows(
+        db.cypher(
+            "MATCH (p:Person) WHERE p.name IN ['Alice', 'Grace'] "
+            "OPTIONAL MATCH (p)-[r:KNOWS]->() "
+            "RETURN DISTINCT p.name AS n, r.since IS NULL AS no_rel"
+        )
+    )
+    assert got == [("Alice", False), ("Grace", True)]
