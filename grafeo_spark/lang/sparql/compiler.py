@@ -306,6 +306,7 @@ def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
         # BIND is sequential in the spec; binding after the group's joins
         # covers the common shapes (a BIND var used by a LATER triple in
         # the same group is not supported — split the group instead)
+        out, e = _hoist_exists_expr(ts, out, e)
         out = out.withColumn(v, _filter_col(e, out))
     for opt in g.optionals:
         right = _compile_group(ts, opt)
@@ -337,8 +338,45 @@ def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
             probe = right.limit(1).select(F.lit(1).alias("__e"))
             out = out.join(probe, F.lit(True), how)
     for f in g.filters:
+        out, f = _hoist_exists_expr(ts, out, f)
         out = out.filter(_filter_col(f, out))
     return out
+
+
+_EXISTS_FLAGS = iter(range(10**9))
+
+
+def _hoist_exists_expr(ts: TripleStore, out: DataFrame, e):
+    """Rewrite embedded ``EXISTS { pattern }`` expression nodes
+    (ast.rs:574 Expression::Exists) onto boolean flag columns: the
+    pattern compiles once, a distinct projection of the shared variables
+    left-joins a TRUE flag onto the solution frame, and the node becomes
+    COALESCE(flag, false). Uncorrelated patterns cross-join a one-row
+    any-match probe. Returns (new_frame, rewritten_expr)."""
+    if not isinstance(e, P.FExpr):
+        return out, e
+    if e.op == "exists_group":
+        sub = _compile_group(ts, e.args[0])
+        flag = f"__exf{next(_EXISTS_FLAGS)}"
+        shared = [
+            c for c in sub.columns if c in out.columns and not c.startswith("__")
+        ]
+        if shared:
+            probe = sub.select(*shared).distinct().withColumn(flag, F.lit(True))
+            out = out.join(probe, shared, "left")
+        else:
+            probe = (
+                sub.limit(1)
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .select((F.col("_c") > 0).alias(flag))
+            )
+            out = out.crossJoin(probe)
+        return out, P.FExpr("call:coalesce", (P.Var(flag), P.Lit(False)))
+    args = []
+    for a in e.args:
+        out, na = _hoist_exists_expr(ts, out, a)
+        args.append(na)
+    return out, P.FExpr(e.op, tuple(args))
 
 
 def _term_col(t, df: DataFrame) -> Column:
@@ -677,6 +715,7 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
     _hoist_aggregates(q)
     out = _compile_group(ts, q.where)
     for name, e in q.pre_binds:
+        out, e = _hoist_exists_expr(ts, out, e)
         out = out.withColumn(name, _filter_col(e, out))
     if q.aggregates:
         aggs = []
@@ -743,6 +782,7 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
         out = _apply_modifiers(out, q)
         return out.drop(*hidden) if hidden else out
     for alias, e in q.select_exprs:
+        out, e = _hoist_exists_expr(ts, out, e)
         out = out.withColumn(alias, _filter_col(e, out))
     if q.variables or q.select_exprs:
         cols = q.variables + [a for a, _ in q.select_exprs]
@@ -752,7 +792,11 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
         out = out.select(*cols)
     else:
         out = out.select(
-            *[c for c in out.columns if not (c.startswith("__m") or c.startswith("__pp"))]
+            *[
+                c
+                for c in out.columns
+                if not (c.startswith("__m") or c.startswith("__pp") or c.startswith("__exf"))
+            ]
         )
     if q.distinct:
         out = out.distinct()

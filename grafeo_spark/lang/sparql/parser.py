@@ -1104,6 +1104,28 @@ class Parser:
                 return FExpr("cast:" + self._CASTS[iri.value], (arg,))
             raise SparqlSyntaxError(f"unknown function <{iri.value}>")
         if self.at("name"):
+            nm = self.peek()[1].upper()
+            # boolean literals in expression position (grammar [134])
+            if nm in ("TRUE", "FALSE") and self.toks[self.i + 1][:2] != ("op", "("):
+                self.next()
+                return Lit(nm == "TRUE")
+            # EXISTS { pattern } as an EXPRESSION (ast.rs:574
+            # Expression::Exists — legal anywhere an expression is, not
+            # just FILTER); compile_select/_compile_group hoist it onto a
+            # left-join flag column
+            if nm == "EXISTS" and self.toks[self.i + 1][:2] == ("op", "{"):
+                self.next()
+                return FExpr("exists_group", (self.group(),))
+            if (
+                nm == "NOT"
+                and self.toks[self.i + 1][0] == "name"
+                and self.toks[self.i + 1][1].upper() == "EXISTS"
+                and self.toks[self.i + 2][:2] == ("op", "{")
+            ):
+                self.next()
+                self.next()
+                return FExpr("not", (FExpr("exists_group", (self.group(),)),))
+        if self.at("name"):
             fname = self.next()[1].upper()
             self.eat("op", "(")
             args = []

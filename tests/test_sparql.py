@@ -1162,3 +1162,45 @@ def test_construct_where_shorthand(sdb):
     names = {r[2] for r in got}
     assert {"Alice", "Bob", "Carol", "NYC"} <= names
     assert all(p == EX + "name" for _, p, _ in got)
+
+
+# --------------------------------------------------------------------- #
+# round-11 batch #9: expression EXISTS and boolean literals
+# --------------------------------------------------------------------- #
+
+
+def test_exists_as_expression(sdb):
+    """EXISTS { pattern } anywhere an expression is legal (ast.rs:574
+    Expression::Exists) — SELECT projection, BIND, IF — hoisted onto a
+    left-join flag; FILTER EXISTS keeps its semi-join fast path."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n (EXISTS { ?p ex:knows ?o } AS ?k) "
+            "WHERE { ?p a ex:Person ; ex:name ?n } ORDER BY ?n"
+        )
+    )
+    assert out == [("Alice", True), ("Bob", True), ("Carol", False)]
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n ?t WHERE { ?p a ex:Person ; ex:name ?n "
+            'BIND(IF(NOT EXISTS { ?p ex:knows ?o }, "sink", "source") AS ?t) } '
+            "ORDER BY ?n"
+        )
+    )
+    assert out == [("Alice", "source"), ("Bob", "source"), ("Carol", "sink")]
+
+
+def test_uncorrelated_exists_expression(sdb):
+    got = sdb.sparql(
+        PFX + "SELECT (EXISTS { ?a ex:nosuch ?b } AS ?e) "
+        "(EXISTS { ?a ex:knows ?b } AS ?f) WHERE { VALUES ?x { 1 } }"
+    ).collect()[0]
+    assert (got.e, got.f) == (False, True)
+
+
+def test_boolean_literals_in_expressions(sdb):
+    got = sdb.sparql(
+        PFX + "SELECT (true AS ?t) (false AS ?f) "
+        "(IF(1 > 0, true, false) AS ?p) WHERE { VALUES ?x { 1 } }"
+    ).collect()[0]
+    assert (got.t, got.f, got.p) == (True, False, True)
