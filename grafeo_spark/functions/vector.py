@@ -33,7 +33,13 @@ def _norm(a) -> Column:
 
 
 def cosine_similarity(a, b) -> Column:
-    return dot_product(a, b) / (_norm(a) * _norm(b))
+    # zero-norm guard: a zero vector has similarity 0.0 to everything
+    # (simd.rs:246 adds f32::EPSILON to the denominator for the same
+    # effect; the explicit arm keeps nonzero scores bit-exact) — without
+    # it ANSI mode turns the division into a query-killing
+    # DIVIDE_BY_ZERO (r11 probe)
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
 
 
 def euclidean_distance(a, b) -> Column:

@@ -1465,3 +1465,24 @@ def test_simhash_pairs_plan_no_broadcast(docs):
 
     plan = _physical(simhash_near_pairs(docs))
     assert "BroadcastExchange" not in plan, plan[:2000]
+
+
+def test_cosine_zero_vector_is_zero_not_error(spark):
+    """A zero-norm vector has cosine similarity 0.0 to everything
+    (simd.rs:246 epsilon-guards the denominator); ANSI mode must not
+    turn the division into a DIVIDE_BY_ZERO query kill."""
+    import pyspark.sql.functions as F
+
+    from grafeo_spark.functions import vector as vfn
+
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [0.0, 0.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [
+        round(r.c, 6)
+        for r in df.select(
+            vfn.cosine_similarity(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    ]
+    assert got == [0.0, 1.0]
