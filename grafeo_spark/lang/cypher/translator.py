@@ -648,6 +648,7 @@ def _shortest(ctx: _Ctx, pat: P.PatternPath, known: dict) -> None:
         max_hops=rel.max_hops or DEFAULT_VARLEN_CAP,
         hops_alias=hops_alias,
         all_paths=pat.all_shortest,
+        min_hops=0 if rel.min_hops == 0 else 1,
         with_nodes=with_nodes,
         path_rels=want_rels,
     )

@@ -910,6 +910,22 @@ class Compiler:
             dist = shortest_path_lengths(
                 hop_frames, p.max_hops, src_ids=seeds, pairs_distinct=True
             )
+        if p.min_hops == 0:
+            # *0..: the zero-length path is the unique shortest self-path
+            # — replace any cyclic self rows with one hops=0 row per seed
+            zero = seeds.select(
+                F.col(_p(p.src_var, "id")).alias("src"),
+                F.col(_p(p.src_var, "id")).alias("dst"),
+                F.lit(0).alias("hops"),
+            )
+            if p.all_paths or p.with_nodes:
+                zero = zero.withColumn("path_nodes", F.array().cast("array<long>"))
+                if want_rels:
+                    zero = zero.withColumn(
+                        "path_edges",
+                        F.array().cast(dist.schema["path_edges"].dataType),
+                    )
+            dist = dist.filter(F.col("src") != F.col("dst")).unionByName(zero)
         sel = [
             F.col("src").alias(_p(dvar, "src")),
             F.col("dst").alias(_p(dvar, "dst")),

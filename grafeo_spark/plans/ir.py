@@ -120,6 +120,9 @@ class ShortestPath(Plan):
     max_hops: int
     hops_alias: str
     all_paths: bool = False
+    # *0.. patterns: a node is reachable from itself by the zero-length
+    # path, which is then the unique shortest self-path
+    min_hops: int = 1
     # Statement uses nodes(p)/relationships(p)/bare p on the path variable:
     # the compiler materializes <alias>__nodes / <alias>__len path-value
     # columns (otherwise only the hop count, the cheap pair-level BFS).

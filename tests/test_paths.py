@@ -181,3 +181,32 @@ def test_shortestpath_relationships_property_structs(db):
         "RETURN size(relationships(p)) AS n, relationships(p)[0].since AS s0"
     ).collect()
     assert alls and all(x.n == x.n and x.s0 is not None for x in alls)
+
+
+# -- round 11: shortestPath with *0.. --------------------------------------
+
+
+def test_shortest_path_zero_min_self(db):
+    """*0.. makes the zero-length path the unique shortest self-path."""
+    out = db.cypher(
+        "MATCH p = shortestPath((a:Person {name: 'Alice'})-[:KNOWS*0..4]->"
+        "(b:Person {name: 'Alice'})) RETURN length(p) AS l, nodes(p) AS n"
+    ).collect()
+    assert len(out) == 1 and out[0].l == 0 and list(out[0].n) == [1]
+
+
+def test_shortest_path_zero_min_other_pair_unchanged(db):
+    out = db.cypher(
+        "MATCH p = shortestPath((a:Person {name: 'Alice'})-[:KNOWS*0..4]->"
+        "(b:Person {name: 'Carol'})) RETURN length(p) AS l"
+    ).collect()
+    assert [r.l for r in out] == [1]
+
+
+def test_shortest_path_min_one_needs_real_cycle(db):
+    # fixture graph is acyclic from Alice back to Alice
+    out = db.cypher(
+        "MATCH p = shortestPath((a:Person {name: 'Alice'})-[:KNOWS*1..4]->"
+        "(b:Person {name: 'Alice'})) RETURN length(p) AS l"
+    ).collect()
+    assert out == []
