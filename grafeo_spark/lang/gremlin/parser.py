@@ -109,6 +109,16 @@ def _literal(node: ast.expr):
     if isinstance(node, ast.Name) and node.id in _ORDER_TOKENS:
         # groovy statically imports Order members: by('age', desc)
         return node.id
+    if isinstance(node, ast.Name) and node.id in ("single", "list", "set"):
+        # Cardinality tokens (parser.rs:718-733): property(single, k, v)
+        return node.id
+    if (
+        isinstance(node, ast.Attribute)
+        and isinstance(node.value, ast.Name)
+        and node.value.id == "Cardinality"
+    ):
+        # property(Cardinality.single, k, v) — the qualified form
+        return node.attr.lower()
     if isinstance(node, ast.Name) and node.id in ("true", "false", "null"):
         # Groovy literals (Python ast sees bare names)
         return {"true": True, "false": False, "null": None}[node.id]

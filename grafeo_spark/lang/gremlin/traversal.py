@@ -1262,9 +1262,22 @@ class Traversal:
     # -- mutations (ast.rs AddV/AddE/Property/Drop; lowered on the
     #    functional PropertyGraph ops, mutation.rs analogues) --------------
 
-    def property(self, key: str, value: Any) -> "Traversal":
+    def property(self, key: str, value: Any = None, *rest: Any) -> "Traversal":
         """Set a property on every current element (SetPropertyOperator,
-        mutation.rs:748): per-label id semi-joins, graph rebound."""
+        mutation.rs:748): per-label id semi-joins, graph rebound. An
+        optional leading Cardinality token (parser.rs:718-733) is
+        accepted: ``single`` is the typed-column model's only semantics
+        (one value per property), ``list``/``set`` are rejected loudly."""
+        if rest:
+            card, key, value = str(key).lower(), value, rest[0]
+            if card not in ("single", "list", "set"):
+                raise GremlinError(f"unknown property cardinality {card!r}")
+            if card != "single":
+                raise GremlinError(
+                    "list/set property cardinality is not supported: the "
+                    "typed column model holds ONE value per property "
+                    "(store an array value explicitly instead)"
+                )
         if self.kind == "node":
             pairs = self.df.select(
                 F.col(_p(self.cur, "id")).alias("id"),

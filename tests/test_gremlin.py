@@ -929,3 +929,22 @@ def test_tail_step(db):
 def test_property_map(db):
     row = db.gremlin("g.V().has('name','Alice').propertyMap('name','age')").collect()[0]
     assert tuple(row) == ("Alice", 30)
+
+
+def test_property_cardinality_tokens(spark):
+    """property(single, k, v) / property(Cardinality.single, k, v)
+    (parser.rs:718-733); list/set cardinality is rejected loudly (the
+    typed column model holds one value per property)."""
+    import pytest
+
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import PropertyGraph
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    nodes = spark.createDataFrame([(1, "Zed", 9)], "id long, name string, age long")
+    wdb = GrafeoSpark(spark, PropertyGraph({"Person": nodes}, {}))
+    wdb.gremlin("g.V().property(Cardinality.single, 'age', 10)").collect()
+    wdb.gremlin("g.V().property(single, 'age', 11)").collect()
+    assert wdb.gremlin("g.V().values('age')").collect()[0][0] == 11
+    with pytest.raises(GremlinError, match="cardinality"):
+        wdb.gremlin("g.V().property(list, 'age', 1)").collect()
