@@ -493,9 +493,11 @@ class Traversal:
         )
 
     def hasId(self, *ids) -> "Traversal":
-        return self._derive(
-            self.df.filter(F.col(_p(self.cur, "id")).isin(list(ids))), self.cur, self.kind
-        )
+        c = F.col(_p(self.cur, "id"))
+        if len(ids) == 1 and isinstance(ids[0], P):
+            # hasId(P.within(...)) / hasId(P.gt(...)) — predicate form
+            return self._derive(self.df.filter(ids[0].col(c)), self.cur, self.kind)
+        return self._derive(self.df.filter(c.isin(list(ids))), self.cur, self.kind)
 
     # -- traversal -------------------------------------------------------
 

@@ -948,3 +948,10 @@ def test_property_cardinality_tokens(spark):
     assert wdb.gremlin("g.V().values('age')").collect()[0][0] == 11
     with pytest.raises(GremlinError, match="cardinality"):
         wdb.gremlin("g.V().property(list, 'age', 1)").collect()
+
+
+def test_has_id_predicate_form(db):
+    got = db.gremlin("g.V().hasId(P.within(1, 2)).values('name')").collect()
+    assert sorted(r[0] for r in got) == ["Alice", "Bob"]
+    n = db.gremlin("g.V().hasId(P.lte(3)).count()").collect()[0][0]
+    assert n == 3
