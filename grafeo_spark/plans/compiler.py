@@ -1820,6 +1820,17 @@ class Compiler:
                         left.isNull() | right.isNull(), F.lit(None).cast("boolean")
                     ).otherwise(F.lit(e.op == "<>"))
                 return F.lit(None).cast("boolean")
+        if e.op == "REGEX" and isinstance(e.right, E.Lit) and isinstance(e.right.value, str):
+            # invalid regex pattern -> null, not a runtime throw
+            # (filter.rs:680-683 Regex::new Err(_) => None). Python's re
+            # validates the same metacharacter grammar Java does for the
+            # error cases that matter (unbalanced groups/classes).
+            import re as _re
+
+            try:
+                _re.compile(e.right.value)
+            except _re.error:
+                return F.lit(None).cast("boolean")
         if e.op == "+":
             return self._plus(
                 left,

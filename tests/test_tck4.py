@@ -343,3 +343,27 @@ def test_optional_rel_property_null_flag(db):
         )
     )
     assert got == [("Alice", False), ("Grace", True)]
+
+
+# -- =~ regex semantics (round 11) --------------------------------------------
+
+
+def test_regex_is_partial_match_reference_parity(db):
+    """DOCUMENTED DIVERGENCE from openCypher (which specifies FULL-string
+    matching): the reference evaluates =~ with Rust Regex::is_match —
+    substring semantics (filter.rs:681) — and this engine follows the
+    reference. Anchor with ^...$ for openCypher's full-match behavior."""
+    assert one(db, "RETURN 'abc' =~ 'ab' AS a, 'abc' =~ '^ab$' AS b") == (
+        True,
+        False,
+    )
+
+
+def test_regex_invalid_pattern_is_null(db):
+    """Invalid pattern -> null, not a runtime error (filter.rs:682
+    Regex::new Err => None)."""
+    assert one(db, "RETURN 'a' =~ '(' AS a") == (None,)
+
+
+def test_regex_null_operands(db):
+    assert one(db, "RETURN null =~ 'a' AS a, 'a' =~ null AS b") == (None, None)
