@@ -379,6 +379,18 @@ def _hoist_exists_expr(ts: TripleStore, out: DataFrame, e):
     return out, P.FExpr(e.op, tuple(args))
 
 
+def _valid_regex(pattern: str) -> bool:
+    """Compile-time validity probe: an invalid REGEX/REPLACE pattern is a
+    SPARQL evaluation error (-> unbound), never a runtime throw."""
+    import re as _re
+
+    try:
+        _re.compile(pattern)
+        return True
+    except _re.error:
+        return False
+
+
 def _term_col(t, df: DataFrame) -> Column:
     if isinstance(t, P.Var):
         if t.name not in df.columns:
@@ -438,6 +450,9 @@ def _filter_col(e, df: DataFrame) -> Column:
             pattern = pat.value if isinstance(pat, P.Lit) else None
             if pattern is None:
                 raise SparqlCompileError("regex pattern must be a literal")
+            if not _valid_regex(pattern):
+                # invalid pattern is an evaluation error -> unbound (§17.2)
+                return F.lit(None).cast("boolean")
             if "i" in str(flags):
                 pattern = "(?i)" + pattern
             return _filter_col(e.args[0], df).rlike(pattern)
@@ -460,6 +475,8 @@ def _filter_col(e, df: DataFrame) -> Column:
             if not isinstance(pat, P.Lit) or not isinstance(rep, P.Lit):
                 raise SparqlCompileError("REPLACE pattern/replacement must be literals")
             pattern = str(pat.value)
+            if not _valid_regex(pattern):
+                return F.lit(None).cast("string")
             flags = str(e.args[3].value) if len(e.args) > 3 and isinstance(e.args[3], P.Lit) else ""
             if "i" in flags:
                 pattern = "(?i)" + pattern

@@ -1204,3 +1204,18 @@ def test_boolean_literals_in_expressions(sdb):
         "(IF(1 > 0, true, false) AS ?p) WHERE { VALUES ?x { 1 } }"
     ).collect()[0]
     assert (got.t, got.f, got.p) == (True, False, True)
+
+
+def test_regex_invalid_pattern_unbound(sdb):
+    """An invalid REGEX/REPLACE pattern is an evaluation error -> unbound
+    (§17.2), never a runtime throw."""
+    out = sdb.sparql(
+        PFX + 'SELECT (REGEX("a", "(") AS ?r) (REPLACE("a", "(", "x") AS ?p) '
+        "WHERE { VALUES ?x { 1 } }"
+    ).collect()[0]
+    assert (out.r, out.p) == (None, None)
+    # in a FILTER the error makes the row false
+    n = sdb.sparql(
+        PFX + 'SELECT (COUNT(?p) AS ?c) WHERE { ?p ex:name ?n FILTER(REGEX(?n, "(")) }'
+    ).collect()[0].c
+    assert n == 0
