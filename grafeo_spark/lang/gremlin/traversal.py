@@ -145,6 +145,15 @@ class P:
         if self.op == "notEndingWith":
             return ~c.endswith(self.value)
         if self.op == "regex":
+            # fail fast with a clean error (TinkerPop throws
+            # PatternSyntaxException at construction) instead of a
+            # mid-job executor crash
+            import re as _re
+
+            try:
+                _re.compile(self.value)
+            except _re.error as exc:
+                raise GremlinError(f"invalid regex pattern {self.value!r}: {exc}")
             return c.rlike(self.value)
         raise GremlinError(f"unknown predicate {self.op}")
 

@@ -955,3 +955,12 @@ def test_has_id_predicate_form(db):
     assert sorted(r[0] for r in got) == ["Alice", "Bob"]
     n = db.gremlin("g.V().hasId(P.lte(3)).count()").collect()[0][0]
     assert n == 3
+
+
+def test_textp_regex_invalid_pattern_fails_fast(db):
+    import pytest
+
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    with pytest.raises(GremlinError, match="invalid regex"):
+        db.gremlin("g.V().has('name', TextP.regex('(')).count()").collect()
