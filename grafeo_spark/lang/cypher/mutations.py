@@ -411,9 +411,14 @@ class _Mutator:
             self.graph = self.graph.create_edges(etype, missing)
             self.stats["relationships_created"] += n
         if existing is not None and clause.on_match:
-            matched = pairs.join(
-                existing.select("src", "dst"), ["src", "dst"], "left_semi"
-            ).localCheckpoint(eager=True)
+            # Keys only: `pairs` may carry inline rel-prop columns (from
+            # MERGE ()-[r:T {k: v}]->()) which would collide with the edge
+            # frame's own property columns on the join below.
+            matched = (
+                pairs.select("src", "dst")
+                .join(existing.select("src", "dst"), ["src", "dst"], "left_semi")
+                .localCheckpoint(eager=True)
+            )
             m = matched.count()
             if m:
                 hit = matched.withColumn("_hit", F.lit(True))

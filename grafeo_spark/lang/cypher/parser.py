@@ -568,9 +568,9 @@ class Parser:
         if t.kind == "param":
             self.next()
             return E.Param(t.text[1:])
-        nxt = self.toks[self.i + 1]
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
         if t.kind == "num" and not (
-            nxt.kind == "op" and nxt.text in ("+", "-", "*", "/", "%", "^")
+            nxt is not None and nxt.kind == "op" and nxt.text in ("+", "-", "*", "/", "%", "^")
         ):
             self.next()
             return int(t.text)

@@ -363,7 +363,38 @@ def _hoist_exists_expr(ts: TripleStore, out: DataFrame, e):
         ]
         if shared:
             probe = sub.select(*shared).distinct().withColumn(flag, F.lit(True))
-            out = out.join(probe, shared, "left")
+            # SPARQL substitution semantics (§17.4.1.4): a shared variable
+            # that is UNBOUND in the solution row (null, e.g. from
+            # OPTIONAL) stays free in the pattern, so it must not
+            # constrain the probe. Split the frame: all-bound rows take
+            # the equi-join fast path (probe is distinct on the keys, so
+            # cardinality is preserved); rows carrying a null shared var
+            # take a null-as-wildcard theta-join, deduped back by row id.
+            import functools as _ft
+
+            all_bound = _ft.reduce(
+                lambda a, b: a & b, [F.col(c).isNotNull() for c in shared]
+            )
+            rid = f"__exr{next(_EXISTS_FLAGS)}"
+            base = out.withColumn(rid, F.monotonically_increasing_id())
+            bound = base.filter(all_bound).join(probe, shared, "left")
+            nulls = base.filter(~all_bound)
+            probe2 = probe.select(
+                *[F.col(c).alias(f"__pp_{c}") for c in shared], flag
+            )
+            cond = _ft.reduce(
+                lambda a, b: a & b,
+                [
+                    nulls[c].isNull() | (nulls[c] == probe2[f"__pp_{c}"])
+                    for c in shared
+                ],
+            )
+            wide = nulls.join(probe2, cond, "left")
+            dedup = (
+                wide.groupBy(*[wide[c] for c in nulls.columns])
+                .agg(F.max(F.col(flag)).alias(flag))
+            )
+            out = bound.unionByName(dedup).drop(rid)
         else:
             probe = (
                 sub.limit(1)

@@ -262,11 +262,13 @@ def lsh_candidate_pairs(
     l = buckets.select(
         *[F.col(c).alias(c + "_l") for c in join_cols], F.col("id").alias("a")
     )
-    # shuffle_hash hint: the bucket table is |reps| × bands rows — at
+    # sort-merge hint: the bucket table is |reps| × bands rows — at
     # sf25 scale Catalyst's static estimate under the lazily-checkpointed
     # signature frame read small enough to pick a 200M-row broadcast
-    # build (driver OOM); the hinted shuffle join partitions on the
-    # bucket key, which is exactly the documented scale-out dimension
+    # build (driver OOM); the hinted merge join partitions on the bucket
+    # key (the documented scale-out dimension) and, unlike shuffle_hash,
+    # spills gracefully instead of moving the OOM to the executors
+    # (validated in the sf25 rehearsal, BENCH_SCALE.md)
     rt = buckets.select(
         *[F.col(c).alias(c + "_r") for c in join_cols], F.col("id").alias("b")
     ).hint("merge")

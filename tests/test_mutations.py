@@ -418,3 +418,25 @@ def test_merge_edge_on_match_updates_property(wdb):
         )
     )
     assert others == [(len(KNOWS) - 1,)]
+
+
+def test_merge_edge_inline_props_with_on_match(wdb):
+    """MERGE rel with inline props + ON MATCH SET must not duplicate the
+    inline-prop columns onto the stored edge frame (r11 ADVICE high:
+    `hit` carried `since` from the pattern, and the next MATCH threw
+    AMBIGUOUS_REFERENCE)."""
+    wdb.cypher(
+        "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) "
+        "MERGE (a)-[r:KNOWS {since: 2015}]->(b) ON MATCH SET r.matched = true"
+    ).collect()
+    # the stored frame is still queryable — no ambiguous `since`
+    out = rows(
+        wdb.cypher(
+            "MATCH (a:Person {name: 'Alice'})-[r:KNOWS]->(b:Person {name: 'Bob'}) "
+            "RETURN r.since AS s, r.matched AS m"
+        )
+    )
+    assert out == [(2015, True)]
+    # and a second unrelated MATCH over the edge type also works
+    total = rows(wdb.cypher("MATCH ()-[r:KNOWS]->() RETURN count(*) AS c"))
+    assert total == [(len(KNOWS),)]

@@ -1190,6 +1190,32 @@ def test_exists_as_expression(sdb):
     assert out == [("Alice", "source"), ("Bob", "source"), ("Carol", "sink")]
 
 
+def test_exists_expression_unbound_shared_var(sdb):
+    """Substitution semantics (§17.4.1.4): a shared variable that is
+    UNBOUND in the solution row (null from OPTIONAL) stays free in the
+    EXISTS pattern — it must not constrain the probe (r11 ADVICE: the
+    plain equi-join made EXISTS false for every null row)."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n (EXISTS { ?x ex:name ?cn } AS ?e) "
+            "WHERE { ?p a ex:Person ; ex:name ?n "
+            "OPTIONAL { ?p ex:livesIn ?x } } ORDER BY ?n"
+        )
+    )
+    # Alice: ?x = city1 (has a name) -> true. Bob/Carol: ?x unbound ->
+    # free in the pattern; anything with an ex:name matches -> true.
+    assert out == [("Alice", True), ("Bob", True), ("Carol", True)]
+    # an unmatchable pattern is false regardless of the unbound wildcard
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n (EXISTS { ?x ex:nosuch ?cn } AS ?e) "
+            "WHERE { ?p a ex:Person ; ex:name ?n "
+            "OPTIONAL { ?p ex:livesIn ?x } } ORDER BY ?n"
+        )
+    )
+    assert out == [("Alice", False), ("Bob", False), ("Carol", False)]
+
+
 def test_uncorrelated_exists_expression(sdb):
     got = sdb.sparql(
         PFX + "SELECT (EXISTS { ?a ex:nosuch ?b } AS ?e) "

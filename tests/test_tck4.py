@@ -258,6 +258,21 @@ def test_limit_non_constant_rejected(db):
         db.cypher("MATCH (p:Person) RETURN p.name AS n LIMIT p.age")
 
 
+def test_limit_at_end_of_query_is_syntax_error(db):
+    """SKIP/LIMIT as the final token must raise CypherSyntaxError, not
+    IndexError from an unguarded one-token lookahead (r11 ADVICE low)."""
+    import pytest
+
+    from grafeo_spark.lang.cypher.parser import CypherSyntaxError
+
+    for q in (
+        "MATCH (p:Person) RETURN p.name AS n LIMIT",
+        "MATCH (p:Person) RETURN p.name AS n SKIP",
+    ):
+        with pytest.raises(CypherSyntaxError):
+            db.cypher(q)
+
+
 # -- map projections (round 11) ----------------------------------------------
 
 
