@@ -1940,6 +1940,346 @@ _ORACLE["alg_floyd_pairs"] = ("""
 """ % _CHAIN_EDGES_SQL)
 
 
+# --------------------------------------------------------------------- #
+# round 12: oracle entries for the last five pytest-only algorithms
+# (betweenness, LPA/Louvain assignment, max/min-cost flow,
+# articulation/bridges, DFS preorder) — verdict r11 ask #1
+# --------------------------------------------------------------------- #
+
+
+def _alg_betweenness_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes betweenness (centrality.rs:580) on the undirected nation
+    PATH graph (k - k+1), where the value is closed-form: node i lies on
+    the unique shortest path of exactly i*(n-1-i) pairs, normalized by
+    2/((n-1)(n-2)) — pins the dependency-accumulation arithmetic and the
+    undirected halving + normalization against exact SQL."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import betweenness_centrality
+    from grafeo_spark.catalog import load_tables
+
+    n = load_tables(spark, sf_dir)["nation"].select(F.col("n_nationkey").alias("k"))
+    mx = n.agg(F.max("k")).collect()[0][0]
+    edges = n.filter(F.col("k") < mx).select(
+        F.col("k").alias("src"), (F.col("k") + 1).alias("dst")
+    )
+    out = betweenness_centrality(edges, normalized=True, directed=False)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.round("betweenness", 6).alias("betweenness"),
+    ).orderBy("id")
+
+
+def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-nation near-key graph (custkey <= 120, 0 < distance <= 10):
+    irregular enough to exercise the frequency/tie logic, small enough
+    for the oracle to replay every synchronous round in unrolled SQL."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.catalog import load_tables
+
+    c = (
+        load_tables(spark, sf_dir)["customer"]
+        .filter(F.col("c_custkey") <= 120)
+        .select(F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("n"))
+    )
+    a = c.select(F.col("k").alias("a"), F.col("n").alias("n1"))
+    b = c.select(F.col("k").alias("b"), F.col("n").alias("n2"))
+    return a.join(
+        b,
+        (F.col("n1") == F.col("n2"))
+        & (F.col("b") > F.col("a"))
+        & (F.col("b") - F.col("a") <= 10),
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+
+
+def _alg_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA ASSIGNMENT (community.rs:363) — pins the partition
+    itself, not just a score. Deterministic by construction (most-frequent
+    neighbor label, ties -> smallest), so the oracle replays all 10
+    synchronous rounds in unrolled SQL; early-stop is a fixpoint no-op and
+    oscillation replays identically, so the replay is exact either way."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import label_propagation
+
+    out = label_propagation(_lpa_edges(spark, sf_dir), max_iter=10)
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.col("label").cast("long").alias("label")
+    ).orderBy("id")
+
+
+def _alg_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain ASSIGNMENT (community.rs:408) on disjoint per-nation
+    cliques (custkey <= 120): greedy modularity provably collapses each
+    clique into one community and never merges disconnected cliques, so
+    the partition is closed-form — one community per nation with >= 2
+    members, represented by its min custkey."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import louvain
+    from grafeo_spark.catalog import load_tables
+
+    c = (
+        load_tables(spark, sf_dir)["customer"]
+        .filter(F.col("c_custkey") <= 120)
+        .select(F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("n"))
+    )
+    a = c.select(F.col("k").alias("a"), F.col("n").alias("n1"))
+    b = c.select(F.col("k").alias("b"), F.col("n").alias("n2"))
+    edges = a.join(
+        b, (F.col("n1") == F.col("n2")) & (F.col("b") > F.col("a"))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    out = louvain(edges)
+    return (
+        out.groupBy("community")
+        .agg(F.min("id").cast("long").alias("rep"), F.count(F.lit(1)).cast("long").alias("size"))
+        .select("rep", "size")
+        .orderBy("rep")
+    )
+
+
+def _alg_maxflow_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edmonds-Karp max flow (flow.rs:434) on a planted 3-layer network
+    (source 1000 -> nation i -> i+100 -> sink 2000) with deterministic
+    arithmetic capacities; max-flow = sum over i of min(a_i, c_i, b_i),
+    closed-form in SQL."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import max_flow
+    from grafeo_spark.catalog import load_tables
+
+    n = load_tables(spark, sf_dir)["nation"].select(F.col("n_nationkey").alias("k"))
+    a = n.select(
+        F.lit(1000).alias("src"), F.col("k").alias("dst"),
+        ((F.col("k") * 7) % 10 + 1).cast("double").alias("capacity"),
+    )
+    c = n.select(
+        F.col("k").alias("src"), (F.col("k") + 100).alias("dst"),
+        ((F.col("k") * 3) % 7 + 2).cast("double").alias("capacity"),
+    )
+    b = n.select(
+        (F.col("k") + 100).alias("src"), F.lit(2000).alias("dst"),
+        ((F.col("k") * 5) % 9 + 3).cast("double").alias("capacity"),
+    )
+    val = max_flow(a.unionByName(c).unionByName(b), 1000, 2000)
+    return spark.createDataFrame([(float(round(val, 6)),)], "flow double")
+
+
+def _alg_mincost_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive-shortest-paths min-cost flow (flow.rs:533): 25 disjoint
+    unit-capacity 2-edge paths source->i->sink with DISTINCT costs
+    ((i*7)%26+1, 7 coprime to 26); pushing 10 units must pick exactly the
+    10 cheapest paths, so achieved flow and total cost are closed-form."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import min_cost_flow
+    from grafeo_spark.catalog import load_tables
+
+    n = load_tables(spark, sf_dir)["nation"].select(F.col("n_nationkey").alias("k"))
+    a = n.select(
+        F.lit(1000).alias("src"), F.col("k").alias("dst"),
+        F.lit(1.0).alias("capacity"),
+        ((F.col("k") * 7) % 26 + 1).cast("double").alias("cost"),
+    )
+    b = n.select(
+        F.col("k").alias("src"), F.lit(2000).alias("dst"),
+        F.lit(1.0).alias("capacity"), F.lit(0.0).alias("cost"),
+    )
+    flow, cost = min_cost_flow(a.unionByName(b), 1000, 2000, target_flow=10.0)
+    return spark.createDataFrame(
+        [(float(round(flow, 6)), float(round(cost, 6)))], "flow double, total_cost double"
+    )
+
+
+def _region_clique_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region nation cliques (size 5 — no internal cut structure)
+    linked in a chain by one bridge per consecutive region-min hub pair:
+    articulation points = exactly the 5 hubs, bridges = the 4 chain edges."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.catalog import load_tables
+
+    n = load_tables(spark, sf_dir)["nation"].select(
+        F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("r")
+    )
+    a = n.select(F.col("k").alias("a"), F.col("r").alias("r1"))
+    b = n.select(F.col("k").alias("b"), F.col("r").alias("r2"))
+    cliques = a.join(
+        b, (F.col("r1") == F.col("r2")) & (F.col("b") > F.col("a"))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    hubs = n.groupBy("r").agg(F.min("k").alias("h"))
+    w = Window.orderBy("r")
+    chain = (
+        hubs.withColumn("nh", F.lead("h").over(w))
+        .filter(F.col("nh").isNotNull())
+        .select(F.col("h").alias("src"), F.col("nh").alias("dst"))
+    )
+    return cliques.unionByName(chain)
+
+
+def _alg_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowpoint-DFS cut vertices (structure.rs:392) on the region-clique
+    chain; the answer is closed-form: the region-min hubs."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import articulation_points
+
+    out = articulation_points(_region_clique_chain(spark, sf_dir))
+    return out.select(F.col("id").cast("long").alias("id")).orderBy("id")
+
+
+def _alg_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowpoint-DFS cut edges (structure.rs:428) on the region-clique
+    chain; the answer is closed-form: the 4 hub-chain edges (clique edges
+    can never be bridges at clique size 5). Endpoints normalized
+    least/greatest — bridge orientation is not semantically meaningful."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import find_bridges
+
+    out = find_bridges(_region_clique_chain(spark, sf_dir))
+    return out.select(
+        F.least("src", "dst").cast("long").alias("a"),
+        F.greatest("src", "dst").cast("long").alias("b"),
+    ).orderBy("a", "b")
+
+
+def _alg_dfs_preorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFS preorder with ascending-neighbor determinism (traversal.rs:430)
+    on the binary tree k -> 2k, 2k+1 over ids 1..25: a genuinely
+    non-BFS visit order. The oracle computes each node's preorder index
+    arithmetically: depth + the sizes of left subtrees skipped at every
+    right-going step on the root path."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms import dfs
+    from grafeo_spark.catalog import load_tables
+
+    n = load_tables(spark, sf_dir)["nation"].select(
+        (F.col("n_nationkey") + 1).alias("k")
+    )
+    mx = n.agg(F.max("k")).collect()[0][0]
+    l = n.filter(F.col("k") * 2 <= mx).select(
+        F.col("k").alias("src"), (F.col("k") * 2).alias("dst")
+    )
+    r = n.filter(F.col("k") * 2 + 1 <= mx).select(
+        F.col("k").alias("src"), (F.col("k") * 2 + 1).alias("dst")
+    )
+    out = dfs(l.unionByName(r), 1, directed=True)
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.col("order").cast("long").alias("ord")
+    ).orderBy("id")
+
+
+_ORACLE["alg_betweenness_path"] = """
+    WITH mx AS (SELECT CAST(MAX(n_nationkey) AS DOUBLE) AS m FROM nation)
+    SELECT CAST(n_nationkey AS BIGINT) AS id,
+           ROUND(n_nationkey * ((SELECT m FROM mx) - n_nationkey) * 2.0
+                 / ((SELECT m FROM mx) * ((SELECT m FROM mx) - 1)), 6)
+             AS betweenness
+    FROM nation ORDER BY id
+"""
+
+
+def _lpa_oracle_sql(rounds: int = 10) -> str:
+    """Exact unrolled replay of synchronous LPA: per round, each vertex
+    takes its most frequent neighbor label (ties -> smallest). Early stop
+    in the Spark loop only fires at a fixpoint, where extra SQL rounds are
+    no-ops; oscillating regimes run all ``rounds`` on both sides."""
+    sql = """
+    WITH e AS MATERIALIZED (
+      SELECT c1.c_custkey AS a, c2.c_custkey AS b
+      FROM customer c1 JOIN customer c2
+        ON c1.c_nationkey = c2.c_nationkey
+       AND c2.c_custkey > c1.c_custkey AND c2.c_custkey - c1.c_custkey <= 10
+      WHERE c1.c_custkey <= 120 AND c2.c_custkey <= 120
+    ), u AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM u)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    l{i} AS MATERIALIZED (
+      SELECT id, nlabel AS label FROM (
+        SELECT id, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, nlabel ASC) AS rn
+        FROM (
+          SELECT u.src AS id, p.label AS nlabel, COUNT(*) AS cnt
+          FROM u JOIN l{i-1} p ON p.id = u.dst GROUP BY u.src, p.label
+        )
+      ) WHERE rn = 1
+    )"""
+    sql += f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+    FROM l{rounds} ORDER BY id"""
+    return sql
+
+
+_ORACLE["alg_lpa_communities"] = _lpa_oracle_sql()
+
+_ORACLE["alg_louvain_communities"] = """
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS rep,
+           CAST(COUNT(*) AS BIGINT) AS size
+    FROM customer WHERE c_custkey <= 120
+    GROUP BY c_nationkey HAVING COUNT(*) >= 2 ORDER BY rep
+"""
+
+_ORACLE["alg_maxflow_value"] = """
+    SELECT CAST(SUM(LEAST((n_nationkey * 7) % 10 + 1,
+                          (n_nationkey * 3) % 7 + 2,
+                          (n_nationkey * 5) % 9 + 3)) AS DOUBLE) AS flow
+    FROM nation
+"""
+
+_ORACLE["alg_mincost_flow"] = """
+    SELECT CAST(10 AS DOUBLE) AS flow,
+           CAST((SELECT SUM(c) FROM (
+                   SELECT (n_nationkey * 7) % 26 + 1 AS c FROM nation
+                   ORDER BY c LIMIT 10)) AS DOUBLE) AS total_cost
+"""
+
+_ORACLE["alg_articulation_points"] = """
+    SELECT CAST(MIN(n_nationkey) AS BIGINT) AS id
+    FROM nation GROUP BY n_regionkey ORDER BY id
+"""
+
+_ORACLE["alg_bridges"] = """
+    WITH hub AS (SELECT n_regionkey AS r, MIN(n_nationkey) AS h
+                 FROM nation GROUP BY n_regionkey),
+    chain AS (SELECT h, LEAD(h) OVER (ORDER BY r) AS nh FROM hub)
+    SELECT CAST(LEAST(h, nh) AS BIGINT) AS a,
+           CAST(GREATEST(h, nh) AS BIGINT) AS b
+    FROM chain WHERE nh IS NOT NULL ORDER BY a, b
+"""
+
+_ORACLE["alg_dfs_preorder"] = """
+    WITH RECURSIVE v AS (SELECT n_nationkey + 1 AS id FROM nation),
+    mxv AS (SELECT MAX(id) AS m FROM v),
+    anc(node, a) AS (
+      SELECT id, id // 2 FROM v WHERE id > 1
+      UNION ALL
+      SELECT node, a // 2 FROM anc WHERE a > 1
+    ),
+    des(root, nd) AS (
+      SELECT id, id FROM v
+      UNION ALL
+      SELECT d.root, d.nd * 2 + t.i FROM des d JOIN (VALUES (0), (1)) t(i)
+        ON d.nd * 2 + t.i <= (SELECT m FROM mxv)
+    ),
+    sz AS (SELECT root, COUNT(*) AS s FROM des GROUP BY root),
+    ancself AS (SELECT id AS node, id AS a FROM v UNION ALL SELECT node, a FROM anc),
+    steps AS (SELECT node AS vv, a AS c, a // 2 AS p FROM ancself WHERE a > 1),
+    pre AS (
+      SELECT st.vv AS id,
+             COUNT(*) + COALESCE(SUM(CASE WHEN st.c % 2 = 1 THEN sz.s END), 0) AS ord
+      FROM steps st LEFT JOIN sz ON sz.root = st.p * 2 AND st.c % 2 = 1
+      GROUP BY st.vv
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(ord AS BIGINT) AS ord FROM pre
+    UNION ALL SELECT 1, 0 ORDER BY id
+"""
+
+
 def _ann_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table SRP approximate top-10 for the vec_id=0 embedding at
     the r10 DEFAULTS (12 tables, 8 bits, multiprobe=1) — the scale path
@@ -3110,6 +3450,14 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "alg_closeness_all": _alg_closeness_all,
     "alg_astar_route": _alg_astar_route,
     "alg_floyd_pairs": _alg_floyd_pairs,
+    "alg_betweenness_path": _alg_betweenness_path,
+    "alg_lpa_communities": _alg_lpa_communities,
+    "alg_louvain_communities": _alg_louvain_communities,
+    "alg_maxflow_value": _alg_maxflow_value,
+    "alg_mincost_flow": _alg_mincost_flow,
+    "alg_articulation_points": _alg_articulation_points,
+    "alg_bridges": _alg_bridges,
+    "alg_dfs_preorder": _alg_dfs_preorder,
     "admin_stats_labels": _admin_stats_labels,
     "direct_find_by_property": _direct_find_by_property,
 }
@@ -3124,8 +3472,8 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # longer exists (r9's standing-red-guard failure mode is gone by
 # construction): the driver always checks the stalest ~50 entries, and
 # a brand-new entry leads the window automatically.
-# STALENESS BOUND: 125 entries / 50-row window ⇒ every entry gets a
-# fresh driver row at least every ceil(125/50) = 3 rounds. (The old
+# STALENESS BOUND: 135 entries / 50-row window ⇒ every entry gets a
+# fresh driver row at least every ceil(135/50) = 3 rounds. (The old
 # ">2 rounds" phrasing was arithmetically unsatisfiable at this battery
 # size — restated per verdict r9 finding #4; tests/test_rotation.py
 # enforces the ≤3-round bound via the self-ordering invariant.)
@@ -3275,6 +3623,17 @@ _PRIORITY = [
     "merge_match_create",
     "chained_cmp_bands",
     "sparql_agg_expr_spread",
+    # -- r12 additions: the last five pytest-only algorithms now under
+    # the driver oracle (betweenness, LPA + Louvain assignment, max-flow,
+    # min-cost flow, articulation/bridges, DFS preorder).
+    "alg_betweenness_path",
+    "alg_lpa_communities",
+    "alg_louvain_communities",
+    "alg_maxflow_value",
+    "alg_mincost_flow",
+    "alg_articulation_points",
+    "alg_bridges",
+    "alg_dfs_preorder",
 ]
 
 
