@@ -611,21 +611,27 @@ def simhash_near_pairs(
             f"pigeonhole guarantee (got max_hamming={max_hamming}, tables={tables})"
         )
     codes = simhash(df, id_col, text_col, bit_source=bit_source)
-    # disjoint bit windows: shift counts are Python literals, so the
-    # windows are unrolled as a union
+    # disjoint bit windows, exploded from EACH code row rather than
+    # unioned: a tables-way union re-plans the whole tokenize→hash→vote
+    # pipeline once per branch per join side (8 scans / 18 aggregates at
+    # tables=4 — measured 1.8x slower at sf0.1, the r11 bench
+    # regression); the row-local explode keeps one pipeline per side
     window_shift = 64 // tables
     mask = (1 << window_shift) - 1
-    b = None
-    for t in range(tables):
-        cur = codes.select(
-            "id",
-            "simhash",
-            F.lit(t).alias("t"),
-            F.shiftright(F.col("simhash"), t * window_shift)
-            .bitwiseAND(F.lit(mask))
-            .alias("bucket"),
-        )
-        b = cur if b is None else b.unionByName(cur)
+    wins = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright(F.col("simhash"), t * window_shift)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    b = codes.select("id", "simhash", F.explode(wins).alias("_w")).select(
+        "id", "simhash", F.col("_w.t").alias("t"), F.col("_w.bucket").alias("bucket")
+    )
     l = b.select(F.col("t").alias("t1"), F.col("bucket").alias("k1"), F.col("id").alias("a"), F.col("simhash").alias("ha"))
     r = b.select(F.col("t").alias("t2"), F.col("bucket").alias("k2"), F.col("id").alias("b"), F.col("simhash").alias("hb"))
     return (
