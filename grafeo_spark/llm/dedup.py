@@ -29,6 +29,19 @@ from pyspark.sql import functions as F
 
 from grafeo_spark.llm.text import shingles, tokenize
 
+import os
+
+# Candidate-pair budget for the banded LSH join, enforced by the
+# occupancy probe inside lsh_candidate_pairs (one partial-aggregated job,
+# no extra pass). Calibrated against the r11/r12 single-node scale
+# rehearsals at 1.25M docs (/tmp/scale_sf25): the 3-shingle @ 0.8
+# default estimated 7.3e7 pairs and completed; word-2-gram @ 0.6
+# estimated 2.3e9 and exhausted >68 GB of spill disk mid-join. 5e8 keeps
+# the next planned doubling of the default pipeline (~3e8) inside the
+# budget while refusing the measured-fatal regime up front. On a cluster
+# spill capacity scales out with executors — raise the env var there.
+BANDED_PAIRS_MAX = int(os.environ.get("SPARK_GRAFT_BANDED_PAIRS_MAX", 500_000_000))
+
 
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -224,15 +237,11 @@ def lsh_candidate_pairs(
         F.xxhash64(sig.cast("string")).alias("_sk"),
         F.explode(band_structs).alias("bk"),
     ).select("id", "_sk", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    hot = (
-        buckets.groupBy("band", "bh")
-        .agg(F.count("*").alias("_occ"))
-        .filter(F.col("_occ") > max_bucket)
-        .select(
-            "band",
-            "bh",
-            F.ceil(F.col("_occ") / F.lit(max_bucket)).cast("long").alias("_nsplit"),
-        )
+    occ = buckets.groupBy("band", "bh").agg(F.count("*").alias("_occ"))
+    hot = occ.filter(F.col("_occ") > max_bucket).select(
+        "band",
+        "bh",
+        F.ceil(F.col("_occ") / F.lit(max_bucket)).cast("long").alias("_nsplit"),
     )
     # Adaptive: the probe is one partial-aggregated job whose shuffle
     # rows are (band, bh, count) — tiny. Callers that compute signatures
@@ -243,7 +252,34 @@ def lsh_candidate_pairs(
     # take runs Spark's incremental limit scale-up — the same aggregate
     # re-executed over 1, then 4x, then 20x partitions — which measured
     # as multi-second run-to-run jitter on the battery.
-    if hot.count() == 0:
+    # The SAME probe job also predicts the bucket join's output volume:
+    # sum over buckets of occ*(occ-1)/2 (divided by the salt split count
+    # the guard will apply) is exactly the candidate-pair row count the
+    # join will emit. The r11 sf25 rehearsal showed this is the quantity
+    # that kills a run — word-2-gram @ 0.6 estimated 2.30e9 pairs and
+    # exhausted >68 GB of single-node spill disk mid-join, while the
+    # 3-shingle @ 0.8 default estimated 7.3e7 and completed — so fail
+    # fast HERE, with sizing guidance, instead of hours into the shuffle.
+    _nsplit = F.when(
+        F.col("_occ") > max_bucket, F.ceil(F.col("_occ") / F.lit(max_bucket))
+    ).otherwise(F.lit(1))
+    probe = occ.agg(
+        F.sum(F.when(F.col("_occ") > max_bucket, 1).otherwise(0)).alias("_hot"),
+        F.sum(F.col("_occ") * (F.col("_occ") - 1) / 2 / _nsplit).alias("_pairs"),
+    ).collect()[0]
+    est_pairs = int(probe._pairs or 0)
+    if est_pairs > BANDED_PAIRS_MAX:
+        raise ValueError(
+            f"lsh_candidate_pairs: the banded join would emit ~{est_pairs:,} "
+            f"candidate pairs (> {BANDED_PAIRS_MAX:,}). This corpus/threshold "
+            "combination has too much background similarity for the banding "
+            "to separate (measured single-node wall: ~2.3e9 pairs exhausted "
+            "the spill disk). Raise the Jaccard threshold, use a larger "
+            "shingle unit (word 3-grams instead of 2-grams), or — on a "
+            "cluster with enough aggregate spill capacity — raise "
+            "SPARK_GRAFT_BANDED_PAIRS_MAX to accept the shuffle."
+        )
+    if (probe._hot or 0) == 0:
         join_cols = ("band", "bh")
         buckets = buckets.drop("_sk")
     else:

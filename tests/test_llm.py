@@ -225,6 +225,31 @@ def test_lsh_occupancy_cap_bounds_hot_bucket(spark):
     assert out.count() > 0  # sub-buckets still produce candidates
 
 
+def test_lsh_candidate_volume_guard(spark, monkeypatch):
+    """The occupancy probe also predicts the banded join's output volume
+    (sum over buckets of occ*(occ-1)/2, salt-adjusted) and refuses to
+    launch a join whose candidate count exceeds the budget — fail fast
+    with sizing guidance instead of dying after tens of GB of shuffle
+    spill (the r11 sf25 word-2-gram DNF). The budget is env-overridable
+    for deliberate cluster-scale runs."""
+    import pytest
+
+    from grafeo_spark.llm import dedup as D
+
+    sig = [float(j) for j in range(64)]
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in sig]) for i in range(60)], "id long, signature array<long>"
+    )
+    # 60 identical signatures -> 32 buckets x C(60,2) = 56,640 estimated
+    # pairs; a 1000-pair budget must refuse before any join runs
+    monkeypatch.setattr(D, "BANDED_PAIRS_MAX", 1000)
+    with pytest.raises(ValueError, match="candidate pairs"):
+        D.lsh_candidate_pairs(df, bands=32)
+    # a budget above the estimate runs normally and yields the full set
+    monkeypatch.setattr(D, "BANDED_PAIRS_MAX", 10_000_000)
+    assert len(rows(D.lsh_candidate_pairs(df, bands=32))) == 60 * 59 // 2
+
+
 def test_blocked_exact_pairs_block_sizing(spark):
     """n_blocks derives from corpus size so per-task input stays under the
     row bound regardless of scale; tiny corpora still work (1 block)."""
