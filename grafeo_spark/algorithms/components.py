@@ -44,13 +44,28 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     return out.select("id", F.col("comp").alias("component"))
 
 
-def strongly_connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> DataFrame:
     """(id, component) with component = min id of the SCC (components.rs:389).
 
-    Coloring algorithm: propagate the minimum id forward through unassigned
-    vertices; vertices whose color equals their own id are roots; everything
-    backward-reachable from a root *within the same color* is one SCC.
-    Peels at least one SCC per outer round.
+    Coloring-peel algorithm, run in BOTH directions per round: propagate
+    the minimum id through unassigned vertices; a vertex whose color
+    equals its own id is a root, and everything reachable from the root
+    against the coloring direction *within the same color* is exactly the
+    root's SCC (both directions label an SCC by its min member id, so the
+    peels compose). The backward pass exists for the adversarial shapes
+    where forward coloring yields a single root per round — e.g. a
+    directed chain of singleton SCCs with ascending ids collapses in ONE
+    backward round where forward-only peeling needs O(#SCCs) rounds.
+
+    Bounds (the iterative-family contract, same as BFS/WCC): each inner
+    fixpoint is O(subgraph diameter) supersteps with convergence early
+    exit — the bound passed down is |V|+1, so a long cycle colors
+    CORRECTLY rather than truncating (r12 fix: the old hardcoded 50-step
+    cap silently split any SCC with diameter > 50). Worst-case outer
+    rounds remain O(#SCCs) on shapes adversarial to both directions;
+    ``max_iter`` caps them and exhaustion RAISES (never a silent partial
+    result). For singleton-heavy pathological graphs prefer the driver
+    NetworkX bridge at small scale, or raise max_iter deliberately.
     """
     from grafeo_spark.operators.expand import reachable_pairs
 
@@ -58,33 +73,56 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 50) -> DataF
     remaining = vertices_from_edges(e).localCheckpoint(eager=True)
     spark = e.sparkSession
     assigned = spark.createDataFrame([], "id long, component long")
+    depth = remaining.count() + 1  # converged-fixpoint bound for inner loops
 
-    for _ in range(max_iter):
-        if remaining.isEmpty():
-            break
-        # forward min-id coloring over the remaining subgraph
-        colors = connected_min_color_forward(e, remaining)
-        # roots: color == own id; backward reachability along reversed edges
-        # restricted to same-color vertices = the SCC of the root
-        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    def _peel(sub_e: DataFrame, verts: DataFrame, reverse: bool) -> DataFrame:
+        """Color along one direction, return the root SCCs (id, component)."""
+        fwd = (
+            sub_e
+            if not reverse
+            else sub_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        colors = connected_min_color_forward(fwd, verts, max_iter=depth)
+        rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         roots = colors.filter(F.col("color") == F.col("id")).select("id")
         back = reachable_pairs(
-            _same_color_edges(rev, colors), 1, max_iter, src_ids=roots, early_exit=True
+            _same_color_edges(rev, colors), 1, depth, src_ids=roots, early_exit=True
         ).select(F.col("src").alias("root"), F.col("dst").alias("id"))
-        scc = (
+        return (
             roots.select(F.col("id").alias("root"), F.col("id"))
             .unionByName(back)
             .distinct()
             .select("id", F.col("root").alias("component"))
         )
-        assigned = assigned.unionByName(scc).localCheckpoint(eager=True)
-        remaining = remaining.join(assigned.select("id"), "id", "left_anti").localCheckpoint(
+
+    def _shrink(sub_e: DataFrame, verts: DataFrame, scc: DataFrame):
+        verts = verts.join(scc.select("id"), "id", "left_anti").localCheckpoint(
             eager=True
         )
-        e = (
-            e.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        sub_e = (
+            sub_e.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
+        )
+        return sub_e, verts
+
+    for _ in range(max_iter):
+        if remaining.isEmpty():
+            return assigned
+        scc = _peel(e, remaining, reverse=False)
+        assigned = assigned.unionByName(scc).localCheckpoint(eager=True)
+        e, remaining = _shrink(e, remaining, scc)
+        if remaining.isEmpty():
+            return assigned
+        scc = _peel(e, remaining, reverse=True)
+        assigned = assigned.unionByName(scc).localCheckpoint(eager=True)
+        e, remaining = _shrink(e, remaining, scc)
+    if not remaining.isEmpty():
+        raise ValueError(
+            f"strongly_connected_components: {remaining.count()} vertices "
+            f"unassigned after {max_iter} peel rounds — the graph's SCC "
+            "structure is adversarial to coloring-peel in both directions. "
+            "Raise max_iter, or use the NetworkX bridge for small graphs."
         )
     return assigned
 
@@ -133,6 +171,13 @@ def topological_sort(edges: DataFrame, max_iter: int = 200) -> DataFrame:
 
     level = longest-path depth from any source; order within a level is by
     id. Raises on cycles (matching the reference's error behavior).
+
+    Round bound: inherently O(longest-path depth) Spark jobs — Kahn peels
+    one level per round, and that IS the right distributed algorithm (the
+    levels are the parallel schedule a consumer wants anyway). A deep
+    chain therefore costs O(n) rounds of cheap jobs; ``max_iter`` caps it
+    and exhaustion raises. tests/test_algorithms.py pins a 300-deep chain
+    inside a wall budget.
     """
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     remaining = vertices_from_edges(e)

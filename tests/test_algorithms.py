@@ -45,6 +45,62 @@ def test_scc_two_cycles(spark):
     assert out[1] == out[2] and out[3] == out[4] and out[1] != out[3]
 
 
+def test_scc_long_cycle_is_one_component(spark):
+    """A directed cycle LONGER than any fixed superstep cap is one SCC.
+    r12 regression pin: the inner coloring/reachability fixpoints used a
+    hardcoded 50-step bound, so a 120-cycle silently split into 50 wrong
+    singletons with 70 vertices never assigned. The bound is now |V|+1
+    with convergence early-exit."""
+    from grafeo_spark.algorithms import strongly_connected_components
+
+    n = 120
+    e = edges_df(spark, [(i, (i + 1) % n) for i in range(n)])
+    out = dict(rows(strongly_connected_components(e)))
+    assert len(out) == n  # every vertex assigned
+    assert set(out.values()) == {0}  # one SCC, labeled by its min id
+
+
+def test_scc_singleton_chain_dual_peel(spark):
+    """An ascending-id chain of singleton SCCs: forward-only coloring
+    peels ONE root per round (O(#SCCs) rounds = O(n²) supersteps total);
+    the backward pass makes every chain vertex a root simultaneously, so
+    the whole chain resolves in the FIRST round — max_iter=2 would fail
+    under the old one-directional peel. (The forward coloring still pays
+    its O(diameter) supersteps before the backward peel fires — that part
+    is the documented iterative-family bound, same as BFS depth.)"""
+    from grafeo_spark.algorithms import strongly_connected_components
+
+    n = 100
+    e = edges_df(spark, [(i, i + 1) for i in range(n - 1)])
+    out = dict(rows(strongly_connected_components(e, max_iter=2)))
+    assert out == {i: i for i in range(n)}  # all singletons, own-id labels
+
+
+def test_scc_descending_chain_single_round(spark):
+    """The mirror shape: a DESCENDING-id chain makes every vertex a
+    forward root at superstep 1, so the forward peel alone resolves it in
+    one cheap round — pins that the dual peel never regresses the shapes
+    the forward pass was already good at."""
+    from grafeo_spark.algorithms import strongly_connected_components
+
+    n = 300
+    e = edges_df(spark, [(i + 1, i) for i in range(n - 1)])
+    out = dict(rows(strongly_connected_components(e, max_iter=2)))
+    assert out == {i: i for i in range(n)}
+
+
+def test_scc_max_iter_exhaustion_raises(spark):
+    """Exhausting the round budget RAISES instead of returning a silent
+    partial assignment (the old behavior)."""
+    from grafeo_spark.algorithms import strongly_connected_components
+
+    # two independent 3-cycles with ids interleaved so each direction's
+    # coloring still resolves them — but max_iter=0 forbids any round
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 1)])
+    with pytest.raises(ValueError, match="unassigned"):
+        strongly_connected_components(e, max_iter=0)
+
+
 def test_topological_sort(spark):
     from grafeo_spark.algorithms import topological_sort
 
@@ -59,6 +115,26 @@ def test_topological_sort_cycle_raises(spark):
 
     with pytest.raises(ValueError, match="cycle"):
         topological_sort(edges_df(spark, [(1, 2), (2, 1)]))
+
+
+def test_topological_sort_deep_chain_within_budget(spark):
+    """Kahn is inherently O(depth) rounds; pin that a 300-deep chain (300
+    rounds of cheap jobs) completes inside a sane wall budget and yields
+    level == position, and that max_iter exhaustion raises rather than
+    returning a partial order."""
+    import time
+
+    from grafeo_spark.algorithms import topological_sort
+
+    n = 300
+    e = edges_df(spark, [(i, i + 1) for i in range(n - 1)])
+    t0 = time.perf_counter()
+    out = dict(rows(topological_sort(e, max_iter=n + 1)))
+    wall = time.perf_counter() - t0
+    assert out == {i: i for i in range(n)}
+    assert wall < 240
+    with pytest.raises(ValueError, match="max_iter"):
+        topological_sort(e, max_iter=10)
 
 
 # --------------------------------------------------------------------- #
