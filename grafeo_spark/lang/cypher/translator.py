@@ -252,6 +252,15 @@ def _needs_path_value(stmt, var: str) -> bool:
 
 
 def translate(q: P.UnionQuery) -> ir.Plan:
+    if len(q.parts) > 1:
+        # every UNION branch must project through a RETURN — the
+        # reference unions the branches' Return outputs by position
+        # (planner.rs:2363-2385); a branch ending at a bare MATCH has
+        # no defined output row shape
+        for part in q.parts:
+            last = part.clauses[-1] if part.clauses else None
+            if not (isinstance(last, P.WithClause) and last.is_return):
+                raise TranslateError("every UNION branch must end with RETURN")
     plan = _statement(q.parts[0])
     for part, is_all in zip(q.parts[1:], q.alls):
         plan = ir.Union(plan, _statement(part), all=is_all)

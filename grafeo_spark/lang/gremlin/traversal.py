@@ -979,25 +979,46 @@ class Traversal:
                 "fold/values)"
             )
         term_name, term_args, _ = anon._steps[-1]
-        body = Anon(anon._steps[:-1])
+        body_steps = list(anon._steps[:-1])
+        # a trailing values(k) in the BODY (e.g. __.out().values('name')
+        # .fold()) would replay to a value-kind frame that projects away
+        # the seed id — absorb it into the terminal instead: replay stays
+        # element-kind (id retained for the per-element groupBy) and the
+        # aggregate reads the property column. TinkerPop values() skips
+        # missing properties; null-skipping aggregates match that.
+        vkey = term_args[0] if term_args else None
+        if (
+            vkey is None
+            and body_steps
+            and body_steps[-1][0] == "values"
+            and len(body_steps[-1][1]) == 1
+        ):
+            vkey = body_steps[-1][1][0]
+            body_steps = body_steps[:-1]
+        body = Anon(tuple(body_steps))
         idc = _p(self.cur, "id")
         seed_cols = [c for c in df.columns if c.startswith(self.cur + "__")]
         seed = df.select(*seed_cols).dropDuplicates([idc])
         res = self._derive(seed, self.cur, self.kind)._apply_anon(body)
         if term_name == "count":
-            agg = res.df.groupBy(idc).agg(F.count(F.lit(1)).alias(alias))
+            cnt = F.count(F.col(_p(res.cur, vkey))) if vkey else F.count(F.lit(1))
+            agg = res.df.groupBy(idc).agg(cnt.alias(alias))
             joined = df.join(agg, idc, "left")
             return joined.withColumn(alias, F.coalesce(F.col(alias), F.lit(0)))
         if term_name == "values":
-            vcol = F.col(_p(res.cur, term_args[0]))
+            vcol = F.col(_p(res.cur, vkey))
             agg = res.df.groupBy(idc).agg(F.min(vcol).alias(alias))
         elif term_name == "fold":
-            vcol = F.col(_p(res.cur, "id")) if res.kind != "value" else F.col(res.df.columns[-1])
+            if vkey is not None:
+                vcol = F.col(_p(res.cur, vkey))
+            elif res.kind != "value":
+                vcol = F.col(_p(res.cur, "id"))
+            else:
+                vcol = F.col(res.df.columns[-1])
             agg = res.df.groupBy(idc).agg(F.array_sort(F.collect_list(vcol)).alias(alias))
         else:
             fn = {"sum_": F.sum, "mean": F.avg, "min_": F.min, "max_": F.max}[term_name]
-            key = term_args[0] if term_args else None
-            vcol = F.col(_p(res.cur, key)) if key else F.col(res.df.columns[-1])
+            vcol = F.col(_p(res.cur, vkey)) if vkey else F.col(res.df.columns[-1])
             agg = res.df.groupBy(idc).agg(fn(vcol).alias(alias))
         return df.join(agg, idc, "left")
 

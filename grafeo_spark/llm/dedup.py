@@ -367,13 +367,13 @@ def _content_members(sh_rows: DataFrame) -> DataFrame:
         "id", F.xxhash64(F.col("_set").cast("string")).alias("_ck")
     )
     groups = keyed.groupBy("_ck").agg(F.min("id").alias("gid"))
-    # shuffle_hash hint: `groups` is one row per DISTINCT CONTENT — a
+    # sort-merge hint: `groups` is one row per DISTINCT CONTENT — a
     # corpus-sized frame (on a decorrelated corpus it IS the corpus).
     # Catalyst's static estimate under the aggregate reads small and
     # picks a broadcast build, which at sf25 (6.25M docs) dies with
-    # notEnoughMemoryToBuildAndBroadcastTable; the hinted shuffle join
-    # is bounded per task at any corpus size (found by the r11 scale
-    # rehearsal).
+    # notEnoughMemoryToBuildAndBroadcastTable; the hinted merge join
+    # shuffles on `_ck` and spills gracefully at any corpus size
+    # (strategy validated in the r11 sf25 rehearsal, BENCH_SCALE.md).
     return keyed.join(groups.hint("merge"), "_ck").select("id", "gid")
 
 

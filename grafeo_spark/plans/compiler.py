@@ -1248,7 +1248,20 @@ class Compiler:
     def _c_union(self, p: ir.Union) -> tuple[DataFrame, Scope]:
         l, ls = self._compile(p.left)
         r, _ = self._compile(p.right)
-        out = l.unionByName(r, allowMissingColumns=True)
+        if len(l.columns) != len(r.columns):
+            raise CompileError(
+                "UNION branches return different numbers of columns "
+                f"({len(l.columns)} vs {len(r.columns)})"
+            )
+        if set(l.columns) == set(r.columns):
+            # same output names: align by name (order may differ between
+            # branches — positional would silently scramble)
+            out = l.unionByName(r)
+        else:
+            # differing names: union by position under the FIRST branch's
+            # names, the reference's semantics (planner.rs:2373-2377 keeps
+            # the first input's columns for the union output)
+            out = l.union(r.toDF(*l.columns))
         if not p.all:
             out = out.distinct()
         return out, ls
@@ -1349,20 +1362,22 @@ class Compiler:
         if isinstance(e, E.Index):
             from pyspark.sql.types import NullType
 
-            if isinstance(self._dtype_try(e.base, scope, df), NullType):
+            bt = self._dtype_try(e.base, scope, df)
+            if isinstance(bt, NullType):
                 return F.lit(None)  # null[i] is null; element_at rejects VOID
             base = self._expr(e.base, scope, df)
             idx = self._expr(e.index, scope, df)
-            return self._index_col(base, e.index, idx)
+            return self._index_col(base, e.index, idx, bt)
         if isinstance(e, E.Slice):
             from pyspark.sql.types import NullType
 
-            if isinstance(self._dtype_try(e.base, scope, df), NullType):
+            bt = self._dtype_try(e.base, scope, df)
+            if isinstance(bt, NullType):
                 return F.lit(None)
             base = self._expr(e.base, scope, df)
             lo = self._expr(e.lo, scope, df) if e.lo else None
             hi = self._expr(e.hi, scope, df) if e.hi else None
-            return self._slice_col(base, lo, hi)
+            return self._slice_col(base, lo, hi, bt)
         if isinstance(e, E.MapProj):
             # map projection p{.k, extra: expr, .*}: a named struct over
             # the variable's property columns (the MapLit record model);
@@ -1478,10 +1493,49 @@ class Compiler:
         raise CompileError(f"cannot compile expression {e!r}")
 
     @staticmethod
-    def _index_col(base: Column, idx_expr: E.Expr, idx: Column) -> Column:
-        """Cypher list index: 0-based; element_at is 1-based. Dynamic
-        non-negative indexes shift; negatives pass through (element_at
-        counts them from the end, matching Cypher's xs[-1])."""
+    def _index_col(
+        base: Column, idx_expr: E.Expr, idx: Column, base_dtype=None
+    ) -> Column:
+        """Cypher index access, dispatched on the base's static type
+        (filter.rs:385-412 IndexAccess evaluates list, string and map
+        bases):
+
+        - list:   0-based; element_at is 1-based, so non-negative indexes
+          shift; negatives pass through (element_at counts from the end,
+          matching Cypher's xs[-1]).
+        - string: character at position, negatives from the end
+          (filter.rs:396-408 chars().nth); out of range -> null.
+        - map:    lookup by string key (filter.rs:407-410); a missing key
+          is null. Record-typed map literals (structs) dispatch over the
+          statically-known field names.
+        """
+        from pyspark.sql.types import MapType, StringType, StructType
+
+        if isinstance(base_dtype, StringType):
+            i = idx.cast("int")
+            ch = F.when(i >= 0, F.substring(base, i + 1, F.lit(1))).otherwise(
+                F.substring(base, i, F.lit(1))
+            )
+            return F.when(F.length(ch) == 1, ch)  # out of range -> null
+        if isinstance(base_dtype, StructType):
+            names = [f.name for f in base_dtype.fields]
+            if isinstance(idx_expr, E.Lit) and isinstance(idx_expr.value, str):
+                # literal key: direct field access — exact per-field type,
+                # no cross-branch coercion (heterogeneous records work)
+                k = idx_expr.value
+                return base.getField(k) if k in names else F.lit(None)
+            # dynamic key: dispatch over the statically-known field names;
+            # Spark folds the branches to one common type, so a record
+            # whose fields don't coerce (e.g. long + string) fails loudly
+            # at analysis — the typed-model limit of the reference's
+            # dynamically-typed map lookup (filter.rs:407-410)
+            key = idx.cast("string")
+            out = F.lit(None)
+            for f in base_dtype.fields:
+                out = F.when(key == f.name, base.getField(f.name)).otherwise(out)
+            return out
+        if isinstance(base_dtype, MapType):
+            return F.try_element_at(base, idx)
         if isinstance(idx_expr, E.Lit) and isinstance(idx_expr.value, int):
             i = idx_expr.value
             return F.try_element_at(base, F.lit(i + 1 if i >= 0 else i))
@@ -1490,11 +1544,19 @@ class Compiler:
 
     @staticmethod
     def _slice_col(
-        base: Column, lo: Optional[Column], hi: Optional[Column]
+        base: Column,
+        lo: Optional[Column],
+        hi: Optional[Column],
+        base_dtype=None,
     ) -> Column:
         """Cypher slice: 0-based, end-exclusive; negative bounds count
-        from the end; out-of-range bounds clamp to the list."""
-        n = F.size(base)
+        from the end; out-of-range bounds clamp. Strings slice to a
+        substring over the same bound arithmetic (filter.rs:447-467
+        SliceAccess on Value::String)."""
+        from pyspark.sql.types import StringType
+
+        is_str = isinstance(base_dtype, StringType)
+        n = F.length(base) if is_str else F.size(base)
 
         def _bound(c: Column) -> Column:
             c = c.cast("int")
@@ -1504,7 +1566,10 @@ class Compiler:
 
         lo_b = _bound(lo) if lo is not None else F.lit(0)
         hi_b = _bound(hi) if hi is not None else n
-        return F.slice(base, lo_b + 1, F.greatest(hi_b - lo_b, F.lit(0)))
+        width = F.greatest(hi_b - lo_b, F.lit(0))
+        if is_str:
+            return F.substring(base, lo_b + 1, width)
+        return F.slice(base, lo_b + 1, width)
 
     def _col_dtype(self, col: Column, df: Optional[DataFrame]):
         """Runtime dtype of a plan-scoped column, or None."""
@@ -2145,7 +2210,12 @@ class Compiler:
             "reverse": lambda a: F.reverse(a[0]),
             "sort": lambda a: F.array_sort(a[0]),
             "replace": lambda a: F.replace(a[0], a[1], a[2]),
-            "split": lambda a: F.split(a[0], a[1]),
+            # Cypher split() takes a LITERAL delimiter; F.split takes a
+            # Java regex — \Q...\E-quote it so '.' splits on dots, not on
+            # every character
+            "split": lambda a: F.split(
+                a[0], F.concat(F.lit("\\Q"), a[1], F.lit("\\E"))
+            ),
             "left": lambda a: F.substring(a[0], 1, a[1]),
             "right": lambda a: a[0].substr(F.length(a[0]) - a[1].cast("int") + 1, a[1].cast("int")),
             # Cypher substring(s, start[, len]) is 0-based

@@ -23,7 +23,22 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp and env_sp.isdigit():
+            shuffle_partitions = int(env_sp)
+        else:
+            shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    # AQE picks the real post-shuffle parallelism by coalescing DOWN from
+    # this number, so it bounds per-task shuffle volume: at 32 (the CPU
+    # count) a 1.25M-doc banded-join task holds 5x the sf5 volume and
+    # tips into the spill/memory-pressure regime (the r11 sf25
+    # superlinearity). 4x the core count keeps tasks small at the
+    # measured decades while AQE still coalesces tiny shuffles to a
+    # handful of partitions; on a real cluster this scales with the
+    # executor count exactly like shuffle.partitions.
+    initial_parts = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS") or str(
+        max(4 * shuffle_partitions, 128)
+    )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -36,6 +51,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            initial_parts,
+        )
         # Arrow for every pandas_udf / applyInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

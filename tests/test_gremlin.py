@@ -964,3 +964,130 @@ def test_textp_regex_invalid_pattern_fails_fast(db):
 
     with pytest.raises(GremlinError, match="invalid regex"):
         db.gremlin("g.V().has('name', TextP.regex('(')).count()").collect()
+
+
+# -- adversarial batch #3 (round 12): by()-traversal folds, branch nesting --
+
+
+def test_group_by_values_fold(db):
+    """group value traversal ending in values(k).fold() — the body used to
+    replay to a value-kind frame that projected away the per-element id
+    the group-side aggregate keys on (r12 fix: the trailing values(k) is
+    absorbed into the terminal so the replay stays element-kind)."""
+    got = sorted(
+        tuple(r)
+        for r in db.gremlin(
+            "g.V().group().by('city').by(__.values('name').fold())"
+        ).collect()
+    )
+    assert ("NYC", ["Alice", "Carol", "Frank"]) in got
+    assert ("LA", ["Bob", "Eve"]) in got
+
+
+def test_group_by_order_inside_value_traversal(db):
+    # order() inside the value body is accepted; fold output is
+    # value-sorted (the engine's documented deterministic fold order)
+    got = dict(
+        tuple(r)
+        for r in db.gremlin(
+            "g.V().group().by('city').by(__.order().by('age').values('name').fold())"
+        ).collect()
+    )
+    assert got["NYC"] == ["Alice", "Carol", "Frank"]
+
+
+def test_project_by_values_fold(db):
+    got = db.gremlin(
+        "g.V().has('name','Alice').project('n','f')"
+        ".by('name').by(__.out('KNOWS').values('name').fold())"
+    ).collect()
+    assert tuple(got[0]) == ("Alice", ["Bob", "Carol"])
+
+
+def test_project_by_values_count_skips_missing(db):
+    got = db.gremlin(
+        "g.V().has('name','Alice').project('n','c')"
+        ".by('name').by(__.out('KNOWS').values('name').count())"
+    ).collect()
+    assert tuple(got[0]) == ("Alice", 2)
+
+
+def test_group_by_out_values_mean(db):
+    got = dict(
+        tuple(r)
+        for r in db.gremlin(
+            "g.V().group().by('city').by(__.out('KNOWS').values('age').mean())"
+        ).collect()
+    )
+    # NYC = {Alice->Bob(40),Alice->Carol(35),Carol->Dave(28)} mean 34.33…
+    assert abs(got["NYC"] - (40 + 35 + 28) / 3) < 1e-9
+
+
+def test_repeat_until_inside_union(db):
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().has('name','Alice').union("
+            "__.repeat(__.out('KNOWS')).until(__.has('name','Eve')), "
+            "__.out('KNOWS')).values('name')"
+        ).collect()
+    )
+    # branch 1 reaches Eve (union keeps per-branch multiplicity: TinkerPop
+    # union concatenates traversers), branch 2 emits Bob + Carol
+    assert got == ["Bob", "Carol", "Eve", "Eve"]
+
+
+def test_nested_union_inside_repeat(db):
+    n = db.gremlin(
+        "g.V().has('name','Alice').repeat("
+        "__.union(__.out('KNOWS'), __.in('KNOWS'))).times(2).dedup().count()"
+    ).collect()[0][0]
+    assert n == 4  # {Alice, Carol, Dave, Heidi} at exactly 2 alternating hops
+
+
+def test_choose_constants_group_count(db):
+    got = sorted(
+        tuple(r)
+        for r in db.gremlin(
+            "g.V().choose(__.has('age', P.gt(34)), "
+            "__.constant('old'), __.constant('young')).groupCount()"
+        ).collect()
+    )
+    assert got == [("old", 4), ("young", 4)]
+
+
+def test_where_label_comparison_with_by(db):
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().as('a').out('KNOWS').as('b')"
+            ".where('a', P.gt('b')).by('age').select('a').values('name')"
+        ).collect()
+    )
+    assert got == ["Bob", "Carol", "Eve", "Heidi"]
+
+
+def test_dedup_by_key(db):
+    assert db.gremlin("g.V().dedup().by('city').count()").collect()[0][0] == 5
+
+
+def test_coalesce_constant_fallback(db):
+    got = db.gremlin(
+        "g.V().has('name','Grace').coalesce("
+        "__.out('KNOWS').values('name'), __.constant('none'))"
+    ).collect()
+    assert [r[0] for r in got] == ["none"]
+
+
+def test_unsupported_steps_reject_loudly(db):
+    """local() and withSack() are TinkerPop-only (no reference analogue,
+    gremlin/ast.rs has neither) — unknown-step errors, never silent
+    misparses."""
+    import pytest
+
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    with pytest.raises(GremlinError, match="local"):
+        db.gremlin("g.V().local(__.out('KNOWS').limit(1)).count()").collect()
+    with pytest.raises(GremlinError):
+        db.gremlin("g.withSack(0).V().sack()").collect()
