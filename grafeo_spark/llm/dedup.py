@@ -193,6 +193,23 @@ def banding_for_threshold(
 def lsh_candidate_pairs(
     sig_df: DataFrame, bands: int = 32, max_bucket: int = 4096
 ) -> DataFrame:
+    return _lsh_candidate_pairs_scaled(sig_df, bands, max_bucket)[0]
+
+
+# each banded-join / verify reduce task carries on the order of this many
+# candidate pairs; the occupancy probe's exact pair estimate divided by it
+# sets the shuffle width for the pair-volume stages (see
+# _lsh_candidate_pairs_scaled). Sized from the verify join, the heaviest
+# flow: each pair drags two collect_set shingle arrays (~1.5-3 KB each at
+# the measured corpora), so 1e5 pairs/task ≈ 200-600 MB of in-flight task
+# volume — inside execution memory, clear of the spill regime the r11
+# sf25 rehearsal measured at the session-default width.
+PAIRS_PER_TASK = 100_000
+
+
+def _lsh_candidate_pairs_scaled(
+    sig_df: DataFrame, bands: int = 32, max_bucket: int = 4096
+) -> tuple[DataFrame, int]:
     """(a, b) candidate pairs whose signatures collide in >= 1 band.
 
     Shuffle key is (band index, band hash): only same-bucket rows meet, so
@@ -295,6 +312,16 @@ def lsh_candidate_pairs(
             )
             .drop("_sk", "_nsplit")
         )
+    # Partition escalation: the probe's EXACT pair-volume estimate also
+    # sizes the shuffles that carry that volume. At the session default
+    # (shuffle.partitions = core count) a task's share of the candidate
+    # pairs grows linearly with the corpus and tips the sf25 decade into
+    # the spill/memory-pressure regime (the r11 superlinearity). Widening
+    # only these stages — never the session default, which an sf5 A/B
+    # showed regresses the iterative pregel family 2.4x — keeps per-task
+    # volume roughly constant at any corpus size.
+    base = int(sig_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = int(min(4096, max(base, est_pairs // PAIRS_PER_TASK)))
     l = buckets.select(
         *[F.col(c).alias(c + "_l") for c in join_cols], F.col("id").alias("a")
     )
@@ -308,24 +335,42 @@ def lsh_candidate_pairs(
     rt = buckets.select(
         *[F.col(c).alias(c + "_r") for c in join_cols], F.col("id").alias("b")
     ).hint("merge")
+    if parts > base:
+        # co-partition both sides at the escalated width; the SMJ reuses
+        # the distribution, so this replaces (not adds to) its exchanges
+        l = l.repartition(parts, *[c + "_l" for c in join_cols])
+        rt = rt.repartition(parts, *[c + "_r" for c in join_cols])
     cond = F.col("a") < F.col("b")
     for c in join_cols:
         cond = cond & (F.col(c + "_l") == F.col(c + "_r"))
-    return l.join(rt, cond).select("a", "b").distinct()
+    pairs = l.join(rt, cond).select("a", "b")
+    if parts > base:
+        # the dedup aggregate's exchange carries near-full pair volume;
+        # pre-partitioning on its keys at the escalated width makes the
+        # aggregation reuse this exchange instead of one at `base`
+        pairs = pairs.repartition(parts, "a", "b")
+    return pairs.distinct(), parts
 
 
-def verify_jaccard_from_hash_rows(pairs: DataFrame, row_df: DataFrame) -> DataFrame:
+def verify_jaccard_from_hash_rows(
+    pairs: DataFrame, row_df: DataFrame, parts: int | None = None
+) -> DataFrame:
     """(a, b, jaccard) — exact Jaccard over the hashed shingle sets.
     ``row_df`` is :func:`shingle_hash_rows` output; the ``collect_set``
     aggregate reuses the same by-id exchange as the signature branch.
     Identical to string-set Jaccard (element→hash is injective w.h.p.)."""
     sets = row_df.groupBy("id").agg(F.collect_set("_shh").alias("_sh"))
-    return verify_jaccard(pairs, sets)
+    return verify_jaccard(pairs, sets, parts=parts)
 
 
-def verify_jaccard(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
+def verify_jaccard(
+    pairs: DataFrame, shingle_df: DataFrame, parts: int | None = None
+) -> DataFrame:
     """(a, b, jaccard) — exact shingle-set Jaccard for candidate pairs.
-    `shingle_df` is `shingle_sets` output (id, _sh)."""
+    `shingle_df` is `shingle_sets` output (id, _sh). ``parts`` (from the
+    candidate stage's pair-volume estimate) widens the two verify joins —
+    their shuffles carry |pairs| WIDE array rows, the heaviest flow in
+    the pipeline — so per-task volume stays bounded at any corpus size."""
     # the shingle-set sides are corpus-sized WITH wide array rows — a
     # misestimated broadcast build here is the worst case; force the
     # shuffled build (bounded per task)
@@ -335,9 +380,21 @@ def verify_jaccard(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
     sb = shingle_df.select(F.col("id").alias("b"), F.col("_sh").alias("_shb")).hint(
         "shuffle_hash"
     )
+    widened = False
+    if parts is not None:
+        base = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if parts > base:
+            widened = True
+            pairs = pairs.repartition(parts, "a")
+            sa = sa.repartition(parts, "a")
+            sb = sb.repartition(parts, "b")
+    j1 = pairs.join(sa, "a")
+    if widened:
+        # explicit width for the second join's left side too — its shuffle
+        # carries |pairs| rows each dragging a wide _sha array
+        j1 = j1.repartition(parts, "b")
     return (
-        pairs.join(sa, "a")
-        .join(sb, "b")
+        j1.join(sb, "b")
         .select(
             "a",
             "b",
@@ -405,10 +462,19 @@ def _group_rep_pairs(
     # cache hit for any later identical plan); checkpointed blocks are
     # released when the RDD is garbage-collected.
     sigs = signatures_from_hash_rows(rep_rows, num_hashes).localCheckpoint(eager=False)
-    cands = lsh_candidate_pairs(sigs, bands, max_bucket=max_bucket)
-    rep_pairs = verify_jaccard_from_hash_rows(cands, rep_rows).filter(
+    cands, parts = _lsh_candidate_pairs_scaled(sigs, bands, max_bucket=max_bucket)
+    rep_pairs = verify_jaccard_from_hash_rows(cands, rep_rows, parts=parts).filter(
         F.col("jaccard") >= threshold
     )
+    base = int(sh_rows.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if parts > base:
+        # the threshold filter collapses the escalated pair volume to the
+        # verified relation (tiny under any sane threshold) — narrow back
+        # to the session width so downstream consumers (the CC loop's
+        # eager checkpoint, the fan-out joins) don't inherit hundreds of
+        # near-empty partitions per stage. One exchange of a tiny frame;
+        # measured +10% on the sf25 survivors entry without it.
+        rep_pairs = rep_pairs.repartition(base)
     return members, rep_pairs
 
 

@@ -28,16 +28,17 @@ def get_spark(
             shuffle_partitions = int(env_sp)
         else:
             shuffle_partitions = int(cpus) if cpus.isdigit() else 32
-    # AQE picks the real post-shuffle parallelism by coalescing DOWN from
-    # this number, so it bounds per-task shuffle volume: at 32 (the CPU
-    # count) a 1.25M-doc banded-join task holds 5x the sf5 volume and
-    # tips into the spill/memory-pressure regime (the r11 sf25
-    # superlinearity). 4x the core count keeps tasks small at the
-    # measured decades while AQE still coalesces tiny shuffles to a
-    # handful of partitions; on a real cluster this scales with the
-    # executor count exactly like shuffle.partitions.
+    # AQE coalesces DOWN from this number, so raising it bounds per-task
+    # shuffle volume. The obvious move — a high session-wide default —
+    # was A/B'd at sf5 (r12): the corpus-sized banded dedup join improved
+    # ~11%, but the iterative pregel family regressed 2.4x (dozens of
+    # per-superstep shuffles and eager checkpoints over small state pay
+    # the extra-partition overhead every round). So the default stays at
+    # shuffle.partitions, and the dedup pipeline escalates partitions
+    # SURGICALLY where its occupancy probe measures a corpus-sized emit
+    # (llm/dedup.py lsh_candidate_pairs). Env knob kept for experiments.
     initial_parts = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS") or str(
-        max(4 * shuffle_partitions, 128)
+        shuffle_partitions
     )
 
     builder = (

@@ -1511,3 +1511,34 @@ def test_cosine_zero_vector_is_zero_not_error(spark):
         ).collect()
     ]
     assert got == [0.0, 1.0]
+
+
+def test_pair_volume_partition_escalation_output_identical(docs, monkeypatch):
+    """The pair-volume partition escalation (r12: the occupancy probe's
+    exact pair estimate widens the banded join, the pair-dedup aggregate
+    and both verify joins) must be output-transparent — it replaces
+    exchange WIDTH, never join or aggregation semantics. Forcing the
+    threshold to one pair per task exercises the widened path on the
+    fixture corpus."""
+    import grafeo_spark.llm.dedup as D
+
+    base = sorted(map(tuple, D.near_duplicate_pairs(docs, threshold=0.5).collect()))
+    monkeypatch.setattr(D, "PAIRS_PER_TASK", 1)
+    esc = sorted(map(tuple, D.near_duplicate_pairs(docs, threshold=0.5).collect()))
+    assert esc == base and len(base) >= 3
+
+
+def test_pair_volume_escalation_widens_exchanges(docs, monkeypatch):
+    """With the threshold forced down, the verify stage's exchanges must
+    run at the escalated width (hashpartitioning(..., N) with N above the
+    session shuffle default), pinning that the repartitions actually
+    reach the plan."""
+    import re
+
+    import grafeo_spark.llm.dedup as D
+
+    monkeypatch.setattr(D, "PAIRS_PER_TASK", 1)
+    plan = _physical(D.near_duplicate_pairs(docs, threshold=0.5))
+    sess_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    widths = {int(n) for n in re.findall(r"hashpartitioning\([^)]*?(\d+)\)", plan)}
+    assert any(w > sess_parts for w in widths), (widths, plan[:1500])
