@@ -33,14 +33,16 @@ import os
 
 # Candidate-pair budget for the banded LSH join, enforced by the
 # occupancy probe inside lsh_candidate_pairs (one partial-aggregated job,
-# no extra pass). Calibrated against the r11/r12 single-node scale
-# rehearsals at 1.25M docs (/tmp/scale_sf25): the 3-shingle @ 0.8
-# default estimated 7.3e7 pairs and completed; word-2-gram @ 0.6
-# estimated 2.3e9 and exhausted >68 GB of spill disk mid-join. 5e8 keeps
-# the next planned doubling of the default pipeline (~3e8) inside the
-# budget while refusing the measured-fatal regime up front. On a cluster
-# spill capacity scales out with executors — raise the env var there.
-BANDED_PAIRS_MAX = int(os.environ.get("SPARK_GRAFT_BANDED_PAIRS_MAX", 500_000_000))
+# no extra pass). Calibrated against the single-node scale rehearsals:
+# completed — 7.3e7 pairs (sf25 3-shingle @ 0.8), 1.05e8 (sf5 word-2-gram
+# @ 0.6, ~68 GB spill, near the brim); FATAL — 2.90e8 (sf50 3-shingle,
+# measured exactly by the probe; the verify shuffle exhausted ~70 GB of
+# spill disk mid-join, r12) and 2.3e9 (sf25 word-2-gram, r11). 1.5e8
+# sits between the largest completed estimate and the smallest measured-
+# fatal one. On a cluster spill capacity scales out with executors —
+# raise the env var there (the escalated partitioning already spreads
+# the same volume evenly, llm/dedup.py PAIRS_PER_TASK).
+BANDED_PAIRS_MAX = int(os.environ.get("SPARK_GRAFT_BANDED_PAIRS_MAX", 150_000_000))
 
 
 def exact_duplicates(
@@ -290,8 +292,8 @@ def _lsh_candidate_pairs_scaled(
             f"lsh_candidate_pairs: the banded join would emit ~{est_pairs:,} "
             f"candidate pairs (> {BANDED_PAIRS_MAX:,}). This corpus/threshold "
             "combination has too much background similarity for the banding "
-            "to separate (measured single-node wall: ~2.3e9 pairs exhausted "
-            "the spill disk). Raise the Jaccard threshold, use a larger "
+            "to separate (measured single-node walls: 2.9e8 and 2.3e9 pairs "
+            "exhausted the spill disk). Raise the Jaccard threshold, use a larger "
             "shingle unit (word 3-grams instead of 2-grams), or — on a "
             "cluster with enough aggregate spill capacity — raise "
             "SPARK_GRAFT_BANDED_PAIRS_MAX to accept the shuffle."
