@@ -230,6 +230,22 @@ _CYPHER: dict[str, str] = {
         "substring(c.name, 0, 8) AS prefix, size(c.name) AS name_len, "
         "abs(c.acctbal) + 1.5 AS absbal"
     ),
+    # string index/slice + record-key lookup (r12: IndexAccess/SliceAccess
+    # on strings and maps, reference filter.rs:396-467)
+    "string_index_slice": (
+        "MATCH (c:Customer) WHERE c.custkey <= 15 "
+        "RETURN c.custkey AS custkey, c.name[0] AS first_ch, "
+        "c.name[-1] AS last_ch, c.name[9..] AS tail9, c.name[2..5] AS mid, "
+        "{k: c.custkey * 2}['k'] AS dbl"
+    ),
+    # UNION with differing column names unions by position under the FIRST
+    # branch's names (r12, reference planner.rs:2363-2385); distinct dedup
+    # across branches
+    "union_positional_names": (
+        "MATCH (r:Region) RETURN r.name AS v "
+        "UNION MATCH (n:Nation) WHERE n.name STARTS WITH 'A' "
+        "RETURN n.name AS other_name"
+    ),
     # variable-length expand (multi-type, seeded from the bound region):
     # hop 1 = nations of ASIA, hop 2 = customers+suppliers of those nations
     "varlen_asia_reach": (
@@ -457,6 +473,25 @@ _ORACLE: dict[str, str] = {
                CAST(length(c_name) AS INT) AS name_len,
                abs(c_acctbal) + 1.5 AS absbal
         FROM customer WHERE c_custkey <= 20
+    """,
+    "string_index_slice": """
+        SELECT c_custkey AS custkey,
+               substr(c_name, 1, 1) AS first_ch,
+               substr(c_name, length(c_name), 1) AS last_ch,
+               substr(c_name, 10) AS tail9,
+               substr(c_name, 3, 3) AS mid,
+               c_custkey * 2 AS dbl
+        FROM customer WHERE c_custkey <= 15
+    """,
+    "union_positional_names": """
+        SELECT r_name AS v FROM region
+        UNION
+        SELECT n_name FROM nation WHERE n_name LIKE 'A%'
+    """,
+    "gremlin_group_name_lists": """
+        SELECT n_regionkey AS "key",
+               string_agg(n_name, ',' ORDER BY n_name ASC) AS names
+        FROM nation GROUP BY n_regionkey
     """,
     "varlen_asia_reach": """
         SELECT CAST(
@@ -3002,6 +3037,20 @@ def _gremlin_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gremlin_group_name_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group().by(key).by(__.values(k).fold()) — the group-scoped value
+    fold whose body used to project away the per-element id (r12 fix,
+    traversal.py _anon_value). The fold list is value-sorted; joined to a
+    CSV for the canonical compare."""
+    from pyspark.sql import functions as F
+
+    df = _db(spark, sf_dir).gremlin(
+        "g.V().hasLabel('Nation').group()"
+        ".by('regionkey').by(__.values('name').fold())"
+    )
+    return df.select("key", F.array_join("value", ",").alias("names"))
+
+
 def _gremlin_order_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _db(spark, sf_dir).gremlin(
         "g.V().hasLabel('Customer').out('PLACED').count()"
@@ -3402,6 +3451,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_repeat_reach": _gremlin_repeat_reach,
     "gremlin_repeat_until_emit": _gremlin_repeat_until_emit,
     "gremlin_simplepath_reach": _gremlin_simplepath_reach,
+    "gremlin_group_name_lists": _gremlin_group_name_lists,
     "multimodal_features": _multimodal_features,
     "multimodal_image_dims": _multimodal_image_dims,
     "multimodal_audio_meta": _multimodal_audio_meta,
@@ -3634,6 +3684,11 @@ _PRIORITY = [
     "alg_articulation_points",
     "alg_bridges",
     "alg_dfs_preorder",
+    # -- r12 batch-#10/#3 semantics under the driver oracle: string/map
+    # index access, positional UNION, and the group-scoped value fold.
+    "string_index_slice",
+    "union_positional_names",
+    "gremlin_group_name_lists",
 ]
 
 
