@@ -493,6 +493,10 @@ _ORACLE: dict[str, str] = {
                string_agg(n_name, ',' ORDER BY n_name ASC) AS names
         FROM nation GROUP BY n_regionkey
     """,
+    "gremlin_local_first_order": """
+        SELECT min(o_orderkey) AS orderkey
+        FROM orders WHERE o_custkey <= 20 GROUP BY o_custkey
+    """,
     "varlen_asia_reach": """
         SELECT CAST(
             (SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -3037,6 +3041,17 @@ def _gremlin_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gremlin_local_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """local(out().order().by(k).limit(1)) — the per-traverser barrier
+    scope (TinkerPop LocalStep, r12): each customer's own lowest-keyed
+    order, lowered to one window over the seed id."""
+    return _db(spark, sf_dir).gremlin(
+        "g.V().hasLabel('Customer').has('custkey', P.lte(20))"
+        ".local(__.out('PLACED').order().by('orderkey').limit(1))"
+        ".values('orderkey')"
+    )
+
+
 def _gremlin_group_name_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """group().by(key).by(__.values(k).fold()) — the group-scoped value
     fold whose body used to project away the per-element id (r12 fix,
@@ -3452,6 +3467,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_repeat_until_emit": _gremlin_repeat_until_emit,
     "gremlin_simplepath_reach": _gremlin_simplepath_reach,
     "gremlin_group_name_lists": _gremlin_group_name_lists,
+    "gremlin_local_first_order": _gremlin_local_first_order,
     "multimodal_features": _multimodal_features,
     "multimodal_image_dims": _multimodal_image_dims,
     "multimodal_audio_meta": _multimodal_audio_meta,
@@ -3689,6 +3705,7 @@ _PRIORITY = [
     "string_index_slice",
     "union_positional_names",
     "gremlin_group_name_lists",
+    "gremlin_local_first_order",
 ]
 
 

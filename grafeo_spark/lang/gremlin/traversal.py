@@ -1073,6 +1073,79 @@ class Traversal:
         otherwise — coalesce(anon, identity)."""
         return self.coalesce(anon, Anon())
 
+    def local(self, anon: Anon) -> "Traversal":
+        """TinkerPop ``local(sub)``: the sub-traversal's barrier steps act
+        PER INCOMING TRAVERSER instead of globally (TinkerPop LocalStep;
+        superset surface — the reference's gremlin/ast.rs has no Local).
+        Set-at-a-time lowering, one replay of the body:
+
+        - body ending in an aggregation (``local(__.out().count())``):
+          per-element aggregate, exactly the project/group ``by``
+          modulator partial — counts fill 0 per traverser.
+        - body ending in limit(n)/range(lo, hi) (optionally modulated by
+          a trailing ``order().by(key[, desc])``): a per-seed window
+          row_number picks each element's own slice; ties and the
+          unordered form resolve by result id, the engine's documented
+          deterministic order.
+        - any other body: no global steps to re-scope — plain replay.
+        """
+        from pyspark.sql import Window
+
+        steps = list(anon._steps)
+        if steps and steps[-1][0] in _ANON_AGGS:
+            df = self._anon_value(self.df, anon, "_lval")
+            return self._derive(df.select(F.col("_lval").alias("value")), "value", "value")
+        lo = hi = None
+        if steps and steps[-1][0] == "limit":
+            lo, hi = 0, int(steps[-1][1][0])
+            body = steps[:-1]
+        elif steps and steps[-1][0] == "range_":
+            lo, hi = int(steps[-1][1][0]), int(steps[-1][1][1])
+            body = steps[:-1]
+        if hi is None:
+            return self._apply_anon(anon)
+        okey, odesc = None, False
+        if (
+            len(body) >= 2
+            and body[-2][0] == "order"
+            and body[-1][0] == "by"
+            and body[-1][1]
+            and isinstance(body[-1][1][0], str)
+        ):
+            okey = body[-1][1][0]
+            odesc = len(body[-1][1]) > 1 and str(body[-1][1][1]).lower() == "desc"
+            body = body[:-2]
+        idc = _p(self.cur, "id")
+        seed_cols = [c for c in self.df.columns if c.startswith(self.cur + "__")]
+        seed = self.df.select(*seed_cols).dropDuplicates([idc])
+        res = self._derive(seed, self.cur, self.kind)._apply_anon(Anon(tuple(body)))
+        if idc not in res.df.columns or res.kind == "value":
+            raise GremlinError(
+                "local(...limit/range) needs an element-valued body that "
+                "keeps the incoming element (end with values()/aggregates "
+                "for value results)"
+            )
+        oc = F.col(_p(res.cur, okey)) if okey else F.col(_p(res.cur, "id"))
+        w = Window.partitionBy(idc).orderBy(
+            oc.desc() if odesc else oc.asc(), F.col(_p(res.cur, "id")).asc()
+        )
+        picked = (
+            res.df.withColumn("_lrn", F.row_number().over(w))
+            .filter((F.col("_lrn") > lo) & (F.col("_lrn") <= hi))
+            .drop("_lrn")
+        )
+        # join back on the seed id to restore the incoming traverser
+        # multiplicity/history the deduped replay dropped (columns the
+        # incoming frame already has — e.g. an empty body, where the
+        # element slices itself — join by key only)
+        new_cols = [
+            c
+            for c in picked.columns
+            if c.startswith(res.cur + "__") and c not in self.df.columns
+        ]
+        out = self.df.join(picked.select(idc, *new_cols), idc, "inner")
+        return self._derive(out, res.cur, res.kind)
+
     def identity(self) -> "Traversal":
         return self._derive(self.df, self.cur, self.kind)
 

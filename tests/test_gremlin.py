@@ -1080,14 +1080,50 @@ def test_coalesce_constant_fallback(db):
 
 
 def test_unsupported_steps_reject_loudly(db):
-    """local() and withSack() are TinkerPop-only (no reference analogue,
-    gremlin/ast.rs has neither) — unknown-step errors, never silent
-    misparses."""
+    """withSack()/sack() are TinkerPop-only with no set-at-a-time lowering
+    here (and no reference analogue, gremlin/ast.rs has neither) —
+    unknown-step errors, never silent misparses. (local() gained a real
+    implementation in r12 — see the local tests below.)"""
     import pytest
 
     from grafeo_spark.lang.gremlin import GremlinError
 
-    with pytest.raises(GremlinError, match="local"):
-        db.gremlin("g.V().local(__.out('KNOWS').limit(1)).count()").collect()
     with pytest.raises(GremlinError):
         db.gremlin("g.withSack(0).V().sack()").collect()
+
+
+def test_local_limit_per_traverser(db):
+    """local(out().limit(1)) picks each traverser's OWN first neighbor
+    (TinkerPop LocalStep, r12; min-result-id is the engine's documented
+    deterministic order for the unordered form)."""
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().local(__.out('KNOWS').limit(1)).values('name')"
+        ).collect()
+    )
+    # Alice->Bob (min id of {Bob,Carol}), Bob->Carol, Carol->Dave,
+    # Dave->Eve, Eve->Frank, Heidi->Alice
+    assert got == ["Alice", "Bob", "Carol", "Dave", "Eve", "Frank"]
+
+
+def test_local_order_by_limit(db):
+    got = db.gremlin(
+        "g.V().has('name','Alice')"
+        ".local(__.out('KNOWS').order().by('age', desc).limit(1)).values('name')"
+    ).collect()
+    assert [r[0] for r in got] == ["Bob"]  # Bob(40) > Carol(35)
+
+
+def test_local_range_slice(db):
+    got = db.gremlin(
+        "g.V().has('name','Alice').local(__.out('KNOWS').range(1, 2)).values('name')"
+    ).collect()
+    assert [r[0] for r in got] == ["Carol"]
+
+
+def test_local_count_per_element_fills_zero(db):
+    got = sorted(
+        r[0] for r in db.gremlin("g.V().local(__.out('KNOWS').count())").collect()
+    )
+    assert got == [0, 0, 1, 1, 1, 1, 1, 2]
