@@ -1245,3 +1245,56 @@ def test_regex_invalid_pattern_unbound(sdb):
         PFX + 'SELECT (COUNT(?p) AS ?c) WHERE { ?p ex:name ?n FILTER(REGEX(?n, "(")) }'
     ).collect()[0].c
     assert n == 0
+
+
+# -- r12 property-path adversarial pins (SPARQL 1.1 §9.1 semantics) -----------
+
+
+def test_path_zero_or_one(sdb):
+    out = rows(sdb.sparql(PFX + f"SELECT ?x WHERE {{ <{EX}alice> ex:knows? ?x }}"))
+    assert out == [(EX + "alice",), (EX + "bob",)]
+
+
+def test_path_zero_or_one_in_sequence(sdb):
+    out = rows(
+        sdb.sparql(PFX + f"SELECT ?n WHERE {{ <{EX}alice> ex:knows?/ex:name ?n }}")
+    )
+    assert out == [("Alice",), ("Bob",)]
+
+
+def test_path_alternation_with_inverse(sdb):
+    out = rows(
+        sdb.sparql(PFX + f"SELECT ?x WHERE {{ <{EX}carol> (^ex:knows|ex:knows) ?x }}")
+    )
+    assert out == [(EX + "bob",)]
+
+
+def test_negated_set_only_inverse_members(sdb):
+    """!(^p) has only an inverse member: per §9.1 it matches ONLY reverse
+    edges with predicate outside the set — never forward edges. Bob's one
+    reverse edge is ^knows (excluded), so the result is empty even though
+    bob has forward edges."""
+    out = rows(sdb.sparql(PFX + f"SELECT ?x WHERE {{ <{EX}bob> !(^ex:knows) ?x }}"))
+    assert out == []
+
+
+def test_path_inside_not_exists(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX
+            + "SELECT ?p WHERE { ?p a ex:Person "
+            + f"FILTER NOT EXISTS {{ ?p ex:knows+ <{EX}carol> }} }}"
+        )
+    )
+    assert out == [(EX + "carol",)]
+
+
+def test_path_under_group_by(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX
+            + "SELECT ?p (COUNT(?x) AS ?c) WHERE { ?p ex:knows+ ?x } "
+            + "GROUP BY ?p ORDER BY ?p"
+        )
+    )
+    assert out == [(EX + "alice", 2), (EX + "bob", 1)]
