@@ -73,10 +73,17 @@ def modularity(edges: DataFrame, communities: DataFrame) -> float:
         und.join(cs, "src").join(cd, "dst").filter(F.col("_cs") == F.col("_cd")).count()
     )
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
-    deg_by_comm = (
-        deg.join(cs, "src").groupBy("_cs").agg(F.sum("deg").alias("dsum")).collect()
+    # sum over communities of (dsum/2m)^2 as a DISTRIBUTED aggregate —
+    # only the final scalar comes to the driver (a per-community collect
+    # would be O(#communities) driver memory; LPA at scale yields millions)
+    sq = (
+        deg.join(cs, "src")
+        .groupBy("_cs")
+        .agg(F.sum("deg").alias("dsum"))
+        .agg(F.sum(F.pow(F.col("dsum") / F.lit(float(m2)), F.lit(2.0))).alias("_sq"))
+        .first()["_sq"]
     )
-    q = intra / m2 - sum((r.dsum / m2) ** 2 for r in deg_by_comm)
+    q = intra / m2 - (sq or 0.0)
     return float(q)
 
 

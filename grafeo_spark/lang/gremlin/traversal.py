@@ -987,12 +987,16 @@ class Traversal:
         # aggregate reads the property column. TinkerPop values() skips
         # missing properties; null-skipping aggregates match that.
         vkey = term_args[0] if term_args else None
-        if (
-            vkey is None
-            and body_steps
-            and body_steps[-1][0] == "values"
-            and len(body_steps[-1][1]) == 1
-        ):
+        if vkey is None and body_steps and body_steps[-1][0] == "values":
+            if len(body_steps[-1][1]) != 1:
+                # a multi-key values('a','b') body replays to a value-kind
+                # frame that drops the seed id the per-element groupBy
+                # needs — reject with guidance instead of an opaque
+                # AnalysisException
+                raise GremlinError(
+                    "multi-key values() isn't supported in a by()-traversal "
+                    "body; aggregate one property key at a time"
+                )
             vkey = body_steps[-1][1][0]
             body_steps = body_steps[:-1]
         body = Anon(tuple(body_steps))
@@ -1092,7 +1096,12 @@ class Traversal:
         from pyspark.sql import Window
 
         steps = list(anon._steps)
-        if steps and steps[-1][0] in _ANON_AGGS:
+        # values() is in _ANON_AGGS for by()-modulator contexts but is NOT
+        # a barrier step: TinkerPop local(__.out().values('name')) behaves
+        # exactly like the inline body (one traverser per value), so a
+        # values-terminated body is a plain replay, not a per-traverser
+        # aggregate.
+        if steps and steps[-1][0] in _ANON_AGGS and steps[-1][0] != "values":
             df = self._anon_value(self.df, anon, "_lval")
             return self._derive(df.select(F.col("_lval").alias("value")), "value", "value")
         lo = hi = None
@@ -1105,15 +1114,21 @@ class Traversal:
         if hi is None:
             return self._apply_anon(anon)
         okey, odesc = None, False
-        if (
-            len(body) >= 2
-            and body[-2][0] == "order"
-            and body[-1][0] == "by"
-            and body[-1][1]
-            and isinstance(body[-1][1][0], str)
-        ):
-            okey = body[-1][1][0]
-            odesc = len(body[-1][1]) > 1 and str(body[-1][1][1]).lower() == "desc"
+        if len(body) >= 2 and body[-2][0] == "order" and body[-1][0] == "by":
+            bargs = body[-1][1]
+            if not bargs or not isinstance(bargs[0], str):
+                # a traversal-valued by(__.count()) or bare by() can't be
+                # honored by the per-seed window (it would silently pick by
+                # id) — reject loudly rather than return the wrong element
+                raise GremlinError(
+                    "local(...order().by(...).limit/range) supports only "
+                    "order().by('key'[, desc]) — traversal-valued or empty "
+                    "by() modulators can't drive the per-traverser window"
+                )
+            okey = bargs[0]
+            # the parser accepts both TinkerPop order tokens: desc and decr
+            # (matching _OrderStep's handling)
+            odesc = len(bargs) > 1 and str(bargs[1]).lower() in ("desc", "decr")
             body = body[:-2]
         idc = _p(self.cur, "id")
         seed_cols = [c for c in self.df.columns if c.startswith(self.cur + "__")]

@@ -362,39 +362,76 @@ def _hoist_exists_expr(ts: TripleStore, out: DataFrame, e):
             c for c in sub.columns if c in out.columns and not c.startswith("__")
         ]
         if shared:
-            probe = sub.select(*shared).distinct().withColumn(flag, F.lit(True))
             # SPARQL substitution semantics (§17.4.1.4): a shared variable
             # that is UNBOUND in the solution row (null, e.g. from
             # OPTIONAL) stays free in the pattern, so it must not
-            # constrain the probe. Split the frame: all-bound rows take
-            # the equi-join fast path (probe is distinct on the keys, so
-            # cardinality is preserved); rows carrying a null shared var
-            # take a null-as-wildcard theta-join, deduped back by row id.
+            # constrain the probe. Decompose by NULL-PATTERN: rows with a
+            # given subset S of shared vars null equi-join the probe
+            # projected (and re-deduped) onto shared∖S — every branch is a
+            # shuffle-bounded equi-join, never a nested-loop wildcard
+            # theta-join (the r12 fallback degraded quadratically when
+            # many unbound rows met a large probe). Probes are distinct on
+            # their join keys, so cardinality is preserved without a
+            # row-id dedup. All-null rows take the uncorrelated any-match
+            # probe.
             import functools as _ft
+            from itertools import combinations
 
+            probe = sub.select(*shared).distinct()
             all_bound = _ft.reduce(
                 lambda a, b: a & b, [F.col(c).isNotNull() for c in shared]
             )
-            rid = f"__exr{next(_EXISTS_FLAGS)}"
-            base = out.withColumn(rid, F.monotonically_increasing_id())
-            bound = base.filter(all_bound).join(probe, shared, "left")
-            nulls = base.filter(~all_bound)
-            probe2 = probe.select(
-                *[F.col(c).alias(f"__pp_{c}") for c in shared], flag
-            )
-            cond = _ft.reduce(
-                lambda a, b: a & b,
-                [
-                    nulls[c].isNull() | (nulls[c] == probe2[f"__pp_{c}"])
-                    for c in shared
-                ],
-            )
-            wide = nulls.join(probe2, cond, "left")
-            dedup = (
-                wide.groupBy(*[wide[c] for c in nulls.columns])
-                .agg(F.max(F.col(flag)).alias(flag))
-            )
-            out = bound.unionByName(dedup).drop(rid)
+            pieces = [
+                out.filter(all_bound).join(
+                    probe.withColumn(flag, F.lit(True)), shared, "left"
+                )
+            ]
+            k = len(shared)
+            if k <= 5:
+                # static enumeration: ≤31 branches, lazy plan, no compile
+                # action; k is the #shared vars — small in practice
+                masks = [
+                    s for r in range(1, k + 1) for s in combinations(shared, r)
+                ]
+            else:
+                # wide sharing: enumerate only the null-patterns actually
+                # present (one tiny distinct job, ≤2^k rows, practically
+                # a handful)
+                present = (
+                    out.filter(~all_bound)
+                    .select(*[F.col(c).isNull().alias(c) for c in shared])
+                    .distinct()
+                    .collect()
+                )
+                masks = [tuple(c for c in shared if row[c]) for row in present]
+                masks = [m for m in masks if m]
+            for null_cols in masks:
+                is_grp = _ft.reduce(
+                    lambda a, b: a & b,
+                    [F.col(c).isNull() for c in null_cols]
+                    + [
+                        F.col(c).isNotNull()
+                        for c in shared
+                        if c not in null_cols
+                    ],
+                )
+                grp = out.filter(is_grp)
+                keys = [c for c in shared if c not in null_cols]
+                if keys:
+                    p = (
+                        probe.select(*keys)
+                        .distinct()
+                        .withColumn(flag, F.lit(True))
+                    )
+                    pieces.append(grp.join(p, keys, "left"))
+                else:
+                    any_probe = (
+                        probe.limit(1)
+                        .agg(F.count(F.lit(1)).alias("_c"))
+                        .select((F.col("_c") > 0).alias(flag))
+                    )
+                    pieces.append(grp.crossJoin(any_probe))
+            out = _ft.reduce(lambda a, b: a.unionByName(b), pieces)
         else:
             probe = (
                 sub.limit(1)

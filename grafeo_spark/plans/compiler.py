@@ -1552,7 +1552,11 @@ class Compiler:
         """Cypher slice: 0-based, end-exclusive; negative bounds count
         from the end; out-of-range bounds clamp. Strings slice to a
         substring over the same bound arithmetic (filter.rs:447-467
-        SliceAccess on Value::String)."""
+        SliceAccess on Value::String). Deliberate divergence from the
+        reference for NEGATIVE bounds: filter.rs casts them to usize
+        (wrapping huge, yielding an empty slice/None); we keep openCypher
+        count-from-the-end semantics, pinned by
+        test_string_slice_negative_bounds — do not "fix" this backwards."""
         from pyspark.sql.types import StringType
 
         is_str = isinstance(base_dtype, StringType)
@@ -2212,9 +2216,17 @@ class Compiler:
             "replace": lambda a: F.replace(a[0], a[1], a[2]),
             # Cypher split() takes a LITERAL delimiter; F.split takes a
             # Java regex — \Q...\E-quote it so '.' splits on dots, not on
-            # every character
+            # every character. A delimiter containing the literal sequence
+            # \E would terminate the quote early, so apply Pattern.quote's
+            # trick first: each embedded \E becomes \E\\E\Q (close quote,
+            # match a literal backslash-E, reopen quote).
             "split": lambda a: F.split(
-                a[0], F.concat(F.lit("\\Q"), a[1], F.lit("\\E"))
+                a[0],
+                F.concat(
+                    F.lit("\\Q"),
+                    F.replace(a[1], F.lit("\\E"), F.lit("\\E\\\\E\\Q")),
+                    F.lit("\\E"),
+                ),
             ),
             "left": lambda a: F.substring(a[0], 1, a[1]),
             "right": lambda a: a[0].substr(F.length(a[0]) - a[1].cast("int") + 1, a[1].cast("int")),

@@ -1127,3 +1127,49 @@ def test_local_count_per_element_fills_zero(db):
         r[0] for r in db.gremlin("g.V().local(__.out('KNOWS').count())").collect()
     )
     assert got == [0, 0, 1, 1, 1, 1, 1, 2]
+
+
+def test_local_values_is_plain_replay(db):
+    """values() is NOT a barrier step: local(out().values('name')) behaves
+    like the inline body — one traverser per value, never a per-traverser
+    min-pick (r12 ADVICE)."""
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().has('name','Alice').local(__.out('KNOWS').values('name'))"
+        ).collect()
+    )
+    assert got == ["Bob", "Carol"]
+
+
+def test_local_order_by_decr_token(db):
+    """local()'s order().by() detection must honor both TinkerPop desc
+    tokens — 'decr' previously sorted ascending silently (r12 ADVICE)."""
+    got = db.gremlin(
+        "g.V().has('name','Alice')"
+        ".local(__.out('KNOWS').order().by('age', decr).limit(1)).values('name')"
+    ).collect()
+    assert [r[0] for r in got] == ["Bob"]  # Bob(40) > Carol(35)
+
+
+def test_local_order_by_traversal_rejects(db):
+    """A traversal-valued by() modulator can't drive the per-traverser
+    window — loud GremlinError, never a silent id-order pick."""
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    with pytest.raises(GremlinError):
+        db.gremlin(
+            "g.V().local(__.out('KNOWS').order().by(__.count()).limit(1))"
+        ).collect()
+
+
+def test_by_traversal_multikey_values_rejects(db):
+    """Multi-key values() in a by()-traversal body drops the seed id —
+    targeted GremlinError instead of an opaque AnalysisException."""
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    with pytest.raises(GremlinError, match="multi-key"):
+        db.gremlin(
+            "g.V().group().by('city')"
+            ".by(__.out('KNOWS').values('name','age').fold())"
+        ).collect()

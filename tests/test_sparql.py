@@ -1216,6 +1216,43 @@ def test_exists_expression_unbound_shared_var(sdb):
     assert out == [("Alice", False), ("Bob", False), ("Carol", False)]
 
 
+def test_exists_unbound_two_shared_vars(sdb):
+    """Null-pattern decomposition (r12 VERDICT weak #2): with two shared
+    vars of which one is unbound, the row must equi-join the probe on the
+    BOUND subset only — the unbound var stays free (§17.4.1.4)."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n (EXISTS { ?p ex:knows ?x } AS ?e) "
+            "WHERE { ?p a ex:Person ; ex:name ?n "
+            "OPTIONAL { ?p ex:livesIn ?x } } ORDER BY ?n"
+        )
+    )
+    # Alice: (?p=alice, ?x=city1) fully bound — alice knows bob, not
+    # city1 -> false. Bob: ?x unbound -> EXISTS{bob knows ?x} -> true.
+    # Carol: knows nothing -> false.
+    assert out == [("Alice", False), ("Bob", True), ("Carol", False)]
+
+
+def test_exists_unbound_plan_no_wildcard_nlj(spark, sdb):
+    """The unbound-shared-var path must compile to shuffle-bounded
+    equi-joins per null-pattern — never the r12 null-as-wildcard
+    nested-loop theta-join (quadratic when many unbound rows meet a
+    large probe). The only nested-loop allowed is the unconditioned
+    one-row any-match cross."""
+    df = sdb.sparql(
+        PFX + "SELECT ?n (EXISTS { ?p ex:knows ?x } AS ?e) "
+        "WHERE { ?p a ex:Person ; ex:name ?n "
+        "OPTIONAL { ?p ex:livesIn ?x } }"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "isnull" not in line.lower(), line
+
+
 def test_uncorrelated_exists_expression(sdb):
     got = sdb.sparql(
         PFX + "SELECT (EXISTS { ?a ex:nosuch ?b } AS ?e) "

@@ -118,6 +118,16 @@ def test_split_no_match_returns_whole(db):
     assert one(db.cypher("RETURN split('abc', ',') AS x")) == (["abc"],)
 
 
+def test_split_delimiter_containing_quote_terminator(db):
+    r"""A delimiter containing the literal sequence \E must not terminate
+    the \Q...\E quoting early (Pattern.quote parity, r12 ADVICE)."""
+    assert one(db.cypher("RETURN split('a\\\\Eb\\\\Ec', '\\\\E') AS x")) == (
+        ["a", "b", "c"],
+    )
+    # \Q inside the delimiter is inert (we're already inside a quote)
+    assert one(db.cypher("RETURN split('x\\\\Qy', '\\\\Q') AS x")) == (["x", "y"],)
+
+
 # -- UNION column semantics (planner.rs:2363-2385) -----------------------------
 
 
