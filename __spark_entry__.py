@@ -2432,6 +2432,90 @@ _ORACLE["merge_match_create"] = """
 """
 
 
+def _session_save_open_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """save()/open() persistence round-trip (engine.py save/open; reference
+    database.rs:988 GrafeoDB(path) / db.save): mutate, snapshot the whole
+    session (graph + triples + manifest) to disk, reopen it cold, and a
+    pinned query on the REOPENED session must see both the mutation and
+    the full base graph + triple store. The result is eagerly
+    materialized so the snapshot directory can be removed."""
+    import shutil
+    import tempfile
+
+    from grafeo_spark.catalog import tpch_graph, tpch_triples
+    from grafeo_spark.engine import GrafeoSpark
+
+    db = GrafeoSpark(
+        spark, tpch_graph(spark, sf_dir), triples=tpch_triples(spark, sf_dir)
+    )
+    db.cypher("MATCH (c:Customer) WHERE c.custkey <= 10 SET c.snapshot_flag = 1")
+    root = tempfile.mkdtemp(prefix="grafeo_snap_")
+    try:
+        db.save(f"{root}/session")
+        db2 = GrafeoSpark.open(spark, f"{root}/session")
+        g = db2.cypher(
+            "MATCH (c:Customer) WHERE c.snapshot_flag = 1 "
+            "RETURN count(*) AS flagged, round(sum(c.acctbal), 2) AS bal"
+        )
+        t = db2.sparql(
+            _SPARQL_PFX + "SELECT (COUNT(?x) AS ?nations) WHERE { ?x a ex:Nation }"
+        )
+        return g.crossJoin(t).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_ORACLE["session_save_open_roundtrip"] = """
+    SELECT CAST(count(*) AS BIGINT) AS flagged,
+           round(sum(c_acctbal), 2) AS bal,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS nations
+    FROM customer WHERE c_custkey <= 10
+"""
+
+
+def _transaction_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-transaction visibility contract (engine.py Transaction;
+    reference database.rs:1340-1470 PyTransaction, transaction/mod.rs):
+    a transaction sees its own uncommitted writes; the parent never does;
+    rollback discards them; a clean context-manager exit commits and the
+    parent then sees the published frames. Immutable DataFrames make each
+    probe a true point-in-time snapshot, so all four probes can be
+    captured lazily and collected together at the end."""
+    db = _db(spark, sf_dir)
+    t1 = db.begin_transaction()
+    t1.cypher("MATCH (c:Customer) WHERE c.custkey <= 5 SET c.txp = 1")
+    in_tx = t1.cypher(
+        "MATCH (c:Customer) WHERE c.txp = 1 RETURN count(*) AS in_tx"
+    )
+    parent_uncommitted = db.cypher(
+        "MATCH (c:Customer) WHERE c.txp = 1 RETURN count(*) AS parent_uncommitted"
+    )
+    t1.rollback()
+    after_rollback = db.cypher(
+        "MATCH (c:Customer) WHERE c.txp = 1 RETURN count(*) AS after_rollback"
+    )
+    with db.begin_transaction() as t2:
+        t2.cypher("MATCH (c:Customer) WHERE c.custkey <= 7 SET c.txp = 1")
+    after_commit = db.cypher(
+        "MATCH (c:Customer) WHERE c.txp = 1 RETURN count(*) AS after_commit"
+    )
+    return (
+        in_tx.crossJoin(parent_uncommitted)
+        .crossJoin(after_rollback)
+        .crossJoin(after_commit)
+    )
+
+
+_ORACLE["transaction_visibility"] = """
+    SELECT CAST((SELECT count(*) FROM customer WHERE c_custkey <= 5) AS BIGINT)
+               AS in_tx,
+           CAST(0 AS BIGINT) AS parent_uncommitted,
+           CAST(0 AS BIGINT) AS after_rollback,
+           CAST((SELECT count(*) FROM customer WHERE c_custkey <= 7) AS BIGINT)
+               AS after_commit
+"""
+
+
 # --------------------------------------------------------------------- #
 # LLM-pipeline entries (dedup / similarity / text analysis)
 # --------------------------------------------------------------------- #
@@ -3526,6 +3610,8 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "alg_dfs_preorder": _alg_dfs_preorder,
     "admin_stats_labels": _admin_stats_labels,
     "direct_find_by_property": _direct_find_by_property,
+    "session_save_open_roundtrip": _session_save_open_roundtrip,
+    "transaction_visibility": _transaction_visibility,
 }
 
 
@@ -3706,6 +3792,11 @@ _PRIORITY = [
     "union_positional_names",
     "gremlin_group_name_lists",
     "gremlin_local_first_order",
+    # -- r13 additions: the session-lifecycle surfaces under the driver
+    # oracle (save/open persistence format, snapshot-transaction
+    # visibility).
+    "session_save_open_roundtrip",
+    "transaction_visibility",
 ]
 
 

@@ -47,15 +47,20 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> DataFrame:
     """(id, component) with component = min id of the SCC (components.rs:389).
 
-    Coloring-peel algorithm, run in BOTH directions per round: propagate
-    the minimum id through unassigned vertices; a vertex whose color
-    equals its own id is a root, and everything reachable from the root
-    against the coloring direction *within the same color* is exactly the
-    root's SCC (both directions label an SCC by its min member id, so the
-    peels compose). The backward pass exists for the adversarial shapes
-    where forward coloring yields a single root per round — e.g. a
-    directed chain of singleton SCCs with ascending ids collapses in ONE
-    backward round where forward-only peeling needs O(#SCCs) rounds.
+    Coloring-peel algorithm: propagate the minimum id through unassigned
+    vertices; a vertex whose color equals its own id is a root, and
+    everything reachable from the root against the coloring direction
+    *within the same color* is exactly the root's SCC (both directions
+    label an SCC by its min member id, so the peels compose). The
+    backward pass exists for the adversarial shapes where forward
+    coloring yields a single root per round — e.g. a directed chain of
+    singleton SCCs with ascending ids collapses in ONE backward round
+    where forward-only peeling needs O(#SCCs) rounds. It is CONDITIONAL
+    (r13): a healthy forward round clears most of the remaining graph,
+    so the reverse peel runs only when the forward round assigned <25%
+    of the remaining vertices — the adversarial-chain detector. r12 ran
+    it unconditionally, costing +37% wall on normal graphs for a pass
+    that cleared almost nothing.
 
     Bounds (the iterative-family contract, same as BFS/WCC): each inner
     fixpoint is O(subgraph diameter) supersteps with convergence early
@@ -107,16 +112,21 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
         return sub_e, verts
 
     for _ in range(max_iter):
-        if remaining.isEmpty():
+        n_before = remaining.count()
+        if n_before == 0:
             return assigned
         scc = _peel(e, remaining, reverse=False)
         assigned = assigned.unionByName(scc).localCheckpoint(eager=True)
         e, remaining = _shrink(e, remaining, scc)
-        if remaining.isEmpty():
+        n_after = remaining.count()
+        if n_after == 0:
             return assigned
-        scc = _peel(e, remaining, reverse=True)
-        assigned = assigned.unionByName(scc).localCheckpoint(eager=True)
-        e, remaining = _shrink(e, remaining, scc)
+        if (n_before - n_after) * 4 < n_before:
+            # forward cleared <25% of the remainder — the shape is
+            # hostile to forward coloring; pay for the reverse peel
+            scc = _peel(e, remaining, reverse=True)
+            assigned = assigned.unionByName(scc).localCheckpoint(eager=True)
+            e, remaining = _shrink(e, remaining, scc)
     if not remaining.isEmpty():
         raise ValueError(
             f"strongly_connected_components: {remaining.count()} vertices "

@@ -338,9 +338,27 @@ class Traversal:
             t._edge_types = self._edge_types
         return t
 
+    _UNSUPPORTED_ANON = {
+        "addV": "mid-traversal addV() (the fold/coalesce get-or-create idiom) "
+        "has no set-at-a-time lowering here: a branch executes relationally "
+        "for ALL non-matching traversers at once, not one effect per "
+        "traverser — use g.addV() at the source, or MERGE via the Cypher "
+        "front-end",
+        "addE": "mid-traversal addE() inside a branch has no set-at-a-time "
+        "lowering here — use g.addE().from_()/to() at the source, or MERGE "
+        "via the Cypher front-end",
+        "sack": "sack() carries per-traverser mutable state, which has no "
+        "set-at-a-time lowering — use math() over project()/select() maps",
+        "withSack": "withSack() carries per-traverser mutable state, which "
+        "has no set-at-a-time lowering — use math() over project()/select() "
+        "maps",
+    }
+
     def _apply_anon(self, anon: Anon) -> "Traversal":
         t = self
         for name, args, kwargs in anon._steps:
+            if name in self._UNSUPPORTED_ANON:
+                raise GremlinError(self._UNSUPPORTED_ANON[name])
             method = getattr(t, name, None)
             if method is None:
                 raise GremlinError(f"unknown anonymous step .{name}()")
@@ -1163,6 +1181,84 @@ class Traversal:
 
     def identity(self) -> "Traversal":
         return self._derive(self.df, self.cur, self.kind)
+
+    def match(self, *patterns: Anon) -> "Traversal":
+        """TinkerPop ``match()``: declarative pattern join (MatchStep;
+        superset surface — the reference's gremlin/ast.rs has no Match).
+        Each pattern must START with ``as('x')``; a terminal ``as('y')``
+        binds (or equi-joins) the pattern's end. Set-at-a-time lowering:
+        the incoming traverser binds the first pattern's start label, and
+        every pattern replays relationally from its start label's bound
+        variable over the accumulated frame — one join pipeline, no
+        per-traverser dispatch. Patterns whose start label is not yet
+        bound are deferred until another pattern binds it (TinkerPop's
+        solver reorders the same way); an unresolvable start raises.
+        Binding rows follow relational bag semantics; follow with
+        ``select(...)`` / ``dedup()`` as in TinkerPop."""
+        if not patterns:
+            raise GremlinError("match() needs at least one pattern")
+        parsed = []
+        for p in patterns:
+            steps = list(p._steps)
+            if not steps or steps[0][0] != "as_" or not steps[0][1]:
+                raise GremlinError(
+                    "match() patterns must start with as('label')"
+                )
+            start = steps[0][1][0]
+            body = steps[1:]
+            end = None
+            if body and body[-1][0] == "as_" and body[-1][1]:
+                end = body[-1][1][0]
+                body = body[:-1]
+            parsed.append((start, Anon(tuple(body)), end))
+        t = self
+        if parsed[0][0] not in t.labels:
+            t = t.as_(parsed[0][0])
+        pending = list(parsed)
+        while pending:
+            progressed = False
+            deferred = []
+            for start, body, end in pending:
+                if start not in t.labels:
+                    deferred.append((start, body, end))
+                    continue
+                var = t.labels[start]
+                kind = (
+                    t.trail_kinds[t.trail.index(var)]
+                    if var in t.trail
+                    else "node"
+                )
+                sub = t._derive(t.df, var, kind)
+                res = sub._apply_anon(body)
+                if res.kind == "value":
+                    raise GremlinError(
+                        "match() pattern bodies must stay element-valued — "
+                        "end value checks with has()/where(), not values()"
+                    )
+                if end is not None:
+                    if end in res.labels:
+                        res = res._derive(
+                            res.df.filter(
+                                F.col(_p(res.cur, "id"))
+                                == F.col(_p(res.labels[end], "id"))
+                            ),
+                            res.cur,
+                            res.kind,
+                        )
+                    else:
+                        res = res.as_(end)
+                # restore the incoming traverser as current; keep bindings
+                t = res._derive(res.df, t.cur, t.kind)
+                t.labels = dict(res.labels)
+                progressed = True
+            pending = deferred
+            if pending and not progressed:
+                unbound = sorted({s for s, _, _ in pending})
+                raise GremlinError(
+                    f"match() start labels {unbound} are never bound by "
+                    "any other pattern"
+                )
+        return t
 
     def union(self, *anons: Anon) -> "Traversal":
         if not anons:

@@ -1163,6 +1163,102 @@ def test_local_order_by_traversal_rejects(db):
         ).collect()
 
 
+def test_match_chained_patterns(db):
+    """match() lowers to a relational join of its patterns on shared
+    labels (TinkerPop MatchStep; r13 batch #4)."""
+    got = sorted(
+        tuple(r)
+        for r in db.gremlin(
+            "g.V().match(__.as('a').out('KNOWS').as('b'), "
+            "__.as('b').out('KNOWS').as('c'))"
+            ".select('a','c').by('name').by('name')"
+        ).collect()
+    )
+    assert got == [
+        ("Alice", "Carol"), ("Alice", "Dave"), ("Bob", "Dave"),
+        ("Carol", "Eve"), ("Dave", "Frank"), ("Heidi", "Bob"),
+        ("Heidi", "Carol"),
+    ]
+
+
+def test_match_filter_pattern(db):
+    """A pattern without a terminal as() acts as a relational filter on
+    its start label's binding."""
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().match(__.as('a').out('KNOWS').as('b'), "
+            "__.as('b').has('age', gte(40)))"
+            ".select('a').values('name')"
+        ).collect()
+    )
+    assert got == ["Alice", "Dave", "Eve"]
+
+
+def test_match_defers_unbound_start(db):
+    """Pattern order must not matter when a later pattern binds an
+    earlier pattern's start label (TinkerPop's solver reorders; we defer
+    until bound)."""
+    got = sorted(
+        tuple(r)
+        for r in db.gremlin(
+            "g.V().has('name','Heidi').match("
+            "__.as('a').out('KNOWS').as('b'), "
+            "__.as('c').has('age', gte(30)), "
+            "__.as('b').out('KNOWS').as('c'))"
+            ".select('a','c').by('name').by('name')"
+        ).collect()
+    )
+    # Heidi->Alice->{Bob(40), Carol(35)}, both age>=30
+    assert got == [("Heidi", "Bob"), ("Heidi", "Carol")]
+
+
+def test_match_unresolvable_start_rejects(db):
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    with pytest.raises(GremlinError, match="never bound"):
+        db.gremlin(
+            "g.V().match(__.as('a').out('KNOWS').as('b'), "
+            "__.as('z').out('KNOWS').as('a'))"
+        ).collect()
+
+
+def test_match_value_body_rejects(db):
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    with pytest.raises(GremlinError, match="element-valued"):
+        db.gremlin(
+            "g.V().match(__.as('a').values('name').as('b'))"
+        ).collect()
+
+
+def test_nested_local(db):
+    """local() bodies may themselves contain local() — each traverser's
+    own first neighbor's own first neighbor."""
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().has('name','Heidi')"
+            ".local(__.out('KNOWS').local(__.out('KNOWS').limit(1)))"
+            ".values('name')"
+        ).collect()
+    )
+    # Heidi -> Alice (only out); Alice's first neighbor by id: Bob
+    assert got == ["Bob"]
+
+
+def test_coalesce_mutation_branch_rejects(db):
+    """The fold/coalesce get-or-create idiom mutates per traverser —
+    loud targeted rejection, never a silent relational misread."""
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    with pytest.raises(GremlinError, match="set-at-a-time"):
+        db.gremlin(
+            "g.V().has('name','Nobody')"
+            ".coalesce(__.out('KNOWS'), __.addV('Person'))"
+        ).collect()
+
+
 def test_by_traversal_multikey_values_rejects(db):
     """Multi-key values() in a by()-traversal body drops the seed id —
     targeted GremlinError instead of an opaque AnalysisException."""
