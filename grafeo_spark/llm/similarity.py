@@ -124,20 +124,15 @@ def _blocked_topk_join(q: DataFrame, it: DataFrame, k: int) -> DataFrame:
             "guarded cell budget; use ann_join for sublinear candidates "
             "or raise SPARK_GRAFT_EXACT_PAIRS_MAX."
         )
-    nqb = _n_blocks_for(nq)
-    nib = _n_blocks_for(ni)
-    qb = (
-        q.withColumn("_b", F.pmod(F.xxhash64("qid"), F.lit(nqb)))
-        .groupBy("_b")
-        .agg(F.collect_list("qid").alias("qids"), F.flatten(F.collect_list("_qv")).alias("qflat"))
-        .drop("_b")
-    )
-    ib = (
-        it.withColumn("_b", F.pmod(F.xxhash64("iid"), F.lit(nib)))
-        .groupBy("_b")
-        .agg(F.collect_list("iid").alias("iids"), F.flatten(F.collect_list("_iv")).alias("iflat"))
-        .drop("_b")
-    )
+    # Block tables are built PARTITION-LOCALLY (r13): blocks are arbitrary
+    # row groups, and the within-cell top-k keeps every tie at the k-th
+    # score, so the global rank is invariant to block composition — there
+    # is no reason to shuffle the full vector corpus through a hash
+    # groupBy just to form them (at the 5M-vector decade that exchange
+    # dominated the whole join). coalesce() first so fragmented scans
+    # don't yield thousands of tiny blocks; it is narrow (no shuffle).
+    qb = _chunked_blocks(q.coalesce(_n_blocks_for(nq)), "qid", "_qv", "qids", "qflat")
+    ib = _chunked_blocks(it.coalesce(_n_blocks_for(ni)), "iid", "_iv", "iids", "iflat")
     cells = qb.crossJoin(ib)
 
     def score(batches):
@@ -366,6 +361,46 @@ def _n_blocks_for(n_rows: int, rows_per_block: int = _ROWS_PER_BLOCK) -> int:
     import math
 
     return max(1, math.ceil(n_rows / rows_per_block))
+
+
+def _chunked_blocks(
+    df: DataFrame, id_col: str, vec_col: str, ids_name: str, flat_name: str
+) -> DataFrame:
+    """(ids array<bigint>, flat array<double>) block table built by
+    chunking each partition into ~_ROWS_PER_BLOCK-row blocks — zero
+    shuffle, in contrast to the hash-groupBy builder this replaced.
+    Null vectors must already be filtered out by the caller."""
+    import numpy as np
+    import pandas as pd
+
+    def chunk(batches):
+        ids: list = []
+        vecs: list = []
+
+        def emit(id_slice, vec_slice):
+            return pd.DataFrame(
+                {
+                    ids_name: [list(id_slice)],
+                    flat_name: [
+                        np.concatenate(
+                            [np.asarray(v, dtype=np.float64) for v in vec_slice]
+                        )
+                    ],
+                }
+            )
+
+        for pdf in batches:
+            ids.extend(int(x) for x in pdf[id_col])
+            vecs.extend(pdf[vec_col])
+            while len(ids) >= _ROWS_PER_BLOCK:
+                yield emit(ids[:_ROWS_PER_BLOCK], vecs[:_ROWS_PER_BLOCK])
+                ids, vecs = ids[_ROWS_PER_BLOCK:], vecs[_ROWS_PER_BLOCK:]
+        if ids:
+            yield emit(ids, vecs)
+
+    return df.mapInPandas(
+        chunk, f"{ids_name} array<bigint>, {flat_name} array<double>"
+    )
 
 
 # The exact all-pairs path is O(B^2) block-pair cells by construction.
