@@ -928,6 +928,12 @@ _ORACLE: dict[str, str] = {
         WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
         ORDER BY nm
     """,
+    "sparql_exists_unbound_mix": """
+        SELECT c_name AS cname,
+               CASE WHEN starts_with(n_name, 'NATION_1')
+                    THEN (n_name = 'NATION_12') ELSE TRUE END AS e
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
     "sparql_not_exists_count": """
         SELECT CAST(count(*) AS BIGINT) AS n FROM customer
         WHERE c_mktsegment <> 'BUILDING'
@@ -2900,6 +2906,18 @@ _SPARQL: dict[str, str] = {
         "SELECT ?nm WHERE { ?n a ex:Nation ; ex:name ?nm . "
         "FILTER EXISTS { ?c ex:fromNation ?n } } ORDER BY ?nm"
     ),
+    # expression EXISTS with an OPTIONAL-null shared variable (§17.4.1.4
+    # substitution semantics, r13): rows whose ?n is bound equi-join the
+    # probe and are true only for NATION_12; rows whose ?n is unbound
+    # leave it free in the pattern, so any ex:name "NATION_12" triple
+    # makes them true — exercises the per-null-pattern decomposition
+    # (lang/sparql/compiler.py _hoist_exists_expr)
+    "sparql_exists_unbound_mix": (
+        'SELECT ?cname (EXISTS { ?n ex:name "NATION_12" } AS ?e) WHERE { '
+        "?c a ex:Customer ; ex:name ?cname . "
+        "OPTIONAL { ?c ex:fromNation ?n . ?n ex:name ?nn . "
+        'FILTER(STRSTARTS(?nn, "NATION_1")) } }'
+    ),
     # FILTER NOT EXISTS (ast.rs:577): correlated anti-join + aggregate
     "sparql_not_exists_count": (
         "SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer . "
@@ -3467,6 +3485,31 @@ def _events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap="30 minutes", watermark="1 hour")
 
 
+def _gremlin_match_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin match() (r13): declarative pattern join over three
+    patterns with a filter pattern, lowered to relational joins on the
+    shared as() labels (lang/gremlin/traversal.py match; TinkerPop
+    MatchStep — superset surface, the reference's gremlin/ast.rs has no
+    Match)."""
+    db = _db(spark, sf_dir)
+    return db.gremlin(
+        "g.V().hasLabel('Customer').match("
+        "__.as('c').out('FROM_NATION').as('n'), "
+        "__.as('n').out('IN_REGION').as('r'), "
+        "__.as('r').has('name','ASIA'))"
+        ".select('c','n').by('name').by('name')"
+    )
+
+
+_ORACLE["gremlin_match_asia"] = """
+    SELECT c_name AS c, n_name AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+"""
+
+
 def _gremlin_project_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """project/by with a per-element anonymous sub-traversal aggregate
     (ast.rs Project/By + scoped count): per-customer order counts, zero
@@ -3612,6 +3655,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "direct_find_by_property": _direct_find_by_property,
     "session_save_open_roundtrip": _session_save_open_roundtrip,
     "transaction_visibility": _transaction_visibility,
+    "gremlin_match_asia": _gremlin_match_asia,
 }
 
 
@@ -3794,9 +3838,12 @@ _PRIORITY = [
     "gremlin_local_first_order",
     # -- r13 additions: the session-lifecycle surfaces under the driver
     # oracle (save/open persistence format, snapshot-transaction
-    # visibility).
+    # visibility), Gremlin match(), and the EXISTS unbound-shared-var
+    # decomposition.
     "session_save_open_roundtrip",
     "transaction_visibility",
+    "gremlin_match_asia",
+    "sparql_exists_unbound_mix",
 ]
 
 
