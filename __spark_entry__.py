@@ -3510,6 +3510,30 @@ _ORACLE["gremlin_match_asia"] = """
 """
 
 
+def _gremlin_sack_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin sack surface (r13): withSack seeds a per-traverser
+    register (a threaded column, lang/gremlin/traversal.py sack), two
+    sack(sum).by(prop) folds accumulate across a hop, terminal sack()
+    reads it — TinkerPop Operator semantics with zero per-traverser
+    dispatch."""
+    from pyspark.sql import functions as F
+
+    db = _db(spark, sf_dir)
+    out = db.gremlin(
+        "g.withSack(0.0).V().hasLabel('Customer').has('custkey', lte(20))"
+        ".sack(sum).by('acctbal').out('PLACED')"
+        ".sack(sum).by('totalprice').sack()"
+    )
+    return out.select(F.round("value", 2).alias("value"))
+
+
+_ORACLE["gremlin_sack_totals"] = """
+    SELECT round(c_acctbal + o_totalprice, 2) AS value
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE c_custkey <= 20
+"""
+
+
 def _gremlin_project_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """project/by with a per-element anonymous sub-traversal aggregate
     (ast.rs Project/By + scoped count): per-customer order counts, zero
@@ -3656,6 +3680,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_save_open_roundtrip": _session_save_open_roundtrip,
     "transaction_visibility": _transaction_visibility,
     "gremlin_match_asia": _gremlin_match_asia,
+    "gremlin_sack_totals": _gremlin_sack_totals,
 }
 
 
@@ -3844,6 +3869,7 @@ _PRIORITY = [
     "transaction_visibility",
     "gremlin_match_asia",
     "sparql_exists_unbound_mix",
+    "gremlin_sack_totals",
 ]
 
 

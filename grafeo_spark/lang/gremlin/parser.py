@@ -60,6 +60,9 @@ def _rewrite_keyword_steps(query: str) -> str:
 # bare Order tokens (groovy static imports): by('age', desc)
 _ORDER_TOKENS = {"asc", "desc", "incr", "decr"}
 
+# bare Operator tokens (groovy static imports): sack(mult)
+_OPERATOR_TOKENS = {"sum", "mult", "minus", "div", "min", "max", "assign"}
+
 
 def _root_name(node: ast.expr):
     """Innermost Name of an attribute/call chain, or None."""
@@ -112,6 +115,16 @@ def _literal(node: ast.expr):
     if isinstance(node, ast.Name) and node.id in ("single", "list", "set"):
         # Cardinality tokens (parser.rs:718-733): property(single, k, v)
         return node.id
+    if isinstance(node, ast.Name) and node.id in _OPERATOR_TOKENS:
+        # groovy statically imports Operator members: sack(mult)
+        return node.id
+    if (
+        isinstance(node, ast.Attribute)
+        and isinstance(node.value, ast.Name)
+        and node.value.id == "Operator"
+    ):
+        # sack(Operator.mult) — the qualified form
+        return node.attr.lower()
     if (
         isinstance(node, ast.Attribute)
         and isinstance(node.value, ast.Name)
@@ -193,8 +206,12 @@ def execute(g: GremlinSource, query: str) -> Traversal:
     except SyntaxError as ex:
         raise GremlinError(f"gremlin syntax error: {ex}")
     steps = _flatten(tree.body)
-    if not steps or steps[0][0] not in ("V", "E", "addV", "addE"):
-        raise GremlinError("traversal must start with g.V()/g.E()/g.addV()/g.addE()")
+    first = 1 if steps and steps[0][0] == "withSack" else 0
+    if len(steps) <= first or steps[first][0] not in ("V", "E", "addV", "addE"):
+        raise GremlinError(
+            "traversal must start with g.V()/g.E()/g.addV()/g.addE() "
+            "(optionally after g.withSack(v))"
+        )
     cur = g
     for name, args in steps:
         method = _METHODS.get(name, name)

@@ -347,11 +347,12 @@ class Traversal:
         "addE": "mid-traversal addE() inside a branch has no set-at-a-time "
         "lowering here — use g.addE().from_()/to() at the source, or MERGE "
         "via the Cypher front-end",
-        "sack": "sack() carries per-traverser mutable state, which has no "
-        "set-at-a-time lowering — use math() over project()/select() maps",
-        "withSack": "withSack() carries per-traverser mutable state, which "
-        "has no set-at-a-time lowering — use math() over project()/select() "
-        "maps",
+        "sack": "sack() inside an anonymous body is not supported — "
+        "branches/local/by replay bodies relationally and do not thread "
+        "the sack register; use sack() on the main traversal chain",
+        "withSack": "withSack() belongs on the traversal source — "
+        "g.withSack(v).V()...; anonymous bodies do not thread the sack "
+        "register",
     }
 
     def _apply_anon(self, anon: Anon) -> "Traversal":
@@ -827,6 +828,31 @@ class Traversal:
 
         col = _compile_math(expr, resolve).cast("double")
         return self._derive(self.df.select(col.alias("value")), "value", "value")
+
+    def sack(self, op: str = None) -> "Traversal":
+        """TinkerPop sack steps, set-at-a-time (r13; superset surface —
+        the reference's gremlin/ast.rs has no Sack): the sack is a
+        ``__sack`` column seeded by ``g.withSack(v)`` and carried by
+        every element-preserving step. ``sack()`` reads it (one value
+        traverser per row); ``sack(operator).by(key)`` folds the current
+        element's property into it (sum/mult/minus/div/min/max/assign —
+        Operator static imports in the Groovy form). Boundary, enforced
+        loudly: projecting steps (values/select/path) drop the register,
+        and anonymous bodies (branches/local/by) do not thread it."""
+        if "__sack" not in self.df.columns:
+            raise GremlinError(
+                "no sack on this traversal: start with g.withSack(v); note "
+                "projecting steps (values/select) drop the sack register"
+            )
+        if op is None:
+            return self._derive(
+                self.df.select(F.col("__sack").alias("value")), "value", "value"
+            )
+        if op not in _SACK_OPS:
+            raise GremlinError(
+                f"unknown sack operator {op!r} — one of {sorted(_SACK_OPS)}"
+            )
+        return _SackStep(self, op)
 
     def dedup(self) -> "_DedupStep":
         # deferred: an optional .by(key) modulator dedups on that property
@@ -1837,6 +1863,44 @@ def _next_node_id(graph: PropertyGraph) -> int:
     return graph.next_node_id()
 
 
+_SACK_OPS = {
+    "sum": lambda s, v: s + v,
+    "mult": lambda s, v: s * v,
+    "minus": lambda s, v: s - v,
+    "div": lambda s, v: s / v,
+    "min": F.least,
+    "max": F.greatest,
+    "assign": lambda s, v: v,
+}
+
+
+class _SackStep:
+    """Deferred ``sack(operator)`` awaiting its ``.by(key)`` modulator —
+    the update form has no meaning without the operand source, so any
+    other chained call raises instead of silently skipping the update."""
+
+    def __init__(self, t: Traversal, op: str) -> None:
+        self._t = t
+        self._op = op
+
+    def by(self, key: str) -> Traversal:
+        t = self._t
+        val = F.col(_p(t.cur, key)).cast("double")
+        return t._derive(
+            t.df.withColumn("__sack", _SACK_OPS[self._op](F.col("__sack"), val)),
+            t.cur,
+            t.kind,
+        )
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        raise GremlinError(
+            f"sack({self._op!r}) needs a .by(key) modulator naming the "
+            "property to fold into the sack"
+        )
+
+
 class _DedupStep:
     """Deferred ``dedup()`` awaiting an optional ``.by(key)`` modulator
     (TinkerPop dedup-by: one traverser per distinct key; which survives
@@ -2075,6 +2139,21 @@ class GremlinSource:
         self.graph = graph
         self.db = db
         self.side_effects: dict[str, DataFrame] = {}
+        self._sack_init = None
+
+    def withSack(self, init) -> "GremlinSource":
+        """``g.withSack(v)`` (TinkerPop sack surface, r13): the sack is a
+        per-traverser numeric register, lowered to a ``__sack`` column
+        threaded through the traversal frame — set-at-a-time, no
+        per-traverser dispatch. Supported: withSack(number) +
+        sack(operator).by(key) updates + terminal sack(); see
+        Traversal.sack for the boundary."""
+        if not isinstance(init, (int, float)) or isinstance(init, bool):
+            raise GremlinError("withSack() supports a numeric initial value")
+        src = GremlinSource(self.graph, self.db)
+        src.side_effects = self.side_effects
+        src._sack_init = float(init)
+        return src
 
     def _rebind(self, new_graph: PropertyGraph) -> None:
         self.graph = new_graph
@@ -2091,6 +2170,8 @@ class GremlinSource:
         nodes = self.graph.nodes(None)
         var = "g0"
         df = nodes.select(*[F.col(c).alias(_p(var, c)) for c in nodes.columns])
+        if self._sack_init is not None:
+            df = df.withColumn("__sack", F.lit(self._sack_init))
         t = Traversal(self, df, var, "node")
         if ids:
             t = t.hasId(*ids)
@@ -2103,6 +2184,8 @@ class GremlinSource:
             e = cur if e is None else e.unionByName(cur, allowMissingColumns=True)
         var = "g0"
         df = e.select(*[F.col(c).alias(_p(var, c)) for c in e.columns])
+        if self._sack_init is not None:
+            df = df.withColumn("__sack", F.lit(self._sack_init))
         t = Traversal(self, df, var, "edge")
         t._edge_types = etypes
         return t

@@ -1080,16 +1080,73 @@ def test_coalesce_constant_fallback(db):
 
 
 def test_unsupported_steps_reject_loudly(db):
-    """withSack()/sack() are TinkerPop-only with no set-at-a-time lowering
-    here (and no reference analogue, gremlin/ast.rs has neither) —
-    unknown-step errors, never silent misparses. (local() gained a real
-    implementation in r12 — see the local tests below.)"""
+    """Steps with no set-at-a-time lowering reject with unknown-step
+    errors, never silent misparses. (local() gained a real implementation
+    in r12, sack()/withSack() in r13 — see their tests.)"""
     import pytest
 
     from grafeo_spark.lang.gremlin import GremlinError
 
     with pytest.raises(GremlinError):
-        db.gremlin("g.withSack(0).V().sack()").collect()
+        db.gremlin("g.V().subgraph('x')").collect()
+    with pytest.raises(GremlinError):
+        db.gremlin("g.V().program('pr')").collect()
+
+
+def test_sack_mult_by_edge_prop(db):
+    """g.withSack(v).V()...sack(mult).by(key)...sack(): the sack is a
+    per-traverser register threaded as a column (r13 batch #4)."""
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.withSack(1.0).V().has('name','Alice')"
+            ".outE('KNOWS').sack(mult).by('since').sack()"
+        ).collect()
+    )
+    assert got == [2015.0, 2017.0]
+
+
+def test_sack_sum_two_hops(db):
+    """The register accumulates across hops — per-path sums."""
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.withSack(0).V().has('name','Heidi')"
+            ".outE('KNOWS').sack(sum).by('since').inV()"
+            ".outE('KNOWS').sack(sum).by('since').sack()"
+        ).collect()
+    )
+    assert got == [2021.0 + 2015.0, 2021.0 + 2017.0]
+
+
+def test_sack_math_interplay(db):
+    """sack() emits a value traverser, so math('_') composes over it."""
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.withSack(1.0).V().has('name','Alice')"
+            ".outE('KNOWS').sack(mult).by('since').sack().math('_ - 2000')"
+        ).collect()
+    )
+    assert got == [15.0, 17.0]
+
+
+def test_sack_rejections(db):
+    import pytest
+
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    # sack without a source register
+    with pytest.raises(GremlinError, match="withSack"):
+        db.gremlin("g.V().sack()").collect()
+    # update form without its operand
+    with pytest.raises(GremlinError, match="by"):
+        db.gremlin("g.withSack(1.0).V().sack(mult).count()").collect()
+    # anonymous bodies do not thread the register
+    with pytest.raises(GremlinError, match="anonymous"):
+        db.gremlin(
+            "g.withSack(1.0).V().coalesce(__.sack(), __.constant(0))"
+        ).collect()
 
 
 def test_local_limit_per_traverser(db):
