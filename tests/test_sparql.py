@@ -1253,6 +1253,55 @@ def test_exists_unbound_plan_no_wildcard_nlj(spark, sdb):
             assert "isnull" not in line.lower(), line
 
 
+def test_exists_all_four_null_patterns(spark):
+    """Two shared vars -> four null-pattern branches, all exercised in ONE
+    query: (bound, bound) equi-joins on both, (bound, null) and (null,
+    bound) equi-join on their bound var, (null, null) takes the any-match
+    probe. Ground truth constructed per branch."""
+    from grafeo_spark.engine import GrafeoSpark
+    from grafeo_spark.graph import TripleStore
+
+    X = "http://x/"
+
+    def t(s, p, o):
+        return (X + s, X + p, X + o, None, None, None)
+
+    data = [
+        # person -> optional a / b bindings
+        t("p1", "a", "A1"), t("p1", "b", "B1"),   # both bound, pair exists
+        t("p5", "a", "A5"), t("p5", "b", "B5"),   # both bound, no pair
+        t("p2", "a", "A2"),                        # a bound, b null
+        t("p3", "b", "B3"),                        # b null... a null, b bound
+        # link relation probed by EXISTS
+        t("A1", "link", "B1"),
+        t("A2", "link", "B9"),
+        # nothing links to B3; A5 links nothing
+    ] + [(X + p, X + "is", None, "person", None, None)
+         for p in ("p1", "p2", "p3", "p4", "p5")]
+    ts = TripleStore(
+        spark.createDataFrame(
+            data,
+            "s string, p string, o_iri string, o_lit string, o_dt string, g string",
+        )
+    )
+    db = GrafeoSpark(spark, graph=None, triples=ts)
+    out = {
+        r.p.rsplit("/", 1)[-1]: r.e
+        for r in db.sparql(
+            f'PREFIX x: <{X}> SELECT ?p (EXISTS {{ ?a x:link ?b }} AS ?e) '
+            'WHERE { ?p x:is "person" '
+            "OPTIONAL { ?p x:a ?a } OPTIONAL { ?p x:b ?b } }"
+        ).collect()
+    }
+    assert out == {
+        "p1": True,   # (A1, B1) in link
+        "p2": True,   # a=A2 bound, b free: A2 links B9
+        "p3": False,  # b=B3 bound, a free: nothing links to B3
+        "p4": True,   # both free: some link triple exists
+        "p5": False,  # (A5, B5) not in link
+    }
+
+
 def test_uncorrelated_exists_expression(sdb):
     got = sdb.sparql(
         PFX + "SELECT (EXISTS { ?a ex:nosuch ?b } AS ?e) "
