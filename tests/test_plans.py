@@ -122,6 +122,25 @@ def test_lsh_candidate_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_similarity_join_blocks_without_corpus_shuffle(spark):
+    """The bipartite BLAS block tables are built partition-locally (r13):
+    no collect_list groupBy may reappear in the exact k-NN join's plan —
+    that was a full-corpus exchange whose only purpose was forming
+    arbitrary ~4096-row blocks (22.8->14.5s at 5M vectors when removed)."""
+    from grafeo_spark.llm import similarity_join
+
+    e = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    df = similarity_join(e.limit(5), e, k=2)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_join_single_sort_shape(spark):
     """As-of join: one union + one (key, ts)-sorted window — no
     per-candidate join, no cartesian (operators/asof.py design)."""
