@@ -1119,6 +1119,18 @@ def test_sack_sum_two_hops(db):
     assert got == [2021.0 + 2015.0, 2021.0 + 2017.0]
 
 
+def test_sack_on_edge_source(db):
+    """withSack seeds E()-rooted traversals too."""
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.withSack(2.0).E('KNOWS').has('since', gte(2020))"
+            ".sack(sum).by('since').sack()"
+        ).collect()
+    )
+    assert got == [2022.0, 2023.0]  # since 2020, 2021 edges + 2.0
+
+
 def test_sack_math_interplay(db):
     """sack() emits a value traverser, so math('_') composes over it."""
     got = sorted(
