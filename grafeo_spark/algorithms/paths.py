@@ -26,8 +26,10 @@ DRIVER_ALGO_MAX_NODES = 100_000
 def _source_df(edges: DataFrame, sources) -> DataFrame:
     if isinstance(sources, DataFrame):
         return sources.select(F.col(sources.columns[0]).alias("id"))
+    from grafeo_spark.graph import local_frame
+
     spark = edges.sparkSession
-    return spark.createDataFrame([(int(s),) for s in sources], "id long")
+    return local_frame(spark, [(int(s),) for s in sources], "id long")
 
 
 def bfs(

@@ -642,7 +642,9 @@ class GrafeoSpark:
         labels = self._node_labels_of(node_id)
         if not labels:
             return False
-        ids = self.spark.createDataFrame([(node_id,)], "id long")
+        from grafeo_spark.graph import local_frame
+
+        ids = local_frame(self.spark, [(node_id,)], "id long")
         for lbl in labels:
             self.graph = self.graph.delete_nodes(lbl, ids, detach=True)
         return True
@@ -757,7 +759,9 @@ class GrafeoSpark:
         merged = self.graph.nodes(None)
         if key not in merged.columns:
             return [None] * len(node_ids)
-        ids_df = self.spark.createDataFrame([(int(i),) for i in node_ids], "id long")
+        from grafeo_spark.graph import local_frame
+
+        ids_df = local_frame(self.spark, [(int(i),) for i in node_ids], "id long")
         got = {
             r.id: r.v
             for r in merged.join(ids_df, "id", "left_semi")
@@ -1063,14 +1067,20 @@ class GrafeoSpark:
         produce a durable snapshot."""
         return 0
 
-    def save(self, path: str, mode: str = "overwrite") -> None:
+    def save(
+        self, path: str, mode: str = "overwrite", partitions: int | None = None
+    ) -> None:
         """Persist the whole session — graph (with compiler metadata
         manifest), triple store, and DDL registry — under one directory.
         The reference's ``db.save(path)``: the live session is unchanged;
         what lands on disk is a consistent snapshot (immutable frames
         make it consistent by construction). ``mode`` accepts
         ``overwrite`` or ``error``/``errorifexists`` only — appending to
-        a snapshot would duplicate frame rows and manifest entries."""
+        a snapshot would duplicate frame rows and manifest entries.
+        ``partitions`` caps each frame's output file count — for small
+        sessions ``partitions=1`` collapses every write to a single-task
+        job (per-frame job overhead, not data volume, dominates a small
+        save); leave None for large sessions so writes stay parallel."""
         from grafeo_spark.sources import save_graph, save_triples, write_manifest
 
         if mode not in ("overwrite", "error", "errorifexists"):
@@ -1078,9 +1088,11 @@ class GrafeoSpark:
                 "session save supports mode='overwrite' or 'error' only"
             )
         if self.graph is not None:
-            save_graph(self.graph, f"{path}/graph", mode=mode)
+            save_graph(self.graph, f"{path}/graph", mode=mode, partitions=partitions)
         if self.triples is not None:
-            save_triples(self.triples, f"{path}/triples", mode=mode)
+            save_triples(
+                self.triples, f"{path}/triples", mode=mode, partitions=partitions
+            )
         reg = {}
         if self.ddl is not None:
             import dataclasses as _dc

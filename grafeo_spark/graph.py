@@ -27,6 +27,57 @@ SRC = "src"
 DST = "dst"
 
 
+def local_frame(spark: SparkSession, rows, schema, max_literal_rows: int = 64):
+    """Tiny local relation built JVM-SIDE (range + literal structs).
+
+    ``spark.createDataFrame(small_python_list)`` plans a Python-RDD scan:
+    every job over it round-trips a Python worker (~0.7-0.9s per action,
+    ~6s when the action is a WRITE, measured r13 on local[32]) — and a
+    mutation that unions such a frame into a graph embeds that cost in
+    EVERY later query's lineage. A literal projection is a pure JVM
+    LocalRelation: no Python worker, participates in whole-stage codegen
+    and constant folding. Falls back to ``createDataFrame`` above
+    ``max_literal_rows`` (literal plans grow with row count) and for
+    empty input (an empty LocalRelation is already JVM-side).
+
+    ``schema`` is a DDL string or StructType; values are cast to the
+    declared field types (so None is typed, like createDataFrame)."""
+    st = spark.createDataFrame([], schema).schema if isinstance(schema, str) else schema
+    rows = list(rows)
+    if not rows or len(rows) > max_literal_rows:
+        return spark.createDataFrame(rows, st)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(r, st.fields)
+            ]
+        )
+        for r in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_r"))
+        .select("_r.*")
+    )
+
+
+def local_row(spark: SparkSession, row: dict):
+    """One-row JVM local relation from a dict, reproducing
+    ``createDataFrame``'s scalar inference (bool->boolean, int->long,
+    float->double, str->string) so frames union cleanly with
+    inference-built ones. Values outside those types fall back to the
+    Python-RDD path (see local_frame for why the JVM path matters)."""
+    _T = {bool: "boolean", int: "long", float: "double", str: "string"}
+    cols = []
+    for k, v in row.items():
+        t = _T.get(type(v))
+        if t is None:
+            return spark.createDataFrame([tuple(row.values())], list(row.keys()))
+        cols.append(F.lit(v).cast(t).alias(k))
+    return spark.range(1).select(*cols)
+
+
 def endpoint_side(ep, i: int):
     """Normalize one side of an endpoint declaration to a frozenset of
     labels, or None for unknown. A side may be a single label, None, or a

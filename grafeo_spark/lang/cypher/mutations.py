@@ -73,8 +73,10 @@ def execute(db, uq: P.UnionQuery, params: dict[str, Any]) -> DataFrame:
     db.graph = mx.graph
     if result is not None:
         return result
-    spark = db.spark
-    return spark.createDataFrame(
+    from grafeo_spark.graph import local_frame
+
+    return local_frame(
+        db.spark,
         [
             (
                 mx.stats["nodes_created"],
@@ -314,7 +316,9 @@ class _Mutator:
                 if clause.on_match:
                     self._apply_set_to_ids(label, frame.select("id"), clause.on_match, node.var)
             else:
-                new_df = self.spark.createDataFrame([(self._next_id(),)], "id long")
+                from grafeo_spark.graph import local_frame
+
+                new_df = local_frame(self.spark, [(self._next_id(),)], "id long")
                 self.graph = self.graph.create_nodes(label, new_df, ids_disjoint=True)
                 self.stats["nodes_created"] += 1
             if node.var:

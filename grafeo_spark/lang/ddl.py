@@ -127,7 +127,9 @@ def execute_ddl(db, query: str):
 
 
 def _summary(db, kind: str, name: str):
-    return db.spark.createDataFrame([(kind, name)], "created string, name string")
+    from grafeo_spark.graph import local_frame
+
+    return local_frame(db.spark, [(kind, name)], "created string, name string")
 
 
 __all__ = [

@@ -651,8 +651,10 @@ def _execute_mutation(db, root: Field) -> DataFrame:
                 "could collide across labels and break pruning invariants)"
             )
         nid = _next_id(graph)
+        from grafeo_spark.graph import local_row
+
         row = {"id": nid, **dict(root.args)}
-        df = spark.createDataFrame([tuple(row.values())], list(row.keys()))
+        df = local_row(spark, row)
         db.graph = graph.create_nodes(label, df, ids_disjoint=True)
         return df.select(*(scalars or ["id"]))
 
@@ -684,7 +686,9 @@ def _execute_mutation(db, root: Field) -> DataFrame:
     ids = frame.filter(cond).select("id")
     n = ids.count()
     db.graph = graph.delete_nodes(label, ids, detach=True)
-    return spark.createDataFrame([(n,)], "deleted long")
+    from grafeo_spark.graph import local_frame
+
+    return local_frame(spark, [(n,)], "deleted long")
 
 
 # --------------------------------------------------------------------- #

@@ -1791,8 +1791,10 @@ class _AddV:
         )
         spark = frames[0].sparkSession
         nid = _next_node_id(self.g.graph)
+        from grafeo_spark.graph import local_row
+
         row = {"id": nid, **dict(self.props)}
-        df = spark.createDataFrame([tuple(row.values())], list(row.keys()))
+        df = local_row(spark, row)
         self.g._rebind(self.g.graph.create_nodes(self.label, df, ids_disjoint=True))
         self._created = df
         return self
@@ -1837,8 +1839,10 @@ class _AddE:
             if t.kind != "node":
                 raise GremlinError("addE from_/to traversals must resolve to nodes")
             return t.df.select(F.col(_p(t.cur, "id")).alias(alias)).distinct()
+        from grafeo_spark.graph import local_frame
+
         spark = next(iter(self.g.graph.node_frames.values())).sparkSession
-        return spark.createDataFrame([(int(spec),)], f"{alias} long")
+        return local_frame(spark, [(int(spec),)], f"{alias} long")
 
     def iterate(self) -> "_AddE":
         if self.src is None or self.dst is None:

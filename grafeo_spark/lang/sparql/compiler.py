@@ -189,7 +189,9 @@ def _path_scan(ts: TripleStore, tp: P.TriplePattern, uid: int) -> tuple[DataFram
     bound start never touches the full closure."""
     seeds = None
     if isinstance(tp.s, P.Iri):
-        seeds = ts.df.sparkSession.createDataFrame([(tp.s.value,)], "id string")
+        from grafeo_spark.graph import local_frame
+
+        seeds = local_frame(ts.df.sparkSession, [(tp.s.value,)], "id string")
     pairs = _path_frame(ts, tp.p, seeds=seeds)
     if isinstance(tp.s, P.Iri):
         pairs = pairs.filter(F.col("src") == tp.s.value)
@@ -244,7 +246,9 @@ def _values_frame(ts: TripleStore, names: list[str], rows: list[list]) -> DataFr
                 raise SparqlCompileError("VALUES terms must be constants")
         py_rows.append(tuple(vals))
     schema = ", ".join(f"{n} string" for n in names)
-    return ts.df.sparkSession.createDataFrame(py_rows, schema)
+    from grafeo_spark.graph import local_frame
+
+    return local_frame(ts.df.sparkSession, py_rows, schema)
 
 
 def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
@@ -932,7 +936,9 @@ def compile_describe(ts: TripleStore, q: P.DescribeQuery) -> DataFrame:
     frames = []
     iris = [t.value for t in q.terms if isinstance(t, P.Iri)]
     if iris:
-        frames.append(spark.createDataFrame([(i,) for i in iris], "s string"))
+        from grafeo_spark.graph import local_frame
+
+        frames.append(local_frame(spark, [(i,) for i in iris], "s string"))
     vars_ = [t.name for t in q.terms if isinstance(t, P.Var)]
     if vars_:
         if q.where is None:

@@ -26,9 +26,18 @@ from grafeo_spark.graph import PropertyGraph, TripleStore
 
 
 def write_manifest(spark: SparkSession, payload: dict, dest: str, mode: str) -> None:
-    """Single-row JSON manifest (shared by graph and session persistence)."""
+    """Single-row JSON manifest (shared by graph and session persistence).
+
+    Built JVM-side (range + lit) rather than from a local Python list:
+    ``spark.createDataFrame([row])`` routes a one-row frame through a
+    Python-RDD job (~5-6s per call measured on local[32]); the literal
+    projection is a pure local relation (~0.2s). Every save() pays this
+    twice (graph + session manifests), so it matters."""
+    from pyspark.sql import functions as F
+
     (
-        spark.createDataFrame([(json.dumps(payload),)], "manifest string")
+        spark.range(1)
+        .select(F.lit(json.dumps(payload)).alias("manifest"))
         .coalesce(1)
         .write.mode(mode)
         .json(dest)
@@ -171,13 +180,18 @@ def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
     )
 
 
-def save_triples(ts: TripleStore, path: str, mode: str = "overwrite") -> None:
+def save_triples(
+    ts: TripleStore, path: str, mode: str = "overwrite", partitions: int | None = None
+) -> None:
     """Predicate-partitioned parquet — the Spark analogue of the
     reference's POS permutation index (store.rs:50-68): RDF predicates are
     low-cardinality, so ``partitionBy("p")`` makes every predicate-constant
     triple-pattern scan a partition-pruned read (special characters in IRIs
-    are percent-escaped in partition directory names by Spark)."""
-    ts.df.write.mode(mode).partitionBy("p").parquet(path)
+    are percent-escaped in partition directory names by Spark).
+    ``partitions`` caps the task count (see save_graph) — files per
+    predicate directory, not the p-partitioning itself."""
+    df = ts.df.repartition(partitions) if partitions else ts.df
+    df.write.mode(mode).partitionBy("p").parquet(path)
 
 
 def load_triples(spark: SparkSession, path: str) -> TripleStore:
