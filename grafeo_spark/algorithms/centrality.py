@@ -123,6 +123,17 @@ def pagerank(
             .drop("contrib")
         )
         state = state.localCheckpoint(eager=True)
+        if n > 2_000_000:
+            # big-state runs only: free the previous superstep's
+            # checkpoint blocks eagerly — see pregel.py: unreferenced
+            # checkpoints otherwise pile up in the block store until a
+            # chance GC (measured at sf25 / 46M vertices: supersteps
+            # churned 29-60s vs a flat ~17s with explicit collection).
+            # Gated on n so small-graph runs don't pay ~0.1s/superstep
+            # of driver GC for blocks that total a few MB.
+            import gc
+
+            gc.collect()
         if tol is not None:
             delta = state.agg(F.max(F.abs(F.col("pr") - F.col("_prev")))).first()[0]
             state = state.drop("_prev")

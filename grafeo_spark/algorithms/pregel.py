@@ -89,12 +89,14 @@ def pregel(
             inbox = msgs.groupBy("_mid").agg(agg_msg.alias("_msg"))
             joined = cur.join(inbox, cur["id"] == inbox["_mid"], "left").drop("_mid")
             nxt = update(joined)
+            checkpointed = False
             if "_changed" in nxt.columns:
                 # Convergence checking needs an action per superstep;
                 # checkpoint FIRST so isEmpty reads materialized state
                 # instead of re-executing every superstep since the last
                 # checkpoint.
                 nxt = nxt.localCheckpoint(eager=True)
+                checkpointed = True
                 if nxt.filter(F.col("_changed")).isEmpty():
                     return nxt.drop("_changed")
                 nxt = nxt.drop("_changed")
@@ -102,7 +104,22 @@ def pregel(
                 # always checkpointed on exit so the returned frame does not
                 # depend on the edge cache dropped below
                 nxt = nxt.localCheckpoint(eager=True)
+                checkpointed = True
             cur = nxt
+            if checkpointed and it % checkpoint_every == 0:
+                # Old checkpoints' storage blocks are freed only when their
+                # Python DataFrame objects are collected (ContextCleaner
+                # acts on GC); left to chance, a big-graph run accumulates
+                # every superstep's state in the block store and the
+                # executor GC-churns — measured at sf25 (46M vertices):
+                # supersteps fluctuated 29-60s, vs a flat ~17s steady
+                # state with explicit collection (BENCH_SCALE.md r13).
+                # Collected on the checkpoint cadence, bounding live
+                # checkpoints to ~checkpoint_every while keeping driver-GC
+                # cost off every small-graph superstep.
+                import gc
+
+                gc.collect()
         return cur.drop("_changed") if "_changed" in cur.columns else cur
     finally:
         e.unpersist()
