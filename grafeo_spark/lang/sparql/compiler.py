@@ -827,9 +827,24 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
                 raise SparqlCompileError(f"unsupported aggregate {fn.upper()}()")
             plain, dist = _AGG_FNS[fn]
             if arg == "*":
-                col = F.lit(1) if fn == "count" else None
-                if col is None:
+                if fn != "count":
                     raise SparqlCompileError(f"{fn.upper()}(*) is not valid")
+                if distinct:
+                    # COUNT(DISTINCT *) counts DISTINCT SOLUTIONS (§18.5.1
+                    # aggregate over the whole binding row, r13 probe fix:
+                    # the old lit(1) arm collapsed it to 1). struct-packed
+                    # so rows with unbound vars still count — a bare
+                    # multi-column count_distinct skips any-null rows.
+                    vis = [c for c in out.columns if not c.startswith("__")]
+                    aggs.append(
+                        F.count_distinct(
+                            F.struct(*[F.col(c) for c in vis])
+                        ).alias(alias)
+                        if vis
+                        else F.count(F.lit(1)).alias(alias)
+                    )
+                    continue
+                col = F.lit(1)
             else:
                 col = F.col(arg)
                 if fn in ("sum", "avg"):
@@ -904,7 +919,9 @@ def _apply_modifiers(out: DataFrame, q: P.SelectQuery) -> DataFrame:
                 if isinstance(term, str)
                 else _filter_col(_resolve_having(term, q), out)
             )
-            keys.append(col.asc_nulls_last() if asc else col.desc_nulls_last())
+            # §15.1: an unbound value sorts LOWEST — first under ASC,
+            # last under DESC (was asc_nulls_last, found by r13 probing)
+            keys.append(col.asc_nulls_first() if asc else col.desc_nulls_last())
         out = out.orderBy(*keys)
     if q.offset is not None:
         out = out.offset(q.offset)

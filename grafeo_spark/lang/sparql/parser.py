@@ -1139,6 +1139,12 @@ class Parser:
                 self.next()
                 agg_distinct = True
             while not self.at("op", ")"):
+                if fname.lower() in _AGG_NAMES and self.at("op", "*") and not args:
+                    # COUNT(*) in expression position (HAVING/ORDER BY):
+                    # star means "no argument" to the (fn, arg) resolver,
+                    # same as the SELECT-side parse (r13 probe fix)
+                    self.next()
+                    continue
                 if self.at("op", ";"):
                     # GROUP_CONCAT(?x ; separator="…") — record the
                     # separator so the resolver can reject a repeated call

@@ -1253,6 +1253,56 @@ def test_exists_unbound_plan_no_wildcard_nlj(spark, sdb):
             assert "isnull" not in line.lower(), line
 
 
+def test_orderby_unbound_sorts_lowest(sdb):
+    """§15.1: an unbound value orders LOWEST — first under ASC, last
+    under DESC (was nulls-last under ASC; found by r13 probing)."""
+    out = [
+        tuple(r)
+        for r in sdb.sparql(
+            PFX + "SELECT ?n ?x WHERE { ?p ex:name ?n "
+            "OPTIONAL { ?p ex:livesIn ?x } } ORDER BY ?x ?n"
+        ).collect()
+    ]
+    # only alice has livesIn; everyone else unbound -> leads
+    assert out[0][1] is None and out[-1] == ("Alice", EX + "city1")
+    out_desc = [
+        tuple(r)
+        for r in sdb.sparql(
+            PFX + "SELECT ?n ?x WHERE { ?p ex:name ?n "
+            "OPTIONAL { ?p ex:livesIn ?x } } ORDER BY DESC(?x) ?n"
+        ).collect()
+    ]
+    assert out_desc[0] == ("Alice", EX + "city1") and out_desc[-1][1] is None
+
+
+def test_count_distinct_star_counts_solutions(sdb):
+    """COUNT(DISTINCT *) counts distinct SOLUTION rows (§18.5.1), not a
+    constant (found by r13 probing: the lit(1) arm collapsed it to 1)."""
+    got = sdb.sparql(
+        PFX + "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?p a ex:Person }"
+    ).collect()[0]
+    assert got.n == 3
+
+
+def test_having_count_star(sdb):
+    """COUNT(*) parses in expression position (HAVING/ORDER BY) — star
+    means no-argument to the aggregate resolver (r13 probe fix)."""
+    got = rows(
+        sdb.sparql(
+            PFX + "SELECT (COUNT(*) AS ?n) WHERE { ?p a ex:Person } "
+            "HAVING(COUNT(*) > 2)"
+        )
+    )
+    assert got == [(3,)]
+    none = rows(
+        sdb.sparql(
+            PFX + "SELECT (COUNT(*) AS ?n) WHERE { ?p a ex:Person } "
+            "HAVING(COUNT(*) > 5)"
+        )
+    )
+    assert none == []
+
+
 def test_exists_all_four_null_patterns(spark):
     """Two shared vars -> four null-pattern branches, all exercised in ONE
     query: (bound, bound) equi-joins on both, (bound, null) and (null,
