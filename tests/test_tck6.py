@@ -105,6 +105,16 @@ def test_xor_three_valued(db):
     )
 
 
+def test_null_ordering_is_largest(db):
+    """openCypher: null orders LARGEST — last under ASC, first under
+    DESC. (The deliberate opposite of SPARQL §15.1, where unbound is
+    lowest; each front-end pins its own spec.)"""
+    asc = [r[0] for r in db.cypher("UNWIND [1, null, 2] AS x RETURN x ORDER BY x").collect()]
+    assert asc == [1, 2, None]
+    desc = [r[0] for r in db.cypher("UNWIND [1, null, 2] AS x RETURN x ORDER BY x DESC").collect()]
+    assert desc == [None, 2, 1]
+
+
 def test_missing_property_predicate_filters(db):
     assert one(
         db.cypher("MATCH (p:Person) WHERE p.ghostprop = 1 RETURN count(*) AS c")
