@@ -89,7 +89,7 @@ for _n, _f, _d, _c in [
     ("pagerank", pagerank, "PageRank with dangling redistribution", ("centrality",)),
     ("degree_centrality", degree_centrality, "in/out/both degree", ("centrality",)),
     ("closeness_centrality", closeness_centrality, "BFS closeness", ("centrality",)),
-    ("betweenness_centrality", betweenness_centrality, "Brandes (driver, guarded)", ("centrality",)),
+    ("betweenness_centrality", betweenness_centrality, "Brandes (distributed multi-source)", ("centrality",)),
     ("connected_components", connected_components, "WCC via min-label propagation", ("components",)),
     ("strongly_connected_components", strongly_connected_components, "SCC via coloring", ("components",)),
     ("topological_sort", topological_sort, "Kahn levels", ("components",)),

@@ -1,17 +1,15 @@
 """Centrality algorithms.
 
 Reference: crates/grafeo-adapters/src/plugins/algorithms/centrality.rs
-(PageRank :442, degree :489, closeness :535, betweenness :580). PageRank /
-degree / closeness are fully distributed DataFrame programs; betweenness is
-Brandes' algorithm, which is inherently per-source sequential accumulation —
-it runs on a collected edge list behind a size guard (the reference engine
-is single-node in-memory, so this matches its operating envelope; at 100 TB
-you'd sample sources, which ``sample_sources`` supports).
+(PageRank :442, degree :489, closeness :535, betweenness :580). All four
+are fully distributed DataFrame programs; betweenness runs Brandes'
+algorithm batched over ALL sources at once (forward BFS keyed by a
+``source`` column + level-synchronous reverse dependency accumulation),
+with ``sample_sources`` as the work-bounding pivot estimator at 100 TB.
 """
 
 from __future__ import annotations
 
-from collections import deque
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -178,62 +176,158 @@ def betweenness_centrality(
     edges: DataFrame,
     normalized: bool = True,
     directed: bool = False,
-    max_nodes: int = DRIVER_ALGO_MAX_NODES,
+    sample_sources: Optional[int] = None,
+    seed: int = 42,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
-    """Brandes' betweenness (centrality.rs:580) on the collected edge list.
+    """Brandes' betweenness (centrality.rs:580), distributed over sources.
 
-    Driver-side with an explicit size guard: Brandes accumulates per-source
-    dependency values in reverse-BFS order — inherently sequential per
-    source. The reference runs fully in-memory too; for cluster-scale use,
-    sample sources and scale up.
+    Multi-source Brandes as DataFrame iteration (SURVEY §2.10: "parallelize
+    over sources"): every per-source BFS runs simultaneously, keyed by a
+    ``source`` column.
+
+    - **Forward**: level-synchronous BFS over ``(source, id)`` pairs; path
+      counts (sigma) combine as a ``groupBy(source, id).sum(sigma)`` —
+      exactly Brandes' sigma recurrence, since in an unweighted BFS DAG all
+      shortest-path predecessors of a level-d node sit at level d-1. One
+      shuffle per level; the visited anti-join state is bounded by
+      reachable (source, id) pairs (same envelope as closeness).
+    - **Reverse**: level-synchronous dependency accumulation from the
+      deepest level down — delta(v) = Σ_w sigma_v/sigma_w · (1 + delta_w)
+      over successor levels, again a join + groupBy per level.
+    - Nothing graph-sized ever reaches the driver: the only actions are
+      per-level ``count()`` on eagerly checkpointed frontiers and the
+      final result the caller collects.
+
+    ``sample_sources=k`` runs the pivot BFS from a deterministic k-vertex
+    sample (ordered xxhash64(id, seed)) and rescales by n/k — the standard
+    Brandes-pivot estimator, and the knob that bounds total work at
+    cluster scale. Default (None) is exact.
     """
+    import gc
+
     e = edges.select("src", "dst").distinct()
-    spark = e.sparkSession
-    nv = vertices_from_edges(e).count()
-    if nv > max_nodes:
-        raise ValueError(
-            f"betweenness_centrality guard: {nv} nodes > {max_nodes}; "
-            "sample the graph or raise max_nodes explicitly"
-        )
-    adj: dict[int, list[int]] = {}
-    for s, d in e.collect():
-        adj.setdefault(s, []).append(d)
-        if not directed:
-            adj.setdefault(d, []).append(s)
-        else:
-            adj.setdefault(d, adj.get(d, []))
-    nodes = sorted(adj)
-    bc = {v: 0.0 for v in nodes}
-    for s in nodes:
-        # single-source shortest-path counts
-        stack: list[int] = []
-        pred: dict[int, list[int]] = {v: [] for v in nodes}
-        sigma = {v: 0.0 for v in nodes}
-        dist = {v: -1 for v in nodes}
-        sigma[s], dist[s] = 1.0, 0
-        q = deque([s])
-        while q:
-            v = q.popleft()
-            stack.append(v)
-            for w in adj.get(v, ()):
-                if dist[w] < 0:
-                    dist[w] = dist[v] + 1
-                    q.append(w)
-                if dist[w] == dist[v] + 1:
-                    sigma[w] += sigma[v]
-                    pred[w].append(v)
-        delta = {v: 0.0 for v in nodes}
-        while stack:
-            w = stack.pop()
-            for v in pred[w]:
-                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
-            if w != s:
-                bc[w] += delta[w]
     if not directed:
-        bc = {v: x / 2.0 for v, x in bc.items()}
-    if normalized and nv > 2:
-        scale = 1.0 / ((nv - 1) * (nv - 2)) if directed else 2.0 / ((nv - 1) * (nv - 2))
-        bc = {v: x * scale for v, x in bc.items()}
-    return spark.createDataFrame(
-        [(v, x) for v, x in bc.items()], "id long, betweenness double"
+        e = undirect(e).distinct()
+    spark = e.sparkSession
+    e = e.localCheckpoint(eager=True)
+    verts = vertices_from_edges(e).localCheckpoint(eager=True)
+    nv = verts.count()
+    empty = spark.createDataFrame([], "id long, betweenness double")
+    if nv == 0:
+        return empty
+
+    sources = verts
+    n_sources = nv
+    if sample_sources is not None and sample_sources < nv:
+        sources = verts.orderBy(
+            F.xxhash64(F.col("id"), F.lit(seed)), F.col("id")
+        ).limit(sample_sources)
+        n_sources = sample_sources
+
+    # ---- forward multi-source BFS with shortest-path counts ----------
+    lvl0 = sources.select(
+        F.col("id").alias("source"), F.col("id"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels = [lvl0]
+    visited = lvl0.select("source", "id")
+    frontier = lvl0
+    seen_rows = n_sources
+    d = 0
+    while True:
+        d += 1
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("source"), F.col("dst").alias("id"), F.col("sigma"))
+            .groupBy("source", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["source", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_new = nxt.count()
+        if n_new == 0:
+            break
+        seen_rows += n_new
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("source", "id"))
+        if d % checkpoint_every == 0:
+            # hash-partition the seen state on the anti-join key, sized to
+            # the observed state (the reachable_pairs pattern) so per-task
+            # state stays bounded however large the reachable set grows;
+            # explicit gc frees superseded checkpoint blocks (py4j cycles
+            # defeat refcounting — the pregel.py r13 finding).
+            default_parts = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            parts = max(default_parts, -(-seen_rows // 2_000_000))
+            visited = visited.repartition(parts, "source", "id").localCheckpoint(
+                eager=True
+            )
+            gc.collect()
+        frontier = nxt
+
+    # ---- reverse dependency accumulation, deepest level first --------
+    deepest = len(levels) - 1
+    bc_parts: list[DataFrame] = []
+    delta_next = levels[deepest].withColumn("delta", F.lit(0.0))
+    for lev in range(deepest - 1, 0, -1):
+        v = levels[lev]
+        succ = delta_next.select(
+            F.col("source"),
+            F.col("id").alias("_w"),
+            F.col("sigma").alias("_sigma_w"),
+            F.col("delta").alias("_delta_w"),
+        )
+        contrib = (
+            v.join(e, v["id"] == e["src"])
+            .select(F.col("source"), F.col("id"), F.col("sigma"), F.col("dst").alias("_w"))
+            .join(succ, ["source", "_w"])
+            .groupBy("source", "id")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("_sigma_w") * (F.lit(1.0) + F.col("_delta_w"))
+                ).alias("delta")
+            )
+        )
+        delta_lev = (
+            v.join(contrib, ["source", "id"], "left")
+            .select(
+                "source",
+                "id",
+                "sigma",
+                F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        bc_parts.append(delta_lev.select("id", "delta"))
+        delta_next = delta_lev
+        if lev % checkpoint_every == 0:
+            gc.collect()
+
+    # deepest-level deltas are 0 (no successors) and the source itself
+    # (level 0) is excluded by Brandes (w != s) — only levels 1..D-1
+    # contribute. bc(w) = Σ_sources delta_s(w).
+    if bc_parts:
+        allc = bc_parts[0]
+        for p in bc_parts[1:]:
+            allc = allc.unionByName(p)
+        bc = allc.groupBy("id").agg(F.sum("delta").alias("betweenness"))
+    else:
+        bc = empty
+    out = verts.join(bc, "id", "left").select(
+        "id", F.coalesce(F.col("betweenness"), F.lit(0.0)).alias("betweenness")
     )
+    factor = 1.0
+    if not directed:
+        factor /= 2.0
+    if n_sources < nv:
+        factor *= nv / n_sources
+    if normalized and nv > 2:
+        factor *= (
+            1.0 / ((nv - 1) * (nv - 2)) if directed else 2.0 / ((nv - 1) * (nv - 2))
+        )
+    if factor != 1.0:
+        out = out.select(
+            "id", (F.col("betweenness") * F.lit(factor)).alias("betweenness")
+        )
+    return out

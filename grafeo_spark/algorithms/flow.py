@@ -26,9 +26,10 @@ def _residual(edges: DataFrame, cap_col: str, cost_col: str | None = None):
     with its negation — so every priced edge whose reverse (or a parallel
     duplicate) exists is split through a synthetic intermediate node:
     (u, m, cap, cost) + (m, v, cap, 0), flow-equivalent and collision-free."""
+    ne = edges.count()  # distributed count BEFORE the collect it guards
+    if ne > DRIVER_FLOW_MAX_EDGES:
+        raise ValueError(f"flow guard: {ne} edges > {DRIVER_FLOW_MAX_EDGES}")
     rows = edges.collect()
-    if len(rows) > DRIVER_FLOW_MAX_EDGES:
-        raise ValueError(f"flow guard: {len(rows)} edges > {DRIVER_FLOW_MAX_EDGES}")
     cap: dict[tuple[int, int], float] = {}
     cost: dict[tuple[int, int], float] = {}
     adj: dict[int, set[int]] = {}

@@ -154,12 +154,15 @@ def floyd_warshall(
     use `shortest_paths` per source set for big graphs)."""
     import numpy as np
 
+    # distributed count FIRST — the O(V²) matrix and the collect are what
+    # the guard protects against (verdict r13 #2)
+    nv = vertices_from_edges(edges).count()
+    if nv > max_nodes:
+        raise ValueError(f"floyd_warshall guard: {nv} nodes > {max_nodes}")
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     e = edges.select(*cols).collect()
     spark = edges.sparkSession
     ids = sorted({r.src for r in e} | {r.dst for r in e})
-    if len(ids) > max_nodes:
-        raise ValueError(f"floyd_warshall guard: {len(ids)} nodes > {max_nodes}")
     ix = {v: i for i, v in enumerate(ids)}
     n = len(ids)
     d = np.full((n, n), np.inf)
@@ -193,10 +196,11 @@ def a_star(
     defaults to 0 (== Dijkstra). Returns (path, cost) or None."""
     import heapq
 
+    ne = edges.count()  # guard before collecting (verdict r13 #2)
+    if ne > max_nodes * 10:
+        raise ValueError(f"a_star guard: {ne} edges > {max_nodes * 10}")
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     rows = edges.select(*cols).collect()
-    if len(rows) > max_nodes * 10:
-        raise ValueError("a_star guard: edge list too large")
     adj: dict[int, list[tuple[int, float]]] = {}
     for r in rows:
         adj.setdefault(r.src, []).append(
@@ -233,6 +237,11 @@ def dfs(
     (DFS order is inherently sequential); neighbors visited in ascending id
     order for determinism. A source absent from the graph yields NO rows
     (dfs_with_visitor checks get_node(start) first, traversal.rs:233)."""
+    # guard with a distributed count BEFORE collecting — collecting first
+    # IS the driver-OOM the guard exists to prevent (verdict r13 #2)
+    nv = vertices_from_edges(edges).count()
+    if nv > max_nodes:
+        raise ValueError(f"dfs guard: {nv} nodes > {max_nodes}")
     e = edges.select("src", "dst").collect()
     spark = edges.sparkSession
     adj: dict[int, list[int]] = {}
@@ -245,8 +254,6 @@ def dfs(
         verts.add(r.dst)
     if source not in verts:
         return spark.createDataFrame([], "id long, order long")
-    if len(adj) > max_nodes:
-        raise ValueError(f"dfs guard: {len(adj)} nodes > {max_nodes}")
     for v in adj:
         adj[v] = sorted(adj[v])
     seen: dict[int, int] = {}
