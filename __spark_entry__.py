@@ -86,17 +86,6 @@ _CYPHER: dict[str, str] = {
     "distinct_segments": (
         "MATCH (c:Customer) RETURN DISTINCT c.mktsegment AS mktsegment"
     ),
-    # UNION (distinct semantics)
-    "union_names": (
-        "MATCH (r:Region) RETURN r.name AS name "
-        "UNION "
-        "MATCH (n:Nation) RETURN n.name AS name"
-    ),
-    # UNWIND + arithmetic + HAVING-style WITH ... WHERE
-    "unwind_squares": (
-        "UNWIND range(1, 50) AS x WITH x, x * x AS sq WHERE sq % 2 = 0 "
-        "RETURN x, sq"
-    ),
     # CASE expression + grouping on it
     "balance_bands": (
         "MATCH (c:Customer) "
@@ -361,16 +350,6 @@ _ORACLE: dict[str, str] = {
         FROM customer GROUP BY c_mktsegment
     """,
     "distinct_segments": "SELECT DISTINCT c_mktsegment AS mktsegment FROM customer",
-    "union_names": """
-        SELECT r_name AS name FROM region
-        UNION
-        SELECT n_name AS name FROM nation
-    """,
-    "unwind_squares": """
-        SELECT x, x * x AS sq
-        FROM (SELECT unnest(generate_series(1, 50)) AS x)
-        WHERE (x * x) % 2 = 0
-    """,
     "balance_bands": """
         SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
                     WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band,
@@ -648,10 +627,6 @@ _ORACLE: dict[str, str] = {
         SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
         FROM customer WHERE c_mktsegment = 'MACHINERY'
     """,
-    "graphql_nested": """
-        SELECT n_name AS nation, r_name AS r_region
-        FROM nation JOIN region ON n_regionkey = r_regionkey
-    """,
     "multimodal_audio_meta": """
         SELECT doc_id AS media_id, 'wav' AS format,
                CAST(8000 * (doc_id % 4 + 1) AS INT) AS sample_rate,
@@ -806,9 +781,6 @@ _ORACLE: dict[str, str] = {
         JOIN orders ON o_custkey = c_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
         WHERE c_custkey = 1
-    """,
-    "sparql_region_names": """
-        SELECT r_name AS name FROM region ORDER BY name
     """,
     "sparql_nation_region_join": """
         SELECT n_name AS nation, r_name AS region
@@ -2816,10 +2788,6 @@ def _sparql_query(q: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 _SPARQL: dict[str, str] = {
-    # type scan + BGP join + ORDER BY
-    "sparql_region_names": (
-        "SELECT ?name WHERE { ?r a ex:Region . ?r ex:name ?name } ORDER BY ?name"
-    ),
     # three-pattern BGP join across entities
     "sparql_nation_region_join": (
         "SELECT ?nation ?region WHERE { ?n ex:inRegion ?r . "
@@ -2967,6 +2935,23 @@ _SPARQL: dict[str, str] = {
         "((COUNT(?b) * 2) AS ?dbl) "
         "WHERE { ?c a ex:Customer ; ex:mktsegment ?seg ; ex:acctbal ?b } "
         "GROUP BY ?seg HAVING (COUNT(?c) > 300) ORDER BY ?seg"
+    ),
+    # r14 probe batch #2: GROUP BY expression with AS alias (§19.8 [20]
+    # GroupCondition) — the alias is a projectable grouping key
+    "sparql_groupby_expr": (
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?pos (COUNT(?c) AS ?n) WHERE { ?c a ex:Customer ; "
+        "ex:acctbal ?b } GROUP BY (xsd:double(?b) >= 0 AS ?pos) ORDER BY ?pos"
+    ),
+    # r14 probe batch #2: SUM over an OPTIONAL var — §18.5.1 Sum({}) = 0
+    # for the all-unbound groups (nations with no regex-matching customer),
+    # exact integer sums via BIND(STRLEN) so the oracle compares exactly
+    "sparql_sum_optional_zero": (
+        "SELECT ?nname (SUM(?l) AS ?total) WHERE { "
+        "?n a ex:Nation ; ex:name ?nname . "
+        "OPTIONAL { ?c ex:fromNation ?n ; ex:name ?cn . "
+        'FILTER(regex(?cn, "99$")) . BIND(STRLEN(?cn) AS ?l) } } '
+        "GROUP BY ?nname ORDER BY ?nname"
     ),
     # ORDER BY over an expression (SPARQL 1.1 §15.1 OrderCondition)
     "sparql_orderby_strlen": (
@@ -3564,6 +3549,65 @@ _ORACLE["gremlin_sack_totals"] = """
 """
 
 
+def _gremlin_until_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repeat().until(__.loops().is(gte(2))) — the loop-counter predicate
+    form of until (r14 batch #5, traversal.py _loops_predicate): exits the
+    whole frontier at the first satisfying iteration, so the result is the
+    2-hop in() frontier of region ASIA (one row per path: each nation's
+    customers and suppliers)."""
+    return _db(spark, sf_dir).gremlin(
+        "g.V().has('name', 'ASIA').repeat(__.in())"
+        ".until(__.loops().is(gte(2))).count()"
+    )
+
+
+_ORACLE["gremlin_until_loops"] = """
+    SELECT CAST(
+        (SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        + (SELECT count(*) FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        AS BIGINT) AS count
+"""
+
+
+def _gremlin_sack_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sack threading across union branches (r14 batch #5): each branch's
+    sack(sum).by(prop) update survives the branch merge, so the terminal
+    sack() reads per-branch values — acctbal for the identity-ish branch,
+    order totalprice for the hop branch."""
+    from pyspark.sql import functions as F
+
+    out = _db(spark, sf_dir).gremlin(
+        "g.withSack(0.0).V().hasLabel('Customer').has('custkey', lte(10))"
+        ".union(__.sack(sum).by('acctbal'), "
+        "__.out('PLACED').sack(sum).by('totalprice')).sack()"
+    )
+    return out.select(F.round("value", 2).alias("value"))
+
+
+_ORACLE["gremlin_sack_union"] = """
+    SELECT round(c_acctbal, 2) AS value FROM customer WHERE c_custkey <= 10
+    UNION ALL
+    SELECT round(o_totalprice, 2) AS value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey <= 10
+"""
+
+_ORACLE["sparql_groupby_expr"] = """
+    SELECT (c_acctbal >= 0) AS pos, CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY (c_acctbal >= 0) ORDER BY pos
+"""
+
+_ORACLE["sparql_sum_optional_zero"] = """
+    SELECT n_name AS nname,
+           CAST(COALESCE(SUM(LENGTH(c_name)), 0) AS DOUBLE) AS total
+    FROM nation LEFT JOIN customer
+      ON c_nationkey = n_nationkey AND regexp_matches(c_name, '99$')
+    GROUP BY n_name ORDER BY nname
+"""
+
+
 def _gremlin_project_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """project/by with a per-element anonymous sub-traversal aggregate
     (ast.rs Project/By + scoped count): per-customer order counts, zero
@@ -3589,12 +3633,6 @@ def _gremlin_mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _graphql_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _db(spark, sf_dir).graphql(
         '{ Customer(mktsegment: "BUILDING") { custkey name } }'
-    )
-
-
-def _graphql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _db(spark, sf_dir).graphql(
-        "{ Nation { nation: name r: IN_REGION { region: name } } }"
     )
 
 
@@ -3662,7 +3700,6 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_project_orders": _gremlin_project_orders,
     "gremlin_mutation_roundtrip": _gremlin_mutation_roundtrip,
     "graphql_customers": _graphql_customers,
-    "graphql_nested": _graphql_nested,
     "graphql_directive_skip": _graphql_directive_skip,
     "graphql_three_level": _graphql_three_level,
     "graphql_rdf_customers": _graphql_rdf_customers,
@@ -3711,6 +3748,8 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transaction_visibility": _transaction_visibility,
     "gremlin_match_asia": _gremlin_match_asia,
     "gremlin_sack_totals": _gremlin_sack_totals,
+    "gremlin_until_loops": _gremlin_until_loops,
+    "gremlin_sack_union": _gremlin_sack_union,
 }
 
 
@@ -3799,7 +3838,6 @@ _PRIORITY = [
     "unknown_label_empty",
     "sparql_orderby_strlen",
     "sparql_orderby_aggcall",
-    "sparql_region_names",
     "sparql_nation_region_join",
     "sparql_union_names",
     "sparql_ask_region",
@@ -3819,7 +3857,6 @@ _PRIORITY = [
     "gremlin_project_orders",
     "gremlin_segment_counts",
     "gremlin_mutation_roundtrip",
-    "unwind_squares",
     "skip_limit_page",
     "filter_mix",
     "string_funcs",
@@ -3827,7 +3864,6 @@ _PRIORITY = [
     "order_priority_count",
     "segment_stats",
     "distinct_segments",
-    "union_names",
     "exists_customers_with_orders",
     "size_orders_per_customer",
     "sparql_negated_path",
@@ -3841,7 +3877,6 @@ _PRIORITY = [
     "sparql_cast_acctbal",
     "graphql_rdf_customers",
     "graphql_customers",
-    "graphql_nested",
     "direct_find_by_property",
     "admin_stats_labels",
     "dedup_exact_count",
@@ -3900,8 +3935,122 @@ _PRIORITY = [
     "gremlin_match_asia",
     "sparql_exists_unbound_mix",
     "gremlin_sack_totals",
+    # -- r14 additions: GROUP BY expressions + aggregate-over-OPTIONAL
+    # zero semantics (SPARQL probe batch #2), until(loops()) and sack
+    # branch threading (Gremlin batch #5)
+    "sparql_groupby_expr",
+    "sparql_sum_optional_zero",
+    "gremlin_until_loops",
+    "gremlin_sack_union",
 ]
 
+
+
+# Change-aware rotation (verdict r13 #3): the staleness-only window left
+# code-changed components (modularity, sim_join's block builder) waiting a
+# full round for a driver recheck. Each battery family maps to the module
+# paths that implement it; an entry whose modules diff'd since its
+# last-green round's driver-artifact commit sorts AHEAD of equal-staleness
+# peers. Coarse over-inclusive maps are fine — a bump only reorders within
+# the same staleness cohort, never lets anything out of the ≤3-round bound.
+_MODULE_FAMILIES: list[tuple[str, tuple[str, ...]]] = [
+    (r"^alg_(pagerank|degree|closeness|betweenness)",
+     ("grafeo_spark/algorithms/centrality.py", "grafeo_spark/algorithms/pregel.py")),
+    (r"^alg_(scc|wcc|toposort)",
+     ("grafeo_spark/algorithms/components.py", "grafeo_spark/algorithms/pregel.py")),
+    (r"^alg_(bfs|dfs|dijkstra|bellman|floyd|astar)",
+     ("grafeo_spark/algorithms/paths.py", "grafeo_spark/algorithms/pregel.py",
+      "grafeo_spark/operators/expand.py")),
+    (r"^(alg_(lpa|louvain|modularity))",
+     ("grafeo_spark/algorithms/community.py", "grafeo_spark/algorithms/pregel.py")),
+    (r"^alg_triangles", ("grafeo_spark/algorithms/clustering.py",)),
+    (r"^alg_(kcore|articulation|bridges)", ("grafeo_spark/algorithms/structure.py",)),
+    (r"^alg_mst", ("grafeo_spark/algorithms/mst.py",)),
+    (r"^alg_(maxflow|mincost)", ("grafeo_spark/algorithms/flow.py",)),
+    (r"^gremlin_", ("grafeo_spark/lang/gremlin/",)),
+    (r"^graphql_", ("grafeo_spark/lang/graphql/", "grafeo_spark/engine.py")),
+    (r"^(sparql_|region_nations)", ("grafeo_spark/lang/sparql/",)),
+    (r"^(dedup_|ngram_|simhash_)", ("grafeo_spark/llm/dedup.py",)),
+    (r"^(decontam_|repetition_|pii_)", ("grafeo_spark/llm/filtering.py",)),
+    (r"^(knn_|ann_|ivf_|sim_join|embedding_near)", ("grafeo_spark/llm/similarity.py",)),
+    (r"^(vq_|bq_)",
+     ("grafeo_spark/llm/quantization.py", "grafeo_spark/functions/vector.py")),
+    (r"^(chunk_|pack_|split_|text_)",
+     ("grafeo_spark/llm/text.py", "grafeo_spark/llm/sampling.py")),
+    (r"^multimodal_", ("grafeo_spark/llm/multimodal.py",)),
+    (r"^events_",
+     ("grafeo_spark/streaming/", "grafeo_spark/operators/asof.py",
+      "grafeo_spark/functions/time.py")),
+    (r"^(admin_|direct_|session_|transaction_)",
+     ("grafeo_spark/engine.py", "grafeo_spark/sources.py", "grafeo_spark/graph.py")),
+]
+
+
+def _entry_modules(name: str) -> tuple[str, ...]:
+    import re
+
+    for pat, paths in _MODULE_FAMILIES:
+        if re.match(pat, name):
+            return paths
+    if name in _SPARQL:
+        return ("grafeo_spark/lang/sparql/",)
+    if name in _CYPHER:
+        return ("grafeo_spark/lang/cypher/", "grafeo_spark/plans/",
+                "grafeo_spark/operators/")
+    # unknown family: any package change bumps it (maximally cautious)
+    return ("grafeo_spark/",)
+
+
+def _changed_since_round(rnd: int) -> frozenset[str]:
+    """Repo paths changed (committed or working-tree) since round ``rnd``'s
+    driver-artifact commit ("round N: verdict/..."). Empty when git or the
+    marker is unavailable — the policy then degrades to pure staleness."""
+    import functools
+    import re
+    import subprocess
+
+    if not hasattr(_changed_since_round, "_cache"):
+        _changed_since_round._cache = {}  # type: ignore[attr-defined]
+    cache = _changed_since_round._cache  # type: ignore[attr-defined]
+    if rnd in cache:
+        return cache[rnd]
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: frozenset[str] = frozenset()
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=%H %s"],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        )
+        sha = None
+        for line in log.stdout.splitlines():
+            h, _, msg = line.partition(" ")
+            if re.match(rf"round {rnd}: verdict", msg):
+                sha = h
+                break
+        if sha:
+            diff = subprocess.run(
+                ["git", "diff", "--name-only", sha],
+                cwd=here, capture_output=True, text=True, timeout=30,
+            )
+            out = frozenset(diff.stdout.split())
+    except Exception:
+        pass
+    cache[rnd] = out
+    return out
+
+
+def _change_bumped(name: str, last_round: int) -> bool:
+    """True when any module implementing ``name`` diff'd since its
+    last-green round — such entries lead their staleness cohort."""
+    if last_round < 0:
+        return False  # never-checked entries already lead everything
+    changed = _changed_since_round(last_round)
+    if not changed:
+        return False
+    mods = _entry_modules(name)
+    return any(
+        p.startswith(m) for p in changed for m in mods
+    )
 
 
 def _last_green_rounds() -> dict[str, int]:
@@ -3932,12 +4081,21 @@ def _last_green_rounds() -> dict[str, int]:
 
 def battery_order(names) -> list:
     """Deterministic driver-check ordering: stalest first (never-checked
-    entries lead with staleness -1), _PRIORITY position then name as the
-    tiebreak. Pure data — tests/test_rotation.py re-runs this exact
-    policy as the guard."""
+    entries lead with staleness -1), then change-bumped entries (module
+    diff'd since last green) ahead of equal-staleness peers, then
+    _PRIORITY position then name. Pure data — tests/test_rotation.py
+    re-runs this exact policy as the guard."""
     last = _last_green_rounds()
     pos = {n: i for i, n in enumerate(_PRIORITY)}
-    return sorted(names, key=lambda n: (last.get(n, -1), pos.get(n, len(_PRIORITY)), n))
+    return sorted(
+        names,
+        key=lambda n: (
+            last.get(n, -1),
+            0 if _change_bumped(n, last.get(n, -1)) else 1,
+            pos.get(n, len(_PRIORITY)),
+            n,
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -82,7 +82,11 @@ def main() -> None:
     # "4.8x regression" that an isolated A/B later showed was purely the
     # entry's battery position. Min-of-two measures the operator, not its
     # slot; the methodology is declared in the output line.
-    RERUN_OVER_SEC = 2.0
+    # r14: floor lowered 2.0 -> 1.0s. The 2.0s floor left ~60% of entries
+    # single-sample — exactly where r13's phantom regressions lived
+    # (multimodal_image_dims 0.32->1.75 and the dedup trio's envelope
+    # drift were all single-run sub-2s rows with unchanged code).
+    RERUN_OVER_SEC = 1.0
 
     def run_once(fn) -> tuple[float, int]:
         gc.collect()  # release the previous entry's persisted frames

@@ -210,7 +210,12 @@ def betweenness_centrality(
     if not directed:
         e = undirect(e).distinct()
     spark = e.sparkSession
-    e = e.localCheckpoint(eager=True)
+    # hash-partition edges on the join key ONCE: every forward level and
+    # every reverse level joins on id == src, so a pre-partitioned edge
+    # side never re-exchanges (2·diameter exchanges saved; the frontier
+    # side shuffles regardless since it arrives grouped by (source, id))
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = e.repartition(default_parts, "src").localCheckpoint(eager=True)
     verts = vertices_from_edges(e).localCheckpoint(eager=True)
     nv = verts.count()
     empty = spark.createDataFrame([], "id long, betweenness double")
@@ -256,9 +261,6 @@ def betweenness_centrality(
             # state stays bounded however large the reachable set grows;
             # explicit gc frees superseded checkpoint blocks (py4j cycles
             # defeat refcounting — the pregel.py r13 finding).
-            default_parts = int(
-                spark.conf.get("spark.sql.shuffle.partitions", "200")
-            )
             parts = max(default_parts, -(-seen_rows // 2_000_000))
             visited = visited.repartition(parts, "source", "id").localCheckpoint(
                 eager=True

@@ -111,8 +111,10 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
         )
         return sub_e, verts
 
+    # one count action per shrink: n_after carries into the next round as
+    # n_before instead of re-counting the identical frame (ADVICE r13)
+    n_before = remaining.count()
     for _ in range(max_iter):
-        n_before = remaining.count()
         if n_before == 0:
             return assigned
         scc = _peel(e, remaining, reverse=False)
@@ -127,6 +129,8 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
             scc = _peel(e, remaining, reverse=True)
             assigned = assigned.unionByName(scc).localCheckpoint(eager=True)
             e, remaining = _shrink(e, remaining, scc)
+            n_after = remaining.count()
+        n_before = n_after
     if not remaining.isEmpty():
         raise ValueError(
             f"strongly_connected_components: {remaining.count()} vertices "

@@ -46,6 +46,14 @@ def local_frame(spark: SparkSession, rows, schema, max_literal_rows: int = 64):
     rows = list(rows)
     if not rows or len(rows) > max_literal_rows:
         return spark.createDataFrame(rows, st)
+    for i, r in enumerate(rows):
+        # zip() would silently truncate/omit on arity mismatch where
+        # createDataFrame raised — keep the loud contract (ADVICE r13)
+        if len(r) != len(st.fields):
+            raise ValueError(
+                f"local_frame: row {i} has {len(r)} values for "
+                f"{len(st.fields)} schema fields"
+            )
     structs = [
         F.struct(
             *[

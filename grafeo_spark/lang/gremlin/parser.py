@@ -89,11 +89,11 @@ def _anon(node: ast.expr) -> Anon:
             fn = node.func
             if isinstance(fn, ast.Attribute):
                 name = _METHODS.get(fn.attr, fn.attr)
-                steps.append((name, tuple(_literal(a) for a in node.args), {}))
+                steps.append((name, tuple(_literal(a, step=name) for a in node.args), {}))
                 node = fn.value
             elif isinstance(fn, ast.Name):
                 name = _METHODS.get(fn.id, fn.id)
-                steps.append((name, tuple(_literal(a) for a in node.args), {}))
+                steps.append((name, tuple(_literal(a, step=name) for a in node.args), {}))
                 return Anon(tuple(reversed(steps)))
             else:
                 raise GremlinError("unsupported anonymous-traversal form")
@@ -105,7 +105,7 @@ def _anon(node: ast.expr) -> Anon:
             raise GremlinError(f"unsupported syntax in anonymous traversal: {ast.dump(node)}")
 
 
-def _literal(node: ast.expr):
+def _literal(node: ast.expr, step: str | None = None):
     root = _root_name(node)
     if root == "__":
         return _anon(node)
@@ -115,8 +115,15 @@ def _literal(node: ast.expr):
     if isinstance(node, ast.Name) and node.id in ("single", "list", "set"):
         # Cardinality tokens (parser.rs:718-733): property(single, k, v)
         return node.id
-    if isinstance(node, ast.Name) and node.id in _OPERATOR_TOKENS:
-        # groovy statically imports Operator members: sack(mult)
+    if (
+        isinstance(node, ast.Name)
+        and node.id in _OPERATOR_TOKENS
+        and step in ("sack", "withSack")
+    ):
+        # groovy statically imports Operator members: sack(mult) — lowered
+        # ONLY in sack()/withSack() argument position, so a mistaken
+        # order().by(sum) stays a loud parse error instead of silently
+        # becoming a property-key lookup on 'sum' (ADVICE r13)
         return node.id
     if (
         isinstance(node, ast.Attribute)
@@ -189,7 +196,7 @@ def _flatten(node: ast.expr) -> list[tuple[str, list]]:
             fn = node.func
             if not isinstance(fn, ast.Attribute):
                 raise GremlinError("unsupported call form")
-            steps.append((fn.attr, [_literal(a) for a in node.args]))
+            steps.append((fn.attr, [_literal(a, step=fn.attr) for a in node.args]))
             node = fn.value
         elif isinstance(node, ast.Name):
             if node.id != "g":

@@ -52,6 +52,42 @@ class Anon:
 
 __ = Anon()  # the anonymous traversal source, TinkerPop-style
 
+
+def _loops_predicate(cond):
+    """Detect ``until(__.loops().is(P-or-literal))`` and return the
+    predicate, else None (the EXISTS path handles everything else)."""
+    if not isinstance(cond, Anon):
+        return None
+    steps = cond._steps
+    if (
+        len(steps) == 2
+        and steps[0][0] == "loops"
+        and not steps[0][1]
+        and steps[1][0] in ("is_", "is")
+        and len(steps[1][1]) == 1
+    ):
+        v = steps[1][1][0]
+        return v if isinstance(v, P) else P("eq", v)
+    return None
+
+
+def _eval_loops(p: "P", k: int) -> bool:
+    """Evaluate a loops() predicate against the shared iteration counter."""
+    try:
+        return {
+            "eq": lambda: k == p.value,
+            "neq": lambda: k != p.value,
+            "gt": lambda: k > p.value,
+            "gte": lambda: k >= p.value,
+            "lt": lambda: k < p.value,
+            "lte": lambda: k <= p.value,
+            "between": lambda: p.value <= k < p.value2,
+            "within": lambda: k in p.value,
+            "without": lambda: k not in p.value,
+        }[p.op]()
+    except KeyError:
+        raise GremlinError(f"loops() predicate does not support P.{p.op}")
+
 # anonymous-traversal terminal aggregations (per-traverser scoping in
 # project/group/where contexts)
 _ANON_AGGS = ("count", "sum_", "mean", "min_", "max_", "fold", "values")
@@ -347,15 +383,20 @@ class Traversal:
         "addE": "mid-traversal addE() inside a branch has no set-at-a-time "
         "lowering here — use g.addE().from_()/to() at the source, or MERGE "
         "via the Cypher front-end",
-        "sack": "sack() inside an anonymous body is not supported — "
-        "branches/local/by replay bodies relationally and do not thread "
-        "the sack register; use sack() on the main traversal chain",
+        # "sack" is context-dependent: branch replays (union/coalesce/
+        # choose/local) thread the register (allow_sack=True below);
+        # existence contexts (where/not/until conditions) still reject.
         "withSack": "withSack() belongs on the traversal source — "
         "g.withSack(v).V()...; anonymous bodies do not thread the sack "
         "register",
     }
 
     def _apply_anon(self, anon: Anon) -> "Traversal":
+        # sack() in anon bodies follows TinkerPop scoping naturally:
+        # branch replays (union/coalesce/choose/local) keep the updated
+        # __sack column (threaded by _replay_renamed), while existence
+        # probes (where/not/until) join back ids only, so their sack
+        # mutations are discarded — exactly filter-body semantics.
         t = self
         for name, args, kwargs in anon._steps:
             if name in self._UNSUPPORTED_ANON:
@@ -391,6 +432,8 @@ class Traversal:
             body = Anon(tuple(steps[:-2]))
             idc = _p(self.cur, "id")
             seed_cols = [c for c in self.df.columns if c.startswith(self.cur + "__")]
+            if "__sack" in self.df.columns:
+                seed_cols.append("__sack")
             seed = self.df.select(*seed_cols).dropDuplicates([idc])
             res = self._derive(seed, self.cur, self.kind)._apply_anon(body)
             if idc not in res.df.columns:
@@ -435,6 +478,12 @@ class Traversal:
             break
         idc = _p(self.cur, "id")
         seed_cols = [c for c in self.df.columns if c.startswith(self.cur + "__")]
+        if "__sack" in self.df.columns:
+            # keep the register so probe bodies containing sack steps run;
+            # sack steps never filter, so the arbitrary per-id
+            # representative cannot change existence, and only ids join
+            # back (mutations discarded — filter-body scoping)
+            seed_cols.append("__sack")
         seed = self.df.select(*seed_cols).dropDuplicates([idc])
         res = self._derive(seed, self.cur, self.kind)._apply_anon(Anon(tuple(steps)))
         if idc not in res.df.columns:
@@ -790,6 +839,16 @@ class Traversal:
         out = self.df.select(F.col(_p(self.cur, "_label")).alias("label"))
         return self._derive(out, "label", "value")
 
+    def loops(self) -> "Traversal":
+        """TinkerPop ``loops()`` — the traverser's repeat counter. Only
+        meaningful as an ``until(__.loops().is(P))`` condition, where
+        ``until()`` lowers it to a driver-side counter check (the counter
+        is uniform across the set-at-a-time frontier, so no per-row
+        column is needed); any other position is a loud error."""
+        raise GremlinError(
+            "loops() is only supported inside until(__.loops().is(...))"
+        )
+
     def is_(self, pred: Any) -> "Traversal":
         """``.is(P)`` / ``.is(literal)`` — filter the current VALUE by a
         predicate (TinkerPop IsStep); meaningful after a value-producing
@@ -836,9 +895,11 @@ class Traversal:
         every element-preserving step. ``sack()`` reads it (one value
         traverser per row); ``sack(operator).by(key)`` folds the current
         element's property into it (sum/mult/minus/div/min/max/assign —
-        Operator static imports in the Groovy form). Boundary, enforced
+        Operator static imports in the Groovy form). Branch replays
+        (union/coalesce/choose/local) THREAD the register — each branch's
+        updates survive into the merged frame (r14). Boundary, enforced
         loudly: projecting steps (values/select/path) drop the register,
-        and anonymous bodies (branches/local/by) do not thread it."""
+        and existence conditions (where/not/until) do not thread it."""
         if "__sack" not in self.df.columns:
             raise GremlinError(
                 "no sack on this traversal: start with g.withSack(v); note "
@@ -1083,13 +1144,18 @@ class Traversal:
             if len(res.df.columns) == 1:
                 return res.df.select(F.col(res.df.columns[0]).alias("value")), "value"
             return res.df, "value"
-        ren = res.df.select(
-            *[
-                F.col(c).alias(_p(target_var, c[len(res.cur) + 2:]))
-                for c in res.df.columns
-                if c.startswith(res.cur + "__")
-            ]
-        )
+        sel = [
+            F.col(c).alias(_p(target_var, c[len(res.cur) + 2:]))
+            for c in res.df.columns
+            if c.startswith(res.cur + "__")
+        ]
+        if "__sack" in res.df.columns:
+            # thread the sack register through branch replays: element
+            # steps carry the column implicitly, so each branch's updates
+            # (sack(op).by(k)) survive the union and the main chain's
+            # terminal sack() reads the per-branch value (r14 batch #5)
+            sel.append(F.col("__sack"))
+        ren = res.df.select(*sel)
         return ren, res.kind
 
     def coalesce(self, *anons: Anon) -> "Traversal":
@@ -1390,6 +1456,7 @@ class Traversal:
         body = getattr(self, "_repeat_body", None)
         if body is None:
             raise GremlinError("until() without a pending repeat()")
+        loops_pred = _loops_predicate(cond)
         emit_first = getattr(self, "_emit_first", False)
         # emit() anywhere means emit-all intermediates; position only
         # controls whether the pre-loop element is included (same
@@ -1410,11 +1477,31 @@ class Traversal:
                 raise GremlinError("repeat().until() needs an element traversal")
             kind = self.kind
             outs.append(_renamed(self.df, self.cur))
-        for _ in range(int(max_loops)):
+        for it in range(1, int(max_loops) + 1):
             t = t._apply_anon(body)
             if t.kind == "value":
                 raise GremlinError("repeat().until() needs an element traversal")
             kind = t.kind
+            if loops_pred is not None:
+                # until(loops().is(P)): the loop counter is shared by the
+                # whole set-at-a-time frontier, so the split is uniform —
+                # everyone exits at the first satisfying iteration (no
+                # per-row EXISTS job at all)
+                if _eval_loops(loops_pred, it):
+                    outs.append(_renamed(t.df, t.cur))
+                    break
+                rest = t.df
+                if it % 3 == 0:
+                    rest = rest.localCheckpoint(eager=True)
+                if emit:
+                    outs.append(_renamed(rest, t.cur))
+                t = t._derive(rest, t.cur, t.kind)
+                if it == int(max_loops):
+                    raise GremlinError(
+                        f"until(loops().is(...)) not satisfied within "
+                        f"max_loops={max_loops}"
+                    )
+                continue
             ids = t._exists_ids(cond)
             idc = _p(t.cur, "id")
             done = t.df.join(ids, idc, "left_semi")

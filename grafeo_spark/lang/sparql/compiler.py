@@ -381,7 +381,14 @@ def _hoist_exists_expr(ts: TripleStore, out: DataFrame, e):
             import functools as _ft
             from itertools import combinations
 
-            probe = sub.select(*shared).distinct()
+            # lazily persist both decomposition inputs: every null-pattern
+            # branch references `out` and `probe`, so an unpersisted plan
+            # re-executes the whole upstream pipeline up to 32× (and the
+            # k>5 compile-time probe job would run it once more). Lazy
+            # .persist() keeps compilation action-free for k<=5 while the
+            # first executed branch materializes the cache for the rest.
+            out = out.persist()
+            probe = sub.select(*shared).distinct().persist()
             all_bound = _ft.reduce(
                 lambda a, b: a & b, [F.col(c).isNotNull() for c in shared]
             )
@@ -854,11 +861,35 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
             if distinct:
                 if dist is None:
                     raise SparqlCompileError(f"DISTINCT not supported for {fn.upper()}")
-                aggs.append(dist(col).alias(alias))
+                core = dist(col)
             else:
-                aggs.append(plain(col).alias(alias))
+                core = plain(col)
+            if fn in ("sum", "avg"):
+                # §18.5.1: Sum({}) = 0 and Avg({}) = 0 — a group whose var
+                # is unbound everywhere aggregates the EMPTY multiset, not
+                # null. But a group containing a non-numeric lexical is an
+                # evaluation ERROR -> unbound: distinguish by comparing
+                # pre-cast vs post-cast counts (equal = no cast failures).
+                core = F.when(
+                    F.count(F.col(arg)) == F.count(col),
+                    F.coalesce(core, F.lit(0.0)),
+                )
+            aggs.append(core.alias(alias))
+        gkeys: list[str] = []
         if q.group_by:
-            out = out.groupBy(*q.group_by).agg(*aggs)
+            # normalize GroupConditions: plain vars group directly;
+            # expression conditions ((expr AS ?v) / bare builtin calls)
+            # compute a key column first — named by the alias (projectable)
+            # or a hidden __grp slot (bare exprs are not projectable, §19.8)
+            for gi, g in enumerate(q.group_by):
+                if isinstance(g, str):
+                    gkeys.append(g)
+                else:
+                    galias, ge = g
+                    name = galias or f"__grp{gi}"
+                    out = out.withColumn(name, _filter_col(ge, out))
+                    gkeys.append(name)
+            out = out.groupBy(*gkeys).agg(*aggs)
         else:
             out = out.agg(*aggs)
         if q.having is not None:
@@ -870,15 +901,17 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
             out = out.withColumn(alias, _filter_col(e, out))
         # hidden (hoisted) aggregates stay in-frame through ORDER BY, then
         # drop — they are not part of the declared projection
-        hidden = [a[2] for a in q.aggregates if a[2].startswith("__hagg")]
+        hidden = [a[2] for a in q.aggregates if a[2].startswith("__hagg")] + [
+            k for k in gkeys if k.startswith("__grp")
+        ]
         proj = (
-            (q.variables or q.group_by)
+            (q.variables or [k for k in gkeys if not k.startswith("__grp")])
             + [a[2] for a in q.aggregates if not a[2].startswith("__hagg")]
             + [a for a, _ in q.select_exprs]
         )
         # projected plain vars must be grouping keys
         for v in q.variables:
-            if v not in q.group_by:
+            if v not in gkeys:
                 raise SparqlCompileError(
                     f"?{v} projected alongside aggregates must appear in GROUP BY"
                 )

@@ -464,12 +464,35 @@ class Parser:
                     )
         self.eat("name", "WHERE")
         where = self.group()
-        group_by: list[str] = []
+        group_by: list = []
         if self.at("name", "GROUP"):
             self.next()
             self.eat("name", "BY")
-            while self.at("var"):
-                group_by.append(self.next()[1][1:])
+            # GroupCondition (§19.8 [20]): Var | '(' Expr ('AS' Var)? ')'
+            # | BuiltInCall/FunctionCall. Expression conditions are stored
+            # as (alias-or-None, FExpr) tuples; a bare expression gets a
+            # hidden key downstream (not projectable, per spec).
+            _stop = {"HAVING", "ORDER", "LIMIT", "OFFSET", "VALUES"}
+            while True:
+                if self.at("var"):
+                    group_by.append(self.next()[1][1:])
+                elif self.at("op", "("):
+                    self.next()
+                    ge = self.filter_expr()
+                    alias = None
+                    if self.at("name", "AS"):
+                        self.next()
+                        alias = self.eat("var")[1][1:]
+                    self.eat("op", ")")
+                    group_by.append((alias, ge))
+                elif (
+                    self.at("name")
+                    and self.peek()[1].upper() not in _stop
+                    and self.toks[self.i + 1] == ("op", "(")
+                ):
+                    group_by.append((None, self.filter_expr()))
+                else:
+                    break
         having = None
         if self.at("name", "HAVING"):
             self.next()

@@ -1154,11 +1154,17 @@ def test_sack_rejections(db):
     # update form without its operand
     with pytest.raises(GremlinError, match="by"):
         db.gremlin("g.withSack(1.0).V().sack(mult).count()").collect()
-    # anonymous bodies do not thread the register
-    with pytest.raises(GremlinError, match="anonymous"):
-        db.gremlin(
-            "g.withSack(1.0).V().coalesce(__.sack(), __.constant(0))"
+    # filter bodies follow TinkerPop scoping: the where() probe's sack
+    # mutation is DISCARDED (ids-only semi-join) — the outer register is
+    # untouched and the body still acts as an existence filter
+    got = [
+        r[0]
+        for r in db.gremlin(
+            "g.withSack(1.0).V().has('name','Alice')"
+            ".where(__.outE('KNOWS').sack(sum).by('since')).sack()"
         ).collect()
+    ]
+    assert got == [1.0]
 
 
 def test_local_limit_per_traverser(db):
@@ -1338,3 +1344,111 @@ def test_by_traversal_multikey_values_rejects(db):
             "g.V().group().by('city')"
             ".by(__.out('KNOWS').values('name','age').fold())"
         ).collect()
+
+
+def test_operator_tokens_only_in_sack_position(db):
+    """Bare Operator names (sum/mult/min/...) lower to string tokens ONLY
+    as sack()/withSack() arguments — `order().by(sum)` is a loud parse
+    error, not a silent property-key lookup on 'sum' (ADVICE r14)."""
+    import pytest
+
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    # legit: sack(mult) still parses and runs
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.withSack(1.0).V().has('name','Alice')"
+            ".outE('KNOWS').sack(mult).by('since').sack()"
+        ).collect()
+    )
+    assert got == [2015.0, 2017.0]
+    # mistaken: a bare Operator token outside sack position is rejected
+    with pytest.raises(GremlinError, match="literal"):
+        db.gremlin("g.V().order().by(sum)").collect()
+    with pytest.raises(GremlinError, match="literal"):
+        db.gremlin("g.V().has('age', min).values('name')").collect()
+
+
+def test_match_where_across_vars(db):
+    """TinkerPop allows where('a', P.neq('b')) AFTER match() — the
+    label-comparison filter over match variables (r14 batch #5)."""
+    got = sorted(
+        tuple(r)
+        for r in db.gremlin(
+            "g.V().match(__.as('a').out('KNOWS').as('b'))"
+            ".where('a', neq('b')).select('a', 'b').by('name').by('name')"
+        ).collect()
+    )
+    assert len(got) == 7  # every KNOWS pair has distinct endpoints
+    # by('city'): the only same-city KNOWS pair is Alice->Carol (NYC)
+    same_city = sorted(
+        tuple(r)
+        for r in db.gremlin(
+            "g.V().match(__.as('a').out('KNOWS').as('b'))"
+            ".where('a', eq('b')).by('city').select('a', 'b').by('name').by('name')"
+        ).collect()
+    )
+    assert same_city == [("Alice", "Carol")]
+
+
+def test_sack_across_branches(db):
+    """Branch replays thread the sack register: each union branch's
+    sack(op).by(key) update survives into the merged frame (r14)."""
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.withSack(1.0).V().has('name','Alice').union("
+            "__.outE('KNOWS').sack(mult).by('since'), "
+            "__.outE('KNOWS').sack(sum).by('since')).sack()"
+        ).collect()
+    )
+    assert got == [2015.0, 2016.0, 2017.0, 2018.0]
+
+
+def test_sack_across_coalesce(db):
+    """coalesce branches thread the register too; elements that fall to a
+    later branch keep the unmodified sack."""
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.withSack(10.0).V().has('name', within('Eve','Grace')).coalesce("
+            "__.outE('KNOWS').sack(sum).by('since').inV(), "
+            "__.has('name','Grace')).sack()"
+        ).collect()
+    )
+    assert got == [10.0, 2030.0]
+
+
+def test_repeat_until_loops_predicate(db):
+    """until(__.loops().is(P)) exits on the shared repeat counter —
+    repeat(out()).until(loops().is(gte(2))) emits the 2-hop frontier."""
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().has('name','Alice').repeat(__.out('KNOWS'))"
+            ".until(__.loops().is(gte(2))).values('name')"
+        ).collect()
+    )
+    assert got == ["Carol", "Dave"]
+
+
+def test_repeat_until_loops_exhaustion_raises(db):
+    import pytest
+
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    with pytest.raises(GremlinError, match="max_loops"):
+        db.gremlin(
+            "g.V().has('name','Alice').repeat(__.both('KNOWS'))"
+            ".until(__.loops().is(gte(99)))"
+        ).collect()
+
+
+def test_loops_outside_until_rejected(db):
+    import pytest
+
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    with pytest.raises(GremlinError, match="loops"):
+        db.gremlin("g.V().loops()").collect()

@@ -131,3 +131,48 @@ def test_priority_covers_every_query():
         f"queries() entries missing from _PRIORITY (their tiebreak "
         f"position is accidental): {sorted(unlisted)}"
     )
+
+
+def test_changed_module_entry_leads_cohort(monkeypatch):
+    """Change-aware rotation (verdict r13 #3): an entry whose implementing
+    module diff'd since its last-green round sorts ahead of equal-staleness
+    peers, so code-changed components never wait extra rounds for a driver
+    recheck."""
+    import __spark_entry__ as entry
+
+    last = entry._last_green_rounds()
+    names = list(entry.queries())
+    # pick any cohort with >= 2 entries from different module families
+    by_round: dict[int, list[str]] = {}
+    for n in names:
+        by_round.setdefault(last.get(n, -1), []).append(n)
+    rnd, cohort = next(
+        (r, c) for r, c in sorted(by_round.items()) if r >= 0 and len(c) >= 2
+    )
+    target, other = cohort[0], cohort[-1]
+    t_mods = entry._entry_modules(target)
+    # simulate: only `target`'s module changed since round `rnd`
+    monkeypatch.setattr(
+        entry, "_changed_since_round",
+        lambda r: frozenset({t_mods[0] + ("x.py" if t_mods[0].endswith("/") else "")}),
+    )
+    order = entry.battery_order(cohort)
+    assert entry._change_bumped(target, rnd)
+    bumped = [n for n in cohort if entry._change_bumped(n, rnd)]
+    not_bumped = [n for n in cohort if n not in bumped]
+    if not_bumped:
+        worst_bumped = max(order.index(n) for n in bumped)
+        best_not = min(order.index(n) for n in not_bumped)
+        assert worst_bumped < best_not, (
+            "change-bumped entries must lead their staleness cohort"
+        )
+
+
+def test_change_bump_degrades_gracefully(monkeypatch):
+    """No git / no marker => pure staleness ordering, never an exception."""
+    import __spark_entry__ as entry
+
+    monkeypatch.setattr(entry, "_changed_since_round", lambda r: frozenset())
+    names = list(entry.queries())
+    order = entry.battery_order(names)
+    assert sorted(order) == sorted(names)

@@ -1434,3 +1434,96 @@ def test_path_under_group_by(sdb):
         )
     )
     assert out == [(EX + "alice", 2), (EX + "bob", 1)]
+
+
+# --------------------------------------------------------------------- #
+# r14 probe batch #2: GROUP BY expressions, aggregates over OPTIONAL
+# vars, ORDER BY mixed bound/unbound under LIMIT, VALUES + aggregates
+# --------------------------------------------------------------------- #
+
+
+def test_groupby_expression_with_alias(sdb):
+    """GroupCondition '(' Expr AS ?v ')' (§19.8 [20]): the alias is a
+    projectable grouping key."""
+    out = rows(sdb.sparql(
+        PFX + "SELECT ?grown (COUNT(*) AS ?n) WHERE "
+        "{ ?p a ex:Person . ?p ex:age ?age } "
+        "GROUP BY (xsd:integer(?age) >= 40 AS ?grown) ORDER BY ?grown"
+    ))
+    assert out == [(False, 1), (True, 1)]
+
+
+def test_groupby_bare_expression_hidden_key(sdb):
+    """A bare expression GroupCondition groups but is NOT projectable —
+    only aggregates come out."""
+    out = sorted(rows(sdb.sparql(
+        PFX + "SELECT (COUNT(*) AS ?n) WHERE "
+        "{ ?p a ex:Person . ?p ex:name ?name } GROUP BY (STRLEN(?name))"
+    )))
+    # Alice=5, Bob=3, Carol=5 -> groups of 2 and 1
+    assert out == [(1,), (2,)]
+
+
+def test_groupby_expr_having(sdb):
+    out = rows(sdb.sparql(
+        PFX + "SELECT ?grown (COUNT(*) AS ?n) WHERE "
+        "{ ?p a ex:Person . ?p ex:age ?age } "
+        "GROUP BY (xsd:integer(?age) >= 30 AS ?grown) HAVING (COUNT(*) > 1)"
+    ))
+    assert out == [(True, 2)]
+
+
+def test_sum_avg_all_unbound_group_is_zero(sdb):
+    """§18.5.1: Sum({}) = 0 and Avg({}) = 0 — a group whose aggregated var
+    is unbound everywhere aggregates the empty multiset. MIN/MAX of the
+    empty multiset stay an error -> unbound."""
+    out = rows(sdb.sparql(
+        PFX + "SELECT ?p (SUM(?age) AS ?s) (AVG(?age) AS ?a) (MIN(?age) AS ?lo) "
+        "WHERE { ?p a ex:Person . OPTIONAL { ?p ex:age ?age } } "
+        "GROUP BY ?p ORDER BY ?p"
+    ))
+    assert out == [
+        (EX + "alice", 30.0, 30.0, "30"),
+        (EX + "bob", 40.0, 40.0, "40"),
+        (EX + "carol", 0.0, 0.0, None),
+    ]
+
+
+def test_sum_non_numeric_group_stays_unbound(sdb):
+    """Contrast pin: a group CONTAINING a non-numeric lexical is an
+    evaluation error -> unbound, not 0 (the empty-multiset rule must not
+    swallow cast failures)."""
+    out = rows(sdb.sparql(
+        PFX + "SELECT ?p (SUM(?nm) AS ?s) WHERE "
+        "{ ?p a ex:Person . ?p ex:name ?nm } GROUP BY ?p ORDER BY ?p"
+    ))
+    assert out == [(EX + "alice", None), (EX + "bob", None), (EX + "carol", None)]
+
+
+def test_orderby_unbound_lowest_under_limit(sdb):
+    """§15.1 unbound-lowest must survive the Catalyst top-k (LIMIT) path:
+    ASC LIMIT 1 returns the unbound row; DESC pushes it last."""
+    q = (PFX + "SELECT ?name ?age WHERE { ?p ex:name ?name . "
+         "OPTIONAL { ?p ex:age ?age } } ORDER BY %s(?age) ?name LIMIT 1")
+    asc = rows(sdb.sparql(q % "ASC"))
+    assert asc == [("NYC", None)] or asc == [("Carol", None)]  # first unbound name
+    desc = rows(sdb.sparql(q % "DESC"))
+    assert desc == [("Bob", "40")]
+
+
+def test_trailing_values_clause(sdb):
+    """ValuesClause after the solution modifiers (grammar [28]) joins the
+    solution sequence."""
+    out = rows(sdb.sparql(
+        PFX + "SELECT ?name ?tag WHERE { ?p a ex:Person . ?p ex:name ?name } "
+        "ORDER BY ?name LIMIT 2 VALUES ?tag { 'x' }"
+    ))
+    assert out == [("Alice", "x"), ("Bob", "x")]
+
+
+def test_values_undef_with_aggregate(sdb):
+    out = [tuple(r) for r in sdb.sparql(
+        PFX + "SELECT ?x (COUNT(*) AS ?n) WHERE "
+        "{ ?p a ex:Person . VALUES ?x { 1 UNDEF } } GROUP BY ?x ORDER BY ?x"
+    ).collect()]
+    assert out == [(None, 3), ("1", 3)]
