@@ -313,12 +313,57 @@ def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
         out, e = _hoist_exists_expr(ts, out, e)
         out = out.withColumn(v, _filter_col(e, out))
     for opt in g.optionals:
-        right = _compile_group(ts, opt)
+        # §8.3.1: OPTIONAL { P2 FILTER(F) } is LeftJoin(P1, P2, F) — F may
+        # reference P1's variables, so filters not fully resolvable inside
+        # P2 are DEFERRED into the left-join condition over the merged row
+        # (r14 probe batch #3: the inner-only evaluation silently treated
+        # outer vars as unbound). Filters resolvable inside P2 (and any
+        # containing EXISTS, which needs its own hoist frame) stay inner.
+        right = None
+        deferred: list = []
+        if opt.filters:
+            import dataclasses as _dc
+
+            base = _compile_group(ts, _dc.replace(opt, filters=[]))
+            inner = []
+            for f in opt.filters:
+                if _expr_has_exists(f) or _expr_vars(f) <= set(base.columns):
+                    inner.append(f)
+                else:
+                    deferred.append(f)
+            if deferred:
+                right = base
+                for f in inner:
+                    right, f = _hoist_exists_expr(ts, right, f)
+                    right = right.filter(_filter_col(f, right))
+        if right is None:
+            right = _compile_group(ts, opt)
+            deferred = []
         shared = [c for c in right.columns if c in out.columns]
-        if shared:
-            out = out.join(right, shared, "left")
+        if not deferred:
+            if shared:
+                out = out.join(right, shared, "left")
+            else:
+                out = out.join(right, F.lit(True), "left")
         else:
-            out = out.join(right, F.lit(True), "left")
+            import functools as _ft
+            from types import SimpleNamespace
+
+            rren = right
+            for c in shared:
+                rren = rren.withColumnRenamed(c, "__ropt_" + c)
+            # name-resolution shim: deferred filters compile against the
+            # merged column namespace (out's names win for shared vars —
+            # equal on every matched row by the equi condition)
+            shim = SimpleNamespace(
+                columns=list(dict.fromkeys(list(out.columns) + list(rren.columns)))
+            )
+            parts = [F.col(c) == F.col("__ropt_" + c) for c in shared]
+            parts += [_filter_col(f, shim) for f in deferred]
+            cond = _ft.reduce(lambda a, b: a & b, parts) if parts else F.lit(True)
+            out = out.join(rren, cond, "left")
+            for c in shared:
+                out = out.drop("__ropt_" + c)
     for m in g.minuses:
         right = _compile_group(ts, m)
         shared = [
@@ -468,6 +513,26 @@ def _valid_regex(pattern: str) -> bool:
         return True
     except _re.error:
         return False
+
+
+def _expr_vars(e) -> set:
+    """All variable names referenced by a filter expression tree."""
+    if isinstance(e, P.Var):
+        return {e.name}
+    if isinstance(e, P.FExpr):
+        out: set = set()
+        for a in e.args:
+            out |= _expr_vars(a)
+        return out
+    return set()
+
+
+def _expr_has_exists(e) -> bool:
+    if isinstance(e, P.FExpr):
+        if e.op == "exists_group":
+            return True
+        return any(_expr_has_exists(a) for a in e.args)
+    return False
 
 
 def _term_col(t, df: DataFrame) -> Column:
@@ -945,6 +1010,8 @@ def _apply_modifiers(out: DataFrame, q: P.SelectQuery) -> DataFrame:
         # terms are var names (str) or expressions (FExpr); an aggregate
         # call resolves to its SELECT alias via the HAVING machinery —
         # ORDER BY DESC(COUNT(?c)) sorts by the already-computed column
+        from pyspark.sql.types import StringType
+
         keys = []
         for term, asc in q.order:
             col = (
@@ -952,6 +1019,22 @@ def _apply_modifiers(out: DataFrame, q: P.SelectQuery) -> DataFrame:
                 if isinstance(term, str)
                 else _filter_col(_resolve_having(term, q), out)
             )
+            if isinstance(term, str) and term in out.columns and isinstance(
+                out.schema[term].dataType, StringType
+            ):
+                # §15.1 term-kind order precedes value order:
+                # unbound < blank node < IRI < literal (r14 probe batch
+                # #3). Kind is recovered by the documented _IRI_SHAPE
+                # heuristic (same as the isIRI builtin); string columns
+                # only — typed columns (aggregates, group exprs) hold one
+                # kind by construction.
+                kind = (
+                    F.when(col.isNull(), 0)
+                    .when(col.startswith("_:"), 1)
+                    .when(col.rlike(_IRI_SHAPE), 2)
+                    .otherwise(3)
+                )
+                keys.append(kind.asc() if asc else kind.desc())
             # §15.1: an unbound value sorts LOWEST — first under ASC,
             # last under DESC (was asc_nulls_last, found by r13 probing)
             keys.append(col.asc_nulls_first() if asc else col.desc_nulls_last())

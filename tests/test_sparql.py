@@ -1527,3 +1527,96 @@ def test_values_undef_with_aggregate(sdb):
         "{ ?p a ex:Person . VALUES ?x { 1 UNDEF } } GROUP BY ?x ORDER BY ?x"
     ).collect()]
     assert out == [(None, 3), ("1", 3)]
+
+
+# --------------------------------------------------------------------- #
+# r14 probe batch #3: MINUS scope, LeftJoin filter scope, path cycles,
+# term-kind ORDER, multi-var VALUES
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def cyc(spark):
+    """3-cycle knows graph: alice -> bob -> carol -> alice; bob has no age."""
+    from grafeo_spark.graph import TripleStore
+
+    from grafeo_spark.engine import GrafeoSpark
+
+    def t(s, p, o_iri=None, o_lit=None):
+        return (s, p, o_iri, o_lit, None, None)
+
+    data = [
+        t(EX + "alice", RDF_TYPE, o_iri=EX + "Person"),
+        t(EX + "alice", EX + "name", o_lit="Alice"),
+        t(EX + "alice", EX + "age", o_lit="30"),
+        t(EX + "alice", EX + "knows", o_iri=EX + "bob"),
+        t(EX + "bob", RDF_TYPE, o_iri=EX + "Person"),
+        t(EX + "bob", EX + "name", o_lit="Bob"),
+        t(EX + "bob", EX + "knows", o_iri=EX + "carol"),
+        t(EX + "carol", RDF_TYPE, o_iri=EX + "Person"),
+        t(EX + "carol", EX + "name", o_lit="Carol"),
+        t(EX + "carol", EX + "knows", o_iri=EX + "alice"),
+        t(EX + "carol", EX + "age", o_lit="35"),
+    ]
+    ts = TripleStore(spark.createDataFrame(
+        data, "s string, p string, o_iri string, o_lit string, o_dt string, g string"
+    ))
+    return GrafeoSpark(spark, graph=None, triples=ts)
+
+
+def test_minus_no_shared_vars_removes_nothing(cyc):
+    """§8.3.3 algebra: Minus(A, B) keeps a solution when its domain is
+    disjoint from every B solution — MINUS with no shared vars is a no-op
+    (the classic NOT-EXISTS-vs-MINUS divergence)."""
+    out = rows(cyc.sparql(
+        PFX + "SELECT ?name WHERE { ?p ex:name ?name MINUS { ?x ex:age ?y } }"
+    ))
+    assert out == [("Alice",), ("Bob",), ("Carol",)]
+
+
+def test_optional_filter_sees_outer_vars(cyc):
+    """§8.3.1 LeftJoin(P1, P2, F): a FILTER at the OPTIONAL group's top
+    level evaluates over the MERGED row, so it can compare P2 vars against
+    P1 vars (r14 probe batch #3 — was silently unbound before)."""
+    out = rows(cyc.sparql(
+        PFX + "SELECT ?name ?age WHERE { ?p ex:name ?name . "
+        "?p2 ex:age ?outer . FILTER(?p2 = ex:alice) "
+        "OPTIONAL { ?p ex:age ?age . "
+        "FILTER(xsd:integer(?age) <= xsd:integer(?outer)) } }"
+    ))
+    assert out == [("Alice", "30"), ("Bob", None), ("Carol", None)]
+
+
+def test_optional_inner_only_filter_unchanged(cyc):
+    """Filters resolvable inside P2 still evaluate there (the fast path)."""
+    out = rows(cyc.sparql(
+        PFX + "SELECT ?name ?age WHERE { ?p ex:name ?name "
+        "OPTIONAL { ?p ex:age ?age . FILTER(xsd:integer(?age) > 30) } }"
+    ))
+    assert out == [("Alice", None), ("Bob", None), ("Carol", "35")]
+
+
+def test_property_path_cycle_terminates(cyc):
+    """p+ over a cycle: distinct reachability, includes the start via the
+    cycle; p* adds the zero-length self exactly once."""
+    plus = rows(cyc.sparql(PFX + "SELECT ?y WHERE { ex:alice ex:knows+ ?y }"))
+    assert plus == [(EX + "alice",), (EX + "bob",), (EX + "carol",)]
+    star = rows(cyc.sparql(PFX + "SELECT ?y WHERE { ex:alice ex:knows* ?y }"))
+    assert star == [(EX + "alice",), (EX + "bob",), (EX + "carol",)]
+
+
+def test_order_by_term_kind(cyc):
+    """§15.1: IRIs order BEFORE literals (and unbound before both)."""
+    out = [tuple(r) for r in cyc.sparql(
+        PFX + "SELECT ?o WHERE { ex:carol ?pred ?o } ORDER BY ?o"
+    ).collect()]
+    assert out == [(EX + "Person",), (EX + "alice",), ("35",), ("Carol",)]
+
+
+def test_values_multivar_undef_join(cyc):
+    out = rows(cyc.sparql(
+        PFX + "SELECT ?name ?age WHERE { ?p ex:name ?name . "
+        "OPTIONAL { ?p ex:age ?age } "
+        "VALUES (?name ?age) { ('Alice' '30') ('Bob' UNDEF) } }"
+    ))
+    assert out == [("Alice", "30"), ("Bob", None)]
