@@ -87,57 +87,92 @@ def pagerank(
     if n == 0:
         return state.select("id", F.lit(0.0).alias("pagerank"))
     state = state.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    # Size the superstep shuffles to the MEASURED edge count (sum of
+    # out-degrees over the already-checkpointed state — no extra edge
+    # scan): at sf50 (375M directed edges) the contribution aggregation
+    # into the session's default partitions plus a MEMORY_AND_DISK edge
+    # cache starved execution memory outright
+    # (SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY, BENCH_SCALE r14).
+    # The conf raise is scoped to the superstep loop and restored in the
+    # finally — the r12 lesson: widen corpus-sized stages surgically,
+    # never the session.
+    from pyspark import StorageLevel
+
+    spark = state.sparkSession
+    ne = int(state.agg(F.sum("outdeg")).first()[0] or 0)
+    default_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    parts = max(int(default_parts), min(2048, -(-ne // 2_000_000)))
+    big = ne > 150_000_000
+    ckpt_level = StorageLevel.DISK_ONLY if big else None
     # materialize the edge list once, hash-partitioned by the join key:
     # every iteration's contribution join then co-locates against the cached
-    # partitioning and only the (much smaller) vertex state moves
+    # partitioning and only the (much smaller) vertex state moves. Past the
+    # documented single-node boundary (~150M edges) the cache and the
+    # per-superstep checkpoints go DISK_ONLY: a sequential re-read per
+    # superstep costs seconds; pinned storage blocks cost the job.
     e = (
         edges.select(F.col("src").alias("_es"), F.col("dst").alias("_ed"))
-        .repartition("_es")
-        .persist()
+        .repartition(parts, "_es")
+        .persist(StorageLevel.DISK_ONLY if big else StorageLevel.MEMORY_AND_DISK)
     )
+    if parts != int(default_parts):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     it = 0
-    for it in range(1, max_iter + 1):
-        dang = (
-            state.filter(F.col("outdeg") == 0)
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .first()[0]
-        )
-        contrib = (
-            e.join(state, e["_es"] == state["id"], "inner")
-            .select(F.col("_ed").alias("id"), (F.col("pr") / F.col("outdeg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        # keep the previous rank only when convergence is checked — the
-        # tol=None path would otherwise checkpoint a dead column per superstep
-        prev = state.withColumnRenamed("pr", "_prev") if tol is not None else state.drop("pr")
-        state = (
-            prev.join(contrib, "id", "left")
-            .withColumn(
-                "pr",
-                F.lit((1.0 - alpha) / n + alpha * dang / n)
-                + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)),
+    try:
+        for it in range(1, max_iter + 1):
+            dang = (
+                state.filter(F.col("outdeg") == 0)
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .first()[0]
             )
-            .drop("contrib")
-        )
-        state = state.localCheckpoint(eager=True)
-        if n > 2_000_000:
-            # big-state runs only: free the previous superstep's
-            # checkpoint blocks eagerly — see pregel.py: unreferenced
-            # checkpoints otherwise pile up in the block store until a
-            # chance GC (measured at sf25 / 46M vertices: supersteps
-            # churned 29-60s vs a flat ~17s with explicit collection).
-            # Gated on n so small-graph runs don't pay ~0.1s/superstep
-            # of driver GC for blocks that total a few MB.
-            import gc
+            contrib = (
+                e.join(state, e["_es"] == state["id"], "inner")
+                .select(
+                    F.col("_ed").alias("id"),
+                    (F.col("pr") / F.col("outdeg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            # keep the previous rank only when convergence is checked — the
+            # tol=None path would otherwise checkpoint a dead column per superstep
+            prev = (
+                state.withColumnRenamed("pr", "_prev")
+                if tol is not None
+                else state.drop("pr")
+            )
+            state = (
+                prev.join(contrib, "id", "left")
+                .withColumn(
+                    "pr",
+                    F.lit((1.0 - alpha) / n + alpha * dang / n)
+                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                )
+                .drop("contrib")
+            )
+            state = state.localCheckpoint(eager=True, storageLevel=ckpt_level)
+            if n > 2_000_000:
+                # big-state runs only: free the previous superstep's
+                # checkpoint blocks eagerly — see pregel.py: unreferenced
+                # checkpoints otherwise pile up in the block store until a
+                # chance GC (measured at sf25 / 46M vertices: supersteps
+                # churned 29-60s vs a flat ~17s with explicit collection).
+                # Gated on n so small-graph runs don't pay ~0.1s/superstep
+                # of driver GC for blocks that total a few MB.
+                import gc
 
-            gc.collect()
-        if tol is not None:
-            delta = state.agg(F.max(F.abs(F.col("pr") - F.col("_prev")))).first()[0]
-            state = state.drop("_prev")
-            if delta is not None and delta < tol:
-                break
-    e.unpersist()
+                gc.collect()
+            if tol is not None:
+                delta = state.agg(
+                    F.max(F.abs(F.col("pr") - F.col("_prev")))
+                ).first()[0]
+                state = state.drop("_prev")
+                if delta is not None and delta < tol:
+                    break
+    finally:
+        if parts != int(default_parts):
+            spark.conf.set("spark.sql.shuffle.partitions", default_parts)
+        e.unpersist()
     out = state.select("id", F.col("pr").alias("pagerank"))
     # diagnostic for tests/tuning: how many supersteps actually ran
     out.iterations_run = it  # type: ignore[attr-defined]
