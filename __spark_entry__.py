@@ -1975,7 +1975,16 @@ def _alg_betweenness_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grafeo_spark.algorithms import betweenness_centrality
     from grafeo_spark.catalog import load_tables
 
-    n = load_tables(spark, sf_dir)["nation"].select(F.col("n_nationkey").alias("k"))
+    # 13-node path (diameter 12): deep enough to pin 12 levels of reverse
+    # accumulation, half the sequential superstep cost of the full
+    # 25-nation path — level-synchronous BFS pays job-launch × diameter,
+    # the iterative-family tax (r14; the distributed rewrite made the old
+    # 25-deep entry the slowest battery row for no extra coverage)
+    n = (
+        load_tables(spark, sf_dir)["nation"]
+        .select(F.col("n_nationkey").alias("k"))
+        .filter(F.col("k") < 13)
+    )
     mx = n.agg(F.max("k")).collect()[0][0]
     edges = n.filter(F.col("k") < mx).select(
         F.col("k").alias("src"), (F.col("k") + 1).alias("dst")
@@ -2191,12 +2200,13 @@ def _alg_dfs_preorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE["alg_betweenness_path"] = """
-    WITH mx AS (SELECT CAST(MAX(n_nationkey) AS DOUBLE) AS m FROM nation)
+    WITH mx AS (SELECT CAST(MAX(n_nationkey) AS DOUBLE) AS m
+                FROM nation WHERE n_nationkey < 13)
     SELECT CAST(n_nationkey AS BIGINT) AS id,
            ROUND(n_nationkey * ((SELECT m FROM mx) - n_nationkey) * 2.0
                  / ((SELECT m FROM mx) * ((SELECT m FROM mx) - 1)), 6)
              AS betweenness
-    FROM nation ORDER BY id
+    FROM nation WHERE n_nationkey < 13 ORDER BY id
 """
 
 

@@ -245,17 +245,29 @@ def betweenness_centrality(
     if not directed:
         e = undirect(e).distinct()
     spark = e.sparkSession
-    # hash-partition edges on the join key ONCE: every forward level and
-    # every reverse level joins on id == src, so a pre-partitioned edge
-    # side never re-exchanges (2·diameter exchanges saved; the frontier
-    # side shuffles regardless since it arrives grouped by (source, id))
-    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    e = e.repartition(default_parts, "src").localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=True)
     verts = vertices_from_edges(e).localCheckpoint(eager=True)
     nv = verts.count()
     empty = spark.createDataFrame([], "id long, betweenness double")
     if nv == 0:
         return empty
+
+    # Per-level eager checkpoints keep state bounded and lineage flat; on
+    # a SMALL graph the dominant cost is then job overhead × diameter (a
+    # 25-node path = ~50 driver round-trips), so the whole iteration —
+    # including the pre-partitioned edge side, which must share the width
+    # or every level re-exchanges it — runs at a scoped-down partition
+    # count (the inverse of pagerank's scoped raise; restored below).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    small = nv <= 100_000
+    eff_parts = min(int(prev_parts), 4) if small else int(prev_parts)
+    if small:
+        spark.conf.set("spark.sql.shuffle.partitions", str(eff_parts))
+    # hash-partition edges on the join key ONCE: every forward level and
+    # every reverse level joins on id == src, so a pre-partitioned edge
+    # side never re-exchanges (2·diameter exchanges saved; the frontier
+    # side shuffles regardless since it arrives grouped by (source, id))
+    e = e.repartition(eff_parts, "src").localCheckpoint(eager=True)
 
     sources = verts
     n_sources = nv
@@ -266,6 +278,22 @@ def betweenness_centrality(
         n_sources = sample_sources
 
     # ---- forward multi-source BFS with shortest-path counts ----------
+    try:
+        return _betweenness_core(
+            spark, e, verts, nv, sources, n_sources, eff_parts,
+            checkpoint_every, normalized, directed, empty,
+        )
+    finally:
+        if small:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _betweenness_core(
+    spark, e, verts, nv, sources, n_sources, eff_parts,
+    checkpoint_every, normalized, directed, empty,
+):
+    import gc
+
     lvl0 = sources.select(
         F.col("id").alias("source"), F.col("id"), F.lit(1.0).alias("sigma")
     ).localCheckpoint(eager=True)
@@ -274,7 +302,7 @@ def betweenness_centrality(
     frontier = lvl0
     seen_rows = n_sources
     d = 0
-    while True:
+    while d <= nv:
         d += 1
         nxt = (
             frontier.join(e, frontier["id"] == e["src"])
@@ -296,7 +324,7 @@ def betweenness_centrality(
             # state stays bounded however large the reachable set grows;
             # explicit gc frees superseded checkpoint blocks (py4j cycles
             # defeat refcounting — the pregel.py r13 finding).
-            parts = max(default_parts, -(-seen_rows // 2_000_000))
+            parts = max(eff_parts, -(-seen_rows // 2_000_000))
             visited = visited.repartition(parts, "source", "id").localCheckpoint(
                 eager=True
             )
@@ -326,16 +354,13 @@ def betweenness_centrality(
                 ).alias("delta")
             )
         )
-        delta_lev = (
-            v.join(contrib, ["source", "id"], "left")
-            .select(
-                "source",
-                "id",
-                "sigma",
-                F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
-            )
-            .localCheckpoint(eager=True)
+        delta_lev = v.join(contrib, ["source", "id"], "left").select(
+            "source",
+            "id",
+            "sigma",
+            F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
         )
+        delta_lev = delta_lev.localCheckpoint(eager=True)
         bc_parts.append(delta_lev.select("id", "delta"))
         delta_next = delta_lev
         if lev % checkpoint_every == 0:
