@@ -991,6 +991,16 @@ def compile_select(ts: TripleStore, q: P.SelectQuery) -> DataFrame:
         missing = [v for v in cols if v not in out.columns]
         for v in missing:
             out = out.withColumn(v, F.lit(None).cast("string"))
+        if not q.distinct:
+            # §18.2.4 algebra order: OrderBy runs BEFORE Project, so an
+            # ORDER BY term may reference WHERE-scope vars that are not
+            # projected (r14 probe batch #4: ORDER BY DESC(xsd:integer(?a))
+            # with only ?p projected silently sorted by null). Slice too —
+            # a pre-projection top-k is also the better plan. DISTINCT
+            # queries keep project-then-distinct-then-order (the standard
+            # order-terms-must-be-projected restriction).
+            out = _apply_modifiers(out, q)
+            return out.select(*cols)
         out = out.select(*cols)
     else:
         out = out.select(

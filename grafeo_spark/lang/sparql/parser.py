@@ -523,6 +523,11 @@ class Parser:
                     self.at("name")
                     and self.peek()[1].upper() not in ("LIMIT", "OFFSET")
                     and self.toks[self.i + 1] == ("op", "(")
+                ) or (
+                    # bare FunctionCall OrderCondition (grammar [24]):
+                    # ORDER BY xsd:integer(?a)
+                    self.at("pname")
+                    and self.toks[self.i + 1][:2] == ("op", "(")
                 ):
                     v = self.filter_expr()
                 else:

@@ -1620,3 +1620,99 @@ def test_values_multivar_undef_join(cyc):
         "VALUES (?name ?age) { ('Alice' '30') ('Bob' UNDEF) } }"
     ))
     assert out == [("Alice", "30"), ("Bob", None)]
+
+
+# --------------------------------------------------------------------- #
+# r14 probe batch #4: CONSTRUCT templates, SAMPLE/GROUP_CONCAT DISTINCT,
+# subselect modifiers, chained BIND, IN/NOT IN, path ?/inverse-sequence,
+# HAVING without GROUP BY, ORDER BY over non-projected vars
+# --------------------------------------------------------------------- #
+
+
+def test_construct_template_bnode_fresh_per_row(cyc):
+    """A template blank node instantiates FRESH per solution row."""
+    got = [tuple(r) for r in cyc.sparql(
+        PFX + "CONSTRUCT { _:b ex:of ?p } WHERE { ?p a ex:Person }"
+    ).collect()]
+    assert len(got) == 3
+    assert len({r[0] for r in got}) == 3  # three distinct bnodes
+    assert all(r[1] == EX + "of" for r in got)
+
+
+def test_construct_where_shorthand(cyc):
+    got = rows(cyc.sparql(PFX + "CONSTRUCT WHERE { ?p ex:name ?n }"))
+    assert got == [
+        (EX + "alice", EX + "name", "Alice"),
+        (EX + "bob", EX + "name", "Bob"),
+        (EX + "carol", EX + "name", "Carol"),
+    ]
+
+
+def test_orderby_non_projected_var_expression(cyc):
+    """§18.2.4 algebra: OrderBy runs BEFORE Project — an ORDER BY
+    expression may reference a WHERE var that is not projected (r14 probe
+    batch #4: this silently sorted by null before)."""
+    got = [r.name for r in cyc.sparql(
+        PFX + "SELECT ?name WHERE { ?p ex:name ?name . ?p ex:age ?a } "
+        "ORDER BY DESC(xsd:integer(?a))"
+    ).collect()]
+    assert got == ["Carol", "Alice"]
+    # bare FunctionCall OrderCondition (grammar [24]) parses too
+    got2 = [r.name for r in cyc.sparql(
+        PFX + "SELECT ?name WHERE { ?p ex:name ?name . ?p ex:age ?a } "
+        "ORDER BY xsd:integer(?a) LIMIT 1"
+    ).collect()]
+    assert got2 == ["Alice"]
+
+
+def test_subselect_order_limit_inside(cyc):
+    """ORDER BY + LIMIT inside a { SELECT } apply within the subquery."""
+    got = rows(cyc.sparql(
+        PFX + "SELECT ?n WHERE { { SELECT ?p WHERE { ?p ex:age ?a } "
+        "ORDER BY DESC(xsd:integer(?a)) LIMIT 1 } ?p ex:name ?n }"
+    ))
+    assert got == [("Carol",)]
+
+
+def test_in_not_in_operators(cyc):
+    got = rows(cyc.sparql(
+        PFX + "SELECT ?n WHERE { ?p ex:name ?n . FILTER(?n IN ('Alice', 'Carol')) }"
+    ))
+    assert got == [("Alice",), ("Carol",)]
+    got2 = rows(cyc.sparql(
+        PFX + "SELECT ?n WHERE { ?p ex:name ?n . FILTER(?n NOT IN ('Alice', 'Carol')) }"
+    ))
+    assert got2 == [("Bob",)]
+
+
+def test_path_zero_or_one_and_inverse_sequence(cyc):
+    got = rows(cyc.sparql(PFX + "SELECT ?y WHERE { ex:alice ex:knows? ?y }"))
+    assert got == [(EX + "alice",), (EX + "bob",)]
+    got2 = rows(cyc.sparql(
+        PFX + "SELECT ?y WHERE { ex:alice ex:knows/^ex:knows ?y }"
+    ))
+    assert got2 == [(EX + "alice",)]
+
+
+def test_having_without_groupby(cyc):
+    got = rows(cyc.sparql(
+        PFX + "SELECT (COUNT(*) AS ?n) WHERE { ?p a ex:Person } HAVING (COUNT(*) > 2)"
+    ))
+    assert got == [(3,)]
+    got2 = rows(cyc.sparql(
+        PFX + "SELECT (COUNT(*) AS ?n) WHERE { ?p a ex:Person } HAVING (COUNT(*) > 5)"
+    ))
+    assert got2 == []
+
+
+def test_chained_bind_and_sample(cyc):
+    got = [tuple(r) for r in cyc.sparql(
+        PFX + "SELECT ?n ?l2 WHERE { ?p ex:name ?n . "
+        "BIND(STRLEN(?n) AS ?l) . BIND(?l * 2 AS ?l2) } ORDER BY ?n"
+    ).collect()]
+    assert got == [("Alice", 10), ("Bob", 6), ("Carol", 10)]
+    s = cyc.sparql(
+        PFX + "SELECT (SAMPLE(?age) AS ?a) WHERE "
+        "{ ?p a ex:Person . OPTIONAL { ?p ex:age ?age } }"
+    ).collect()
+    assert len(s) == 1 and s[0][0] in ("30", "35")
