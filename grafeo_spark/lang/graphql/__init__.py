@@ -435,6 +435,14 @@ _SUFFIX_OPS: tuple[tuple[str, Any], ...] = (
 )
 
 
+def _base_key(k: str) -> str:
+    """Argument name with any _SUFFIX_OPS operator suffix stripped."""
+    for suf, _ in _SUFFIX_OPS:
+        if k.endswith(suf) and len(k) > len(suf):
+            return k[: -len(suf)]
+    return k
+
+
 def _filter_cond(k: str, v: Any):
     for suf, fn in _SUFFIX_OPS:
         if k.endswith(suf) and len(k) > len(suf):
@@ -509,8 +517,24 @@ def _join_nested(
         # multi-label destinations fall back to the all-labels union
         label = endpoint_scalar(graph.endpoints.get(sel.name), 1)
     base = graph.nodes(label) if label else graph.nodes(None)
+    efull = graph.edges(sel.name)
+    # argument filters resolve against the DESTINATION NODE first, then the
+    # EDGE's own properties (KNOWS(since: 2015) filters the relationship —
+    # r14 probe batch: an edge-prop arg previously escaped as a raw
+    # AnalysisException); anything in neither is a loud schema error
+    edge_filters = []
     for k, v in filters:
-        base = base.filter(_filter_cond(k, v))
+        base_k = _base_key(k)
+        if base_k in base.columns:
+            base = base.filter(_filter_cond(k, v))
+        elif base_k in efull.columns:
+            edge_filters.append((k, v))
+        else:
+            raise GraphQLError(
+                f"unknown argument {base_k!r} on {sel.name}: neither a "
+                f"{label or 'destination'} property nor a {sel.name} "
+                "edge property"
+            )
 
     child_prefix = prefix + sel.out_name + "_"
     child_id = f"__id_{child_prefix}"
@@ -532,9 +556,10 @@ def _join_nested(
         *[F.col(f).alias(c) for c, (f, _) in zip(ord_cols, order)],
     )
     esrc, edst = f"__src_{child_prefix}", f"__dst_{child_prefix}"
-    e = graph.edges(sel.name).select(
-        F.col("src").alias(esrc), F.col("dst").alias(edst)
-    )
+    e = efull
+    for k, v in edge_filters:
+        e = e.filter(_filter_cond(k, v))
+    e = e.select(F.col("src").alias(esrc), F.col("dst").alias(edst))
     out = (
         frame.join(e, F.col(parent_id_col) == F.col(esrc), "inner")
         .join(child, F.col(edst) == F.col(child_id), "inner")

@@ -376,3 +376,55 @@ def test_typename_meta_field(db):
         '{ Person(name: "Alice") { name KNOWS { __typename name } } }'
     ).collect()
     assert nested[0]["KNOWS___typename"] == "Person"
+
+
+# --------------------------------------------------------------------- #
+# r14 probe batch: edge-property args on nested fields, variables in
+# nested args, nested __typename, negative float literals
+# --------------------------------------------------------------------- #
+
+
+def test_nested_edge_property_arg(db):
+    """Arguments on a nested field resolve against the destination node
+    FIRST, then the edge's own properties — KNOWS(since: 2015) filters
+    the relationship (r14: previously escaped as a raw AnalysisException)."""
+    out = rows(db.graphql(
+        'query Q($y: Int) { Person(name: "Alice") { name KNOWS(since: $y) { name } } }',
+        variables={"y": 2015},
+    ))
+    assert out == [("Alice", "Bob")]
+    # operator suffixes work on edge properties too
+    out2 = rows(db.graphql(
+        '{ Person(name: "Alice") { name KNOWS(since_gte: 2016) { name } } }'
+    ))
+    assert out2 == [("Alice", "Carol")]
+
+
+def test_nested_unknown_arg_is_loud(db):
+    import pytest
+
+    from grafeo_spark.lang.graphql import GraphQLError
+
+    with pytest.raises(GraphQLError, match="unknown argument"):
+        db.graphql(
+            '{ Person(name: "Alice") { name KNOWS(frob: 1) { name } } }'
+        ).collect()
+
+
+def test_nested_typename_and_negative_float(db):
+    out = rows(db.graphql(
+        '{ Person(name: "Alice") { name KNOWS { __typename name } } }'
+    ))
+    assert out == [("Alice", "Person", "Bob"), ("Alice", "Person", "Carol")]
+    # negative numeric literal in argument position
+    out2 = db.graphql('{ Person(age_gt: -1) { name } }').count()
+    assert out2 == 8
+
+
+def test_multiple_root_fields_rejected_loudly(db):
+    import pytest
+
+    from grafeo_spark.lang.graphql import GraphQLError
+
+    with pytest.raises(GraphQLError, match="one root field"):
+        db.graphql('{ a: Person { name } b: Person { name } }').collect()
