@@ -915,8 +915,21 @@ class Traversal:
             )
         return _SackStep(self, op)
 
-    def dedup(self) -> "_DedupStep":
-        # deferred: an optional .by(key) modulator dedups on that property
+    def dedup(self, *labels: str):
+        """Plain: defer for an optional .by(key) modulator. Scoped
+        ``dedup('a','b')`` (TinkerPop DedupGlobalStep with labels): one
+        traverser per distinct combination of the labeled elements —
+        which survives is unspecified, as in TinkerPop (r14 batch #6)."""
+        if labels:
+            cols = []
+            for lab in labels:
+                var = self.labels.get(lab)
+                if var is None:
+                    raise GremlinError(f"dedup({lab!r}): unknown step label")
+                cols.append(_p(var, "id"))
+            return self._derive(
+                self.df.dropDuplicates(cols), self.cur, self.kind
+            )
         return _DedupStep(self)
 
     def _dedup_plain(self) -> "Traversal":
@@ -1375,12 +1388,18 @@ class Traversal:
         t = self.identity()
         t._repeat_body = body
         t._emit_first = getattr(self, "_emit_first", False)
+        if getattr(self, "_emit_cond", None) is not None:
+            t._emit_cond = self._emit_cond
         return t
 
-    def emit(self) -> "Traversal":
-        """Emit every intermediate traverser (default predicate): before
-        ``repeat`` includes the pre-loop element, after it the per-
-        iteration frontiers."""
+    def emit(self, cond: Optional[Anon] = None) -> "Traversal":
+        """Emit every intermediate traverser, or — with an anonymous
+        filter, ``emit(__.has('city','NYC'))`` — only those satisfying it
+        (TinkerPop emit predicate, r14 batch #6): before ``repeat``
+        includes the pre-loop element, after it the per-iteration
+        frontiers. The predicate gates INTERMEDIATE emissions only — the
+        final iteration exits through times()/until() unconditionally
+        (RepeatStep checks until before the emit split)."""
         t = self.identity()
         body = getattr(self, "_repeat_body", None)
         if body is not None:
@@ -1388,7 +1407,21 @@ class Traversal:
             t._repeat_emit = True
         else:
             t._emit_first = True
+        if cond is not None:
+            if not isinstance(cond, Anon):
+                raise GremlinError("emit() takes an anonymous traversal filter")
+            t._emit_cond = cond
         return t
+
+    def _emit_filtered(self, df: DataFrame, cur: str, kind: str) -> DataFrame:
+        """Apply the pending emit predicate (if any) to a frontier about
+        to be emitted — an EXISTS semi-join, same machinery as where()."""
+        cond = getattr(self, "_emit_cond", None)
+        if cond is None:
+            return df
+        sub = self._derive(df, cur, kind)
+        ids = sub._exists_ids(cond)
+        return df.join(ids, _p(cur, "id"), "left_semi")
 
     def times(self, n) -> "Traversal":
         """Expand the pending repeat: without emit, the body applied n
@@ -1410,7 +1443,7 @@ class Traversal:
                 t = t._apply_anon(body)
             return t
         start = 0 if emit_first else 1
-        if n <= 3:
+        if n <= 3 and getattr(self, "_emit_cond", None) is None:
             # shallow loops: the union-of-replays form (iteration k = the
             # body applied k times) stays inside one whole-stage-codegen
             # job — n(n+1)/2 <= 6 body applications, cheaper than paying
@@ -1426,8 +1459,10 @@ class Traversal:
             if self.kind == "value":
                 raise GremlinError("repeat().times() with emit needs an element traversal")
             kind = self.kind
-            outs.append(self._frontier_renamed(self.df, self.cur, tvar))
-        for _ in range(n):
+            outs.append(self._frontier_renamed(
+                self._emit_filtered(self.df, self.cur, self.kind), self.cur, tvar
+            ))
+        for i in range(n):
             t = t._apply_anon(body)
             if t.kind == "value":
                 raise GremlinError("repeat().times() with emit needs an element traversal")
@@ -1439,7 +1474,15 @@ class Traversal:
             # still computes each frontier once and keeps lineage flat
             # when the final union executes.
             frontier = t.df.localCheckpoint(eager=False)
-            outs.append(self._frontier_renamed(frontier, t.cur, tvar))
+            # the FINAL iteration exits through times(), not through emit,
+            # so its traversers are unconditionally kept (TinkerPop
+            # RepeatStep: until fires before the emit split)
+            emitted = (
+                frontier
+                if i == n - 1
+                else self._emit_filtered(frontier, t.cur, t.kind)
+            )
+            outs.append(self._frontier_renamed(emitted, t.cur, tvar))
             t = t._derive(frontier, t.cur, t.kind)
         out = outs[0]
         for o in outs[1:]:
@@ -1476,7 +1519,9 @@ class Traversal:
             if self.kind == "value":
                 raise GremlinError("repeat().until() needs an element traversal")
             kind = self.kind
-            outs.append(_renamed(self.df, self.cur))
+            outs.append(_renamed(
+                self._emit_filtered(self.df, self.cur, self.kind), self.cur
+            ))
         for it in range(1, int(max_loops) + 1):
             t = t._apply_anon(body)
             if t.kind == "value":
@@ -1494,7 +1539,9 @@ class Traversal:
                 if it % 3 == 0:
                     rest = rest.localCheckpoint(eager=True)
                 if emit:
-                    outs.append(_renamed(rest, t.cur))
+                    outs.append(_renamed(
+                        self._emit_filtered(rest, t.cur, t.kind), t.cur
+                    ))
                 t = t._derive(rest, t.cur, t.kind)
                 if it == int(max_loops):
                     raise GremlinError(
@@ -1510,7 +1557,9 @@ class Traversal:
             if emit:
                 # emit-all: continuing traversers are ALSO emitted each
                 # iteration (exiting ones appear once, via the until arm)
-                outs.append(_renamed(rest, t.cur))
+                outs.append(_renamed(
+                    self._emit_filtered(rest, t.cur, t.kind), t.cur
+                ))
             t = t._derive(rest, t.cur, t.kind)
             if rest.isEmpty():
                 break

@@ -1452,3 +1452,77 @@ def test_loops_outside_until_rejected(db):
 
     with pytest.raises(GremlinError, match="loops"):
         db.gremlin("g.V().loops()").collect()
+
+
+# --------------------------------------------------------------------- #
+# r14 batch #6: order-by-subtraversal, group double modulators, scoped
+# dedup, emit(predicate), choose value branches
+# --------------------------------------------------------------------- #
+
+
+def test_order_by_subtraversal(db):
+    got = [r[0] for r in db.gremlin(
+        "g.V().order().by(__.out('KNOWS').count(), desc).by('name')"
+        ".limit(2).values('name')"
+    ).collect()]
+    assert got == ["Alice", "Bob"]
+
+
+def test_group_double_modulator_mean(db):
+    got = dict(tuple(r) for r in db.gremlin(
+        "g.V().group().by('city').by(__.values('age').mean())"
+    ).collect())
+    assert got == {"NYC": (30 + 35 + 45) / 3, "LA": 45.0, "Chicago": 28.0,
+                   "Phoenix": 22.0, "Houston": 33.0}
+
+
+def test_scoped_dedup_on_labels(db):
+    """dedup('a','b') keeps one traverser per distinct labeled-element
+    combination (TinkerPop DedupGlobalStep with labels, r14)."""
+    n_all = db.gremlin(
+        "g.V().as('a').out('KNOWS').in('KNOWS').as('b').count()"
+    ).collect()[0][0]
+    n_dedup = db.gremlin(
+        "g.V().as('a').out('KNOWS').in('KNOWS').as('b').dedup('a','b').count()"
+    ).collect()[0][0]
+    # Alice->{Bob,Carol}; Bob,Carol are each also reached via two in-edges:
+    # distinct (a,b) combinations are strictly fewer than raw traversers
+    assert 1 <= n_dedup < n_all
+    import pytest
+
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    with pytest.raises(GremlinError, match="unknown step label"):
+        db.gremlin("g.V().dedup('zz').count()").collect()
+
+
+def test_emit_with_predicate(db):
+    """emit(__.has(...)) filters INTERMEDIATE emissions only; the final
+    iteration exits through times() unconditionally (TinkerPop RepeatStep:
+    until fires before the emit split). Bag semantics per traverser path:
+    Carol is emitted at depth 2 and exits at depth 3 via Bob."""
+    got = sorted(r[0] for r in db.gremlin(
+        "g.V().has('name','Heidi').repeat(__.out('KNOWS'))"
+        ".emit(__.has('city','NYC')).times(3).values('name')"
+    ).collect())
+    # intermediates: Alice (d1, NYC), Carol (d2, NYC) — Bob filtered;
+    # final d3 frontier exits unfiltered: Carol (via Bob) + Dave
+    assert got == ["Alice", "Carol", "Carol", "Dave"]
+
+
+def test_emit_predicate_before_repeat_filters_start(db):
+    got = sorted(r[0] for r in db.gremlin(
+        "g.V().has('name','Alice').emit(__.has('city','NYC'))"
+        ".repeat(__.out('KNOWS')).times(1).values('name')"
+    ).collect())
+    # pre-loop Alice passes the NYC filter (intermediate emission); the
+    # times(1) frontier {Bob, Carol} exits the loop unfiltered
+    assert got == ["Alice", "Bob", "Carol"]
+
+
+def test_choose_value_branches(db):
+    got = sorted(r[0] for r in db.gremlin(
+        "g.V().has('name', within('Alice','Grace'))"
+        ".choose(__.out('KNOWS'), __.values('name'), __.values('city'))"
+    ).collect())
+    assert got == ["Alice", "Phoenix"]
