@@ -895,6 +895,14 @@ _ORACLE: dict[str, str] = {
         SELECT n_name AS nm, CAST(length(n_name) AS INTEGER) AS len
         FROM nation WHERE length(n_name) > 8 ORDER BY nm
     """,
+    "sparql_bind_seq_triple": """
+        SELECT n_name AS nname, r_name AS rname
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY nname
+    """,
+    "sparql_minus_disjoint": """
+        SELECT n_name AS nm FROM nation ORDER BY nm
+    """,
     "sparql_exists_nations": """
         SELECT n_name AS nm FROM nation
         WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
@@ -2982,6 +2990,20 @@ _SPARQL: dict[str, str] = {
         "WHERE { ?n ex:inRegion ?r ; ex:name ?nm } GROUP BY ?r } } "
         "ORDER BY ?rname"
     ),
+    # r15 probe batch #5: BIND ends the current BGP (§18.2.2.6) — the
+    # triple AFTER the BIND joins against the Extend'ed solution, not a
+    # disconnected scan (lang/sparql/compiler._compile_group_sequential)
+    "sparql_bind_seq_triple": (
+        "SELECT ?nname ?rname WHERE { ?n a ex:Nation ; ex:name ?nname ; "
+        "ex:inRegion ?rk . BIND(?rk AS ?r) . ?r ex:name ?rname } "
+        "ORDER BY ?nname"
+    ),
+    # r15 probe batch #5: §8.3.3 MINUS with disjoint variables removes
+    # NOTHING (vs FILTER NOT EXISTS which would empty the result)
+    "sparql_minus_disjoint": (
+        "SELECT ?nm WHERE { ?n a ex:Nation ; ex:name ?nm "
+        "MINUS { ?x ex:mktsegment ?y } } ORDER BY ?nm"
+    ),
 }
 
 
@@ -3952,6 +3974,10 @@ _PRIORITY = [
     "sparql_sum_optional_zero",
     "gremlin_until_loops",
     "gremlin_sack_union",
+    # -- r15 additions: BIND-ends-BGP sequential scope + MINUS
+    # disjoint-variable semantics (SPARQL probe batch #5)
+    "sparql_bind_seq_triple",
+    "sparql_minus_disjoint",
 ]
 
 
@@ -4063,6 +4089,63 @@ def _change_bumped(name: str, last_round: int) -> bool:
     )
 
 
+def _bump_recency(name: str, last_round: int, newest: int) -> int:
+    """How recently this entry's modules changed: the highest round R
+    whose driver-artifact commit still precedes a diff to the modules
+    (R == newest means "changed this round"). -1 when not bumped.
+    Newest-change-first is the reserve's promotion order — the code most
+    recently rewritten is the code most in need of a driver recheck."""
+    if not _change_bumped(name, last_round):
+        return -1
+    mods = _entry_modules(name)
+    best = last_round
+    for r in range(last_round + 1, newest + 1):
+        changed = _changed_since_round(r)
+        if any(p.startswith(m) for p in changed for m in mods):
+            best = r
+    return best
+
+
+def _window_size() -> int:
+    """The driver's oracle-window length, observed from the newest
+    CORRECTNESS file (50 for every round on record); 50 if none exist.
+    Mirrors tests/test_rotation._window."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    newest, rows = -1, 50
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        if rnd > newest:
+            newest, rows = rnd, len(data)
+    return rows
+
+
+# Window slots reserved for change-bumped entries ACROSS staleness
+# cohorts (verdict r14 #1 / wrong #3): within-cohort bumping alone let
+# the round's biggest rewrite (distributed betweenness) keep old-impl
+# driver evidence because its cohort's window budget went to
+# lightly-touched peers on a _PRIORITY tiebreak. Up to this many bumped
+# entries from OUTSIDE the stalest-first window now preempt unchanged
+# (non-bumped) entries at the fresh end of the window head, newest
+# change first. Cost, stated plainly: each preemption can delay one
+# unchanged stale entry a round, so up to this many entries may carry
+# 4-round-old evidence instead of the structural ≤3 — the displaced
+# entries are by construction the stalest next round and re-enter the
+# head first.
+_CHANGE_RESERVE = 5
+
+
 def _last_green_rounds() -> dict[str, int]:
     """Per-entry last driver-green round, from the CORRECTNESS_r*.json
     history (green = rows_match and no err). Entries absent from every
@@ -4093,19 +4176,54 @@ def battery_order(names) -> list:
     """Deterministic driver-check ordering: stalest first (never-checked
     entries lead with staleness -1), then change-bumped entries (module
     diff'd since last green) ahead of equal-staleness peers, then
-    _PRIORITY position then name. Pure data — tests/test_rotation.py
-    re-runs this exact policy as the guard."""
+    _PRIORITY position then name — and finally up to _CHANGE_RESERVE
+    bumped entries from outside the window preempt unchanged entries at
+    the fresh end of the window head (newest change first), so "code
+    changed ⇒ driver recheck next round" is a guarantee rather than a
+    tiebreak. Pure data — tests/test_rotation.py re-runs this exact
+    policy as the guard."""
     last = _last_green_rounds()
     pos = {n: i for i, n in enumerate(_PRIORITY)}
-    return sorted(
-        names,
-        key=lambda n: (
+
+    def key(n):
+        return (
             last.get(n, -1),
             0 if _change_bumped(n, last.get(n, -1)) else 1,
             pos.get(n, len(_PRIORITY)),
             n,
-        ),
+        )
+
+    base = sorted(names, key=key)
+    w = _window_size()
+    head, tail = base[:w], base[w:]
+    if not tail:
+        return base
+    newest = max(last.values(), default=-1)
+    # bumped entries stranded outside the window, newest change first
+    # (ties broken by the base key, i.e. stalest evidence first)
+    candidates = sorted(
+        (n for n in tail if _change_bumped(n, last.get(n, -1))),
+        key=lambda n: (-_bump_recency(n, last.get(n, -1), newest),) + key(n),
     )
+    # preempt only UNCHANGED, PREVIOUSLY-CHECKED head entries, freshest
+    # evidence first (the end of the head) — displacing a bumped entry to
+    # admit another bumped entry would be churn, and never-checked
+    # entries must always get their first driver row
+    displaceable = [
+        n
+        for n in reversed(head)
+        if last.get(n, -1) >= 0 and not _change_bumped(n, last.get(n, -1))
+    ]
+    k = min(_CHANGE_RESERVE, len(candidates), len(displaceable))
+    if k == 0:
+        return base
+    promote, displaced = candidates[:k], set(displaceable[:k])
+    new_head = [n for n in head if n not in displaced] + promote
+    dropped = set(promote)
+    new_tail = sorted(
+        [n for n in tail if n not in dropped] + sorted(displaced), key=key
+    )
+    return new_head + new_tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -261,24 +261,27 @@ def betweenness_centrality(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     small = nv <= 100_000
     eff_parts = min(int(prev_parts), 4) if small else int(prev_parts)
-    if small:
-        spark.conf.set("spark.sql.shuffle.partitions", str(eff_parts))
-    # hash-partition edges on the join key ONCE: every forward level and
-    # every reverse level joins on id == src, so a pre-partitioned edge
-    # side never re-exchanges (2·diameter exchanges saved; the frontier
-    # side shuffles regardless since it arrives grouped by (source, id))
-    e = e.repartition(eff_parts, "src").localCheckpoint(eager=True)
-
-    sources = verts
-    n_sources = nv
-    if sample_sources is not None and sample_sources < nv:
-        sources = verts.orderBy(
-            F.xxhash64(F.col("id"), F.lit(seed)), F.col("id")
-        ).limit(sample_sources)
-        n_sources = sample_sources
-
-    # ---- forward multi-source BFS with shortest-path counts ----------
+    # All work after the scoped conf.set — including the eager edge
+    # repartition and source sampling — sits inside the try so a failure
+    # anywhere cannot leak the clamped width into the session.
     try:
+        if small:
+            spark.conf.set("spark.sql.shuffle.partitions", str(eff_parts))
+        # hash-partition edges on the join key ONCE: every forward level and
+        # every reverse level joins on id == src, so a pre-partitioned edge
+        # side never re-exchanges (2·diameter exchanges saved; the frontier
+        # side shuffles regardless since it arrives grouped by (source, id))
+        e = e.repartition(eff_parts, "src").localCheckpoint(eager=True)
+
+        sources = verts
+        n_sources = nv
+        if sample_sources is not None and sample_sources < nv:
+            sources = verts.orderBy(
+                F.xxhash64(F.col("id"), F.lit(seed)), F.col("id")
+            ).limit(sample_sources)
+            n_sources = sample_sources
+
+        # ---- forward multi-source BFS with shortest-path counts ------
         return _betweenness_core(
             spark, e, verts, nv, sources, n_sources, eff_parts,
             checkpoint_every, normalized, directed, empty,
@@ -294,6 +297,8 @@ def _betweenness_core(
 ):
     import gc
 
+    from pyspark import StorageLevel
+
     lvl0 = sources.select(
         F.col("id").alias("source"), F.col("id"), F.lit(1.0).alias("sigma")
     ).localCheckpoint(eager=True)
@@ -301,6 +306,13 @@ def _betweenness_core(
     visited = lvl0.select("source", "id")
     frontier = lvl0
     seen_rows = n_sources
+    # The algorithm's memory envelope is the RETAINED level set: every
+    # forward level's checkpoint stays pinned until the reverse pass has
+    # consumed it. Past the same single-node boundary pagerank uses
+    # (~150M retained rows — centrality.py:105) new checkpoints switch to
+    # DISK_ONLY: a sequential re-read per level costs seconds; pinned
+    # memory blocks cost the job (the sf50 pagerank lesson, r14).
+    ckpt_level = None
     d = 0
     while d <= nv:
         d += 1
@@ -310,12 +322,14 @@ def _betweenness_core(
             .groupBy("source", "id")
             .agg(F.sum("sigma").alias("sigma"))
             .join(visited, ["source", "id"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=ckpt_level)
         )
         n_new = nxt.count()
         if n_new == 0:
             break
         seen_rows += n_new
+        if seen_rows > 150_000_000:
+            ckpt_level = StorageLevel.DISK_ONLY
         levels.append(nxt)
         visited = visited.unionByName(nxt.select("source", "id"))
         if d % checkpoint_every == 0:
@@ -326,7 +340,7 @@ def _betweenness_core(
             # defeat refcounting — the pregel.py r13 finding).
             parts = max(eff_parts, -(-seen_rows // 2_000_000))
             visited = visited.repartition(parts, "source", "id").localCheckpoint(
-                eager=True
+                eager=True, storageLevel=ckpt_level
             )
             gc.collect()
         frontier = nxt
@@ -360,9 +374,16 @@ def _betweenness_core(
             "sigma",
             F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
         )
-        delta_lev = delta_lev.localCheckpoint(eager=True)
+        delta_lev = delta_lev.localCheckpoint(eager=True, storageLevel=ckpt_level)
         bc_parts.append(delta_lev.select("id", "delta"))
         delta_next = delta_lev
+        # a forward level is fully consumed once its delta checkpoint
+        # materializes (delta_lev carries sigma forward; levels[lev+1]'s
+        # rows live on in delta_next's own checkpoint) — drop the
+        # reference so the gated gc can free its blocks and the retained
+        # set SHRINKS through the reverse pass instead of peaking at
+        # forward-total + reverse-total
+        levels[lev + 1] = None
         if lev % checkpoint_every == 0:
             gc.collect()
 

@@ -95,16 +95,25 @@ def louvain(
     """(id, community) — multi-level Louvain (community.rs:408), driver-side
     greedy modularity with deterministic sweep order, behind a size guard.
     For cluster scale use `label_propagation` + `modularity` instead."""
-    rows = (
+    und = (
         undirect(edges.select("src", "dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .collect()
     )
+    # Distributed node count BEFORE collect (same guard-ordering fix as
+    # paths.py/flow.py r14): the old code collected first and could OOM
+    # the driver on an over-limit graph before the guard fired.
+    n_nodes = (
+        und.select(F.col("src").alias("id"))
+        .unionAll(und.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    if n_nodes > max_nodes:
+        raise ValueError(f"louvain guard: {n_nodes} nodes > {max_nodes}")
+    rows = und.collect()
     spark = edges.sparkSession
     nodes = sorted({r.src for r in rows} | {r.dst for r in rows})
-    if len(nodes) > max_nodes:
-        raise ValueError(f"louvain guard: {len(nodes)} nodes > {max_nodes}")
 
     # weighted adjacency over current super-graph
     adj: dict[int, dict[int, float]] = {v: {} for v in nodes}

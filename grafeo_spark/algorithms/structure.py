@@ -58,13 +58,22 @@ def core_number(edges: DataFrame, max_k: int = 100) -> DataFrame:
 
 
 def _collect_undirected_adj(edges: DataFrame, max_nodes: int):
-    e = canonical_undirected(edges).collect()
+    canon = canonical_undirected(edges)
+    # Distributed node count BEFORE collect: on a 100x graph the old
+    # post-collect check died of driver OOM before it could raise.
+    n_nodes = (
+        canon.select(F.col("src").alias("id"))
+        .unionAll(canon.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    if n_nodes > max_nodes:
+        raise ValueError(f"size guard: {n_nodes} nodes > {max_nodes}")
+    e = canon.collect()
     adj: dict[int, set[int]] = {}
     for r in e:
         adj.setdefault(r.src, set()).add(r.dst)
         adj.setdefault(r.dst, set()).add(r.src)
-    if len(adj) > max_nodes:
-        raise ValueError(f"size guard: {len(adj)} nodes > {max_nodes}")
     return adj
 
 

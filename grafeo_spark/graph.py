@@ -404,6 +404,21 @@ class TripleStore:
 
     def __init__(self, triples: DataFrame) -> None:
         self.df = triples
+        # frames persist()ed during EXISTS-expression decomposition
+        # (sparql/compiler._hoist_exists_expr); drained (unpersisted) at
+        # the start of the next query so cached blocks never accumulate
+        # across a session's query stream.
+        self._exists_cache: list[DataFrame] = []
+
+    def drain_exists_cache(self) -> None:
+        """Unpersist frames cached by a prior query's EXISTS decomposition
+        (non-blocking — safe even if the frames were never materialized)."""
+        for f in self._exists_cache:
+            try:
+                f.unpersist(blocking=False)
+            except Exception:
+                pass
+        self._exists_cache.clear()
 
     @classmethod
     def empty(cls, spark: SparkSession) -> "TripleStore":

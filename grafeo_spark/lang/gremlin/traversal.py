@@ -1536,14 +1536,31 @@ class Traversal:
                     outs.append(_renamed(t.df, t.cur))
                     break
                 rest = t.df
+                dead = False
                 if it % 3 == 0:
                     rest = rest.localCheckpoint(eager=True)
+                    # empty-frontier probe piggybacks on the eager
+                    # checkpoint (already materialized, so ~free) — the
+                    # loops arm otherwise runs zero jobs per iteration,
+                    # and a per-iteration isEmpty would forfeit that
+                    dead = rest.isEmpty()
                 if emit:
                     outs.append(_renamed(
                         self._emit_filtered(rest, t.cur, t.kind), t.cur
                     ))
                 t = t._derive(rest, t.cur, t.kind)
+                if dead:
+                    # frontier died before the predicate fired: TinkerPop
+                    # yields the emitted traversers (possibly none) rather
+                    # than erroring or re-applying the body to empty frames
+                    if not outs:
+                        outs.append(_renamed(rest, t.cur))
+                    break
                 if it == int(max_loops):
+                    if rest.isEmpty():  # died between probes: empty, not error
+                        if not outs:
+                            outs.append(_renamed(rest, t.cur))
+                        break
                     raise GremlinError(
                         f"until(loops().is(...)) not satisfied within "
                         f"max_loops={max_loops}"

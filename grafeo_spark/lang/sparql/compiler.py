@@ -251,8 +251,74 @@ def _values_frame(ts: TripleStore, names: list[str], rows: list[list]) -> DataFr
     return local_frame(ts.df.sparkSession, py_rows, schema)
 
 
+def _triples_vars(tps) -> set:
+    out: set = set()
+    for tp in tps:
+        for t in (tp.s, tp.p, tp.o):
+            if isinstance(t, P.Var):
+                out.add(t.name)
+    return out
+
+
+def _compile_group_sequential(ts: TripleStore, g: P.GroupPattern):
+    """§18.2.2.6 element-order path: BIND ends the current BGP, so
+    triples written AFTER a BIND join against the Extend'ed solution.
+    Only taken when some bind's variable is used by a later triple (the
+    reordering path is equivalent otherwise). Returns the frame with all
+    triples AND binds applied, or None to use the reordering path."""
+    cuts = list(getattr(g, "bind_cuts", []) or [])
+    if len(cuts) != len(g.binds) or not g.binds:
+        return None
+    needed = any(
+        v in _triples_vars(g.triples[c:]) for (v, _e), c in zip(g.binds, cuts)
+    )
+    if not needed:
+        return None
+    # vars a bind could be reading from elements this path compiles LAST
+    # (VALUES/UNION/GRAPH/subselects — their textual order vs the binds is
+    # not recorded): evaluating those as unbound here could silently
+    # change the reordering path's answer, so reject the mix loudly.
+    other_sources: set = set()
+    for names, _rows in g.values:
+        other_sources |= set(names)
+    for left, right in g.unions:
+        other_sources |= _group_vars(left) | _group_vars(right)
+    for _gterm, gg in g.graphs:
+        other_sources |= _group_vars(gg)
+    for sq in g.subselects:
+        other_sources |= set(sq.variables)
+    out = _join_bgp(ts, g.triples[: cuts[0]]) if cuts[0] else None
+    bound = _triples_vars(g.triples[: cuts[0]])
+    for i, (v, e) in enumerate(g.binds):
+        evars = _expr_vars(e) | _exists_pattern_vars(e)
+        ambiguous = (evars - bound) & other_sources
+        if ambiguous:
+            raise SparqlCompileError(
+                "BIND before a triple that uses its variable cannot also "
+                f"read variables {sorted(ambiguous)} bound by VALUES/UNION/"
+                "GRAPH/subquery in the same group — split the group"
+            )
+        if out is None:
+            out = ts.df.sparkSession.range(1).select(F.lit(1).alias("__m0"))
+        out, e = _hoist_exists_expr(ts, out, e)
+        out = out.withColumn(v, _filter_col(e, out))
+        bound.add(v)
+        nxt = cuts[i + 1] if i + 1 < len(cuts) else len(g.triples)
+        seg = g.triples[cuts[i]: nxt]
+        if seg:
+            sub = _join_bgp(ts, seg)
+            shared = [c for c in sub.columns if c in out.columns]
+            out = out.join(sub, shared, "inner") if shared else out.crossJoin(sub)
+            bound |= _triples_vars(seg)
+    if "__m0" in out.columns:
+        out = out.drop("__m0")
+    return out
+
+
 def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
-    out = _join_bgp(ts, g.triples)
+    seq = _compile_group_sequential(ts, g)
+    binds_applied = seq is not None
+    out = seq if binds_applied else _join_bgp(ts, g.triples)
     for gterm, gg in g.graphs:
         # GRAPH <g> narrows the store (constant graphs prune at the scan,
         # so property paths etc. all work unchanged); GRAPH ?g binds the
@@ -306,12 +372,13 @@ def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
         out = ts.df.sparkSession.range(1).select(F.lit(1).alias("__m0"))
     if out is None:
         raise SparqlCompileError("empty graph pattern")
-    for v, e in g.binds:
-        # BIND is sequential in the spec; binding after the group's joins
-        # covers the common shapes (a BIND var used by a LATER triple in
-        # the same group is not supported — split the group instead)
-        out, e = _hoist_exists_expr(ts, out, e)
-        out = out.withColumn(v, _filter_col(e, out))
+    if not binds_applied:
+        for v, e in g.binds:
+            # BIND is sequential in the spec; applying after the group's
+            # joins is equivalent whenever no later TRIPLE uses the bind
+            # var (the _compile_group_sequential path handles that case)
+            out, e = _hoist_exists_expr(ts, out, e)
+            out = out.withColumn(v, _filter_col(e, out))
     for opt in g.optionals:
         # §8.3.1: OPTIONAL { P2 FILTER(F) } is LeftJoin(P1, P2, F) — F may
         # reference P1's variables, so filters not fully resolvable inside
@@ -327,7 +394,23 @@ def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
             base = _compile_group(ts, _dc.replace(opt, filters=[]))
             inner = []
             for f in opt.filters:
-                if _expr_has_exists(f) or _expr_vars(f) <= set(base.columns):
+                if _expr_has_exists(f):
+                    # An EXISTS filter needs its own hoist frame so it
+                    # cannot be deferred into the join condition; if it
+                    # references outer vars the inner frame lacks, the
+                    # hoist would silently treat them as unbound — the
+                    # exact wrong-result class the deferred path fixes.
+                    # Loudly unsupported instead (probe batch #3 class).
+                    fvars = _expr_vars(f) | _exists_pattern_vars(f)
+                    outer_only = (fvars & set(out.columns)) - set(base.columns)
+                    if outer_only:
+                        raise SparqlCompileError(
+                            "OPTIONAL filter with EXISTS referencing outer "
+                            f"variables {sorted(outer_only)} is not "
+                            "supported (would evaluate them as unbound)"
+                        )
+                    inner.append(f)
+                elif _expr_vars(f) <= set(base.columns):
                     inner.append(f)
                 else:
                     deferred.append(f)
@@ -432,8 +515,15 @@ def _hoist_exists_expr(ts: TripleStore, out: DataFrame, e):
             # k>5 compile-time probe job would run it once more). Lazy
             # .persist() keeps compilation action-free for k<=5 while the
             # first executed branch materializes the cache for the rest.
+            # Registered on the store's exists-cache so the NEXT query
+            # drains them — without this, each EXISTS query pinned two
+            # cached frames for the session lifetime (block-store pile-up,
+            # same class as the r13 checkpoint-GC finding).
             out = out.persist()
             probe = sub.select(*shared).distinct().persist()
+            reg = getattr(ts, "_exists_cache", None)
+            if reg is not None:
+                reg.extend((out, probe))
             all_bound = _ft.reduce(
                 lambda a, b: a & b, [F.col(c).isNotNull() for c in shared]
             )
@@ -533,6 +623,51 @@ def _expr_has_exists(e) -> bool:
             return True
         return any(_expr_has_exists(a) for a in e.args)
     return False
+
+
+def _group_vars(g) -> set:
+    """All variable names mentioned anywhere in a group pattern
+    (triples, filters, nested groups, binds, VALUES, subselects)."""
+    out: set = set()
+    for tp in g.triples:
+        for t in (tp.s, tp.p, tp.o):
+            if isinstance(t, P.Var):
+                out.add(t.name)
+    for f in g.filters:
+        out |= _expr_vars(f) | _exists_pattern_vars(f)
+    for opt in g.optionals:
+        out |= _group_vars(opt)
+    for left, right in g.unions:
+        out |= _group_vars(left) | _group_vars(right)
+    for names, _rows in g.values:
+        out |= set(names)
+    for m in g.minuses:
+        out |= _group_vars(m)
+    for gterm, gg in g.graphs:
+        if isinstance(gterm, P.Var):
+            out.add(gterm.name)
+        out |= _group_vars(gg)
+    for v, e in g.binds:
+        out.add(v)
+        out |= _expr_vars(e) | _exists_pattern_vars(e)
+    for _pos, eg in g.exists:
+        out |= _group_vars(eg)
+    for sq in g.subselects:
+        out |= set(sq.variables)
+    return out
+
+
+def _exists_pattern_vars(e) -> set:
+    """Vars inside ``EXISTS { pattern }`` nodes of an expression tree —
+    _expr_vars misses them (the group arg is neither Var nor FExpr)."""
+    if isinstance(e, P.FExpr):
+        if e.op == "exists_group":
+            return _group_vars(e.args[0])
+        out: set = set()
+        for a in e.args:
+            out |= _exists_pattern_vars(a)
+        return out
+    return set()
 
 
 def _term_col(t, df: DataFrame) -> Column:
@@ -1102,6 +1237,12 @@ def compile_describe(ts: TripleStore, q: P.DescribeQuery) -> DataFrame:
 
 
 def sparql(ts: TripleStore, query: str) -> DataFrame:
+    # evict the PREVIOUS query's EXISTS-decomposition cache: its result
+    # has been consumed by now, and draining here (not at compile end)
+    # keeps the current query's frames cached while the caller runs it
+    drain = getattr(ts, "drain_exists_cache", None)
+    if drain is not None:
+        drain()
     q = P.parse(query)
     if isinstance(q, P.UpdateQuery):
         raise SparqlCompileError("update query — use sparql_update()")
@@ -1349,6 +1490,9 @@ def compile_update(ts: TripleStore, u: P.UpdateQuery) -> TripleStore:
 
 
 def sparql_update(ts: TripleStore, query: str) -> TripleStore:
+    drain = getattr(ts, "drain_exists_cache", None)
+    if drain is not None:
+        drain()
     q = P.parse(query)
     if not isinstance(q, P.UpdateQuery):
         raise SparqlCompileError("not an update query — use sparql()")

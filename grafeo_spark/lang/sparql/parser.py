@@ -161,6 +161,11 @@ class GroupPattern:
     graphs: list[tuple[object, "GroupPattern"]] = field(default_factory=list)
     # BIND(expr AS ?v) assignments, in pattern order (ast.rs:311 Bind)
     binds: list[tuple[str, FExpr]] = field(default_factory=list)
+    # per-BIND triple cut: how many of this group's triples textually
+    # precede bind i. §18.2.2.6: BIND ends the current BGP, so a triple
+    # AFTER a BIND joins against the Extend'ed solution — the compiler
+    # needs the split points to honor that (probe batch #5).
+    bind_cuts: list[int] = field(default_factory=list)
     # FILTER EXISTS { } / FILTER NOT EXISTS { } (ast.rs:574-577)
     exists: list[tuple[bool, "GroupPattern"]] = field(default_factory=list)
     # nested { SELECT ... } sub-queries (ast.rs:322 SubSelect)
@@ -696,6 +701,7 @@ class Parser:
                 v = self.eat("var")[1][1:]
                 self.eat("op", ")")
                 g.binds.append((v, e))
+                g.bind_cuts.append(len(g.triples))
             elif self.at("name", "OPTIONAL"):
                 self.next()
                 g.optionals.append(self.group())
@@ -724,8 +730,12 @@ class Parser:
                 if not isinstance(endpoint, (Iri, Var)):
                     raise SparqlSyntaxError("SERVICE needs an IRI or variable")
                 inner = self.group()
+                base = len(g.triples)  # rebase inner bind cuts onto ours
                 for fld in dataclasses.fields(GroupPattern):
-                    getattr(g, fld.name).extend(getattr(inner, fld.name))
+                    if fld.name == "bind_cuts":
+                        g.bind_cuts.extend(c + base for c in inner.bind_cuts)
+                    else:
+                        getattr(g, fld.name).extend(getattr(inner, fld.name))
             elif self.at("op", "{"):
                 # peek past '{': a SELECT keyword means a sub-query
                 # (ast.rs:322 SubSelect), otherwise a UNION group chain

@@ -1526,3 +1526,28 @@ def test_choose_value_branches(db):
         ".choose(__.out('KNOWS'), __.values('name'), __.values('city'))"
     ).collect())
     assert got == ["Alice", "Phoenix"]
+
+
+def test_repeat_until_loops_dead_frontier_yields_empty(db):
+    """If the frontier dies before an unsatisfiable loops() predicate
+    fires, TinkerPop yields the emitted traversers (none here) — not a
+    GremlinError, and the body is not reapplied to empty frames forever
+    (r14 ADVICE #3)."""
+    out = db.gremlin(
+        "g.V().has('name','Alice').repeat(__.out('KNOWS'))"
+        ".until(__.loops().is(gte(99)))"
+    ).collect()
+    assert out == []
+
+
+def test_repeat_until_loops_dead_frontier_keeps_emits(db):
+    """Same dead-frontier case with emit(): the intermediates emitted
+    before the frontier died are the result."""
+    got = sorted(
+        r[0]
+        for r in db.gremlin(
+            "g.V().has('name','Alice').repeat(__.out('KNOWS')).emit()"
+            ".until(__.loops().is(gte(99))).values('name')"
+        ).collect()
+    )
+    assert got  # every reachable intermediate, no error

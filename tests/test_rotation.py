@@ -15,6 +15,12 @@ must hold no matter which CORRECTNESS files exist.
 
 Staleness bound: with ~112 entries and a 50-row window, stalest-first
 ordering revisits every entry at least every ceil(112/50) = 3 rounds.
+Since r15, up to _CHANGE_RESERVE change-bumped entries from outside the
+window preempt unchanged entries at the fresh end of the head (newest
+change first), so code changed this round is driver-rechecked next
+round by construction — at the bounded cost that the preempted entries
+may carry 4-round-old evidence for one round before re-entering the
+head as the stalest.
 """
 
 from __future__ import annotations
@@ -71,12 +77,45 @@ def test_battery_is_staleness_ordered():
     head, tail = names[:window], names[window:]
     if not tail:
         return
-    worst_in_head = max(last.get(n, -1) for n in head)
-    best_in_tail = min(last.get(n, -1) for n in tail)
+    # recompute the no-reserve (pure stalest-first) head with the same
+    # key battery_order uses, then bound the reserve's deviation from it
+    pos = {n: i for i, n in enumerate(entry._PRIORITY)}
+
+    def key(n):
+        return (
+            last.get(n, -1),
+            0 if entry._change_bumped(n, last.get(n, -1)) else 1,
+            pos.get(n, len(entry._PRIORITY)),
+            n,
+        )
+
+    base = sorted(names, key=key)
+    base_head, base_tail = base[:window], base[window:]
+    worst_in_head = max(last.get(n, -1) for n in base_head)
+    best_in_tail = min(last.get(n, -1) for n in base_tail)
     assert worst_in_head <= best_in_tail, (
-        f"self-ordering broken: window head holds entries last-green in "
-        f"round {worst_in_head} while round-{best_in_tail} entries sit "
-        f"outside the {window}-entry window"
+        f"self-ordering broken: the no-reserve head holds entries "
+        f"last-green in round {worst_in_head} while round-{best_in_tail} "
+        f"entries sit outside the {window}-entry window"
+    )
+    promoted = set(head) - set(base_head)
+    demoted = set(base_head) - set(head)
+    assert len(promoted) <= entry._CHANGE_RESERVE, (
+        f"{len(promoted)} entries promoted into the head exceeds the "
+        f"{entry._CHANGE_RESERVE}-slot change reserve: {sorted(promoted)}"
+    )
+    not_bumped = [
+        n for n in promoted if not entry._change_bumped(n, last.get(n, -1))
+    ]
+    assert not not_bumped, (
+        f"non-change-bumped entries took reserve slots: {not_bumped}"
+    )
+    displaced_bumped = [
+        n for n in demoted if entry._change_bumped(n, last.get(n, -1))
+    ]
+    assert not displaced_bumped, (
+        f"change-bumped entries were displaced FROM the head: "
+        f"{displaced_bumped}"
     )
 
 
@@ -166,6 +205,63 @@ def test_changed_module_entry_leads_cohort(monkeypatch):
         assert worst_bumped < best_not, (
             "change-bumped entries must lead their staleness cohort"
         )
+
+
+def test_change_reserve_preempts_across_cohorts(monkeypatch):
+    """Verdict r14 #1: a changed-module entry from a FRESHER cohort must
+    preempt unchanged stale peers into the window, up to _CHANGE_RESERVE
+    slots — within-cohort bumping alone left the r14 betweenness rewrite
+    outside the window with old-impl driver evidence."""
+    import __spark_entry__ as entry
+
+    stale = [f"dedup_s{i:02d}" for i in range(12)]  # llm/dedup.py: unchanged
+    fresh = ["alg_pagerank_a", "alg_pagerank_b", "alg_pagerank_c"]
+    last = {n: 12 for n in stale}
+    last.update({n: 14 for n in fresh})  # fresher cohort, module changed
+    monkeypatch.setattr(entry, "_last_green_rounds", lambda: dict(last))
+    monkeypatch.setattr(entry, "_window_size", lambda: 10)
+    monkeypatch.setattr(
+        entry, "_changed_since_round",
+        lambda r: frozenset({"grafeo_spark/algorithms/centrality.py"}),
+    )
+    order = entry.battery_order(stale + fresh)
+    head = order[:10]
+    # all three bumped fresh entries enter the window…
+    assert all(n in head for n in fresh), head
+    # …by displacing exactly three unchanged entries from the FRESH end
+    # of the base head (never-checked/stalest keep their slots)
+    assert head == stale[:7] + fresh
+    # displaced entries lead the tail: stalest next round, back first
+    assert order[10:] == stale[7:]
+
+
+def test_change_reserve_newest_change_first(monkeypatch):
+    """When reserve slots are scarcer than bumped candidates, the module
+    changed most recently wins the slot."""
+    import __spark_entry__ as entry
+
+    stale = [f"multimodal_s{i:02d}" for i in range(10)]
+    last = {n: 12 for n in stale}
+    last.update({"alg_pagerank_new": 13, "dedup_old": 13, "events_fresh": 14})
+    monkeypatch.setattr(entry, "_last_green_rounds", lambda: dict(last))
+    monkeypatch.setattr(entry, "_window_size", lambda: 10)
+    monkeypatch.setattr(entry, "_CHANGE_RESERVE", 1)
+
+    def changed(r):
+        # centrality changed after round 14's marker; dedup only between
+        # rounds 13 and 14 (i.e. last round, not this one)
+        if r >= 14:
+            return frozenset({"grafeo_spark/algorithms/centrality.py"})
+        return frozenset({
+            "grafeo_spark/algorithms/centrality.py",
+            "grafeo_spark/llm/dedup.py",
+        })
+
+    monkeypatch.setattr(entry, "_changed_since_round", changed)
+    order = entry.battery_order(list(last))
+    head = order[:10]
+    assert "alg_pagerank_new" in head  # recency 14 beats recency 13
+    assert "dedup_old" not in head
 
 
 def test_change_bump_degrades_gracefully(monkeypatch):

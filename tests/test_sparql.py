@@ -1716,3 +1716,196 @@ def test_chained_bind_and_sample(cyc):
         "{ ?p a ex:Person . OPTIONAL { ?p ex:age ?age } }"
     ).collect()
     assert len(s) == 1 and s[0][0] in ("30", "35")
+
+
+# --------------------------------------------------------------------- #
+# round 15: EXISTS-decomposition cache lifecycle + OPTIONAL/EXISTS scope
+
+
+def test_exists_cache_drained_on_next_query(ts):
+    """Expression-EXISTS decomposition persists two frames; the NEXT query
+    must unpersist them (r14 verdict wrong #2: each EXISTS query pinned
+    cached blocks for the session lifetime)."""
+    from grafeo_spark.lang.sparql import sparql as run
+
+    ts.drain_exists_cache()
+    out = run(
+        ts,
+        PFX + "SELECT ?n (EXISTS { ?p ex:knows ?x } AS ?e) "
+        "WHERE { ?p ex:name ?n OPTIONAL { ?p ex:knows ?x } }",
+    )
+    out.collect()
+    cached = list(ts._exists_cache)
+    assert len(cached) >= 2
+    assert all(
+        f.storageLevel.useMemory or f.storageLevel.useDisk for f in cached
+    )
+    # a follow-up query evicts the previous query's decomposition cache
+    run(ts, PFX + "SELECT ?p WHERE { ?p a ex:Person }").collect()
+    assert ts._exists_cache == []
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk)
+        for f in cached
+    )
+
+
+def test_optional_exists_filter_outer_var_is_loud(ts):
+    """OPTIONAL { P2 FILTER(EXISTS{..} && F(outer-var)) } cannot defer the
+    EXISTS part into the join condition, and evaluating it inner would
+    silently treat the outer var as unbound — must raise loudly instead
+    (r14 ADVICE #4)."""
+    from grafeo_spark.lang.sparql import sparql as run
+    from grafeo_spark.lang.sparql.compiler import SparqlCompileError
+
+    q = (
+        PFX + "SELECT ?n WHERE { ?p ex:name ?n . ?p ex:age ?a "
+        "OPTIONAL { ?p ex:knows ?x "
+        "FILTER(EXISTS { ?x ex:name ?xn } && ?a > 1) } }"
+    )
+    with pytest.raises(SparqlCompileError, match="outer"):
+        run(ts, q)
+
+
+def test_bind_then_triple_joins(sdb):
+    """Probe batch #5: BIND ends the current BGP (§18.2.2.6), so a triple
+    AFTER the BIND joins against the Extend'ed solution — the old
+    reordering path evaluated the later triple as a disconnected scan."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { ex:alice ex:knows ?k . "
+            "BIND(?k AS ?p) . ?p ex:name ?n }"
+        )
+    )
+    assert out == [("Bob",)]
+
+
+def test_bind_chain_then_triple(sdb):
+    """Two sequential BINDs feeding a later triple."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { ex:alice ex:knows ?k . "
+            "BIND(?k AS ?p) . BIND(?p AS ?q) . ?q ex:knows ?r . "
+            "?r ex:name ?n }"
+        )
+    )
+    assert out == [("Carol",)]
+
+
+def test_bind_seq_ambiguous_values_mix_is_loud(sdb):
+    """A BIND that both feeds a later triple AND reads a var bound by
+    VALUES in the same group has unrecorded relative order — must raise,
+    not silently pick an evaluation order."""
+    from grafeo_spark.lang.sparql.compiler import SparqlCompileError
+
+    with pytest.raises(SparqlCompileError, match="VALUES|split"):
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { VALUES ?v { ex:bob } "
+            "BIND(?v AS ?p) . ?p ex:name ?n }"
+        ).collect()
+
+
+def test_minus_vs_not_exists_disjoint_vars(sdb):
+    """Spec §8.3.3 divergence: MINUS with no shared variables removes
+    NOTHING; FILTER NOT EXISTS with the same pattern removes everything."""
+    keep = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { ?p ex:name ?n MINUS { ?x ex:age ?y } }"
+        )
+    )
+    assert keep == [("Alice",), ("Bob",), ("Carol",), ("NYC",)]
+    gone = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { ?p ex:name ?n "
+            "FILTER NOT EXISTS { ?x ex:age ?y } }"
+        )
+    )
+    assert gone == []
+
+
+def test_nested_optional_scope(sdb):
+    """Left-join associativity (§5.2): OPTIONAL inside OPTIONAL extends
+    the inner solution before the outer left-join reconciles."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n ?kn ?kkn WHERE { ?p ex:name ?n "
+            "OPTIONAL { ?p ex:knows ?k . ?k ex:name ?kn "
+            "OPTIONAL { ?k ex:knows ?kk . ?kk ex:name ?kkn } } }"
+        )
+    )
+    assert out == [
+        ("Alice", "Bob", "Carol"),
+        ("Bob", "Carol", None),
+        ("Carol", None, None),
+        ("NYC", None, None),
+    ]
+
+
+def test_group_concat_over_optional_unbound(sdb):
+    """§18.5: aggregates drop error (unbound) values; an all-unbound
+    group's GROUP_CONCAT is the empty string, COUNT(?v) is 0."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n (GROUP_CONCAT(?kn; separator='|') AS ?ks) "
+            "(COUNT(?kn) AS ?c) WHERE { ?p a ex:Person . ?p ex:name ?n "
+            "OPTIONAL { ?p ex:knows ?k . ?k ex:name ?kn } } GROUP BY ?n"
+        )
+    )
+    assert out == [("Alice", "Bob", 1), ("Bob", "Carol", 1), ("Carol", "", 0)]
+
+
+def test_exists_with_property_path(sdb):
+    """Property paths inside EXISTS / NOT EXISTS / expression EXISTS."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { ?p ex:name ?n "
+            "FILTER EXISTS { ?p ex:knows+ ?q . ?q ex:name 'Carol' } }"
+        )
+    )
+    assert out == [("Alice",), ("Bob",)]
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n (EXISTS { ?p ex:knows+ ?q } AS ?e) "
+            "WHERE { ?p a ex:Person . ?p ex:name ?n }"
+        )
+    )
+    assert out == [("Alice", True), ("Bob", True), ("Carol", False)]
+    # knows* from alice reaches every named person (incl. zero-length)
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { ?p a ex:Person . ?p ex:name ?n "
+            "FILTER NOT EXISTS { ex:alice ex:knows* ?p } }"
+        )
+    )
+    assert out == []
+
+
+def test_zero_or_one_path_var_var(sdb):
+    """ZeroOrOnePath(?x, ?y) with both ends unbound: one x=y solution per
+    graph term (IRIs AND literals) plus the direct pairs — fixture has
+    12 distinct terms and 2 knows edges."""
+    out = rows(
+        sdb.sparql(PFX + "SELECT (COUNT(*) AS ?c) WHERE { ?x ex:knows? ?y }")
+    )
+    assert out == [(14,)]
+
+
+def test_optional_exists_filter_inner_vars_still_ok(ts):
+    """The loud-error guard must not reject EXISTS filters fully resolvable
+    inside the OPTIONAL group."""
+    from grafeo_spark.lang.sparql import sparql as run
+
+    got = sorted(
+        tuple(r)
+        for r in run(
+            ts,
+            PFX + "SELECT ?n ?x WHERE { ?p ex:name ?n "
+            "OPTIONAL { ?p ex:knows ?x FILTER(EXISTS { ?x ex:name ?xn } "
+            "&& ?x != ex:nobody) } }",
+        ).collect()
+    )
+    assert got == [
+        ("Alice", EX + "bob"),
+        ("Bob", EX + "carol"),
+        ("Carol", None),
+        ("NYC", None),
+    ]
