@@ -285,6 +285,15 @@ _CYPHER: dict[str, str] = {
         "RETURN r.name AS region_name, toInteger(length(p)) AS len, "
         "toInteger(size(nodes(p))) AS n_nodes"
     ),
+    # r15 batch #13: [n IN nodes(p) | n.prop] — property access on path
+    # node ids via the relational node join (ir.NodesCompJoin); ORDER BY
+    # over the dotted projected alias exercises the backticked resolution
+    "path_nodes_props": (
+        "MATCH pth = (n:Nation)-[:IN_REGION]->(r:Region) "
+        "WITH [x IN nodes(pth) | x.name] AS names "
+        "RETURN names[0] AS nname, names[1] AS rname, "
+        "toInteger(size(names)) AS n ORDER BY nname"
+    ),
     # SKIP/OFFSET pagination determinism
     "skip_limit_page": (
         "MATCH (n:Nation) RETURN n.name AS name ORDER BY name ASC SKIP 5 LIMIT 5"
@@ -897,6 +906,11 @@ _ORACLE: dict[str, str] = {
     """,
     "sparql_bind_seq_triple": """
         SELECT n_name AS nname, r_name AS rname
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY nname
+    """,
+    "path_nodes_props": """
+        SELECT n_name AS nname, r_name AS rname, CAST(2 AS INTEGER) AS n
         FROM nation JOIN region ON n_regionkey = r_regionkey
         ORDER BY nname
     """,
@@ -3603,6 +3617,29 @@ _ORACLE["gremlin_until_loops"] = """
 """
 
 
+def _gremlin_sack_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 batch #7: where(__.sack().is(P)) filters PER TRAVERSER on the
+    sack register (traversal.py _sack_pred_cond) — an id-level semi-join
+    would keep every order of a customer if any one passed; barrier() is
+    the set-at-a-time no-op hint."""
+    from pyspark.sql import functions as F
+
+    out = _db(spark, sf_dir).gremlin(
+        "g.withSack(0.0).V().hasLabel('Customer').has('custkey', lte(200))"
+        ".sack(sum).by('acctbal').out('PLACED').barrier()"
+        ".sack(sum).by('totalprice')"
+        ".where(__.sack().is(gt(150000.0))).sack()"
+    )
+    return out.select(F.round("value", 2).alias("value"))
+
+
+_ORACLE["gremlin_sack_where"] = """
+    SELECT round(c_acctbal + o_totalprice, 2) AS value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey <= 200 AND c_acctbal + o_totalprice > 150000
+"""
+
+
 def _gremlin_sack_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sack threading across union branches (r14 batch #5): each branch's
     sack(sum).by(prop) update survives the branch merge, so the terminal
@@ -3782,6 +3819,7 @@ _DATAFRAME_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gremlin_sack_totals": _gremlin_sack_totals,
     "gremlin_until_loops": _gremlin_until_loops,
     "gremlin_sack_union": _gremlin_sack_union,
+    "gremlin_sack_where": _gremlin_sack_where,
 }
 
 
@@ -3978,6 +4016,10 @@ _PRIORITY = [
     # disjoint-variable semantics (SPARQL probe batch #5)
     "sparql_bind_seq_triple",
     "sparql_minus_disjoint",
+    # -- r15 Gremlin batch #7: per-traverser sack predicate + barrier()
+    "gremlin_sack_where",
+    # -- r15 Cypher batch #13: nodes(path) property comprehension
+    "path_nodes_props",
 ]
 
 

@@ -33,6 +33,12 @@ class _Ctx:
     path_rels_vars: set = field(default_factory=set)
     # path vars whose relationships(p) is consumed as a value (pre-pass)
     rels_used: set = field(default_factory=set)
+    # [n IN nodes(p) | n.prop] comprehensions discovered by _rw: a
+    # property read on path-node ids needs a relational join
+    # (ir.NodesCompJoin); keyed structurally so repeated rewrites of the
+    # same expression share one hidden column
+    nodes_comps: dict = field(default_factory=dict)
+    applied_ncj: set = field(default_factory=set)
     fresh: int = 0
     # Required-property analysis result: var -> frozenset of property names,
     # or None meaning "all" (bare variable reference). ``used is None``
@@ -475,7 +481,9 @@ def _apply_where(ctx: _Ctx, where: E.Expr) -> None:
         pred = rest[0]
         for c in rest[1:]:
             pred = E.BinOp("AND", pred, c)
-        ctx.plan = ir.Filter(ctx.plan, _rw(ctx, pred))
+        rpred = _rw(ctx, pred)
+        _apply_nodes_comps(ctx)
+        ctx.plan = ir.Filter(ctx.plan, rpred)
 
 
 def _optional_match(ctx: _Ctx, clause: P.MatchClause) -> None:
@@ -733,13 +741,14 @@ def _projection(ctx: _Ctx, clause: P.WithClause) -> None:
     if has_agg:
         keys = tuple((_rw(ctx, it.expr), it.alias) for it in items if not E.is_aggregate(it.expr))
         aggs = tuple((_rw(ctx, it.expr), it.alias) for it in items if E.is_aggregate(it.expr))
+        _apply_nodes_comps(ctx)
         ctx.plan = ir.Aggregate(ctx.plan, keys, aggs)
     else:
-        ctx.plan = ir.Project(
-            ctx.plan,
-            tuple((_rw(ctx, it.expr), it.alias) for it in items) + tuple(hidden),
-            distinct=clause.distinct,
-        )
+        proj_items = tuple(
+            (_rw(ctx, it.expr), it.alias) for it in items
+        ) + tuple(hidden)
+        _apply_nodes_comps(ctx)
+        ctx.plan = ir.Project(ctx.plan, proj_items, distinct=clause.distinct)
 
     new_bound: dict = {}
     for it in items:
@@ -772,6 +781,34 @@ def _projection(ctx: _Ctx, clause: P.WithClause) -> None:
 # ----------------------------------------------------------------------- #
 # expression rewrites
 # ----------------------------------------------------------------------- #
+
+
+def _prop_refs(e, var: str) -> bool:
+    """Does the expression tree read a PROPERTY of ``var``? (Bare id
+    reads stay on the HOF fast path — only property access needs the
+    relational node join.)"""
+    if e is None:
+        return False
+    if isinstance(e, E.Prop) and e.var == var:
+        return True
+    stack = list(getattr(e, "__dict__", {}).values())
+    while stack:
+        child = stack.pop()
+        if isinstance(child, E.Expr):
+            if _prop_refs(child, var):
+                return True
+        elif isinstance(child, tuple):
+            stack.extend(child)
+    return False
+
+
+def _apply_nodes_comps(ctx: "_Ctx") -> None:
+    """Wrap the plan with the NodesCompJoins _rw registered since the
+    last application (hidden columns feeding rewritten comprehensions)."""
+    for pv, var, wh, pr, alias in ctx.nodes_comps.values():
+        if alias not in ctx.applied_ncj:
+            ctx.plan = ir.NodesCompJoin(ctx.plan, pv, var, alias, pr, wh)
+            ctx.applied_ncj.add(alias)
 
 
 def _rw(ctx: _Ctx, e: E.Expr) -> E.Expr:
@@ -831,12 +868,26 @@ def _rw(ctx: _Ctx, e: E.Expr) -> E.Expr:
             _rw(ctx, e.subject) if e.subject else None,
         )
     if isinstance(e, E.ListComp):
-        return E.ListComp(
-            e.var,
-            _rw(ctx, e.source),
-            _rw(ctx, e.where) if e.where else None,
-            _rw(ctx, e.projection) if e.projection else None,
-        )
+        src = _rw(ctx, e.source)
+        wh = _rw(ctx, e.where) if e.where else None
+        pr = _rw(ctx, e.projection) if e.projection else None
+        if (
+            isinstance(src, E.Col)
+            and src.name.endswith("__nodes")
+            and src.name[:-7] in ctx.path_vars
+            and (_prop_refs(wh, e.var) or _prop_refs(pr, e.var))
+        ):
+            # property access on path-node ids: route through the
+            # relational node-property join (ir.NodesCompJoin), the
+            # comprehension collapses to its hidden output column
+            key = (src.name, e.var, repr(wh), repr(pr))
+            entry = ctx.nodes_comps.get(key)
+            if entry is None:
+                alias = f"__ncj{len(ctx.nodes_comps)}"
+                entry = (src.name[:-7], e.var, wh, pr, alias)
+                ctx.nodes_comps[key] = entry
+            return E.Col(entry[4])
+        return E.ListComp(e.var, src, wh, pr)
     if isinstance(e, E.Quant):
         return E.Quant(e.kind, e.var, _rw(ctx, e.source), _rw(ctx, e.pred))
     if isinstance(e, E.Reduce):

@@ -493,6 +493,35 @@ class Traversal:
             )
         return res.df.select(idc).distinct()
 
+    def barrier(self, *args) -> "Traversal":
+        """TinkerPop ``barrier([n])`` — a lazy/bulk execution hint that
+        collects all traversers before continuing. Set-at-a-time DataFrame
+        execution already evaluates whole frontiers at once, so this is
+        the identity (the optional max-barrier-size arg is a streaming
+        knob with no analogue here)."""
+        return self
+
+    def _sack_pred_cond(self, anon: Anon):
+        """``__.sack().is(P)`` as a direct Column predicate over the sack
+        register — where()/not() apply it PER TRAVERSER (per row), which
+        an id-level EXISTS semi-join cannot express once the same element
+        carries different sack values on different paths. None when the
+        anon isn't exactly that shape."""
+        steps = list(anon._steps)
+        if (
+            len(steps) == 2
+            and steps[0][0] == "sack"
+            and not steps[0][1]
+            and steps[1][0] == "is_"
+            and len(steps[1][1]) == 1
+            and "__sack" in self.df.columns
+        ):
+            pred = steps[1][1][0]
+            if isinstance(pred, P):
+                return pred.col(F.col("__sack"))
+            return F.col("__sack") == F.lit(pred)
+        return None
+
     # -- filters with anonymous traversals (ast.rs Where/And/Or/Not) ------
 
     def where(self, cond, pred=None) -> "Traversal":
@@ -508,6 +537,9 @@ class Traversal:
             # where(P.eq('a')) — current element vs label 'a'
             return _WhereStep(self, None, cond)
         if isinstance(cond, Anon):
+            sack_cond = self._sack_pred_cond(cond)
+            if sack_cond is not None:
+                return self._derive(self.df.filter(sack_cond), self.cur, self.kind)
             ok = self._exists_ids(cond)
             return self._derive(
                 self.df.join(ok, _p(self.cur, "id"), "left_semi"), self.cur, self.kind
@@ -516,6 +548,16 @@ class Traversal:
 
     def not_(self, cond) -> "Traversal":
         if isinstance(cond, Anon):
+            sack_cond = self._sack_pred_cond(cond)
+            if sack_cond is not None:
+                # null-safe negation: a null sack (never assigned) fails
+                # the predicate, so NOT keeps it — TinkerPop's two-valued
+                # filter over an absent register
+                return self._derive(
+                    self.df.filter(~F.coalesce(sack_cond, F.lit(False))),
+                    self.cur,
+                    self.kind,
+                )
             ok = self._exists_ids(cond)
             return self._derive(
                 self.df.join(ok, _p(self.cur, "id"), "left_anti"), self.cur, self.kind
@@ -1105,6 +1147,21 @@ class Traversal:
         # aggregate reads the property column. TinkerPop values() skips
         # missing properties; null-skipping aggregates match that.
         vkey = term_args[0] if term_args else None
+        if (
+            vkey is None
+            and term_name == "fold"
+            and len(body_steps) >= 2
+            and body_steps[-1][0] == "order"
+            and not body_steps[-1][1]
+            and body_steps[-2][0] == "values"
+            and len(body_steps[-2][1]) == 1
+        ):
+            # __...values(k).order().fold(): fold() collects ascending
+            # already (array_sort below), so a bare order() is absorbed
+            # together with the values(k) — without this the order step
+            # blocked the values absorption and the replay lost the seed
+            # id (probe batch #7)
+            body_steps = body_steps[:-1]
         if vkey is None and body_steps and body_steps[-1][0] == "values":
             if len(body_steps[-1][1]) != 1:
                 # a multi-key values('a','b') body replays to a value-kind
@@ -1384,12 +1441,49 @@ class Traversal:
     def repeat(self, body: Anon) -> "Traversal":
         """``repeat(body).times(n)`` / with ``emit()`` (TinkerPop loops;
         beyond the reference's step list — its Gremlin AST has no Repeat —
-        but core TinkerPop). Deferred: ``times`` expands the loop."""
+        but core TinkerPop). Deferred: ``times`` expands the loop.
+        ``times(n).repeat(body)`` and ``until(P).repeat(body)`` — the
+        modulator-BEFORE forms — expand here instead; until-before is
+        while-do: traversers satisfying P exit before the first body
+        application, the rest run the do-while loop."""
         t = self.identity()
         t._repeat_body = body
         t._emit_first = getattr(self, "_emit_first", False)
         if getattr(self, "_emit_cond", None) is not None:
             t._emit_cond = self._emit_cond
+        pend_times = getattr(self, "_pending_times", None)
+        if pend_times is not None:
+            return t.times(pend_times)
+        pend_until = getattr(self, "_pending_until", None)
+        if pend_until is not None:
+            cond, max_loops = pend_until
+            if t._emit_first or getattr(self, "_repeat_emit", False):
+                raise GremlinError(
+                    "emit() with until() BEFORE repeat() is not supported — "
+                    "use repeat(...).emit().until(...)"
+                )
+            if _loops_predicate(cond) is not None:
+                raise GremlinError(
+                    "until(loops()...) before repeat() (while-do) is not "
+                    "supported — place until() after repeat()"
+                )
+            # while-do split: satisfiers exit with ZERO body applications
+            idc = _p(self.cur, "id")
+            ok = self._exists_ids(cond)
+            exits = self.df.join(ok, idc, "left_semi")
+            rest = self._derive(
+                self.df.join(ok, idc, "left_anti"), self.cur, self.kind
+            )
+            rest._repeat_body = body
+            looped = rest.until(cond, max_loops)
+            if looped.kind == "value":
+                raise GremlinError("until().repeat() needs an element body")
+            exited = self._frontier_renamed(exits, self.cur, looped.cur)
+            return self._derive(
+                looped.df.unionByName(exited, allowMissingColumns=True),
+                looped.cur,
+                looped.kind,
+            )
         return t
 
     def emit(self, cond: Optional[Anon] = None) -> "Traversal":
@@ -1433,7 +1527,14 @@ class Traversal:
         k as the body repeated k times from scratch."""
         body = getattr(self, "_repeat_body", None)
         if body is None:
-            raise GremlinError("times() without a pending repeat()")
+            # times(n).repeat(body) — modulator-before form: record the
+            # count; repeat() expands (same loop count as the after form)
+            t = self.identity()
+            t._pending_times = int(n)
+            t._emit_first = getattr(self, "_emit_first", False)
+            if getattr(self, "_emit_cond", None) is not None:
+                t._emit_cond = self._emit_cond
+            return t
         n = int(n)
         emit = getattr(self, "_repeat_emit", False)
         emit_first = getattr(self, "_emit_first", False)
@@ -1498,7 +1599,14 @@ class Traversal:
         lineage stays flat."""
         body = getattr(self, "_repeat_body", None)
         if body is None:
-            raise GremlinError("until() without a pending repeat()")
+            # until(P).repeat(body) — while-do: record the condition;
+            # repeat() pre-splits satisfiers before the first body pass
+            t = self.identity()
+            t._pending_until = (cond, max_loops)
+            t._emit_first = getattr(self, "_emit_first", False)
+            if getattr(self, "_emit_cond", None) is not None:
+                t._emit_cond = self._emit_cond
+            return t
         loops_pred = _loops_predicate(cond)
         emit_first = getattr(self, "_emit_first", False)
         # emit() anywhere means emit-all intermediates; position only

@@ -1118,6 +1118,65 @@ class Compiler:
         scope[p.alias] = VarInfo("value")
         return out, scope
 
+    def _c_nodescompjoin(self, p: ir.NodesCompJoin) -> tuple[DataFrame, Scope]:
+        """[n IN nodes(p) | n.prop]: the path's node-id arrays (DISTINCT —
+        shared subpaths pay the property join once) posexplode, join the
+        all-labels node frame, re-collect ordered by position, and join
+        back on the array value. Scale shape: one explode+join sized by
+        distinct-paths × path-length, no driver materialization."""
+        child, scope = self._compile(p.child)
+        arr = _p(p.path_var, "nodes")
+        if arr not in child.columns:
+            raise CompileError(
+                f"nodes() comprehension needs a named path, got {p.path_var!r}"
+            )
+        arrs = (
+            child.select(F.col(arr).alias("__nca"))
+            .where(F.col("__nca").isNotNull())
+            .distinct()
+        )
+        ex = arrs.select(
+            "__nca", F.posexplode("__nca").alias("__npos", "__nnid")
+        )
+        nodes = self.graph.nodes(None)
+        props = tuple(nodes.columns)
+        nodes = nodes.select(*[F.col(c).alias(_p(p.var, c)) for c in props])
+        j = ex.join(
+            nodes, ex["__nnid"] == F.col(_p(p.var, "id")), "left"
+        )
+        nscope: Scope = {p.var: VarInfo("node", None, props)}
+        if p.where is not None:
+            j = j.filter(self._expr(p.where, nscope, j))
+        proj = (
+            self._expr(p.proj, nscope, j)
+            if p.proj is not None
+            else F.col(_p(p.var, "id"))
+        )
+        vals = j.groupBy("__nca").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__npos").alias("p"), proj.alias("v"))
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias(p.alias)
+        )
+        out = child.join(vals, child[arr] == vals["__nca"], "left").drop("__nca")
+        dt = vals.schema[p.alias].dataType
+        # a WHERE that filters every element leaves no group row: that is
+        # [] (empty comprehension), not null; a null path stays null
+        out = out.withColumn(
+            p.alias,
+            F.when(
+                F.col(arr).isNotNull(),
+                F.coalesce(F.col(p.alias), F.array().cast(dt)),
+            ),
+        )
+        new_scope = dict(scope)
+        new_scope[p.alias] = VarInfo("value")
+        return out, new_scope
+
     # -- row ops ----------------------------------------------------------
 
     def _c_filter(self, p: ir.Filter) -> tuple[DataFrame, Scope]:
@@ -1298,7 +1357,9 @@ class Compiler:
                     # materialized per-hop property-struct list
                     return F.col(_p(e.name, "list"))
                 return F.col(_p(e.name, "id"))
-            return F.col(e.name)
+            # default RETURN-item aliases keep their dots ("p.name"):
+            # backtick so Spark reads the literal column, not a struct path
+            return F.col(f"`{e.name}`") if "." in e.name else F.col(e.name)
         if isinstance(e, E.Prop):
             info = scope.get(e.var)
             if info is None:
@@ -1448,7 +1509,7 @@ class Compiler:
                 out = out.otherwise(self._expr(e.else_, scope, df))
             return out
         if isinstance(e, E.ListComp):
-            src = self._expr(e.source, scope, df)
+            src = self._retype_void_list(self._expr(e.source, scope, df), df)
             bt = {e.var: self._elem_dtype(src, df)}
             if e.where is not None:
                 src = F.filter(src, lambda x: self._lambda_expr(e.where, {e.var: x}, scope, df, bt))
@@ -1457,7 +1518,7 @@ class Compiler:
             return src
         if isinstance(e, E.Quant):
             # all/any/none/single(x IN list WHERE pred) -> HOF predicates
-            src = self._expr(e.source, scope, df)
+            src = self._retype_void_list(self._expr(e.source, scope, df), df)
             bt = {e.var: self._elem_dtype(src, df)}
 
             def pred(x: Column) -> Column:
@@ -1476,7 +1537,7 @@ class Compiler:
             # reduce(acc = init, x IN list | body) -> F.aggregate fold;
             # the accumulator's type follows the init expression (so
             # string/list folds dispatch + to concat, not numeric add)
-            src = self._expr(e.source, scope, df)
+            src = self._retype_void_list(self._expr(e.source, scope, df), df)
             init = self._expr(e.init, scope, df)
             bt = {
                 e.acc: self._col_dtype(init, df),
@@ -1583,6 +1644,42 @@ class Compiler:
             return df.select(col.alias("_t")).schema[0].dataType
         except Exception:  # noqa: BLE001 — unanalyzable here; fall back
             return None
+
+    @staticmethod
+    def _list_eq_ternary(left: Column, right: Column) -> Column:
+        """openCypher list equality is three-valued PER ELEMENT (TCK:
+        [1,null]=[1,null] -> null, [1,2]=[1,null] -> null, [1,2]=[1,3]
+        -> false, [1]=[1,2] -> false): a definite element mismatch wins
+        false; otherwise any null element comparison nulls the whole
+        result. Spark's array EqualTo instead treats null elements as
+        equal, so the pairwise verdicts are rebuilt with zip_with.
+        Nested lists one level deep fall back to Spark element equality."""
+        z = F.zip_with(
+            left,
+            right,
+            lambda x, y: F.when(
+                x.isNull() | y.isNull(), F.lit(None)
+            ).otherwise(x == y),
+        )
+        return (
+            F.when(left.isNull() | right.isNull(), F.lit(None).cast("boolean"))
+            .when(F.size(left) != F.size(right), F.lit(False))
+            .when(F.exists(z, lambda p: ~F.coalesce(p, F.lit(True))), F.lit(False))
+            .when(F.exists(z, lambda p: p.isNull()), F.lit(None).cast("boolean"))
+            .otherwise(F.lit(True))
+        )
+
+    def _retype_void_list(self, src: Column, df: Optional[DataFrame]) -> Column:
+        """A NULL-literal list source compiles to VOID, which the array
+        HOFs (exists/forall/filter/transform/aggregate) reject at
+        analysis time; cast it to a typed null array so the expression
+        analyzes and evaluates to null — Cypher's quantifier/
+        comprehension-over-null semantics (probe batch #13)."""
+        from pyspark.sql.types import NullType
+
+        if isinstance(self._col_dtype(src, df), NullType):
+            return src.cast("array<int>")
+        return src
 
     def _elem_dtype(self, arr: Column, df: Optional[DataFrame]):
         from pyspark.sql.types import ArrayType
@@ -1698,7 +1795,9 @@ class Compiler:
                 )
             return src
         if isinstance(e, E.Quant):
-            src = self._lambda_expr(e.source, binds, scope, df, btypes)
+            src = self._retype_void_list(
+                self._lambda_expr(e.source, binds, scope, df, btypes), df
+            )
             bt = {
                 **(btypes or {}),
                 e.var: self._lambda_elem_dtype(e.source, binds, btypes, scope, df),
@@ -1889,6 +1988,9 @@ class Compiler:
                         left.isNull() | right.isNull(), F.lit(None).cast("boolean")
                     ).otherwise(F.lit(e.op == "<>"))
                 return F.lit(None).cast("boolean")
+            if e.op in ("=", "<>") and lg == "list" and rg == "list":
+                eq = self._list_eq_ternary(left, right)
+                return eq if e.op == "=" else ~eq
         if e.op == "REGEX" and isinstance(e.right, E.Lit) and isinstance(e.right.value, str):
             # invalid regex pattern -> null, not a runtime throw
             # (filter.rs:680-683 Regex::new Err(_) => None). Python's re

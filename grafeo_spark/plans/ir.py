@@ -192,6 +192,23 @@ class CollectJoin(Plan):
 
 
 @dataclass
+class NodesCompJoin(Plan):
+    """``[n IN nodes(p) WHERE pred | expr]`` with property access on the
+    element — path nodes are materialized as an id array, so property
+    reads need a relational hop: posexplode the DISTINCT id arrays, join
+    the all-labels node frame, re-collect in path order, join back keyed
+    by the array value itself (identical arrays ⇒ identical results,
+    which also dedups the property join)."""
+
+    child: Plan
+    path_var: str  # path alias whose __nodes column holds the id array
+    var: str  # comprehension element variable
+    alias: str  # hidden output column
+    proj: object = None  # None = the element itself (ids)
+    where: object = None
+
+
+@dataclass
 class Filter(Plan):
     child: Plan
     predicate: Expr

@@ -1551,3 +1551,116 @@ def test_repeat_until_loops_dead_frontier_keeps_emits(db):
         ).collect()
     )
     assert got  # every reachable intermediate, no error
+
+
+# --------------------------------------------------------------------- #
+# conformance batch #7: barrier(), modulator-before-repeat forms,
+# project() nested fold ordering, where() over sack values
+
+
+def test_barrier_is_identity(db):
+    """barrier([n]) is a bulk-execution hint; set-at-a-time evaluation is
+    already a full-frontier barrier, so results are unchanged."""
+    assert db.gremlin("g.V().out('KNOWS').barrier().count()").collect()[0][0] == 7
+    assert (
+        db.gremlin("g.V().out('KNOWS').barrier().dedup().count()").collect()[0][0]
+        == 6
+    )
+
+
+def test_times_before_repeat(db):
+    """times(n).repeat(body) — the modulator-before form runs the same
+    loop count as repeat(body).times(n)."""
+    got = sorted(r[0] for r in db.gremlin(
+        "g.V().has('name','Carol').times(2).repeat(__.out('KNOWS'))"
+        ".values('name')"
+    ).collect())
+    assert got == ["Eve"]
+    # emit().times(n).repeat(body): pre-loop element included
+    got = sorted(r[0] for r in db.gremlin(
+        "g.V().has('name','Carol').emit().times(2).repeat(__.out('KNOWS'))"
+        ".values('name')"
+    ).collect())
+    assert got == ["Carol", "Dave", "Eve"]
+
+
+def test_until_before_repeat_is_while_do(db):
+    """until(P).repeat(body) — while-do: a traverser satisfying P exits
+    with ZERO body applications (TinkerPop RepeatStep docs)."""
+    got = sorted(r[0] for r in db.gremlin(
+        "g.V().has('name','Bob').until(__.has('city','LA'))"
+        ".repeat(__.out('KNOWS')).values('name')"
+    ).collect())
+    assert got == ["Bob"]  # Bob is already in LA: no hop taken
+    got = sorted(r[0] for r in db.gremlin(
+        "g.V().has('name','Carol').until(__.has('city','LA'))"
+        ".repeat(__.out('KNOWS')).values('name')"
+    ).collect())
+    assert got == ["Eve"]  # Carol -> Dave -> Eve(LA)
+
+
+def test_until_before_repeat_with_emit_is_loud(db):
+    from grafeo_spark.lang.gremlin import GremlinError
+
+    with pytest.raises(GremlinError, match="emit"):
+        db.gremlin(
+            "g.V().emit().until(__.has('city','LA')).repeat(__.out('KNOWS'))"
+        ).collect()
+
+
+def test_project_by_ordered_fold(db):
+    """project().by(__.out().values(k).order().fold()) — the bare order()
+    is absorbed (fold collects ascending); previously the order step
+    blocked the values absorption and the replay lost the seed id."""
+    got = db.gremlin(
+        "g.V().has('name','Alice').project('n','friends')"
+        ".by(__.values('name'))"
+        ".by(__.out('KNOWS').values('name').order().fold())"
+    ).collect()
+    assert [tuple(r) for r in got] == [("Alice", ["Bob", "Carol"])]
+
+
+def test_where_sack_predicate(db):
+    """where(__.sack().is(P)) filters PER TRAVERSER on the sack register
+    (an id-level semi-join would keep every path of an element if any
+    one of its sack values passed)."""
+    got = sorted(r[0] for r in db.gremlin(
+        "g.withSack(0).V().has('name','Alice').out('KNOWS')"
+        ".sack(assign).by('age').where(__.sack().is(gt(35))).values('name')"
+    ).collect())
+    assert got == ["Bob"]
+    # path-dependent sums: Alice(30)+Bob(40)=70, Alice(30)+Carol(35)=65
+    got = sorted(r[0] for r in db.gremlin(
+        "g.withSack(0).V().has('name','Alice').sack(assign).by('age')"
+        ".out('KNOWS').sack(sum).by('age')"
+        ".where(__.sack().is(gte(66))).values('name')"
+    ).collect())
+    assert got == ["Bob"]
+
+
+def test_not_sack_predicate(db):
+    got = sorted(r[0] for r in db.gremlin(
+        "g.withSack(0).V().has('name','Alice').out('KNOWS')"
+        ".sack(assign).by('age').not(__.sack().is(gt(35))).values('name')"
+    ).collect())
+    assert got == ["Carol"]
+
+
+def test_local_count_emits_zero(db):
+    """local(__.out().count()) emits a 0 for elements with no sub-results
+    (count() inside local() is per-traverser)."""
+    got = sorted(r[0] for r in db.gremlin(
+        "g.V().has('city','NYC').local(__.out('KNOWS').count())"
+    ).collect())
+    assert got == [0, 1, 2]  # Frank 0, Carol 1, Alice 2
+
+
+def test_repeat_emit_until_is_path_multiset(db):
+    """Traversers are path-bulked: Carol is reachable from Heidi along
+    two paths (8-1-3 and 8-1-2-3), so she appears twice (TinkerPop bulk
+    semantics, not set semantics)."""
+    got = sorted(r[0] for r in db.gremlin(
+        "g.V().has('name','Heidi').repeat(__.out('KNOWS')).emit()"
+        ".until(__.has('name','Carol')).values('name')"
+    ).collect())
+    assert got == ["Alice", "Bob", "Carol", "Carol"]
