@@ -19,6 +19,14 @@ batteries spread 108.8-156.1s with per-entry jitter in both
 directions). Round-over-round driver numbers are comparable to each
 other in aggregate; per-entry regressions are adjudicated with
 scripts/ab_isolated.py on an idle machine, never from battery rows.
+
+ENVELOPE, measured r15 (BENCH_SCALE "driver-vs-committed gap"): running
+the battery immediately after a full 33-min pytest costs only +2.6%
+(sequential residue — page cache + JIT state), so driver gaps beyond
+~5% are CONCURRENT shared-host load during the battery itself. Read
+driver BENCH_r{N} totals against the committed quiet snapshot with a
+10-25% allowance; anything inside that band on unchanged code is the
+host, not the code.
 """
 
 from __future__ import annotations

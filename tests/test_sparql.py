@@ -1909,3 +1909,37 @@ def test_optional_exists_filter_inner_vars_still_ok(ts):
         ("Carol", None),
         ("NYC", None),
     ]
+
+
+def test_exists_decomposition_branch_count(ts, monkeypatch):
+    """Plan-size guard (r14 verdict wrong #2 note): the null-pattern
+    decomposition enumerates at most 2^k branches for k shared vars
+    (k<=5 static path) — each branch re-plans the persisted `out`
+    subtree, so branch growth is compile-time cost. Pin the union count
+    for k=2: one all-bound piece + three null-pattern masks = 3 unions."""
+    from pyspark.sql import DataFrame
+
+    from grafeo_spark.lang.sparql import sparql as run
+
+    ts.drain_exists_cache()
+    calls = {"n": 0}
+    orig = DataFrame.unionByName
+
+    def counting(self, other, *a, **k):
+        calls["n"] += 1
+        return orig(self, other, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "unionByName", counting)
+    # two shared vars (?x, ?n) both OPTIONAL-null-able
+    df = run(
+        ts,
+        PFX + "SELECT ?p (EXISTS { ?x ex:knows ?q . ?q ex:name ?n } AS ?e) "
+        "WHERE { ?p a ex:Person "
+        "OPTIONAL { ?p ex:knows ?x } "
+        "OPTIONAL { ?x ex:name ?n } }",
+    )
+    assert calls["n"] <= 3, (
+        f"k=2 EXISTS decomposition built {calls['n']} unions; the static "
+        "path must stay at 2^k - 1"
+    )
+    assert df.count() == 3  # the three persons; the decomposition computes
