@@ -917,6 +917,15 @@ _ORACLE: dict[str, str] = {
     "sparql_minus_disjoint": """
         SELECT n_name AS nm FROM nation ORDER BY nm
     """,
+    "sparql_values_undef": """
+        SELECT nm, seg FROM (
+            SELECT c_name AS nm, c_mktsegment AS seg FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+            UNION ALL
+            SELECT c_name, c_mktsegment FROM customer
+            WHERE c_name = 'Customer#000000001'
+        ) ORDER BY nm, seg
+    """,
     "sparql_exists_nations": """
         SELECT n_name AS nm FROM nation
         WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
@@ -3018,6 +3027,15 @@ _SPARQL: dict[str, str] = {
         "SELECT ?nm WHERE { ?n a ex:Nation ; ex:name ?nm "
         "MINUS { ?x ex:mktsegment ?y } } ORDER BY ?nm"
     ),
+    # r15 probe batch #6: UNDEF in a multi-var VALUES block is an unbound
+    # binding — never constrains the join; a solution compatible with two
+    # VALUES rows appears twice (§10.2 multiset compatibility join)
+    "sparql_values_undef": (
+        "SELECT ?nm ?seg WHERE { ?c a ex:Customer ; ex:name ?nm ; "
+        "ex:mktsegment ?seg . "
+        "VALUES (?seg ?nm) { ('BUILDING' UNDEF) (UNDEF 'Customer#000000001') } } "
+        "ORDER BY ?nm ?seg"
+    ),
 }
 
 
@@ -4020,6 +4038,8 @@ _PRIORITY = [
     "gremlin_sack_where",
     # -- r15 Cypher batch #13: nodes(path) property comprehension
     "path_nodes_props",
+    # -- r15 SPARQL probe batch #6: VALUES UNDEF compatibility join
+    "sparql_values_undef",
 ]
 
 

@@ -357,7 +357,36 @@ def _compile_group(ts: TripleStore, g: P.GroupPattern) -> DataFrame:
             out = v
         else:
             shared = [c for c in v.columns if c in out.columns]
-            out = out.join(v, shared, "inner") if shared else out.crossJoin(v)
+            if not shared:
+                out = out.crossJoin(v)
+            elif any(
+                row[names.index(c)] is None for row in rows for c in shared
+            ):
+                # UNDEF in a join column: SPARQL compatibility join — an
+                # unbound side never constrains, and the surviving row
+                # binds whichever side is bound (§10.2 multiset join).
+                # The VALUES side is a literal block, so the theta join
+                # broadcasts; no scale concern.
+                ren = v.select(
+                    *[
+                        F.col(c).alias(f"__vv_{c}") if c in shared else F.col(c)
+                        for c in v.columns
+                    ]
+                )
+                cond = F.lit(True)
+                for c in shared:
+                    cond = cond & (
+                        F.col(f"__vv_{c}").isNull()
+                        | F.col(c).isNull()
+                        | (F.col(c) == F.col(f"__vv_{c}"))
+                    )
+                out = out.join(ren, cond, "inner")
+                for c in shared:
+                    out = out.withColumn(
+                        c, F.coalesce(F.col(c), F.col(f"__vv_{c}"))
+                    ).drop(f"__vv_{c}")
+            else:
+                out = out.join(v, shared, "inner")
     for sq in g.subselects:
         # { SELECT ... } sub-query (ast.rs:322): compiled independently,
         # joined on its projected variables
@@ -870,6 +899,19 @@ def _builtin(name: str, args: list[Column]) -> Column:
         ),
         "strdt": lambda a: F.when(a[1].isNull(), F.lit(None)).otherwise(
             a[0].cast("string")
+        ),
+        # IRI construction (§17.4.2.7-8): in the collapsed lexical model
+        # an IRI IS its string, so IRI()/URI() pass the lexical form
+        # through (enables the IRI(CONCAT(STR(?x), ...)) minting idiom);
+        # BNODE(str) mints a label deterministically from its argument.
+        # datatype() stays unsupported-loud: the collapsed binding keeps
+        # no datatype metadata to answer it truthfully.
+        "iri": lambda a: a[0].cast("string"),
+        "uri": lambda a: a[0].cast("string"),
+        "bnode": lambda a: (
+            F.concat(F.lit("_:"), a[0].cast("string"))
+            if a
+            else F.concat(F.lit("_:b"), F.expr("uuid()"))
         ),
     }
     if name not in table:

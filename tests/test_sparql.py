@@ -1943,3 +1943,85 @@ def test_exists_decomposition_branch_count(ts, monkeypatch):
         "path must stay at 2^k - 1"
     )
     assert df.count() == 3  # the three persons; the decomposition computes
+
+
+# --------------------------------------------------------------------- #
+# round 15 probe batch #6: VALUES UNDEF joins, IRI minting, nested
+# closures, CONSTRUCT blank-node scope
+
+
+def test_values_undef_wildcard_join(sdb):
+    """UNDEF in a multi-var VALUES block is an unbound binding: it never
+    constrains the join (§10.2 compatibility), the other columns do."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?p ?n WHERE { ?p ex:name ?n . "
+            "VALUES (?p ?n) { (ex:alice UNDEF) (UNDEF 'Bob') } }"
+        )
+    )
+    assert out == [(EX + "alice", "Alice"), (EX + "bob", "Bob")]
+
+
+def test_values_undef_multiset(sdb):
+    """A solution compatible with TWO values rows appears twice (multiset
+    join semantics)."""
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { ex:alice ex:name ?n . "
+            "VALUES (?n) { ('Alice') (UNDEF) } }"
+        )
+    )
+    assert out == [("Alice",), ("Alice",)]
+
+
+def test_iri_uri_bnode_builtins(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?q (BNODE('x') AS ?b) WHERE { ?p ex:name 'Alice' "
+            "BIND(IRI(CONCAT(STR(?p), '_x')) AS ?q) }"
+        )
+    )
+    assert out == [(EX + "alice_x", "_:x")]
+
+
+def test_nested_path_closures(sdb):
+    out = rows(
+        sdb.sparql(PFX + "SELECT ?y WHERE { ex:alice (ex:knows/ex:knows)* ?y }")
+    )
+    assert out == [(EX + "alice",), (EX + "carol",)]
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?y WHERE { ex:alice (ex:knows|ex:livesIn)+ ?y }"
+        )
+    )
+    assert out == [(EX + "bob",), (EX + "carol",), (EX + "city1",)]
+
+
+def test_construct_bnode_fresh_per_solution(sdb):
+    """A blank node in a CONSTRUCT template mints ONE fresh node per
+    solution row, shared across that solution's template triples."""
+    out = sdb.sparql(
+        PFX + "CONSTRUCT { _:x ex:of ?p . _:x ex:nm ?n } "
+        "WHERE { ?p ex:name ?n . ?p a ex:Person }"
+    ).collect()
+    subs = {}
+    for r in out:
+        subs.setdefault(r[0], []).append(r[1:])
+    assert len(subs) == 3
+    assert sorted(len(v) for v in subs.values()) == [2, 2, 2]
+
+
+def test_describe_multiple_terms(sdb):
+    out = sdb.sparql(PFX + "DESCRIBE ex:alice ex:bob").collect()
+    assert sorted({r[0] for r in out}) == [EX + "alice", EX + "bob"]
+    assert len(out) == 9  # alice: type/name/age/knows/livesIn; bob: 4
+
+
+def test_subselect_limit_scoped_inside(sdb):
+    out = rows(
+        sdb.sparql(
+            PFX + "SELECT ?n WHERE { ?p ex:name ?n . "
+            "{ SELECT ?p WHERE { ?p a ex:Person } ORDER BY ?p LIMIT 2 } }"
+        )
+    )
+    assert out == [("Alice",), ("Bob",)]
