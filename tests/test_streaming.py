@@ -183,3 +183,46 @@ def test_graph_ingest_foreach_batch(spark, events_dir):
             "MATCH (u:User)-[:DID]->(e:Event) RETURN u.id AS id, count(e) AS n"
         )
     ) == [(1, 3), (2, 3)]
+
+
+def test_sessionize_batch_matches_session_window(spark):
+    """The batch gaps-and-islands path must be value-identical to the
+    built-in session_window (r15: batch path rewritten — session_window's
+    per-event-unique partial-agg keys measured superlinear at 50M
+    events). Includes the boundary case: events exactly `gap` apart
+    MERGE (touching windows coalesce)."""
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.streaming import sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:30:00", 2.0),   # exactly gap apart: merges
+        (1, "2024-01-01 01:00:01", 3.0),   # 1s past: new session
+        (2, "2024-01-01 05:00:00", 4.0),
+        (2, "2024-01-01 05:10:00", 5.0),
+        (3, "2024-01-01 09:00:00", 6.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, s string, value double").select(
+        "user_id", F.col("s").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    got = sorted(tuple(r) for r in sessionize(ev, gap="30 minutes").collect())
+    ref = sorted(
+        tuple(r)
+        for r in (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total"),
+            )
+            .select(
+                "user_id",
+                F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"),
+                "n_events",
+                "total",
+            )
+        ).collect()
+    )
+    assert got == ref
+    assert len(got) == 4  # user1: 2 sessions; user2: 1; user3: 1
