@@ -608,6 +608,17 @@ def _compile_field(graph: PropertyGraph, root: Field) -> DataFrame:
     df = graph.nodes(root.name)
     filters, _, limit, offset, order = _split_args(root.args)
     for k, v in filters:
+        # loud unknown-argument errors on ROOT fields too (the r14 fix
+        # covered nested/edge fields): an unrecognized filter would
+        # otherwise surface as an opaque unresolved-column
+        # AnalysisException at execution
+        base_k = _base_key(k)
+        if base_k not in df.columns:
+            raise GraphQLError(
+                f"unknown argument {k!r} on {root.name}: neither a "
+                f"property of {sorted(c for c in df.columns if c != '_label')} "
+                "nor a special argument (first/limit/offset/skip/label/orderBy)"
+            )
         df = df.filter(_filter_cond(k, v))
     # orderBy sorts root objects before pagination (translator.rs:404);
     # id is always the final tiebreak so pagination stays deterministic

@@ -428,3 +428,38 @@ def test_multiple_root_fields_rejected_loudly(db):
 
     with pytest.raises(GraphQLError, match="one root field"):
         db.graphql('{ a: Person { name } b: Person { name } }').collect()
+
+
+def test_unknown_root_argument_is_loud(db):
+    """r15 probe: an unknown filter argument on the ROOT field raises a
+    GraphQLError naming the known properties — previously an opaque
+    unresolved-column AnalysisException at execution (the r14 loud-error
+    fix covered only nested/edge fields)."""
+    import pytest
+
+    from grafeo_spark.lang.graphql import GraphQLError
+
+    with pytest.raises(GraphQLError, match="unknown argument 'nope'"):
+        db.graphql("{ Person(nope: 1) { name } }").collect()
+    # operator-suffixed unknown base is caught too
+    with pytest.raises(GraphQLError, match="unknown argument"):
+        db.graphql("{ Person(nope_gt: 1) { name } }").collect()
+
+
+def test_variable_default_and_override(db):
+    q = 'query Q($c: String = "NYC") { Person(city: $c) { name } }'
+    assert sorted(r[0] for r in db.graphql(q, variables={}).collect()) == [
+        "Alice", "Carol", "Frank",
+    ]
+    got = sorted(r[0] for r in db.graphql(q, variables={"c": "LA"}).collect())
+    assert got == ["Bob", "Eve"]
+
+
+def test_list_argument_in_suffix(db):
+    got = sorted(
+        r[0]
+        for r in db.graphql(
+            '{ Person(name_in: ["Alice", "Bob"]) { name } }'
+        ).collect()
+    )
+    assert got == ["Alice", "Bob"]
