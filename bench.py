@@ -76,6 +76,28 @@ def main() -> None:
     emb = tables.get("embeddings")
     if emb is not None:
         emb.limit(64).mapInPandas(lambda it: it, emb.schema).count()
+    # r15: also warm the two query front-ends (engine construction, the
+    # Cypher/SPARQL compile paths, and the triple-union's whole-stage
+    # codegen). The battery runs never-driver-checked entries FIRST
+    # (rotation staleness -1), so a NEW entry always lands in the
+    # absorber slot the preamble exists to eliminate — r15 measured the
+    # two new probe-batch SPARQL entries at 9.5s/6.4s in the battery vs
+    # 1.7s/1.0s warm-isolated, a pure first-query artifact. One tiny
+    # untimed query per front-end moves that cost here.
+    try:
+        import grafeo_spark  # noqa: F401  (already on sys.path)
+        from grafeo_spark.catalog import tpch_graph, tpch_triples
+        from grafeo_spark.engine import GrafeoSpark
+
+        GrafeoSpark(spark, tpch_graph(spark, sf_dir)).cypher(
+            "MATCH (r:Region) RETURN count(*) AS n"
+        ).count()
+        GrafeoSpark(spark, triples=tpch_triples(spark, sf_dir)).sparql(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT (COUNT(?r) AS ?n) WHERE { ?r a ex:Region }"
+        ).count()
+    except Exception as ex:  # noqa: BLE001 — warm-up must never fail the bench
+        print(f"front-end warm-up skipped: {ex}", file=sys.stderr)
     print(
         f"warm-up preamble: {time.perf_counter() - t_warm:.1f}s (untimed)",
         file=sys.stderr,

@@ -101,7 +101,14 @@ def pagerank(
     spark = state.sparkSession
     ne = int(state.agg(F.sum("outdeg")).first()[0] or 0)
     default_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    parts = max(int(default_parts), min(2048, -(-ne // 2_000_000)))
+    # width from the measured edge count in BOTH directions (pregel.py
+    # iter_width): the old formula only ever RAISED the session width, so
+    # a small graph paid `default` near-empty tasks per superstep job —
+    # the same cost the r14 betweenness clamp removed (its A/B: job
+    # overhead x supersteps dominates below ~100k rows)
+    from grafeo_spark.algorithms.pregel import iter_width
+
+    parts = iter_width(ne, spark)
     big = ne > 150_000_000
     ckpt_level = StorageLevel.DISK_ONLY if big else None
     # materialize the edge list once, hash-partitioned by the join key:

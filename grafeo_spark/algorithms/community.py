@@ -10,10 +10,15 @@ in-memory envelope); `modularity` itself is a distributed aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from grafeo_spark.algorithms.pregel import undirect, vertices_from_edges
+from grafeo_spark.algorithms.pregel import (
+    iter_width,
+    scoped_shuffle_width,
+    undirect,
+    vertices_from_edges,
+)
 
 DRIVER_ALGO_MAX_NODES = 100_000
 
@@ -26,37 +31,59 @@ def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     no label changed. Synchronous updates can oscillate on bipartite
     structures — max_iter caps that (the reference caps iterations too).
     """
-    und = undirect(edges.select("src", "dst")).distinct()
-    labels = vertices_from_edges(edges).withColumn("label", F.col("id"))
-    pick = Window.partitionBy("_id").orderBy(F.desc("cnt"), F.asc("nlabel"))
-    for it in range(max_iter):
-        nbr = (
-            und.join(labels, und["dst"] == labels["id"], "inner")
-            .select(und["src"].alias("_id"), F.col("label").alias("nlabel"))
-            .groupBy("_id", "nlabel")
-            .agg(F.count("*").alias("cnt"))
-        )
-        best = (
-            nbr.withColumn("_rn", F.row_number().over(pick))
-            .filter(F.col("_rn") == 1)
-            .select("_id", F.col("nlabel").alias("new_label"))
-        )
-        nxt = (
-            labels.join(best, labels["id"] == best["_id"], "left")
-            .select(
-                "id",
-                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
-                (F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")).alias(
-                    "_chg"
-                ),
+    # Materialize the undirected edge frame ONCE, hash-partitioned on the
+    # join key (guide §2.4): the old loop re-derived undirect+distinct —
+    # a scan plus an exchange — in every iteration; with the partitioning
+    # cached only the (much smaller) label state moves per iteration
+    # (the pregel-kernel edge-cache pattern, pregel.py:63). The loop runs
+    # at an edge-count-derived width, scoped and restored — the pregel
+    # kernel's sizing rule (~2M rows/task, floor 4, cap 2048).
+    spark = edges.sparkSession
+    eff_parts = iter_width(edges.count() * 2, spark)
+    und = (
+        undirect(edges.select("src", "dst"))
+        .distinct()
+        .repartition(eff_parts, "dst")
+        .persist()
+    )
+    try:
+      with scoped_shuffle_width(spark, eff_parts):
+        labels = vertices_from_edges(edges).withColumn("label", F.col("id"))
+        for it in range(max_iter):
+            nbr = (
+                und.join(labels, und["dst"] == labels["id"], "inner")
+                .select(und["src"].alias("_id"), F.col("label").alias("nlabel"))
+                .groupBy("_id", "nlabel")
+                .agg(F.count("*").alias("cnt"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = not nxt.filter(F.col("_chg")).isEmpty()
-        labels = nxt.drop("_chg")
-        if not changed:
-            break
-    return labels
+            # argmax by (cnt desc, nlabel asc) as a plain aggregate: min
+            # over struct(-cnt, nlabel). Replaces the row_number window —
+            # same exchange on _id, but no per-partition sort and the
+            # partial (map-side) aggregation halves what it shuffles
+            # (guide §2.3 "aggregate before you shuffle").
+            best = (
+                nbr.groupBy("_id")
+                .agg(F.min(F.struct((-F.col("cnt")).alias("_nc"), F.col("nlabel"))).alias("_p"))
+                .select("_id", F.col("_p.nlabel").alias("new_label"))
+            )
+            nxt = (
+                labels.join(best, labels["id"] == best["_id"], "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+                    (
+                        F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")
+                    ).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = not nxt.filter(F.col("_chg")).isEmpty()
+            labels = nxt.drop("_chg")
+            if not changed:
+                break
+        return labels
+    finally:
+        und.unpersist()
 
 
 def modularity(edges: DataFrame, communities: DataFrame) -> float:

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from grafeo_spark.algorithms.pregel import pregel, undirect, vertices_from_edges
+from grafeo_spark.algorithms.pregel import (
+    iter_width,
+    pregel,
+    scoped_shuffle_width,
+    undirect,
+    vertices_from_edges,
+)
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
@@ -79,6 +85,7 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
     spark = e.sparkSession
     assigned = spark.createDataFrame([], "id long, component long")
     depth = remaining.count() + 1  # converged-fixpoint bound for inner loops
+    _width = scoped_shuffle_width(spark, iter_width(max(depth - 1, e.count()), spark))
 
     def _peel(sub_e: DataFrame, verts: DataFrame, reverse: bool) -> DataFrame:
         """Color along one direction, return the root SCCs (id, component)."""
@@ -114,7 +121,11 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
     # one count action per shrink: n_after carries into the next round as
     # n_before instead of re-counting the identical frame (ADVICE r13)
     n_before = remaining.count()
-    for _ in range(max_iter):
+    # outer-loop shuffles (shrink anti-joins, union checkpoints, the
+    # backward reachability) share the measured-size width; the inner
+    # pregel coloring scopes itself the same way (pregel.py sizing rule)
+    with _width:
+      for _ in range(max_iter):
         if n_before == 0:
             return assigned
         scc = _peel(e, remaining, reverse=False)
@@ -194,21 +205,57 @@ def topological_sort(edges: DataFrame, max_iter: int = 200) -> DataFrame:
     inside a wall budget.
     """
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    remaining = vertices_from_edges(e)
     spark = e.sparkSession
+    # Kahn via MAINTAINED in-degrees: state is (id, indeg); each round
+    # peels indeg=0, then decrements successors by the count of edges
+    # LEAVING the peeled frontier. The old loop instead re-derived
+    # has_in = distinct(dst) over the full remaining edge set and
+    # anti-joined/checkpointed BOTH the vertex and edge frames every
+    # round — O(E) shuffled+rewritten per level; the decrement join
+    # touches each edge exactly once across the whole run (guide §2.4:
+    # remove per-round shuffles outright).
+    state = (
+        vertices_from_edges(e)
+        .join(
+            e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("indeg")),
+            "id",
+            "left",
+        )
+        .fillna({"indeg": 0})
+        .localCheckpoint(eager=True)
+    )
+    n_remaining = state.count()
     out = spark.createDataFrame([], "id long, level long")
     level = 0
-    while not remaining.isEmpty():
-        if level >= max_iter:
-            raise ValueError("topological_sort: max_iter exceeded")
-        has_in = e.select(F.col("dst").alias("id")).distinct()
-        sources = remaining.join(has_in, "id", "left_anti")
-        if sources.isEmpty():
-            raise ValueError("topological_sort: graph has a cycle")
-        out = out.unionByName(sources.withColumn("level", F.lit(level).cast("long")))
-        remaining = remaining.join(sources, "id", "left_anti").localCheckpoint(eager=True)
-        e = e.join(sources.withColumnRenamed("id", "src"), "src", "left_anti").localCheckpoint(
-            eager=True
-        )
-        level += 1
+    # per-level shuffles sized to the measured state (pregel.py sizing rule)
+    with scoped_shuffle_width(spark, iter_width(n_remaining, spark)):
+        while n_remaining > 0:
+            if level >= max_iter:
+                raise ValueError("topological_sort: max_iter exceeded")
+            sources = (
+                state.filter(F.col("indeg") == 0).select("id").localCheckpoint(eager=True)
+            )
+            n_src = sources.count()
+            if n_src == 0:
+                raise ValueError("topological_sort: graph has a cycle")
+            out = out.unionByName(sources.withColumn("level", F.lit(level).cast("long")))
+            # no broadcast hint: a wide DAG's first frontier can be most of
+            # the graph — AQE sees the checkpointed frontier's true size and
+            # picks broadcast itself exactly when it fits
+            dec = (
+                e.join(sources.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.count("*").alias("_d"))
+            )
+            state = (
+                state.filter(F.col("indeg") > 0)
+                .join(dec, "id", "left")
+                .select(
+                    "id",
+                    (F.col("indeg") - F.coalesce(F.col("_d"), F.lit(0))).alias("indeg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_remaining -= n_src
+            level += 1
     return out

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from grafeo_spark.algorithms.components import connected_components
-from grafeo_spark.algorithms.pregel import vertices_from_edges
+from grafeo_spark.algorithms.pregel import (
+    iter_width,
+    scoped_shuffle_width,
+    vertices_from_edges,
+)
 
 
 def minimum_spanning_forest(
@@ -36,34 +40,58 @@ def minimum_spanning_forest(
     comp = vertices_from_edges(e).withColumn("component", F.col("id"))
     mst = spark.createDataFrame([], "src long, dst long, weight double")
 
-    for _ in range(max_iter):
+    comp = comp.localCheckpoint(eager=True)
+    # round shuffles sized to the measured edge count (pregel.py rule);
+    # the inner component-merge pregel scopes itself the same way
+    _width = scoped_shuffle_width(spark, iter_width(e.count(), spark))
+    with _width:
+      for _ in range(max_iter):
         cs = comp.select(F.col("id").alias("src"), F.col("component").alias("_cs"))
         cd = comp.select(F.col("id").alias("dst"), F.col("component").alias("_cd"))
         cross = (
             e.join(cs, "src").join(cd, "dst").filter(F.col("_cs") != F.col("_cd"))
         )
-        if cross.isEmpty():
-            break
-        pick = F.struct("weight", "src", "dst").alias("pick")
+        # carry the component endpoints through the pick: (weight, src, dst)
+        # already identifies the edge uniquely (e is min-reduced per pair),
+        # so the extra struct fields never influence the min
+        pick = F.struct("weight", "src", "dst", "_cs", "_cd").alias("pick")
         cand = cross.select(F.col("_cs").alias("c"), pick).unionAll(
             cross.select(F.col("_cd").alias("c"), pick)
         )
+        # checkpoint the (tiny: <= one row per component) picked-edge set and
+        # test THAT for emptiness — the old code's cross.isEmpty() ran the
+        # full two-sided join once for the test and again for the pick
         best = (
             cand.groupBy("c")
             .agg(F.min("pick").alias("p"))
-            .select(
-                F.col("p.src").alias("src"),
-                F.col("p.dst").alias("dst"),
-                F.col("p.weight").alias("weight"),
-            )
+            .select("p.src", "p.dst", "p.weight", "p._cs", "p._cd")
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        mst = mst.unionByName(best).distinct().localCheckpoint(eager=True)
-        cc = connected_components(mst.select("src", "dst"))
+        if best.isEmpty():
+            break
+        mst = (
+            mst.unionByName(best.select("src", "dst", "weight"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # Merge components on the COMPONENT-level graph (Borůvka
+        # contraction): each picked edge links the two components that
+        # picked it, so connected components over <= 2 rows per component
+        # yields the merged partition. The old code re-ran the min-label
+        # fixpoint over the ENTIRE accumulated vertex-level MST edge set
+        # every round — O(rounds x mst-diameter) supersteps over a frame
+        # that only grows; the contracted graph instead SHRINKS
+        # geometrically with the component count. Labels agree (min
+        # component id = min vertex id of the merged group), so the
+        # per-round picks — and the returned forest — are identical.
+        ce = best.select(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
+        merge = connected_components(ce).select(
+            F.col("id").alias("component"), F.col("component").alias("_newc")
+        )
         comp = (
-            comp.select("id")
-            .join(cc, "id", "left")
-            .select("id", F.coalesce(F.col("component"), F.col("id")).alias("component"))
+            comp.join(merge, "component", "left")
+            .select("id", F.coalesce(F.col("_newc"), F.col("component")).alias("component"))
             .localCheckpoint(eager=True)
         )
     return mst

@@ -30,6 +30,63 @@ from pyspark.sql import functions as F
 
 CHECKPOINT_EVERY = 4
 
+# Target edge/state rows per task for iterative-loop shuffles — the
+# pagerank/betweenness sizing rule (centrality.py:104): width grows with
+# the measured input so per-task state stays bounded at cluster scale,
+# and shrinks on small graphs where the session default width makes
+# every superstep pay dozens of near-empty tasks.
+ROWS_PER_TASK = 2_000_000
+
+
+# Below this many rows a loop is in the job-overhead regime: per-superstep
+# planning/scheduling dominates and extra tasks are pure cost (the r14
+# betweenness clamp measurement). Above it, compute dominates and the
+# width must not drop below the available parallelism.
+SMALL_ROWS = 100_000
+
+
+def iter_width(rows: int, spark=None) -> int:
+    """Shuffle width for an iterative loop over ``rows`` state/edge rows.
+
+    Tiny input (< SMALL_ROWS): clamp to 4 — each superstep is a handful
+    of near-empty tasks whose scheduling is the dominant cost. Otherwise:
+    at least the cluster's ``defaultParallelism`` (deployment-derived,
+    never a local constant) and ~ROWS_PER_TASK rows per task beyond it,
+    capped at 2048 — the measured pagerank/betweenness sizing rule
+    (centrality.py:104). An r15 A/B showed why the floor matters: sizing
+    a 750k-edge pagerank to 4 partitions serialized its per-superstep
+    join on 4 of 32 cores (16.5s -> 30s+)."""
+    if rows < SMALL_ROWS:
+        return 4
+    dp = 0
+    if spark is not None:
+        try:
+            dp = int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            dp = 0
+    return max(dp, min(2048, -(-rows // ROWS_PER_TASK)))
+
+
+class scoped_shuffle_width:
+    """Scope ``spark.sql.shuffle.partitions`` to an iterative loop and
+    restore it on exit (exception-safe — the r14 betweenness ADVICE
+    lesson: any work between the set and the try leaks the width)."""
+
+    def __init__(self, spark, parts: int):
+        self._spark = spark
+        self._parts = int(parts)
+        self._prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+
+    def __enter__(self):
+        if self._parts != int(self._prev):
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(self._parts))
+        return self
+
+    def __exit__(self, *exc):
+        if self._parts != int(self._prev):
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False
+
 
 def _prefixed(df: DataFrame, prefix: str) -> DataFrame:
     return df.select(*[F.col(c).alias(prefix + c) for c in df.columns])
@@ -67,63 +124,108 @@ def pregel(
     # partitioning cached, only the (much smaller) vertex state moves per
     # superstep. Dropped again before returning; the result state is
     # checkpointed so it never depends on this cache.
+    #
+    # Superstep shuffles run at a width derived from the MEASURED edge
+    # count (~2M edge rows per task — the pagerank/betweenness sizing
+    # rule, centrality.py:104/:263), scoped to the loop and restored in
+    # the finally. On a small graph the session default width (core
+    # count locally, hundreds on a cluster) makes every superstep pay
+    # tens of near-empty tasks across 2 exchanges + a checkpoint — the
+    # r14 betweenness clamp measured this as the dominant cost of
+    # iterate-until-fixpoint below ~100k rows; on a huge graph the same
+    # rule widens the superstep shuffles so per-task state stays bounded
+    # (the sf50 pagerank OOM lesson). The cached edge side must share
+    # the width or every superstep re-exchanges it.
+    spark = vertices.sparkSession
+    ne = edges.count()
+    eff_parts = iter_width(ne, spark)
+    # Superstep batching REJECTED by measurement (r15): chaining k
+    # supersteps lazily between checkpoints looked like it would replace
+    # 2k driver jobs with 2, but each superstep references the previous
+    # state TWICE (once as the message sender, once as the update join's
+    # left side), so a lazy k-chain is a 2^k plan blowup, not a linear
+    # pipeline — the A/B regressed WCC 1.9s -> 25s and MST 5.3s -> 46s
+    # at k=4. Per-superstep materialization is what keeps the state
+    # single-evaluation; batch stays 1.
+    batch = 1
     part_key = "e_src" if send_to_dst is not None else "e_dst"
-    e = _prefixed(edges, "e_").repartition(part_key).persist()
+    e = _prefixed(edges, "e_").repartition(eff_parts, part_key).persist()
     try:
-        cur = vertices
-        for it in range(1, max_iter + 1):
-            v = _prefixed(cur, "v_")
-            msgs = None
-            if send_to_dst is not None:
-                m = e.join(v, F.col("e_src") == F.col("v_id"), "inner").select(
-                    F.col("e_dst").alias("_mid"), send_to_dst.alias("msg")
-                )
-                msgs = m
-            if send_to_src is not None:
-                m = e.join(v, F.col("e_dst") == F.col("v_id"), "inner").select(
-                    F.col("e_src").alias("_mid"), send_to_src.alias("msg")
-                )
-                msgs = m if msgs is None else msgs.unionByName(m)
-            if msgs is None:
-                raise ValueError("at least one of send_to_dst/send_to_src required")
-            inbox = msgs.groupBy("_mid").agg(agg_msg.alias("_msg"))
-            joined = cur.join(inbox, cur["id"] == inbox["_mid"], "left").drop("_mid")
-            nxt = update(joined)
-            checkpointed = False
-            if "_changed" in nxt.columns:
-                # Convergence checking needs an action per superstep;
-                # checkpoint FIRST so isEmpty reads materialized state
-                # instead of re-executing every superstep since the last
-                # checkpoint.
-                nxt = nxt.localCheckpoint(eager=True)
-                checkpointed = True
-                if nxt.filter(F.col("_changed")).isEmpty():
-                    return nxt.drop("_changed")
-                nxt = nxt.drop("_changed")
-            elif it % checkpoint_every == 0 or it == max_iter:
-                # always checkpointed on exit so the returned frame does not
-                # depend on the edge cache dropped below
-                nxt = nxt.localCheckpoint(eager=True)
-                checkpointed = True
-            cur = nxt
-            if checkpointed and it % checkpoint_every == 0:
-                # Old checkpoints' storage blocks are freed only when their
-                # Python DataFrame objects are collected (ContextCleaner
-                # acts on GC); left to chance, a big-graph run accumulates
-                # every superstep's state in the block store and the
-                # executor GC-churns — measured at sf25 (46M vertices):
-                # supersteps fluctuated 29-60s, vs a flat ~17s steady
-                # state with explicit collection (BENCH_SCALE.md r13).
-                # Collected on the checkpoint cadence, bounding live
-                # checkpoints to ~checkpoint_every while keeping driver-GC
-                # cost off every small-graph superstep.
-                import gc
-
-                gc.collect()
-        return cur.drop("_changed") if "_changed" in cur.columns else cur
+        with scoped_shuffle_width(spark, eff_parts):
+            return _pregel_loop(
+                e, vertices, send_to_dst, send_to_src, agg_msg, update,
+                max_iter, checkpoint_every, batch,
+            )
     finally:
         e.unpersist()
 
+
+def _superstep(e, cur, send_to_dst, send_to_src, agg_msg, update):
+    v = _prefixed(cur, "v_")
+    msgs = None
+    if send_to_dst is not None:
+        m = e.join(v, F.col("e_src") == F.col("v_id"), "inner").select(
+            F.col("e_dst").alias("_mid"), send_to_dst.alias("msg")
+        )
+        msgs = m
+    if send_to_src is not None:
+        m = e.join(v, F.col("e_dst") == F.col("v_id"), "inner").select(
+            F.col("e_src").alias("_mid"), send_to_src.alias("msg")
+        )
+        msgs = m if msgs is None else msgs.unionByName(m)
+    if msgs is None:
+        raise ValueError("at least one of send_to_dst/send_to_src required")
+    inbox = msgs.groupBy("_mid").agg(agg_msg.alias("_msg"))
+    joined = cur.join(inbox, cur["id"] == inbox["_mid"], "left").drop("_mid")
+    return update(joined)
+
+
+def _pregel_loop(
+    e, vertices, send_to_dst, send_to_src, agg_msg, update, max_iter,
+    checkpoint_every, batch,
+):
+    cur = vertices
+    it = 0
+    while it < max_iter:
+        nxt = cur
+        has_changed = False
+        for _ in range(min(batch, max_iter - it)):
+            if has_changed:
+                nxt = nxt.drop("_changed")
+            nxt = _superstep(e, nxt, send_to_dst, send_to_src, agg_msg, update)
+            has_changed = "_changed" in nxt.columns
+            it += 1
+        checkpointed = False
+        if has_changed:
+            # Convergence checking needs an action; checkpoint FIRST so
+            # isEmpty reads materialized state instead of re-executing
+            # every superstep since the last checkpoint.
+            nxt = nxt.localCheckpoint(eager=True)
+            checkpointed = True
+            if nxt.filter(F.col("_changed")).isEmpty():
+                return nxt.drop("_changed")
+            nxt = nxt.drop("_changed")
+        elif it % checkpoint_every == 0 or it == max_iter:
+            # always checkpointed on exit so the returned frame does not
+            # depend on the edge cache dropped below
+            nxt = nxt.localCheckpoint(eager=True)
+            checkpointed = True
+        cur = nxt
+        if checkpointed and it % checkpoint_every == 0:
+            # Old checkpoints' storage blocks are freed only when their
+            # Python DataFrame objects are collected (ContextCleaner
+            # acts on GC); left to chance, a big-graph run accumulates
+            # every superstep's state in the block store and the
+            # executor GC-churns — measured at sf25 (46M vertices):
+            # supersteps fluctuated 29-60s, vs a flat ~17s steady
+            # state with explicit collection (BENCH_SCALE.md r13).
+            # Collected on the checkpoint cadence, bounding live
+            # checkpoints to ~checkpoint_every while keeping driver-GC
+            # cost off every small-graph superstep.
+            import gc
+
+            gc.collect()
+    return cur.drop("_changed") if "_changed" in cur.columns else cur
 
 def vertices_from_edges(edges: DataFrame) -> DataFrame:
     """Distinct vertex ids appearing in the edge set."""

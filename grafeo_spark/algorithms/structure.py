@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from grafeo_spark.algorithms.pregel import canonical_undirected, undirect
+from grafeo_spark.algorithms.pregel import (
+    canonical_undirected,
+    iter_width,
+    scoped_shuffle_width,
+    undirect,
+)
 
 DRIVER_ALGO_MAX_NODES = 100_000
 
@@ -22,19 +27,26 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     vertices with degree < k until fixpoint. Each round: one degree
     aggregation + two semi-joins; eager checkpoints bound lineage."""
     e = canonical_undirected(edges).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        und = undirect(e)
-        deg = und.groupBy("src").agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("id"))
-        nxt = (
-            e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.count() == e.count():
+    n_e = e.count()
+    # loop shuffles sized to the measured edge count (pregel.py rule);
+    # the fixpoint test reuses the previous round's count instead of
+    # re-counting the unchanged checkpointed frame (one job per round
+    # saved — the ADVICE-r13 SCC pattern)
+    with scoped_shuffle_width(e.sparkSession, iter_width(n_e * 2, e.sparkSession)):
+        for _ in range(max_iter):
+            und = undirect(e)
+            deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+            keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("id"))
+            nxt = (
+                e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            n_nxt = nxt.count()
             e = nxt
-            break
-        e = nxt
+            if n_nxt == n_e:
+                break
+            n_e = n_nxt
     return (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))

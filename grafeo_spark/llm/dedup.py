@@ -422,9 +422,10 @@ def _content_members(sh_rows: DataFrame) -> DataFrame:
     sets = sh_rows.groupBy("id").agg(
         F.sort_array(F.collect_set("_shh")).alias("_set")
     )
-    keyed = sets.select(
-        "id", F.xxhash64(F.col("_set").cast("string")).alias("_ck")
-    )
+    # xxhash64 hashes the array<long> natively — the old cast("string")
+    # built a ~10 KB rendered string per document just to feed the hash
+    # (guide §2.3: narrower bytes into the expression, same grouping)
+    keyed = sets.select("id", F.xxhash64(F.col("_set")).alias("_ck"))
     groups = keyed.groupBy("_ck").agg(F.min("id").alias("gid"))
     # sort-merge hint: `groups` is one row per DISTINCT CONTENT — a
     # corpus-sized frame (on a decorrelated corpus it IS the corpus).
@@ -446,7 +447,21 @@ def _group_rep_pairs(
     """(members, rep_pairs): exact-content groups plus the verified
     near-duplicate relation between group REPRESENTATIVES — the bounded
     core of the banded pipeline (everything downstream is linear joins)."""
+    # Materialize the shingle-occurrence frame once (lazy checkpoint: the
+    # probe job inside lsh_candidate_pairs is the first action and pays
+    # for it). Three independent consumers read it — the exact-content
+    # grouping, the representative signature branch, and the verify
+    # collect_set — and ReuseExchange only dedupes their IDENTICAL
+    # exchange subtrees, not the per-branch token-window sort above them:
+    # the r15 plan audit counted the posexplode+Window pipeline 6-8x in
+    # one query (plans/r15/ngram_jaccard_pairs_before.txt). One
+    # materialization replaces all recomputes; blocks are freed when the
+    # Python object goes out of scope (same lifecycle as `sigs` below).
+    sh_rows = sh_rows.localCheckpoint(eager=False)
     members = _content_members(sh_rows)
+    # members is one narrow row per document and is read by the rep
+    # semi-join here plus 2-3 fan-out joins downstream — same rationale
+    members = members.localCheckpoint(eager=False)
     # the representative-id set is corpus-sized (all-distinct corpus ⇒
     # every id is its own rep) — same no-broadcast rationale as above
     rep_rows = sh_rows.join(
