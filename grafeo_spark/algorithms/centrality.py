@@ -125,13 +125,21 @@ def pagerank(
     if parts != int(default_parts):
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     it = 0
+    # Dangling mass for superstep 1 — the only standalone scalar job left;
+    # every later superstep's dang (and tol delta) rides along on the
+    # checkpoint job itself as an observation metric (r15): the old loop
+    # paid one extra aggregate job per superstep (~0.4s × iterations at
+    # sf0.1; a full state pass at scale) for a scalar the materializing
+    # job already sees every row of.
+    from pyspark.sql import Observation
+
+    dang = (
+        state.filter(F.col("outdeg") == 0)
+        .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+        .first()[0]
+    )
     try:
         for it in range(1, max_iter + 1):
-            dang = (
-                state.filter(F.col("outdeg") == 0)
-                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-                .first()[0]
-            )
             contrib = (
                 e.join(state, e["_es"] == state["id"], "inner")
                 .select(
@@ -157,7 +165,18 @@ def pagerank(
                 )
                 .drop("contrib")
             )
+            metrics = [
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg") == 0, F.col("pr"))), F.lit(0.0)
+                ).alias("dang")
+            ]
+            if tol is not None:
+                metrics.append(F.max(F.abs(F.col("pr") - F.col("_prev"))).alias("delta"))
+            obs = Observation(f"pagerank_superstep_{it}")
+            state = state.observe(obs, *metrics)
             state = state.localCheckpoint(eager=True, storageLevel=ckpt_level)
+            vals = obs.get  # collected by the checkpoint job above
+            dang = vals["dang"] or 0.0
             if n > 2_000_000:
                 # big-state runs only: free the previous superstep's
                 # checkpoint blocks eagerly — see pregel.py: unreferenced
@@ -170,9 +189,7 @@ def pagerank(
 
                 gc.collect()
             if tol is not None:
-                delta = state.agg(
-                    F.max(F.abs(F.col("pr") - F.col("_prev")))
-                ).first()[0]
+                delta = vals.get("delta")
                 state = state.drop("_prev")
                 if delta is not None and delta < tol:
                     break
@@ -329,7 +346,8 @@ def _betweenness_core(
             .groupBy("source", "id")
             .agg(F.sum("sigma").alias("sigma"))
             .join(visited, ["source", "id"], "left_anti")
-            .localCheckpoint(eager=True, storageLevel=ckpt_level)
+            # lazy + count fusion: one job per level (r15; see pregel.py)
+            .localCheckpoint(eager=False, storageLevel=ckpt_level)
         )
         n_new = nxt.count()
         if n_new == 0:

@@ -75,9 +75,11 @@ def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
                         F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")
                     ).alias("_chg"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            changed = not nxt.filter(F.col("_chg")).isEmpty()
+            # full count fused with the lazy checkpoint: one job per
+            # iteration instead of eager-checkpoint + isEmpty (r15)
+            changed = nxt.filter(F.col("_chg")).count() > 0
             labels = nxt.drop("_chg")
             if not changed:
                 break

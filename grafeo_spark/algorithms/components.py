@@ -108,8 +108,10 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
         )
 
     def _shrink(sub_e: DataFrame, verts: DataFrame, scc: DataFrame):
+        # lazy: the caller's count (or the next peel's pregel edge count)
+        # is the materializing action — one job saved per shrink (r15)
         verts = verts.join(scc.select("id"), "id", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
         sub_e = (
             sub_e.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
@@ -233,7 +235,9 @@ def topological_sort(edges: DataFrame, max_iter: int = 200) -> DataFrame:
             if level >= max_iter:
                 raise ValueError("topological_sort: max_iter exceeded")
             sources = (
-                state.filter(F.col("indeg") == 0).select("id").localCheckpoint(eager=True)
+                state.filter(F.col("indeg") == 0)
+                .select("id")
+                .localCheckpoint(eager=False)  # materialized by the count
             )
             n_src = sources.count()
             if n_src == 0:

@@ -66,9 +66,9 @@ def minimum_spanning_forest(
             .agg(F.min("pick").alias("p"))
             .select("p.src", "p.dst", "p.weight", "p._cs", "p._cd")
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the count
         )
-        if best.isEmpty():
+        if best.count() == 0:
             break
         mst = (
             mst.unionByName(best.select("src", "dst", "weight"))

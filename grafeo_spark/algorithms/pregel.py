@@ -70,21 +70,33 @@ def iter_width(rows: int, spark=None) -> int:
 class scoped_shuffle_width:
     """Scope ``spark.sql.shuffle.partitions`` to an iterative loop and
     restore it on exit (exception-safe — the r14 betweenness ADVICE
-    lesson: any work between the set and the try leaks the width)."""
+    lesson: any work between the set and the try leaks the width).
+
+    In the tiny-loop regime (width clamped to 4, i.e. input below
+    SMALL_ROWS) AQE is scoped OFF as well: each superstep job pays
+    AQE's per-exchange re-optimization for data where runtime skew
+    handling has nothing to do, measured ~12% of the loop wall. At any
+    real size AQE stays on — skew/coalescing matter exactly there."""
 
     def __init__(self, spark, parts: int):
         self._spark = spark
         self._parts = int(parts)
         self._prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        self._prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self._tiny = self._parts <= 4
 
     def __enter__(self):
         if self._parts != int(self._prev):
             self._spark.conf.set("spark.sql.shuffle.partitions", str(self._parts))
+        if self._tiny and self._prev_aqe == "true":
+            self._spark.conf.set("spark.sql.adaptive.enabled", "false")
         return self
 
     def __exit__(self, *exc):
         if self._parts != int(self._prev):
             self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        if self._tiny and self._prev_aqe == "true":
+            self._spark.conf.set("spark.sql.adaptive.enabled", self._prev_aqe)
         return False
 
 
@@ -197,12 +209,15 @@ def _pregel_loop(
             it += 1
         checkpointed = False
         if has_changed:
-            # Convergence checking needs an action; checkpoint FIRST so
-            # isEmpty reads materialized state instead of re-executing
-            # every superstep since the last checkpoint.
-            nxt = nxt.localCheckpoint(eager=True)
+            # Lazy checkpoint + full count of changed rows = ONE job per
+            # superstep: the count scans every partition, materializing
+            # the checkpoint as it goes. The previous eager-checkpoint-
+            # then-isEmpty form paid a second job for the same bit
+            # (r15 fusion; count not isEmpty — isEmpty's limit-1 plan can
+            # leave checkpoint partitions uncomputed).
+            nxt = nxt.localCheckpoint(eager=False)
             checkpointed = True
-            if nxt.filter(F.col("_changed")).isEmpty():
+            if nxt.filter(F.col("_changed")).count() == 0:
                 return nxt.drop("_changed")
             nxt = nxt.drop("_changed")
         elif it % checkpoint_every == 0 or it == max_iter:

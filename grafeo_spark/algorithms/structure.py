@@ -40,7 +40,7 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
             nxt = (
                 e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # materialized by the count
             )
             n_nxt = nxt.count()
             e = nxt

@@ -239,7 +239,8 @@ class _Mutator:
             for k, v in node.props:
                 cols.append(self._expr(v, base).alias(k))
                 prop_names.append(k)
-            new_nodes = base.select(*cols).localCheckpoint(eager=True)
+            # lazy checkpoint fused with the count below (r15 pregel.py pattern)
+            new_nodes = base.select(*cols).localCheckpoint(eager=False)
             self.graph = self.graph.create_nodes(label, new_nodes, ids_disjoint=True)
             n_new = new_nodes.count()
             self.stats["nodes_created"] += n_new
@@ -276,7 +277,7 @@ class _Mutator:
             ]
             for k, v in rel.props:
                 cols.append(self._expr(v, base).alias(k))
-            new_edges = base.select(*cols).localCheckpoint(eager=True)
+            new_edges = base.select(*cols).localCheckpoint(eager=False)
             self.graph = self.graph.create_edges(rel.types[0], new_edges)
             n_new = new_edges.count()
             self.stats["relationships_created"] += n_new
@@ -338,7 +339,7 @@ class _Mutator:
         else:
             missing = wanted
             matched_ids = None
-        missing = missing.localCheckpoint(eager=True)
+        missing = missing.localCheckpoint(eager=False)
         n_missing = missing.count()
         if n_missing:
             start = self._next_id()
@@ -398,7 +399,7 @@ class _Mutator:
             pairs
             if existing is None
             else pairs.join(existing.select("src", "dst"), ["src", "dst"], "left_anti")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n = missing.count()
         if n:
             # ON CREATE SET r.k = v applies to the rows being created
@@ -421,7 +422,7 @@ class _Mutator:
             matched = (
                 pairs.select("src", "dst")
                 .join(existing.select("src", "dst"), ["src", "dst"], "left_semi")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             m = matched.count()
             if m:
@@ -454,7 +455,7 @@ class _Mutator:
             if info is None:
                 raise MutationError(f"DELETE of unbound variable {var!r}")
             if info.kind == "node":
-                ids = df.select(F.col(_p(var, "id")).alias("id")).distinct().localCheckpoint(eager=True)
+                ids = df.select(F.col(_p(var, "id")).alias("id")).distinct().localCheckpoint(eager=False)
                 n = ids.count()
                 labels = [info.label] if info.label else list(self.graph.node_frames)
                 for lbl in labels:
@@ -494,7 +495,7 @@ class _Mutator:
                 ids = df.select(F.col(_p(it.var, "id")).alias("id")).distinct()
                 for lbl in labels:
                     rows = self.graph.node_frames[lbl].join(ids, "id", "left_semi")
-                    rows = rows.localCheckpoint(eager=True)
+                    rows = rows.localCheckpoint(eager=False)
                     cnt = rows.count()
                     if cnt:
                         self.graph = self.graph.merge_nodes(it.key, rows, keys=["id"])

@@ -308,7 +308,11 @@ def reachable_pairs(
             .join(all_seen, ["origin", "cur"], "left_anti")
         )
         if early_exit:
-            nxt = nxt.localCheckpoint(eager=True)
+            # lazy checkpoint + full count = ONE job per level (the count
+            # scans every partition, materializing the checkpoint as it
+            # goes) — the eager-checkpoint-then-count form paid a second
+            # job per level for the same information (r15 fusion)
+            nxt = nxt.localCheckpoint(eager=False)
             n_new = nxt.count()
             if n_new == 0:
                 break

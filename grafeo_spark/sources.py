@@ -96,12 +96,24 @@ def save_graph(
         else:
             w.parquet(dest)
 
+    # Per-frame writes are independent jobs — overlap them (guide §2.6)
+    # so one frame's write tail back-fills with the next frame's tasks;
+    # a small session's save cost is per-frame JOB latency, which this
+    # pipelines instead of serializing. Spark's scheduler handles
+    # concurrent actions; 4 in flight is enough to hide the latency
+    # without starving a big frame's write of executors.
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = []
     for label, df in graph.node_frames.items():
         out = df.repartition(partitions) if partitions else df
-        write(out, f"{path}/nodes/{label}")
+        jobs.append((out, f"{path}/nodes/{label}"))
     for etype, df in graph.edge_frames.items():
         out = df.repartition(partitions, "src") if partitions else df.repartition("src")
-        write(out, f"{path}/edges/{etype}")
+        jobs.append((out, f"{path}/edges/{etype}"))
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for _ in pool.map(lambda j: write(*j), jobs):
+            pass
 
 
 def _is_complex(dt) -> bool:

@@ -543,6 +543,46 @@ def test_mst_weight(spark):
     assert abs(sum(w for _, _, w in mst) - 4.5) < 1e-9  # 1.0 + 2.0 + 1.5
 
 
+def test_mst_multi_round_contraction(spark):
+    # r15 pin: Borůvka now merges on the CONTRACTED component graph.
+    # Two 3-cliques bridged by a heavy edge need >= 2 rounds (round 1
+    # builds each clique's tree, round 2 picks the bridge); the unique
+    # MST is the two light spanning paths + the bridge.
+    from grafeo_spark.algorithms import minimum_spanning_forest
+
+    e = edges_df(
+        spark,
+        [
+            (1, 2, 1.0), (2, 3, 1.1), (1, 3, 5.0),      # clique A
+            (11, 12, 1.2), (12, 13, 1.3), (11, 13, 5.0),  # clique B
+            (3, 11, 9.0),                                  # bridge
+        ],
+        "src long, dst long, weight double",
+    )
+    mst = {(s, d): w for s, d, w in rows(minimum_spanning_forest(e))}
+    assert mst == {
+        (1, 2): 1.0, (2, 3): 1.1, (11, 12): 1.2, (12, 13): 1.3, (3, 11): 9.0
+    }
+
+
+def test_iter_width_scoping_restores_on_failure(spark):
+    # r15 pin: the scoped loop width (and the tiny-regime AQE toggle) is
+    # restored even when the loop body raises — the ADVICE-r14 leak class.
+    from pyspark.sql import functions as F
+
+    from grafeo_spark.algorithms.pregel import scoped_shuffle_width
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    with pytest.raises(RuntimeError):
+        with scoped_shuffle_width(spark, 4):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+
+
 def test_max_flow(spark):
     from grafeo_spark.algorithms import max_flow
 
