@@ -89,13 +89,32 @@ def main() -> None:
         from grafeo_spark.catalog import tpch_graph, tpch_triples
         from grafeo_spark.engine import GrafeoSpark
 
-        GrafeoSpark(spark, tpch_graph(spark, sf_dir)).cypher(
-            "MATCH (r:Region) RETURN count(*) AS n"
-        ).count()
-        GrafeoSpark(spark, triples=tpch_triples(spark, sf_dir)).sparql(
+        wdb = GrafeoSpark(spark, tpch_graph(spark, sf_dir))
+        wdb.cypher("MATCH (r:Region) RETURN count(*) AS n").count()
+        # mutation machinery (throwaway session object; the shared cached
+        # graph is immutable — engine mutations rebind the session's own
+        # frame map only)
+        wdb.cypher("CREATE (t:BenchWarm {x: 1})")
+        wdb.cypher("MATCH (t:BenchWarm) DETACH DELETE t")
+        # gremlin front-end (parser + traversal engine + full-graph V())
+        wdb.gremlin("g.V().hasLabel('Region').count()").count()
+        tdb = GrafeoSpark(spark, triples=tpch_triples(spark, sf_dir))
+        tdb.sparql(
             "PREFIX ex: <http://example.org/> "
             "SELECT (COUNT(?r) AS ?n) WHERE { ?r a ex:Region }"
         ).count()
+        # SPARQL update path (again throwaway: updates rebind tdb only)
+        tdb.sparql(
+            "PREFIX ex: <http://example.org/> "
+            "INSERT DATA { ex:benchwarm ex:name 'w' }"
+        )
+        # banded-dedup path: the window/collect_set/minhash codegen and
+        # the occupancy-probe machinery are multi-second on first use
+        from grafeo_spark.llm import near_duplicate_pairs
+
+        docs = tables.get("documents")
+        if docs is not None:
+            near_duplicate_pairs(docs.limit(64)).count()
     except Exception as ex:  # noqa: BLE001 — warm-up must never fail the bench
         print(f"front-end warm-up skipped: {ex}", file=sys.stderr)
     print(
