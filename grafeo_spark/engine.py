@@ -185,24 +185,36 @@ class GrafeoSpark:
 
         return _run(self.triples, query)
 
+    # un-checkpointed update layers tolerated before the store's lineage is
+    # truncated: compile_update guarantees each layer references the prior
+    # store exactly once (deltas are materialized eagerly), so plan depth —
+    # and the per-layer re-analysis cost — grows linearly, not 2^k; the
+    # periodic checkpoint only bounds that linear depth for long sessions.
+    _UPDATE_CHECKPOINT_EVERY = 8
+
     def sparql_update(self, query: str) -> None:
         """Apply a SPARQL update (INSERT/DELETE DATA, DELETE WHERE,
         DELETE/INSERT WHERE, CLEAR/COPY/MOVE/ADD/... GRAPH) to the attached
         TripleStore, replacing it with the updated store (immutable-store
-        semantics, like the Cypher write path). The new store's lineage is
-        truncated with a lazy localCheckpoint: each update's anti-join +
-        union layers otherwise stack into one ever-deeper plan whose
-        re-analysis cost grows per update (each layer re-expands the
-        multi-branch triples union) — with the checkpoint, every update is
-        planned against a flat leaf and executes once."""
+        semantics, like the Cypher write path). compile_update materializes
+        only the delta frames (delete/insert sets — tiny), so an update
+        costs one or two store scans instead of the full-store
+        re-materialization the per-update checkpoint used to pay; the store
+        itself flows through the stacked anti-join/union layers once, at
+        the next query's action. Every _UPDATE_CHECKPOINT_EVERY updates the
+        accumulated layers are folded into a flat leaf (lazy checkpoint) to
+        bound plan depth in long update streams."""
         if self.triples is None:
             raise ValueError("no triple store attached")
         from grafeo_spark.graph import TripleStore
         from grafeo_spark.lang.sparql import sparql_update as _run
 
-        self.triples = TripleStore(
-            _run(self.triples, query).df.localCheckpoint(eager=False)
-        )
+        new_df = _run(self.triples, query).df
+        self._update_layers = getattr(self, "_update_layers", 0) + 1
+        if self._update_layers >= self._UPDATE_CHECKPOINT_EVERY:
+            new_df = new_df.localCheckpoint(eager=False)
+            self._update_layers = 0
+        self.triples = TripleStore(new_df)
 
     # -- direct store API (database.rs:618-931 'side door') ---------------
 

@@ -334,8 +334,20 @@ class _Mutator:
         )
         keys_present = frame is not None and all(k in frame.columns for k in keys)
         if keys_present:
-            missing = wanted.join(frame.select(*keys), keys, "left_anti")
-            matched_ids = frame.join(wanted, keys, "left_semi").select("id")
+            # ONE frame scan decides both MERGE arms: inner-join the frame
+            # against the broadcast wanted keys (tiny) — matches carry
+            # their id for the ON MATCH arm; the misses are wanted minus
+            # the matched key set (broadcast-sized anti join, no second
+            # frame scan, and the frame side is never shuffled)
+            hits = (
+                frame.select("id", *keys)
+                .join(F.broadcast(wanted), keys, "inner")
+                .localCheckpoint(eager=True)
+            )
+            matched_ids = hits.select("id")
+            missing = wanted.join(
+                F.broadcast(hits.select(*keys).distinct()), keys, "left_anti"
+            )
         else:
             missing = wanted
             matched_ids = None
@@ -356,7 +368,8 @@ class _Mutator:
             self.graph = self.graph.create_nodes(label, new_nodes, ids_disjoint=True)
             self.stats["nodes_created"] += n_missing
         if matched_ids is not None and clause.on_match:
-            matched_ids = matched_ids.localCheckpoint(eager=True)
+            # matched_ids projects the already-materialized `hits` — the
+            # emptiness probe is a metadata-cheap job, no extra checkpoint
             if not matched_ids.isEmpty():
                 self._apply_set_to_ids(label, matched_ids, clause.on_match, node.var)
         if node.var:
@@ -395,11 +408,23 @@ class _Mutator:
         for k, v in rel.props:
             pairs = pairs.withColumn(k, self._expr(v, df))
         existing = self.graph.edge_frames.get(etype)
-        missing = (
-            pairs
-            if existing is None
-            else pairs.join(existing.select("src", "dst"), ["src", "dst"], "left_anti")
-        ).localCheckpoint(eager=False)
+        hits_e = None
+        if existing is not None:
+            # one edge-frame scan serves both arms (same pattern as
+            # _merge_node): matched (src, dst) pairs come from an inner
+            # join against the broadcast wanted pairs; the misses are the
+            # pairs minus that tiny set
+            pairs = pairs.localCheckpoint(eager=True)
+            hits_e = (
+                existing.select("src", "dst")
+                .join(F.broadcast(pairs.select("src", "dst")), ["src", "dst"], "inner")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            missing = pairs.join(F.broadcast(hits_e), ["src", "dst"], "left_anti")
+        else:
+            missing = pairs
+        missing = missing.localCheckpoint(eager=False)
         n = missing.count()
         if n:
             # ON CREATE SET r.k = v applies to the rows being created
@@ -418,15 +443,12 @@ class _Mutator:
         if existing is not None and clause.on_match:
             # Keys only: `pairs` may carry inline rel-prop columns (from
             # MERGE ()-[r:T {k: v}]->()) which would collide with the edge
-            # frame's own property columns on the join below.
-            matched = (
-                pairs.select("src", "dst")
-                .join(existing.select("src", "dst"), ["src", "dst"], "left_semi")
-                .localCheckpoint(eager=False)
-            )
+            # frame's own property columns on the join below. hits_e is
+            # already materialized by the probe above — no second scan.
+            matched = hits_e
             m = matched.count()
             if m:
-                hit = matched.withColumn("_hit", F.lit(True))
+                hit = F.broadcast(matched.withColumn("_hit", F.lit(True)))
                 e = self.graph.edge_frames[etype]
                 e2 = e.join(hit, ["src", "dst"], "left")
                 for it in clause.on_match:
@@ -632,9 +654,13 @@ class _Mutator:
         for it in items:
             if it.kind != "prop":
                 raise MutationError("ON MATCH/CREATE SET supports property items only")
-            val = self.spark.range(1).select(self._expr(it.expr, self.spark.range(1))).collect()[0][0]
+            if isinstance(it.expr, E.Lit):
+                # literal SET value: no Spark job to evaluate a constant
+                val = it.expr.value
+            else:
+                val = self.spark.range(1).select(self._expr(it.expr, self.spark.range(1))).collect()[0][0]
             frame = self.graph.node_frames[label]
-            flagged = frame.join(ids.withColumn("__hit", F.lit(True)), "id", "left")
+            flagged = frame.join(F.broadcast(ids.withColumn("__hit", F.lit(True))), "id", "left")
             if it.key in frame.columns:
                 newcol = F.when(F.col("__hit"), F.lit(val)).otherwise(F.col(it.key))
             else:

@@ -1410,18 +1410,28 @@ def _template_rows(
     return out.distinct()
 
 
-def _minus_rows(store: DataFrame, rows: DataFrame) -> DataFrame:
+# Delta frames (delete/insert sets) are broadcast into their anti-joins
+# when they fit — the store side is then scanned, never shuffled. Above
+# the cap (a mass rewrite) the join falls back to the planner's choice.
+_DELTA_BROADCAST_MAX = 1_000_000
+
+
+def _minus_rows(store: DataFrame, rows: DataFrame, n_rows: int | None = None) -> DataFrame:
     """Anti-join the store against instantiated rows, matching the object by
     bound value (o_iri or o_lit) so variable bindings erase either kind.
     Rows carrying a graph (DELETE DATA { GRAPH <g> { ... } }) match only
     that graph; graph-less rows match across graphs (this store exposes a
-    union-default-graph view to plain patterns)."""
+    union-default-graph view to plain patterns). ``n_rows``, when known
+    (a materialized delete set), gates a broadcast hint so the store is
+    never shuffled for a small delete."""
     r = rows.select(
         F.col("s").alias("_ds"),
         F.col("p").alias("_dp"),
         F.coalesce("o_iri", "o_lit").alias("_dv"),
         F.col("g").alias("_dg"),
     ).distinct()
+    if n_rows is not None and n_rows <= _DELTA_BROADCAST_MAX:
+        r = F.broadcast(r)
     cond = (
         (F.col("s") == F.col("_ds"))
         & (F.col("p") == F.col("_dp"))
@@ -1501,31 +1511,103 @@ def compile_update(ts: TripleStore, u: P.UpdateQuery) -> TripleStore:
             base = ts.df.filter(~F.col("g").eqNullSafe(F.lit(dst)))
             if u.kind == "move_graph":
                 base = base.filter(~F.col("g").eqNullSafe(F.lit(src)))
-        return TripleStore(base.unionByName(src_rows))
+        # materialize the moved slice so the new store references the old
+        # store once (the base filter) — same linear-chain discipline as
+        # the modify path above
+        return TripleStore(base.unionByName(src_rows.localCheckpoint(eager=False)))
     if u.kind == "insert_data":
         return ts.insert(_template_rows(spark, u.data, None))
     if u.kind == "delete_data":
         return TripleStore(_minus_rows(ts.df, _template_rows(spark, u.data, None)))
     if u.kind == "modify":
+        # The delete and insert sets are materialized eagerly (they are
+        # delta-sized: the WHERE solutions instantiated into a template),
+        # so the returned store's plan references the input store exactly
+        # ONCE (the anti-join left side). Without this, each update layer
+        # re-expanded the store subtree through its bindings AND its anti
+        # side — 2^k growth over k chained updates — which forced a full
+        # store re-materialization per update (engine.sparql_update pre-
+        # r15). Now an update costs one or two store *scans* (the delta
+        # jobs) and the heavy rows flow through the layered plan once, at
+        # the next query's action.
         bindings = _compile_group(ts, u.where) if u.where is not None else None
+        if bindings is not None and u.delete_tpl and u.insert_tpl:
+            # both templates instantiate against the same solutions: one
+            # store scan for the bindings instead of one per template
+            # (lazy: the dels count() below is the materializing action)
+            bindings = bindings.localCheckpoint(eager=False)
         out = ts.df
         if u.delete_tpl:
-            out = _minus_rows(out, _template_rows(spark, u.delete_tpl, bindings))
+            dels = _template_rows(spark, u.delete_tpl, bindings)
+            n_dels = None
+            if bindings is not None:
+                # lazy checkpoint + count as the materializing action: one
+                # driver job, not two (r15 fusion pattern); the count also
+                # gates the broadcast hint in _minus_rows
+                dels = dels.localCheckpoint(eager=False)
+                n_dels = dels.count()
+            out = _minus_rows(out, dels, n_dels)
         new = TripleStore(out)
         if u.insert_tpl:
             ins = _template_rows(spark, u.insert_tpl, bindings)
-            # set semantics: only triples not already present
-            existing = out.select("s", "p", "o_iri", "o_lit")
-            fresh = ins.join(
-                existing,
-                [
-                    ins["s"] == existing["s"],
-                    ins["p"] == existing["p"],
-                    ins["o_iri"].eqNullSafe(existing["o_iri"]),
-                    ins["o_lit"].eqNullSafe(existing["o_lit"]),
-                ],
-                "left_anti",
-            )
+            n_ins = None
+            if bindings is not None:
+                ins = ins.localCheckpoint(eager=False)
+                n_ins = ins.count()
+            if n_ins is not None and n_ins <= _DELTA_BROADCAST_MAX:
+                # set semantics: only triples not already present. The
+                # presence probe SEMI-joins the store against the broadcast
+                # inserted keys (one scan, no store shuffle) and the anti-
+                # join then runs against the tiny broadcast candidate set —
+                # the direct ins-anti-store form shuffled the entire store
+                # per update.
+                ikeys = F.broadcast(
+                    ins.select(
+                        F.col("s").alias("_is"),
+                        F.col("p").alias("_ip"),
+                        F.col("o_iri").alias("_ii"),
+                        F.col("o_lit").alias("_il"),
+                    ).distinct()
+                )
+                probe_cond = (
+                    (F.col("s") == F.col("_is"))
+                    & (F.col("p") == F.col("_ip"))
+                    & F.col("o_iri").eqNullSafe(F.col("_ii"))
+                    & F.col("o_lit").eqNullSafe(F.col("_il"))
+                )
+                cand = (
+                    out.select("s", "p", "o_iri", "o_lit")
+                    .join(ikeys, probe_cond, "left_semi")
+                    .select(
+                        F.col("s").alias("_es"),
+                        F.col("p").alias("_ep"),
+                        F.col("o_iri").alias("_ei"),
+                        F.col("o_lit").alias("_el"),
+                    )
+                )
+                fresh = ins.join(
+                    F.broadcast(cand),
+                    (F.col("s") == F.col("_es"))
+                    & (F.col("p") == F.col("_ep"))
+                    & F.col("o_iri").eqNullSafe(F.col("_ei"))
+                    & F.col("o_lit").eqNullSafe(F.col("_el")),
+                    "left_anti",
+                ).localCheckpoint(eager=False)
+            else:
+                # mass insert (or no bindings): planner's choice of join
+                existing = out.select("s", "p", "o_iri", "o_lit")
+                fresh = ins.join(
+                    existing,
+                    [
+                        ins["s"] == existing["s"],
+                        ins["p"] == existing["p"],
+                        ins["o_iri"].eqNullSafe(existing["o_iri"]),
+                        ins["o_lit"].eqNullSafe(existing["o_lit"]),
+                    ],
+                    "left_anti",
+                )
+                if bindings is not None:
+                    fresh = fresh.localCheckpoint(eager=False)
             new = new.insert(fresh)
         return new
     raise SparqlCompileError(f"unknown update kind {u.kind!r}")
