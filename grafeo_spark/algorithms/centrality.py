@@ -122,15 +122,15 @@ def pagerank(
         .repartition(parts, "_es")
         .persist(StorageLevel.DISK_ONLY if big else StorageLevel.MEMORY_AND_DISK)
     )
-    if parts != int(default_parts):
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     it = 0
     # Dangling mass for superstep 1 — the only standalone scalar job left;
     # every later superstep's dang (and tol delta) rides along on the
     # checkpoint job itself as an observation metric (r15): the old loop
     # paid one extra aggregate job per superstep (~0.4s × iterations at
     # sf0.1; a full state pass at scale) for a scalar the materializing
-    # job already sees every row of.
+    # job already sees every row of. Runs BEFORE the scoped conf sets so
+    # nothing sits between a set and its restoring finally (the r14
+    # betweenness ADVICE lesson).
     from pyspark.sql import Observation
 
     dang = (
@@ -138,6 +138,18 @@ def pagerank(
         .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
         .first()[0]
     )
+    # below the measured AQE_OFF_ROWS crossover, per-superstep AQE
+    # re-planning dominates the loop (r15 A/B at 750k edges: 17.3s on vs
+    # 11.8s off over 10 supersteps); at decade scale AQE stays on for
+    # skew handling — same rule as pregel.scoped_shuffle_width
+    from grafeo_spark.algorithms.pregel import AQE_OFF_ROWS
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    aqe_off = ne < AQE_OFF_ROWS and prev_aqe == "true"
+    if parts != int(default_parts):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    if aqe_off:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for it in range(1, max_iter + 1):
             contrib = (
@@ -196,6 +208,8 @@ def pagerank(
     finally:
         if parts != int(default_parts):
             spark.conf.set("spark.sql.shuffle.partitions", default_parts)
+        if aqe_off:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         e.unpersist()
     out = state.select("id", F.col("pr").alias("pagerank"))
     # diagnostic for tests/tuning: how many supersteps actually ran

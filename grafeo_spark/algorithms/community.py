@@ -39,7 +39,8 @@ def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     # at an edge-count-derived width, scoped and restored — the pregel
     # kernel's sizing rule (~2M rows/task, floor 4, cap 2048).
     spark = edges.sparkSession
-    eff_parts = iter_width(edges.count() * 2, spark)
+    _n_und = edges.count() * 2
+    eff_parts = iter_width(_n_und, spark)
     und = (
         undirect(edges.select("src", "dst"))
         .distinct()
@@ -47,7 +48,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         .persist()
     )
     try:
-      with scoped_shuffle_width(spark, eff_parts):
+      with scoped_shuffle_width(spark, eff_parts, rows=_n_und):
         labels = vertices_from_edges(edges).withColumn("label", F.col("id"))
         for it in range(max_iter):
             nbr = (

@@ -43,7 +43,8 @@ def minimum_spanning_forest(
     comp = comp.localCheckpoint(eager=True)
     # round shuffles sized to the measured edge count (pregel.py rule);
     # the inner component-merge pregel scopes itself the same way
-    _width = scoped_shuffle_width(spark, iter_width(e.count(), spark))
+    _n_e = e.count()
+    _width = scoped_shuffle_width(spark, iter_width(_n_e, spark), rows=_n_e)
     with _width:
       for _ in range(max_iter):
         cs = comp.select(F.col("id").alias("src"), F.col("component").alias("_cs"))

@@ -44,6 +44,17 @@ ROWS_PER_TASK = 2_000_000
 # width must not drop below the available parallelism.
 SMALL_ROWS = 100_000
 
+# Below this many measured input rows an iterative loop's per-superstep
+# AQE re-optimization (re-planning every exchange per materialized stage)
+# costs more than runtime skew/coalescing can return: tasks carry a small
+# fraction of the ROWS_PER_TASK budget, so there is nothing to coalesce
+# or split. Four tasks' worth of budget is the measured crossover — an
+# r15 A/B on the 750k-edge sf0.1 pagerank read 17.3s AQE-on vs 11.8s
+# AQE-off (10 supersteps), while at sf25/sf50 (46-375M rows) AQE's skew
+# handling is exactly what the decade runs needed. Size-derived, never a
+# core-count constant.
+AQE_OFF_ROWS = 4 * ROWS_PER_TASK
+
 
 def iter_width(rows: int, spark=None) -> int:
     """Shuffle width for an iterative loop over ``rows`` state/edge rows.
@@ -72,30 +83,33 @@ class scoped_shuffle_width:
     restore it on exit (exception-safe — the r14 betweenness ADVICE
     lesson: any work between the set and the try leaks the width).
 
-    In the tiny-loop regime (width clamped to 4, i.e. input below
-    SMALL_ROWS) AQE is scoped OFF as well: each superstep job pays
-    AQE's per-exchange re-optimization for data where runtime skew
-    handling has nothing to do, measured ~12% of the loop wall. At any
-    real size AQE stays on — skew/coalescing matter exactly there."""
+    Below AQE_OFF_ROWS measured input rows (or, when ``rows`` is not
+    supplied, in the width-clamped tiny regime) AQE is scoped OFF as
+    well: each superstep job pays AQE's per-exchange re-optimization for
+    data where runtime skew handling has nothing to do (measured ~12% on
+    tiny loops, ~30% on the sf0.1 pagerank). At real sizes AQE stays on
+    — skew/coalescing matter exactly there."""
 
-    def __init__(self, spark, parts: int):
+    def __init__(self, spark, parts: int, rows: int | None = None):
         self._spark = spark
         self._parts = int(parts)
         self._prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
         self._prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        self._tiny = self._parts <= 4
+        self._aqe_off = (
+            (self._parts <= 4) if rows is None else (rows < AQE_OFF_ROWS)
+        )
 
     def __enter__(self):
         if self._parts != int(self._prev):
             self._spark.conf.set("spark.sql.shuffle.partitions", str(self._parts))
-        if self._tiny and self._prev_aqe == "true":
+        if self._aqe_off and self._prev_aqe == "true":
             self._spark.conf.set("spark.sql.adaptive.enabled", "false")
         return self
 
     def __exit__(self, *exc):
         if self._parts != int(self._prev):
             self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
-        if self._tiny and self._prev_aqe == "true":
+        if self._aqe_off and self._prev_aqe == "true":
             self._spark.conf.set("spark.sql.adaptive.enabled", self._prev_aqe)
         return False
 
@@ -163,7 +177,7 @@ def pregel(
     part_key = "e_src" if send_to_dst is not None else "e_dst"
     e = _prefixed(edges, "e_").repartition(eff_parts, part_key).persist()
     try:
-        with scoped_shuffle_width(spark, eff_parts):
+        with scoped_shuffle_width(spark, eff_parts, rows=ne):
             return _pregel_loop(
                 e, vertices, send_to_dst, send_to_src, agg_msg, update,
                 max_iter, checkpoint_every, batch,

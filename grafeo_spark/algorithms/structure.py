@@ -32,7 +32,9 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     # the fixpoint test reuses the previous round's count instead of
     # re-counting the unchanged checkpointed frame (one job per round
     # saved — the ADVICE-r13 SCC pattern)
-    with scoped_shuffle_width(e.sparkSession, iter_width(n_e * 2, e.sparkSession)):
+    with scoped_shuffle_width(
+        e.sparkSession, iter_width(n_e * 2, e.sparkSession), rows=n_e * 2
+    ):
         for _ in range(max_iter):
             und = undirect(e)
             deg = und.groupBy("src").agg(F.count("*").alias("deg"))

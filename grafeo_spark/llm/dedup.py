@@ -74,6 +74,23 @@ def shingle_sets(
     return df.select(F.col(id_col).alias("id"), sh.alias("_sh")).filter(F.size("_sh") > 0)
 
 
+def _spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition compact doc rows on ``id_col`` before a compute-
+    heavy per-element map side (tokenize + expensive hash), ONLY when the
+    scan is narrower than the session: a small corpus scans as one task
+    and keeps 1-2 of 32 cores busy (measured on the sf0.1 sha256 SimHash
+    stage, ~2.4s single-task). On a wide production scan this is a no-op —
+    there the consumer's own exchange carries partial aggregates, smaller
+    than the text, so adding a text shuffle would be a pessimization.
+    Hash partitioning on the id (deterministic) rather than round-robin:
+    retried map tasks reproduce their assignment (SPARK-38388) and no
+    sort-before-repartition is paid."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, F.col(id_col))
+
+
 def shingle_hash_rows(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -102,6 +119,12 @@ def shingle_hash_rows(
         elems = F.split(F.lower(F.col(text_col)), "")
     else:
         elems = tokenize(F.col(text_col))
+    # NOT spread here: an A/B of _spread_by_id on this path (move the
+    # window's by-id exchange before the posexplode) measured ngram
+    # dedup ~8% SLOWER at sf0.1 — xxhash64 shingling is cheap enough
+    # that the fixed, non-coalescable user exchange costs more than the
+    # 1-task map side saves; the banded-join stages downstream are
+    # already wide. SimHash's sha256 path is the opposite case (below).
     rows = df.select(F.col(id_col).alias("id"), F.posexplode(elems).alias("pos", "_t"))
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("_t")] + [F.lead("_t", j).over(w) for j in range(1, shingle_k)]
@@ -681,7 +704,10 @@ def simhash(
     per-bit vote resolve to -1 (when(null != 0) falls to the otherwise
     arm), so the sign test assigns bit 0 — the r11 merge-hint work showed
     the old ids-left-join costing a full extra sort exchange."""
-    exploded = df.select(
+    # spread the tokenize+hash+partial-vote map side when the scan is
+    # narrower than the session (no-op on wide scans, whose partial-
+    # aggregate exchange is already smaller than a text shuffle)
+    exploded = _spread_by_id(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokenize(F.col(text_col))).alias("_t"),
     ).withColumn("_h", _token_hash64(F.col("_t"), bit_source))
