@@ -297,6 +297,7 @@ def betweenness_centrality(
     # or every level re-exchanges it — runs at a scoped-down partition
     # count (the inverse of pagerank's scoped raise; restored below).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     small = nv <= 100_000
     eff_parts = min(int(prev_parts), 4) if small else int(prev_parts)
     # All work after the scoped conf.set — including the eager edge
@@ -305,6 +306,12 @@ def betweenness_centrality(
     try:
         if small:
             spark.conf.set("spark.sql.shuffle.partitions", str(eff_parts))
+            # ~2·diameter tiny per-level jobs: AQE's per-exchange
+            # re-planning dominates here exactly as in the other
+            # iterative loops (pregel.AQE_OFF_ROWS rationale); at real
+            # sizes it stays on for skew handling
+            if prev_aqe == "true":
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
         # hash-partition edges on the join key ONCE: every forward level and
         # every reverse level joins on id == src, so a pre-partitioned edge
         # side never re-exchanges (2·diameter exchanges saved; the frontier
@@ -327,6 +334,8 @@ def betweenness_centrality(
     finally:
         if small:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            if prev_aqe == "true":
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def _betweenness_core(
@@ -413,7 +422,17 @@ def _betweenness_core(
             "sigma",
             F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
         )
-        delta_lev = delta_lev.localCheckpoint(eager=True, storageLevel=ckpt_level)
+        # Below the single-node boundary the checkpoint is LAZY — the
+        # final aggregation materializes the whole reverse chain in one
+        # job (each checkpoint still computes exactly once; delta_lev is
+        # referenced both by the result union and as the next level's
+        # succ, so the checkpoint stays load-bearing), saving one driver
+        # job per level. At scale it stays EAGER: that is what lets the
+        # retained level set SHRINK through the reverse pass instead of
+        # pinning forward-total + reverse-total blocks until the end.
+        delta_lev = delta_lev.localCheckpoint(
+            eager=seen_rows > 150_000_000, storageLevel=ckpt_level
+        )
         bc_parts.append(delta_lev.select("id", "delta"))
         delta_next = delta_lev
         # a forward level is fully consumed once its delta checkpoint

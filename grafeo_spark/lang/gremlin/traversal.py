@@ -1548,10 +1548,17 @@ class Traversal:
             # shallow loops: the union-of-replays form (iteration k = the
             # body applied k times) stays inside one whole-stage-codegen
             # job — n(n+1)/2 <= 6 body applications, cheaper than paying
-            # a frontier serialization boundary per iteration. The
-            # iterative form below takes over where the replay count
+            # a frontier serialization boundary per iteration (an r15 A/B
+            # of the full iterative form at n=2 measured ~35% slower).
+            # The SEED subtree is shared through one lazy checkpoint: each
+            # union branch otherwise re-derives it — a union of every
+            # node-frame scan when the traversal starts at g.V().
+            # The iterative form below takes over where the replay count
             # would grow quadratically.
-            return self.union(*[Anon(body._steps * k) for k in range(start, n + 1)])
+            shared = self._derive(
+                self.df.localCheckpoint(eager=False), self.cur, self.kind
+            )
+            return shared.union(*[Anon(body._steps * k) for k in range(start, n + 1)])
         tvar = self._fresh()
         outs: list = []
         kind = None
