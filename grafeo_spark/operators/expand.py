@@ -298,7 +298,30 @@ def reachable_pairs(
     hop = 1
     all_seen = frontier
     seen_rows = frontier.count() if early_exit else 0
-    while hop < eff_max:
+    # Early-exit loops run one job per level; below the measured
+    # AQE_OFF_ROWS crossover, per-level AQE re-planning dominates those
+    # jobs, and the loop width follows the measured hop-0 edge frame
+    # (iter_width — the pregel sizing rule; without the width scope,
+    # AQE-off alone regressed bfs ~15%: each per-level shuffle ran at
+    # the full session width in empty tasks). The seen-state
+    # repartitions below read the scoped width as their floor, so both
+    # rules compose. The scope only covers the per-level jobs; the
+    # returned union executes at the caller's action under the session's
+    # own settings.
+    import contextlib
+
+    if early_exit:
+        from grafeo_spark.algorithms.pregel import iter_width, scoped_shuffle_width
+
+        spark_ = frontier.sparkSession
+        loop_rows = max(_hop(0).count(), seen_rows)
+        _scope = scoped_shuffle_width(
+            spark_, iter_width(loop_rows, spark_), rows=loop_rows
+        )
+    else:
+        _scope = contextlib.nullcontext()
+    with _scope:
+     while hop < eff_max:
         e = _hop(hop)
         hop += 1
         nxt = (
