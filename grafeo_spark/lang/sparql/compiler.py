@@ -1537,23 +1537,35 @@ def compile_update(ts: TripleStore, u: P.UpdateQuery) -> TripleStore:
             # (lazy: the dels count() below is the materializing action)
             bindings = bindings.localCheckpoint(eager=False)
         out = ts.df
+        dels = ins = None
+        n_dels = n_ins = None
         if u.delete_tpl:
             dels = _template_rows(spark, u.delete_tpl, bindings)
-            n_dels = None
             if bindings is not None:
-                # lazy checkpoint + count as the materializing action: one
-                # driver job, not two (r15 fusion pattern); the count also
-                # gates the broadcast hint in _minus_rows
                 dels = dels.localCheckpoint(eager=False)
-                n_dels = dels.count()
-            out = _minus_rows(out, dels, n_dels)
-        new = TripleStore(out)
         if u.insert_tpl:
             ins = _template_rows(spark, u.insert_tpl, bindings)
-            n_ins = None
             if bindings is not None:
                 ins = ins.localCheckpoint(eager=False)
-                n_ins = ins.count()
+        if bindings is not None and dels is not None and ins is not None:
+            # ONE probe job sizes BOTH deltas (lazy checkpoints + a
+            # tagged union count as the shared materializing action —
+            # the r15 fusion pattern; the counts gate the broadcast
+            # hints below). The bindings checkpoint materializes inside
+            # the same job.
+            tagged = dels.select(F.lit(0).alias("_k")).unionByName(
+                ins.select(F.lit(1).alias("_k"))
+            )
+            cnt = {r["_k"]: r["count"] for r in tagged.groupBy("_k").count().collect()}
+            n_dels, n_ins = cnt.get(0, 0), cnt.get(1, 0)
+        elif bindings is not None and dels is not None:
+            n_dels = dels.count()
+        elif bindings is not None and ins is not None:
+            n_ins = ins.count()
+        if dels is not None:
+            out = _minus_rows(out, dels, n_dels)
+        new = TripleStore(out)
+        if ins is not None:
             if n_ins is not None and n_ins <= _DELTA_BROADCAST_MAX:
                 # set semantics: only triples not already present. The
                 # presence probe SEMI-joins the store against the broadcast
