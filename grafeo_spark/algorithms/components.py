@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from grafeo_spark.algorithms.pregel import (
-    iter_width,
+    full_width,
     pregel,
     scoped_shuffle_width,
     undirect,
@@ -86,7 +86,7 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
     assigned = spark.createDataFrame([], "id long, component long")
     depth = remaining.count() + 1  # converged-fixpoint bound for inner loops
     _scc_rows = max(depth - 1, e.count())
-    _width = scoped_shuffle_width(spark, iter_width(_scc_rows, spark), rows=_scc_rows)
+    _width = scoped_shuffle_width(spark, full_width(_scc_rows, spark), rows=_scc_rows)
 
     def _peel(sub_e: DataFrame, verts: DataFrame, reverse: bool) -> DataFrame:
         """Color along one direction, return the root SCCs (id, component)."""
@@ -231,7 +231,7 @@ def topological_sort(edges: DataFrame, max_iter: int = 200) -> DataFrame:
     out = spark.createDataFrame([], "id long, level long")
     level = 0
     # per-level shuffles sized to the measured state (pregel.py sizing rule)
-    with scoped_shuffle_width(spark, iter_width(n_remaining, spark), rows=n_remaining):
+    with scoped_shuffle_width(spark, full_width(n_remaining, spark), rows=n_remaining):
         while n_remaining > 0:
             if level >= max_iter:
                 raise ValueError("topological_sort: max_iter exceeded")

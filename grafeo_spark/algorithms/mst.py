@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from grafeo_spark.algorithms.components import connected_components
 from grafeo_spark.algorithms.pregel import (
-    iter_width,
+    full_width,
     scoped_shuffle_width,
     vertices_from_edges,
 )
@@ -43,8 +43,11 @@ def minimum_spanning_forest(
     comp = comp.localCheckpoint(eager=True)
     # round shuffles sized to the measured edge count (pregel.py rule);
     # the inner component-merge pregel scopes itself the same way
+    # full_width: each round re-joins the FULL remaining edge frame
+    # against the component labels (no cached co-partitioned side), so
+    # the parallelism floor applies — see pregel.full_width
     _n_e = e.count()
-    _width = scoped_shuffle_width(spark, iter_width(_n_e, spark), rows=_n_e)
+    _width = scoped_shuffle_width(spark, full_width(_n_e, spark), rows=_n_e)
     with _width:
       for _ in range(max_iter):
         cs = comp.select(F.col("id").alias("src"), F.col("component").alias("_cs"))

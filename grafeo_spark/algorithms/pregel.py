@@ -37,6 +37,13 @@ CHECKPOINT_EVERY = 4
 # every superstep pay dozens of near-empty tasks.
 ROWS_PER_TASK = 2_000_000
 
+# Lower edge of the useful task size for iterative-loop shuffles: below
+# ~100k rows a task is scheduling overhead, not compute (the r15 width
+# sweep, iter_width docstring). Widths are sized so tasks carry at least
+# this many rows until the 2048-partition cap pushes them toward
+# ROWS_PER_TASK and beyond.
+MIN_ROWS_PER_TASK = 100_000
+
 
 # Below this many rows a loop is in the job-overhead regime: per-superstep
 # planning/scheduling dominates and extra tasks are pure cost (the r14
@@ -60,22 +67,48 @@ def iter_width(rows: int, spark=None) -> int:
     """Shuffle width for an iterative loop over ``rows`` state/edge rows.
 
     Tiny input (< SMALL_ROWS): clamp to 4 — each superstep is a handful
-    of near-empty tasks whose scheduling is the dominant cost. Otherwise:
-    at least the cluster's ``defaultParallelism`` (deployment-derived,
-    never a local constant) and ~ROWS_PER_TASK rows per task beyond it,
-    capped at 2048 — the measured pagerank/betweenness sizing rule
-    (centrality.py:104). An r15 A/B showed why the floor matters: sizing
-    a 750k-edge pagerank to 4 partitions serialized its per-superstep
-    join on 4 of 32 cores (16.5s -> 30s+)."""
+    of near-empty tasks whose scheduling is the dominant cost. Otherwise
+    the width grows at ~MIN_ROWS_PER_TASK rows per task until it reaches
+    the ceiling ``max(defaultParallelism, rows/ROWS_PER_TASK)`` (capped
+    2048): a task below ~100k rows is launch-overhead, not compute, so
+    spreading a mid-size loop across every core makes each superstep
+    strictly slower — an r15 width sweep on the 750k-edge sf0.1
+    pagerank measured 8 partitions (~94k rows/task) at 8.7-11.6s vs 32
+    (defaultParallelism, ~23k rows/task) at 12.6-20s and the earlier
+    4-partition clamp at 30s+. Past ~MIN_ROWS_PER_TASK × parallelism
+    rows the rule saturates the cluster, and past ~ROWS_PER_TASK ×
+    parallelism it reproduces the sf50-validated ~2M-rows/task sizing
+    (the r14 OOM fix — e.g. 375M edges → 188 partitions) unchanged."""
     if rows < SMALL_ROWS:
         return 4
-    dp = 0
-    if spark is not None:
-        try:
-            dp = int(spark.sparkContext.defaultParallelism)
-        except Exception:
-            dp = 0
-    return max(dp, min(2048, -(-rows // ROWS_PER_TASK)))
+    dp = _default_parallelism(spark)
+    ceiling = max(4, dp, min(2048, -(-rows // ROWS_PER_TASK)))
+    return min(ceiling, max(4, -(-rows // MIN_ROWS_PER_TASK)))
+
+
+def _default_parallelism(spark) -> int:
+    if spark is None:
+        return 0
+    try:
+        return int(spark.sparkContext.defaultParallelism)
+    except Exception:
+        return 0
+
+
+def full_width(rows: int, spark=None) -> int:
+    """Shuffle width for an iterative loop that RE-SHUFFLES its full
+    input (or a state that outgrows it) every round — BFS-style frontier
+    expansion over an un-cached edge side, shrink-and-peel loops, MST
+    rounds. Unlike ``iter_width`` (whose 100k-rows/task band is measured
+    on loops where the heavy side is cached co-partitioned and only tiny
+    state moves), these loops are shuffle/compute-bound per round, so
+    the width keeps the defaultParallelism floor: an r15 A/B that gave
+    all-sources closeness the narrow band width read 19.6s vs 4.1s at
+    the floor, while cached-edge pagerank moved the opposite way.
+    Same tiny-input clamp and ~2M-rows/task scaling past the floor."""
+    if rows < SMALL_ROWS:
+        return 4
+    return max(_default_parallelism(spark), min(2048, -(-rows // ROWS_PER_TASK)))
 
 
 class scoped_shuffle_width:

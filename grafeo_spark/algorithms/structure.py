@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from grafeo_spark.algorithms.pregel import (
     canonical_undirected,
-    iter_width,
+    full_width,
     scoped_shuffle_width,
     undirect,
 )
@@ -33,7 +33,7 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     # re-counting the unchanged checkpointed frame (one job per round
     # saved — the ADVICE-r13 SCC pattern)
     with scoped_shuffle_width(
-        e.sparkSession, iter_width(n_e * 2, e.sparkSession), rows=n_e * 2
+        e.sparkSession, full_width(n_e * 2, e.sparkSession), rows=n_e * 2
     ):
         for _ in range(max_iter):
             und = undirect(e)

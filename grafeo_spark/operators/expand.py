@@ -298,26 +298,43 @@ def reachable_pairs(
     hop = 1
     all_seen = frontier
     seen_rows = frontier.count() if early_exit else 0
-    # Early-exit loops run one job per level; below the measured
-    # AQE_OFF_ROWS crossover, per-level AQE re-planning dominates those
-    # jobs, and the loop width follows the measured hop-0 edge frame
-    # (iter_width — the pregel sizing rule; without the width scope,
-    # AQE-off alone regressed bfs ~15%: each per-level shuffle ran at
-    # the full session width in empty tasks). The seen-state
-    # repartitions below read the scoped width as their floor, so both
-    # rules compose. The scope only covers the per-level jobs; the
-    # returned union executes at the caller's action under the session's
-    # own settings.
+    # Early-exit loops run one job per level. Width follows the measured
+    # hop-0 edge frame and AQE is scoped off below the crossover (the
+    # pregel sizing rules), and — critically — each distinct hop frame
+    # is re-partitioned ON THE JOIN KEY once at that width (the
+    # pregel/pagerank edge-cache pattern): the per-level join then
+    # co-locates against the cached edge partitioning and only the
+    # (much smaller) frontier exchanges per level. Without this, AQE-off
+    # forced a full edge-frame shuffle EVERY level (AQE used to
+    # broadcast the tiny frontier at runtime instead) — measured 2x
+    # worse on bfs than either alternative; with it, the loop beats the
+    # AQE plan. The seen-state repartitions below read the scoped width
+    # as their floor, so the rules compose. The scope only covers the
+    # loop's jobs; the returned union executes under session settings.
     import contextlib
 
     if early_exit:
-        from grafeo_spark.algorithms.pregel import iter_width, scoped_shuffle_width
+        from grafeo_spark.algorithms.pregel import full_width, scoped_shuffle_width
 
         spark_ = frontier.sparkSession
         loop_rows = max(_hop(0).count(), seen_rows)
-        _scope = scoped_shuffle_width(
-            spark_, iter_width(loop_rows, spark_), rows=loop_rows
-        )
+        # full_width, not iter_width: the loop STATE (reachable pairs)
+        # outgrows the hop-0 proxy and the per-level distinct/anti-join
+        # shuffles it — all-sources closeness measured 19.6s at the
+        # narrow band width vs ~4s at the parallelism floor
+        _w = full_width(loop_rows, spark_)
+        _scope = scoped_shuffle_width(spark_, _w, rows=loop_rows)
+        part_e: dict[int, DataFrame] = {}
+
+        def _hop(i: int) -> DataFrame:  # noqa: F811 — loop-side variant
+            key = id(hop_e[i])
+            if key not in part_e:
+                part_e[key] = (
+                    ckpt.get(key, hop_e[i])
+                    .repartition(_w, "_esrc")
+                    .localCheckpoint(eager=False)
+                )
+            return part_e[key]
     else:
         _scope = contextlib.nullcontext()
     with _scope:

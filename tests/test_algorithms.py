@@ -583,6 +583,28 @@ def test_iter_width_scoping_restores_on_failure(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
 
 
+def test_width_rules_curves(spark):
+    # r15 pin: the two sizing rules' measured anchor points. iter_width
+    # (cached co-partitioned loops) grows at ~100k rows/task between the
+    # tiny clamp and the parallelism/2M-budget ceiling — 750k edges -> 8
+    # (the sf0.1 pagerank sweep winner), and the sf50-validated 2M/task
+    # sizing (375M -> >= parallelism band) is preserved. full_width
+    # (loops that reshuffle their input per round) keeps the
+    # defaultParallelism floor — the closeness A/B anchor.
+    from grafeo_spark.algorithms.pregel import full_width, iter_width
+
+    dp = spark.sparkContext.defaultParallelism
+    assert iter_width(50_000, spark) == 4
+    # 750k rows -> 8 tasks of ~94k rows, clipped by the parallelism
+    # ceiling (8 on the 32-core bench box; the test session may be narrower)
+    assert iter_width(750_000, spark) == min(8, max(dp, 4))
+    assert iter_width(100_000 * max(dp, 4), spark) == max(dp, 4)  # saturates
+    assert iter_width(375_000_000, spark) == max(dp, 188)  # sf50 sizing kept
+    assert full_width(50_000, spark) == 4
+    assert full_width(750_000, spark) == max(dp, 4)  # parallelism floor
+    assert full_width(375_000_000, spark) == max(dp, 188)
+
+
 def test_max_flow(spark):
     from grafeo_spark.algorithms import max_flow
 
