@@ -74,10 +74,13 @@ def minimum_spanning_forest(
         )
         if best.count() == 0:
             break
+        # LAZY: the accumulated forest is only read at the caller's final
+        # action — the chained checkpoints each materialize once there,
+        # and one eager-materialization job per round is saved
         mst = (
             mst.unionByName(best.select("src", "dst", "weight"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # Merge components on the COMPONENT-level graph (Borůvka
         # contraction): each picked edge links the two components that
@@ -93,10 +96,12 @@ def minimum_spanning_forest(
         merge = connected_components(ce).select(
             F.col("id").alias("component"), F.col("component").alias("_newc")
         )
+        # LAZY + fused with the next round's best.count() (which scans the
+        # cross join referencing comp) — the r15 checkpoint/count pattern
         comp = (
             comp.join(merge, "component", "left")
             .select("id", F.coalesce(F.col("_newc"), F.col("component")).alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return mst
 
