@@ -82,11 +82,25 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("d").alias("outdeg"))
         )
-    state = state.localCheckpoint(eager=True)
-    n = state.count()
+    # ONE init job (r15 fusion): the lazy checkpoint materializes under a
+    # single aggregate that reads off n, the edge count (sum of out-degrees
+    # — no extra edge scan) and the dangling-vertex count together. The old
+    # init paid 5 jobs for the same facts (two eager checkpoints, a count,
+    # an edge-sum aggregate, a dangling-mass aggregate).
+    state = state.localCheckpoint(eager=False)
+    _init = state.agg(
+        F.count(F.lit(1)),
+        F.sum("outdeg"),
+        F.sum(F.when(F.col("outdeg") == 0, 1).otherwise(0)),
+    ).first()
+    n = int(_init[0])
     if n == 0:
         return state.select("id", F.lit(0.0).alias("pagerank"))
-    state = state.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    # superstep 1's dangling mass: pr is uniformly 1/n before the loop
+    dang = int(_init[2] or 0) / n
+    # a plain projection over the materialized checkpoint — re-deriving it
+    # per superstep-1 consumer is cheaper than a second checkpoint job
+    state = state.withColumn("pr", F.lit(1.0 / n))
     # Size the superstep shuffles to the MEASURED edge count (sum of
     # out-degrees over the already-checkpointed state — no extra edge
     # scan): at sf50 (375M directed edges) the contribution aggregation
@@ -99,7 +113,7 @@ def pagerank(
     from pyspark import StorageLevel
 
     spark = state.sparkSession
-    ne = int(state.agg(F.sum("outdeg")).first()[0] or 0)
+    ne = int(_init[1] or 0)
     default_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     # width from the measured edge count in BOTH directions (pregel.py
     # iter_width): the old formula only ever RAISED the session width, so
@@ -123,21 +137,13 @@ def pagerank(
         .persist(StorageLevel.DISK_ONLY if big else StorageLevel.MEMORY_AND_DISK)
     )
     it = 0
-    # Dangling mass for superstep 1 — the only standalone scalar job left;
-    # every later superstep's dang (and tol delta) rides along on the
-    # checkpoint job itself as an observation metric (r15): the old loop
-    # paid one extra aggregate job per superstep (~0.4s × iterations at
-    # sf0.1; a full state pass at scale) for a scalar the materializing
-    # job already sees every row of. Runs BEFORE the scoped conf sets so
-    # nothing sits between a set and its restoring finally (the r14
-    # betweenness ADVICE lesson).
+    # Dangling mass for superstep 1 came from the fused init aggregate
+    # above (pr is uniform there); every later superstep's dang (and tol
+    # delta) rides along on the checkpoint job itself as an observation
+    # metric (r15): the old loop paid one extra aggregate job per
+    # superstep (~0.4s × iterations at sf0.1; a full state pass at scale)
+    # for a scalar the materializing job already sees every row of.
     from pyspark.sql import Observation
-
-    dang = (
-        state.filter(F.col("outdeg") == 0)
-        .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-        .first()[0]
-    )
     # below the measured AQE_OFF_ROWS crossover, per-superstep AQE
     # re-planning dominates the loop (r15 A/B at 750k edges: 17.3s on vs
     # 11.8s off over 10 supersteps); at decade scale AQE stays on for
@@ -283,8 +289,10 @@ def betweenness_centrality(
     if not directed:
         e = undirect(e).distinct()
     spark = e.sparkSession
-    e = e.localCheckpoint(eager=True)
-    verts = vertices_from_edges(e).localCheckpoint(eager=True)
+    # lazy checkpoints: the nv count below materializes the edge set and
+    # the vertex set in ONE job (r15 fusion — eager paid a job per frame)
+    e = e.localCheckpoint(eager=False)
+    verts = vertices_from_edges(e).localCheckpoint(eager=False)
     nv = verts.count()
     empty = spark.createDataFrame([], "id long, betweenness double")
     if nv == 0:
@@ -316,7 +324,9 @@ def betweenness_centrality(
         # every reverse level joins on id == src, so a pre-partitioned edge
         # side never re-exchanges (2·diameter exchanges saved; the frontier
         # side shuffles regardless since it arrives grouped by (source, id))
-        e = e.repartition(eff_parts, "src").localCheckpoint(eager=True)
+        # lazy: the first forward level's count materializes the
+        # repartitioned edge side and lvl0 together (r15 fusion)
+        e = e.repartition(eff_parts, "src").localCheckpoint(eager=False)
 
         sources = verts
         n_sources = nv
@@ -348,7 +358,7 @@ def _betweenness_core(
 
     lvl0 = sources.select(
         F.col("id").alias("source"), F.col("id"), F.lit(1.0).alias("sigma")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # materialized by level 1's count
     levels = [lvl0]
     visited = lvl0.select("source", "id")
     frontier = lvl0

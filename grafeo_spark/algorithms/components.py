@@ -80,8 +80,10 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
     """
     from grafeo_spark.operators.expand import reachable_pairs
 
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    remaining = vertices_from_edges(e).localCheckpoint(eager=True)
+    # lazy checkpoints: the depth count below materializes the edge set and
+    # the vertex set in ONE job (r15 fusion — eager paid a job per frame)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    remaining = vertices_from_edges(e).localCheckpoint(eager=False)
     spark = e.sparkSession
     assigned = spark.createDataFrame([], "id long, component long")
     depth = remaining.count() + 1  # converged-fixpoint bound for inner loops
@@ -95,17 +97,29 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
             if not reverse
             else sub_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        colors = connected_min_color_forward(fwd, verts, max_iter=depth)
+        # edges_restricted: sub_e is always confined to verts here — the
+        # initial frame's vertex set IS vertices_from_edges(e), and every
+        # _shrink output is semi-joined to the surviving verts on both
+        # endpoints — so the peel skips the two identity semi-joins the
+        # general entry point pays (r15: two joins inside the pregel edge
+        # materialization per peel round, for nothing)
+        colors = connected_min_color_forward(
+            fwd, verts, max_iter=depth, edges_restricted=True
+        )
         rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         roots = colors.filter(F.col("color") == F.col("id")).select("id")
         back = reachable_pairs(
             _same_color_edges(rev, colors), 1, depth, src_ids=roots, early_exit=True
         ).select(F.col("src").alias("root"), F.col("dst").alias("id"))
+        # lazy: both consumers (the assigned union and _shrink's anti/semi
+        # joins) share ONE materialization, fired by the round's n_after
+        # count (r15 fusion)
         return (
             roots.select(F.col("id").alias("root"), F.col("id"))
             .unionByName(back)
             .distinct()
             .select("id", F.col("root").alias("component"))
+            .localCheckpoint(eager=False)
         )
 
     def _shrink(sub_e: DataFrame, verts: DataFrame, scc: DataFrame):
@@ -114,25 +128,39 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
         verts = verts.join(scc.select("id"), "id", "left_anti").localCheckpoint(
             eager=False
         )
+        # lazy: the next peel's pregel edge count is the materializing
+        # action — and on the FINAL round (n_after == 0) the shrunk edge
+        # set is never computed at all (r15 fusion)
         sub_e = (
             sub_e.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         return sub_e, verts
 
     # one count action per shrink: n_after carries into the next round as
-    # n_before instead of re-counting the identical frame (ADVICE r13)
-    n_before = remaining.count()
+    # n_before instead of re-counting the identical frame (ADVICE r13);
+    # the initial value reuses the depth count above (same frame, r15)
+    n_before = depth - 1
     # outer-loop shuffles (shrink anti-joins, union checkpoints, the
     # backward reachability) share the measured-size width; the inner
     # pregel coloring scopes itself the same way (pregel.py sizing rule)
     with _width:
-      for _ in range(max_iter):
+      for _round in range(max_iter):
         if n_before == 0:
             return assigned
         scc = _peel(e, remaining, reverse=False)
-        assigned = assigned.unionByName(scc).localCheckpoint(eager=True)
+        # lazy: assigned is only read by the caller's final action (or the
+        # exhausted-loop check); each round's checkpoint still computes
+        # exactly once when that action fires (r15 fusion). Every 8th
+        # round the chain is eagerly truncated: stacked lazy checkpoints
+        # are never lineage-truncated by descendant actions (doCheckpoint
+        # stops at the first marked RDD), so an unbounded peel count
+        # would otherwise grow the serialized plan per round — the scc
+        # frames are cached, so the fuse job is a cheap union scan.
+        assigned = assigned.unionByName(scc).localCheckpoint(
+            eager=(_round % 8 == 7)
+        )
         e, remaining = _shrink(e, remaining, scc)
         n_after = remaining.count()
         if n_after == 0:
@@ -141,7 +169,7 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
             # forward cleared <25% of the remainder — the shape is
             # hostile to forward coloring; pay for the reverse peel
             scc = _peel(e, remaining, reverse=True)
-            assigned = assigned.unionByName(scc).localCheckpoint(eager=True)
+            assigned = assigned.unionByName(scc).localCheckpoint(eager=False)
             e, remaining = _shrink(e, remaining, scc)
             n_after = remaining.count()
         n_before = n_after
@@ -167,11 +195,22 @@ def _same_color_edges(edges: DataFrame, colors: DataFrame) -> DataFrame:
 
 
 def connected_min_color_forward(
-    edges: DataFrame, vertices: DataFrame, max_iter: int = 50
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 50,
+    edges_restricted: bool = False,
 ) -> DataFrame:
-    """Propagate min id along edge direction within the given vertex set."""
+    """Propagate min id along edge direction within the given vertex set.
+
+    ``edges_restricted=True`` declares both edge endpoints already confined
+    to ``vertices`` (the SCC peel loop's invariant), skipping the two
+    restriction semi-joins — on an already-checkpointed edge frame they are
+    identity operations that would still cost two joins inside the pregel
+    edge materialization per call (r15)."""
     sub = (
-        edges.join(vertices.withColumnRenamed("id", "src"), "src", "left_semi")
+        edges
+        if edges_restricted
+        else edges.join(vertices.withColumnRenamed("id", "src"), "src", "left_semi")
         .join(vertices.withColumnRenamed("id", "dst"), "dst", "left_semi")
     )
     v = vertices.withColumn("color", F.col("id"))
@@ -207,7 +246,9 @@ def topological_sort(edges: DataFrame, max_iter: int = 200) -> DataFrame:
     and exhaustion raises. tests/test_algorithms.py pins a 300-deep chain
     inside a wall budget.
     """
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    # lazy: the state count below materializes the edge set and the
+    # in-degree state in ONE job (r15 fusion)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     spark = e.sparkSession
     # Kahn via MAINTAINED in-degrees: state is (id, indeg); each round
     # peels indeg=0, then decrements successors by the count of edges
@@ -225,7 +266,7 @@ def topological_sort(edges: DataFrame, max_iter: int = 200) -> DataFrame:
             "left",
         )
         .fillna({"indeg": 0})
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_remaining = state.count()
     out = spark.createDataFrame([], "id long, level long")
@@ -259,6 +300,12 @@ def topological_sort(edges: DataFrame, max_iter: int = 200) -> DataFrame:
                     "id",
                     (F.col("indeg") - F.coalesce(F.col("_d"), F.lit(0))).alias("indeg"),
                 )
+                # EAGER, deliberately (r15 measured): a lazy state here
+                # stacks UNDER the lazy sources checkpoint, and Spark's
+                # doCheckpoint only finalizes the FIRST marked RDD on the
+                # path from an action — state's lineage then never
+                # truncates and a 300-level chain overflows the task
+                # serializer (test_topological_sort_deep_chain pins it).
                 .localCheckpoint(eager=True)
             )
             n_remaining -= n_src

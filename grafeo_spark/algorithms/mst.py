@@ -34,13 +34,17 @@ def minimum_spanning_forest(
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.min("weight").alias("weight"))
-        .localCheckpoint(eager=True)
+        # lazy: the _n_e count below materializes the reduced edge set
+        # (r15 fusion — eager paid a standalone job first)
+        .localCheckpoint(eager=False)
     )
     spark = e.sparkSession
     comp = vertices_from_edges(e).withColumn("component", F.col("id"))
     mst = spark.createDataFrame([], "src long, dst long, weight double")
 
-    comp = comp.localCheckpoint(eager=True)
+    # lazy: round 1's best.count() (whose cross join reads comp)
+    # materializes the initial labels — no standalone init job
+    comp = comp.localCheckpoint(eager=False)
     # round shuffles sized to the measured edge count (pregel.py rule);
     # the inner component-merge pregel scopes itself the same way
     # full_width: each round re-joins the FULL remaining edge frame

@@ -58,7 +58,10 @@ def bfs(
         e = undirect(e)
     src = _source_df(edges, sources).join(
         vertices_from_edges(e), "id", "left_semi"
-    ).localCheckpoint(eager=True)
+        # lazy: reachable_pairs' seed-frontier count materializes it in the
+        # same job; both consumers (seed, zero-depth rows) share the one
+        # computation (r15 fusion)
+    ).localCheckpoint(eager=False)
     pairs = reachable_pairs(e, 1, max_depth, src_ids=src, early_exit=True)
     zero = src.select(
         F.col("id").alias("source"), F.col("id"), F.lit(0).cast("long").alias("depth")

@@ -26,7 +26,8 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     """(id) vertices of the k-core (structure.rs:473): iteratively strip
     vertices with degree < k until fixpoint. Each round: one degree
     aggregation + two semi-joins; eager checkpoints bound lineage."""
-    e = canonical_undirected(edges).localCheckpoint(eager=True)
+    # lazy: the count is the materializing action (r15 fusion)
+    e = canonical_undirected(edges).localCheckpoint(eager=False)
     n_e = e.count()
     # loop shuffles sized to the measured edge count (pregel.py rule);
     # the fixpoint test reuses the previous round's count instead of

@@ -284,7 +284,11 @@ def reachable_pairs(
         if not early_exit:
             return hop_e[i]
         if id(hop_e[i]) not in ckpt:
-            ckpt[id(hop_e[i])] = hop_e[i].localCheckpoint(eager=True)
+            # lazy: the seed-frontier count below materializes the hop
+            # frame as a dependency in the SAME job (r15 fusion — the
+            # eager form paid a standalone checkpoint job per distinct
+            # hop frame before the loop even started)
+            ckpt[id(hop_e[i])] = hop_e[i].localCheckpoint(eager=False)
         return ckpt[id(hop_e[i])]
 
     frontier = _seed(_hop(0), src_ids).select(
@@ -293,7 +297,9 @@ def reachable_pairs(
     if is_list or not pairs_distinct:
         frontier = frontier.distinct()
     if early_exit:
-        frontier = frontier.localCheckpoint(eager=True)
+        # lazy + the count two lines down = ONE materializing job for
+        # seed frontier and hop-0 frame together (r15 fusion)
+        frontier = frontier.localCheckpoint(eager=False)
     results = [frontier.withColumn("hops", F.lit(1))] if min_hops <= 1 else []
     hop = 1
     all_seen = frontier
