@@ -24,30 +24,16 @@ from grafeo_spark.algorithms.pregel import (
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """(id, component) — weakly connected; component = min reachable id.
 
-    Min-label propagation converges in O(diameter) supersteps, each two
-    shuffles; the classic scale algorithm (GraphX ConnectedComponents
-    semantics, replacing components.rs:361's union-find).
-    """
-    v = vertices_from_edges(edges).withColumn("comp", F.col("id"))
-
-    def update(j: DataFrame) -> DataFrame:
-        better = F.col("_msg").isNotNull() & (F.col("_msg") < F.col("comp"))
-        return j.select(
-            "id",
-            F.when(better, F.col("_msg")).otherwise(F.col("comp")).alias("comp"),
-            better.alias("_changed"),
-        )
-
-    out = pregel(
-        v,
-        edges.select("src", "dst"),
-        send_to_dst=F.col("v_comp"),
-        send_to_src=F.col("v_comp"),
-        agg_msg=F.min("msg"),
-        update=update,
-        max_iter=max_iter,
+    Min-label propagation (GraphX ConnectedComponents semantics, replacing
+    components.rs:361's union-find), since r16 on the one-exchange-per-
+    superstep :func:`_min_label_fixpoint` loop with pointer jumping —
+    O(log diameter) supersteps on chain shapes instead of O(diameter);
+    undirected semantics via both edge orientations."""
+    und = undirect(edges.select("src", "dst"))
+    out = _min_label_fixpoint(
+        und, vertices_from_edges(edges), max_iter=max_iter, jump=True
     )
-    return out.select("id", F.col("comp").alias("component"))
+    return out.select("id", F.col("color").alias("component"))
 
 
 def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> DataFrame:
@@ -69,8 +55,11 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
     that cleared almost nothing.
 
     Bounds (the iterative-family contract, same as BFS/WCC): each inner
-    fixpoint is O(subgraph diameter) supersteps with convergence early
-    exit — the bound passed down is |V|+1, so a long cycle colors
+    fixpoint runs with convergence early exit and POINTER JUMPING
+    (recursive doubling, r16 — pregel ``jump_col``): a label crosses
+    distance 2^k after k supersteps, so chain/cycle shapes converge in
+    O(log diameter) supersteps instead of O(diameter); the bound passed
+    down stays |V|+1, so even without jumping a long cycle colors
     CORRECTLY rather than truncating (r12 fix: the old hardcoded 50-step
     cap silently split any SCC with diameter > 50). Worst-case outer
     rounds remain O(#SCCs) on shapes adversarial to both directions;
@@ -78,8 +67,6 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
     result). For singleton-heavy pathological graphs prefer the driver
     NetworkX bridge at small scale, or raise max_iter deliberately.
     """
-    from grafeo_spark.operators.expand import reachable_pairs
-
     # lazy checkpoints: the depth count below materializes the edge set and
     # the vertex set in ONE job (r15 fusion — eager paid a job per frame)
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
@@ -91,7 +78,18 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
     _width = scoped_shuffle_width(spark, full_width(_scc_rows, spark), rows=_scc_rows)
 
     def _peel(sub_e: DataFrame, verts: DataFrame, reverse: bool) -> DataFrame:
-        """Color along one direction, return the root SCCs (id, component)."""
+        """Color along one direction, return the root SCCs (id, component).
+
+        r16: the backward pass is a second min-label coloring over the
+        SAME-COLOR reversed edges instead of a per-root BFS
+        (reachable_pairs). Within a forward color class the root r is the
+        class MINIMUM id (any smaller member would have colored r), so
+        back(v) — the min id v can reach inside its class — equals r
+        exactly when v reaches the root, i.e. ``back == color`` IS root-SCC
+        membership. Both directions now converge in O(log diameter)
+        supersteps via pointer jumping, where the old BFS paid O(diameter)
+        hop jobs per peel; and the BFS's own setup jobs (hop-frame count +
+        repartition, seed count) disappear."""
         fwd = (
             sub_e
             if not reverse
@@ -104,21 +102,21 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
         # general entry point pays (r15: two joins inside the pregel edge
         # materialization per peel round, for nothing)
         colors = connected_min_color_forward(
-            fwd, verts, max_iter=depth, edges_restricted=True
+            fwd, verts, max_iter=depth, edges_restricted=True, jump=True,
+            edge_rows=_scc_rows,
         )
         rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        roots = colors.filter(F.col("color") == F.col("id")).select("id")
-        back = reachable_pairs(
-            _same_color_edges(rev, colors), 1, depth, src_ids=roots, early_exit=True
-        ).select(F.col("src").alias("root"), F.col("dst").alias("id"))
+        back = connected_min_color_forward(
+            _same_color_edges(rev, colors), verts, max_iter=depth,
+            edges_restricted=True, jump=True, edge_rows=_scc_rows,
+        ).withColumnRenamed("color", "_back")
         # lazy: both consumers (the assigned union and _shrink's anti/semi
         # joins) share ONE materialization, fired by the round's n_after
         # count (r15 fusion)
         return (
-            roots.select(F.col("id").alias("root"), F.col("id"))
-            .unionByName(back)
-            .distinct()
-            .select("id", F.col("root").alias("component"))
+            colors.join(back, "id")
+            .filter(F.col("color") == F.col("_back"))
+            .select("id", F.col("color").alias("component"))
             .localCheckpoint(eager=False)
         )
 
@@ -199,6 +197,8 @@ def connected_min_color_forward(
     vertices: DataFrame,
     max_iter: int = 50,
     edges_restricted: bool = False,
+    jump: bool = False,
+    edge_rows: int | None = None,
 ) -> DataFrame:
     """Propagate min id along edge direction within the given vertex set.
 
@@ -206,31 +206,134 @@ def connected_min_color_forward(
     to ``vertices`` (the SCC peel loop's invariant), skipping the two
     restriction semi-joins — on an already-checkpointed edge frame they are
     identity operations that would still cost two joins inside the pregel
-    edge materialization per call (r15)."""
+    edge materialization per call (r15).
+
+    ``jump=True`` enables pointer jumping after ``pregel.JUMP_AFTER``
+    supersteps; ``edge_rows`` skips the sizing count (see
+    :func:`_min_label_fixpoint`)."""
     sub = (
         edges
         if edges_restricted
         else edges.join(vertices.withColumnRenamed("id", "src"), "src", "left_semi")
         .join(vertices.withColumnRenamed("id", "dst"), "dst", "left_semi")
     )
-    v = vertices.withColumn("color", F.col("id"))
-
-    def update(j: DataFrame) -> DataFrame:
-        better = F.col("_msg").isNotNull() & (F.col("_msg") < F.col("color"))
-        return j.select(
-            "id",
-            F.when(better, F.col("_msg")).otherwise(F.col("color")).alias("color"),
-            better.alias("_changed"),
-        )
-
-    return pregel(
-        v,
-        sub,
-        send_to_dst=F.col("v_color"),
-        agg_msg=F.min("msg"),
-        update=update,
-        max_iter=max_iter,
+    return _min_label_fixpoint(
+        sub, vertices, max_iter=max_iter, jump=jump, edge_rows=edge_rows
     )
+
+
+def _min_label_fixpoint(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iter: int,
+    jump: bool = True,
+    edge_rows: int | None = None,
+) -> DataFrame:
+    """(id, color) — color = min id over vertices that reach v along edge
+    direction (v included). The SCC peel's inner loop, rebuilt r16 as a
+    ONE-EXCHANGE-per-superstep aggregation instead of the general pregel
+    kernel's join+aggregate+join shape (guide §1.2 step 1, §2.4):
+
+    - state (id, color) is hash-partitioned on id at the loop width and
+      STAYS so (the aggregate's own output partitioning); the edge frame
+      is partitioned on src once and persisted — the per-superstep message
+      join is then co-partitioned (zero exchange) and built as a
+      shuffled-hash join (zero sort; the general kernel paid a state
+      exchange plus two SMJ sorts here).
+    - new state = groupBy(id).min over (state ∪ messages) — ONE exchange,
+      hash aggregate with map-side partial agg, no join for the update
+      (the kernel paid a second exchange + left join). The old color rides
+      along as min(color) over the state row alone, so the _changed flag
+      needs no comparison join.
+    - ``jump=True`` adds POINTER-JUMP messages (recursive doubling) from
+      superstep JUMP_AFTER on: color(color(v)) reaches v by transitivity,
+      so the fixpoint is unchanged but a label crosses distance 2^k per
+      superstep — O(JUMP_AFTER + log d) supersteps on chain/cycle shapes
+      instead of O(d) (measured: the 120-cycle forward coloring converges
+      in 9 supersteps with jumping vs 120 without). The jump self-join
+      squares the checkpoint's inherited sizeInBytes ESTIMATE, so jump
+      supersteps strip origin stats (pregel._ckpt_strip_stats — without
+      it the BigInt stats arithmetic became the wall). Jump starts late
+      so short-diameter loops never pay the extra state self-join.
+
+    ``edge_rows``: known upper bound on the edge count — skips the sizing
+    count job (shrink loops already hold a bound; a stale larger bound
+    only errs wide)."""
+    from grafeo_spark.algorithms.pregel import (
+        JUMP_AFTER,
+        _ckpt_strip_stats,
+        iter_width,
+        scoped_shuffle_width,
+    )
+
+    spark = edges.sparkSession
+    ne = int(edge_rows) if edge_rows is not None else edges.count()
+    w = iter_width(ne, spark)
+    e = (
+        edges.select(F.col("src").alias("_es"), F.col("dst").alias("_ed"))
+        .repartition(w, "_es")
+        .persist()
+    )
+    try:
+        with scoped_shuffle_width(spark, w, rows=ne):
+            state = (
+                vertices.select("id", F.col("id").alias("color"))
+                .repartition(w, "id")
+                .localCheckpoint(eager=False)
+            )
+            it = 0
+            while it < max_iter:
+                it += 1
+                use_jump = jump and it > JUMP_AFTER
+                msgs = (
+                    e.join(
+                        state.hint("shuffle_hash"), F.col("_es") == F.col("id")
+                    ).select(
+                        F.col("_ed").alias("id"),
+                        F.col("color"),
+                        F.lit(True).alias("_m"),
+                    )
+                )
+                if use_jump:
+                    ptr = state.filter(F.col("color") != F.col("id")).select(
+                        F.col("id").alias("_jid"), F.col("color").alias("_jp")
+                    )
+                    tgt = state.select(
+                        F.col("id").alias("_tid"), F.col("color").alias("_tc")
+                    )
+                    jm = ptr.join(tgt, F.col("_jp") == F.col("_tid")).select(
+                        F.col("_jid").alias("id"),
+                        F.col("_tc").alias("color"),
+                        F.lit(True).alias("_m"),
+                    )
+                    msgs = msgs.unionByName(jm)
+                agg = (
+                    state.withColumn("_m", F.lit(False))
+                    .unionByName(msgs)
+                    .groupBy("id")
+                    .agg(
+                        F.min("color").alias("color"),
+                        # exactly one state row per id → its color is the
+                        # previous superstep's value; no comparison join
+                        F.min(F.when(~F.col("_m"), F.col("color"))).alias("_oc"),
+                    )
+                )
+                nxt = agg.select(
+                    "id", "color", (F.col("color") < F.col("_oc")).alias("_changed")
+                )
+                # lazy checkpoint + count = one materializing job (r15
+                # fusion); jump supersteps re-wrap without origin stats
+                nxt = (
+                    _ckpt_strip_stats(nxt, False)
+                    if use_jump
+                    else nxt.localCheckpoint(eager=False)
+                )
+                if nxt.filter(F.col("_changed")).count() == 0:
+                    return nxt.drop("_changed")
+                state = nxt.drop("_changed")
+            return state
+    finally:
+        e.unpersist()
 
 
 def topological_sort(edges: DataFrame, max_iter: int = 200) -> DataFrame:

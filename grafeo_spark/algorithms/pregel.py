@@ -51,6 +51,17 @@ MIN_ROWS_PER_TASK = 100_000
 # width must not drop below the available parallelism.
 SMALL_ROWS = 100_000
 
+# Pointer jumping (``jump_col``) starts at this superstep, not at 1: the
+# jump self-join adds two state joins + a union to every superstep (~2-4x
+# the superstep constant on a tiny graph, measured on the sf0.1 SCC
+# battery graph whose colorings converge in <= 5 supersteps), while its
+# payoff — O(log d) instead of O(d) supersteps — only exists once the
+# diameter exceeds the superstep budget already spent. Starting at step
+# JUMP_AFTER makes short loops pay nothing and deep loops converge in
+# ~JUMP_AFTER + O(log d) supersteps (a label that has crawled k steps
+# doubles its reach every jump superstep).
+JUMP_AFTER = 6
+
 # Below this many measured input rows an iterative loop's per-superstep
 # AQE re-optimization (re-planning every exchange per materialized stage)
 # costs more than runtime skew/coalescing can return: tasks carry a small
@@ -149,6 +160,34 @@ class scoped_shuffle_width:
 
 def _prefixed(df: DataFrame, prefix: str) -> DataFrame:
     return df.select(*[F.col(c).alias(prefix + c) for c in df.columns])
+
+
+def _ckpt_strip_stats(df: DataFrame, eager: bool) -> DataFrame:
+    """``localCheckpoint`` + re-wrap the checkpointed plan in a fresh
+    ``LogicalRDD`` WITHOUT origin statistics (r16).
+
+    A checkpoint's LogicalRDD carries the origin plan's size ESTIMATE
+    (``sizeInBytes``). A loop whose superstep plan inner-joins the state
+    with ITSELF (pointer jumping) then SQUARES that estimate every
+    superstep: the BigInt's digit count doubles per superstep (measured:
+    4.8k → 9.6k → … → 19.6M digits) and Catalyst's stats computation —
+    BigInteger multiplications in SizeInBytesOnlyStatsPlanVisitor —
+    becomes the wall (driver jstack; supersteps flat ~0.4s through step
+    16, then 2.9/8/16/48/164s). Wrapping the SAME checkpointed RDD via
+    ``internalCreateDataFrame`` resets the leaf to the session's default
+    size estimate (a constant), keeping stats work O(1) per superstep.
+    Materialization and lineage-truncation semantics are unchanged — the
+    wrapped plan scans the same checkpoint-marked RDD, so the lazy
+    checkpoint + count fusion still fires it. Ordinary (non-self-join)
+    loops keep the plain checkpoint: their origin estimates grow only
+    additively, and the real estimate is what lets the planner pick
+    broadcast builds where it fits."""
+    jdf = df._jdf.localCheckpoint(eager)
+    js = df.sparkSession._jsparkSession
+    wrapped = js.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(wrapped, df.sparkSession)
 
 
 def pregel(

@@ -752,3 +752,36 @@ def test_flow_guard_fires_without_collect(spark, monkeypatch):
     _no_collect(monkeypatch)
     with pytest.raises(ValueError, match="flow guard"):
         flow_mod.max_flow(e, 1, 3)
+
+
+def test_min_label_jump_converges_within_log_budget(spark):
+    """Pointer jumping (r16): an ascending 200-chain needs 199 supersteps
+    under plain min-label propagation; with recursive doubling active
+    from superstep JUMP_AFTER a label's reach doubles per superstep, so
+    the fixpoint must arrive inside a JUMP_AFTER + O(log n) budget. The
+    tight max_iter makes this a behavioral pin — if jumping stops firing
+    (or stops being sound) the loop exits unconverged and the assert
+    fails."""
+    from grafeo_spark.algorithms.components import _min_label_fixpoint
+    from grafeo_spark.algorithms.pregel import JUMP_AFTER, vertices_from_edges
+
+    n = 200
+    e = edges_df(spark, [(i, i + 1) for i in range(n - 1)])
+    budget = JUMP_AFTER + 22  # ~2*log2(200) + slack; plain needs n-1
+    out = _min_label_fixpoint(e, vertices_from_edges(e), max_iter=budget)
+    assert dict(rows(out)) == {i: 0 for i in range(n)}
+
+
+def test_min_label_fixpoint_matches_reachability_min(spark):
+    """_min_label_fixpoint semantics pin: color(v) = min id over vertices
+    that reach v along edge direction (v included), on a shape mixing a
+    cycle, a tail, and an isolated pair."""
+    from grafeo_spark.algorithms.components import _min_label_fixpoint
+    from grafeo_spark.algorithms.pregel import vertices_from_edges
+
+    e = edges_df(spark, [(5, 6), (6, 7), (7, 5), (7, 2), (10, 11)])
+    out = dict(rows(_min_label_fixpoint(e, vertices_from_edges(e), max_iter=20)))
+    # cycle {5,6,7} colors to 5; 2 is reached by the cycle (min 2 vs 5 -> 2
+    # itself is min since 2 < 5? ids reaching 2: {2,5,6,7} -> min 2);
+    # 10 -> 10, 11 -> 10
+    assert out == {5: 5, 6: 5, 7: 5, 2: 2, 10: 10, 11: 10}
