@@ -158,8 +158,17 @@ def pagerank(
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for it in range(1, max_iter + 1):
+            # shuffle_hash hint on the STATE side (r16): without it,
+            # Catalyst broadcast-exchanged the EDGE CACHE every superstep
+            # once its materialized size sat under the broadcast threshold
+            # (superstep plan: BroadcastHashJoin BuildLeft over the 750k-row
+            # InMemoryTableScan at sf0.1 — a driver collect + hash build +
+            # broadcast per superstep, defeating the co-partitioning). With
+            # the hint, both sides are already hash-partitioned on the join
+            # key at the loop width, so the join runs with ZERO exchange,
+            # zero sort, and a per-partition build of the small state side.
             contrib = (
-                e.join(state, e["_es"] == state["id"], "inner")
+                e.join(state.hint("shuffle_hash"), e["_es"] == state["id"], "inner")
                 .select(
                     F.col("_ed").alias("id"),
                     (F.col("pr") / F.col("outdeg")).alias("c"),
@@ -174,8 +183,12 @@ def pagerank(
                 if tol is not None
                 else state.drop("pr")
             )
+            # shuffle_hash on contrib: it is already hash(id)-partitioned by
+            # its aggregate, so the update join is exchange-free and the
+            # hint removes the per-superstep SortMergeJoin sort as well —
+            # the superstep's ONLY exchange is the contribution aggregate's
             state = (
-                prev.join(contrib, "id", "left")
+                prev.join(contrib.hint("shuffle_hash"), "id", "left")
                 .withColumn(
                     "pr",
                     F.lit((1.0 - alpha) / n + alpha * dang / n)
