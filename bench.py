@@ -180,11 +180,23 @@ def main() -> None:
     # the full line first (best-effort), and make the FINAL stdout line a
     # compact summary — headline total + the slowest entries — small
     # enough (<1 KB) to survive any tail truncation intact.
+    # Harness self-declaration (r16, VERDICT r15 "what's wrong" #2): a
+    # content hash of bench.py itself rides in every output line, so the
+    # driver's bench_harness_changed hint can be computed reliably instead
+    # of from diff heuristics (the r15 warm-up-preamble extension was
+    # missed by the hint). Changes to this file change the hash; the
+    # timed methodology fields stay authoritative for comparability.
+    import hashlib
+
+    with open(os.path.abspath(__file__), "rb") as _f:
+        harness_rev = hashlib.sha256(_f.read()).hexdigest()[:12]
+
     full = {
         "metric": "battery_wall_sec",
         "value": round(total, 2),
         "unit": "sec",
         "method": f"min_of_2_over_{RERUN_OVER_SEC}s",
+        "harness_rev": harness_rev,
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }
@@ -201,6 +213,7 @@ def main() -> None:
                 "value": round(total, 2),
                 "unit": "sec",
                 "method": f"min_of_2_over_{RERUN_OVER_SEC}s",
+                "harness_rev": harness_rev,
                 "n_queries": len(timings),
                 "n_errors": sum(1 for v in timings.values() if v < 0),
                 "queries": {k: round(v, 2) for k, v in slowest.items()},
