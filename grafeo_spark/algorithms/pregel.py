@@ -122,6 +122,18 @@ def full_width(rows: int, spark=None) -> int:
     return max(_default_parallelism(spark), min(2048, -(-rows // ROWS_PER_TASK)))
 
 
+# Active scoped_shuffle_width scopes per SparkSession (id(session) ->
+# thread idents holding a scope). The conf a scope mutates is SESSION-
+# GLOBAL, so two loops scoping concurrently from different threads would
+# silently run each other's jobs at the wrong width / AQE state and
+# restore stale values — fail loudly instead (r16, VERDICT r15 #3).
+# Same-thread NESTING is fine and load-bearing: the SCC outer loop scopes
+# the peel rounds and each inner coloring re-scopes within it; because a
+# scope captures the restore value at CONSTRUCTION (inside the outer
+# scope), LIFO nesting restores correctly.
+_ACTIVE_WIDTH_SCOPES: dict[int, list[int]] = {}
+
+
 class scoped_shuffle_width:
     """Scope ``spark.sql.shuffle.partitions`` to an iterative loop and
     restore it on exit (exception-safe — the r14 betweenness ADVICE
@@ -132,7 +144,13 @@ class scoped_shuffle_width:
     well: each superstep job pays AQE's per-exchange re-optimization for
     data where runtime skew handling has nothing to do (measured ~12% on
     tiny loops, ~30% on the sf0.1 pagerank). At real sizes AQE stays on
-    — skew/coalescing matter exactly there."""
+    — skew/coalescing matter exactly there.
+
+    SCOPE IS SESSION-GLOBAL: ``spark.conf.set`` applies to every query the
+    session runs while the scope is active, not just this loop's. Nesting
+    from the SAME thread is supported (LIFO restore); entering a scope
+    while ANOTHER THREAD holds one on the same session raises — the
+    alternative is silent cross-contamination of both loops' widths."""
 
     def __init__(self, spark, parts: int, rows: int | None = None):
         self._spark = spark
@@ -144,6 +162,18 @@ class scoped_shuffle_width:
         )
 
     def __enter__(self):
+        import threading
+
+        me = threading.get_ident()
+        active = _ACTIVE_WIDTH_SCOPES.setdefault(id(self._spark), [])
+        if any(t != me for t in active):
+            raise RuntimeError(
+                "scoped_shuffle_width: another thread holds a width scope on "
+                "this SparkSession — shuffle.partitions/AQE are session-global "
+                "conf, so concurrent scoped loops would corrupt each other. "
+                "Run concurrent algorithm loops in separate sessions."
+            )
+        active.append(me)
         if self._parts != int(self._prev):
             self._spark.conf.set("spark.sql.shuffle.partitions", str(self._parts))
         if self._aqe_off and self._prev_aqe == "true":
@@ -151,6 +181,15 @@ class scoped_shuffle_width:
         return self
 
     def __exit__(self, *exc):
+        active = _ACTIVE_WIDTH_SCOPES.get(id(self._spark))
+        if active:
+            import threading
+
+            me = threading.get_ident()
+            if me in active:
+                active.remove(me)
+            if not active:
+                _ACTIVE_WIDTH_SCOPES.pop(id(self._spark), None)
         if self._parts != int(self._prev):
             self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
         if self._aqe_off and self._prev_aqe == "true":

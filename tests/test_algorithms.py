@@ -785,3 +785,43 @@ def test_min_label_fixpoint_matches_reachability_min(spark):
     # itself is min since 2 < 5? ids reaching 2: {2,5,6,7} -> min 2);
     # 10 -> 10, 11 -> 10
     assert out == {5: 5, 6: 5, 7: 5, 2: 2, 10: 10, 11: 10}
+
+
+def test_scoped_width_nested_same_thread_restores(spark):
+    """scoped_shuffle_width nesting pin (r16): same-thread nesting (the
+    SCC outer-scope + inner-coloring shape) restores LIFO-correctly."""
+    from grafeo_spark.algorithms.pregel import scoped_shuffle_width
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_shuffle_width(spark, 3, rows=10):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+        with scoped_shuffle_width(spark, 2, rows=10):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_scoped_width_cross_thread_raises(spark):
+    """Concurrent scopes from ANOTHER thread on the same session must fail
+    loudly (the conf is session-global; silent overlap corrupts both
+    loops' widths — VERDICT r15 #3)."""
+    import threading
+
+    from grafeo_spark.algorithms.pregel import scoped_shuffle_width
+
+    result: dict = {}
+
+    def other():
+        try:
+            with scoped_shuffle_width(spark, 2, rows=10):
+                result["entered"] = True
+        except RuntimeError as ex:
+            result["error"] = str(ex)
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_shuffle_width(spark, 3, rows=10):
+        t = threading.Thread(target=other)
+        t.start()
+        t.join()
+    assert "error" in result and "another thread" in result["error"]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
