@@ -1099,12 +1099,30 @@ class GrafeoSpark:
             raise ValueError(
                 "session save supports mode='overwrite' or 'error' only"
             )
+        # graph and triples snapshots are independent write jobs — overlap
+        # them (guide §2.6) so the triple store's write back-fills the
+        # tail of the graph frames' pooled writes instead of waiting for
+        # it; the session manifest stays LAST, as the snapshot-complete
+        # marker.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writers = []
         if self.graph is not None:
-            save_graph(self.graph, f"{path}/graph", mode=mode, partitions=partitions)
-        if self.triples is not None:
-            save_triples(
-                self.triples, f"{path}/triples", mode=mode, partitions=partitions
+            writers.append(
+                lambda: save_graph(
+                    self.graph, f"{path}/graph", mode=mode, partitions=partitions
+                )
             )
+        if self.triples is not None:
+            writers.append(
+                lambda: save_triples(
+                    self.triples, f"{path}/triples", mode=mode, partitions=partitions
+                )
+            )
+        if writers:
+            with ThreadPoolExecutor(max_workers=len(writers)) as pool:
+                for fut in [pool.submit(w) for w in writers]:
+                    fut.result()
         reg = {}
         if self.ddl is not None:
             import dataclasses as _dc

@@ -28,24 +28,59 @@ from grafeo_spark.graph import PropertyGraph, TripleStore
 def write_manifest(spark: SparkSession, payload: dict, dest: str, mode: str) -> None:
     """Single-row JSON manifest (shared by graph and session persistence).
 
-    Built JVM-side (range + lit) rather than from a local Python list:
-    ``spark.createDataFrame([row])`` routes a one-row frame through a
-    Python-RDD job (~5-6s per call measured on local[32]); the literal
-    projection is a pure local relation (~0.2s). Every save() pays this
-    twice (graph + session manifests), so it matters."""
-    from pyspark.sql import functions as F
-
-    (
-        spark.range(1)
-        .select(F.lit(json.dumps(payload)).alias("manifest"))
-        .coalesce(1)
-        .write.mode(mode)
-        .json(dest)
-    )
+    Written directly through the Hadoop FileSystem API (r16): a manifest
+    is a few KB of metadata, but routing it through a Spark JSON write
+    cost one driver JOB per manifest (and ``spark.read.json`` one to two
+    more per open) — for a small session's save/open round-trip those
+    manifest jobs were ~4 of the measured 19 save+open jobs. The direct
+    write produces the SAME layout a single-task Spark write does (a
+    directory with one ``part-*.json`` line file plus ``_SUCCESS``), so
+    snapshots stay readable by both paths and the same calls target
+    local disk, HDFS, or object stores through the Hadoop FS layer.
+    (History: this was once a ``spark.createDataFrame([row])`` — a
+    Python-RDD job at ~5-6s per call — then a range+lit projection at
+    ~0.2s per call; the FS write removes the job entirely.)"""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(dest)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        if mode in ("error", "errorifexists"):
+            raise ValueError(f"manifest path already exists: {dest}")
+        fs.delete(hpath, True)
+    fs.mkdirs(hpath)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(dest + "/part-00000.json"), True)
+    out.write(bytearray((json.dumps({"manifest": json.dumps(payload)}) + "\n").encode("utf-8")))
+    out.close()
+    fs.create(jvm.org.apache.hadoop.fs.Path(dest + "/_SUCCESS"), True).close()
 
 
 def read_manifest(spark: SparkSession, dest: str) -> dict:
-    return json.loads(spark.read.json(dest).collect()[0]["manifest"])
+    """Read a manifest without a Spark job (inverse of
+    :func:`write_manifest`): list the directory, concatenate the
+    ``part-*`` line files, take the single JSON row. Reads both the
+    FS-written layout and historical Spark-written snapshots (identical
+    shape); falls back to ``spark.read.json`` on anything unexpected."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(dest)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if not st.isFile() or not name.startswith("part-"):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                text = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            for line in text.splitlines():
+                if line.strip():
+                    return json.loads(json.loads(line)["manifest"])
+        raise ValueError(f"no manifest rows under {dest}")
+    except Exception:
+        return json.loads(spark.read.json(dest).collect()[0]["manifest"])
 
 
 def save_graph(
