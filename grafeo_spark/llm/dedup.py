@@ -378,24 +378,60 @@ def _lsh_candidate_pairs_scaled(
 
 
 def verify_jaccard_from_hash_rows(
-    pairs: DataFrame, row_df: DataFrame, parts: int | None = None
+    pairs: DataFrame, row_df: DataFrame, parts: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) — exact Jaccard over the hashed shingle sets.
-    ``row_df`` is :func:`shingle_hash_rows` output; the ``collect_set``
-    aggregate reuses the same by-id exchange as the signature branch.
-    Identical to string-set Jaccard (element→hash is injective w.h.p.)."""
-    sets = row_df.groupBy("id").agg(F.collect_set("_shh").alias("_sh"))
-    return verify_jaccard(pairs, sets, parts=parts)
+    ``row_df`` is :func:`shingle_hash_rows` output. The set frame is
+    materialized ONCE (lazy checkpoint, r16): both verify join sides
+    consumed it, and ReuseExchange only dedupes the by-id exchange — the
+    final ``collect_set`` aggregation itself ran once per side.
+    Identical to string-set Jaccard (element→hash is injective w.h.p.).
+    ``threshold`` forwards to :func:`verify_jaccard`'s size prefilter."""
+    sets = (
+        row_df.groupBy("id")
+        .agg(F.collect_set("_shh").alias("_sh"))
+        .localCheckpoint(eager=False)
+    )
+    return verify_jaccard(pairs, sets, parts=parts, threshold=threshold)
 
 
 def verify_jaccard(
-    pairs: DataFrame, shingle_df: DataFrame, parts: int | None = None
+    pairs: DataFrame, shingle_df: DataFrame, parts: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) — exact shingle-set Jaccard for candidate pairs.
     `shingle_df` is `shingle_sets` output (id, _sh). ``parts`` (from the
     candidate stage's pair-volume estimate) widens the two verify joins —
     their shuffles carry |pairs| WIDE array rows, the heaviest flow in
-    the pipeline — so per-task volume stays bounded at any corpus size."""
+    the pipeline — so per-task volume stays bounded at any corpus size.
+
+    ``threshold``: EXACT size prefilter (r16, guide §3.2 — shrink the
+    join input): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose set
+    sizes differ by more than the threshold ratio cannot verify and is
+    dropped BEFORE the joins that drag the wide shingle arrays. The size
+    frame is two narrow longs per doc (read off the same materialized set
+    frame — no extra aggregation), so the two prefilter joins shuffle
+    |pairs| skinny rows to save the pruned fraction of |pairs| array
+    rows. No false negatives — the returned relation, post threshold
+    filter, is unchanged."""
+    if threshold is not None:
+        sizes = shingle_df.select("id", F.size("_sh").alias("_n"))
+        na = sizes.select(F.col("id").alias("a"), F.col("_n").alias("_na")).hint(
+            "shuffle_hash"
+        )
+        nb = sizes.select(F.col("id").alias("b"), F.col("_n").alias("_nb")).hint(
+            "shuffle_hash"
+        )
+        pairs = (
+            pairs.join(na, "a")
+            .join(nb, "b")
+            .filter(
+                F.least("_na", "_nb")
+                >= F.lit(threshold) * F.greatest("_na", "_nb")
+            )
+            .drop("_na", "_nb")
+        )
     # the shingle-set sides are corpus-sized WITH wide array rows — a
     # misestimated broadcast build here is the worst case; force the
     # shuffled build (bounded per task)
@@ -503,9 +539,9 @@ def _group_rep_pairs(
     # released when the RDD is garbage-collected.
     sigs = signatures_from_hash_rows(rep_rows, num_hashes).localCheckpoint(eager=False)
     cands, parts = _lsh_candidate_pairs_scaled(sigs, bands, max_bucket=max_bucket)
-    rep_pairs = verify_jaccard_from_hash_rows(cands, rep_rows, parts=parts).filter(
-        F.col("jaccard") >= threshold
-    )
+    rep_pairs = verify_jaccard_from_hash_rows(
+        cands, rep_rows, parts=parts, threshold=threshold
+    ).filter(F.col("jaccard") >= threshold)
     base = int(sh_rows.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if parts > base:
         # the threshold filter collapses the escalated pair volume to the
