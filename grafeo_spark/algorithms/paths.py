@@ -114,6 +114,12 @@ def shortest_paths(
         agg_msg=F.min("msg"),
         update=update,
         max_iter=max_iter,
+        # frontier-only relaxation (guide §2.3): a vertex whose dist did
+        # not improve last superstep already delivered that dist to every
+        # neighbor — only the changed frontier sends, so each superstep's
+        # message join touches the frontier's out-edges, not every
+        # reached vertex's (the standard delta Bellman-Ford)
+        delta_only=True,
     )
     return out.filter(F.col("dist").isNotNull()).select("id", F.col("dist").alias("distance"))
 

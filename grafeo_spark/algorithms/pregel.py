@@ -238,6 +238,7 @@ def pregel(
     max_iter: int = 20,
     send_to_src: Optional[Column] = None,
     checkpoint_every: int = CHECKPOINT_EVERY,
+    delta_only: bool = False,
 ) -> DataFrame:
     """Run supersteps until ``max_iter`` or until no row has
     ``_changed = true`` (if ``update`` emits that column).
@@ -253,6 +254,15 @@ def pregel(
         message arrived) to the next vertex frame; must keep ``id`` and the
         state columns, and may emit ``_changed`` to request convergence
         detection.
+    delta_only : frontier messaging (r16, guide §2.3 — shuffle fewer
+        bytes): only vertices whose ``_changed`` flag was set by the LAST
+        update send messages. Sound whenever an unchanged sender's message
+        is redundant — true for monotone min/max relaxations (Bellman-Ford:
+        a vertex whose dist did not improve already delivered that dist to
+        every neighbor in the superstep after it last changed). The message
+        join then touches only the frontier's out-edges instead of every
+        reached vertex's, every superstep. Requires ``update`` to emit
+        ``_changed``; superstep 1 (no flag yet) sends from all vertices.
     """
     # Materialize the edge frame once, hash-partitioned by the message join
     # key — every superstep joins against it, and without a persist each
@@ -291,14 +301,20 @@ def pregel(
         with scoped_shuffle_width(spark, eff_parts, rows=ne):
             return _pregel_loop(
                 e, vertices, send_to_dst, send_to_src, agg_msg, update,
-                max_iter, checkpoint_every, batch,
+                max_iter, checkpoint_every, batch, delta_only,
             )
     finally:
         e.unpersist()
 
 
-def _superstep(e, cur, send_to_dst, send_to_src, agg_msg, update):
-    v = _prefixed(cur, "v_")
+def _superstep(e, cur, send_to_dst, send_to_src, agg_msg, update, delta_only=False):
+    sender = cur
+    if delta_only and "_changed" in cur.columns:
+        # frontier messaging: unchanged vertices' messages are redundant
+        # under a monotone relaxation — only last superstep's changed
+        # rows send (see pregel() delta_only)
+        sender = cur.filter(F.col("_changed"))
+    v = _prefixed(sender, "v_")
     msgs = None
     if send_to_dst is not None:
         m = e.join(v, F.col("e_src") == F.col("v_id"), "inner").select(
@@ -319,7 +335,7 @@ def _superstep(e, cur, send_to_dst, send_to_src, agg_msg, update):
 
 def _pregel_loop(
     e, vertices, send_to_dst, send_to_src, agg_msg, update, max_iter,
-    checkpoint_every, batch,
+    checkpoint_every, batch, delta_only=False,
 ):
     cur = vertices
     it = 0
@@ -329,7 +345,9 @@ def _pregel_loop(
         for _ in range(min(batch, max_iter - it)):
             if has_changed:
                 nxt = nxt.drop("_changed")
-            nxt = _superstep(e, nxt, send_to_dst, send_to_src, agg_msg, update)
+            nxt = _superstep(
+                e, nxt, send_to_dst, send_to_src, agg_msg, update, delta_only
+            )
             has_changed = "_changed" in nxt.columns
             it += 1
         checkpointed = False
@@ -344,7 +362,10 @@ def _pregel_loop(
             checkpointed = True
             if nxt.filter(F.col("_changed")).count() == 0:
                 return nxt.drop("_changed")
-            nxt = nxt.drop("_changed")
+            if not delta_only:
+                # delta loops carry the flag into the next superstep —
+                # it selects the message senders there
+                nxt = nxt.drop("_changed")
         elif it % checkpoint_every == 0 or it == max_iter:
             # always checkpointed on exit so the returned frame does not
             # depend on the edge cache dropped below

@@ -45,6 +45,21 @@ def test_scc_two_cycles(spark):
     assert out[1] == out[2] and out[3] == out[4] and out[1] != out[3]
 
 
+def test_scc_60_cycle_is_one_component(spark):
+    """Fast-tier twin of the 120-cycle pin below: a directed cycle longer
+    than the r12 bug's hardcoded 50-step cap must still resolve as ONE
+    SCC (the inner fixpoint bound is |V|+1 with convergence early-exit;
+    pointer jumping keeps the forward pass O(log n))."""
+    from grafeo_spark.algorithms import strongly_connected_components
+
+    n = 60
+    e = edges_df(spark, [(i, (i + 1) % n) for i in range(n)])
+    out = dict(rows(strongly_connected_components(e)))
+    assert len(out) == n
+    assert set(out.values()) == {0}
+
+
+@pytest.mark.slow
 def test_scc_long_cycle_is_one_component(spark):
     """A directed cycle LONGER than any fixed superstep cap is one SCC.
     r12 regression pin: the inner coloring/reachability fixpoints used a
@@ -117,6 +132,7 @@ def test_topological_sort_cycle_raises(spark):
         topological_sort(edges_df(spark, [(1, 2), (2, 1)]))
 
 
+@pytest.mark.slow
 def test_topological_sort_deep_chain_within_budget(spark):
     """Kahn is inherently O(depth) rounds; pin that a 300-deep chain (300
     rounds of cheap jobs) completes inside a sane wall budget and yields
@@ -177,6 +193,7 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] - pr[ix[v]]) < 1e-9, v
 
 
+@pytest.mark.slow
 def test_pagerank_convergence_early_exit(spark):
     """tol stops the superstep loop once max |Δpr| < tol: a cycle's
     uniform distribution is stationary, so iteration 2 measures delta 0

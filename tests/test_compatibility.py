@@ -477,7 +477,11 @@ def _sparql_text(shape, src_f, dst_f):
     )
 
 
-@pytest.mark.parametrize("seed", [7, 31, 101, 211, 499])
+@pytest.mark.parametrize(
+    "seed",
+    # one representative seed stays in the fast tier; the sweep is slow
+    [7] + [pytest.param(s, marks=pytest.mark.slow) for s in (31, 101, 211, 499)],
+)
 def test_crosslang_pattern_filter_fuzz(db, rdb, seed):
     """Three-way agreement on the same randomized pattern/filter query.
     Any front-end translator regression (predicate direction, hop

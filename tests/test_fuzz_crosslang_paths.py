@@ -79,7 +79,9 @@ def mk_pair(spark):
     return make
 
 
-@pytest.mark.parametrize("seed", [5, 17, 31])
+@pytest.mark.parametrize(
+    "seed", [5] + [pytest.param(s, marks=pytest.mark.slow) for s in (17, 31)]
+)
 def test_crosslang_reachability_fuzz(mk_pair, seed):
     rng = random.Random(seed)
     edges = _gen_dag(rng)

@@ -77,7 +77,9 @@ def _gen(rng: random.Random, depth: int) -> tuple[str, str]:
     return (f"({lc} {op} {rc})", f"({ld} {op} {rd})")
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize(
+    "seed", [23] + [pytest.param(s, marks=pytest.mark.slow) for s in (11, 47)]
+)
 def test_integer_expression_semantics_vs_duckdb(db, seed):
     rng = random.Random(seed)
     pairs = [_gen(rng, 3) for _ in range(40)]

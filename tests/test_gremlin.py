@@ -634,6 +634,7 @@ def test_edge_haslabel_is_type(db):
     assert db.gremlin("g.E().hasLabel('GHOST').count()").collect()[0][0] == 0
 
 
+@pytest.mark.slow
 def test_repeat_times_emit_linear_plan(g):
     """times(n)+emit must be ITERATIVE: each iteration applies the body once
     over a checkpointed frontier, so the final plan is a union of n flat
@@ -1433,6 +1434,7 @@ def test_repeat_until_loops_predicate(db):
     assert got == ["Carol", "Dave"]
 
 
+@pytest.mark.slow
 def test_repeat_until_loops_exhaustion_raises(db):
     import pytest
 

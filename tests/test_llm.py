@@ -146,6 +146,7 @@ def test_lsh_no_false_negatives_on_corpus(docs):
     assert {(0, 1), (0, 2), (1, 2)} <= got
 
 
+@pytest.mark.slow
 def test_minhash_degenerate_identical_corpus(spark):
     """Boilerplate skew guard: thousands of byte-identical documents must
     NOT form a quadratic LSH bucket — identical contents collapse to one
@@ -406,6 +407,7 @@ def test_ann_topk_recall(vectors):
     assert approx[0] == 3 and recall >= 0.5, (recall, approx)
 
 
+@pytest.mark.slow
 def test_ann_topk_multi_table_recall_dim768(spark):
     """r10 recall pin (verdict r9 #2): the multi-table defaults must hold
     recall@10 >= 0.9 at production dim on a clustered corpus — the regime
@@ -1273,6 +1275,7 @@ def _skew_corpus(spark, n, n_distinct=5):
     return spark.createDataFrame(rows_, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_salted_hot_bucket_cluster_recall_exact(spark):
     """THE adversarial case the occupancy guard exists for (dedup.py worst
     case: near-identical boilerplate, distinct contents). With max_bucket

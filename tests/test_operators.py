@@ -4,6 +4,7 @@ mutation.rs, merge.rs)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import rows
@@ -382,6 +383,7 @@ def test_solvor_flow_mst_order(spark):
     assert abs(sum(pr.values()) - 1.0) < 1e-6
 
 
+@pytest.mark.slow
 def test_solvor_isolated_nodes(spark):
     """Isolated nodes (absent from the edge list) still appear in the
     adapter's results: singleton components, zero centrality, unconstrained
