@@ -12,6 +12,13 @@ import pytest
 def spark():
     from grafeo_spark.session import get_spark
 
+    # AQE stays ON here, deliberately (r16 negative result): disabling it
+    # for the test session made the pure-fixture relational suites ~34%
+    # faster (165s -> 109s on tck5+queries) but REGRESSED the
+    # gremlin/llm/algorithms files ~2x (569s vs ~250s for their fast
+    # tests) - their union-heavy plans lean on AQE's runtime broadcast /
+    # empty-relation propagation. Net suite-wide loss; do not re-try
+    # without per-file evidence.
     s = get_spark("grafeo-tests", master="local[4]", shuffle_partitions=4)
     s.sparkContext.setLogLevel("ERROR")
     yield s

@@ -611,10 +611,14 @@ def test_orderby_expression_over_agg_alias(db):
         )
     )
     assert sorted(out) == [("LA", 2), ("NYC", 3)]
-    # DISTINCT variant: expression over the projected alias
+    # DISTINCT variant: expression over the projected alias. Chicago and
+    # Phoenix tie at size 7, and ORDER BY a non-unique key leaves the
+    # winner plan-dependent (AQE on happened to yield Chicago; AQE off
+    # yields Phoenix) — add the alias as tie-break so the pin is
+    # deterministic while still exercising the size() sort expression.
     top = db.cypher(
         "MATCH (p:Person) RETURN DISTINCT p.city AS city "
-        "ORDER BY size(city) DESC LIMIT 1"
+        "ORDER BY size(city) DESC, city ASC LIMIT 1"
     ).collect()
     assert top[0].city == "Chicago"
 
